@@ -3,36 +3,71 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in :mod:`sparkdon.relational` (relational analogues of the
+SURVEY.md §2 operator inventory), :mod:`sparkdon.rdf_queries` (the SPARQL
+engine end-to-end over rdf-ized driver tables), and
+:mod:`sparkdon.pipeline` (LLM-data-pipeline tier: dedup, similarity,
+text analysis).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sparkdon.relational import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    from sparkdon import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out.update(relational.QUERIES)
+    try:
+        from sparkdon import rdf_queries
+
+        out.update(rdf_queries.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from sparkdon import pipeline
+
+        out.update(pipeline.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query key (omitted entries get
+    a rows-only check)."""
+    out: dict[str, str] = {}
+    from sparkdon import relational
+
+    out.update(relational.ORACLE)
+    try:
+        from sparkdon import rdf_queries
+
+        out.update(rdf_queries.ORACLE)
+    except ImportError:
+        pass
+    try:
+        from sparkdon import pipeline
+
+        out.update(pipeline.ORACLE)
+    except ImportError:
+        pass
+    return out

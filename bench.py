@@ -1,0 +1,105 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The timed set is the flagship plus a representative slice of the operator
+battery (scan+filter, join chain, aggregate, top-k, set op, text/dedup
+pipeline) — one full action (count or collect of a small result) per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkdon-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from sparkdon.relational import flagship
+
+    qs = entrymod.queries()
+    bench_names = [
+        "p1_scan_filter",
+        "p8_bind",
+        "j1_inner_join_chain",
+        "j3_anti_not_exists",
+        "a1_group_count",
+        "a9_multi_agg",
+        "a6_subquery_filter",
+        "o2_topk_desc",
+        "u1_union",
+        "q10_seq_decollect",
+    ]
+    # optional tiers registered later in the round
+    for extra in (
+        "sparql_census",
+        "sparql_join_agg",
+        "x_dedup_exact",
+        "x_dedup_minhash",
+        "x_sim_topk",
+        "x_text_stats",
+    ):
+        if extra in qs:
+            bench_names.append(extra)
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # warm the JVM + file listing once, untimed
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    t_flag0 = time.time()
+    flag_rows = flagship(spark, sf_dir).collect()
+    timings["flagship"] = round(time.time() - t_flag0, 3)
+
+    for name in bench_names:
+        if name in qs:
+            run(name, qs[name])
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "flagship_rows": len(flag_rows),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
