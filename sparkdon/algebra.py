@@ -1,0 +1,916 @@
+"""SPARQL text → algebra IR.
+
+The reference delegates parsing to rdflib's ``parseQuery``
+(gastrodon/__init__.py:905-911) and execution to rdflib's evaluator; we
+parse the SPARQL 1.1 subset its corpus exercises (SURVEY.md §2) with a
+hand-rolled recursive-descent parser — rdflib is not available in this
+environment, and the subset is small and stable.
+
+Supported surface (each cited to its exerciser in SURVEY.md §2):
+SELECT [DISTINCT] with expressions/aliases, WHERE with BGPs, FILTER
+(comparisons, && || !, IN, EXISTS/NOT EXISTS, function calls), OPTIONAL,
+MINUS, UNION, BIND, VALUES, subqueries, property paths (``p1/p2``,
+``^p``, ``p*``, ``p+``, ``p1|p2``), GROUP BY, ORDER BY ASC/DESC, LIMIT,
+OFFSET, CONSTRUCT, ASK (trivial), and updates INSERT/DELETE ... WHERE.
+
+The IR is deliberately tiny (dataclasses below); the Spark compiler
+(:mod:`sparkdon.compile`) walks it directly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from sparkdon.errors import SparqlSyntaxError
+from sparkdon.terms import RDF, XSD, IRI, BNode, Literal
+
+# ---------------------------------------------------------------------------
+# IR node types
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+    def __str__(self):
+        return "?" + self.name
+
+
+# term in a pattern position: Var | IRI | BNode | Literal | Path
+
+
+@dataclass(frozen=True)
+class Path:
+    """Property-path expression in predicate position (SURVEY.md §2.8)."""
+
+    op: str  # 'seq' | 'alt' | 'inv' | 'star' | 'plus' | 'opt' | 'link'
+    parts: tuple  # links are (iri,), seq/alt are (p1, p2, ...), unary are (p,)
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: object
+    p: object  # IRI | Var | Path
+    o: object
+
+
+@dataclass
+class Filter:
+    expr: "Expr"
+
+
+@dataclass
+class Bind:
+    expr: "Expr"
+    var: Var
+
+
+@dataclass
+class ValuesClause:
+    variables: list
+    rows: list  # list of tuples of (term or None for UNDEF)
+
+
+@dataclass
+class OptionalGroup:
+    group: "GroupPattern"
+
+
+@dataclass
+class MinusGroup:
+    group: "GroupPattern"
+
+
+@dataclass
+class UnionGroup:
+    branches: list  # list[GroupPattern]
+
+
+@dataclass
+class SubSelect:
+    query: "SelectQuery"
+
+
+@dataclass
+class GroupPattern:
+    """A `{ ... }` group: ordered elements (patterns and operators)."""
+
+    elements: list = field(default_factory=list)
+
+
+# --- expressions -----------------------------------------------------------
+
+
+@dataclass
+class Expr:
+    pass
+
+
+@dataclass
+class TermExpr(Expr):
+    term: object  # Var | IRI | Literal
+
+
+@dataclass
+class OpExpr(Expr):
+    op: str  # '||' '&&' '=' '!=' '<' '>' '<=' '>=' '+' '-' '*' '/' '!' 'neg'
+    args: list
+
+
+@dataclass
+class InExpr(Expr):
+    value: Expr
+    options: list
+    negated: bool = False
+
+
+@dataclass
+class FuncExpr(Expr):
+    name: str  # upper-cased builtin name or datatype IRI for casts
+    args: list
+    distinct: bool = False
+
+
+@dataclass
+class ExistsExpr(Expr):
+    group: GroupPattern
+    negated: bool = False
+
+
+@dataclass
+class AggExpr(Expr):
+    name: str  # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
+    arg: Expr | None  # None = COUNT(*)
+    distinct: bool = False
+
+
+# --- queries ---------------------------------------------------------------
+
+
+@dataclass
+class SelectQuery:
+    projections: list  # list[(Expr|Var, alias Var|None)]; [] = SELECT *
+    where: GroupPattern = None
+    distinct: bool = False
+    group_by: list = field(default_factory=list)  # list[Expr]
+    having: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # list[(Expr, 'asc'|'desc')]
+    limit: int | None = None
+    offset: int | None = None
+
+
+@dataclass
+class ConstructQuery:
+    template: list  # list[TriplePattern]
+    where: GroupPattern = None
+    limit: int | None = None
+
+
+@dataclass
+class AskQuery:
+    where: GroupPattern = None
+
+
+@dataclass
+class UpdateRequest:
+    delete_template: list | None
+    insert_template: list | None
+    where: GroupPattern | None
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>\"{}|^`\\\s]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+    | (?P<DTSEP>\^\^)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+    | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<BNODE>_:[A-Za-z_0-9.-]+)
+    | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*|:[A-Za-z_0-9.%-]*)
+    | (?P<KEYWORD>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<OP>\|\||&&|!=|<=|>=|\^|\*|\+|/|\||!|=|<|>|-)
+    | (?P<PUNCT>[{}().,;\[\]])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(text: str) -> list[Token]:
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        m = TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlSyntaxError(text, i, f"unexpected character {text[i]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append(Token(kind, m.group(), i))
+        i = m.end()
+    out.append(Token("EOF", "", n))
+    return out
+
+
+STRING_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def unescape_string(raw: str) -> str:
+    body = raw[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < len(body):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 9 < len(body):
+                out.append(chr(int(body[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(STRING_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+BUILTIN_FUNCS = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI", "BNODE",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE",
+    "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1", "SHA256",
+    "COALESCE", "IF", "STRLANG", "STRDT", "SAMETERM", "ISIRI", "ISURI",
+    "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR", "REPLACE",
+}
+
+AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+
+class Parser:
+    """Recursive-descent SPARQL parser over the token stream."""
+
+    def __init__(self, text: str, prefixes: dict[str, str] | None = None,
+                 base: str | None = None):
+        self.text = text
+        self.tokens = tokenize(text)
+        self.i = 0
+        self.prefixes = dict(prefixes or {})
+        self.base = base
+        self._bnode_counter = 0
+
+    # --- token helpers ---
+    def peek(self, k: int = 0) -> Token:
+        return self.tokens[min(self.i + k, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def at_keyword(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "KEYWORD" and t.text.upper() in words
+
+    def expect_keyword(self, word: str) -> Token:
+        t = self.next()
+        if t.kind != "KEYWORD" or t.text.upper() != word:
+            raise SparqlSyntaxError(self.text, t.pos, f"expected {word}, got {t.text!r}")
+        return t
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise SparqlSyntaxError(self.text, t.pos, f"expected {text!r}, got {t.text!r}")
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    def fresh_bnode(self) -> BNode:
+        self._bnode_counter += 1
+        return BNode(f"pb{self._bnode_counter}")
+
+    # --- prologue ---
+    def parse_prologue(self):
+        while True:
+            if self.at_keyword("PREFIX"):
+                self.next()
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                    raise SparqlSyntaxError(self.text, pn.pos, "expected prefix name")
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError(self.text, iri.pos, "expected IRI")
+                self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+            elif self.at_keyword("BASE"):
+                self.next()
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SparqlSyntaxError(self.text, iri.pos, "expected IRI")
+                self.base = iri.text[1:-1]
+            else:
+                return
+
+    # --- entry points ---
+    def parse_query(self):
+        self.parse_prologue()
+        if self.at_keyword("SELECT"):
+            q = self.parse_select()
+        elif self.at_keyword("CONSTRUCT"):
+            q = self.parse_construct()
+        elif self.at_keyword("ASK"):
+            self.next()
+            q = AskQuery(where=self.parse_group())
+        else:
+            t = self.peek()
+            raise SparqlSyntaxError(self.text, t.pos, f"expected SELECT/CONSTRUCT/ASK, got {t.text!r}")
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
+        return q
+
+    def parse_update(self) -> UpdateRequest:
+        self.parse_prologue()
+        delete_t = insert_t = None
+        if self.at_keyword("INSERT"):
+            self.next()
+            if self.at_keyword("DATA"):
+                self.next()
+                self.expect("{")
+                tpl = self.parse_triples_block(allow_vars=False)
+                self.expect("}")
+                return UpdateRequest(None, tpl, None)
+            self.expect("{")
+            insert_t = self.parse_triples_block()
+            self.expect("}")
+        elif self.at_keyword("DELETE"):
+            self.next()
+            if self.at_keyword("DATA"):
+                self.next()
+                self.expect("{")
+                tpl = self.parse_triples_block(allow_vars=False)
+                self.expect("}")
+                return UpdateRequest(tpl, None, None)
+            self.expect("{")
+            delete_t = self.parse_triples_block()
+            self.expect("}")
+            if self.at_keyword("INSERT"):
+                self.next()
+                self.expect("{")
+                insert_t = self.parse_triples_block()
+                self.expect("}")
+        else:
+            t = self.peek()
+            raise SparqlSyntaxError(self.text, t.pos, f"expected INSERT/DELETE, got {t.text!r}")
+        where = None
+        if self.at_keyword("WHERE"):
+            self.next()
+            where = self.parse_group()
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
+        return UpdateRequest(delete_t, insert_t, where)
+
+    # --- SELECT ---
+    def parse_select(self) -> SelectQuery:
+        self.expect_keyword("SELECT")
+        q = SelectQuery(projections=[])
+        if self.at_keyword("DISTINCT"):
+            self.next()
+            q.distinct = True
+        elif self.at_keyword("REDUCED"):
+            self.next()
+        if self.accept("*"):
+            pass
+        else:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.projections.append((Var(t.text[1:]), None))
+                elif t.text == "(":
+                    self.next()
+                    e = self.parse_expr()
+                    self.expect_keyword("AS")
+                    v = self.next()
+                    if v.kind != "VAR":
+                        raise SparqlSyntaxError(self.text, v.pos, "expected variable after AS")
+                    self.expect(")")
+                    q.projections.append((e, Var(v.text[1:])))
+                else:
+                    break
+            if not q.projections:
+                raise SparqlSyntaxError(self.text, self.peek().pos, "empty SELECT list")
+        if self.at_keyword("WHERE"):
+            self.next()
+        q.where = self.parse_group()
+        # solution modifiers
+        if self.at_keyword("GROUP"):
+            self.next()
+            self.expect_keyword("BY")
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.group_by.append(TermExpr(Var(t.text[1:])))
+                elif t.text == "(":
+                    self.next()
+                    e = self.parse_expr()
+                    if self.at_keyword("AS"):
+                        self.next()
+                        v = self.next()
+                        self.expect(")")
+                        q.group_by.append((e, Var(v.text[1:])))
+                    else:
+                        self.expect(")")
+                        q.group_by.append(e)
+                elif t.kind in ("KEYWORD", "PNAME", "IRIREF") and (
+                    t.text.upper() in BUILTIN_FUNCS or t.kind in ("PNAME", "IRIREF")
+                ):
+                    q.group_by.append(self.parse_primary_expr())
+                else:
+                    break
+        if self.at_keyword("HAVING"):
+            self.next()
+            while self.peek().text == "(":
+                q.having.append(self.parse_bracketted_expr())
+        if self.at_keyword("ORDER"):
+            self.next()
+            self.expect_keyword("BY")
+            while True:
+                t = self.peek()
+                if self.at_keyword("ASC", "DESC"):
+                    direction = self.next().text.lower()
+                    e = self.parse_bracketted_expr()
+                    q.order_by.append((e, direction))
+                elif t.kind == "VAR":
+                    self.next()
+                    q.order_by.append((TermExpr(Var(t.text[1:])), "asc"))
+                elif t.text == "(":
+                    q.order_by.append((self.parse_bracketted_expr(), "asc"))
+                elif t.kind in ("KEYWORD",) and t.text.upper() in BUILTIN_FUNCS:
+                    q.order_by.append((self.parse_primary_expr(), "asc"))
+                else:
+                    break
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_keyword("LIMIT"):
+                self.next()
+                q.limit = int(self.next().text)
+            elif self.at_keyword("OFFSET"):
+                self.next()
+                q.offset = int(self.next().text)
+        return q
+
+    def parse_construct(self) -> ConstructQuery:
+        self.expect_keyword("CONSTRUCT")
+        self.expect("{")
+        template = self.parse_triples_block()
+        self.expect("}")
+        self.expect_keyword("WHERE")
+        where = self.parse_group()
+        limit = None
+        if self.at_keyword("LIMIT"):
+            self.next()
+            limit = int(self.next().text)
+        return ConstructQuery(template=template, where=where, limit=limit)
+
+    def parse_bracketted_expr(self) -> Expr:
+        if self.peek().text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        return self.parse_primary_expr()
+
+    # --- group graph pattern ---
+    def parse_group(self) -> GroupPattern:
+        self.expect("{")
+        g = GroupPattern()
+        while True:
+            t = self.peek()
+            if t.text == "}":
+                self.next()
+                return g
+            if t.text == "{":
+                # either a sub-group (possibly UNION chain) or a subselect
+                if self.peek(1).kind == "KEYWORD" and self.peek(1).text.upper() == "SELECT":
+                    self.next()
+                    sub = self.parse_select()
+                    self.expect("}")
+                    g.elements.append(SubSelect(sub))
+                else:
+                    first = self.parse_group()
+                    branches = [first]
+                    while self.at_keyword("UNION"):
+                        self.next()
+                        branches.append(self.parse_group())
+                    if len(branches) == 1:
+                        g.elements.extend(first.elements)
+                    else:
+                        g.elements.append(UnionGroup(branches))
+                self.accept(".")
+            elif self.at_keyword("FILTER"):
+                self.next()
+                if self.at_keyword("EXISTS"):
+                    self.next()
+                    g.elements.append(Filter(ExistsExpr(self.parse_group())))
+                elif self.at_keyword("NOT"):
+                    self.next()
+                    self.expect_keyword("EXISTS")
+                    g.elements.append(Filter(ExistsExpr(self.parse_group(), negated=True)))
+                else:
+                    g.elements.append(Filter(self.parse_bracketted_expr()))
+                self.accept(".")
+            elif self.at_keyword("OPTIONAL"):
+                self.next()
+                g.elements.append(OptionalGroup(self.parse_group()))
+                self.accept(".")
+            elif self.at_keyword("MINUS"):
+                self.next()
+                g.elements.append(MinusGroup(self.parse_group()))
+                self.accept(".")
+            elif self.at_keyword("BIND"):
+                self.next()
+                self.expect("(")
+                e = self.parse_expr()
+                self.expect_keyword("AS")
+                v = self.next()
+                self.expect(")")
+                g.elements.append(Bind(e, Var(v.text[1:])))
+                self.accept(".")
+            elif self.at_keyword("VALUES"):
+                self.next()
+                g.elements.append(self.parse_values())
+                self.accept(".")
+            else:
+                triples = self.parse_triples_block(stop_at_keywords=True)
+                if not triples:
+                    raise SparqlSyntaxError(self.text, t.pos, f"unexpected {t.text!r} in group")
+                g.elements.extend(triples)
+
+    def parse_values(self) -> ValuesClause:
+        variables = []
+        rows = []
+        if self.peek().text == "(":
+            self.next()
+            while self.peek().kind == "VAR":
+                variables.append(Var(self.next().text[1:]))
+            self.expect(")")
+            self.expect("{")
+            while self.peek().text == "(":
+                self.next()
+                row = []
+                while self.peek().text != ")":
+                    row.append(self.parse_values_term())
+                self.next()
+                rows.append(tuple(row))
+            self.expect("}")
+        else:
+            v = self.next()
+            variables.append(Var(v.text[1:]))
+            self.expect("{")
+            while self.peek().text != "}":
+                rows.append((self.parse_values_term(),))
+            self.next()
+        return ValuesClause(variables, rows)
+
+    def parse_values_term(self):
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.text.upper() == "UNDEF":
+            self.next()
+            return None
+        return self.parse_term()
+
+    # --- triples ---
+    def parse_triples_block(self, allow_vars: bool = True,
+                            stop_at_keywords: bool = False) -> list[TriplePattern]:
+        out: list[TriplePattern] = []
+        while True:
+            t = self.peek()
+            if t.text in ("}",) or t.kind == "EOF":
+                return out
+            if stop_at_keywords and t.kind == "KEYWORD" and t.text.upper() in (
+                "FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION",
+                "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+            ):
+                return out
+            if t.text == "{":
+                return out
+            subject = self.parse_term_or_bnode_props(out)
+            self.parse_property_list(subject, out)
+            if not self.accept("."):
+                return out
+
+    def parse_term_or_bnode_props(self, out: list) -> object:
+        if self.peek().text == "[":
+            self.next()
+            node = self.fresh_bnode()
+            if self.peek().text != "]":
+                self.parse_property_list(node, out)
+            self.expect("]")
+            return node
+        return self.parse_term()
+
+    def parse_property_list(self, subject, out: list):
+        while True:
+            t = self.peek()
+            if t.text in (".", "}", "]", ";") or t.kind == "EOF":
+                if t.text == ";":
+                    self.next()
+                    continue
+                return
+            pred = self.parse_path()
+            while True:
+                obj = self.parse_object(out)
+                out.append(TriplePattern(subject, pred, obj))
+                if not self.accept(","):
+                    break
+            if self.accept(";"):
+                continue
+            return
+
+    def parse_object(self, out: list):
+        if self.peek().text == "[":
+            self.next()
+            node = self.fresh_bnode()
+            if self.peek().text != "]":
+                self.parse_property_list(node, out)
+            self.expect("]")
+            return node
+        return self.parse_term()
+
+    # --- property paths (predicate position) ---
+    def parse_path(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return Var(t.text[1:])
+        if t.kind == "KEYWORD" and t.text == "a":
+            self.next()
+            base = Path("link", (IRI(RDF + "type"),))
+        else:
+            base = self.parse_path_alt()
+        # a bare single link collapses to its IRI
+        return self.simplify_path(base)
+
+    @staticmethod
+    def simplify_path(p):
+        if isinstance(p, Path) and p.op == "link":
+            return p.parts[0]
+        return p
+
+    def parse_path_alt(self) -> Path:
+        left = self.parse_path_seq()
+        while self.peek().text == "|":
+            self.next()
+            right = self.parse_path_seq()
+            left = Path("alt", (left, right))
+        return left
+
+    def parse_path_seq(self) -> Path:
+        left = self.parse_path_elt()
+        while self.peek().text == "/":
+            self.next()
+            right = self.parse_path_elt()
+            left = Path("seq", (left, right))
+        return left
+
+    def parse_path_elt(self) -> Path:
+        inverse = False
+        if self.peek().text == "^":
+            self.next()
+            inverse = True
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            p = self.parse_path_alt()
+            self.expect(")")
+        elif t.kind == "KEYWORD" and t.text == "a":
+            self.next()
+            p = Path("link", (IRI(RDF + "type"),))
+        elif t.kind in ("IRIREF", "PNAME"):
+            p = Path("link", (self.parse_iri(),))
+        else:
+            raise SparqlSyntaxError(self.text, t.pos, f"expected path element, got {t.text!r}")
+        if inverse:
+            p = Path("inv", (p,))
+        mod = self.peek().text
+        if mod in ("*", "+"):
+            self.next()
+            p = Path("star" if mod == "*" else "plus", (p,))
+        elif mod == "?" and self.peek().kind == "OP":
+            self.next()
+            p = Path("opt", (p,))
+        return p
+
+    # --- terms ---
+    def parse_iri(self) -> IRI:
+        t = self.next()
+        if t.kind == "IRIREF":
+            iri = t.text[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                return IRI(self.base + iri)
+            return IRI(iri)
+        if t.kind == "PNAME":
+            pfx, _, local = t.text.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(self.text, t.pos, f"unknown prefix {pfx!r}")
+            return IRI(self.prefixes[pfx] + local)
+        raise SparqlSyntaxError(self.text, t.pos, f"expected IRI, got {t.text!r}")
+
+    def parse_term(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return Var(t.text[1:])
+        if t.kind in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        if t.kind == "BNODE":
+            self.next()
+            return BNode(t.text[2:])
+        if t.kind == "STRING":
+            self.next()
+            lex = unescape_string(t.text)
+            nxt = self.peek()
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return Literal(lex, lang=nxt.text[1:])
+            if nxt.kind == "DTSEP":
+                self.next()
+                return Literal(lex, datatype=str(self.parse_iri()))
+            return Literal(lex)
+        if t.kind == "NUM":
+            self.next()
+            if re.fullmatch(r"[+-]?\d+", t.text):
+                return Literal(t.text, datatype=XSD + "integer")
+            if "e" in t.text.lower():
+                return Literal(t.text, datatype=XSD + "double")
+            return Literal(t.text, datatype=XSD + "decimal")
+        if t.kind == "KEYWORD":
+            up = t.text.upper()
+            if up == "TRUE":
+                self.next()
+                return Literal("true", datatype=XSD + "boolean")
+            if up == "FALSE":
+                self.next()
+                return Literal("false", datatype=XSD + "boolean")
+            if t.text == "a":
+                self.next()
+                return IRI(RDF + "type")
+        raise SparqlSyntaxError(self.text, t.pos, f"expected term, got {t.text!r}")
+
+    # --- expressions ---
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        left = self.parse_and()
+        while self.peek().text == "||":
+            self.next()
+            left = OpExpr("||", [left, self.parse_and()])
+        return left
+
+    def parse_and(self) -> Expr:
+        left = self.parse_relational()
+        while self.peek().text == "&&":
+            self.next()
+            left = OpExpr("&&", [left, self.parse_relational()])
+        return left
+
+    def parse_relational(self) -> Expr:
+        left = self.parse_additive()
+        t = self.peek()
+        if t.text in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return OpExpr(t.text, [left, self.parse_additive()])
+        if t.kind == "KEYWORD" and t.text.upper() == "IN":
+            self.next()
+            return InExpr(left, self.parse_expr_list())
+        if t.kind == "KEYWORD" and t.text.upper() == "NOT":
+            self.next()
+            self.expect_keyword("IN")
+            return InExpr(left, self.parse_expr_list(), negated=True)
+        return left
+
+    def parse_expr_list(self) -> list:
+        self.expect("(")
+        out = []
+        if self.peek().text != ")":
+            out.append(self.parse_expr())
+            while self.accept(","):
+                out.append(self.parse_expr())
+        self.expect(")")
+        return out
+
+    def parse_additive(self) -> Expr:
+        left = self.parse_multiplicative()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            left = OpExpr(op, [left, self.parse_multiplicative()])
+        return left
+
+    def parse_multiplicative(self) -> Expr:
+        left = self.parse_unary()
+        while self.peek().text in ("*", "/"):
+            op = self.next().text
+            left = OpExpr(op, [left, self.parse_unary()])
+        return left
+
+    def parse_unary(self) -> Expr:
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            return OpExpr("!", [self.parse_unary()])
+        if t.text == "-":
+            self.next()
+            return OpExpr("neg", [self.parse_unary()])
+        if t.text == "+":
+            self.next()
+            return self.parse_unary()
+        return self.parse_primary_expr()
+
+    def parse_primary_expr(self) -> Expr:
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return TermExpr(Var(t.text[1:]))
+        if t.kind == "KEYWORD":
+            up = t.text.upper()
+            if up in AGG_FUNCS:
+                self.next()
+                self.expect("(")
+                distinct = False
+                if self.at_keyword("DISTINCT"):
+                    self.next()
+                    distinct = True
+                if self.accept("*"):
+                    arg = None
+                else:
+                    arg = self.parse_expr()
+                self.expect(")")
+                return AggExpr(up, arg, distinct)
+            if up in ("EXISTS", "NOT"):
+                negated = False
+                if up == "NOT":
+                    self.next()
+                    self.expect_keyword("EXISTS")
+                    negated = True
+                else:
+                    self.next()
+                return ExistsExpr(self.parse_group(), negated=negated)
+            if up in BUILTIN_FUNCS:
+                self.next()
+                args = self.parse_expr_list()
+                return FuncExpr(up, args)
+            if up in ("TRUE", "FALSE"):
+                return TermExpr(self.parse_term())
+        if t.kind in ("IRIREF", "PNAME"):
+            # datatype-cast function call like xsd:integer(?x), or a plain IRI
+            iri = self.parse_iri()
+            if self.peek().text == "(":
+                args = self.parse_expr_list()
+                return FuncExpr(str(iri), args)
+            return TermExpr(iri)
+        if t.kind in ("STRING", "NUM", "BNODE"):
+            return TermExpr(self.parse_term())
+        raise SparqlSyntaxError(self.text, t.pos, f"expected expression, got {t.text!r}")
+
+
+def parse_query(text: str, prefixes: dict[str, str] | None = None, base: str | None = None):
+    return Parser(text, prefixes, base).parse_query()
+
+
+def parse_update(text: str, prefixes: dict[str, str] | None = None, base: str | None = None):
+    return Parser(text, prefixes, base).parse_update()

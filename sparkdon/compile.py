@@ -1,0 +1,859 @@
+"""Algebra IR → Spark DataFrame plans.
+
+This is the executor gastrodon never had (its one-line engine is
+``self.graph.query(sparql)``, gastrodon/__init__.py:797-798).  Design
+(SURVEY.md §3.1 "Our Spark lifecycle" / §4.2):
+
+- A *bindings* relation is a DataFrame with one term-struct column per
+  SPARQL variable (``v_<name>``); NULL = unbound.
+- BGPs compile to filters + projections over the triple table and
+  incremental equi-joins on shared variables — Catalyst reorders joins,
+  pushes constant filters into the Parquet scan, and picks
+  broadcast-vs-shuffle strategies (AQE).
+- OPTIONAL → left outer join with the embedded FILTER folded into the
+  join condition (the scoping trap of SURVEY.md §2.2 P10).
+- MINUS → left anti join on the shared-variable set; empty set → no-op
+  (the compat-set semantics of SURVEY.md §2.3 J4).
+- EXISTS / NOT EXISTS → left semi / left anti joins.
+- Property paths delegate to :mod:`sparkdon.paths` (semi-naive fixpoint).
+- Aggregates run as partial+final hash aggregation; results are encoded
+  back into term structs (value-typed lexical forms) so every operator
+  stays closed over the bindings model.
+
+Variables definitely bound on every row ("certain") are tracked so joins
+stay hash equi-joins; only joins over possibly-unbound shared variables
+fall back to SPARQL compatibility conditions (null-tolerant theta join)
+— that generality is semantically required but never hit by the
+reference corpus, so the fast path is the only hot path.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdon import paths as path_mod
+from sparkdon.algebra import (
+    AggExpr, AskQuery, Bind, ConstructQuery, ExistsExpr, Expr, Filter,
+    FuncExpr, GroupPattern, InExpr, MinusGroup, OpExpr, OptionalGroup, Path,
+    SelectQuery, SubSelect, TermExpr, TriplePattern, UnionGroup, UpdateRequest,
+    ValuesClause, Var,
+)
+from sparkdon.errors import QueryExecutionError
+from sparkdon.terms import (
+    XSD, BNode, IRI, KIND_BNODE, KIND_IRI, KIND_LIT, Literal, NUMERIC_DATATYPES,
+    iri_term, lit_term, make_term, numeric_value, sort_key,
+)
+
+
+def vcol(name: str) -> str:
+    return "v_" + name
+
+
+@dataclass
+class Bindings:
+    """A solution-sequence relation: DataFrame + variable bookkeeping."""
+
+    df: DataFrame
+    variables: list[str]  # var names (no '?'), order = first appearance
+    certain: set[str] = field(default_factory=set)  # definitely bound
+
+    def col(self, name: str) -> Column:
+        return self.df[vcol(name)]
+
+
+def term_to_struct(term) -> Column:
+    """Constant term → literal term-struct Column."""
+    if isinstance(term, IRI):
+        return iri_term(str(term))
+    if isinstance(term, BNode):
+        return make_term(KIND_BNODE, F.lit(str(term)))
+    if isinstance(term, Literal):
+        return make_term(
+            KIND_LIT,
+            F.lit(term.lex),
+            F.lit(term.datatype) if term.datatype else None,
+            F.lit(term.lang) if term.lang else None,
+        )
+    raise QueryExecutionError(f"cannot encode constant {term!r}")
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, triples: DataFrame):
+        self.spark = spark
+        self.triples = triples
+        self._uid = itertools.count()
+
+    # ------------------------------------------------------------------
+    # triple patterns
+    # ------------------------------------------------------------------
+
+    def _subject_struct(self) -> Column:
+        return make_term(F.col("s_kind"), F.col("s"))
+
+    def _object_struct(self) -> Column:
+        return make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang"))
+
+    def compile_pattern(self, tp: TriplePattern) -> Bindings:
+        if isinstance(tp.p, Path):
+            return self.compile_path_pattern(tp)
+        df = self.triples
+        # constant filters — these push into the Parquet scan
+        proj: dict[str, Column] = {}
+        filters: list[Column] = []
+
+        def handle(term, struct_col: Column, flat_eq):
+            nonlocal df
+            if isinstance(term, Var):
+                if term.name in proj:  # repeated var in one pattern
+                    filters.append(proj[term.name].eqNullSafe(struct_col))
+                else:
+                    proj[term.name] = struct_col
+            else:
+                for c in flat_eq(term):
+                    df = df.filter(c)
+
+        def s_eq(term):
+            if isinstance(term, IRI):
+                return [F.col("s_kind") == KIND_IRI, F.col("s") == str(term)]
+            if isinstance(term, BNode):
+                return [F.col("s_kind") == KIND_BNODE, F.col("s") == str(term)]
+            raise QueryExecutionError("literal subject in pattern")
+
+        def p_eq(term):
+            return [F.col("p") == str(term)]
+
+        def o_eq(term):
+            if isinstance(term, IRI):
+                return [F.col("o_kind") == KIND_IRI, F.col("o") == str(term)]
+            if isinstance(term, BNode):
+                return [F.col("o_kind") == KIND_BNODE, F.col("o") == str(term)]
+            cs = [F.col("o_kind") == KIND_LIT, F.col("o") == term.lex]
+            cs.append(
+                F.col("o_dt") == term.datatype if term.datatype else F.col("o_dt").isNull()
+            )
+            cs.append(F.col("o_lang") == term.lang if term.lang else F.col("o_lang").isNull())
+            return cs
+
+        handle(tp.s, self._subject_struct(), s_eq)
+        handle(tp.p, iri_term(F.col("p")), p_eq)
+        handle(tp.o, self._object_struct(), o_eq)
+
+        out = df.select(*[c.alias(vcol(n)) for n, c in proj.items()])
+        for f in filters:
+            out = out.filter(f)
+        names = list(proj.keys())
+        return Bindings(out, names, set(names))
+
+    def compile_path_pattern(self, tp: TriplePattern) -> Bindings:
+        start_const = None if isinstance(tp.s, Var) else tp.s
+        end_const = None if isinstance(tp.o, Var) else tp.o
+        pairs = path_mod.eval_path(self, tp.p, start_const, end_const)
+        proj = {}
+        df = pairs
+        # filter constant endpoints (closure paths are already anchored, but
+        # plain link/seq/inv/alt paths need the selection applied here)
+        if start_const is not None:
+            df = df.filter(df["start"].eqNullSafe(term_to_struct(start_const)))
+        if end_const is not None:
+            df = df.filter(df["end"].eqNullSafe(term_to_struct(end_const)))
+        if isinstance(tp.s, Var):
+            proj[tp.s.name] = df["start"]
+        if isinstance(tp.o, Var):
+            if isinstance(tp.s, Var) and tp.o.name == tp.s.name:
+                df = df.filter(df["start"].eqNullSafe(df["end"]))
+            else:
+                proj[tp.o.name] = df["end"]
+        out = df.select(*[c.alias(vcol(n)) for n, c in proj.items()])
+        names = list(proj.keys())
+        return Bindings(out, names, set(names))
+
+    # ------------------------------------------------------------------
+    # joins
+    # ------------------------------------------------------------------
+
+    def join(self, left: Bindings | None, right: Bindings, how: str = "inner",
+             extra_cond=None) -> Bindings:
+        """Join two binding relations on their shared variables.
+
+        Fast path: all shared vars certain on both sides → hash equi-join
+        on the struct columns.  Slow path (possibly-unbound shared vars):
+        SPARQL compatibility condition — null-tolerant, compiled as a
+        theta join; never hit by the reference corpus.
+        """
+        if left is None:
+            if how in ("inner", "left_outer") and extra_cond is None:
+                return right
+            raise QueryExecutionError(f"{how} join with empty left side")
+        shared = [v for v in left.variables if v in right.variables]
+        l_only = [v for v in left.variables if v not in shared]
+        r_only = [v for v in right.variables if v not in shared]
+
+        fast = all(v in left.certain and v in right.certain for v in shared)
+        if fast and extra_cond is None and shared:
+            out = left.df.join(right.df, on=[vcol(v) for v in shared], how=how)
+            new_vars = shared + l_only + r_only if how != "left_anti" else left.variables
+        else:
+            # rename right columns to avoid ambiguity, build explicit condition
+            r_df = right.df
+            ren = {vcol(v): f"r__{vcol(v)}" for v in right.variables}
+            for old, new in ren.items():
+                r_df = r_df.withColumnRenamed(old, new)
+            conds = []
+            for v in shared:
+                lc, rc = left.df[vcol(v)], r_df[f"r__{vcol(v)}"]
+                if v in left.certain and v in right.certain:
+                    conds.append(lc == rc)
+                else:
+                    conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+            if extra_cond is not None:
+                conds.append(extra_cond(lambda v: (
+                    r_df[f"r__{vcol(v)}"] if v in r_only else left.df[vcol(v)]
+                )))
+            cond = F.lit(True)
+            for c in conds:
+                cond = cond & c
+            joined = left.df.join(r_df, on=cond, how=how if shared or extra_cond is not None else "cross")
+            if how in ("left_anti", "left_semi"):
+                return Bindings(joined, list(left.variables), set(left.certain))
+            sel = []
+            for v in left.variables:
+                if v in shared and v not in left.certain:
+                    sel.append(F.coalesce(left.df[vcol(v)], r_df[f"r__{vcol(v)}"]).alias(vcol(v)))
+                else:
+                    sel.append(left.df[vcol(v)].alias(vcol(v)))
+            for v in r_only:
+                sel.append(r_df[f"r__{vcol(v)}"].alias(vcol(v)))
+            out = joined.select(*sel)
+            new_vars = left.variables + r_only
+            certain = set(left.certain)
+            if how == "inner":
+                certain |= right.certain
+            return Bindings(out, new_vars, certain)
+
+        if not shared and extra_cond is None:
+            if how == "inner":
+                out = left.df.crossJoin(right.df)
+                new_vars = left.variables + r_only
+                return Bindings(out, new_vars, left.certain | right.certain)
+            if how == "left_outer":
+                out = left.df.crossJoin(right.df)  # right nonempty ⇒ all compatible
+                return Bindings(out, left.variables + r_only, left.certain | right.certain)
+            if how == "left_anti":
+                # MINUS with disjoint domains removes nothing (J4 caveat)
+                return left
+            if how == "left_semi":
+                return left
+
+        certain = set(left.certain)
+        if how == "inner":
+            certain |= right.certain
+        elif how in ("left_anti", "left_semi"):
+            return Bindings(out, list(left.variables), set(left.certain))
+        return Bindings(out, new_vars, certain)
+
+    # ------------------------------------------------------------------
+    # group graph pattern
+    # ------------------------------------------------------------------
+
+    def unit(self) -> Bindings:
+        return Bindings(self.spark.range(1).select(F.lit(1).alias("__unit")), [], set())
+
+    def compile_group(self, group: GroupPattern) -> Bindings:
+        bindings: Bindings | None = None
+        deferred: list[Expr] = []
+        for el in group.elements:
+            if isinstance(el, TriplePattern):
+                bindings = self.join(bindings, self.compile_pattern(el))
+            elif isinstance(el, OptionalGroup):
+                if bindings is None:
+                    bindings = self.unit()
+                right = self.compile_group(el.group)
+                b = self.join(bindings, right, how="left_outer")
+                # right-only vars become uncertain
+                b.certain = set(bindings.certain)
+                bindings = b
+            elif isinstance(el, MinusGroup):
+                if bindings is None:
+                    raise QueryExecutionError("MINUS with no preceding pattern")
+                right = self.compile_group(el.group)
+                shared = [v for v in bindings.variables if v in right.variables]
+                if not shared:
+                    continue  # SPARQL MINUS no-shared-vars no-op
+                bindings = self.join(bindings, right, how="left_anti")
+            elif isinstance(el, UnionGroup):
+                branches = [self.compile_group(b) for b in el.branches]
+                all_vars: list[str] = []
+                for b in branches:
+                    for v in b.variables:
+                        if v not in all_vars:
+                            all_vars.append(v)
+                dfs = []
+                for b in branches:
+                    df = b.df
+                    for v in all_vars:
+                        if v not in b.variables:
+                            df = df.withColumn(vcol(v), F.lit(None).cast(
+                                "struct<kind:string,lex:string,dt:string,lang:string>"))
+                    dfs.append(df.select(*[vcol(v) for v in all_vars]))
+                u = dfs[0]
+                for d in dfs[1:]:
+                    u = u.unionByName(d)
+                certain = set(all_vars)
+                for b in branches:
+                    certain &= b.certain
+                bindings = self.join(bindings, Bindings(u, all_vars, certain))
+            elif isinstance(el, Bind):
+                if bindings is None:
+                    bindings = self.unit()
+                colmap = {v: bindings.col(v) for v in bindings.variables}
+                value = self.expr_term(el.expr, colmap)
+                if el.var.name in bindings.variables:
+                    raise QueryExecutionError(f"BIND to already-bound ?{el.var.name}")
+                bindings = Bindings(
+                    bindings.df.withColumn(vcol(el.var.name), value),
+                    bindings.variables + [el.var.name],
+                    set(bindings.certain),
+                )
+            elif isinstance(el, ValuesClause):
+                bindings = self.join(bindings, self.compile_values(el))
+            elif isinstance(el, SubSelect):
+                bindings = self.join(bindings, self.compile_select(el.query))
+            elif isinstance(el, Filter):
+                deferred.append(el.expr)
+            else:
+                raise QueryExecutionError(f"unsupported group element {type(el).__name__}")
+        if bindings is None:
+            bindings = self.unit()
+        for expr in deferred:
+            bindings = self.apply_filter(bindings, expr)
+        return bindings
+
+    def compile_values(self, values: ValuesClause) -> Bindings:
+        names = [v.name for v in values.variables]
+        rows = []
+        for row in values.rows:
+            enc = []
+            for term in row:
+                if term is None:
+                    enc.append(None)
+                elif isinstance(term, IRI):
+                    enc.append((KIND_IRI, str(term), None, None))
+                elif isinstance(term, BNode):
+                    enc.append((KIND_BNODE, str(term), None, None))
+                else:
+                    enc.append((KIND_LIT, term.lex, term.datatype, term.lang))
+            rows.append(tuple(enc))
+        schema = ", ".join(
+            f"{vcol(n)} struct<kind:string,lex:string,dt:string,lang:string>" for n in names
+        )
+        df = self.spark.createDataFrame(rows, schema)
+        certain = {
+            n for i, n in enumerate(names) if all(r[i] is not None for r in rows)
+        }
+        # VALUES tables are tiny by construction — always broadcast
+        return Bindings(F.broadcast(df), names, certain)
+
+    def apply_filter(self, bindings: Bindings, expr: Expr) -> Bindings:
+        if isinstance(expr, ExistsExpr):
+            inner = self.compile_group(expr.group)
+            how = "left_anti" if expr.negated else "left_semi"
+            shared = [v for v in bindings.variables if v in inner.variables]
+            if not shared:
+                # uncorrelated EXISTS: keep all or none depending on emptiness
+                nonempty = inner.df.limit(1).count() > 0
+                keep = nonempty if not expr.negated else not nonempty
+                return bindings if keep else Bindings(
+                    bindings.df.filter(F.lit(False)), bindings.variables, bindings.certain
+                )
+            return self.join(bindings, inner, how=how)
+        colmap = {v: bindings.col(v) for v in bindings.variables}
+        cond = self.expr_bool(expr, colmap)
+        return Bindings(bindings.df.filter(cond), bindings.variables, bindings.certain)
+
+    # ------------------------------------------------------------------
+    # expressions — value model: ('term'|'num'|'str'|'bool', Column[, hint])
+    # ------------------------------------------------------------------
+
+    def compile_expr(self, expr: Expr, colmap: dict[str, Column]):
+        if isinstance(expr, TermExpr):
+            t = expr.term
+            if isinstance(t, Var):
+                if t.name not in colmap:
+                    return ("term", F.lit(None).cast(
+                        "struct<kind:string,lex:string,dt:string,lang:string>"))
+                return ("term", colmap[t.name])
+            if isinstance(t, Literal) and t.datatype in NUMERIC_DATATYPES:
+                if t.datatype == XSD + "integer":
+                    return ("num", F.lit(int(t.lex)).cast("double"), "integer")
+                return ("num", F.lit(float(t.lex)))
+            return ("term", term_to_struct(t))
+        if isinstance(expr, OpExpr):
+            return self.compile_op(expr, colmap)
+        if isinstance(expr, InExpr):
+            val = self.compile_expr(expr.value, colmap)
+            conds = [self.eq_cond(val, self.compile_expr(o, colmap)) for o in expr.options]
+            out = F.lit(False)
+            for c in conds:
+                out = out | c
+            if expr.negated:
+                out = ~out
+            return ("bool", out)
+        if isinstance(expr, FuncExpr):
+            return self.compile_func(expr, colmap)
+        if isinstance(expr, AggExpr):
+            raise QueryExecutionError("aggregate used outside aggregation context")
+        if isinstance(expr, ExistsExpr):
+            raise QueryExecutionError("EXISTS only supported as a top-level FILTER")
+        raise QueryExecutionError(f"unsupported expression {type(expr).__name__}")
+
+    # coercions ---------------------------------------------------------
+
+    def as_num(self, val) -> Column:
+        kind, col = val[0], val[1]
+        if kind == "num":
+            return col
+        if kind == "term":
+            return numeric_value(col)
+        if kind == "str":
+            return col.cast("double")
+        if kind == "bool":
+            return col.cast("double")
+        raise QueryExecutionError(f"cannot coerce {kind} to number")
+
+    def as_str(self, val) -> Column:
+        kind, col = val[0], val[1]
+        if kind == "str":
+            return col
+        if kind == "term":
+            return col["lex"]
+        if kind == "num":
+            # strip trailing .0 for whole numbers (SPARQL STR of integers)
+            s = col.cast("string")
+            return F.regexp_replace(s, r"\.0$", "")
+        if kind == "bool":
+            return F.when(col, "true").otherwise("false")
+        raise QueryExecutionError(f"cannot coerce {kind} to string")
+
+    def as_bool(self, val) -> Column:
+        kind, col = val[0], val[1]
+        if kind == "bool":
+            return col
+        if kind == "num":
+            return col.isNotNull() & (col != 0)
+        if kind == "str":
+            return col.isNotNull() & (F.length(col) > 0)
+        # term: SPARQL effective boolean value
+        num = numeric_value(col)
+        return (
+            F.when(col.isNull(), F.lit(False))
+            .when(col["dt"] == XSD + "boolean", col["lex"] == "true")
+            .when(num.isNotNull(), num != 0)
+            .when(
+                (col["kind"] == KIND_LIT) & col["dt"].isNull() & col["lang"].isNull()
+                | (col["dt"] == XSD + "string"),
+                F.length(col["lex"]) > 0,
+            )
+            .otherwise(F.lit(False))
+        )
+
+    def as_term(self, val) -> Column:
+        kind, col = val[0], val[1]
+        if kind == "term":
+            return col
+        if kind == "num":
+            hint = val[2] if len(val) > 2 else "double"
+            if hint == "integer":
+                return lit_term(col.cast("long").cast("string"), XSD + "integer")
+            lex = F.regexp_replace(col.cast("string"), r"\.0$", "")
+            return lit_term(lex, XSD + "double")
+        if kind == "str":
+            return lit_term(col)
+        if kind == "bool":
+            return lit_term(F.when(col, "true").otherwise("false"), XSD + "boolean")
+        raise QueryExecutionError(f"cannot convert {kind} to term")
+
+    def eq_cond(self, a, b) -> Column:
+        """SPARQL '=': numeric by value when both numeric, else term identity."""
+        na, nb = self.as_num(a), self.as_num(b)
+        if a[0] == "term" and b[0] == "term":
+            return F.when(na.isNotNull() & nb.isNotNull(), na == nb).otherwise(
+                a[1].eqNullSafe(b[1]) & a[1].isNotNull()
+            )
+        if a[0] == "term" or b[0] == "term":
+            t, o = (a, b) if a[0] == "term" else (b, a)
+            if o[0] == "num":
+                return self.as_num(t).eqNullSafe(self.as_num(o)) & self.as_num(t).isNotNull()
+            if o[0] == "str":
+                # plain-literal comparison: lexical match on simple literals
+                return (
+                    (t[1]["kind"] == KIND_LIT)
+                    & t[1]["lang"].isNull()
+                    & (t[1]["dt"].isNull() | (t[1]["dt"] == XSD + "string"))
+                    & (t[1]["lex"] == o[1])
+                )
+            if o[0] == "bool":
+                return self.as_bool(t) == o[1]
+        if a[0] == "num" or b[0] == "num":
+            return na.eqNullSafe(nb) & na.isNotNull()
+        return self.as_str(a) == self.as_str(b)
+
+    def compile_op(self, expr: OpExpr, colmap):
+        op = expr.op
+        if op in ("||", "&&"):
+            a = self.as_bool(self.compile_expr(expr.args[0], colmap))
+            b = self.as_bool(self.compile_expr(expr.args[1], colmap))
+            return ("bool", (a | b) if op == "||" else (a & b))
+        if op == "!":
+            return ("bool", ~self.as_bool(self.compile_expr(expr.args[0], colmap)))
+        if op == "neg":
+            return ("num", -self.as_num(self.compile_expr(expr.args[0], colmap)))
+        a = self.compile_expr(expr.args[0], colmap)
+        b = self.compile_expr(expr.args[1], colmap)
+        if op in ("=", "!="):
+            c = self.eq_cond(a, b)
+            return ("bool", ~c if op == "!=" else c)
+        if op in ("<", ">", "<=", ">="):
+            na, nb = self.as_num(a), self.as_num(b)
+            sa, sb = self.as_str(a), self.as_str(b)
+            num_cmp = {"<": na < nb, ">": na > nb, "<=": na <= nb, ">=": na >= nb}[op]
+            str_cmp = {"<": sa < sb, ">": sa > sb, "<=": sa <= sb, ">=": sa >= sb}[op]
+            return ("bool", F.when(na.isNotNull() & nb.isNotNull(), num_cmp).otherwise(str_cmp))
+        if op in ("+", "-", "*", "/"):
+            na, nb = self.as_num(a), self.as_num(b)
+            col = {"+": na + nb, "-": na - nb, "*": na * nb, "/": na / nb}[op]
+            hints = {v[2] if len(v) > 2 else None for v in (a, b)}
+            if hints == {"integer"} and op != "/":
+                return ("num", col, "integer")
+            return ("num", col)
+        raise QueryExecutionError(f"unsupported operator {op}")
+
+    def compile_func(self, expr: FuncExpr, colmap):
+        name = expr.name
+        args = [self.compile_expr(a, colmap) for a in expr.args]
+        if name == "STR":
+            return ("str", self.as_str(args[0]))
+        if name == "LANG":
+            t = args[0][1]
+            return ("str", F.coalesce(t["lang"], F.lit("")))
+        if name == "DATATYPE":
+            t = args[0][1]
+            return ("term", iri_term(F.coalesce(t["dt"], F.lit(XSD + "string"))))
+        if name == "BOUND":
+            return ("bool", args[0][1].isNotNull())
+        if name in ("ISIRI", "ISURI"):
+            return ("bool", args[0][1]["kind"] == KIND_IRI)
+        if name == "ISBLANK":
+            return ("bool", args[0][1]["kind"] == KIND_BNODE)
+        if name == "ISLITERAL":
+            return ("bool", args[0][1]["kind"] == KIND_LIT)
+        if name == "ISNUMERIC":
+            return ("bool", self.as_num(args[0]).isNotNull())
+        if name == "SAMETERM":
+            return ("bool", args[0][1].eqNullSafe(args[1][1]))
+        if name in ("IRI", "URI"):
+            return ("term", iri_term(self.as_str(args[0])))
+        if name == "STRSTARTS":
+            return ("bool", self.as_str(args[0]).startswith(self.as_str(args[1])))
+        if name == "STRENDS":
+            return ("bool", self.as_str(args[0]).endswith(self.as_str(args[1])))
+        if name == "CONTAINS":
+            return ("bool", self.as_str(args[0]).contains(self.as_str(args[1])))
+        if name == "STRBEFORE":
+            s, t = self.as_str(args[0]), self.as_str(args[1])
+            return ("str", F.when(F.instr(s, t) > 0, F.substring_index(s, t, 1))
+                    .otherwise(F.lit("")))
+        if name == "STRAFTER":
+            s, t = self.as_str(args[0]), self.as_str(args[1])
+            pos = F.instr(s, t)
+            return ("str", F.when(pos > 0, F.substring(s, pos + F.length(t), F.lit(2 ** 30)))
+                    .otherwise(F.lit("")))
+        if name == "SUBSTR":
+            s = self.as_str(args[0])
+            pos = self.as_num(args[1]).cast("int")
+            if len(args) > 2:
+                return ("str", s.substr(pos, self.as_num(args[2]).cast("int")))
+            return ("str", s.substr(pos, F.lit(2 ** 30)))
+        if name == "STRLEN":
+            return ("num", F.length(self.as_str(args[0])).cast("double"), "integer")
+        if name == "UCASE":
+            return ("str", F.upper(self.as_str(args[0])))
+        if name == "LCASE":
+            return ("str", F.lower(self.as_str(args[0])))
+        if name == "CONCAT":
+            return ("str", F.concat(*[self.as_str(a) for a in args]))
+        if name == "REPLACE":
+            return ("str", F.regexp_replace(self.as_str(args[0]), self.as_str(args[1]),
+                                            self.as_str(args[2])))
+        if name == "REGEX":
+            s = self.as_str(args[0])
+            pat = self.as_str(args[1])
+            if len(args) > 2:
+                pat = F.concat(F.lit("(?"), self.as_str(args[2]), F.lit(")"), pat)
+            return ("bool", F.regexp_like(s, pat))
+        if name == "LANGMATCHES":
+            lang = self.as_str(args[0])
+            rng = self.as_str(args[1])
+            return ("bool", F.when(rng == "*", lang != "")
+                    .otherwise(F.lower(lang) == F.lower(rng)))
+        if name == "ABS":
+            return ("num", F.abs(self.as_num(args[0])))
+        if name == "CEIL":
+            return ("num", F.ceil(self.as_num(args[0])).cast("double"), "integer")
+        if name == "FLOOR":
+            return ("num", F.floor(self.as_num(args[0])).cast("double"), "integer")
+        if name == "ROUND":
+            return ("num", F.round(self.as_num(args[0]), 0))
+        if name == "YEAR":
+            return ("num", F.year(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "MONTH":
+            return ("num", F.month(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "DAY":
+            return ("num", F.dayofmonth(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "COALESCE":
+            return ("term", F.coalesce(*[self.as_term(a) for a in args]))
+        if name == "IF":
+            return ("term", F.when(self.as_bool(args[0]), self.as_term(args[1]))
+                    .otherwise(self.as_term(args[2])))
+        if name == "STRLANG":
+            return ("term", lit_term(self.as_str(args[0]), lang=self.as_str(args[1])))
+        if name == "STRDT":
+            return ("term", lit_term(self.as_str(args[0]), dt=self.as_str(args[1])))
+        if name == "MD5":
+            return ("str", F.md5(self.as_str(args[0]).cast("binary")))
+        if name == "SHA1":
+            return ("str", F.sha1(self.as_str(args[0]).cast("binary")))
+        if name == "SHA256":
+            return ("str", F.sha2(self.as_str(args[0]).cast("binary"), 256))
+        # datatype-cast function: name is a datatype IRI (xsd:integer(...) etc.)
+        if name.startswith(XSD):
+            local = name[len(XSD):]
+            s = self.as_str(args[0])
+            if local in ("integer", "long", "int", "short", "byte"):
+                n = F.coalesce(s.cast("long"), s.cast("double").cast("long"))
+                return ("num", n.cast("double"), "integer")
+            if local in ("double", "float", "decimal"):
+                return ("num", s.cast("double"))
+            if local == "boolean":
+                return ("bool", s.isin("true", "1"))
+            if local == "string":
+                return ("str", s)
+            if local in ("dateTime", "date"):
+                return ("term", lit_term(s, XSD + local))
+        raise QueryExecutionError(f"unsupported function {name}")
+
+    def expr_term(self, expr: Expr, colmap) -> Column:
+        return self.as_term(self.compile_expr(expr, colmap))
+
+    def expr_bool(self, expr: Expr, colmap) -> Column:
+        return self.as_bool(self.compile_expr(expr, colmap))
+
+    # ------------------------------------------------------------------
+    # SELECT
+    # ------------------------------------------------------------------
+
+    def compile_select(self, q: SelectQuery) -> Bindings:
+        bindings = self.compile_group(q.where)
+        has_agg = bool(q.group_by) or any(
+            self._contains_agg(e) for e, _ in q.projections
+        ) or bool(q.having)
+        if has_agg:
+            bindings = self._aggregate(q, bindings)
+        else:
+            if q.projections:
+                colmap = {v: bindings.col(v) for v in bindings.variables}
+                sel, names = [], []
+                for e, alias in q.projections:
+                    if isinstance(e, Var):
+                        name = alias.name if alias else e.name
+                        col = colmap.get(e.name, F.lit(None).cast(
+                            "struct<kind:string,lex:string,dt:string,lang:string>"))
+                    else:
+                        name = alias.name
+                        col = self.expr_term(e, colmap)
+                    sel.append(col.alias(vcol(name)))
+                    names.append(name)
+                certain = {
+                    (a.name if a else e.name)
+                    for e, a in q.projections
+                    if isinstance(e, Var) and e.name in bindings.certain
+                }
+                bindings = Bindings(bindings.df.select(*sel), names, certain)
+        if q.distinct:
+            bindings = Bindings(bindings.df.dropDuplicates(), bindings.variables,
+                                bindings.certain)
+        if q.order_by:
+            colmap = {v: bindings.col(v) for v in bindings.variables}
+            keys = []
+            for e, direction in q.order_by:
+                val = self.compile_expr(e, colmap)
+                key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
+                keys.append(key.desc() if direction == "desc" else key.asc())
+            bindings = Bindings(bindings.df.orderBy(*keys), bindings.variables,
+                                bindings.certain)
+        if q.offset:
+            bindings = Bindings(bindings.df.offset(q.offset), bindings.variables,
+                                bindings.certain)
+        if q.limit is not None:
+            bindings = Bindings(bindings.df.limit(q.limit), bindings.variables,
+                                bindings.certain)
+        return bindings
+
+    @staticmethod
+    def _contains_agg(e) -> bool:
+        if isinstance(e, AggExpr):
+            return True
+        if isinstance(e, OpExpr):
+            return any(Compiler._contains_agg(a) for a in e.args)
+        if isinstance(e, FuncExpr):
+            return any(Compiler._contains_agg(a) for a in e.args)
+        return False
+
+    def _aggregate(self, q: SelectQuery, bindings: Bindings) -> Bindings:
+        """GROUP BY + aggregates.  Aggregate results are encoded straight
+        back into term structs (COUNT → xsd:integer literal, SUM/AVG →
+        value-typed numeric literal), so post-aggregation expressions
+        (HAVING, ORDER BY, projected arithmetic) run through the ordinary
+        expression compiler over the aggregated frame — the numeric path
+        recovers the values via ``numeric_value`` and Catalyst folds the
+        whole thing into the final hash-aggregate projection."""
+        colmap = {v: bindings.col(v) for v in bindings.variables}
+        key_cols, key_names = [], []
+        for g in q.group_by:
+            if isinstance(g, tuple):  # (expr AS ?v)
+                e, v = g
+                key_cols.append(self.expr_term(e, colmap).alias(vcol(v.name)))
+                key_names.append(v.name)
+            elif isinstance(g, TermExpr) and isinstance(g.term, Var):
+                key_cols.append(bindings.col(g.term.name).alias(vcol(g.term.name)))
+                key_names.append(g.term.name)
+            else:
+                name = f"gk{next(self._uid)}"
+                key_cols.append(self.expr_term(g, colmap).alias(vcol(name)))
+                key_names.append(name)
+
+        agg_cols: list[Column] = []
+
+        def agg_column(agg: AggExpr) -> Column:
+            """One aggregate → a term-struct Column."""
+            if agg.name == "COUNT":
+                if agg.arg is None:
+                    c = F.count(F.lit(1))
+                else:
+                    val = self.as_term(self.compile_expr(agg.arg, colmap))
+                    c = F.count_distinct(val) if agg.distinct else F.count(val)
+                return make_term(KIND_LIT, c.cast("string"), F.lit(XSD + "integer"))
+            val = self.compile_expr(agg.arg, colmap)
+            if agg.name in ("SUM", "AVG"):
+                num = self.as_num(val)
+                num = F.sum_distinct(num) if (agg.distinct and agg.name == "SUM") else (
+                    F.sum(num) if agg.name == "SUM" else F.avg(num))
+                lex = F.regexp_replace(num.cast("string"), r"\.0$", "")
+                return make_term(KIND_LIT, lex, F.lit(XSD + "double"))
+            if agg.name in ("MIN", "MAX"):
+                term = self.as_term(val)
+                fn = F.min_by if agg.name == "MIN" else F.max_by
+                return fn(term, sort_key(term))
+            if agg.name == "SAMPLE":
+                return F.first(self.as_term(val), ignorenulls=True)
+            if agg.name == "GROUP_CONCAT":
+                return make_term(
+                    KIND_LIT, F.concat_ws(" ", F.collect_list(self.as_str(val))))
+            raise QueryExecutionError(f"unsupported aggregate {agg.name}")
+
+        def lower_agg(e: Expr) -> Expr:
+            """Replace AggExpr nodes with vars referencing computed columns."""
+            if isinstance(e, AggExpr):
+                name = f"__agg{next(self._uid)}"
+                agg_cols.append(agg_column(e).alias(vcol(name)))
+                return TermExpr(Var(name))
+            if isinstance(e, OpExpr):
+                return OpExpr(e.op, [lower_agg(a) for a in e.args])
+            if isinstance(e, FuncExpr):
+                return FuncExpr(e.name, [lower_agg(a) for a in e.args], e.distinct)
+            if isinstance(e, InExpr):
+                return InExpr(lower_agg(e.value), [lower_agg(o) for o in e.options],
+                              e.negated)
+            return e
+
+        proj_plan = []
+        for e, alias in q.projections:
+            if isinstance(e, Var):
+                if e.name not in key_names:
+                    raise QueryExecutionError(f"?{e.name} projected but not grouped")
+                proj_plan.append((TermExpr(e), alias.name if alias else e.name))
+            else:
+                proj_plan.append((lower_agg(e), alias.name))
+        having_plan = [lower_agg(h) for h in q.having]
+        order_plan = [(lower_agg(e), d) for e, d in q.order_by]
+
+        grouped = bindings.df.groupBy(*key_cols) if key_cols else bindings.df.groupBy()
+        if not agg_cols:
+            agg_cols.append(
+                make_term(KIND_LIT, F.count(F.lit(1)).cast("string"),
+                          F.lit(XSD + "integer")).alias(vcol("__dummy")))
+        adf = grouped.agg(*agg_cols)
+
+        post_map = {c[len("v_"):]: adf[c] for c in adf.columns}
+        out = adf
+        for h in having_plan:
+            out = out.filter(self.expr_bool(h, post_map))
+        order_cols = []
+        for e, direction in order_plan:
+            val = self.compile_expr(e, post_map)
+            key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
+            order_cols.append(key.desc() if direction == "desc" else key.asc())
+        if order_cols:
+            out = out.orderBy(*order_cols)
+        sel, names = [], []
+        for e, name in proj_plan:
+            sel.append(self.expr_term(e, post_map).alias(vcol(name)))
+            names.append(name)
+        return Bindings(out.select(*sel), names, set(names))
+
+    # ------------------------------------------------------------------
+    # CONSTRUCT / ASK / UPDATE
+    # ------------------------------------------------------------------
+
+    def compile_construct(self, q: ConstructQuery) -> DataFrame:
+        bindings = self.compile_select(
+            SelectQuery(projections=[], where=q.where, limit=q.limit)
+        )
+        colmap = {v: bindings.col(v) for v in bindings.variables}
+        outs = []
+        bnode_tag = F.conv(F.monotonically_increasing_id().cast("string"), 10, 16)
+        for i, tp in enumerate(q.template):
+            def enc(term, with_extras):
+                if isinstance(term, Var):
+                    c = colmap.get(term.name)
+                    if c is None:
+                        raise QueryExecutionError(f"CONSTRUCT var ?{term.name} unbound")
+                    return c
+                if isinstance(term, BNode):
+                    # fresh bnode per solution row (standard CONSTRUCT semantics)
+                    return make_term(
+                        KIND_BNODE, F.concat(F.lit(f"c{i}_{term}_"), bnode_tag)
+                    )
+                return term_to_struct(term)
+
+            s = enc(tp.s, False)
+            p = enc(tp.p, False)
+            o = enc(tp.o, True)
+            outs.append(
+                bindings.df.select(
+                    s["kind"].alias("s_kind"), s["lex"].alias("s"),
+                    p["lex"].alias("p"),
+                    o["kind"].alias("o_kind"), o["lex"].alias("o"),
+                    o["dt"].alias("o_dt"), o["lang"].alias("o_lang"),
+                ).filter(s.isNotNull() & p.isNotNull() & o.isNotNull())
+            )
+        out = outs[0]
+        for d in outs[1:]:
+            out = out.unionByName(d)
+        return out.dropDuplicates()
+
+    def compile_ask(self, q: AskQuery) -> bool:
+        return self.compile_group(q.where).df.limit(1).count() > 0

@@ -1,0 +1,203 @@
+"""Property-path evaluation — the recursive tier (SURVEY.md §2.8, §4.2).
+
+Catalyst has no recursion, so ``p*`` / ``p+`` (G3/G4), bnode closure (G5)
+and rule fixpoints (G7) run as driver-controlled semi-naive loops:
+
+    frontier ← seed
+    while frontier ≠ ∅:
+        frontier ← (frontier ⋈ step) − seen     # one distributed join
+        frontier.localCheckpoint()               # cut lineage growth
+        seen ← seen ∪ frontier
+
+Each iteration is one shuffle join; ``localCheckpoint()`` keeps the plan
+from growing linearly with iterations (SURVEY.md §4.2 item 1).  Anchored
+closures (a constant on either end — the common case in the corpus, e.g.
+``?x rdfs:subClassOf* :Agent``) BFS from the anchor so the working set is
+the reachable cone, not the full relation; only a fully unanchored
+``?x p* ?y`` pays for the complete transitive closure.
+
+Reference exercisers: ``rdfs:subClassOf*`` DBpedia_Schema_Queries#cell77-82,
+``rdfs:member+`` Inference_Over_RDF_Containers#cell58, ``^rdfs:member``
+from a literal anchor #cell56,64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdon.algebra import Path
+from sparkdon.errors import QueryExecutionError
+from sparkdon.terms import BNode, IRI, KIND_BNODE, KIND_IRI, KIND_LIT, Literal, make_term
+
+#: iteration guard for runaway graphs; each iteration is one BFS level, so
+#: this bounds path length, not data size.
+MAX_ITERATIONS = 200
+
+
+def _pairs_for_link(compiler, iri: IRI) -> DataFrame:
+    t = compiler.triples.filter(F.col("p") == str(iri))
+    return t.select(
+        make_term(F.col("s_kind"), F.col("s")).alias("start"),
+        make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")).alias("end"),
+    )
+
+
+def _const_struct_row(term):
+    if isinstance(term, IRI):
+        return (KIND_IRI, str(term), None, None)
+    if isinstance(term, BNode):
+        return (KIND_BNODE, str(term), None, None)
+    if isinstance(term, Literal):
+        return (KIND_LIT, term.lex, term.datatype, term.lang)
+    raise QueryExecutionError(f"bad path anchor {term!r}")
+
+
+TERM_STRUCT_DDL = "struct<kind:string,lex:string,dt:string,lang:string>"
+
+
+def eval_pairs(compiler, path) -> DataFrame:
+    """Evaluate a (non-closure) path expression to a (start, end) relation."""
+    if isinstance(path, IRI):
+        return _pairs_for_link(compiler, path)
+    if not isinstance(path, Path):
+        raise QueryExecutionError(f"unsupported path {path!r}")
+    if path.op == "link":
+        return _pairs_for_link(compiler, path.parts[0])
+    if path.op == "inv":
+        inner = eval_pairs(compiler, path.parts[0])
+        return inner.select(F.col("end").alias("start"), F.col("start").alias("end"))
+    if path.op == "seq":
+        left = eval_pairs(compiler, path.parts[0]).withColumnRenamed("end", "mid")
+        right = eval_pairs(compiler, path.parts[1]).withColumnRenamed("start", "mid")
+        return left.join(right, on="mid").select("start", "end")
+    if path.op == "alt":
+        return eval_pairs(compiler, path.parts[0]).unionByName(
+            eval_pairs(compiler, path.parts[1])
+        )
+    if path.op in ("star", "plus", "opt"):
+        raise QueryExecutionError("closure path inside another path — evaluate via eval_path")
+    raise QueryExecutionError(f"unsupported path op {path.op}")
+
+
+def all_nodes(compiler) -> DataFrame:
+    """Every term occurring in the graph (zero-length path domain)."""
+    t = compiler.triples
+    subs = t.select(make_term(F.col("s_kind"), F.col("s")).alias("node"))
+    objs = t.select(
+        make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")).alias("node")
+    )
+    return subs.unionByName(objs).distinct()
+
+
+def transitive_closure(step: DataFrame) -> DataFrame:
+    """Full semi-naive transitive closure of a (start, end) relation."""
+    step = step.distinct()
+    seen = step.localCheckpoint(eager=True)
+    delta = seen
+    for _ in range(MAX_ITERATIONS):
+        new = (
+            delta.withColumnRenamed("end", "mid")
+            .join(step.withColumnRenamed("start", "mid"), on="mid")
+            .select("start", "end")
+            .distinct()
+        )
+        delta = new.subtract(seen).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return seen
+        seen = seen.unionByName(delta).localCheckpoint(eager=True)
+    raise QueryExecutionError("path closure did not converge")
+
+
+def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
+                     forward: bool, include_zero: bool) -> DataFrame:
+    """BFS closure from a set of anchor nodes.
+
+    anchors: one-column DF ``node``.  Returns (start, end) pairs where the
+    anchor side is ``start`` when forward else ``end``.
+    """
+    if not forward:
+        step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
+    seen = anchors.select(F.col("node")).distinct().localCheckpoint(eager=True)
+    frontier = seen
+    reached = None  # nodes at distance >= 1
+    for _ in range(MAX_ITERATIONS):
+        nxt = (
+            frontier.join(step, frontier["node"] == step["start"])
+            .select(step["end"].alias("node"))
+            .distinct()
+        )
+        reached = nxt if reached is None else reached.unionByName(nxt).distinct()
+        frontier = nxt.subtract(seen).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        raise QueryExecutionError("path closure did not converge")
+    if include_zero:
+        result_nodes = seen  # anchors themselves + everything reached
+    else:
+        result_nodes = reached if reached is not None else seen.filter(F.lit(False))
+        result_nodes = result_nodes.localCheckpoint(eager=True)
+    # pair each reached node back with the single anchor set.  Multiple
+    # anchors would need per-anchor provenance; the compiler only anchors
+    # single constants (corpus shape), so assert that here.
+    return result_nodes
+
+
+def eval_path(compiler, path, start_const, end_const) -> DataFrame:
+    """Full path evaluation → (start, end) term-struct pairs.
+
+    Closure paths dispatch on anchoring; everything else is joins/unions
+    over the step relation.
+    """
+    spark = compiler.spark
+    if isinstance(path, Path) and path.op in ("star", "plus", "opt"):
+        inner = path.parts[0]
+        step = eval_pairs(compiler, inner)
+        include_zero = path.op in ("star", "opt")
+        if path.op == "opt":
+            zero = all_nodes(compiler).select(
+                F.col("node").alias("start"), F.col("node").alias("end"))
+            return step.unionByName(zero).distinct()
+        if start_const is not None or end_const is not None:
+            forward = start_const is not None
+            anchor_term = start_const if forward else end_const
+            anchors = spark.createDataFrame(
+                [( _const_struct_row(anchor_term),)], f"node {TERM_STRUCT_DDL}"
+            )
+            nodes = anchored_closure(spark, step, anchors, forward, include_zero)
+            anchor_col = F.lit(None)
+            row = _const_struct_row(anchor_term)
+            anchor_struct = make_term(
+                F.lit(row[0]), F.lit(row[1]),
+                F.lit(row[2]) if row[2] else None, F.lit(row[3]) if row[3] else None,
+            )
+            if forward:
+                return nodes.select(anchor_struct.alias("start"),
+                                    F.col("node").alias("end"))
+            return nodes.select(F.col("node").alias("start"),
+                                anchor_struct.alias("end"))
+        closure = transitive_closure(step)
+        if include_zero:
+            zero = all_nodes(compiler).select(
+                F.col("node").alias("start"), F.col("node").alias("end"))
+            closure = closure.unionByName(zero).distinct()
+        return closure
+    return eval_pairs(compiler, path)
+
+
+def fixpoint_union(store: DataFrame, produce_new, max_iterations: int = MAX_ITERATIONS
+                   ) -> DataFrame:
+    """Forward-chaining rule closure (G7): repeatedly apply
+    ``produce_new(store) -> new_triples_df`` and union until no new triples.
+
+    Used by the session layer for INSERT-WHERE rules run to fixpoint
+    (Inference_Over_RDF_Containers#cell17,26,33)."""
+    current = store.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        new = produce_new(current).subtract(current).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return current
+        current = current.unionByName(new).localCheckpoint(eager=True)
+    raise QueryExecutionError("rule fixpoint did not converge")

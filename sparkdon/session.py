@@ -1,0 +1,461 @@
+"""Session / endpoint API — the gastrodon-compatible surface (SURVEY.md §2.9).
+
+``LocalEndpoint`` mirrors the reference's API (gastrodon/__init__.py,
+docs/api.rst): ``select`` returns pandas with GROUP-BY index, queries get
+automatic prefix handling and ``?_x`` Python-variable substitution, and the
+helpers (``one``, ``member``, ``decollect``, ``peel``, ``all_uri``,
+``namespaces``, ``inline``, ``ttl``) behave like their reference
+counterparts — but execution is a Spark DataFrame plan, not rdflib.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+import sys
+from functools import lru_cache
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkdon import io as io_mod
+from sparkdon.algebra import (
+    AskQuery, ConstructQuery, Parser, SelectQuery, TermExpr, Var,
+    parse_query, parse_update,
+)
+from sparkdon.compile import Compiler
+from sparkdon.errors import SparkdonError, one_error
+from sparkdon.paths import fixpoint_union
+from sparkdon.terms import (
+    KIND_BNODE, KIND_IRI, KIND_LIT, RDF, BNode, IRI, Literal, n3, to_python,
+)
+
+#: regex for substitutable variables ``?_x`` / ``$_x``
+#: (mirrors gastrodon/__init__.py:42-45)
+_SUBST_RE = re.compile(r"[?$]_[A-Za-z_0-9]+")
+
+#: types that cannot be serialized into a query
+#: (gastrodon ``_cannot_substitute``, gastrodon/__init__.py:36-40)
+_CANNOT_SUBSTITUTE = (type(None), type(len), type(sys), type(type))
+
+
+class QName(str):
+    """Prefix-shortened IRI that still round-trips to the full IRI
+    (the reference's ``GastrodonURI``, gastrodon/__init__.py:54-75)."""
+
+    def __new__(cls, short: str, uri: str):
+        self = super().__new__(cls, short)
+        self._uri = uri
+        return self
+
+    def to_uri(self) -> IRI:
+        return IRI(self._uri)
+
+
+@lru_cache(maxsize=256)
+def _parse_query_cached(sparql: str, prefix_items: tuple, base: str | None):
+    """Parse-result caching (reference Q8: ``@lru_cache`` on parseQuery,
+    gastrodon/__init__.py:905-911)."""
+    return parse_query(sparql, dict(prefix_items), base)
+
+
+@lru_cache(maxsize=256)
+def _parse_update_cached(sparql: str, prefix_items: tuple, base: str | None):
+    return parse_update(sparql, dict(prefix_items), base)
+
+
+class Endpoint:
+    """Base endpoint: prefix environment + query pipeline."""
+
+    def __init__(self, spark: SparkSession, prefixes: dict[str, str] | None = None,
+                 base_uri: str | None = None):
+        self.spark = spark
+        self.prefixes = dict(prefixes or {})
+        self.base_uri = base_uri
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    # -- namespace management (Q6, Q12) --------------------------------
+
+    def bind(self, prefix: str, namespace: str) -> None:
+        self.prefixes[prefix] = namespace
+
+    def namespaces(self) -> pd.DataFrame:
+        """Prefix table as a pandas DataFrame, indexed by prefix
+        (gastrodon/__init__.py:179-204)."""
+        items = sorted(self.prefixes.items())
+        return pd.DataFrame(
+            {"uri": [ns for _, ns in items]},
+            index=pd.Index([p for p, _ in items], name="prefix"),
+        )
+
+    def short_name(self, uri: str) -> str:
+        """IRI → qname using the longest matching namespace
+        (gastrodon/__init__.py:206-260)."""
+        best = None
+        for pfx, ns in self.prefixes.items():
+            if uri.startswith(ns) and (best is None or len(ns) > len(self.prefixes[best])):
+                best = pfx
+        if best is not None:
+            local = uri[len(self.prefixes[best]):]
+            if re.fullmatch(r"[A-Za-z_0-9.-]*", local):
+                return f"{best}:{local}"
+        return uri
+
+    # -- substitution (Q5) ---------------------------------------------
+
+    def _substitute_arguments(self, sparql: str, bindings: dict[str, Any]) -> str:
+        """Replace ``?_x`` with the N3 serialization of ``bindings['x']``
+        (gastrodon/__init__.py:348-372)."""
+
+        def repl(m: re.Match) -> str:
+            name = m.group(0)[2:]
+            if name not in bindings:
+                raise SparkdonError(f"no Python value for substitution variable ?_{name}")
+            value = bindings[name]
+            if isinstance(value, QName):
+                return f"<{value.to_uri()}>"
+            if isinstance(value, str) and not isinstance(value, (IRI, BNode)) and ":" in value:
+                pfx, _, local = value.partition(":")
+                if pfx in self.prefixes and re.fullmatch(r"[A-Za-z_0-9.-]*", local):
+                    return f"<{self.prefixes[pfx]}{local}>"
+            return n3(value)
+
+        return _SUBST_RE.sub(repl, sparql)
+
+    def _harvest_frame(self, depth: int) -> dict[str, Any]:
+        """Caller stack-frame variable harvest
+        (gastrodon ``_filter_frame``, gastrodon/__init__.py:625-631)."""
+        frame = sys._getframe(depth)
+        merged: dict[str, Any] = {}
+        merged.update(frame.f_globals)
+        merged.update(frame.f_locals)
+        return {
+            k: v for k, v in merged.items()
+            if not isinstance(v, _CANNOT_SUBSTITUTE) and not k.startswith("__")
+        }
+
+    def _prepare(self, sparql: str, bindings: dict | None, depth: int = 3):
+        if _SUBST_RE.search(sparql):
+            env = bindings if bindings is not None else self._harvest_frame(depth)
+            sparql = self._substitute_arguments(sparql, env)
+        return sparql
+
+    # -- compilation hooks (overridden by endpoint kinds) --------------
+
+    def _compiler(self) -> Compiler:
+        raise NotImplementedError
+
+    # -- the select pipeline (Q1, Q2, Q7) ------------------------------
+
+    def select_raw(self, sparql: str, bindings: dict | None = None,
+                   _depth: int = 4) -> DataFrame:
+        """Compile and return the raw Spark bindings DataFrame (one
+        term-struct column ``v_<name>`` per variable) — the Spark-native
+        analogue of ``select_raw`` (gastrodon/__init__.py:513-523)."""
+        sparql = self._prepare(sparql, bindings, depth=_depth)
+        q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not isinstance(q, SelectQuery):
+            raise SparkdonError("select() requires a SELECT query")
+        return self._compiler().compile_select(q).df
+
+    def select(self, sparql: str, bindings: dict | None = None) -> pd.DataFrame:
+        """SELECT → pandas DataFrame with GROUP-BY index
+        (gastrodon/__init__.py:487-511)."""
+        prepared = self._prepare(sparql, bindings, depth=3)
+        q = _parse_query_cached(prepared, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not isinstance(q, SelectQuery):
+            raise SparkdonError("select() requires a SELECT query")
+        sdf = self._compiler().compile_select(q)
+        pdf_raw = sdf.df.toPandas()
+        out: dict[str, list] = {}
+        for name in sdf.variables:
+            col = pdf_raw["v_" + name]
+            out[name] = [self._decode(v) for v in col]
+        pdf = pd.DataFrame(out, columns=list(sdf.variables))
+        for c in pdf.columns:
+            pdf[c] = _normalize_column_type(pdf[c])
+        group_vars = _plain_group_vars(q)
+        if group_vars and all(g in pdf.columns for g in group_vars):
+            pdf = pdf.set_index(group_vars if len(group_vars) > 1 else group_vars[0])
+        return pdf
+
+    def _decode(self, v) -> Any:
+        if v is None:
+            return None
+        kind, lex, dt, lang = v["kind"], v["lex"], v["dt"], v["lang"]
+        value = to_python(kind, lex, dt, lang)
+        if isinstance(value, IRI):
+            short = self.short_name(str(value))
+            return QName(short, str(value))
+        return value
+
+    # -- CONSTRUCT (Q3) / ASK ------------------------------------------
+
+    def construct(self, sparql: str, bindings: dict | None = None) -> "LocalEndpoint":
+        """CONSTRUCT → a new LocalEndpoint over the constructed graph
+        (gastrodon/__init__.py:525-534 returns a Graph; our graph type IS
+        the triple DataFrame)."""
+        sparql = self._prepare(sparql, bindings)
+        q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not isinstance(q, ConstructQuery):
+            raise SparkdonError("construct() requires a CONSTRUCT query")
+        out = self._compiler().compile_construct(q)
+        return LocalEndpoint(self.spark, out, prefixes=self.prefixes, base_uri=self.base_uri)
+
+    def ask(self, sparql: str, bindings: dict | None = None) -> bool:
+        sparql = self._prepare(sparql, bindings)
+        q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not isinstance(q, AskQuery):
+            raise SparkdonError("ask() requires an ASK query")
+        return self._compiler().compile_ask(q)
+
+
+def _plain_group_vars(q: SelectQuery) -> list[str]:
+    """GROUP BY vars usable as a pandas index — plain variables only
+    (gastrodon ``_extract_group_by``, gastrodon/__init__.py:913-921)."""
+    out = []
+    for g in q.group_by:
+        if isinstance(g, TermExpr) and isinstance(g.term, Var):
+            out.append(g.term.name)
+        else:
+            return []
+    return out
+
+
+def _normalize_column_type(col: pd.Series) -> pd.Series:
+    """Column type promotion: all-int → int, else all-float → float, else
+    leave as-is (gastrodon ``_normalize_column_type``,
+    gastrodon/__init__.py:374-387; NULLs preserved)."""
+    values = list(col)
+    non_null = [v for v in values if v is not None]
+    if not non_null or not all(isinstance(v, (str, int, float, bool)) for v in non_null):
+        return col
+    for cast in (int, float):
+        try:
+            promoted = [None if v is None else cast(v) for v in values]
+            return pd.Series(promoted, index=col.index)
+        except (ValueError, TypeError):
+            continue
+    return col
+
+
+class LocalEndpoint(Endpoint):
+    """Endpoint over an in-session triple DataFrame
+    (reference ``LocalEndpoint``, gastrodon/__init__.py:778-805)."""
+
+    def __init__(self, spark: SparkSession, graph: DataFrame,
+                 prefixes: dict[str, str] | None = None, base_uri: str | None = None):
+        super().__init__(spark, prefixes, base_uri)
+        self.graph = graph
+
+    def _compiler(self) -> Compiler:
+        return Compiler(self.spark, self.graph)
+
+    # -- update (Q4 / S6) ----------------------------------------------
+
+    def update(self, sparql: str, bindings: dict | None = None) -> None:
+        """INSERT/DELETE ... WHERE applied once; the graph reference is
+        swapped to a new immutable snapshot (gastrodon mutates rdflib
+        in place, gastrodon/__init__.py:596-623, 803-805)."""
+        sparql = self._prepare(sparql, bindings)
+        u = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        compiler = self._compiler()
+        new = self.graph
+        if u.where is None:
+            if u.insert_template:
+                rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.insert_template]
+                new = new.unionByName(io_mod.triples_df(self.spark, rows)).dropDuplicates()
+            if u.delete_template:
+                rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.delete_template]
+                new = new.subtract(io_mod.triples_df(self.spark, rows))
+        else:
+            if u.delete_template:
+                del_df = compiler.compile_construct(
+                    ConstructQuery(template=u.delete_template, where=u.where))
+                new = new.subtract(del_df)
+            if u.insert_template:
+                ins_df = compiler.compile_construct(
+                    ConstructQuery(template=u.insert_template, where=u.where))
+                new = new.unionByName(ins_df).dropDuplicates()
+        self.graph = new.localCheckpoint(eager=True)
+
+    def update_to_fixpoint(self, sparql: str, bindings: dict | None = None) -> None:
+        """Apply an INSERT-WHERE rule until no new triples appear —
+        forward-chaining closure (G7, Inference_Over_RDF_Containers
+        #cell17,26,33 applies rules repeatedly)."""
+        sparql = self._prepare(sparql, bindings)
+        u = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not u.insert_template or u.where is None or u.delete_template:
+            raise SparkdonError("update_to_fixpoint needs an INSERT ... WHERE rule")
+
+        def produce(current: DataFrame) -> DataFrame:
+            return Compiler(self.spark, current).compile_construct(
+                ConstructQuery(template=u.insert_template, where=u.where))
+
+        self.graph = fixpoint_union(self.graph, produce)
+
+    # -- helpers -------------------------------------------------------
+
+    def count(self) -> int:
+        return self.graph.count()
+
+    def all_uri(self) -> set[str]:
+        """Set of every IRI in the graph (gastrodon/__init__.py:821-834).
+        Distributed distinct, bounded collect."""
+        from pyspark.sql import functions as F
+
+        subs = self.graph.filter(F.col("s_kind") == KIND_IRI).select(F.col("s").alias("u"))
+        preds = self.graph.select(F.col("p").alias("u"))
+        objs = self.graph.filter(F.col("o_kind") == KIND_IRI).select(F.col("o").alias("u"))
+        rows = subs.unionByName(preds).unionByName(objs).distinct().collect()
+        return {r["u"] for r in rows}
+
+    def peel(self, node) -> "LocalEndpoint":
+        """Copy all facts about ``node``, recursing through blank nodes —
+        bnode-closure BFS (reference ``peel``/``_peel``,
+        gastrodon/__init__.py:688-743).  Each BFS level is one distributed
+        join; frontier is checkpointed (G5)."""
+        from pyspark.sql import functions as F
+
+        node = self._resolve_node(node)
+        kind = KIND_BNODE if isinstance(node, BNode) else KIND_IRI
+        frontier = self.spark.createDataFrame(
+            [(kind, str(node))], "f_kind string, f string").localCheckpoint(eager=True)
+        seen = frontier
+        parts = []
+        for _ in range(1000):
+            hit = self.graph.join(
+                frontier,
+                (self.graph["s_kind"] == frontier["f_kind"]) & (self.graph["s"] == frontier["f"]),
+            ).select("s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang")
+            hit = hit.localCheckpoint(eager=True)
+            parts.append(hit)
+            nxt = (
+                hit.filter(F.col("o_kind") == KIND_BNODE)
+                .select(F.col("o_kind").alias("f_kind"), F.col("o").alias("f"))
+                .distinct()
+                .subtract(seen)
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt)
+            frontier = nxt
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return LocalEndpoint(self.spark, out.dropDuplicates(),
+                             prefixes=self.prefixes, base_uri=self.base_uri)
+
+    def _resolve_node(self, node):
+        if isinstance(node, QName):
+            return node.to_uri()
+        if isinstance(node, (IRI, BNode)):
+            return node
+        if isinstance(node, str):
+            pfx, _, local = node.partition(":")
+            if pfx in self.prefixes:
+                return IRI(self.prefixes[pfx] + local)
+            return IRI(node)
+        raise SparkdonError(f"cannot resolve node {node!r}")
+
+    def decollect(self, node):
+        """RDF container → Python value: Seq/Alt → list (ordered by the
+        numeric ``rdf:_N`` index — the lexical-order trap of
+        RDFContainers#cell50-52), Bag → collections.Counter
+        (gastrodon ``decollect``, gastrodon/__init__.py:403-463; the
+        reference's Alt→Seq fallthrough at 418-420 is reproduced)."""
+        from pyspark.sql import functions as F
+
+        node = self._resolve_node(node)
+        kind = KIND_BNODE if isinstance(node, BNode) else KIND_IRI
+        facts = self.graph.filter(
+            (F.col("s_kind") == kind) & (F.col("s") == str(node)))
+        types = {
+            r["o"]
+            for r in facts.filter(
+                (F.col("p") == RDF + "type") & (F.col("o_kind") == KIND_IRI)).collect()
+        }
+        members = facts.filter(F.col("p").startswith(RDF + "_")).select(
+            F.substring(F.col("p"), len(RDF) + 2, 18).cast("long").alias("idx"),
+            "o_kind", "o", "o_dt", "o_lang",
+        )
+        if RDF + "Bag" in types:
+            rows = (
+                members.groupBy("o_kind", "o", "o_dt", "o_lang")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            return collections.Counter(
+                {self._decode_flat(r): r["n"] for r in rows})
+        rows = members.orderBy("idx").collect()
+        return [self._decode_flat(r) for r in rows]
+
+    def _decode_flat(self, r):
+        value = to_python(r["o_kind"], r["o"], r["o_dt"], r["o_lang"])
+        if isinstance(value, IRI):
+            return QName(self.short_name(str(value)), str(value))
+        return value
+
+    def ttl(self) -> str:
+        return io_mod.ttl_string(self.graph, self.prefixes)
+
+
+# ---------------------------------------------------------------------------
+# module-level helpers matching the reference's free functions
+# ---------------------------------------------------------------------------
+
+
+def one(items) -> Any:
+    """Exactly-one extractor (gastrodon ``one``, gastrodon/__init__.py:859-883):
+    1×1 pandas DataFrame → the cell; 1-element list/Series → the element."""
+    if isinstance(items, pd.DataFrame):
+        if items.shape == (1, 1):
+            return items.iloc[0, 0]
+        raise one_error(items.shape[0])
+    if isinstance(items, pd.Series):
+        items = list(items)
+    if isinstance(items, (list, tuple, set, frozenset)):
+        items = list(items)
+        if len(items) == 1:
+            return items[0]
+        raise one_error(len(items))
+    raise SparkdonError(f"one() cannot handle {type(items).__name__}")
+
+
+def member(index: int) -> IRI:
+    """``rdf:_{i+1}`` membership-property constructor
+    (gastrodon ``member``, gastrodon/__init__.py:885-893)."""
+    return IRI(RDF + f"_{index + 1}")
+
+
+_DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+
+def inline(turtle: str, spark: SparkSession | None = None) -> LocalEndpoint:
+    """Turtle text → LocalEndpoint (gastrodon ``inline``,
+    gastrodon/__init__.py:848-857).  Prefixes declared in the Turtle become
+    the endpoint's namespace environment, plus the core RDF prefixes."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise SparkdonError("no active SparkSession; pass spark=")
+    parser = io_mod.TurtleParser(turtle, dict(_DEFAULT_PREFIXES))
+    rows = parser.parse_document()
+    df = io_mod.triples_df(spark, rows)
+    return LocalEndpoint(spark, df, prefixes=dict(parser.prefixes))
+
+
+def from_ntriples(path: str, spark: SparkSession,
+                  prefixes: dict[str, str] | None = None) -> LocalEndpoint:
+    """N-Triples file → LocalEndpoint (S1)."""
+    df = io_mod.read_ntriples(spark, path)
+    merged = dict(_DEFAULT_PREFIXES)
+    merged.update(prefixes or {})
+    return LocalEndpoint(spark, df, prefixes=merged)
