@@ -501,6 +501,25 @@ class Compiler:
             return na.eqNullSafe(nb) & na.isNotNull()
         return self.as_str(a) == self.as_str(b)
 
+    @staticmethod
+    def _stringish(val) -> Column:
+        """True when the value is string-comparable (plain/xsd:string/
+        lang-tagged literal, or an expression already of string kind)."""
+        kind, col = val[0], val[1]
+        if kind == "str":
+            return F.lit(True)
+        if kind in ("num", "bool"):
+            return F.lit(False)
+        return (col["kind"] == KIND_LIT) & (
+            col["dt"].isNull() | (col["dt"] == XSD + "string"))
+
+    @staticmethod
+    def _temporalish(val) -> Column:
+        kind, col = val[0], val[1]
+        if kind != "term":
+            return F.lit(False)
+        return col["dt"].isin(XSD + "dateTime", XSD + "date")
+
     def compile_op(self, expr: OpExpr, colmap):
         op = expr.op
         if op in ("||", "&&"):
@@ -517,11 +536,20 @@ class Compiler:
             c = self.eq_cond(a, b)
             return ("bool", ~c if op == "!=" else c)
         if op in ("<", ">", "<=", ">="):
+            # SPARQL operator typing: numeric vs numeric by value, string vs
+            # string lexically, dateTime vs dateTime chronologically (ISO
+            # lexforms sort correctly); any other combination is a type
+            # error → NULL → the FILTER drops the row.
             na, nb = self.as_num(a), self.as_num(b)
             sa, sb = self.as_str(a), self.as_str(b)
             num_cmp = {"<": na < nb, ">": na > nb, "<=": na <= nb, ">=": na >= nb}[op]
             str_cmp = {"<": sa < sb, ">": sa > sb, "<=": sa <= sb, ">=": sa >= sb}[op]
-            return ("bool", F.when(na.isNotNull() & nb.isNotNull(), num_cmp).otherwise(str_cmp))
+            str_ok = self._stringish(a) & self._stringish(b)
+            temp_ok = self._temporalish(a) & self._temporalish(b)
+            return ("bool",
+                    F.when(na.isNotNull() & nb.isNotNull(), num_cmp)
+                    .when(str_ok | temp_ok, str_cmp)
+                    .otherwise(F.lit(None).cast("boolean")))
         if op in ("+", "-", "*", "/"):
             na, nb = self.as_num(a), self.as_num(b)
             col = {"+": na + nb, "-": na - nb, "*": na * nb, "/": na / nb}[op]

@@ -1,0 +1,309 @@
+"""SPARQL engine end-to-end correctness entries.
+
+Each query here runs REAL SPARQL text through the full pipeline
+(parse → compile → Catalyst → execute) over rdf-ized driver tables
+(:mod:`sparkdon.rdfize`), then flattens the term-struct bindings to plain
+columns so the driver can hash-compare against a DuckDB oracle running
+plain SQL on the ORIGINAL relational tables.  A green row here certifies
+the whole engine stack, not just a DataFrame translation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdon.rdfize import rdfize
+from sparkdon.session import LocalEndpoint
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: Dict[str, str] = {}
+
+PREFIXES = {
+    "p": "urn:p:",
+    "c": "urn:c:",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def endpoint(spark: SparkSession, sf_dir: str,
+             tables=("region", "nation", "customer", "supplier")) -> LocalEndpoint:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return LocalEndpoint(spark, rdfize(spark, sf_dir, tables), prefixes=PREFIXES)
+
+
+def run(spark: SparkSession, sf_dir: str, sparql: str, schema: dict[str, str],
+        tables=("region", "nation", "customer", "supplier")) -> DataFrame:
+    """Execute SPARQL, flatten term structs to typed columns.
+
+    schema: output column -> 'str' | 'long' | 'double' (cast from the
+    term's lexical form — lossless for values that came from the parquet
+    in the first place)."""
+    e = endpoint(spark, sf_dir, tables)
+    raw = e.select_raw(sparql)
+    cols = []
+    for name, typ in schema.items():
+        c = raw["v_" + name]["lex"]
+        if typ != "str":
+            c = c.try_cast(typ)
+        cols.append(c.alias(name))
+    return raw.select(*cols)
+
+
+@register(
+    "sparql_census",
+    # property census over the rdf-ized graph == per-column row counts
+    "SELECT p, cnt FROM ("
+    " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
+    "  (SELECT count(*) FROM region)+(SELECT count(*) FROM nation)"
+    "  +(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt"
+    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(*) FROM region)"
+    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(*) FROM nation)"
+    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(*) FROM nation)"
+    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(*) FROM supplier)"
+    ")",
+)
+def sparql_census(spark, sf_dir):
+    """The reference's signature query (DBpedia_Schema_Queries#cell10)
+    through the engine: scan → groupBy(p) → count → order."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?p (COUNT(*) AS ?cnt) { ?s ?p ?o } GROUP BY ?p ORDER BY DESC(?cnt)",
+        {"p": "str", "cnt": "long"},
+    )
+
+
+@register(
+    "sparql_filter_gt",
+    "SELECT 'urn:g:customer:' || c_custkey AS cust, c_acctbal AS bal "
+    "FROM customer WHERE c_acctbal > 5000",
+)
+def sparql_filter_gt(spark, sf_dir):
+    """P5/F-tier: numeric FILTER over typed literals."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?cust ?bal { ?cust p:c_acctbal ?bal . FILTER(?bal > 5000) }",
+        {"cust": "str", "bal": "double"},
+    )
+
+
+@register(
+    "sparql_join_agg",
+    "SELECT n.n_name AS nation, count(*) AS cnt FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def sparql_join_agg(spark, sf_dir):
+    """J1+A1: BGP join chain + grouped count through the engine."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation (COUNT(*) AS ?cnt) { "
+        " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
+        "GROUP BY ?nation",
+        {"nation": "str", "cnt": "long"},
+    )
+
+
+@register(
+    "sparql_optional",
+    "SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers FROM nation n "
+    "LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def sparql_optional(spark, sf_dir):
+    """P10/J2: OPTIONAL keeps unmatched nations with COUNT(?s)=0."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation (COUNT(?s) AS ?suppliers) { "
+        " ?n a c:nation . ?n p:n_name ?nation . "
+        " OPTIONAL { ?s p:s_nationkey ?n } } GROUP BY ?nation",
+        {"nation": "str", "suppliers": "long"},
+    )
+
+
+@register(
+    "sparql_not_exists",
+    "SELECT n_name AS nation FROM nation n WHERE NOT EXISTS "
+    "(SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey "
+    " AND s.s_acctbal > 5000)",
+)
+def sparql_not_exists(spark, sf_dir):
+    """J3: FILTER NOT EXISTS with an inner FILTER (the shape of
+    DBpedia_Schema_Queries#cell46)."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation { ?n a c:nation . ?n p:n_name ?nation . "
+        "FILTER NOT EXISTS { ?s p:s_nationkey ?n . ?s p:s_acctbal ?b . "
+        "FILTER(?b > 5000) } }",
+        {"nation": "str"},
+    )
+
+
+@register(
+    "sparql_minus",
+    "SELECT 'urn:g:nation:' || n_nationkey AS n FROM nation "
+    "EXCEPT SELECT 'urn:g:nation:' || s_nationkey FROM supplier "
+    "WHERE s_acctbal > 5000",
+)
+def sparql_minus(spark, sf_dir):
+    """J4: MINUS on the shared-variable set (inner pattern filtered so the
+    difference is non-empty at every sf)."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?n { ?n a c:nation MINUS { ?s p:s_nationkey ?n . "
+        "?s p:s_acctbal ?b . FILTER(?b > 5000) } }",
+        {"n": "str"},
+    )
+
+
+@register(
+    "sparql_union",
+    "SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier",
+)
+def sparql_union(spark, sf_dir):
+    """U1: UNION with bag semantics."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?name { { ?x p:c_name ?name } UNION { ?x p:s_name ?name } }",
+        {"name": "str"},
+    )
+
+
+@register(
+    "sparql_values",
+    "SELECT n.n_name AS nation, r.r_name AS region FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name IN ('ASIA', 'AFRICA')",
+)
+def sparql_values(spark, sf_dir):
+    """P9: VALUES inline table (broadcast) constraining a join."""
+    return run(
+        spark, sf_dir,
+        'SELECT ?nation ?region { VALUES (?region) { ("ASIA") ("AFRICA") } '
+        " ?n p:n_regionkey ?r . ?r p:r_name ?region . ?n p:n_name ?nation }",
+        {"nation": "str", "region": "str"},
+    )
+
+
+@register(
+    "sparql_path_seq",
+    "SELECT 'urn:g:customer:' || c.c_custkey AS cust, r.r_name AS region "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def sparql_path_seq(spark, sf_dir):
+    """G1: sequence property path customer→nation→region."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?cust ?region { ?cust p:c_nationkey/p:n_regionkey/p:r_name ?region }",
+        {"cust": "str", "region": "str"},
+    )
+
+
+@register(
+    "sparql_path_inverse",
+    "SELECT 'urn:g:supplier:' || s_suppkey AS supp FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_name = 'NATION_7'",
+)
+def sparql_path_inverse(spark, sf_dir):
+    """G2: inverse-direction hop from a constant literal anchor."""
+    return run(
+        spark, sf_dir,
+        # literal anchor in subject position — the trick a DataFrame engine
+        # gets for free (Inference_Over_RDF_Containers#cell56,64)
+        'SELECT ?supp { "NATION_7" ^p:n_name/^p:s_nationkey ?supp . '
+        " ?supp a c:supplier }",
+        {"supp": "str"},
+    )
+
+
+@register(
+    "sparql_subquery_having",
+    "SELECT n.n_name AS nation, cnt FROM "
+    "(SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey "
+    " HAVING count(*) > 5) x JOIN nation n ON x.c_nationkey = n.n_nationkey",
+)
+def sparql_subquery_having(spark, sf_dir):
+    """A6: aggregate subquery + outer FILTER (HAVING emulation,
+    DBpedia_Schema_Queries#cell62)."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation ?cnt { "
+        " { SELECT ?n (COUNT(*) AS ?cnt) { ?c p:c_nationkey ?n } GROUP BY ?n } "
+        " FILTER(?cnt > 5) ?n p:n_name ?nation }",
+        {"nation": "str", "cnt": "long"},
+    )
+
+
+@register(
+    "sparql_orderby_limit",
+    "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+    "ORDER BY c_acctbal DESC, c_name LIMIT 10",
+)
+def sparql_orderby_limit(spark, sf_dir):
+    """O2/O4: ORDER BY DESC + tie-break + LIMIT (top-k plan)."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?name ?bal { ?c p:c_name ?name . ?c p:c_acctbal ?bal } "
+        "ORDER BY DESC(?bal) ?name LIMIT 10",
+        {"name": "str", "bal": "double"},
+    )
+
+
+@register(
+    "sparql_bind_strstarts",
+    "SELECT c_name AS name, c_acctbal * 2 AS double_bal FROM customer "
+    "WHERE c_name LIKE 'Customer#0000001%'",
+)
+def sparql_bind_strstarts(spark, sf_dir):
+    """P8+F3: BIND arithmetic + STRSTARTS filter."""
+    return run(
+        spark, sf_dir,
+        'SELECT ?name ?double_bal { ?c p:c_name ?name . '
+        ' FILTER(STRSTARTS(?name, "Customer#0000001")) ?c p:c_acctbal ?bal . '
+        " BIND(?bal * 2 AS ?double_bal) }",
+        {"name": "str", "double_bal": "double"},
+    )
+
+
+@register(
+    "sparql_count_distinct",
+    "SELECT count(DISTINCT c_mktsegment) AS segments FROM customer",
+)
+def sparql_count_distinct(spark, sf_dir):
+    """A3: COUNT(DISTINCT ?x) global aggregate."""
+    return run(
+        spark, sf_dir,
+        "SELECT (COUNT(DISTINCT ?seg) AS ?segments) { ?c p:c_mktsegment ?seg }",
+        {"segments": "long"},
+    )
+
+
+@register(
+    "sparql_construct_count",
+    "SELECT count(*) AS cnt FROM customer WHERE c_acctbal > 8000",
+)
+def sparql_construct_count(spark, sf_dir):
+    """Q3: CONSTRUCT → graph; count the constructed triples."""
+    e = endpoint(spark, sf_dir)
+    g = e.construct(
+        "CONSTRUCT { ?c a c:RichCustomer } WHERE { ?c p:c_acctbal ?bal . FILTER(?bal > 8000) }"
+    )
+    return g.graph.agg(F.count(F.lit(1)).alias("cnt"))

@@ -176,9 +176,12 @@ def numeric_value(term: Column) -> Column:
     stay canonical for join equality; Catalyst folds the IN-set into a
     hash-set membership test.
     """
+    # try_cast: Spark 4 runs ANSI mode by default, and Catalyst may evaluate
+    # the cast on rows the when-guard would reject (union-branch pruning,
+    # common-subexpression reuse) — a plain cast then throws on IRI lexforms.
     return F.when(
         (term["kind"] == KIND_LIT) & term["dt"].isin(*NUMERIC_DATATYPES),
-        term["lex"].cast("double"),
+        term["lex"].try_cast("double"),
     )
 
 
