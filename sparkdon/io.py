@@ -156,6 +156,38 @@ def triples_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# persistent triple store (physical layout — SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+
+def write_triple_store(triples: DataFrame, path: str,
+                       partition_by_predicate: bool = True) -> None:
+    """Persist a triple DataFrame as the engine's canonical store layout.
+
+    ``partitionBy("p")`` is S2RDF-style vertical partitioning: the
+    property-census workloads (and most BGPs) filter on a constant
+    predicate, so each triple pattern prunes to one partition directory —
+    at 100 TB a ``?s :p ?o`` pattern reads only :p's files, not the graph.
+    Within each partition, rows are sorted by subject so min/max row-group
+    stats prune subject-constant lookups too.  Spark escapes IRI
+    characters in partition directory names automatically.
+    """
+    df = triples.repartition("p").sortWithinPartitions("s")
+    writer = df.write.mode("overwrite")
+    if partition_by_predicate:
+        writer = writer.partitionBy("p")
+    writer.parquet(path)
+
+
+def read_triple_store(spark: SparkSession, path: str) -> DataFrame:
+    """Open a persisted triple store; constant-predicate filters become
+    partition pruning (verify with .explain → PartitionFilters)."""
+    df = spark.read.parquet(path)
+    # partitionBy turns p into a partition column at the end; restore order
+    return df.select("s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang")
+
+
+# ---------------------------------------------------------------------------
 # sinks (S4)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""Remote SPARQL source (S3) tests against a local mock SPARQL-protocol
+server (canned application/sparql-results+json responses)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+
+class MockSparqlHandler(BaseHTTPRequestHandler):
+    #: 30 rows of (s, label, n) — sliced by LIMIT/OFFSET for pagination tests
+    ROWS = [
+        {
+            "s": {"type": "uri", "value": f"http://ex.com/item{i}"},
+            "label": (
+                {"type": "literal", "value": f"Item {i}", "xml:lang": "en"}
+                if i % 3 != 0 else None  # unbound every 3rd row
+            ),
+            "n": {"type": "typed-literal",
+                  "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+                  "value": str(i)},
+        }
+        for i in range(30)
+    ]
+
+    def do_POST(self):
+        length = int(self.headers["Content-Length"])
+        params = urllib.parse.parse_qs(self.rfile.read(length).decode())
+        query = params.get("query", params.get("update", [""]))[0]
+        self.server.queries.append(query)
+        if "update" in params:
+            self.send_response(200)
+            self.end_headers()
+            return
+        if "boom" in query:
+            self.send_error(500, "mock explosion")
+            return
+        rows = self.ROWS
+        limit = offset = None
+        for tok, val in zip(query.split(), query.split()[1:]):
+            if tok.upper() == "LIMIT":
+                limit = int(val)
+            if tok.upper() == "OFFSET":
+                offset = int(val)
+        if offset:
+            rows = rows[offset:]
+        if limit is not None:
+            rows = rows[:limit]
+        doc = {
+            "head": {"vars": ["s", "label", "n"]},
+            "results": {"bindings": [
+                {k: v for k, v in r.items() if v is not None} for r in rows
+            ]},
+        }
+        body = json.dumps(doc).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/sparql-results+json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    server = HTTPServer(("127.0.0.1", 0), MockSparqlHandler)
+    server.queries = []
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}/sparql", server
+    server.shutdown()
+
+
+def test_remote_select_decodes_terms(mock_server):
+    from sparkdon.remote import RemoteEndpoint
+
+    url, server = mock_server
+    e = RemoteEndpoint(url, spark=None, prefixes={"ex": "http://ex.com/"})
+    df = e.select("SELECT ?s ?label ?n { ?s rdfs:label ?label } LIMIT 5")
+    assert list(df.columns) == ["s", "label", "n"]
+    assert df["s"][1] == "ex:item1"  # IRI shortened to QName
+    assert df["s"][1].to_uri() == "http://ex.com/item1"
+    assert df["label"][0] is None  # unbound variable survives as None
+    assert df["label"][1] == "Item 1"
+    assert list(df["n"]) == list(range(5))  # typed-literal -> int column, LIMIT honored
+
+
+def test_remote_prefix_injection(mock_server):
+    from sparkdon.remote import RemoteEndpoint
+
+    url, server = mock_server
+    e = RemoteEndpoint(url, spark=None, prefixes={"ex": "http://ex.com/",
+                                                  "unused": "http://nope/"})
+    server.queries.clear()
+    e.select("SELECT ?s ?label ?n { ?s ex:p ?label }")
+    sent = server.queries[-1]
+    assert "PREFIX ex: <http://ex.com/>" in sent
+    assert "unused" not in sent  # only textually-used prefixes injected
+
+
+def test_remote_http_error_is_friendly(mock_server):
+    from sparkdon.errors import QueryExecutionError
+    from sparkdon.remote import RemoteEndpoint
+
+    url, _ = mock_server
+    e = RemoteEndpoint(url, spark=None)
+    with pytest.raises(QueryExecutionError, match="HTTP 500"):
+        e.select("SELECT ?s { ?s ?p ?boom }")
+
+
+def test_remote_to_spark_partitioned_fetch(spark, mock_server):
+    from sparkdon.remote import RemoteEndpoint
+
+    url, server = mock_server
+    e = RemoteEndpoint(url, spark=spark)
+    server.queries.clear()
+    df = e.to_spark("SELECT ?s ?label ?n { ?s ?p ?o }", partitions=3, page_size=7)
+    rows = df.collect()
+    assert len(rows) == 30
+    assert {r["n"] for r in rows} == {str(i) for i in range(30)}
+    # executors issued striped LIMIT/OFFSET requests
+    paged = [q for q in server.queries if "OFFSET" in q or "LIMIT 7" in q]
+    assert len(paged) >= 3
