@@ -297,6 +297,114 @@ def sparql_count_distinct(spark, sf_dir):
 
 
 @register(
+    "sparql_path_plus",
+    # locatedIn+ = customer→nation ∪ nation→region ∪ customer→region
+    "SELECT 'urn:g:customer:' || c_custkey AS x, 'urn:g:nation:' || c_nationkey AS y "
+    "FROM customer "
+    "UNION SELECT 'urn:g:nation:' || n_nationkey, 'urn:g:region:' || n_regionkey FROM nation "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:region:' || n_regionkey "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+def sparql_path_plus(spark, sf_dir):
+    """G4: one-or-more transitive path — the full semi-naive fixpoint over
+    the locatedIn hierarchy (customer→nation→region), verified against the
+    SQL closure."""
+    e = LocalEndpoint(spark, rdfize(spark, sf_dir, located_in=True),
+                      prefixes=PREFIXES)
+    raw = e.select_raw("SELECT ?x ?y { ?x p:locatedIn+ ?y }")
+    return raw.select(raw["v_x"]["lex"].alias("x"), raw["v_y"]["lex"].alias("y"))
+
+
+@register(
+    "sparql_path_star_anchored",
+    "SELECT 'urn:g:customer:7' AS x "
+    "UNION SELECT 'urn:g:nation:' || c_nationkey FROM customer WHERE c_custkey = 7 "
+    "UNION SELECT 'urn:g:region:' || n_regionkey FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 7",
+)
+def sparql_path_star_anchored(spark, sf_dir):
+    """G3: zero-or-more path from a constant anchor — the BFS fast path
+    (reachable cone only), zero-length includes the anchor itself."""
+    e = LocalEndpoint(spark, rdfize(spark, sf_dir, located_in=True),
+                      prefixes=PREFIXES)
+    raw = e.select_raw("SELECT ?x { <urn:g:customer:7> p:locatedIn* ?x }")
+    return raw.select(raw["v_x"]["lex"].alias("x"))
+
+
+@register(
+    "s1_ntriples_roundtrip",
+    "SELECT 'urn:p:n_name' AS p, count(*) AS cnt FROM nation "
+    "UNION ALL SELECT 'urn:p:n_regionkey', count(*) FROM nation "
+    "UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', count(*) FROM nation",
+)
+def s1_ntriples_roundtrip(spark, sf_dir):
+    """S1+S4: rdfize nation → distributed N-Triples write → splittable
+    read-back → census.  Gates the whole serialize/parse loop against the
+    relational row counts."""
+    import tempfile
+
+    from sparkdon.io import read_ntriples, write_ntriples
+    from sparkdon.rdfize import rdfize as _rdfize
+
+    nt_dir = tempfile.mkdtemp(prefix="sparkdon_nt_") + "/nation_nt"
+    write_ntriples(_rdfize(spark, sf_dir, tables=("nation",)), nt_dir)
+    triples = read_ntriples(spark, nt_dir)
+    return triples.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("q_peel_bnode_closure")
+def q_peel_bnode_closure(spark, sf_dir):
+    """S5/G5 (rows-only): peel copies the bnode-closure of a node —
+    exercised on an inline fixture; returns the peeled triples."""
+    from sparkdon.session import inline
+
+    e = inline(
+        """@prefix : <http://example.com/> .
+        :thing :part [ :name "a" ; :sub [ :name "b" ] ] ; :label "top" .
+        :other :part [ :name "c" ] .""",
+        spark,
+    )
+    return e.peel(":thing").graph.select("s_kind", "p", "o_kind", "o")
+
+
+@register("q_decollect_seq")
+def q_decollect_seq(spark, sf_dir):
+    """Q10/O5 (rows-only): Seq decollection in numeric index order —
+    the _10/_2 lexical trap (RDFContainers#cell46-52)."""
+    from sparkdon.session import inline
+
+    words = "one two three four five six seven eight nine ten eleven".split()
+    ttl = "@prefix : <http://example.com/> .\n@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n:seq a rdf:Seq"
+    for i, w in enumerate(words):
+        ttl += f' ; rdf:_{i + 1} "{w}"'
+    e = inline(ttl + " .", spark)
+    items = e.decollect(":seq")
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(items)], "pos int, item string")
+
+
+@register("q_rule_fixpoint")
+def q_rule_fixpoint(spark, sf_dir):
+    """G7 (rows-only): INSERT-WHERE rule run to fixpoint — transitive
+    closure of a 5-level subclass chain materializes all ancestor edges."""
+    from sparkdon.session import inline
+
+    e = inline(
+        """@prefix : <http://example.com/> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        :a rdfs:subClassOf :b . :b rdfs:subClassOf :c .
+        :c rdfs:subClassOf :d . :d rdfs:subClassOf :e .""",
+        spark,
+    )
+    e.update_to_fixpoint(
+        "INSERT { ?x rdfs:subClassOf ?z } "
+        "WHERE { ?x rdfs:subClassOf ?y . ?y rdfs:subClassOf ?z }"
+    )
+    raw = e.select_raw("SELECT ?x ?z { ?x rdfs:subClassOf ?z }")
+    return raw.select(raw["v_x"]["lex"].alias("x"), raw["v_z"]["lex"].alias("z"))
+
+
+@register(
     "sparql_construct_count",
     "SELECT count(*) AS cnt FROM customer WHERE c_acctbal > 8000",
 )

@@ -107,11 +107,36 @@ def rdfize_table(df: DataFrame, table: str) -> DataFrame:
 
 
 def rdfize(spark: SparkSession, sf_dir: str,
-           tables: tuple[str, ...] = ("region", "nation", "customer", "supplier")
-           ) -> DataFrame:
+           tables: tuple[str, ...] = ("region", "nation", "customer", "supplier"),
+           located_in: bool = False) -> DataFrame:
     out = None
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         part = rdfize_table(df, t)
         out = part if out is None else out.unionByName(part)
+    if located_in:
+        out = out.unionByName(located_in_edges(spark, sf_dir))
     return out
+
+
+def located_in_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A single shared predicate ``urn:p:locatedIn`` over the FK chain
+    customer → nation → region — gives the graph a multi-level hierarchy
+    so transitive property paths (G3/G4) have a SQL-expressible oracle."""
+
+    def edge(df, src_tbl, src_key, dst_tbl, dst_key):
+        return df.select(
+            F.lit(KIND_IRI).alias("s_kind"),
+            row_iri(src_tbl, src_key).alias("s"),
+            F.lit("urn:p:locatedIn").alias("p"),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.concat(F.lit(f"urn:g:{dst_tbl}:"), F.col(dst_key).cast("string")).alias("o"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return edge(cust, "customer", "c_custkey", "nation", "c_nationkey").unionByName(
+        edge(nat, "nation", "n_nationkey", "region", "n_regionkey")
+    )
