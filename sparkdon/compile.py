@@ -592,12 +592,15 @@ class Compiler:
             return ("bool", self.as_str(args[0]).contains(self.as_str(args[1])))
         if name == "STRBEFORE":
             s, t = self.as_str(args[0]), self.as_str(args[1])
-            return ("str", F.when(F.instr(s, t) > 0, F.substring_index(s, t, 1))
+            # F.position/Column.substr accept Column args (F.instr's needle
+            # and substring_index's delimiter must be Python strings)
+            pos = F.position(t, s)
+            return ("str", F.when(pos > 0, s.substr(F.lit(1), pos - 1))
                     .otherwise(F.lit("")))
         if name == "STRAFTER":
             s, t = self.as_str(args[0]), self.as_str(args[1])
-            pos = F.instr(s, t)
-            return ("str", F.when(pos > 0, F.substring(s, pos + F.length(t), F.lit(2 ** 30)))
+            pos = F.position(t, s)
+            return ("str", F.when(pos > 0, s.substr(pos + F.length(t), F.lit(2 ** 30)))
                     .otherwise(F.lit("")))
         if name == "SUBSTR":
             s = self.as_str(args[0])

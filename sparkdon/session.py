@@ -226,15 +226,33 @@ def _plain_group_vars(q: SelectQuery) -> list[str]:
 def _normalize_column_type(col: pd.Series) -> pd.Series:
     """Column type promotion: all-int → int, else all-float → float, else
     leave as-is (gastrodon ``_normalize_column_type``,
-    gastrodon/__init__.py:374-387; NULLs preserved)."""
+    gastrodon/__init__.py:374-387; NULLs preserved).
+
+    Unlike the reference (which sees only lexical strings), values here
+    may already be typed — so the int promotion must not TRUNCATE floats
+    (``int(7.5)``) and booleans are left alone."""
     values = list(col)
     non_null = [v for v in values if v is not None]
-    if not non_null or not all(isinstance(v, (str, int, float, bool)) for v in non_null):
+    if not non_null or not all(isinstance(v, (str, int, float)) for v in non_null) \
+            or any(isinstance(v, bool) for v in non_null):
         return col
+
+    def promote(cast):
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+            elif isinstance(v, float):
+                if cast is int and not v.is_integer():
+                    raise ValueError(v)
+                out.append(cast(v))
+            else:
+                out.append(cast(v))
+        return out
+
     for cast in (int, float):
         try:
-            promoted = [None if v is None else cast(v) for v in values]
-            return pd.Series(promoted, index=col.index)
+            return pd.Series(promote(cast), index=col.index)
         except (ValueError, TypeError):
             continue
     return col

@@ -1,0 +1,148 @@
+"""Scalar-function and solution-modifier battery — the long tail of the
+SPARQL builtin surface (SURVEY.md §2.7 'beyond parity' rows included)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkdon.session import inline, one
+
+TTL = """
+@prefix : <http://example.com/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+:a :name "Alice" ; :age 30 ; :score 7.5 ; :tag "x"@en .
+:b :name "Bob" ; :age 25 .
+:c :name "carol" ; :age 41 ; :when "2020-05-04T10:00:00"^^xsd:dateTime .
+"""
+
+
+@pytest.fixture(scope="module")
+def ep(spark):
+    return inline(TTL, spark)
+
+
+def q(ep, sparql):
+    return ep.select(sparql)
+
+
+def test_concat_ucase_strlen(ep):
+    df = q(ep, 'SELECT ?v { :a :name ?n . BIND(CONCAT(UCASE(?n), "!") AS ?v) }')
+    assert one(df) == "ALICE!"
+    df = q(ep, "SELECT ?v { :a :name ?n . BIND(STRLEN(?n) AS ?v) }")
+    assert one(df) == 5
+
+
+def test_replace_contains_strends(ep):
+    df = q(ep, 'SELECT ?v { :a :name ?n . BIND(REPLACE(?n, "li", "LI") AS ?v) }')
+    assert one(df) == "ALIce"
+    df = q(ep, 'SELECT ?n { ?s :name ?n . FILTER(CONTAINS(?n, "aro")) }')
+    assert one(df) == "carol"
+    df = q(ep, 'SELECT ?n { ?s :name ?n . FILTER(STRENDS(?n, "ob")) }')
+    assert one(df) == "Bob"
+
+
+def test_strbefore_strafter(ep):
+    df = q(ep, 'SELECT ?v { :a :name ?n . BIND(STRBEFORE(?n, "ice") AS ?v) }')
+    assert one(df) == "Al"
+    df = q(ep, 'SELECT ?v { :a :name ?n . BIND(STRAFTER(?n, "Al") AS ?v) }')
+    assert one(df) == "ice"
+
+
+def test_if_coalesce_bound(ep):
+    df = q(
+        ep,
+        "SELECT ?n ?v { ?s :name ?n . OPTIONAL { ?s :score ?sc } "
+        'BIND(IF(BOUND(?sc), "has", "none") AS ?v) }',
+    )
+    got = dict(zip(df["n"], df["v"]))
+    assert got == {"Alice": "has", "Bob": "none", "carol": "none"}
+    df = q(
+        ep,
+        "SELECT ?n ?v { ?s :name ?n . OPTIONAL { ?s :score ?sc } "
+        "BIND(COALESCE(?sc, 0) AS ?v) }",
+    )
+    got = dict(zip(df["n"], df["v"]))
+    assert got["Alice"] == 7.5 and got["Bob"] == 0
+
+
+def test_type_predicates(ep):
+    df = q(ep, "SELECT ?o { :a ?p ?o . FILTER(ISLITERAL(?o)) }")
+    assert len(df) == 4
+    df = q(ep, "SELECT ?s { ?s :name ?n . FILTER(ISIRI(?s)) }")
+    assert len(df) == 3
+    df = q(ep, "SELECT ?v { :a :age ?a . BIND(ISNUMERIC(?a) AS ?v) }")
+    assert bool(one(df)) is True
+
+
+def test_datatype_and_lang(ep):
+    df = q(ep, "SELECT ?v { :a :age ?a . BIND(DATATYPE(?a) AS ?v) }")
+    # result is QName-shortened ('xsd:integer'); round-trip to the full IRI
+    assert one(df).to_uri().endswith("#integer")
+    df = q(ep, 'SELECT ?t { :a :tag ?t . FILTER(LANGMATCHES(LANG(?t), "EN")) }')
+    assert one(df) == "x"
+
+
+def test_sameterm_and_iri_constructor(ep):
+    df = q(ep, "SELECT ?o { :a :name ?o . FILTER(SAMETERM(?o, \"Alice\")) }")
+    assert len(df) == 1
+    df = q(ep, 'SELECT ?v { BIND(IRI(CONCAT("http://example.com/", "zzz")) AS ?v) }')
+    assert one(df).to_uri() == "http://example.com/zzz"
+
+
+def test_arithmetic_and_numeric_fns(ep):
+    df = q(ep, "SELECT ?v { :a :age ?a . :b :age ?b . BIND(?a - ?b AS ?v) }")
+    assert one(df) == 5
+    df = q(ep, "SELECT ?v { :a :score ?s . BIND(FLOOR(?s) AS ?v) }")
+    assert one(df) == 7
+    df = q(ep, "SELECT ?v { :a :score ?s . BIND(CEIL(?s) AS ?v) }")
+    assert one(df) == 8
+    df = q(ep, "SELECT ?v { :a :score ?s . BIND(ABS(0 - ?s) AS ?v) }")
+    assert one(df) == 7.5
+
+
+def test_year_month_day(ep):
+    df = q(ep, "SELECT ?y ?m ?d { :c :when ?w . BIND(YEAR(STR(?w)) AS ?y) "
+               "BIND(MONTH(STR(?w)) AS ?m) BIND(DAY(STR(?w)) AS ?d) }")
+    assert (one(df["y"].to_frame()), one(df["m"].to_frame()), one(df["d"].to_frame())) == (2020, 5, 4)
+
+
+def test_md5_sha(ep):
+    import hashlib
+
+    df = q(ep, "SELECT ?v { :a :name ?n . BIND(MD5(?n) AS ?v) }")
+    assert one(df) == hashlib.md5(b"Alice").hexdigest()
+
+
+def test_sum_avg_min_max(ep):
+    df = q(ep, "SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?av) (MIN(?a) AS ?mn) (MAX(?a) AS ?mx) "
+               "{ ?x :age ?a }")
+    assert list(df.iloc[0]) == [96, 32, 25, 41]
+
+
+def test_group_concat_and_sample(ep):
+    df = q(ep, "SELECT (GROUP_CONCAT(?n) AS ?all) { { SELECT ?n { ?s :name ?n } ORDER BY ?n } }")
+    assert set(one(df).split()) == {"Alice", "Bob", "carol"}
+
+
+def test_having(ep):
+    df = q(ep, "SELECT ?s (COUNT(*) AS ?cnt) { ?s ?p ?o } GROUP BY ?s HAVING (COUNT(*) > 3)")
+    assert list(df.index) == [":a"]
+
+
+def test_offset(ep):
+    df = q(ep, "SELECT ?n { ?s :name ?n } ORDER BY ?n LIMIT 10 OFFSET 1")
+    assert list(df["n"]) == ["Bob", "carol"]
+
+
+def test_not_in(ep):
+    df = q(ep, 'SELECT ?n { ?s :name ?n . FILTER(?n NOT IN ("Alice", "Bob")) }')
+    assert one(df) == "carol"
+
+
+def test_strdt_strlang(ep):
+    df = q(ep, 'SELECT ?v { BIND(STRLANG("chat", "fr") AS ?v) ?s :name ?n . '
+               "FILTER(LANG(?v) = \"fr\") } LIMIT 1")
+    assert one(df) == "chat"
+    df = q(ep, 'SELECT ?v { BIND(DATATYPE(STRDT("5", "http://www.w3.org/2001/XMLSchema#integer")) AS ?v) } LIMIT 1')
+    assert one(df).to_uri().endswith("#integer")
