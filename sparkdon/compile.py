@@ -810,6 +810,24 @@ class Compiler:
                               e.negated)
             return e
 
+        group_exprs: list[tuple] = []  # (expr, key name) for structural matching
+        for g, kn in zip(q.group_by, key_names):
+            group_exprs.append((g[0] if isinstance(g, tuple) else g, kn))
+
+        def resolve_group(e: Expr) -> Expr:
+            """Replace subexpressions that structurally equal a GROUP BY
+            expression with a reference to its key column — this is what
+            lets ``SELECT (LANG(?l) AS ?lang) ... GROUP BY (LANG(?l))``
+            project the key (dataclass equality gives structural match)."""
+            for ge, kn in group_exprs:
+                if e == ge:
+                    return TermExpr(Var(kn))
+            if isinstance(e, OpExpr):
+                return OpExpr(e.op, [resolve_group(a) for a in e.args])
+            if isinstance(e, FuncExpr):
+                return FuncExpr(e.name, [resolve_group(a) for a in e.args], e.distinct)
+            return e
+
         proj_plan = []
         for e, alias in q.projections:
             if isinstance(e, Var):
@@ -817,9 +835,9 @@ class Compiler:
                     raise QueryExecutionError(f"?{e.name} projected but not grouped")
                 proj_plan.append((TermExpr(e), alias.name if alias else e.name))
             else:
-                proj_plan.append((lower_agg(e), alias.name))
-        having_plan = [lower_agg(h) for h in q.having]
-        order_plan = [(lower_agg(e), d) for e, d in q.order_by]
+                proj_plan.append((lower_agg(resolve_group(e)), alias.name))
+        having_plan = [lower_agg(resolve_group(h)) for h in q.having]
+        order_plan = [(lower_agg(resolve_group(e)), d) for e, d in q.order_by]
 
         grouped = bindings.df.groupBy(*key_cols) if key_cols else bindings.df.groupBy()
         if not agg_cols:

@@ -47,16 +47,21 @@ _NT_LINE = (
 def _unescape_col(col):
     """Undo N-Triples string escapes JVM-side.
 
-    A sentinel round-trip keeps ``\\\\n`` (backslash-then-n) distinct from
-    ``\\n`` (newline): first hide double-backslashes, then decode the
-    single-char escapes, then restore backslashes.  ``\\uXXXX`` escapes are
-    left intact (rare in practice; use parse_ntriples_strict for those).
+    Fast path: N-Triples escape sequences (\\" \\\\ \\n \\t \\r \\uXXXX
+    \\b \\f) are a subset of JSON string escapes, so the JVM JSON parser
+    decodes them exactly — including \\uXXXX — with zero Python involved.
+    Fallback (invalid-as-JSON input, e.g. a stray \\'): a sentinel-based
+    regexp chain covering the common single-char escapes.
     """
+    json_decoded = F.from_json(
+        F.concat(F.lit('["'), col, F.lit('"]')), "array<string>"
+    )[0]
     sentinel = "\x00"
     c = F.regexp_replace(col, r"\\\\", sentinel)
     for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r"), (r"\\\"", '"')):
         c = F.regexp_replace(c, esc, rep)
-    return F.regexp_replace(c, sentinel, r"\\")
+    fallback = F.regexp_replace(c, sentinel, r"\\")
+    return F.coalesce(json_decoded, fallback)
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:

@@ -115,6 +115,8 @@ class Endpoint:
             value = bindings[name]
             if isinstance(value, QName):
                 return f"<{value.to_uri()}>"
+            if isinstance(value, str) and value.startswith("<") and value.endswith(">"):
+                return value  # already-written N3 IRI form
             if isinstance(value, str) and not isinstance(value, (IRI, BNode)) and ":" in value:
                 pfx, _, local = value.partition(":")
                 if pfx in self.prefixes and re.fullmatch(r"[A-Za-z_0-9.-]*", local):
