@@ -352,6 +352,27 @@ def s1_ntriples_roundtrip(spark, sf_dir):
     return triples.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "sparql_census_orders",
+    "SELECT p, cnt FROM ("
+    " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, count(*) AS cnt FROM orders"
+    " UNION ALL SELECT 'urn:p:o_custkey', count(*) FROM orders"
+    " UNION ALL SELECT 'urn:p:o_orderstatus', count(*) FROM orders"
+    " UNION ALL SELECT 'urn:p:o_totalprice', count(*) FROM orders"
+    " UNION ALL SELECT 'urn:p:o_orderpriority', count(*) FROM orders"
+    ")",
+)
+def sparql_census_orders(spark, sf_dir):
+    """The census at fact-table scale: ~5×|orders| triples (750k at sf0.1)
+    through the full engine — the bench's engine-throughput probe."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?p (COUNT(*) AS ?cnt) { ?s ?p ?o } GROUP BY ?p",
+        {"p": "str", "cnt": "long"},
+        tables=("orders",),
+    )
+
+
 @register("q_peel_bnode_closure")
 def q_peel_bnode_closure(spark, sf_dir):
     """S5/G5 (rows-only): peel copies the bnode-closure of a node —

@@ -1,0 +1,40 @@
+"""Joins over possibly-unbound shared variables — the SPARQL
+compatible-mappings semantics (the slow path of compile.Compiler.join)."""
+
+from __future__ import annotations
+
+from sparkdon.session import inline
+
+TTL = """
+@prefix : <http://ex.com/> .
+:a :name "x" . :a :nick "xx" .
+:b :name "y" .
+:c :alias "xx" . :d :alias "yy" .
+"""
+
+
+def test_optional_then_join_on_uncertain_var(spark):
+    e = inline(TTL, spark)
+    df = e.select(
+        "SELECT ?s ?n ?t { ?s :name ?o . OPTIONAL { ?s :nick ?n } ?t :alias ?n }"
+    )
+    rows = {(r["s"], r["n"], r["t"]) for r in df.to_dict("records")}
+    # :a has nick "xx" -> only :c is compatible; :b's ?n is UNBOUND ->
+    # compatible with every alias, and the join fills ?n from the right
+    assert rows == {
+        (":a", "xx", ":c"),
+        (":b", "xx", ":c"),
+        (":b", "yy", ":d"),
+    }
+
+
+def test_union_missing_var_then_join(spark):
+    e = inline(TTL, spark)
+    df = e.select(
+        "SELECT ?s ?n { { ?s :name ?o } UNION { ?s :nick ?n } ?t :alias ?n }"
+    )
+    rows = {(r["s"], r["n"]) for r in df.to_dict("records")}
+    # name-branch rows leave ?n unbound -> compatible with xx and yy;
+    # nick-branch binds ?n = "xx" -> only :c compatible
+    assert (":a", "xx") in rows and (":b", "yy") in rows
+    assert (":a", "yy") in rows  # unbound branch merged with :d's alias
