@@ -262,6 +262,50 @@ class Compiler:
     def unit(self) -> Bindings:
         return Bindings(self.spark.range(1).select(F.lit(1).alias("__unit")), [], set())
 
+    @staticmethod
+    def _group_pattern_vars(group: GroupPattern) -> set[str]:
+        """Variables bound by the group's own patterns (not filters)."""
+        out: set[str] = set()
+        for el in group.elements:
+            if isinstance(el, TriplePattern):
+                for t in (el.s, el.p, el.o):
+                    if isinstance(t, Var):
+                        out.add(t.name)
+            elif isinstance(el, (OptionalGroup, MinusGroup)):
+                out |= Compiler._group_pattern_vars(el.group)
+            elif isinstance(el, UnionGroup):
+                for b in el.branches:
+                    out |= Compiler._group_pattern_vars(b)
+            elif isinstance(el, Bind):
+                out.add(el.var.name)
+            elif isinstance(el, ValuesClause):
+                out |= {v.name for v in el.variables}
+            elif isinstance(el, SubSelect):
+                for e, alias in el.query.projections:
+                    if alias is not None:
+                        out.add(alias.name)
+                    elif isinstance(e, Var):
+                        out.add(e.name)
+        return out
+
+    @staticmethod
+    def _expr_vars(expr: Expr) -> set[str]:
+        """Variables referenced by an expression."""
+        if isinstance(expr, TermExpr):
+            return {expr.term.name} if isinstance(expr.term, Var) else set()
+        if isinstance(expr, OpExpr):
+            return set().union(*[Compiler._expr_vars(a) for a in expr.args]) if expr.args else set()
+        if isinstance(expr, FuncExpr):
+            return set().union(*[Compiler._expr_vars(a) for a in expr.args]) if expr.args else set()
+        if isinstance(expr, InExpr):
+            out = Compiler._expr_vars(expr.value)
+            for o in expr.options:
+                out |= Compiler._expr_vars(o)
+            return out
+        if isinstance(expr, AggExpr):
+            return Compiler._expr_vars(expr.arg) if expr.arg is not None else set()
+        return set()
+
     def compile_group(self, group: GroupPattern) -> Bindings:
         bindings: Bindings | None = None
         deferred: list[Expr] = []
@@ -271,8 +315,35 @@ class Compiler:
             elif isinstance(el, OptionalGroup):
                 if bindings is None:
                     bindings = self.unit()
-                right = self.compile_group(el.group)
-                b = self.join(bindings, right, how="left_outer")
+                # The OPTIONAL-FILTER scoping trap (SURVEY.md §2.2 P10): a
+                # filter inside the optional group that references LEFT-side
+                # variables belongs to the JOIN CONDITION, not to the right
+                # side (pre-filter) or the result (post-filter).  Split the
+                # group's top-level filters by the variables they touch.
+                left_vars = set(bindings.variables)
+                inner_vars = self._group_pattern_vars(el.group)
+                kept, lifted = [], []
+                for ge in el.group.elements:
+                    if isinstance(ge, Filter) and not isinstance(ge.expr, ExistsExpr) \
+                            and (self._expr_vars(ge.expr) - inner_vars) & left_vars:
+                        lifted.append(ge.expr)
+                    else:
+                        kept.append(ge)
+                right = self.compile_group(GroupPattern(kept))
+                if lifted:
+                    def extra_cond(resolve, _lifted=tuple(lifted)):
+                        colmap = {}
+                        for v in left_vars | set(right.variables):
+                            colmap[v] = resolve(v)
+                        cond = F.lit(True)
+                        for ex in _lifted:
+                            cond = cond & self.as_bool(self.compile_expr(ex, colmap))
+                        return cond
+
+                    b = self.join(bindings, right, how="left_outer",
+                                  extra_cond=extra_cond)
+                else:
+                    b = self.join(bindings, right, how="left_outer")
                 # right-only vars become uncertain
                 b.certain = set(bindings.certain)
                 bindings = b

@@ -28,6 +28,26 @@ def test_optional_then_join_on_uncertain_var(spark):
     }
 
 
+def test_optional_filter_referencing_left_var(spark):
+    # the full P10 trap: the FILTER references a LEFT variable, so it must
+    # join-condition the OPTIONAL (not pre-filter the right side, not
+    # post-filter the result — which would drop the unmatched rows)
+    e = inline(
+        """@prefix : <http://ex.com/> .
+        :a :min 5 . :b :min 20 .
+        :a :item :x1 . :a :item :x2 .
+        :x1 :price 3 . :x2 :price 10 .
+        :b :item :y1 . :y1 :price 15 .""",
+        spark,
+    )
+    df = e.select(
+        "SELECT ?s ?i { ?s :min ?m . "
+        "OPTIONAL { ?s :item ?i . ?i :price ?p . FILTER(?p > ?m) } }"
+    )
+    rows = sorted((r["s"], r["i"]) for r in df.to_dict("records"))
+    assert rows == [(":a", ":x2"), (":b", None)]
+
+
 def test_union_missing_var_then_join(spark):
     e = inline(TTL, spark)
     df = e.select(
