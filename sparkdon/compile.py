@@ -264,14 +264,18 @@ class Compiler:
 
     @staticmethod
     def _group_pattern_vars(group: GroupPattern) -> set[str]:
-        """Variables bound by the group's own patterns (not filters)."""
+        """Variables possibly bound by the group's own patterns (not
+        filters).  MINUS groups are excluded: a MINUS never contributes
+        bindings to the group's solutions, so a variable appearing only
+        inside it must not shadow a left-side variable during the
+        OPTIONAL filter-lift analysis."""
         out: set[str] = set()
         for el in group.elements:
             if isinstance(el, TriplePattern):
                 for t in (el.s, el.p, el.o):
                     if isinstance(t, Var):
                         out.add(t.name)
-            elif isinstance(el, (OptionalGroup, MinusGroup)):
+            elif isinstance(el, OptionalGroup):
                 out |= Compiler._group_pattern_vars(el.group)
             elif isinstance(el, UnionGroup):
                 for b in el.branches:
