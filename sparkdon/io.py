@@ -64,18 +64,30 @@ def _unescape_col(col):
     return F.coalesce(json_decoded, fallback)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
     """Parse an N-Triples file (possibly .gz) into a triple DataFrame.
 
     Entirely JVM-side (regexp extraction inside whole-stage codegen) — no
     Python in the row path, so it scales with the cluster.
+
+    Malformed lines are dropped by default (the right behavior for dirty
+    web-scale dumps); ``strict=True`` raises if any line fails to parse.
     """
     lines = spark.read.text(path)
-    parsed = lines.select(
+    content = lines.filter(~F.col("value").rlike(r"^\s*(#.*)?$"))  # blank/comment
+    if strict:
+        bad = content.filter(~F.col("value").rlike(_NT_LINE))
+        sample = [r["value"] for r in bad.limit(3).collect()]
+        if sample:
+            raise SparkdonError(
+                f"malformed N-Triples line(s), e.g. {sample[0][:120]!r}")
+    parsed = content.select(
         *[F.regexp_extract("value", _NT_LINE, i).alias(f"g{i}") for i in range(1, 9)],
         F.col("value"),
     ).filter(
-        ~F.col("value").rlike(r"^\s*(#.*)?$")  # drop blank/comment lines
+        # a failed match extracts '' for every group; the predicate group
+        # is non-empty on every well-formed line, so this drops garbage
+        F.col("g3") != ""
     )
     return parsed.select(
         F.when(F.col("g2") != "", F.lit(KIND_BNODE)).otherwise(F.lit(KIND_IRI)).alias("s_kind"),

@@ -79,3 +79,22 @@ def test_triple_store_partition_pruning(spark, tmp_path):
     ep = LocalEndpoint(spark, store, prefixes={"": "http://example.com/"})
     df = ep.select("SELECT ?s { ?s :p1 ?o }")
     assert sorted(df["s"]) == [":a", ":c"]
+
+
+def test_read_ntriples_malformed_lines(spark, tmp_path):
+    from sparkdon.errors import SparkdonError
+    from sparkdon.io import read_ntriples
+    import pytest
+
+    p = tmp_path / "bad.nt"
+    p.write_text(
+        "<http://a> <http://p> <http://b> .\n"
+        "this line is garbage\n"
+        '<http://a> <http://p> "ok" .\n'
+        "<http://incomplete> <http://p>\n"
+    )
+    df = read_ntriples(spark, str(p))
+    assert df.count() == 2  # malformed lines dropped, no empty-string rows
+    assert all(r["p"] == "http://p" for r in df.collect())
+    with pytest.raises(SparkdonError, match="malformed"):
+        read_ntriples(spark, str(p), strict=True).count()
