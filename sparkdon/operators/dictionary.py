@@ -1,0 +1,78 @@
+"""Term-dictionary encoding for the triple store (SURVEY.md §4.3 "term
+dictionary optional v2: int IDs for IRIs to shrink shuffles").
+
+At 100 TB, shuffling triple joins on raw IRI strings moves ~60-120 bytes
+per key; encoding terms as 64-bit IDs cuts shuffle volume ~8-15× and
+makes join/group hashing a single long comparison.
+
+Design (no global sort, no driver bottleneck):
+- ``term_id`` = ``xxhash64(kind, lex, dt, lang)`` — computed per row,
+  embarrassingly parallel, deterministic across runs/clusters.  Collision
+  probability for n distinct terms is ~n²/2⁶⁵ (≈0.03 for a billion
+  terms); :func:`build_dictionary` verifies injectivity on the actual
+  data and raises if a collision exists, at which point the salvage path
+  is a per-collision disambiguation — not implemented until someone wins
+  that lottery.
+- the dictionary (id → term) is itself a DataFrame, partitioned by id,
+  used only at the edges (decode of final results); the whole query plan
+  runs on longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdon.errors import SparkdonError
+
+#: sentinel so (dt=NULL) hashes differently from (dt='') — built lazily,
+#: Column construction needs an active SparkContext
+NULL_SENTINEL = "\x00"
+
+
+def _tid(kind, lex, dt, lang):
+    return F.xxhash64(kind, lex, F.coalesce(dt, F.lit(NULL_SENTINEL)),
+                      F.coalesce(lang, F.lit(NULL_SENTINEL)))
+
+
+def build_dictionary(triples: DataFrame, check_collisions: bool = True) -> DataFrame:
+    """All distinct terms with their 64-bit IDs: (term_id, kind, lex, dt, lang)."""
+    subs = triples.select(
+        F.col("s_kind").alias("kind"), F.col("s").alias("lex"),
+        F.lit(None).cast("string").alias("dt"), F.lit(None).cast("string").alias("lang"))
+    preds = triples.select(
+        F.lit("iri").alias("kind"), F.col("p").alias("lex"),
+        F.lit(None).cast("string").alias("dt"), F.lit(None).cast("string").alias("lang"))
+    objs = triples.select(
+        F.col("o_kind").alias("kind"), F.col("o").alias("lex"),
+        F.col("o_dt").alias("dt"), F.col("o_lang").alias("lang"))
+    terms = subs.unionByName(preds).unionByName(objs).dropDuplicates()
+    out = terms.select(
+        _tid(F.col("kind"), F.col("lex"), F.col("dt"), F.col("lang")).alias("term_id"),
+        "kind", "lex", "dt", "lang",
+    )
+    if check_collisions:
+        clashes = out.groupBy("term_id").count().filter(F.col("count") > 1).limit(1)
+        if not clashes.isEmpty():
+            raise SparkdonError(
+                "xxhash64 term-id collision detected — disambiguate or widen ids")
+    return out
+
+
+def encode_triples(triples: DataFrame) -> DataFrame:
+    """Triple table → (s_id, p_id, o_id) longs.  Pure map stage — IDs are
+    content hashes, so no dictionary join is needed to encode."""
+    return triples.select(
+        _tid(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("s_id"),
+        _tid(F.lit("iri"), F.col("p"), F.lit(None), F.lit(None)).alias("p_id"),
+        _tid(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")).alias("o_id"),
+    )
+
+
+def decode_column(encoded: DataFrame, id_col: str, dictionary: DataFrame) -> DataFrame:
+    """Join an id column back to its term (used at the result edge only)."""
+    d = dictionary.select(
+        F.col("term_id").alias(id_col),
+        F.col("kind").alias(f"{id_col}_kind"), F.col("lex").alias(f"{id_col}_lex"),
+        F.col("dt").alias(f"{id_col}_dt"), F.col("lang").alias(f"{id_col}_lang"))
+    return encoded.join(d, on=id_col, how="left")
