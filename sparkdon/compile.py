@@ -946,28 +946,39 @@ class Compiler:
         bindings = self.compile_select(
             SelectQuery(projections=[], where=q.where, limit=q.limit)
         )
-        colmap = {v: bindings.col(v) for v in bindings.variables}
+        bdf = bindings.df
+        has_bnodes = any(
+            isinstance(t, BNode) for tp in q.template for t in (tp.s, tp.p, tp.o))
+        if has_bnodes:
+            # Fresh-bnode-per-solution semantics require ONE identity per
+            # row shared by every template triple.  monotonically_increasing_id
+            # is only stable if materialized once — each template projection
+            # re-evaluating it could see different ids (and must not bake
+            # the template-triple index into the label).
+            bdf = bdf.withColumn(
+                "__rowid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+        colmap = {v: bdf[vcol(v)] for v in bindings.variables}
         outs = []
-        bnode_tag = F.conv(F.monotonically_increasing_id().cast("string"), 10, 16)
-        for i, tp in enumerate(q.template):
-            def enc(term, with_extras):
+        bnode_tag = F.conv(F.col("__rowid").cast("string"), 10, 16) if has_bnodes else None
+        for tp in q.template:
+            def enc(term):
                 if isinstance(term, Var):
                     c = colmap.get(term.name)
                     if c is None:
                         raise QueryExecutionError(f"CONSTRUCT var ?{term.name} unbound")
                     return c
                 if isinstance(term, BNode):
-                    # fresh bnode per solution row (standard CONSTRUCT semantics)
+                    # label depends on (template bnode name, solution row)
                     return make_term(
-                        KIND_BNODE, F.concat(F.lit(f"c{i}_{term}_"), bnode_tag)
+                        KIND_BNODE, F.concat(F.lit(f"ct_{term}_"), bnode_tag)
                     )
                 return term_to_struct(term)
 
-            s = enc(tp.s, False)
-            p = enc(tp.p, False)
-            o = enc(tp.o, True)
+            s = enc(tp.s)
+            p = enc(tp.p)
+            o = enc(tp.o)
             outs.append(
-                bindings.df.select(
+                bdf.select(
                     s["kind"].alias("s_kind"), s["lex"].alias("s"),
                     p["lex"].alias("p"),
                     o["kind"].alias("o_kind"), o["lex"].alias("o"),

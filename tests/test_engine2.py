@@ -146,3 +146,20 @@ def test_strdt_strlang(ep):
     assert one(df) == "chat"
     df = q(ep, 'SELECT ?v { BIND(DATATYPE(STRDT("5", "http://www.w3.org/2001/XMLSchema#integer")) AS ?v) } LIMIT 1')
     assert one(df).to_uri().endswith("#integer")
+
+
+def test_construct_bnode_labels_consistent(spark):
+    # a template bnode must yield ONE fresh node per solution, shared by
+    # every template triple that mentions it (standard CONSTRUCT semantics)
+    e = inline("@prefix : <http://ex.com/> . :a :v 1 . :b :v 2 .", spark)
+    g = e.construct("CONSTRUCT { ?s :stat _:n . _:n :value ?o } WHERE { ?s :v ?o }")
+    rows = [tuple(r) for r in g.graph.collect()]
+    subj = {r[4] for r in rows if r[2].endswith("stat")}
+    obj = {r[1] for r in rows if r[2].endswith("value")}
+    assert subj == obj and len(subj) == 2
+    # distinct template bnodes stay distinct within a solution
+    g2 = e.construct("CONSTRUCT { ?s :x _:n . ?s :y _:m } WHERE { ?s :v ?o }")
+    per_s = {}
+    for r in g2.graph.collect():
+        per_s.setdefault(r[1], set()).add(r[4])
+    assert all(len(v) == 2 for v in per_s.values())
