@@ -39,10 +39,22 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+#: lazy DataFrame plans are safely reusable across queries in one session;
+#: caching avoids rebuilding the 14-branch rdfize union per gate entry
+_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str, tables, located_in: bool = False) -> DataFrame:
+    key = (id(spark), sf_dir, tuple(tables), located_in)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = rdfize(spark, sf_dir, tables, located_in=located_in)
+    return _GRAPH_CACHE[key]
+
+
 def endpoint(spark: SparkSession, sf_dir: str,
              tables=("region", "nation", "customer", "supplier")) -> LocalEndpoint:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return LocalEndpoint(spark, rdfize(spark, sf_dir, tables), prefixes=PREFIXES)
+    return LocalEndpoint(spark, _graph(spark, sf_dir, tables), prefixes=PREFIXES)
 
 
 def run(spark: SparkSession, sf_dir: str, sparql: str, schema: dict[str, str],
@@ -309,8 +321,11 @@ def sparql_path_plus(spark, sf_dir):
     """G4: one-or-more transitive path — the full semi-naive fixpoint over
     the locatedIn hierarchy (customer→nation→region), verified against the
     SQL closure."""
-    e = LocalEndpoint(spark, rdfize(spark, sf_dir, located_in=True),
-                      prefixes=PREFIXES)
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES)
     raw = e.select_raw("SELECT ?x ?y { ?x p:locatedIn+ ?y }")
     return raw.select(raw["v_x"]["lex"].alias("x"), raw["v_y"]["lex"].alias("y"))
 
@@ -325,8 +340,11 @@ def sparql_path_plus(spark, sf_dir):
 def sparql_path_star_anchored(spark, sf_dir):
     """G3: zero-or-more path from a constant anchor — the BFS fast path
     (reachable cone only), zero-length includes the anchor itself."""
-    e = LocalEndpoint(spark, rdfize(spark, sf_dir, located_in=True),
-                      prefixes=PREFIXES)
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES)
     raw = e.select_raw("SELECT ?x { <urn:g:customer:7> p:locatedIn* ?x }")
     return raw.select(raw["v_x"]["lex"].alias("x"))
 
