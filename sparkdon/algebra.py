@@ -196,7 +196,7 @@ TOKEN_RE = re.compile(
     | (?P<BNODE>_:[A-Za-z_0-9.-]+)
     | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*|:[A-Za-z_0-9.%-]*)
     | (?P<KEYWORD>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<OP>\|\||&&|!=|<=|>=|\^|\*|\+|/|\||!|=|<|>|-)
+    | (?P<OP>\|\||&&|!=|<=|>=|\^|\*|\+|/|\||!|=|<|>|-|\?)
     | (?P<PUNCT>[{}().,;\[\]])
     """,
     re.VERBOSE,

@@ -176,13 +176,18 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def join(self, left: Bindings | None, right: Bindings, how: str = "inner",
-             extra_cond=None) -> Bindings:
+             extra_cond=None, minus: bool = False) -> Bindings:
         """Join two binding relations on their shared variables.
 
         Fast path: all shared vars certain on both sides → hash equi-join
         on the struct columns.  Slow path (possibly-unbound shared vars):
         SPARQL compatibility condition — null-tolerant, compiled as a
         theta join; never hit by the reference corpus.
+
+        ``minus=True`` (MINUS semantics, spec §18.5 Minus): a left solution
+        is only removed when it is compatible with a right solution AND
+        their domains intersect — a left row whose shared vars are all
+        unbound must survive even though it is vacuously compatible.
         """
         if left is None:
             if how in ("inner", "left_outer") and extra_cond is None:
@@ -209,6 +214,14 @@ class Compiler:
                     conds.append(lc == rc)
                 else:
                     conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+            if minus and how == "left_anti" and shared:
+                dom_overlap = F.lit(False)
+                for v in shared:
+                    dom_overlap = dom_overlap | (
+                        left.df[vcol(v)].isNotNull()
+                        & r_df[f"r__{vcol(v)}"].isNotNull()
+                    )
+                conds.append(dom_overlap)
             if extra_cond is not None:
                 conds.append(extra_cond(lambda v: (
                     r_df[f"r__{vcol(v)}"] if v in r_only else left.df[vcol(v)]
@@ -358,7 +371,7 @@ class Compiler:
                 shared = [v for v in bindings.variables if v in right.variables]
                 if not shared:
                     continue  # SPARQL MINUS no-shared-vars no-op
-                bindings = self.join(bindings, right, how="left_anti")
+                bindings = self.join(bindings, right, how="left_anti", minus=True)
             elif isinstance(el, UnionGroup):
                 branches = [self.compile_group(b) for b in el.branches]
                 all_vars: list[str] = []
@@ -766,12 +779,14 @@ class Compiler:
         has_agg = bool(q.group_by) or any(
             self._contains_agg(e) for e, _ in q.projections
         ) or bool(q.having)
+        n_hidden = 0
         if has_agg:
             bindings = self._aggregate(q, bindings)
         else:
             if q.projections:
                 colmap = {v: bindings.col(v) for v in bindings.variables}
                 sel, names = [], []
+                ext_colmap = dict(colmap)
                 for e, alias in q.projections:
                     if isinstance(e, Var):
                         name = alias.name if alias else e.name
@@ -782,24 +797,50 @@ class Compiler:
                         col = self.expr_term(e, colmap)
                     sel.append(col.alias(vcol(name)))
                     names.append(name)
+                    # SELECT aliases are in scope for ORDER BY
+                    ext_colmap.setdefault(name, col)
+                hidden = []
+                if q.order_by:
+                    # SPARQL evaluates ORDER BY before projection, over all
+                    # in-scope variables — carry the sort keys as hidden
+                    # columns through the projection, drop them after the
+                    # sort (spec §18.5: Order then Project).
+                    for i, (e, _d) in enumerate(q.order_by):
+                        val = self.compile_expr(e, ext_colmap)
+                        key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
+                        hidden.append(key.alias(f"__ord{i}"))
+                    n_hidden = len(hidden)
                 certain = {
                     (a.name if a else e.name)
                     for e, a in q.projections
                     if isinstance(e, Var) and e.name in bindings.certain
                 }
-                bindings = Bindings(bindings.df.select(*sel), names, certain)
+                bindings = Bindings(bindings.df.select(*sel, *hidden), names, certain)
         if q.distinct:
-            bindings = Bindings(bindings.df.dropDuplicates(), bindings.variables,
-                                bindings.certain)
-        if q.order_by:
-            colmap = {v: bindings.col(v) for v in bindings.variables}
-            keys = []
-            for e, direction in q.order_by:
-                val = self.compile_expr(e, colmap)
-                key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
-                keys.append(key.desc() if direction == "desc" else key.asc())
-            bindings = Bindings(bindings.df.orderBy(*keys), bindings.variables,
-                                bindings.certain)
+            if n_hidden:
+                # dedup on the projected columns only; the hidden sort keys
+                # ride along on an arbitrary representative row
+                df = bindings.df.dropDuplicates([vcol(n) for n in bindings.variables])
+            else:
+                df = bindings.df.dropDuplicates()
+            bindings = Bindings(df, bindings.variables, bindings.certain)
+        if q.order_by and not has_agg:  # agg path orders inside _aggregate
+            df = bindings.df
+            if n_hidden:
+                keys = [
+                    df[f"__ord{i}"].desc() if d == "desc" else df[f"__ord{i}"].asc()
+                    for i, (_e, d) in enumerate(q.order_by)
+                ]
+                df = df.orderBy(*keys).select(*[vcol(n) for n in bindings.variables])
+            else:
+                colmap = {v: bindings.col(v) for v in bindings.variables}
+                keys = []
+                for e, direction in q.order_by:
+                    val = self.compile_expr(e, colmap)
+                    key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
+                    keys.append(key.desc() if direction == "desc" else key.asc())
+                df = df.orderBy(*keys)
+            bindings = Bindings(df, bindings.variables, bindings.certain)
         if q.offset:
             bindings = Bindings(bindings.df.offset(q.offset), bindings.variables,
                                 bindings.certain)
@@ -855,8 +896,13 @@ class Compiler:
             val = self.compile_expr(agg.arg, colmap)
             if agg.name in ("SUM", "AVG"):
                 num = self.as_num(val)
-                num = F.sum_distinct(num) if (agg.distinct and agg.name == "SUM") else (
-                    F.sum(num) if agg.name == "SUM" else F.avg(num))
+                if agg.name == "SUM":
+                    num = F.sum_distinct(num) if agg.distinct else F.sum(num)
+                elif agg.distinct:
+                    # AVG(DISTINCT ?x) — no distinct-aware avg builtin
+                    num = F.sum_distinct(num) / F.count_distinct(num)
+                else:
+                    num = F.avg(num)
                 lex = F.regexp_replace(num.cast("string"), r"\.0$", "")
                 return make_term(KIND_LIT, lex, F.lit(XSD + "double"))
             if agg.name in ("MIN", "MAX"):
@@ -912,7 +958,24 @@ class Compiler:
             else:
                 proj_plan.append((lower_agg(resolve_group(e)), alias.name))
         having_plan = [lower_agg(resolve_group(h)) for h in q.having]
-        order_plan = [(lower_agg(resolve_group(e)), d) for e, d in q.order_by]
+
+        # ORDER BY may reference projection aliases (ORDER BY DESC(?cnt)
+        # for SELECT (COUNT(*) AS ?cnt)) — substitute the (already
+        # lowered) projected expression for the alias before lowering.
+        proj_env = {name: e for e, name in proj_plan}
+
+        def resolve_alias(e: Expr) -> Expr:
+            if isinstance(e, TermExpr) and isinstance(e.term, Var) \
+                    and e.term.name in proj_env:
+                return proj_env[e.term.name]
+            if isinstance(e, OpExpr):
+                return OpExpr(e.op, [resolve_alias(a) for a in e.args])
+            if isinstance(e, FuncExpr):
+                return FuncExpr(e.name, [resolve_alias(a) for a in e.args], e.distinct)
+            return e
+
+        order_plan = [(lower_agg(resolve_group(resolve_alias(e))), d)
+                      for e, d in q.order_by]
 
         grouped = bindings.df.groupBy(*key_cols) if key_cols else bindings.df.groupBy()
         if not agg_cols:

@@ -640,19 +640,27 @@ def f7_count_expr(spark, sf_dir):
 
 @register(
     "q10_seq_decollect",
-    "SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq "
+    "SELECT user_id, array_to_string(list(event_type ORDER BY ts, event_id), chr(31)) AS seq "
     "FROM events GROUP BY user_id",
 )
 def q10_seq_decollect(spark, sf_dir):
     """Q10/O5: Seq decollection — ordered collect per group
     (gastrodon _decollect_Seq, gastrodon/__init__.py:452-463).
     sort_array(collect_list(struct(...))) keeps the whole thing in a
-    single hash-aggregate: no window, no second shuffle."""
+    single hash-aggregate: no window, no second shuffle.
+
+    The gate projects the sequence joined on US (unit separator, 0x1f)
+    rather than as an array column: the driver's canonicalizer sorts
+    pandas cells and list cells are unhashable.  Same contract, scalar
+    column."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda x: x["event_type"],
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            "\x1f",
         ).alias("seq")
     )
 

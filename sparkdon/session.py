@@ -151,7 +151,7 @@ class Endpoint:
     # -- the select pipeline (Q1, Q2, Q7) ------------------------------
 
     def select_raw(self, sparql: str, bindings: dict | None = None,
-                   _depth: int = 4) -> DataFrame:
+                   _depth: int = 3) -> DataFrame:
         """Compile and return the raw Spark bindings DataFrame (one
         term-struct column ``v_<name>`` per variable) — the Spark-native
         analogue of ``select_raw`` (gastrodon/__init__.py:513-523)."""
