@@ -154,23 +154,21 @@ _DUCK_BANDS = (
 )
 
 
-@register(
-    "x_dedup_minhash",
-    _DUCK_BANDS +
-    "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
-    "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id",
-)
-def x_dedup_minhash(spark, sf_dir):
-    """Near-dup candidates via banded MinHash LSH (shingle → minhash →
-    band → bucket).  Pairs are generated WITHIN each bucket from a
-    sorted collect_list — one aggregate over the signatures instead of a
-    self-join (which would re-evaluate the signature subtree per side).
-    Bucket fan-out is bounded by bucket size, never corpus size."""
-    bands = _minhash_bands(spark, sf_dir)
+# Degenerate buckets (boilerplate-heavy corpora: empty docs, license
+# headers) otherwise blow up quadratically — a 1 M-doc bucket is 5·10¹¹
+# pairs.  Capped buckets are DROPPED from pair generation and surfaced
+# via minhash_overflow_buckets(); at 100 TB an operator routes them to
+# exact dedup instead.  The cap is far above any sf0.01 bucket size, so
+# the oracle gate is unchanged.
+MINHASH_BUCKET_CAP = 1000
+
+
+def _bucket_pairs(bands: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Bucket-local pair generation from sorted id lists, with a size cap."""
     buckets = (
         bands.groupBy("band", "bk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(cap)))
     )
     pairs = buckets.select(
         F.explode(
@@ -183,6 +181,34 @@ def x_dedup_minhash(spark, sf_dir):
         ).alias("pair")
     )
     return pairs.select(F.col("pair.d1").alias("d1"), F.col("pair.d2").alias("d2")).distinct()
+
+
+def minhash_overflow_buckets(spark, sf_dir,
+                             cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Monitoring twin of x_dedup_minhash: the (band, bk, n_docs) buckets
+    the cap excluded from pair generation."""
+    return (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
+@register(
+    "x_dedup_minhash",
+    _DUCK_BANDS +
+    "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id",
+)
+def x_dedup_minhash(spark, sf_dir):
+    """Near-dup candidates via banded MinHash LSH (shingle → minhash →
+    band → bucket).  Pairs are generated WITHIN each bucket from a
+    sorted collect_list — one aggregate over the signatures instead of a
+    self-join (which would re-evaluate the signature subtree per side).
+    Bucket fan-out is bounded by bucket size (capped at
+    MINHASH_BUCKET_CAP), never corpus size."""
+    return _bucket_pairs(_minhash_bands(spark, sf_dir))
 
 
 @register(
@@ -329,6 +355,136 @@ def x_sim_lsh_bucketed(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def _lsh_plane_matrix(bands: int, planes: int, dims: int) -> list:
+    """Deterministic pseudo-random hyperplanes: md5(band.plane:dim) → a
+    float in [-1, 1).  Driver-side and tiny (bands×planes×dims floats);
+    both the Spark plan and the DuckDB oracle embed them as literals, so
+    every engine computes bit-identical sketches."""
+    import hashlib
+
+    return [
+        [
+            [
+                (int(hashlib.md5(f"{b}.{p}:{d}".encode()).hexdigest()[:8], 16)
+                 / 0x7FFFFFFF) - 1.0
+                for d in range(dims)
+            ]
+            for p in range(planes)
+        ]
+        for b in range(bands)
+    ]
+
+
+# The synthetic embeddings are near-isotropic (top-5 cosine ≈ 0.33 →
+# P(bit agree) ≈ 0.6): 6 bands × 3 planes gives theoretical recall@top5
+# ≈ 1-(1-0.6³)⁶ ≈ 0.78 while still pruning ~⅓ of random candidates per
+# probe.  Clustered real-world embeddings would use longer bands.
+_ANN_BANDS, _ANN_PLANES, _ANN_DIMS = 6, 3, 64
+_ANN_MAT = _lsh_plane_matrix(_ANN_BANDS, _ANN_PLANES, _ANN_DIMS)
+
+
+def _ann_oracle_sql() -> str:
+    """Build the DuckDB oracle for the banded-LSH refined ANN.  The plane
+    literals are embedded via repr() (shortest round-trip, exact)."""
+
+    def band_sql(b: int) -> str:
+        bits = []
+        for p in range(_ANN_PLANES):
+            plane = "[" + ", ".join(repr(x) for x in _ANN_MAT[b][p]) + "]"
+            bits.append(
+                "CASE WHEN list_sum(list_transform(list_zip(v, " + plane +
+                "), x -> x[1] * x[2])) >= 0 THEN '1' ELSE '0' END"
+            )
+        return "concat(" + ", ".join(bits) + ")"
+
+    bcols = ", ".join(f"{band_sql(b)} AS b{b}" for b in range(_ANN_BANDS))
+    bmatch = " OR ".join(f"q.b{b} = c.b{b}" for b in range(_ANN_BANDS))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, {bcols} FROM e), "
+        "q AS (SELECT * FROM b WHERE vec_id < 10), "
+        "cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid "
+        f" FROM q JOIN b c ON c.vec_id <> q.vec_id AND ({bmatch})), "
+        "sims AS (SELECT qid, cid, "
+        " CAST(FLOOR(1e6 * list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2])) "
+        "  / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) "
+        "   * sqrt(list_sum(list_transform(ce.v, x -> x * x))))) AS BIGINT) AS sim_scaled "
+        " FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid) "
+        "SELECT qid, cid, sim_scaled FROM ("
+        " SELECT qid, cid, sim_scaled, row_number() OVER "
+        "  (PARTITION BY qid ORDER BY sim_scaled DESC, cid) AS rn FROM sims) "
+        "WHERE rn <= 5"
+    )
+
+
+@register("x_sim_lsh_refined", _ann_oracle_sql())
+def x_sim_lsh_refined(spark, sf_dir):
+    """Banded-LSH ANN **with the per-bucket top-k refine** — the scale
+    path for similarity search.
+
+    Band-OR candidate generation (a candidate matches the query in at
+    least one of 4 independent 4-plane sketches) then exact cosine and a
+    per-query top-5 window over candidates only.  At 100 TB:
+
+    - corpus sketching is one narrow pass (16 literal-plane dot folds,
+      pure codegen);
+    - the candidate join is keyed on (band, bucket) with the query side
+      broadcast — no all-pairs, shuffle fan-in is bucket size;
+    - only candidate ids shuffle (dedup), vectors are re-fetched by id
+      for the refine, so wide embedding arrays never multiply by band
+      count;
+    - recall tunes with bands×planes (more bands → higher recall, more
+      candidates), asserted against the exact baseline in pytest.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+
+    def band_bucket(b: int):
+        bits = []
+        for p in range(_ANN_PLANES):
+            plane = F.array(*[F.lit(x) for x in _ANN_MAT[b][p]])
+            dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda a, x: a * x),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # narrow (vec_id, band:bucket) form — wide vectors stay behind
+    keys = e.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), band_bucket(b)) for b in range(_ANN_BANDS)
+        ])).alias("bk"),
+    )
+    q_keys = (
+        keys.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), "bk")
+    )
+    cand = (
+        keys.join(F.broadcast(q_keys), "bk")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda a, x: a * x),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sims = (
+        cand.join(e, cand.cid == e.vec_id)
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.floor(1e6 * dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim_scaled"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
 @register(

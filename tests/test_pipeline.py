@@ -187,3 +187,44 @@ def test_streaming_session_windows(spark, tmp_path):
     rows = spark.sql("SELECT * FROM session_test ORDER BY session_start").collect()
     assert len(rows) == 2  # 09:00-09:20 block and 11:00-11:05 block
     assert rows[0]["cnt"] == 3 and rows[1]["cnt"] == 2
+
+
+def test_lsh_refined_recall_vs_exact(spark):
+    """The banded-LSH refine must recover a solid fraction of the exact
+    top-5 neighbors (band-OR over 6 bands × 3-bit sketches)."""
+    from sparkdon.pipeline import x_sim_lsh_refined, x_sim_topk
+
+    sf = "/root/testdata/sf0.01"  # 500 vectors — stable recall estimate
+    exact = {(r.qid, r.cid) for r in x_sim_topk(spark, sf).collect()}
+    approx = {(r.qid, r.cid) for r in x_sim_lsh_refined(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} too low"
+
+
+def test_lsh_refined_no_cartesian(spark):
+    """Candidate generation must be a keyed join on (band, bucket) with
+    the query side broadcast — never a nested-loop over the corpus."""
+    from sparkdon.pipeline import x_sim_lsh_refined
+
+    plan = plan_of(x_sim_lsh_refined(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    """A degenerate bucket above the cap must contribute no pairs (it
+    would explode quadratically at scale); normal buckets still pair."""
+    from sparkdon.pipeline import _bucket_pairs
+
+    rows = [(i, 0, "HOT") for i in range(10)] + [(100, 1, "ok"), (101, 1, "ok")]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bk string")
+    pairs = {(r.d1, r.d2) for r in _bucket_pairs(bands, cap=5).collect()}
+    assert pairs == {(100, 101)}
+    # uncapped: the hot bucket contributes C(10,2)=45 pairs
+    assert _bucket_pairs(bands, cap=1000).count() == 46
+
+
+def test_minhash_overflow_buckets_empty_at_test_scale(spark):
+    from sparkdon.pipeline import minhash_overflow_buckets
+
+    assert minhash_overflow_buckets(spark, SF).count() == 0
