@@ -144,6 +144,7 @@ class AggExpr(Expr):
     name: str  # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
     arg: Expr | None  # None = COUNT(*)
     distinct: bool = False
+    separator: str | None = None  # GROUP_CONCAT(...; SEPARATOR="...")
 
 
 # --- queries ---------------------------------------------------------------
@@ -879,8 +880,17 @@ class Parser:
                     arg = None
                 else:
                     arg = self.parse_expr()
+                separator = None
+                if self.accept(";"):  # GROUP_CONCAT(?x; SEPARATOR=", ")
+                    self.expect_keyword("SEPARATOR")
+                    self.expect("=")
+                    st = self.next()
+                    if st.kind != "STRING":
+                        raise SparqlSyntaxError(
+                            self.text, st.pos, "SEPARATOR expects a string literal")
+                    separator = unescape_string(st.text)
                 self.expect(")")
-                return AggExpr(up, arg, distinct)
+                return AggExpr(up, arg, distinct, separator)
             if up in ("EXISTS", "NOT"):
                 negated = False
                 if up == "NOT":

@@ -912,8 +912,13 @@ class Compiler:
             if agg.name == "SAMPLE":
                 return F.first(self.as_term(val), ignorenulls=True)
             if agg.name == "GROUP_CONCAT":
-                return make_term(
-                    KIND_LIT, F.concat_ws(" ", F.collect_list(self.as_str(val))))
+                # SPARQL leaves element order unspecified; sort the
+                # collected strings so results are deterministic (and
+                # therefore oracle-checkable)
+                sep = agg.separator if agg.separator is not None else " "
+                coll = (F.collect_set(self.as_str(val)) if agg.distinct
+                        else F.collect_list(self.as_str(val)))
+                return make_term(KIND_LIT, F.array_join(F.sort_array(coll), sep))
             raise QueryExecutionError(f"unsupported aggregate {agg.name}")
 
         def lower_agg(e: Expr) -> Expr:

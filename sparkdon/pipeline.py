@@ -640,3 +640,36 @@ def x_window_sessionize(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("ns").cast("long").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation gate (operators/skew.py wired to an oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_salted_census",
+    "SELECT event_type, count(*) AS cnt, "
+    "sum(CAST(FLOOR(100 * value) AS BIGINT)) AS cents, "
+    "min(event_id) AS min_event, max(event_id) AS max_event "
+    "FROM events GROUP BY event_type",
+)
+def x_salted_census(spark, sf_dir):
+    """Two-phase salted aggregation over the deliberately skewed
+    ``events`` table — the hot-key mitigation itself is oracle-gated
+    (plain == salted is additionally asserted in pytest).  Sums run on
+    floor-scaled integers so partial-merge order cannot perturb the
+    result."""
+    from sparkdon.operators.skew import salted_agg
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "cents_in", F.floor(100 * F.col("value")).cast("long"))
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "cnt": ("count", "event_id"),
+            "cents": ("sum", "cents_in"),
+            "min_event": ("min", "event_id"),
+            "max_event": ("max", "event_id"),
+        },
+    )

@@ -454,3 +454,50 @@ def sparql_construct_count(spark, sf_dir):
         "CONSTRUCT { ?c a c:RichCustomer } WHERE { ?c p:c_acctbal ?bal . FILTER(?bal > 8000) }"
     )
     return g.graph.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "sparql_group_concat",
+    "SELECT 'urn:g:region:' || n_regionkey AS rk, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS nations "
+    "FROM nation GROUP BY n_regionkey",
+)
+def sparql_group_concat(spark, sf_dir):
+    """A-tier: GROUP_CONCAT with an explicit SEPARATOR; elements are
+    sorted (engine sorts collected strings for determinism, oracle uses
+    ORDER BY inside string_agg)."""
+    return run(
+        spark, sf_dir,
+        'SELECT ?rk (GROUP_CONCAT(?nname; SEPARATOR=",") AS ?nations) '
+        "{ ?n p:n_regionkey ?rk . ?n p:n_name ?nname } GROUP BY ?rk",
+        {"rk": "str", "nations": "str"},
+    )
+
+
+@register(
+    "sparql_ask",
+    "SELECT CAST(EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000) AS BIGINT) "
+    "AS result",
+)
+def sparql_ask(spark, sf_dir):
+    """ASK through the engine (compile_ask); the boolean is projected as
+    0/1 so both engines hash identically."""
+    e = endpoint(spark, sf_dir)
+    b = e.ask("ASK { ?c p:c_acctbal ?bal . FILTER(?bal > 9000) }")
+    return spark.createDataFrame([(1 if b else 0,)], "result bigint")
+
+
+@register(
+    "sparql_offset",
+    "SELECT 'urn:g:customer:' || c_custkey AS cust, c_acctbal AS bal "
+    "FROM customer ORDER BY bal DESC, cust LIMIT 20 OFFSET 10",
+)
+def sparql_offset(spark, sf_dir):
+    """O-tier: ORDER BY (desc + tie-break) with LIMIT and OFFSET through
+    the engine's slice modifiers."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?cust ?bal { ?cust p:c_acctbal ?bal } "
+        "ORDER BY DESC(?bal) ?cust LIMIT 20 OFFSET 10",
+        {"cust": "str", "bal": "double"},
+    )

@@ -215,11 +215,51 @@ class RemoteEndpoint(Endpoint):
     # -- construct / update --------------------------------------------
 
     def construct(self, sparql: str, bindings: dict | None = None):
-        """Emulated via SELECT reassembly (the reference does the same for
-        remote stores, gastrodon/__init__.py:766-775)."""
-        raise NotImplementedError(
-            "remote CONSTRUCT: run select('SELECT ?s ?p ?o ...') and build a "
-            "LocalEndpoint from the rows")
+        """Remote CONSTRUCT via SELECT reassembly, exactly the reference's
+        ``_construct`` (gastrodon/__init__.py:766-775): issue the query
+        over the protocol, read the bindings for ?s ?p ?o, and rebuild a
+        local graph from them.  Returns a LocalEndpoint over the
+        reassembled triples."""
+        if self.spark is None:
+            raise QueryExecutionError("remote construct requires a SparkSession")
+        sparql = self._prepare(sparql, bindings, depth=3)
+        sparql = self._inject_prefixes(sparql)
+        doc = fetch_bindings(self.url, sparql, self.default_graph, self.user, self.passwd)
+        variables = doc["head"]["vars"]
+        missing = [v for v in ("s", "p", "o") if v not in variables]
+        if missing:
+            raise QueryExecutionError(
+                f"remote construct needs ?s ?p ?o bindings; missing {missing}", sparql)
+
+        from sparkdon.io import triples_df
+        from sparkdon.session import LocalEndpoint
+        from sparkdon.terms import KIND_BNODE, KIND_IRI, KIND_LIT, XSD
+
+        def term_kind(node: dict) -> str:
+            t = node.get("type")
+            if t == "uri":
+                return KIND_IRI
+            if t == "bnode":
+                return KIND_BNODE
+            return KIND_LIT
+
+        rows = []
+        for row in doc["results"]["bindings"]:
+            s, p, o = row.get("s"), row.get("p"), row.get("o")
+            if s is None or p is None or o is None:
+                continue  # incomplete solution constructs no triple
+            o_kind = term_kind(o)
+            o_dt = o.get("datatype") if o_kind == KIND_LIT else None
+            o_lang = o.get("xml:lang") if o_kind == KIND_LIT else None
+            if o_kind == KIND_LIT and o_dt == XSD + "string":
+                o_dt = None  # simple-literal normalization (matches io._encode)
+            rows.append((
+                term_kind(s), s["value"], p["value"],
+                o_kind, o["value"], o_dt, o_lang,
+            ))
+        return LocalEndpoint(self.spark, triples_df(self.spark, rows),
+                             prefixes=dict(self.prefixes),
+                             base_uri=self.base_uri)
 
     def update(self, sparql: str, bindings: dict | None = None) -> None:
         sparql = self._prepare(sparql, bindings, depth=3)

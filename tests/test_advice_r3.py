@@ -82,3 +82,16 @@ def test_avg_distinct(pops):
     assert one(df) == 3
     df = pops.select("SELECT (AVG(?n) AS ?a) { ?s :v ?n }")
     assert abs(one(df) - 8 / 3) < 1e-9
+
+
+def test_group_concat_separator_and_distinct(pops):
+    df = pops.select(
+        'SELECT (GROUP_CONCAT(STR(?n); SEPARATOR="|") AS ?all) { ?s :v ?n }'
+    )
+    assert one(df) == "2|2|4"  # sorted elements, custom separator
+    df = pops.select(
+        'SELECT (GROUP_CONCAT(DISTINCT STR(?n); SEPARATOR=", ") AS ?all) { ?s :v ?n }'
+    )
+    assert one(df) == "2, 4"
+    df = pops.select("SELECT (GROUP_CONCAT(STR(?n)) AS ?all) { ?s :v ?n }")
+    assert one(df) == "2 2 4"  # default separator is a single space

@@ -27,6 +27,26 @@ class MockSparqlHandler(BaseHTTPRequestHandler):
         for i in range(30)
     ]
 
+    #: served for CONSTRUCT queries (the protocol answers with ?s ?p ?o
+    #: bindings) — covers IRI / lang-literal / typed-literal / bnode
+    #: objects plus a duplicate row (graph set semantics)
+    SPO_ROWS = [
+        {"s": {"type": "uri", "value": "http://ex.com/a"},
+         "p": {"type": "uri", "value": "http://ex.com/knows"},
+         "o": {"type": "uri", "value": "http://ex.com/b"}},
+        {"s": {"type": "uri", "value": "http://ex.com/a"},
+         "p": {"type": "uri", "value": "http://ex.com/tag"},
+         "o": {"type": "literal", "value": "hi", "xml:lang": "en"}},
+        {"s": {"type": "bnode", "value": "b0"},
+         "p": {"type": "uri", "value": "http://ex.com/n"},
+         "o": {"type": "typed-literal",
+               "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+               "value": "42"}},
+        {"s": {"type": "uri", "value": "http://ex.com/a"},
+         "p": {"type": "uri", "value": "http://ex.com/knows"},
+         "o": {"type": "uri", "value": "http://ex.com/b"}},
+    ]
+
     def do_POST(self):
         length = int(self.headers["Content-Length"])
         params = urllib.parse.parse_qs(self.rfile.read(length).decode())
@@ -38,6 +58,18 @@ class MockSparqlHandler(BaseHTTPRequestHandler):
             return
         if "boom" in query:
             self.send_error(500, "mock explosion")
+            return
+        if "CONSTRUCT" in query.upper():
+            doc = {
+                "head": {"vars": ["s", "p", "o"]},
+                "results": {"bindings": self.SPO_ROWS},
+            }
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
             return
         rows = self.ROWS
         limit = offset = None
@@ -127,3 +159,25 @@ def test_remote_to_spark_partitioned_fetch(spark, mock_server):
     # executors issued striped LIMIT/OFFSET requests
     paged = [q for q in server.queries if "OFFSET" in q or "LIMIT 7" in q]
     assert len(paged) >= 3
+
+
+def test_remote_construct_reassembles_graph(spark, mock_server):
+    """Remote CONSTRUCT = SELECT-reassembly into a LocalEndpoint
+    (reference _construct, gastrodon/__init__.py:766-775): IRI, bnode,
+    lang-literal, and typed-literal terms all round-trip, and the
+    duplicate row collapses (graph set semantics)."""
+    from sparkdon.remote import RemoteEndpoint
+    from sparkdon.session import LocalEndpoint, one
+
+    ep = RemoteEndpoint(url=mock_server[0], spark=spark,
+                        prefixes={"ex": "http://ex.com/"})
+    local = ep.construct("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    assert isinstance(local, LocalEndpoint)
+    assert local.count() == 3  # 4 rows, one duplicate
+
+    df = local.select("SELECT ?x { ex:a ex:knows ?x }")
+    assert list(df["x"]) == ["ex:b"]
+    df = local.select("SELECT ?l { ex:a ex:tag ?l . FILTER(LANG(?l)='en') }")
+    assert list(df["l"]) == ["hi"]
+    df = local.select("SELECT ?n { ?b ex:n ?n . FILTER(isBlank(?b)) }")
+    assert one(df) == 42
