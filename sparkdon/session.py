@@ -170,10 +170,9 @@ class Endpoint:
             raise SparkdonError("select() requires a SELECT query")
         sdf = self._compiler().compile_select(q)
         pdf_raw = sdf.df.toPandas()
-        out: dict[str, list] = {}
+        out: dict[str, pd.Series] = {}
         for name in sdf.variables:
-            col = pdf_raw["v_" + name]
-            out[name] = [self._decode(v) for v in col]
+            out[name] = self._decode_column(pdf_raw["v_" + name])
         pdf = pd.DataFrame(out, columns=list(sdf.variables))
         for c in pdf.columns:
             pdf[c] = _normalize_column_type(pdf[c])
@@ -191,6 +190,64 @@ class Endpoint:
             short = self.short_name(str(value))
             return QName(short, str(value))
         return value
+
+    def _decode_column(self, col: pd.Series) -> pd.Series:
+        """Vectorized term-struct decode: batch dispatch per term class
+        (pandas boolean masks) instead of a per-cell unpack+dispatch loop,
+        and IRIs are shortened ONCE per distinct URI instead of scanning
+        the prefix table per row.  Semantics identical to ``_decode``
+        (delegates to ``to_python`` for the rare classes)."""
+        from sparkdon.terms import (
+            KIND_BNODE as _BN, KIND_IRI as _IR, KIND_LIT as _LI,
+            NUMERIC_DATATYPES, XSD,
+        )
+
+        out = pd.Series([None] * len(col), index=col.index, dtype=object)
+        mask = col.notna()
+        if not mask.any():
+            return out
+        cells = col[mask].tolist()
+        idx = col.index[mask]
+        sub = pd.DataFrame(
+            [(v["kind"], v["lex"], v["dt"], v["lang"]) for v in cells],
+            index=idx, columns=["kind", "lex", "dt", "lang"],
+        )
+        kind, lex, dt, lang = sub["kind"], sub["lex"], sub["dt"], sub["lang"]
+
+        m = kind == _IR
+        if m.any():
+            qn = {u: QName(self.short_name(u), u) for u in lex[m].unique()}
+            out.loc[sub.index[m]] = lex[m].map(qn)
+        m = kind == _BN
+        if m.any():
+            out.loc[sub.index[m]] = lex[m].map(BNode)
+
+        lit = kind == _LI
+        has_lang = lang.notna() & (lang != "")
+        is_str = lit & (has_lang | dt.isna() | (dt == XSD + "string"))
+        if is_str.any():
+            out.loc[sub.index[is_str]] = lex[is_str]
+
+        rest = lit & ~is_str
+        if rest.any():
+            int_dts = {
+                d for d in NUMERIC_DATATYPES
+                if d not in (XSD + "double", XSD + "float", XSD + "decimal")
+            } | {XSD + "integer"}
+            m = rest & dt.isin(int_dts)
+            if m.any():
+                out.loc[sub.index[m]] = lex[m].map(_int_or_keep)
+                rest &= ~m
+            m = rest & dt.isin((XSD + "double", XSD + "float"))
+            if m.any():
+                out.loc[sub.index[m]] = lex[m].map(_float_or_keep)
+                rest &= ~m
+            if rest.any():  # decimal / boolean / dates / unknown dts
+                out.loc[sub.index[rest]] = [
+                    to_python("lit", le, d, None)
+                    for le, d in zip(lex[rest], dt[rest])
+                ]
+        return out
 
     # -- CONSTRUCT (Q3) / ASK ------------------------------------------
 
@@ -211,6 +268,20 @@ class Endpoint:
         if not isinstance(q, AskQuery):
             raise SparkdonError("ask() requires an ASK query")
         return self._compiler().compile_ask(q)
+
+
+def _int_or_keep(lex: str):
+    try:
+        return int(lex)
+    except ValueError:
+        return lex
+
+
+def _float_or_keep(lex: str):
+    try:
+        return float(lex)
+    except ValueError:
+        return lex
 
 
 def _plain_group_vars(q: SelectQuery) -> list[str]:
