@@ -637,7 +637,32 @@ class Parser:
                 self.parse_property_list(node, out)
             self.expect("]")
             return node
+        if self.peek().text == "(":
+            return self.parse_collection(out)
         return self.parse_term()
+
+    def parse_collection(self, out: list):
+        """RDF collection ``( o1 o2 ... )`` desugared to the
+        rdf:first/rdf:rest chain (Turtle §2.8 / SPARQL §4.2.4); ``()``
+        is rdf:nil."""
+        self.expect("(")
+        items = []
+        while self.peek().text != ")":
+            if self.peek().kind == "EOF":
+                raise SparqlSyntaxError(self.text, self.peek().pos,
+                                        "unterminated collection")
+            items.append(self.parse_object(out))
+        self.next()  # ')'
+        nil = IRI(RDF + "nil")
+        if not items:
+            return nil
+        first, rest = IRI(RDF + "first"), IRI(RDF + "rest")
+        nodes = [self.fresh_bnode() for _ in items]
+        for i, (node, item) in enumerate(zip(nodes, items)):
+            out.append(TriplePattern(node, first, item))
+            out.append(TriplePattern(
+                node, rest, nodes[i + 1] if i + 1 < len(nodes) else nil))
+        return nodes[0]
 
     def parse_property_list(self, subject, out: list):
         while True:
@@ -665,6 +690,8 @@ class Parser:
                 self.parse_property_list(node, out)
             self.expect("]")
             return node
+        if self.peek().text == "(":
+            return self.parse_collection(out)
         return self.parse_term()
 
     # --- property paths (predicate position) ---

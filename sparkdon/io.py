@@ -112,8 +112,8 @@ def read_ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataF
 class TurtleParser(Parser):
     """Turtle subset parser: @prefix/@base + PREFIX/BASE, predicate-object
     lists (";" / ","), ``a``, anonymous bnodes ``[...]``, typed/lang
-    literals, numbers.  (RDF collections "(...)" are not in the reference
-    fixtures and are unsupported.)"""
+    literals, numbers, and RDF collections ``( ... )`` (desugared to
+    rdf:first/rdf:rest chains)."""
 
     def parse_document(self) -> list[tuple]:
         triples: list = []

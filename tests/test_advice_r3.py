@@ -95,3 +95,31 @@ def test_group_concat_separator_and_distinct(pops):
     assert one(df) == "2, 4"
     df = pops.select("SELECT (GROUP_CONCAT(STR(?n)) AS ?all) { ?s :v ?n }")
     assert one(df) == "2 2 4"  # default separator is a single space
+
+
+COLL_TTL = """
+@prefix : <http://example.com/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+:s :list (1 2 3) .
+:t :list () .
+"""
+
+
+def test_turtle_collection_desugars(spark):
+    # (1 2 3) -> 3 rdf:first + 3 rdf:rest triples + the :s :list link;
+    # () -> rdf:nil directly
+    e = inline(COLL_TTL, spark)
+    assert e.count() == 8
+    df = e.select(
+        "SELECT ?x { :s :list ?head . ?head rdf:rest* ?n . ?n rdf:first ?x } ORDER BY ?x"
+    )
+    assert list(df["x"]) == [1, 2, 3]
+    df = e.select("SELECT ?o { :t :list ?o }")
+    assert list(df["o"]) == ["rdf:nil"]
+
+
+def test_sparql_collection_pattern(spark):
+    # collection syntax inside a BGP matches the desugared chain
+    e = inline(COLL_TTL, spark)
+    df = e.select("SELECT ?s { ?s ?p (1 2 3) }")
+    assert list(df["s"]) == [":s"]
