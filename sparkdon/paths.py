@@ -91,9 +91,14 @@ def all_nodes(compiler) -> DataFrame:
 
 
 def transitive_closure(step: DataFrame) -> DataFrame:
-    """Full semi-naive transitive closure of a (start, end) relation."""
-    step = step.distinct()
-    seen = step.localCheckpoint(eager=True)
+    """Full semi-naive transitive closure of a (start, end) relation.
+
+    The step relation is materialized once up front: every iteration
+    joins AND subtracts against it, and without the checkpoint each
+    iteration would re-execute the step's whole upstream plan (for the
+    rdf-ized gate graphs, a 14-branch union scan)."""
+    step = step.distinct().localCheckpoint(eager=True)
+    seen = step
     delta = seen
     for _ in range(MAX_ITERATIONS):
         new = (
@@ -118,6 +123,8 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     """
     if not forward:
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
+    # materialize the step once — every BFS level joins against it
+    step = step.localCheckpoint(eager=True)
     seen = anchors.select(F.col("node")).distinct().localCheckpoint(eager=True)
     frontier = seen
     reached = None  # nodes at distance >= 1
