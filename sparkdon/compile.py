@@ -81,6 +81,10 @@ def term_to_struct(term) -> Column:
     raise QueryExecutionError(f"cannot encode constant {term!r}")
 
 
+#: session-wide counter so every construct() call gets distinct bnode labels
+_construct_nonce = itertools.count()
+
+
 class Compiler:
     def __init__(self, spark: SparkSession, triples: DataFrame):
         self.spark = spark
@@ -223,9 +227,17 @@ class Compiler:
                     )
                 conds.append(dom_overlap)
             if extra_cond is not None:
-                conds.append(extra_cond(lambda v: (
-                    r_df[f"r__{vcol(v)}"] if v in r_only else left.df[vcol(v)]
-                )))
+                # merged-solution scope: right-only vars from the right,
+                # left-only from the left, shared = coalesce (compat makes
+                # both-bound sides equal; merge takes whichever is bound)
+                def _resolve(v):
+                    if v in r_only:
+                        return r_df[f"r__{vcol(v)}"]
+                    if v in shared:
+                        return F.coalesce(left.df[vcol(v)], r_df[f"r__{vcol(v)}"])
+                    return left.df[vcol(v)]
+
+                conds.append(extra_cond(_resolve))
             cond = F.lit(True)
             for c in conds:
                 cond = cond & c
@@ -276,36 +288,6 @@ class Compiler:
         return Bindings(self.spark.range(1).select(F.lit(1).alias("__unit")), [], set())
 
     @staticmethod
-    def _group_pattern_vars(group: GroupPattern) -> set[str]:
-        """Variables possibly bound by the group's own patterns (not
-        filters).  MINUS groups are excluded: a MINUS never contributes
-        bindings to the group's solutions, so a variable appearing only
-        inside it must not shadow a left-side variable during the
-        OPTIONAL filter-lift analysis."""
-        out: set[str] = set()
-        for el in group.elements:
-            if isinstance(el, TriplePattern):
-                for t in (el.s, el.p, el.o):
-                    if isinstance(t, Var):
-                        out.add(t.name)
-            elif isinstance(el, OptionalGroup):
-                out |= Compiler._group_pattern_vars(el.group)
-            elif isinstance(el, UnionGroup):
-                for b in el.branches:
-                    out |= Compiler._group_pattern_vars(b)
-            elif isinstance(el, Bind):
-                out.add(el.var.name)
-            elif isinstance(el, ValuesClause):
-                out |= {v.name for v in el.variables}
-            elif isinstance(el, SubSelect):
-                for e, alias in el.query.projections:
-                    if alias is not None:
-                        out.add(alias.name)
-                    elif isinstance(e, Var):
-                        out.add(e.name)
-        return out
-
-    @staticmethod
     def _expr_vars(expr: Expr) -> set[str]:
         """Variables referenced by an expression."""
         if isinstance(expr, TermExpr):
@@ -338,11 +320,19 @@ class Compiler:
                 # side (pre-filter) or the result (post-filter).  Split the
                 # group's top-level filters by the variables they touch.
                 left_vars = set(bindings.variables)
-                inner_vars = self._group_pattern_vars(el.group)
                 kept, lifted = [], []
                 for ge in el.group.elements:
+                    # Spec (§18.2.2.2): every top-level filter of the
+                    # optional group belongs to the LeftJoin condition,
+                    # evaluated over the MERGED solution.  Keeping it as a
+                    # pre-filter on the right side is an equivalent (and
+                    # pushdown-friendly) plan exactly when the filter
+                    # references no left-side variable; any left reference
+                    # — even one the group may also bind (nested OPTIONAL)
+                    # — forces the lift, because merge takes the left value
+                    # where the right is unbound.
                     if isinstance(ge, Filter) and not isinstance(ge.expr, ExistsExpr) \
-                            and (self._expr_vars(ge.expr) - inner_vars) & left_vars:
+                            and self._expr_vars(ge.expr) & left_vars:
                         lifted.append(ge.expr)
                     else:
                         kept.append(ge)
@@ -1028,6 +1018,10 @@ class Compiler:
         colmap = {v: bdf[vcol(v)] for v in bindings.variables}
         outs = []
         bnode_tag = F.conv(F.col("__rowid").cast("string"), 10, 16) if has_bnodes else None
+        # per-construction nonce: labels from separate construct() calls
+        # must not collide, or unioning two constructed graphs would merge
+        # their (independently fresh) bnodes
+        nonce = next(_construct_nonce) if has_bnodes else 0
         for tp in q.template:
             def enc(term):
                 if isinstance(term, Var):
@@ -1036,9 +1030,10 @@ class Compiler:
                         raise QueryExecutionError(f"CONSTRUCT var ?{term.name} unbound")
                     return c
                 if isinstance(term, BNode):
-                    # label depends on (template bnode name, solution row)
+                    # label depends on (construction, template bnode name,
+                    # solution row)
                     return make_term(
-                        KIND_BNODE, F.concat(F.lit(f"ct_{term}_"), bnode_tag)
+                        KIND_BNODE, F.concat(F.lit(f"ct{nonce}_{term}_"), bnode_tag)
                     )
                 return term_to_struct(term)
 

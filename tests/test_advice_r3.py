@@ -123,3 +123,36 @@ def test_sparql_collection_pattern(spark):
     e = inline(COLL_TTL, spark)
     df = e.select("SELECT ?s { ?s ?p (1 2 3) }")
     assert list(df["s"]) == [":s"]
+
+
+def test_construct_bnodes_fresh_across_calls(spark):
+    # two separate construct() calls must not share bnode labels: a union
+    # of the two graphs keeps 2+2 distinct bnodes (each call constructs
+    # one fresh node per solution)
+    e = inline(BOROS_TTL, spark)
+    q = "CONSTRUCT { ?b :via [] } WHERE { ?b a :Borough }"
+    g1, g2 = e.construct(q), e.construct(q)
+    both = g1.graph.unionByName(g2.graph)
+    n_bnodes = both.filter("o_kind = 'bnode'").select("o").distinct().count()
+    assert n_bnodes == 4  # 2 boroughs x 2 calls, no cross-call collisions
+
+
+NESTED_OPT_TTL = """
+@prefix : <http://example.com/> .
+:x :left 5 . :x :opt :o1 . :o1 :val 3 .
+:y :left 7 . :y :opt :o2 .
+"""
+
+
+def test_optional_filter_on_possibly_inner_bound_var(spark):
+    """Spec §18.2.2.2: the optional group's filter joins over the MERGED
+    solution.  ?n is left-bound and only possibly bound inside (nested
+    OPTIONAL): for :x the inner ?n=3 is incompatible (x keeps NULL ?o);
+    for :y the inner ?n is unbound, merge takes left's 7, filter passes."""
+    e = inline(NESTED_OPT_TTL, spark)
+    df = e.select(
+        "SELECT ?s ?o { ?s :left ?n . "
+        "OPTIONAL { ?s :opt ?o OPTIONAL { ?o :val ?n } FILTER(?n > 4) } }"
+    )
+    got = dict(zip(df["s"], df["o"]))
+    assert got == {":x": None, ":y": ":o2"}
