@@ -61,7 +61,9 @@ def main() -> None:
         "x_dedup_exact",
         "x_dedup_minhash",
         "x_dedup_jaccard",
+        "x_dedup_embed",
         "x_sim_topk",
+        "x_sim_lsh_refined",
         "x_text_stats",
         "x_window_sessionize",
     ):

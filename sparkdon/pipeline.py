@@ -385,21 +385,38 @@ _ANN_BANDS, _ANN_PLANES, _ANN_DIMS = 6, 3, 64
 _ANN_MAT = _lsh_plane_matrix(_ANN_BANDS, _ANN_PLANES, _ANN_DIMS)
 
 
+def _ann_band_sql(b: int) -> str:
+    """DuckDB expression for band ``b``'s bucket string; plane literals
+    embedded via repr() (shortest round-trip, exact)."""
+    bits = []
+    for p in range(_ANN_PLANES):
+        plane = "[" + ", ".join(repr(x) for x in _ANN_MAT[b][p]) + "]"
+        bits.append(
+            "CASE WHEN list_sum(list_transform(list_zip(v, " + plane +
+            "), x -> x[1] * x[2])) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _ann_vectors(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+
+
+def _ann_band_bucket(b: int):
+    """Spark Column: band ``b``'s bucket string over the ``v`` column."""
+    bits = []
+    for p in range(_ANN_PLANES):
+        plane = F.array(*[F.lit(x) for x in _ANN_MAT[b][p]])
+        dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda a, x: a * x),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def _ann_oracle_sql() -> str:
-    """Build the DuckDB oracle for the banded-LSH refined ANN.  The plane
-    literals are embedded via repr() (shortest round-trip, exact)."""
-
-    def band_sql(b: int) -> str:
-        bits = []
-        for p in range(_ANN_PLANES):
-            plane = "[" + ", ".join(repr(x) for x in _ANN_MAT[b][p]) + "]"
-            bits.append(
-                "CASE WHEN list_sum(list_transform(list_zip(v, " + plane +
-                "), x -> x[1] * x[2])) >= 0 THEN '1' ELSE '0' END"
-            )
-        return "concat(" + ", ".join(bits) + ")"
-
-    bcols = ", ".join(f"{band_sql(b)} AS b{b}" for b in range(_ANN_BANDS))
+    """Build the DuckDB oracle for the banded-LSH refined ANN."""
+    bcols = ", ".join(f"{_ann_band_sql(b)} AS b{b}" for b in range(_ANN_BANDS))
     bmatch = " OR ".join(f"q.b{b} = c.b{b}" for b in range(_ANN_BANDS))
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
@@ -425,8 +442,8 @@ def x_sim_lsh_refined(spark, sf_dir):
     path for similarity search.
 
     Band-OR candidate generation (a candidate matches the query in at
-    least one of 4 independent 4-plane sketches) then exact cosine and a
-    per-query top-5 window over candidates only.  At 100 TB:
+    least one of the independent hyperplane sketches) then exact cosine
+    and a per-query top-5 window over candidates only.  At 100 TB:
 
     - corpus sketching is one narrow pass (16 literal-plane dot folds,
       pure codegen);
@@ -438,23 +455,13 @@ def x_sim_lsh_refined(spark, sf_dir):
     - recall tunes with bands×planes (more bands → higher recall, more
       candidates), asserted against the exact baseline in pytest.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-
-    def band_bucket(b: int):
-        bits = []
-        for p in range(_ANN_PLANES):
-            plane = F.array(*[F.lit(x) for x in _ANN_MAT[b][p]])
-            dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda a, x: a * x),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    e = _ann_vectors(spark, sf_dir)
 
     # narrow (vec_id, band:bucket) form — wide vectors stay behind
     keys = e.select(
         "vec_id",
         F.explode(F.array(*[
-            F.concat(F.lit(f"{b}:"), band_bucket(b)) for b in range(_ANN_BANDS)
+            F.concat(F.lit(f"{b}:"), _ann_band_bucket(b)) for b in range(_ANN_BANDS)
         ])).alias("bk"),
     )
     q_keys = (
@@ -485,6 +492,69 @@ def x_sim_lsh_refined(spark, sf_dir):
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+#: near-dup cosine threshold, compared as floor(1e6·cos) ≥ this (integer
+#: compare — portable across engines)
+EMBED_DUP_SIM_SCALED = 300_000
+
+
+def _embed_dedup_oracle_sql() -> str:
+    bcols = ", ".join(f"{_ann_band_sql(b)} AS b{b}" for b in range(_ANN_BANDS))
+    bmatch = " OR ".join(f"a.b{b} = c.b{b}" for b in range(_ANN_BANDS))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, {bcols} FROM e), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2 "
+        f" FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({bmatch})), "
+        "sims AS (SELECT d1, d2, "
+        " CAST(FLOOR(1e6 * list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) "
+        "  / (sqrt(list_sum(list_transform(x.v, t -> t * t))) "
+        "   * sqrt(list_sum(list_transform(y.v, t -> t * t))))) AS BIGINT) AS sim_scaled "
+        " FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2) "
+        f"SELECT d1, d2, sim_scaled FROM sims WHERE sim_scaled >= {EMBED_DUP_SIM_SCALED}"
+    )
+
+
+@register("x_dedup_embed", _embed_dedup_oracle_sql())
+def x_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the fifth dedup family
+    member (exact / MinHash / SimHash / Jaccard / embedding-cosine).
+
+    Same scale shape as MinHash dedup: hyperplane band keys per vector
+    (one narrow codegen pass), bucket-local pair generation from sorted
+    collect_list (no self-join, capped against degenerate buckets), then
+    exact cosine on the candidate pairs only and a threshold filter.
+    All-pairs never materializes; shuffles are keyed by (band, bucket)
+    and pair ids."""
+    e = _ann_vectors(spark, sf_dir)
+    keys = e.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), _ann_band_bucket(b).alias("bk"))
+            for b in range(_ANN_BANDS)
+        ])).alias("x"),
+    ).select(F.col("vec_id").alias("doc_id"), F.col("x.band").alias("band"),
+             F.col("x.bk").alias("bk"))
+    pairs = _bucket_pairs(keys)  # (d1, d2) distinct, bucket-capped
+    x, y = e.alias("x"), e.alias("y")
+    dot = F.aggregate(F.zip_with("xv", "yv", lambda a, t: a * t),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t))
+    return (
+        pairs.join(x, pairs.d1 == F.col("x.vec_id"))
+        .join(y, pairs.d2 == F.col("y.vec_id"))
+        .select(
+            "d1", "d2",
+            F.col("x.v").alias("xv"), F.col("y.v").alias("yv"),
+        )
+        .select(
+            "d1", "d2",
+            F.floor(1e6 * dot / (norm(F.col("xv")) * norm(F.col("yv")))).alias("sim_scaled"),
+        )
+        .filter(F.col("sim_scaled") >= EMBED_DUP_SIM_SCALED)
+    )
 
 
 @register(

@@ -228,3 +228,15 @@ def test_minhash_overflow_buckets_empty_at_test_scale(spark):
     from sparkdon.pipeline import minhash_overflow_buckets
 
     assert minhash_overflow_buckets(spark, SF).count() == 0
+
+
+def test_embed_dedup_no_cartesian_and_symmetric(spark):
+    """Embedding near-dup candidates come from bucket-local pair
+    generation — no cross join; pairs are canonical (d1 < d2)."""
+    from sparkdon.pipeline import x_dedup_embed
+
+    df = x_dedup_embed(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert all(r.d1 < r.d2 for r in rows)
