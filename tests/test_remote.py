@@ -72,6 +72,13 @@ class MockSparqlHandler(BaseHTTPRequestHandler):
             self.wfile.write(body)
             return
         rows = self.ROWS
+        # honor pushed-down equality filters (the shape the sparql data
+        # source emits): ... STR(?var) = "value" ...
+        import re as _re
+
+        for var, val in _re.findall(r'STR\(\?(\w+)\) = "([^"]*)"', query):
+            rows = [r for r in rows
+                    if r.get(var) is not None and r[var]["value"] == val]
         limit = offset = None
         for tok, val in zip(query.split(), query.split()[1:]):
             if tok.upper() == "LIMIT":
@@ -181,3 +188,38 @@ def test_remote_construct_reassembles_graph(spark, mock_server):
     assert list(df["l"]) == ["hi"]
     df = local.select("SELECT ?n { ?b ex:n ?n . FILTER(isBlank(?b)) }")
     assert one(df) == 42
+
+
+def test_sparql_datasource_reads_and_pushes_filters(spark, mock_server):
+    """Python Data Source: format('sparql') plans LIMIT/OFFSET stripe
+    partitions and pushes supported filters into the remote query as
+    SPARQL FILTER clauses."""
+    from sparkdon.sources.sparql_source import SparqlDataSource
+
+    url, server = mock_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SparqlDataSource)
+    except Exception as e:  # already registered from a prior test run
+        if "already" not in str(e).lower():
+            raise
+    server.queries.clear()
+    df = (
+        spark.read.format("sparql")
+        .option("url", url)
+        .option("query", "SELECT ?s ?label ?n WHERE { ?s ?p ?o }")
+        .option("partitions", "2")
+        .option("pagesize", "8")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["s", "label", "n"]
+    rows = df.collect()
+    assert len(rows) == 30
+    assert {r["n"] for r in rows} == {str(i) for i in range(30)}
+
+    # pushdown: equality filter reaches the endpoint as FILTER(STR(?n)=...)
+    server.queries.clear()
+    got = df.filter(df["n"] == "7").collect()
+    assert [r["n"] for r in got] == ["7"]
+    sent = "\n".join(server.queries)
+    assert 'STR(?n) = "7"' in sent  # the equality reached the endpoint
