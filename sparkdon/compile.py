@@ -43,6 +43,7 @@ from sparkdon.algebra import (
     ValuesClause, Var,
 )
 from sparkdon.errors import QueryExecutionError
+from sparkdon.operators.dictionary import term_id
 from sparkdon.terms import (
     XSD, BNode, IRI, KIND_BNODE, KIND_IRI, KIND_LIT, Literal, NUMERIC_DATATYPES,
     iri_term, lit_term, make_term, numeric_value, sort_key,
@@ -86,10 +87,109 @@ _construct_nonce = itertools.count()
 
 
 class Compiler:
-    def __init__(self, spark: SparkSession, triples: DataFrame):
+    def __init__(self, spark: SparkSession, triples: DataFrame,
+                 use_ids: bool = False):
         self.spark = spark
         self.triples = triples
         self._uid = itertools.count()
+        #: ``use_ids`` (SURVEY.md §4.3 term-dictionary v2): variables whose
+        #: *values* are never needed — they only connect triple patterns —
+        #: are carried as 64-bit content-hash ids (operators/dictionary.py
+        #: ``term_id``) instead of ~60-120-byte term structs.  Join
+        #: semantics are unchanged (id equality ⇔ term equality, modulo
+        #: the 2⁻⁶⁵-per-pair xxhash64 collision odds the dictionary module
+        #: documents); shuffle rows for join-only variables shrink ~8-15×.
+        self.use_ids = use_ids
+        self.id_only: frozenset[str] = frozenset()
+        self._analyzed = False
+
+    # ------------------------------------------------------------------
+    # use_ids analysis
+    # ------------------------------------------------------------------
+
+    def _analyze_id_vars(self, q) -> frozenset[str]:
+        """Variables eligible for id-only representation: those that appear
+        ONLY in plain triple-pattern positions — never in a projection,
+        expression, path, VALUES, BIND, GROUP/ORDER BY, or sub-SELECT
+        output.  A ``SELECT *`` anywhere keeps every variable (all values
+        are observable) and disables the mode."""
+        value: set[str] = set()
+        pattern_vars: set[str] = set()
+        star = False
+
+        def walk_expr(e) -> None:
+            if isinstance(e, TermExpr):
+                if isinstance(e.term, Var):
+                    value.add(e.term.name)
+            elif isinstance(e, (OpExpr, FuncExpr)):
+                for a in e.args:
+                    walk_expr(a)
+            elif isinstance(e, InExpr):
+                walk_expr(e.value)
+                for o in e.options:
+                    walk_expr(o)
+            elif isinstance(e, AggExpr):
+                if e.arg is not None:
+                    walk_expr(e.arg)
+            elif isinstance(e, ExistsExpr):
+                walk_group(e.group)
+
+        def walk_group(g: GroupPattern) -> None:
+            for el in g.elements:
+                if isinstance(el, TriplePattern):
+                    if isinstance(el.p, Path):
+                        # path evaluation builds struct endpoint frames
+                        for t in (el.s, el.o):
+                            if isinstance(t, Var):
+                                value.add(t.name)
+                    else:
+                        for t in (el.s, el.p, el.o):
+                            if isinstance(t, Var):
+                                pattern_vars.add(t.name)
+                elif isinstance(el, OptionalGroup):
+                    walk_group(el.group)
+                elif isinstance(el, MinusGroup):
+                    walk_group(el.group)
+                elif isinstance(el, UnionGroup):
+                    for b in el.branches:
+                        walk_group(b)
+                elif isinstance(el, Bind):
+                    walk_expr(el.expr)
+                    value.add(el.var.name)
+                elif isinstance(el, ValuesClause):
+                    for v in el.variables:
+                        value.add(v.name)
+                elif isinstance(el, SubSelect):
+                    walk_select(el.query)
+                elif isinstance(el, Filter):
+                    walk_expr(el.expr)
+
+        def walk_select(sq) -> None:
+            nonlocal star
+            walk_group(sq.where)
+            if not sq.projections:
+                star = True
+            for e, _alias in sq.projections:
+                if isinstance(e, Var):
+                    value.add(e.name)
+                else:
+                    walk_expr(e)
+            for g in sq.group_by:
+                walk_expr(g[0] if isinstance(g, tuple) else g)
+            for e, _d in sq.order_by:
+                walk_expr(e)
+            for h in sq.having:
+                walk_expr(h)
+
+        if isinstance(q, SelectQuery):
+            walk_select(q)
+        elif isinstance(q, AskQuery):
+            walk_group(q.where)
+        else:
+            return frozenset()
+        if star:
+            return frozenset()
+        return frozenset(pattern_vars - value)
 
     # ------------------------------------------------------------------
     # triple patterns
@@ -109,13 +209,14 @@ class Compiler:
         proj: dict[str, Column] = {}
         filters: list[Column] = []
 
-        def handle(term, struct_col: Column, flat_eq):
+        def handle(term, struct_col: Column, id_col: Column, flat_eq):
             nonlocal df
             if isinstance(term, Var):
+                col = id_col if term.name in self.id_only else struct_col
                 if term.name in proj:  # repeated var in one pattern
-                    filters.append(proj[term.name].eqNullSafe(struct_col))
+                    filters.append(proj[term.name].eqNullSafe(col))
                 else:
-                    proj[term.name] = struct_col
+                    proj[term.name] = col
             else:
                 for c in flat_eq(term):
                     df = df.filter(c)
@@ -142,9 +243,13 @@ class Compiler:
             cs.append(F.col("o_lang") == term.lang if term.lang else F.col("o_lang").isNull())
             return cs
 
-        handle(tp.s, self._subject_struct(), s_eq)
-        handle(tp.p, iri_term(F.col("p")), p_eq)
-        handle(tp.o, self._object_struct(), o_eq)
+        handle(tp.s, self._subject_struct(),
+               term_id(F.col("s_kind"), F.col("s")), s_eq)
+        handle(tp.p, iri_term(F.col("p")),
+               term_id(F.lit(KIND_IRI), F.col("p")), p_eq)
+        handle(tp.o, self._object_struct(),
+               term_id(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")),
+               o_eq)
 
         out = df.select(*[c.alias(vcol(n)) for n, c in proj.items()])
         for f in filters:
@@ -374,8 +479,9 @@ class Compiler:
                     df = b.df
                     for v in all_vars:
                         if v not in b.variables:
-                            df = df.withColumn(vcol(v), F.lit(None).cast(
-                                "struct<kind:string,lex:string,dt:string,lang:string>"))
+                            typ = ("bigint" if v in self.id_only else
+                                   "struct<kind:string,lex:string,dt:string,lang:string>")
+                            df = df.withColumn(vcol(v), F.lit(None).cast(typ))
                     dfs.append(df.select(*[vcol(v) for v in all_vars]))
                 u = dfs[0]
                 for d in dfs[1:]:
@@ -765,6 +871,9 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def compile_select(self, q: SelectQuery) -> Bindings:
+        if self.use_ids and not self._analyzed:
+            self._analyzed = True
+            self.id_only = self._analyze_id_vars(q)
         bindings = self.compile_group(q.where)
         has_agg = bool(q.group_by) or any(
             self._contains_agg(e) for e, _ in q.projections
@@ -1054,4 +1163,7 @@ class Compiler:
         return out.dropDuplicates()
 
     def compile_ask(self, q: AskQuery) -> bool:
+        if self.use_ids and not self._analyzed:
+            self._analyzed = True
+            self.id_only = self._analyze_id_vars(q)
         return self.compile_group(q.where).df.limit(1).count() > 0

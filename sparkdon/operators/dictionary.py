@@ -30,9 +30,17 @@ from sparkdon.errors import SparkdonError
 NULL_SENTINEL = "\x00"
 
 
-def _tid(kind, lex, dt, lang):
+def term_id(kind, lex, dt=None, lang=None):
+    """64-bit content hash of a term — the shared id function for both the
+    storage-layer dictionary and the compiler's ``use_ids`` join mode."""
+    null_str = F.lit(None).cast("string")
+    dt = dt if dt is not None else null_str
+    lang = lang if lang is not None else null_str
     return F.xxhash64(kind, lex, F.coalesce(dt, F.lit(NULL_SENTINEL)),
                       F.coalesce(lang, F.lit(NULL_SENTINEL)))
+
+
+_tid = term_id
 
 
 def build_dictionary(triples: DataFrame, check_collisions: bool = True) -> DataFrame:

@@ -52,19 +52,22 @@ def _graph(spark: SparkSession, sf_dir: str, tables, located_in: bool = False) -
 
 
 def endpoint(spark: SparkSession, sf_dir: str,
-             tables=("region", "nation", "customer", "supplier")) -> LocalEndpoint:
+             tables=("region", "nation", "customer", "supplier"),
+             use_ids: bool = False) -> LocalEndpoint:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return LocalEndpoint(spark, _graph(spark, sf_dir, tables), prefixes=PREFIXES)
+    return LocalEndpoint(spark, _graph(spark, sf_dir, tables), prefixes=PREFIXES,
+                         use_ids=use_ids)
 
 
 def run(spark: SparkSession, sf_dir: str, sparql: str, schema: dict[str, str],
-        tables=("region", "nation", "customer", "supplier")) -> DataFrame:
+        tables=("region", "nation", "customer", "supplier"),
+        use_ids: bool = False) -> DataFrame:
     """Execute SPARQL, flatten term structs to typed columns.
 
     schema: output column -> 'str' | 'long' | 'double' (cast from the
     term's lexical form — lossless for values that came from the parquet
     in the first place)."""
-    e = endpoint(spark, sf_dir, tables)
+    e = endpoint(spark, sf_dir, tables, use_ids=use_ids)
     raw = e.select_raw(sparql)
     cols = []
     for name, typ in schema.items():
@@ -131,6 +134,27 @@ def sparql_join_agg(spark, sf_dir):
         " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
         "GROUP BY ?nation",
         {"nation": "str", "cnt": "long"},
+    )
+
+
+@register(
+    "sparql_join_agg_ids",
+    "SELECT n.n_name AS nation, count(*) AS cnt FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def sparql_join_agg_ids(spark, sf_dir):
+    """The same J1+A1 chain with ``use_ids`` on: the join-only variables
+    ?c and ?n travel as 64-bit term ids instead of term structs
+    (compile.py use_ids / SURVEY.md §4.3 dictionary v2) — oracle-checked
+    so the shuffle-shrinking mode is correctness-gated, not just
+    pytest-asserted."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation (COUNT(*) AS ?cnt) { "
+        " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
+        "GROUP BY ?nation",
+        {"nation": "str", "cnt": "long"},
+        use_ids=True,
     )
 
 

@@ -336,12 +336,16 @@ class LocalEndpoint(Endpoint):
     (reference ``LocalEndpoint``, gastrodon/__init__.py:778-805)."""
 
     def __init__(self, spark: SparkSession, graph: DataFrame,
-                 prefixes: dict[str, str] | None = None, base_uri: str | None = None):
+                 prefixes: dict[str, str] | None = None, base_uri: str | None = None,
+                 use_ids: bool = False):
         super().__init__(spark, prefixes, base_uri)
         self.graph = graph
+        #: opt-in: carry join-only variables as 64-bit term ids through
+        #: shuffles (compile.py ``use_ids`` — SURVEY.md §4.3 dictionary v2)
+        self.use_ids = use_ids
 
     def _compiler(self) -> Compiler:
-        return Compiler(self.spark, self.graph)
+        return Compiler(self.spark, self.graph, use_ids=self.use_ids)
 
     # -- update (Q4 / S6) ----------------------------------------------
 
