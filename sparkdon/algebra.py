@@ -45,8 +45,9 @@ class Var:
 class Path:
     """Property-path expression in predicate position (SURVEY.md §2.8)."""
 
-    op: str  # 'seq' | 'alt' | 'inv' | 'star' | 'plus' | 'opt' | 'link'
-    parts: tuple  # links are (iri,), seq/alt are (p1, p2, ...), unary are (p,)
+    op: str  # 'seq' | 'alt' | 'inv' | 'star' | 'plus' | 'opt' | 'link' | 'nps'
+    parts: tuple  # links are (iri,), seq/alt are (p1, p2, ...), unary are (p,);
+    # 'nps' (negated property set) is (forward_iris, inverse_iris)
 
 
 @dataclass(frozen=True)
@@ -736,7 +737,41 @@ class Parser:
             self.next()
             inverse = True
         t = self.peek()
-        if t.text == "(":
+        if t.text == "!":
+            # PathNegatedPropertySet: !iri, !a, !^iri, or !(i1|^i2|...)
+            self.next()
+            fwd: list = []
+            inv: list = []
+
+            def one_in_set():
+                to_inv = False
+                if self.peek().text == "^":
+                    self.next()
+                    to_inv = True
+                tt = self.peek()
+                if tt.kind == "KEYWORD" and tt.text == "a":
+                    self.next()
+                    iri = IRI(RDF + "type")
+                elif tt.kind in ("IRIREF", "PNAME"):
+                    iri = self.parse_iri()
+                else:
+                    raise SparqlSyntaxError(
+                        self.text, tt.pos,
+                        f"expected IRI in negated property set, got {tt.text!r}")
+                (inv if to_inv else fwd).append(iri)
+
+            if self.peek().text == "(":
+                self.next()
+                if self.peek().text != ")":
+                    one_in_set()
+                    while self.peek().text == "|":
+                        self.next()
+                        one_in_set()
+                self.expect(")")
+            else:
+                one_in_set()
+            p = Path("nps", (tuple(fwd), tuple(inv)))
+        elif t.text == "(":
             self.next()
             p = self.parse_path_alt()
             self.expect(")")

@@ -75,6 +75,30 @@ def eval_pairs(compiler, path) -> DataFrame:
         return eval_pairs(compiler, path.parts[0]).unionByName(
             eval_pairs(compiler, path.parts[1])
         )
+    if path.op == "nps":
+        # Negated property set (spec §18.4): forward triples whose
+        # predicate is not in the forward set, unioned with reversed
+        # triples whose predicate is not in the inverse set.  Each branch
+        # is one predicate NOT-IN filter over the triple scan.
+        fwd, inv = path.parts
+        t = compiler.triples
+        outs = []
+        if fwd or not inv:  # `!()` matches every forward triple
+            tf = t.filter(~F.col("p").isin([str(i) for i in fwd])) if fwd else t
+            outs.append(tf.select(
+                make_term(F.col("s_kind"), F.col("s")).alias("start"),
+                make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"),
+                          F.col("o_lang")).alias("end")))
+        if inv:
+            ti = t.filter(~F.col("p").isin([str(i) for i in inv]))
+            outs.append(ti.select(
+                make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"),
+                          F.col("o_lang")).alias("start"),
+                make_term(F.col("s_kind"), F.col("s")).alias("end")))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
     if path.op in ("star", "plus", "opt"):
         raise QueryExecutionError("closure path inside another path — evaluate via eval_path")
     raise QueryExecutionError(f"unsupported path op {path.op}")

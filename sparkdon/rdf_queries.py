@@ -271,6 +271,24 @@ def sparql_path_inverse(spark, sf_dir):
 
 
 @register(
+    "sparql_path_nps",
+    # negating every predicate except n_regionkey leaves exactly the
+    # nation→region FK edges
+    "SELECT 'urn:g:nation:' || n_nationkey AS s, "
+    "'urn:g:region:' || n_regionkey AS o FROM nation",
+)
+def sparql_path_nps(spark, sf_dir):
+    """G-tier: negated property set !(iri|...|a) — one predicate NOT-IN
+    filter over the triple scan (spec §18.4; paths.py 'nps')."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?s ?o { ?s !(a|p:r_name|p:n_name|p:c_name|p:c_nationkey"
+        "|p:c_acctbal|p:c_mktsegment|p:s_name|p:s_nationkey|p:s_acctbal) ?o }",
+        {"s": "str", "o": "str"},
+    )
+
+
+@register(
     "sparql_subquery_having",
     "SELECT n.n_name AS nation, cnt FROM "
     "(SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey "
