@@ -56,14 +56,17 @@ def main() -> None:
     for extra in (
         "sparql_census",
         "sparql_join_agg",
+        "sparql_join_agg_ids",
         "sparql_census_orders",
         "sparql_path_plus",
+        "sparql_path_nps",
         "x_dedup_exact",
         "x_dedup_minhash",
         "x_dedup_jaccard",
         "x_dedup_embed",
         "x_sim_topk",
         "x_sim_lsh_refined",
+        "x_sim_ivf",
         "x_text_stats",
         "x_window_sessionize",
     ):

@@ -494,6 +494,146 @@ def x_sim_lsh_refined(spark, sf_dir):
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+# --- IVF (coarse-quantizer) ANN --------------------------------------------
+#
+# The other classic ANN scale path next to LSH: k-means the corpus into K
+# cells, probe the NPROBE nearest cells per query, exact-refine within
+# them.  Everything is deterministic so the DuckDB oracle replicates it
+# bit-for-bit: init centroids are the means of hash-partitioned groups
+# (vec_id % K), one Lloyd iteration refines them, and every centroid is
+# quantized to 1e-6 after averaging so both engines' argmin sees identical
+# doubles (distributed fp summation order differs; the quantization
+# absorbs it).  Ties in the argmin break on cell index.
+
+_IVF_K, _IVF_NPROBE, _IVF_DIMS = 16, 3, 64
+
+
+def _ivf_mean(df: DataFrame) -> dict:
+    """(cell, v) rows → {cell: quantized centroid list}.
+
+    posexplode → per-(cell, dim) partial-agg average → reassemble.  The
+    collect is K×DIMS floats of model state (like the LSH plane matrix),
+    not data."""
+    rows = (
+        df.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg((F.floor(F.avg("x") * 1e6) / 1e6).alias("val"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select("cell", F.transform("pv", lambda s: s["val"]).alias("cv"))
+        .collect()
+    )
+    return {r["cell"]: list(r["cv"]) for r in rows}
+
+
+def _ivf_cells(cents: dict):
+    """Column: array of (squared-L2-dist, cell) structs sorted ascending —
+    [0]['cell'] is the assignment, a slice is the probe set."""
+    entries = []
+    for cell, cv in sorted(cents.items()):
+        plane = F.array(*[F.lit(float(x)) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(plane, F.col("v"), lambda c, x: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        entries.append(F.struct(dist.alias("dist"), F.lit(cell).alias("cell")))
+    return F.array_sort(F.array(*entries))
+
+
+def _ivf_oracle_sql() -> str:
+    k, nprobe, dims = _IVF_K, _IVF_NPROBE, _IVF_DIMS
+
+    def dist(cv, v):
+        return (f"list_sum(list_transform(list_zip({cv}, {v}), "
+                "x -> (x[2]-x[1])*(x[2]-x[1])))")
+
+    def mean(src):
+        return (
+            f"(SELECT cell, list(val ORDER BY pos) AS cv FROM "
+            f" (SELECT cell, pos, FLOOR(AVG(v[pos]) * 1e6)/1e6 AS val FROM {src}, "
+            f"  (SELECT unnest(generate_series(1, {dims})) AS pos) p "
+            f"  GROUP BY cell, pos) GROUP BY cell)"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"g0 AS (SELECT vec_id % {k} AS cell, v FROM e), "
+        f"cv0 AS {mean('g0')}, "
+        "a1 AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM cv0 c "
+        f" ORDER BY {dist('c.cv', 'e.v')} ASC, c.cell ASC LIMIT 1) AS cell FROM e), "
+        f"cv1 AS {mean('a1')}, "
+        "a2 AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM cv1 c "
+        f" ORDER BY {dist('c.cv', 'e.v')} ASC, c.cell ASC LIMIT 1) AS cell FROM e), "
+        "probes AS (SELECT q.vec_id AS qid, p.cell FROM e q, LATERAL "
+        f" (SELECT c.cell FROM cv1 c ORDER BY {dist('c.cv', 'q.v')} ASC, c.cell ASC "
+        f"  LIMIT {nprobe}) p WHERE q.vec_id < 10), "
+        "cand AS (SELECT DISTINCT probes.qid, a2.vec_id AS cid "
+        " FROM probes JOIN a2 USING (cell) WHERE a2.vec_id <> probes.qid), "
+        "sims AS (SELECT qid, cid, "
+        " CAST(FLOOR(1e6 * list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2])) "
+        "  / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) "
+        "   * sqrt(list_sum(list_transform(ce.v, x -> x * x))))) AS BIGINT) AS sim_scaled "
+        " FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid) "
+        "SELECT qid, cid, sim_scaled FROM ("
+        " SELECT qid, cid, sim_scaled, row_number() OVER "
+        "  (PARTITION BY qid ORDER BY sim_scaled DESC, cid) AS rn FROM sims) "
+        "WHERE rn <= 5"
+    )
+
+
+@register("x_sim_ivf", _ivf_oracle_sql())
+def x_sim_ivf(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer (hash-group init +
+    one Lloyd iteration, centroids quantized to 1e-6), NPROBE nearest
+    cells per query, exact cosine top-5 refine within the probed cells.
+
+    100 TB shape: centroid training is posexplode + partial-agg means
+    (map-side combine shrinks the (cell, dim) shuffle to partitions×K×D
+    rows); assignment is a narrow map against K literal centroids; the
+    candidate join is keyed on cell with the tiny probe side broadcast —
+    no all-pairs.  K scales ~√n and the centroid model stays driver-side
+    model state, exactly like a real IVF index build."""
+    e = _ann_vectors(spark, sf_dir)
+
+    cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
+    assigned = e.select("vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
+    cents = _ivf_mean(assigned.select("cell", "v"))
+    assigned = e.select("vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
+
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.transform(
+                F.slice(_ivf_cells(cents), 1, _IVF_NPROBE),
+                lambda s: s["cell"])).alias("cell"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda a, x: a * x),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sims = (
+        cand.join(e, cand.cid == e.vec_id)
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.floor(1e6 * dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim_scaled"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
 #: near-dup cosine threshold, compared as floor(1e6·cos) ≥ this (integer
 #: compare — portable across engines)
 EMBED_DUP_SIM_SCALED = 300_000
