@@ -77,6 +77,48 @@ def x_fingerprint(spark, sf_dir):
     )
 
 
+#: winnowing fingerprint parameters: k-token grams, window of w gram
+#: hashes; each window contributes its (lexicographic) min md5 — the
+#: standard MOSS/winnowing scheme, giving position-robust fingerprints
+#: with guaranteed coverage (every w consecutive grams share a pick).
+WINNOW_K, WINNOW_W = 3, 4
+
+
+@register(
+    "x_fingerprint_winnow",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "g AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2), "
+    " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS h FROM toks), "
+    "w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(h) - 3), "
+    " j -> list_min(h[j:j+3]))) AS fp FROM g) "
+    "SELECT DISTINCT doc_id, fp FROM w",
+)
+def x_fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): md5 over each
+    3-token gram, then the min hash of every 4-gram window, dedup'd per
+    document.  Pure codegen array expressions — the token and gram-hash
+    arrays are lambda-bound so each is computed once per row; a narrow
+    map + explode, no shuffle before the final DISTINCT.  md5-string
+    mins are portable, so the DuckDB oracle reproduces fingerprints
+    bit-for-bit."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        f"transform(if(size(t) >= {k}, sequence(1, size(t) - {k - 1}), array()), "
+        " i -> md5(cast(concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+        "  element_at(t, i+2)) as binary)))"
+    )
+    wins = (
+        f"transform(if(size(g) >= {w}, sequence(1, size(g) - {w - 1}), array()), "
+        f" j -> array_min(slice(g, j, {w})))"
+    )
+    expr = (f"transform(array(split(text, ' ')), t -> "
+            f" transform(array({grams}), g -> {wins})[0])[0]")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("fp"))
+    )
+
+
 #: shared SQL fragments for shingling (DuckDB side)
 _DUCK_SHINGLES = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
@@ -91,12 +133,18 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
     The ``transform(array(split(..)), t -> ...)`` wrapper binds the token
     array to a lambda variable so the text is tokenized ONCE per row —
     referencing ``split(text)`` directly inside the per-shingle lambda
-    would re-split the document for every element access."""
+    would re-split the document for every element access.
+
+    Documents shorter than 3 tokens yield an EMPTY shingle array: the
+    index range must be guarded with ``if(size >= 3, ...)`` because
+    Spark's ``sequence(1, 0)`` is the *descending* [1, 0] (not empty
+    like DuckDB's generate_series), which would drive ``element_at``
+    out of bounds and kill the whole job on the first short document."""
     return df.select(
         "doc_id",
         F.expr(
             "transform(array(split(text, ' ')), t -> "
-            " transform(sequence(1, greatest(size(t) - 2, 0)), "
+            " transform(if(size(t) >= 3, sequence(1, size(t) - 2), array()), "
             "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), "
             "   element_at(t, i+2))))[0]"
         ).alias("shingles"),

