@@ -76,13 +76,32 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
+def dedup_stream(events: DataFrame, keys: tuple = ("user_id", "event_type", "value"),
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup: keep the first arrival of each key, even
+    across micro-batches, via ``dropDuplicatesWithinWatermark``.
+
+    The streaming twin of ``x_dedup_exact`` for a training-data ingest
+    pipeline: state holds one entry per key only until the watermark
+    passes its event time, so memory is bounded by the dedup horizon
+    rather than the stream's lifetime (plain ``dropDuplicates`` on a
+    stream retains state forever)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
+                  output_mode: str = "complete"):
     """Drive a streaming plan to completion with AvailableNow, collect from
-    the memory sink.  Test/dev helper — production uses a real sink."""
+    the memory sink.  Test/dev helper — production uses a real sink.
+    Aggregations use the default complete mode; non-aggregating plans
+    (dedup) need ``output_mode='append'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

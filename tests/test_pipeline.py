@@ -189,6 +189,36 @@ def test_streaming_session_windows(spark, tmp_path):
     assert rows[0]["cnt"] == 3 and rows[1]["cnt"] == 2
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival of each key
+    across micro-batches: duplicates in a later batch (within the
+    horizon) must not re-emit."""
+    import pandas as pd
+
+    from sparkdon.streaming.windows import dedup_stream, read_event_stream, run_to_memory
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+                 "2024-01-01 10:03", "2024-01-01 10:04", "2024-01-01 10:05"]),
+            "user_id": [1, 1, 2, 1, 2, 3],
+            "event_type": ["click"] * 6,
+            "value": [1.0, 1.0, 2.0, 1.0, 2.0, 3.0],
+            "props": ["{}"] * 6,
+        }
+    )
+    # duplicates of (1, click, 1.0) and (2, click, 2.0) straddle batches
+    df.iloc[:3].to_parquet(tmp_path / "batch1.parquet", coerce_timestamps="us")
+    df.iloc[3:].to_parquet(tmp_path / "batch2.parquet", coerce_timestamps="us")
+
+    stream = read_event_stream(spark, str(tmp_path))
+    run_to_memory(dedup_stream(stream), "dedup_test", output_mode="append")
+    rows = spark.sql("SELECT user_id, value FROM dedup_test").collect()
+    assert sorted((r.user_id, r.value) for r in rows) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
 def test_lsh_refined_recall_vs_exact(spark):
     """The banded-LSH refine must recover a solid fraction of the exact
     top-5 neighbors (band-OR over 6 bands × 3-bit sketches)."""
