@@ -119,6 +119,60 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, modality string, payload binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: tags the
+    payload with the target geometry so output bytes are reproducible
+    and size-bounded.  A real implementation decodes to HxWxC, resamples,
+    and re-encodes — same rows in, same rows out, which is all the Spark
+    plumbing cares about."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return b"RSZ:%dx%d:" % (width, height) + digest
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  decode_real: bool = False) -> DataFrame:
+    """Resize stage for image rows: Arrow-batched ``mapInPandas``, narrow
+    (no shuffle), emitting the same media schema with updated geometry
+    metadata — so resize stages compose with extract_features /
+    sample_frames.  The pixel work is a deterministic fake unless
+    ``decode_real`` (no codec in this container; see :func:`decode_image`)."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if decode_real:
+                    decode_image(raw)
+                out_payloads.append(fake_resize(raw, width, height))
+            meta = pd.DataFrame(
+                {
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payloads,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: explodes deterministic
     frame timestamps from metadata (decode itself is stubbed).  Real

@@ -111,6 +111,27 @@ def test_multimodal_feature_extraction(spark):
     assert again[r["media_id"]] == r["sha256"]
 
 
+def test_multimodal_resize_plumbing(spark):
+    """resize_images keeps the media schema (so stages compose), updates
+    geometry metadata, and produces deterministic payloads."""
+    from sparkdon.multimodal import documents_as_media, extract_features, resize_images
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    media = documents_as_media(docs)
+    resized = resize_images(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == 10
+    assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in rows)
+    assert all(bytes(r["payload"]).startswith(b"RSZ:32x32:") for r in rows)
+    # composes: the resized frame feeds straight into feature extraction
+    feats = extract_features(resized).collect()
+    assert len(feats) == 10 and all(len(f["feature"]) == 8 for f in feats)
+    # deterministic
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, 32, 32).collect()}
+    assert again == {r["media_id"]: bytes(r["payload"]) for r in rows}
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     from sparkdon.multimodal import documents_as_media, extract_features
 
