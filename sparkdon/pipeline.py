@@ -746,6 +746,30 @@ def x_dedup_embed(spark, sf_dir):
 
 
 @register(
+    "x_embed_quantize",
+    "SELECT vec_id, array_to_string(list_transform(embedding::DOUBLE[], "
+    " x -> CASE WHEN list_max(embedding::DOUBLE[]) = list_min(embedding::DOUBLE[]) THEN 0 "
+    "  ELSE CAST(FLOOR((x - list_min(embedding::DOUBLE[])) * 255 "
+    "   / (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))) AS BIGINT) END), "
+    " ',') AS q FROM embeddings",
+)
+def x_embed_quantize(spark, sf_dir):
+    """Per-vector min-max uint8 quantization — the storage/serving form a
+    training pipeline ships embeddings in (4× smaller than float32).
+    Pure codegen array expressions, narrow map, no shuffle; the vector
+    is lambda-bound so min/max are computed once per row.  Output is the
+    comma-joined code string (scalar, hashable for the oracle compare)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = F.expr(
+        "transform(array(struct(v AS a, array_min(v) AS mn, array_max(v) AS mx)), s -> "
+        " transform(s.a, x -> if(s.mx = s.mn, 0L, "
+        "  cast(floor((x - s.mn) * 255 / (s.mx - s.mn)) as bigint))))[0]"
+    )
+    return e.select("vec_id", F.concat_ws(",", q).alias("q"))
+
+
+@register(
     "x_embed_norm",
     "SELECT vec_id, CAST(FLOOR(1e6 * sqrt(list_sum(list_transform(embedding::DOUBLE[], "
     "x -> x * x)))) AS BIGINT) AS norm_scaled FROM embeddings",
