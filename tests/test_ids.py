@@ -59,6 +59,9 @@ EQUIV_QUERIES = [
     # the join var is an id
     "SELECT ?lab (SUM(?pop) AS ?p) { :New_York_City :boro ?b . "
     " ?b rdfs:label ?lab . ?b :pop ?pop } GROUP BY ?lab",
+    # property path endpoint shared with plain patterns: ?b must stay a
+    # struct (paths build struct frames) even though it is join-only
+    "SELECT ?lab { :New_York_City :boro+ ?b . ?b rdfs:label ?lab }",
 ]
 
 
