@@ -1,0 +1,77 @@
+"""Measure bytes shuffled by a query plain vs ``use_ids`` (the id-encoded
+join-variable mode) via the Spark UI REST API — evidence for the
+shuffle-byte claim in PERF.md that wall-clock timings at local scale
+cannot show (the id win is bandwidth, which local[32] has in excess).
+
+Shuffle WRITE bytes are deterministic properties of the plan + data
+(unlike wall time), so this measurement is contention-proof.
+
+Usage: python scripts/shuffle_bytes.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_metrics(ui_url: str, app_id: str) -> tuple[int, int]:
+    """(shuffle_write_bytes, input_bytes) summed over all completed stages."""
+    with urllib.request.urlopen(f"{ui_url}/api/v1/applications/{app_id}/stages") as r:
+        stages = json.loads(r.read())
+    write = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    inp = sum(s.get("inputBytes", 0) for s in stages)
+    return write, inp
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    from sparkdon.rdf_queries import run
+
+    sparql = (
+        "SELECT ?nation (COUNT(*) AS ?cnt) { "
+        " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
+        "GROUP BY ?nation"
+    )
+    schema = {"nation": "str", "cnt": "long"}
+
+    results = {}
+    for mode, use_ids in (("plain", False), ("use_ids", True)):
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName(f"shuffle-bytes-{mode}")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.port", "4099")
+            # isolate the measurement: no broadcast short-circuit (a
+            # broadcast join would hide the shuffle we want to compare),
+            # no AQE re-plan moving bytes between stages
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .config("spark.sql.adaptive.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        n = run(spark, sf_dir, sparql, schema, use_ids=use_ids).count()
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        write, inp = stage_metrics(ui, app)
+        results[mode] = {"rows": n, "shuffle_write_bytes": write, "input_bytes": inp}
+        spark.stop()
+
+    ratio = (results["plain"]["shuffle_write_bytes"]
+             / max(1, results["use_ids"]["shuffle_write_bytes"]))
+    print(json.dumps({"sf_dir": sf_dir, "query": "sparql_join_agg",
+                      "plain": results["plain"], "use_ids": results["use_ids"],
+                      "shuffle_write_ratio": round(ratio, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -917,9 +917,14 @@ class Compiler:
                 bindings = Bindings(bindings.df.select(*sel, *hidden), names, certain)
         if q.distinct:
             if n_hidden:
-                # dedup on the projected columns only; the hidden sort keys
-                # ride along on an arbitrary representative row
-                df = bindings.df.dropDuplicates([vcol(n) for n in bindings.variables])
+                # dedup on the projected columns only; take the MIN of each
+                # hidden sort key per distinct row so the carried key (and
+                # hence the final order among duplicates-with-different-keys)
+                # is deterministic across runs, not an arbitrary survivor
+                df = bindings.df.groupBy(
+                    *[vcol(n) for n in bindings.variables]
+                ).agg(*[F.min(f"__ord{i}").alias(f"__ord{i}")
+                        for i in range(n_hidden)])
             else:
                 df = bindings.df.dropDuplicates()
             bindings = Bindings(df, bindings.variables, bindings.certain)

@@ -33,7 +33,7 @@ def salted_agg(df: DataFrame, key_cols: list[str], aggs: dict[str, tuple],
     key's rows across ``salt_buckets`` reducers.
     """
     merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    first_fn = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum,
+    first_fn = {"count": F.count, "sum": F.sum,
                 "min": F.min, "max": F.max}
     for name, (kind, _) in aggs.items():
         if kind not in merge_fn:

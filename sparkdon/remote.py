@@ -261,6 +261,15 @@ class RemoteEndpoint(Endpoint):
                              prefixes=dict(self.prefixes),
                              base_uri=self.base_uri)
 
+    def _bnode_to_sparql(self, bnode) -> str:
+        """Virtuoso quirk: a blank node substituted into a remote
+        query/update round-trips as an IRI of its returned label (e.g.
+        ``<nodeID://b10023>``) — writing ``_:label`` would mint a FRESH
+        blank node server-side instead of referencing the stored one
+        (reference ``RemoteEndpoint._bnode_to_sparql``,
+        gastrodon/__init__.py:667-668)."""
+        return f"<{str(bnode)}>"
+
     def update(self, sparql: str, bindings: dict | None = None) -> None:
         sparql = self._prepare(sparql, bindings, depth=3)
         sparql = self._inject_prefixes(sparql)

@@ -121,9 +121,17 @@ class Endpoint:
                 pfx, _, local = value.partition(":")
                 if pfx in self.prefixes and re.fullmatch(r"[A-Za-z_0-9.-]*", local):
                     return f"<{self.prefixes[pfx]}{local}>"
+            if isinstance(value, BNode):
+                return self._bnode_to_sparql(value)
             return n3(value)
 
         return _SUBST_RE.sub(repl, sparql)
+
+    def _bnode_to_sparql(self, bnode: BNode) -> str:
+        """Serialization a substituted blank node takes in this endpoint's
+        queries; endpoint kinds override (reference
+        ``Endpoint._bnode_to_sparql``, gastrodon/__init__.py:371-372)."""
+        return n3(bnode)
 
     def _harvest_frame(self, depth: int) -> dict[str, Any]:
         """Caller stack-frame variable harvest

@@ -127,7 +127,11 @@ class SparqlDataSource(DataSource):
     def schema(self) -> StructType:
         url = self.options["url"]
         query = self.options["query"]
-        doc = _fetch_json(url, f"{query} LIMIT 1")
+        # Probe through the same subselect wrapper the reader uses — a bare
+        # " LIMIT 1" suffix would be a syntax error when the user query
+        # already ends in its own LIMIT/OFFSET (which the docstring allows).
+        prologue, body = _split_prologue(query)
+        doc = _fetch_json(url, f"{prologue}SELECT * WHERE {{ {{ {body} }} }} LIMIT 1")
         return StructType(
             [StructField(v, StringType()) for v in doc["head"]["vars"]]
         )
@@ -144,6 +148,16 @@ class SparqlReader(DataSourceReader):
         self.page_size = int(options.get("pagesize", "10000"))
         self.max_pages = int(options.get("maxpagespertask", "1000"))
         self.fields = [f.name for f in schema.fields]
+        # LIMIT/OFFSET stripes are independent HTTP requests; the SPARQL
+        # protocol guarantees no stable total order between them, so a
+        # deterministic ORDER BY must ride inside the wrapped subselect.
+        # Default: all projected vars.  option("orderby", "?s ?p") overrides;
+        # option("orderby", "none") opts out AND collapses to a single
+        # partition (sequential pages from one task — the only paging mode
+        # that is even arguably safe without an order guarantee).
+        self.orderby = options.get("orderby", "").strip()
+        if self.orderby.lower() == "none":
+            self.n_partitions = 1
         self.pushed_sparql: list[str] = []
 
     # -- pushdown ------------------------------------------------------
@@ -158,10 +172,16 @@ class SparqlReader(DataSourceReader):
 
     def _effective_query(self) -> str:
         prologue, body = _split_prologue(self.query)
-        if not self.pushed_sparql:
-            return f"{prologue}{body}"
-        conds = " && ".join(f"({c})" for c in self.pushed_sparql)
-        return f"{prologue}SELECT * WHERE {{ {{ {body} }} FILTER({conds}) }}"
+        if self.pushed_sparql:
+            conds = " && ".join(f"({c})" for c in self.pushed_sparql)
+            wrapped = f"SELECT * WHERE {{ {{ {body} }} FILTER({conds}) }}"
+        else:
+            wrapped = None
+        if self.orderby.lower() == "none":
+            return f"{prologue}{wrapped or body}"
+        keys = self.orderby or " ".join(f"?{f}" for f in self.fields)
+        inner = wrapped or f"SELECT * WHERE {{ {{ {body} }} }}"
+        return f"{prologue}{inner} ORDER BY {keys}"
 
     # -- partition planning + executor-side fetch ----------------------
 

@@ -223,3 +223,35 @@ def test_sparql_datasource_reads_and_pushes_filters(spark, mock_server):
     assert [r["n"] for r in got] == ["7"]
     sent = "\n".join(server.queries)
     assert 'STR(?n) = "7"' in sent  # the equality reached the endpoint
+
+
+def test_remote_update_bnode_virtuoso_quirk(mock_server):
+    """A BNode substituted into a remote update must serialize as an IRI
+    of its label (Virtuoso nodeID round-trip) — `_:label` would mint a
+    fresh server-side bnode instead of referencing the stored one
+    (reference RemoteEndpoint._bnode_to_sparql,
+    gastrodon/__init__.py:667-668)."""
+    from sparkdon.remote import RemoteEndpoint
+    from sparkdon.terms import BNode
+
+    url, server = mock_server
+    e = RemoteEndpoint(url, spark=None, prefixes={"ex": "http://ex.com/"})
+    server.queries.clear()
+    node = BNode("nodeID://b10023")
+    e.update("DELETE WHERE { ?_node ?p ?o }", bindings={"node": node})
+    sent = server.queries[-1]
+    assert "<nodeID://b10023>" in sent
+    assert "_:" not in sent
+
+
+def test_local_bnode_substitution_stays_n3(spark):
+    """LocalEndpoint keeps the standard `_:label` serialization — the
+    IRI form is the remote (Virtuoso) override only."""
+    from sparkdon.session import LocalEndpoint
+    from sparkdon.io import triples_df
+    from sparkdon.terms import BNode
+
+    e = LocalEndpoint(spark, triples_df(spark, []))
+    out = e._substitute_arguments(
+        "SELECT ?p { ?_node ?p ?o }", {"node": BNode("b7")})
+    assert "_:b7" in out
