@@ -442,13 +442,7 @@ def x_sim_lsh_bucketed(spark, sf_dir):
     ]
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(x) for x in mat[p]])
-        dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
-    bucket = F.concat(*bits)
+    bucket = _band_bucket_array([mat])[0]
     return (
         e.select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
@@ -499,9 +493,18 @@ def _ann_band_sql(b: int, mat: list | None = None, planes: int | None = None) ->
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _ann_vectors(spark, sf_dir) -> DataFrame:
-    return table(spark, sf_dir, "embeddings").select(
+def _ann_vectors(spark, sf_dir, spread: bool = False) -> DataFrame:
+    """Typed (vec_id, v) vectors.  ``spread=True`` repartitions to the
+    session's parallelism before compute-dense per-row passes (sketching,
+    cell assignment): the test-scale embeddings parquet is a single
+    row-group, so without it those narrow maps run on ONE core.  At real
+    scale the scan is already many-partition and the tiny extra shuffle
+    (id + 64 doubles per row) is noise against the compute it unlocks."""
+    e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    if spread:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    return e
 
 
 def _ann_band_bucket(b: int, mat: list | None = None, planes: int | None = None):
@@ -515,6 +518,41 @@ def _ann_band_bucket(b: int, mat: list | None = None, planes: int | None = None)
                           F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _band_bucket_array(mat: list):
+    """Spark Column: array of bucket strings, one per band, over ``v``.
+
+    One nested higher-order expression over the whole plane matrix —
+    a single dot-fold subtree the runtime loops over bands×planes —
+    instead of per-(band,plane) duplicated ``aggregate`` trees, whose
+    codegen size grows with bit count (the 8×8=64-bit strict config paid
+    ~6 s of compile/eval overhead per run under the per-bit form).  The
+    per-plane left fold is arithmetic-identical to
+    :func:`_ann_band_bucket`, so sketches stay bit-for-bit equal.
+
+    The matrix literal is built as ONE parsed SQL expression, not
+    per-element ``F.lit`` Column algebra: a bands×planes×dims matrix is
+    thousands of elements, and each ``F.lit``/``F.array`` is a py4j
+    round-trip — the 8×8×64 strict config spent ~3.5 s of *driver* time
+    per query just constructing the literal tree that way.  ``repr``
+    with a ``D`` suffix round-trips each double exactly."""
+    mat_col = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in plane) + ")"
+                for plane in band) + ")"
+            for band in mat) + ")")
+    return F.transform(
+        mat_col,
+        lambda band: F.array_join(
+            F.transform(
+                band,
+                lambda plane: F.when(
+                    F.aggregate(F.zip_with(plane, F.col("v"), lambda a, x: a * x),
+                                F.lit(0.0), lambda acc, x: acc + x) >= 0,
+                    F.lit("1")).otherwise(F.lit("0"))),
+            ""))
 
 
 def _ann_oracle_sql() -> str:
@@ -558,15 +596,12 @@ def x_sim_lsh_refined(spark, sf_dir):
     - recall tunes with bands×planes (more bands → higher recall, more
       candidates), asserted against the exact baseline in pytest.
     """
-    e = _ann_vectors(spark, sf_dir)
+    e = _ann_vectors(spark, sf_dir, spread=True)
 
     # narrow (vec_id, band:bucket) form — wide vectors stay behind
     keys = e.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{b}:"), _ann_band_bucket(b)) for b in range(_ANN_BANDS)
-        ])).alias("bk"),
-    )
+        "vec_id", F.posexplode(_band_bucket_array(_ANN_MAT)).alias("band", "bk0"),
+    ).select("vec_id", F.concat_ws(":", "band", "bk0").alias("bk"))
     q_keys = (
         keys.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("qid"), "bk")
@@ -634,15 +669,17 @@ def _ivf_mean(df: DataFrame) -> dict:
 
 def _ivf_cells(cents: dict):
     """Column: array of (squared-L2-dist, cell) structs sorted ascending —
-    [0]['cell'] is the assignment, a slice is the probe set."""
+    [0]['cell'] is the assignment, a slice is the probe set.  Built as one
+    parsed SQL expression: K×D per-element ``F.lit`` calls are K×D py4j
+    round-trips of pure driver overhead (see :func:`_band_bucket_array`)."""
     entries = []
     for cell, cv in sorted(cents.items()):
-        plane = F.array(*[F.lit(float(x)) for x in cv])
-        dist = F.aggregate(
-            F.zip_with(plane, F.col("v"), lambda c, x: (x - c) * (x - c)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        entries.append(F.struct(dist.alias("dist"), F.lit(cell).alias("cell")))
-    return F.array_sort(F.array(*entries))
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+        entries.append(
+            f"named_struct('dist', aggregate(zip_with({arr}, v, "
+            f"(c, x) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x), "
+            f"'cell', {int(cell)})")
+    return F.expr("array_sort(array(" + ", ".join(entries) + "))")
 
 
 def _ivf_oracle_sql() -> str:
@@ -698,7 +735,7 @@ def x_sim_ivf(spark, sf_dir):
     candidate join is keyed on cell with the tiny probe side broadcast —
     no all-pairs.  K scales ~√n and the centroid model stays driver-side
     model state, exactly like a real IVF index build."""
-    e = _ann_vectors(spark, sf_dir)
+    e = _ann_vectors(spark, sf_dir, spread=True)
 
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     assigned = e.select("vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
@@ -785,19 +822,13 @@ def _embed_band_keys(e: DataFrame, bands: int, mat: list, planes: int) -> DataFr
     side of embedding dedup (one narrow codegen pass, wide vectors stay
     behind)."""
     return e.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     _ann_band_bucket(b, mat, planes).alias("bk"))
-            for b in range(bands)
-        ])).alias("x"),
-    ).select(F.col("vec_id").alias("doc_id"), F.col("x.band").alias("band"),
-             F.col("x.bk").alias("bk"))
+        "vec_id", F.posexplode(_band_bucket_array(mat[:bands])).alias("band", "bk"),
+    ).select(F.col("vec_id").alias("doc_id"), "band", "bk")
 
 
 def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
                  threshold: int) -> DataFrame:
-    e = _ann_vectors(spark, sf_dir)
+    e = _ann_vectors(spark, sf_dir, spread=True)
     pairs = _bucket_pairs(_embed_band_keys(e, bands, mat, planes))
     x, y = e.alias("x"), e.alias("y")
     dot = F.aggregate(F.zip_with("xv", "yv", lambda a, t: a * t),
@@ -865,7 +896,7 @@ def embed_dedup_candidate_ratio(spark, sf_dir, bands: int = _STRICT_BANDS,
     """Monitoring helper: fraction of the n·(n−1)/2 pair space that
     survives band-OR candidate generation — the number that decides
     whether LSH dedup is viable at a given corpus/threshold."""
-    e = _ann_vectors(spark, sf_dir)
+    e = _ann_vectors(spark, sf_dir, spread=True)
     n = e.count()
     n_cand = _bucket_pairs(
         _embed_band_keys(e, bands, _STRICT_MAT if mat is None else mat,
