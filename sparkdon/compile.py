@@ -201,9 +201,10 @@ class Compiler:
     def _object_struct(self) -> Column:
         return make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang"))
 
-    def compile_pattern(self, tp: TriplePattern) -> Bindings:
+    def compile_pattern(self, tp: TriplePattern,
+                        anchor_sets: dict | None = None) -> Bindings:
         if isinstance(tp.p, Path):
-            return self.compile_path_pattern(tp)
+            return self.compile_path_pattern(tp, anchor_sets)
         df = self.triples
         # constant filters — these push into the Parquet scan
         proj: dict[str, Column] = {}
@@ -257,10 +258,25 @@ class Compiler:
         names = list(proj.keys())
         return Bindings(out, names, set(names))
 
-    def compile_path_pattern(self, tp: TriplePattern) -> Bindings:
+    def compile_path_pattern(self, tp: TriplePattern,
+                             anchor_sets: dict | None = None) -> Bindings:
         start_const = None if isinstance(tp.s, Var) else tp.s
         end_const = None if isinstance(tp.o, Var) else tp.o
-        pairs = path_mod.eval_path(self, tp.p, start_const, end_const)
+        # VALUES-driven anchor sets: a closure path whose endpoint var is
+        # bound by an all-constant VALUES clause in the same group BFSes
+        # from that anchor set (one frontier join per level, per-anchor
+        # provenance) instead of paying the full transitive closure — the
+        # later join with the VALUES relation is then a no-op restriction.
+        start_anchors = end_anchors = None
+        if (anchor_sets and start_const is None and end_const is None
+                and isinstance(tp.p, Path) and tp.p.op in ("star", "plus")):
+            if tp.s.name in anchor_sets:
+                start_anchors = anchor_sets[tp.s.name]
+            elif tp.o.name in anchor_sets:
+                end_anchors = anchor_sets[tp.o.name]
+        pairs = path_mod.eval_path(self, tp.p, start_const, end_const,
+                                   start_anchors=start_anchors,
+                                   end_anchors=end_anchors)
         proj = {}
         df = pairs
         # filter constant endpoints (closure paths are already anchored, but
@@ -413,9 +429,19 @@ class Compiler:
     def compile_group(self, group: GroupPattern) -> Bindings:
         bindings: Bindings | None = None
         deferred: list[Expr] = []
+        # all-constant VALUES columns in this group double as closure-path
+        # anchor sets (the inner join with VALUES restricts those vars to
+        # exactly these terms, so anchoring the BFS there is lossless)
+        anchor_sets: dict[str, list] = {}
+        for el in group.elements:
+            if isinstance(el, ValuesClause):
+                for i, v in enumerate(el.variables):
+                    vals = [row[i] for row in el.rows]
+                    if vals and all(t is not None for t in vals):
+                        anchor_sets.setdefault(v.name, vals)
         for el in group.elements:
             if isinstance(el, TriplePattern):
-                bindings = self.join(bindings, self.compile_pattern(el))
+                bindings = self.join(bindings, self.compile_pattern(el, anchor_sets))
             elif isinstance(el, OptionalGroup):
                 if bindings is None:
                     bindings = self.unit()

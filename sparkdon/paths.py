@@ -140,22 +140,28 @@ def transitive_closure(step: DataFrame) -> DataFrame:
 
 def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
                      forward: bool, include_zero: bool) -> DataFrame:
-    """BFS closure from a set of anchor nodes.
+    """BFS closure from a set of anchor nodes, with per-anchor provenance.
 
-    anchors: one-column DF ``node``.  Returns (start, end) pairs where the
-    anchor side is ``start`` when forward else ``end``.
-    """
+    anchors: one-column DF ``node``.  Returns (anchor, node) pairs where
+    ``node`` is reachable from ``anchor`` along ≥1 steps (≥0 with
+    ``include_zero``).  The frontier carries the anchor column and
+    ``seen`` is keyed on the (anchor, node) PAIR, so a whole VALUES-driven
+    anchor set BFSes in one sequence of distributed joins — overlapping
+    cones don't truncate each other, and each level is still one shuffle
+    join regardless of anchor count.  The working set is the union of the
+    anchors' reachable cones, never the full transitive closure."""
     if not forward:
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
     # materialize the step once — every BFS level joins against it
     step = step.localCheckpoint(eager=True)
-    seen = anchors.select(F.col("node")).distinct().localCheckpoint(eager=True)
+    base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct()
+    seen = base.localCheckpoint(eager=True)
     frontier = seen
-    reached = None  # nodes at distance >= 1
+    reached = None  # (anchor, node) pairs at distance >= 1
     for _ in range(MAX_ITERATIONS):
         nxt = (
             frontier.join(step, frontier["node"] == step["start"])
-            .select(step["end"].alias("node"))
+            .select(frontier["anchor"], step["end"].alias("node"))
             .distinct()
         )
         reached = nxt if reached is None else reached.unionByName(nxt).distinct()
@@ -166,21 +172,20 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     else:
         raise QueryExecutionError("path closure did not converge")
     if include_zero:
-        result_nodes = seen  # anchors themselves + everything reached
-    else:
-        result_nodes = reached if reached is not None else seen.filter(F.lit(False))
-        result_nodes = result_nodes.localCheckpoint(eager=True)
-    # pair each reached node back with the single anchor set.  Multiple
-    # anchors would need per-anchor provenance; the compiler only anchors
-    # single constants (corpus shape), so assert that here.
-    return result_nodes
+        return seen  # (anchor, anchor) zero-length pairs + everything reached
+    result = reached if reached is not None else base.filter(F.lit(False))
+    return result.localCheckpoint(eager=True)
 
 
-def eval_path(compiler, path, start_const, end_const) -> DataFrame:
+def eval_path(compiler, path, start_const, end_const,
+              start_anchors=None, end_anchors=None) -> DataFrame:
     """Full path evaluation → (start, end) term-struct pairs.
 
     Closure paths dispatch on anchoring; everything else is joins/unions
-    over the step relation.
+    over the step relation.  ``start_anchors``/``end_anchors`` optionally
+    carry a VALUES-derived anchor TERM LIST for a var endpoint — the
+    closure then BFSes the anchors' cones (with per-anchor provenance)
+    instead of computing the full transitive closure.
     """
     spark = compiler.spark
     if isinstance(path, Path) and path.op in ("star", "plus", "opt"):
@@ -191,24 +196,22 @@ def eval_path(compiler, path, start_const, end_const) -> DataFrame:
             zero = all_nodes(compiler).select(
                 F.col("node").alias("start"), F.col("node").alias("end"))
             return step.unionByName(zero).distinct()
-        if start_const is not None or end_const is not None:
-            forward = start_const is not None
-            anchor_term = start_const if forward else end_const
+        fwd_terms = ([start_const] if start_const is not None
+                     else list(start_anchors) if start_anchors else None)
+        bwd_terms = ([end_const] if end_const is not None
+                     else list(end_anchors) if end_anchors else None)
+        if fwd_terms or bwd_terms:
+            forward = fwd_terms is not None
+            terms = fwd_terms if forward else bwd_terms
             anchors = spark.createDataFrame(
-                [( _const_struct_row(anchor_term),)], f"node {TERM_STRUCT_DDL}"
+                [(_const_struct_row(t),) for t in terms], f"node {TERM_STRUCT_DDL}"
             )
-            nodes = anchored_closure(spark, step, anchors, forward, include_zero)
-            anchor_col = F.lit(None)
-            row = _const_struct_row(anchor_term)
-            anchor_struct = make_term(
-                F.lit(row[0]), F.lit(row[1]),
-                F.lit(row[2]) if row[2] else None, F.lit(row[3]) if row[3] else None,
-            )
+            pairs = anchored_closure(spark, step, anchors, forward, include_zero)
             if forward:
-                return nodes.select(anchor_struct.alias("start"),
+                return pairs.select(F.col("anchor").alias("start"),
                                     F.col("node").alias("end"))
-            return nodes.select(F.col("node").alias("start"),
-                                anchor_struct.alias("end"))
+            return pairs.select(F.col("node").alias("start"),
+                                F.col("anchor").alias("end"))
         closure = transitive_closure(step)
         if include_zero:
             zero = all_nodes(compiler).select(

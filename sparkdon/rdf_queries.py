@@ -392,6 +392,38 @@ def sparql_path_star_anchored(spark, sf_dir):
 
 
 @register(
+    "sparql_path_star_values",
+    # per-anchor expansion of locatedIn* from VALUES {customer:7,
+    # customer:8, nation:3}: each anchor itself (zero-length) plus its
+    # reachable cone
+    "SELECT 'urn:g:customer:' || c_custkey AS s, "
+    " 'urn:g:customer:' || c_custkey AS x FROM customer WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:nation:' || c_nationkey "
+    "FROM customer WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:region:' || n_regionkey "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:nation:3', 'urn:g:nation:3' "
+    "UNION SELECT 'urn:g:nation:3', 'urn:g:region:' || n_regionkey "
+    "FROM nation WHERE n_nationkey = 3",
+)
+def sparql_path_star_values(spark, sf_dir):
+    """G3 multi-anchor: ``VALUES ?s {a b c} ?s locatedIn* ?x`` — the
+    VALUES terms become the BFS anchor set (paths.anchored_closure
+    carries per-anchor provenance), so the engine explores three
+    reachable cones in one frontier loop instead of the full transitive
+    closure the unanchored plan would pay."""
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES)
+    raw = e.select_raw(
+        "SELECT ?s ?x { VALUES ?s { <urn:g:customer:7> <urn:g:customer:8> "
+        "<urn:g:nation:3> } ?s p:locatedIn* ?x }")
+    return raw.select(raw["v_s"]["lex"].alias("s"), raw["v_x"]["lex"].alias("x"))
+
+
+@register(
     "s1_ntriples_roundtrip",
     "SELECT 'urn:p:n_name' AS p, count(*) AS cnt FROM nation "
     "UNION ALL SELECT 'urn:p:n_regionkey', count(*) FROM nation "

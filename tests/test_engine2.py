@@ -163,3 +163,47 @@ def test_construct_bnode_labels_consistent(spark):
     for r in g2.graph.collect():
         per_s.setdefault(r[1], set()).add(r[4])
     assert all(len(v) == 2 for v in per_s.values())
+
+
+def test_path_star_values_multi_anchor(spark):
+    """VALUES-driven anchor sets: overlapping cones and cycles must keep
+    per-anchor provenance (each anchor pairs with ITS reachable nodes,
+    not the union)."""
+    g = inline(
+        "@prefix : <http://ex.com/> . "
+        ":a :n :b . :b :n :c . :c :n :a . "  # 3-cycle
+        ":d :n :b . "                         # joins the cycle mid-way
+        ":e :n :e . ",                        # self-loop island
+        spark)
+    df = g.select("SELECT ?s ?x { VALUES ?s { :a :d :e } ?s :n* ?x }")
+
+    def norm(t):
+        return str(t).split(":")[-1].split("/")[-1]
+
+    pairs = {(norm(s), norm(x)) for s, x in zip(df["s"], df["x"])}
+    assert pairs == {
+        ("a", "a"), ("a", "b"), ("a", "c"),
+        ("d", "d"), ("d", "b"), ("d", "c"), ("d", "a"),
+        ("e", "e"),
+    }
+    # matches running each anchor alone
+    singles = set()
+    for a in (":a", ":d", ":e"):
+        one_df = g.select(f"SELECT ?x {{ {a} :n* ?x }}")
+        singles |= {(a[1:], norm(x)) for x in one_df["x"]}
+    assert pairs == singles
+
+
+def test_path_plus_values_anchor_no_zero(spark):
+    """p+ from a VALUES anchor set: no zero-length pairs unless reached
+    by a real cycle."""
+    g = inline(
+        "@prefix : <http://ex.com/> . :a :n :b . :b :n :c . :e :n :e .",
+        spark)
+    df = g.select("SELECT ?s ?x { VALUES ?s { :a :e } ?s :n+ ?x }")
+
+    def norm(t):
+        return str(t).split(":")[-1].split("/")[-1]
+
+    pairs = {(norm(s), norm(x)) for s, x in zip(df["s"], df["x"])}
+    assert pairs == {("a", "b"), ("a", "c"), ("e", "e")}
