@@ -153,14 +153,23 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
 
 N_HASHES = 16
 BAND_ROWS = 4  # 4 bands x 4 rows
+MINHASH_P = 4_294_967_291  # largest prime < 2^32
 
 
 def _minhash_bands(spark, sf_dir) -> DataFrame:
     """Per-doc banded MinHash signature.
 
-    minhash_k(doc) = min over shingles of md5(k || '|' || shingle) — the
-    lexicographic min of a cryptographic hash is a valid min-hash, and
-    md5 is identical in DuckDB, so the oracle reproduces it bit-for-bit.
+    minhash_k(doc) = min over shingles of (h1 + k·h2) mod P, where
+    h1/h2 are the two 32-bit halves of ONE md5 per shingle and P is the
+    largest prime < 2³² (Kirsch-Mitzenmacher double hashing — k derived
+    hash functions from one strong hash).  One md5 per shingle instead
+    of one per (shingle, k) is a 16× cut in hash work — md5 dominated
+    the signature pass.  The mod-P wrap is what keeps the k functions
+    usefully independent: without it k·h2 dominates the ordering for
+    large k and the 16 mins collapse toward argmin(h2), inflating
+    false-positive buckets ~6×.  All intermediates stay < 16·2³² ≪ 2⁶³,
+    so no overflow semantics are involved and DuckDB reproduces every
+    value exactly.
 
     Shape: explode shingles once, then ONE hash-aggregate computing all
     16 mins (map-side partial min → tiny shuffle keyed by doc_id).  A
@@ -169,18 +178,24 @@ def _minhash_bands(spark, sf_dir) -> DataFrame:
     column, re-tokenizing the document 16 times.
     """
     docs = table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("s").cast("binary"))
     exploded = _spark_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("s"))
+        "doc_id", F.explode("shingles").alias("s")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")).cast("binary"))).alias(f"mh{k}")
+            F.min((F.col("h1") + k * F.col("h2")) % MINHASH_P).alias(f"mh{k}")
             for k in range(N_HASHES)
         ]
     )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}")
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}").cast("string")
                                      for r in range(BAND_ROWS)]).cast("binary")).alias("bk"),
         )
         for b in range(N_HASHES // BAND_ROWS)
@@ -194,11 +209,15 @@ def _minhash_bands(spark, sf_dir) -> DataFrame:
 
 _DUCK_BANDS = (
     _DUCK_SHINGLES +
-    ", mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m "
-    "  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds "
+    ", hs AS (SELECT doc_id, "
+    "  CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1, "
+    "  CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h2 FROM sh), "
+    "mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967291) AS m "
+    "  FROM hs, (SELECT unnest(generate_series(0, 15)) AS seed) seeds "
     "  GROUP BY doc_id, seed), "
     "bands AS (SELECT doc_id, seed // 4 AS band, "
-    "  md5(string_agg(m, '|' ORDER BY seed)) AS bk FROM mh GROUP BY doc_id, seed // 4) "
+    "  md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS bk "
+    "  FROM mh GROUP BY doc_id, seed // 4) "
 )
 
 
