@@ -467,8 +467,12 @@ def sparql_census_orders(spark, sf_dir):
 
 @register("q_peel_bnode_closure")
 def q_peel_bnode_closure(spark, sf_dir):
-    """S5/G5 (rows-only): peel copies the bnode-closure of a node —
-    exercised on an inline fixture; returns the peeled triples."""
+    """S5/G5 (rows-only BY NECESSITY: the peeled triples carry
+    parser-generated blank-node labels, which no independent engine can
+    reproduce — label-insensitive graph isomorphism is not expressible
+    as a SQL value compare; structure is asserted in
+    tests/test_engine.py::test_peel_through_bnodes instead): peel copies
+    the bnode-closure of a node on an inline fixture."""
     from sparkdon.session import inline
 
     e = inline(
@@ -480,10 +484,18 @@ def q_peel_bnode_closure(spark, sf_dir):
     return e.peel(":thing").graph.select("s_kind", "p", "o_kind", "o")
 
 
-@register("q_decollect_seq")
+@register(
+    "q_decollect_seq",
+    "SELECT * FROM (VALUES (0, 'one'), (1, 'two'), (2, 'three'), (3, 'four'), "
+    "(4, 'five'), (5, 'six'), (6, 'seven'), (7, 'eight'), (8, 'nine'), "
+    "(9, 'ten'), (10, 'eleven')) t(pos, item)",
+)
 def q_decollect_seq(spark, sf_dir):
-    """Q10/O5 (rows-only): Seq decollection in numeric index order —
-    the _10/_2 lexical trap (RDFContainers#cell46-52)."""
+    """Q10/O5: Seq decollection in numeric index order — the _10/_2
+    lexical trap (RDFContainers#cell46-52).  The fixture is inline and
+    fixed, so the oracle is the expected relation itself: the gate fails
+    exactly when the engine mis-orders (e.g. lexically: ten before two)
+    or drops a member."""
     from sparkdon.session import inline
 
     words = "one two three four five six seven eight nine ten eleven".split()
@@ -496,10 +508,24 @@ def q_decollect_seq(spark, sf_dir):
         [(i, v) for i, v in enumerate(items)], "pos int, item string")
 
 
-@register("q_rule_fixpoint")
+@register(
+    "q_rule_fixpoint",
+    # independent recomputation of the fixpoint: recursive-CTE transitive
+    # closure over the same seed edges
+    "WITH RECURSIVE edges(x, z) AS (SELECT * FROM (VALUES "
+    " ('http://example.com/a', 'http://example.com/b'), "
+    " ('http://example.com/b', 'http://example.com/c'), "
+    " ('http://example.com/c', 'http://example.com/d'), "
+    " ('http://example.com/d', 'http://example.com/e')) t(x, z)), "
+    "closure(x, z) AS (SELECT x, z FROM edges UNION "
+    " SELECT e.x, c.z FROM edges e JOIN closure c ON e.z = c.x) "
+    "SELECT x, z FROM closure",
+)
 def q_rule_fixpoint(spark, sf_dir):
-    """G7 (rows-only): INSERT-WHERE rule run to fixpoint — transitive
-    closure of a 5-level subclass chain materializes all ancestor edges."""
+    """G7: INSERT-WHERE rule run to fixpoint — transitive closure of a
+    5-level subclass chain materializes all ancestor edges.  Oracle: the
+    same closure computed independently by DuckDB's WITH RECURSIVE over
+    the seed edges."""
     from sparkdon.session import inline
 
     e = inline(
