@@ -367,3 +367,50 @@ def test_embed_dedup_strict_prunes_candidates(spark):
     plan = plan_of(x_dedup_embed_strict(spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_keys_narrow_matches_batch(spark):
+    """The stream-safe narrow band-key formulation must equal the batch
+    explode+groupBy signature path key-for-key."""
+    from sparkdon import pipeline
+    from sparkdon.streaming.neardup import band_keys_narrow
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    narrow = {(r.doc_id, r.band, r.bk)
+              for r in band_keys_narrow(docs).collect()}
+    batch = {(r.doc_id, r.band, r.bk)
+             for r in pipeline._minhash_bands(spark, sf).collect()}
+    assert narrow == batch
+
+
+def test_streaming_near_dup_matches(spark, tmp_path):
+    """Stream-static LSH near-dup: an incoming near-copy of a corpus doc
+    must collide in >=1 band; an unrelated doc must not."""
+    import pandas as pd
+
+    from sparkdon import pipeline
+    from sparkdon.streaming.neardup import near_dup_matches
+    from sparkdon.streaming.windows import run_to_memory
+    import unittest.mock as mock
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    other = " ".join(f"zz{i}" for i in range(60))
+
+    corpus = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    with mock.patch.object(pipeline, "table", lambda s, d, n: corpus):
+        corpus_bands = pipeline._minhash_bands(spark, "ignored").withColumnRenamed(
+            "doc_id", "corpus_doc_id").localCheckpoint(eager=True)
+
+    pd.DataFrame({"doc_id": [1, 2], "text": [near, other]}).to_parquet(
+        tmp_path / "batch1.parquet")
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(str(tmp_path)))
+    run_to_memory(near_dup_matches(stream, corpus_bands), "neardup_test",
+                  output_mode="append")
+    rows = spark.sql("SELECT * FROM neardup_test").collect()
+    assert rows, "near-dup of corpus doc produced no band collisions"
+    assert {r.doc_id for r in rows} == {1}
+    assert all(r.corpus_doc_id == 100 for r in rows)
