@@ -1,0 +1,107 @@
+"""Scale-sanity probe: replicate the sf0.1 tables k× (ids shifted so
+keys stay distinct) into /tmp and measure how the heavy operators scale
+with input size.  A bucket-local/broadcast-keyed plan should scale
+~linearly in rows; anything quadratic or driver-bound shows up as a
+super-linear wall-clock ratio.
+
+Usage: python scripts/scale_probe.py [k] [sf_dir]
+Prints one JSON line: {"k": k, "queries": {name: {"t1": s, "tk": s,
+"ratio": tk/t1}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/sparkdon_scale_{k}x"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- build the k-times corpus (ids shifted per replica) -----------
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    replicas = spark.range(k).withColumnRenamed("id", "rep")
+
+    def scale_table(name: str, id_cols: dict[str, int], text_col: str | None = None):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out = df.crossJoin(F.broadcast(replicas))
+        for col, stride in id_cols.items():
+            out = out.withColumn(col, F.col(col) + F.col("rep") * stride)
+        if text_col:
+            # make replica text distinct so dedup does not degenerate into
+            # k-way exact duplicates of the whole corpus
+            out = out.withColumn(
+                text_col, F.concat_ws(" ", F.col(text_col),
+                                      F.concat(F.lit("rep"), F.col("rep"))))
+        out.drop("rep").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    scale_table("documents", {"doc_id": 1_000_000}, text_col="text")
+    scale_table("embeddings", {"vec_id": 1_000_000})
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+
+    from sparkdon.pipeline import (
+        x_dedup_embed_strict,
+        x_dedup_exact,
+        x_dedup_minhash,
+        x_sim_lsh_refined,
+    )
+
+    probes = {
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_sim_lsh_refined": x_sim_lsh_refined,
+        "x_dedup_embed_strict": x_dedup_embed_strict,
+    }
+
+    def best_of_2(fn, d):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, d).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    results = {}
+    for name, fn in probes.items():
+        t1 = best_of_2(fn, sf_dir)
+        tk = best_of_2(fn, out_dir)
+        results[name] = {"t1": t1, "tk": tk, "ratio": round(tk / t1, 2)}
+
+    print(json.dumps({"k": k, "queries": results}))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
