@@ -370,6 +370,16 @@ def x_dedup_simhash(spark, sf_dir):
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def _norm_col(c):
+    """sqrt of the self-dot left fold — the SAME arithmetic the oracles
+    use, so precomputing it per vector (in a projection BELOW the join,
+    where Catalyst's CollapseProject cannot merge it into the per-pair
+    output projection) changes nothing numerically while cutting the
+    per-pair fold work to the dot product alone."""
+    return F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
 _DUCK_SIM = (
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     "q AS (SELECT * FROM e WHERE vec_id < 10), "
@@ -394,19 +404,19 @@ def x_sim_topk(spark, sf_dir):
     baseline ANN.  The query side is tiny and broadcast; the corpus side
     streams once.  Cosine is a fold over ``zip_with`` (pure codegen)."""
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).select("vec_id", "v", _norm_col("v").alias("nv"))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     sims = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.floor(1e6 * dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim_scaled"),
+            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
@@ -632,19 +642,19 @@ def x_sim_lsh_refined(spark, sf_dir):
         .distinct()
     )
 
-    qv = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
+    qv = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda a, x: a * x),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     sims = (
-        cand.join(e, cand.cid == e.vec_id)
+        cand.join(en, cand.cid == en.vec_id)
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "cid",
-            F.floor(1e6 * dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim_scaled"),
+            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
@@ -777,19 +787,19 @@ def x_sim_ivf(spark, sf_dir):
         .distinct()
     )
 
-    qv = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
+    qv = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda a, x: a * x),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     sims = (
-        cand.join(e, cand.cid == e.vec_id)
+        cand.join(en, cand.cid == en.vec_id)
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "cid",
-            F.floor(1e6 * dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim_scaled"),
+            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
@@ -849,21 +859,21 @@ def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
                  threshold: int) -> DataFrame:
     e = _ann_vectors(spark, sf_dir, spread=True)
     pairs = _bucket_pairs(_embed_band_keys(e, bands, mat, planes))
-    x, y = e.alias("x"), e.alias("y")
+    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
+    x, y = en.alias("x"), en.alias("y")
     dot = F.aggregate(F.zip_with("xv", "yv", lambda a, t: a * t),
                       F.lit(0.0), lambda acc, t: acc + t)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t))
     return (
         pairs.join(x, pairs.d1 == F.col("x.vec_id"))
         .join(y, pairs.d2 == F.col("y.vec_id"))
         .select(
             "d1", "d2",
             F.col("x.v").alias("xv"), F.col("y.v").alias("yv"),
+            F.col("x.nv").alias("xn"), F.col("y.nv").alias("yn"),
         )
         .select(
             "d1", "d2",
-            F.floor(1e6 * dot / (norm(F.col("xv")) * norm(F.col("yv")))).alias("sim_scaled"),
+            F.floor(1e6 * dot / (F.col("xn") * F.col("yn"))).alias("sim_scaled"),
         )
         .filter(F.col("sim_scaled") >= threshold)
     )
