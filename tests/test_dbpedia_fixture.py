@@ -93,3 +93,29 @@ def test_not_exists_no_english_label(dbpedia):
     )
     total = dbpedia.select("SELECT (COUNT(*) AS ?n) { ?s a owl:Class }")
     assert 0 <= one(df) < one(total)
+
+def test_subclass_star_values_anchors_on_real_schema(dbpedia):
+    """Multi-anchor closure on the real ontology: VALUES {Actor, City}
+    subClassOf* — per-anchor cones must match the single-anchor runs."""
+    actor = "http://dbpedia.org/ontology/Actor"
+    city = "http://dbpedia.org/ontology/City"
+
+    def uris(series):
+        return {str(v.to_uri()) if hasattr(v, "to_uri") else str(v)
+                for v in series}
+
+    multi = dbpedia.select(
+        f"SELECT ?s ?x {{ VALUES ?s {{ <{actor}> <{city}> }} "
+        "?s rdfs:subClassOf* ?x }")
+    per_anchor = {}
+    for s, x in zip(multi["s"], multi["x"]):
+        key = str(s.to_uri()) if hasattr(s, "to_uri") else str(s)
+        per_anchor.setdefault(key, set()).add(
+            str(x.to_uri()) if hasattr(x, "to_uri") else str(x))
+    assert set(per_anchor) == {actor, city}
+    for anchor in (actor, city):
+        single = dbpedia.select(
+            "SELECT ?x { ?_a rdfs:subClassOf* ?x }",
+            bindings={"a": f"<{anchor}>"})
+        assert per_anchor[anchor] == uris(single["x"])
+        assert anchor in per_anchor[anchor]  # zero-length pair
