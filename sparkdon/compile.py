@@ -863,12 +863,51 @@ class Compiler:
             return ("term", lit_term(self.as_str(args[0]), lang=self.as_str(args[1])))
         if name == "STRDT":
             return ("term", lit_term(self.as_str(args[0]), dt=self.as_str(args[1])))
+        if name == "HOURS":
+            return ("num", F.hour(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "MINUTES":
+            return ("num", F.minute(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "SECONDS":
+            return ("num", F.second(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+        if name == "NOW":
+            # one timestamp per query (Spark folds current_timestamp to a
+            # single value per execution — the SPARQL requirement)
+            return ("term", lit_term(
+                F.date_format(F.current_timestamp(),
+                              "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+                dt=XSD + "dateTime"))
+        if name == "UUID":
+            return ("term", iri_term(F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))))
+        if name == "STRUUID":
+            return ("str", F.expr("uuid()"))
+        if name == "RAND":
+            return ("num", F.rand())
+        if name == "BNODE" and not args:
+            return ("term", make_term(KIND_BNODE, F.expr("uuid()")))
+        if name == "TZ":
+            # timezone designator of the LEXICAL form ('' when absent,
+            # 'Z' for Zulu — spec §17.4.5.9)
+            return ("str", F.regexp_extract(
+                self.as_str(args[0]), r"(Z|[+-]\d{2}:\d{2})$", 1))
+        if name == "ENCODE_FOR_URI":
+            # percent-encode everything outside RFC 3986 unreserved
+            # (url_encode is form-encoding: '+' for space, '*' raw, '~'
+            # escaped — patch the three divergences)
+            enc = F.url_encode(self.as_str(args[0]))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return ("str", enc)
         if name == "MD5":
             return ("str", F.md5(self.as_str(args[0]).cast("binary")))
         if name == "SHA1":
             return ("str", F.sha1(self.as_str(args[0]).cast("binary")))
         if name == "SHA256":
             return ("str", F.sha2(self.as_str(args[0]).cast("binary"), 256))
+        if name == "SHA384":
+            return ("str", F.sha2(self.as_str(args[0]).cast("binary"), 384))
+        if name == "SHA512":
+            return ("str", F.sha2(self.as_str(args[0]).cast("binary"), 512))
         # datatype-cast function: name is a datatype IRI (xsd:integer(...) etc.)
         if name.startswith(XSD):
             local = name[len(XSD):]

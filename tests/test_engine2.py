@@ -207,3 +207,52 @@ def test_path_plus_values_anchor_no_zero(spark):
 
     pairs = {(norm(s), norm(x)) for s, x in zip(df["s"], df["x"])}
     assert pairs == {("a", "b"), ("a", "c"), ("e", "e")}
+
+
+def test_datetime_accessors_hours_minutes_seconds(ep):
+    df = q(ep, "SELECT ?h ?m ?sec { :c :when ?w . "
+               "BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?m) "
+               "BIND(SECONDS(?w) AS ?sec) }")
+    assert (df["h"][0], df["m"][0], df["sec"][0]) == (10, 0, 0)
+
+
+def test_tz_of_lexical_form(ep):
+    df = q(ep, 'SELECT ?t { :c :when ?w . BIND(TZ(?w) AS ?t) }')
+    assert df["t"][0] == ""  # no timezone designator in the fixture
+    df = q(ep, 'SELECT ?t { BIND(TZ("2020-05-04T10:00:00Z") AS ?t) }')
+    assert df["t"][0] == "Z"
+    df = q(ep, 'SELECT ?t { BIND(TZ("2020-05-04T10:00:00+05:30") AS ?t) }')
+    assert df["t"][0] == "+05:30"
+
+
+def test_now_uuid_struuid_rand(ep):
+    import re
+
+    df = q(ep, "SELECT ?n ?u ?su ?r { :a :name ?x . BIND(NOW() AS ?n) "
+               "BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) BIND(RAND() AS ?r) }")
+    # the xsd:dateTime literal decodes to a Python datetime
+    import datetime
+
+    assert isinstance(df["n"][0], datetime.datetime)
+    assert df["n"][0].year >= 2026
+    u = df["u"][0]
+    assert str(u.to_uri() if hasattr(u, "to_uri") else u).startswith("urn:uuid:")
+    assert re.fullmatch(r"[0-9a-f-]{36}", df["su"][0])
+    assert 0.0 <= df["r"][0] < 1.0
+
+
+def test_encode_for_uri_and_sha512(ep):
+    df = q(ep, 'SELECT ?e { BIND(ENCODE_FOR_URI("a b~c*d/e") AS ?e) }')
+    assert df["e"][0] == "a%20b~c%2Ad%2Fe"
+    df = q(ep, 'SELECT ?h { BIND(SHA512("abc") AS ?h) }')
+    import hashlib
+    assert df["h"][0] == hashlib.sha512(b"abc").hexdigest()
+
+
+def test_bnode_fresh_per_row(ep):
+    from sparkdon.terms import BNode
+
+    df = q(ep, "SELECT ?b { ?s :name ?n . BIND(BNODE() AS ?b) }")
+    vals = list(df["b"])
+    assert all(isinstance(v, BNode) for v in vals)
+    assert len(set(map(str, vals))) == len(vals)  # fresh per solution
