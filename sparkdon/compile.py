@@ -889,6 +889,20 @@ class Compiler:
             # 'Z' for Zulu — spec §17.4.5.9)
             return ("str", F.regexp_extract(
                 self.as_str(args[0]), r"(Z|[+-]\d{2}:\d{2})$", 1))
+        if name == "TIMEZONE":
+            # xsd:dayTimeDuration of the timezone designator; no
+            # designator → type error → unbound (spec §17.4.5.8)
+            tz = F.regexp_extract(self.as_str(args[0]), r"(Z|[+-]\d{2}:\d{2})$", 1)
+            h = F.substring(tz, 2, 2).try_cast("int")
+            m = F.substring(tz, 5, 2).try_cast("int")
+            dur = F.when((tz == "Z") | ((h == 0) & (m == 0)), F.lit("PT0S")) \
+                .when(tz != "", F.concat(
+                    F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit("")),
+                    F.lit("PT"),
+                    F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                    F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(F.lit(""))))
+            return ("term", F.when(dur.isNotNull(),
+                                   lit_term(dur, dt=XSD + "dayTimeDuration")))
         if name == "ENCODE_FOR_URI":
             # percent-encode everything outside RFC 3986 unreserved
             # (url_encode is form-encoding: '+' for space, '*' raw, '~'

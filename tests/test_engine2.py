@@ -256,3 +256,15 @@ def test_bnode_fresh_per_row(ep):
     vals = list(df["b"])
     assert all(isinstance(v, BNode) for v in vals)
     assert len(set(map(str, vals))) == len(vals)  # fresh per solution
+
+
+def test_timezone_duration(ep):
+    df = q(ep, 'SELECT ?t { BIND(TIMEZONE("2020-05-04T10:00:00Z") AS ?t) }')
+    assert str(df["t"][0]) == "PT0S"
+    df = q(ep, 'SELECT ?t { BIND(TIMEZONE("2020-05-04T10:00:00+05:30") AS ?t) }')
+    assert str(df["t"][0]) == "PT5H30M"
+    df = q(ep, 'SELECT ?t { BIND(TIMEZONE("2020-05-04T10:00:00-08:00") AS ?t) }')
+    assert str(df["t"][0]) == "-PT8H"
+    # no designator -> type error -> unbound
+    df = q(ep, 'SELECT ?t { :c :when ?w . BIND(TIMEZONE(?w) AS ?t) }')
+    assert df["t"][0] is None
