@@ -849,11 +849,11 @@ class Compiler:
         if name == "ROUND":
             return ("num", F.round(self.as_num(args[0]), 0))
         if name == "YEAR":
-            return ("num", F.year(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.year(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "MONTH":
-            return ("num", F.month(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.month(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "DAY":
-            return ("num", F.dayofmonth(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.dayofmonth(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "COALESCE":
             return ("term", F.coalesce(*[self.as_term(a) for a in args]))
         if name == "IF":
@@ -864,11 +864,11 @@ class Compiler:
         if name == "STRDT":
             return ("term", lit_term(self.as_str(args[0]), dt=self.as_str(args[1])))
         if name == "HOURS":
-            return ("num", F.hour(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.hour(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "MINUTES":
-            return ("num", F.minute(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.minute(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "SECONDS":
-            return ("num", F.second(F.to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
+            return ("num", F.second(F.try_to_timestamp(self.as_str(args[0]))).cast("double"), "integer")
         if name == "NOW":
             # one timestamp per query (Spark folds current_timestamp to a
             # single value per execution — the SPARQL requirement)

@@ -452,6 +452,7 @@ def s1_ntriples_roundtrip(spark, sf_dir):
     " UNION ALL SELECT 'urn:p:o_orderstatus', count(*) FROM orders"
     " UNION ALL SELECT 'urn:p:o_totalprice', count(*) FROM orders"
     " UNION ALL SELECT 'urn:p:o_orderpriority', count(*) FROM orders"
+    " UNION ALL SELECT 'urn:p:o_orderdate', count(o_orderdate) FROM orders"
     ")",
 )
 def sparql_census_orders(spark, sf_dir):
@@ -461,6 +462,24 @@ def sparql_census_orders(spark, sf_dir):
         spark, sf_dir,
         "SELECT ?p (COUNT(*) AS ?cnt) { ?s ?p ?o } GROUP BY ?p",
         {"p": "str", "cnt": "long"},
+        tables=("orders",),
+    )
+
+
+@register(
+    "sparql_year_agg",
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS cnt "
+    "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1",
+)
+def sparql_year_agg(spark, sf_dir):
+    """F-tier datetime accessors end-to-end: YEAR() over xsd:dateTime
+    literals (o_orderdate rdf-ized with a typed lexical form), grouped —
+    the engine parses the lexical form, DuckDB the native timestamp."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?y (COUNT(*) AS ?cnt) { ?o p:o_orderdate ?d . "
+        "BIND(YEAR(?d) AS ?y) } GROUP BY ?y",
+        {"y": "long", "cnt": "long"},
         tables=("orders",),
     )
 

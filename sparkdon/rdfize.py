@@ -48,6 +48,7 @@ TABLE_SPEC = {
             ("o_orderstatus", "str"),
             ("o_totalprice", "double"),
             ("o_orderpriority", "str"),
+            ("o_orderdate", "datetime"),
         ],
     ),
 }
@@ -86,6 +87,11 @@ def rdfize_table(df: DataFrame, table: str) -> DataFrame:
         elif kind == "double":
             o_kind, o, dt = (
                 F.lit(KIND_LIT), F.col(col).cast("string"), F.lit(XSD + "double"))
+        elif kind == "datetime":
+            o_kind, o, dt = (
+                F.lit(KIND_LIT),
+                F.date_format(F.col(col), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit(XSD + "dateTime"))
         else:
             o_kind, o, dt = (F.lit(KIND_LIT), F.col(col).cast("string"),
                              F.lit(None).cast("string"))
