@@ -130,7 +130,14 @@ class Compiler:
                     walk_expr(o)
             elif isinstance(e, AggExpr):
                 if e.arg is not None:
-                    walk_expr(e.arg)
+                    # COUNT(?v) / COUNT(DISTINCT ?v) over a bare variable
+                    # needs only presence/equality — id equality ⇔ term
+                    # equality, so the var can stay id-encoded
+                    if (e.name == "COUNT" and isinstance(e.arg, TermExpr)
+                            and isinstance(e.arg.term, Var)):
+                        pass
+                    else:
+                        walk_expr(e.arg)
             elif isinstance(e, ExistsExpr):
                 walk_group(e.group)
 
@@ -1072,6 +1079,13 @@ class Compiler:
             if agg.name == "COUNT":
                 if agg.arg is None:
                     c = F.count(F.lit(1))
+                elif (isinstance(agg.arg, TermExpr)
+                        and isinstance(agg.arg.term, Var)
+                        and agg.arg.term.name in self.id_only):
+                    # id-encoded var: count/distinct over the 8-byte id
+                    # column (null ⇔ unbound, id equality ⇔ term equality)
+                    idc = colmap[agg.arg.term.name]
+                    c = F.count_distinct(idc) if agg.distinct else F.count(idc)
                 else:
                     val = self.as_term(self.compile_expr(agg.arg, colmap))
                     c = F.count_distinct(val) if agg.distinct else F.count(val)

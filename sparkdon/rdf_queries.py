@@ -175,6 +175,26 @@ def sparql_optional(spark, sf_dir):
 
 
 @register(
+    "sparql_optional_ids",
+    "SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers FROM nation n "
+    "LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def sparql_optional_ids(spark, sf_dir):
+    """sparql_optional with ``use_ids``: COUNT(?s) over a bare variable
+    only needs presence/equality, so ?s and ?n stay id-encoded end to end
+    (r4 extension of the id analysis) — the OPTIONAL's left-outer join
+    and the count both run on 8-byte ids."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?nation (COUNT(?s) AS ?suppliers) { "
+        " ?n a c:nation . ?n p:n_name ?nation . "
+        " OPTIONAL { ?s p:s_nationkey ?n } } GROUP BY ?nation",
+        {"nation": "str", "suppliers": "long"},
+        use_ids=True,
+    )
+
+
+@register(
     "sparql_not_exists",
     "SELECT n_name AS nation FROM nation n WHERE NOT EXISTS "
     "(SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey "

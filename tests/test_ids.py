@@ -108,3 +108,18 @@ def test_projected_var_stays_struct(ends):
     comp.compile_select(parse_query(
         "SELECT ?b { :New_York_City :boro ?b }", prefixes=on.prefixes))
     assert comp.id_only == frozenset()
+
+
+def test_count_over_bare_var_stays_id_encoded(ends, spark):
+    """r4: COUNT(?v)/COUNT(DISTINCT ?v) need only presence/equality, so a
+    var whose only value use is a bare-var COUNT keeps its 8-byte id
+    encoding — and results match the struct-mode twin."""
+    off, on = ends
+    q = ("SELECT ?b (COUNT(DISTINCT ?lab) AS ?n) "
+         "{ :New_York_City :boro ?b . ?b rdfs:label ?lab } GROUP BY ?b")
+    comp = on._compiler()
+    comp.compile_select(parse_query(q, prefixes=on.prefixes))
+    assert "lab" in comp.id_only  # counted-only var rides as an id
+    got_on = sorted(map(tuple, on.select(q).reset_index().values.tolist()))
+    got_off = sorted(map(tuple, off.select(q).reset_index().values.tolist()))
+    assert got_on == got_off
