@@ -101,33 +101,59 @@ class Compiler:
         #: documents); shuffle rows for join-only variables shrink ~8-15×.
         self.use_ids = use_ids
         self.id_only: frozenset[str] = frozenset()
+        #: late-materialized vars (use_ids v3): value needed ONLY in the
+        #: top-level post-WHERE clauses (projection / GROUP BY / ORDER BY /
+        #: HAVING), so the var travels through every pattern join as an
+        #: 8-byte id and is decoded ONCE at the end by a left join against
+        #: a decode relation unioned from exactly the (filtered) pattern
+        #: scans that bind it — classic late materialization: K shuffles of
+        #: a ~60-120-byte struct become K shuffles of a long plus one
+        #: decode join whose probe side is the (small) final result.
+        self.late: frozenset[str] = frozenset()
+        self._decode_src: dict[str, list[DataFrame]] = {}
         self._analyzed = False
 
     # ------------------------------------------------------------------
     # use_ids analysis
     # ------------------------------------------------------------------
 
-    def _analyze_id_vars(self, q) -> frozenset[str]:
-        """Variables eligible for id-only representation: those that appear
-        ONLY in plain triple-pattern positions — never in a projection,
-        expression, path, VALUES, BIND, GROUP/ORDER BY, or sub-SELECT
-        output.  A ``SELECT *`` anywhere keeps every variable (all values
-        are observable) and disables the mode."""
+    def _analyze_id_vars(self, q) -> tuple[frozenset[str], frozenset[str]]:
+        """Returns ``(id_only, late)``.
+
+        ``id_only``: variables eligible for id-only representation — they
+        appear ONLY in plain triple-pattern positions — never in a
+        projection, expression, path, VALUES, BIND, GROUP/ORDER BY, or
+        sub-SELECT output.  A ``SELECT *`` anywhere keeps every variable
+        (all values are observable) and disables the mode.
+
+        ``late``: variables whose value uses are confined to the TOP-LEVEL
+        query's post-WHERE clauses (projection, GROUP BY, ORDER BY,
+        HAVING).  Those clauses run after :meth:`compile_select` decodes
+        late ids back to term structs, so the var can stay id-encoded
+        through the whole WHERE evaluation.  Any value use *inside* the
+        WHERE group (FILTER, BIND, VALUES, path endpoint, EXISTS body,
+        sub-SELECT) disqualifies.  Only populated when the query has ≥2
+        plain triple patterns — with a single pattern there is no join
+        for the id encoding to shrink, and the decode join would be pure
+        overhead."""
         value: set[str] = set()
+        value_top: set[str] = set()
         pattern_vars: set[str] = set()
+        n_plain = 0
         star = False
 
-        def walk_expr(e) -> None:
+        def walk_expr(e, sink: set[str] | None = None) -> None:
+            sink = value if sink is None else sink
             if isinstance(e, TermExpr):
                 if isinstance(e.term, Var):
-                    value.add(e.term.name)
+                    sink.add(e.term.name)
             elif isinstance(e, (OpExpr, FuncExpr)):
                 for a in e.args:
-                    walk_expr(a)
+                    walk_expr(a, sink)
             elif isinstance(e, InExpr):
-                walk_expr(e.value)
+                walk_expr(e.value, sink)
                 for o in e.options:
-                    walk_expr(o)
+                    walk_expr(o, sink)
             elif isinstance(e, AggExpr):
                 if e.arg is not None:
                     # COUNT(?v) / COUNT(DISTINCT ?v) over a bare variable
@@ -137,11 +163,12 @@ class Compiler:
                             and isinstance(e.arg.term, Var)):
                         pass
                     else:
-                        walk_expr(e.arg)
+                        walk_expr(e.arg, sink)
             elif isinstance(e, ExistsExpr):
                 walk_group(e.group)
 
         def walk_group(g: GroupPattern) -> None:
+            nonlocal n_plain
             for el in g.elements:
                 if isinstance(el, TriplePattern):
                     if isinstance(el.p, Path):
@@ -150,6 +177,7 @@ class Compiler:
                             if isinstance(t, Var):
                                 value.add(t.name)
                     else:
+                        n_plain += 1
                         for t in (el.s, el.p, el.o):
                             if isinstance(t, Var):
                                 pattern_vars.add(t.name)
@@ -171,32 +199,35 @@ class Compiler:
                 elif isinstance(el, Filter):
                     walk_expr(el.expr)
 
-        def walk_select(sq) -> None:
+        def walk_select(sq, top: bool = False) -> None:
             nonlocal star
+            sink = value_top if top else value
             walk_group(sq.where)
             if not sq.projections:
                 star = True
             for e, _alias in sq.projections:
                 if isinstance(e, Var):
-                    value.add(e.name)
+                    sink.add(e.name)
                 else:
-                    walk_expr(e)
+                    walk_expr(e, sink)
             for g in sq.group_by:
-                walk_expr(g[0] if isinstance(g, tuple) else g)
+                walk_expr(g[0] if isinstance(g, tuple) else g, sink)
             for e, _d in sq.order_by:
-                walk_expr(e)
+                walk_expr(e, sink)
             for h in sq.having:
-                walk_expr(h)
+                walk_expr(h, sink)
 
         if isinstance(q, SelectQuery):
-            walk_select(q)
+            walk_select(q, top=True)
         elif isinstance(q, AskQuery):
             walk_group(q.where)
         else:
-            return frozenset()
+            return frozenset(), frozenset()
         if star:
-            return frozenset()
-        return frozenset(pattern_vars - value)
+            return frozenset(), frozenset()
+        late = (frozenset(pattern_vars & (value_top - value))
+                if n_plain >= 2 else frozenset())
+        return frozenset(pattern_vars - value - value_top), late
 
     # ------------------------------------------------------------------
     # triple patterns
@@ -217,10 +248,16 @@ class Compiler:
         proj: dict[str, Column] = {}
         filters: list[Column] = []
 
+        late_slots: list[tuple[str, Column, Column]] = []
+
         def handle(term, struct_col: Column, id_col: Column, flat_eq):
             nonlocal df
             if isinstance(term, Var):
-                col = id_col if term.name in self.id_only else struct_col
+                if term.name in self.late:
+                    col = id_col
+                    late_slots.append((term.name, id_col, struct_col))
+                else:
+                    col = id_col if term.name in self.id_only else struct_col
                 if term.name in proj:  # repeated var in one pattern
                     filters.append(proj[term.name].eqNullSafe(col))
                 else:
@@ -258,6 +295,14 @@ class Compiler:
         handle(tp.o, self._object_struct(),
                term_id(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")),
                o_eq)
+
+        # decode relations for late-materialized vars: exactly this
+        # pattern's (constant-filtered, hence pushdown-pruned) scan,
+        # projected to (id, struct) — unioned per var and deduped at the
+        # final decode join in compile_select
+        for name, id_col, struct_col in late_slots:
+            self._decode_src.setdefault(name, []).append(
+                df.select(id_col.alias("__tid"), struct_col.alias("__term")))
 
         out = df.select(*[c.alias(vcol(n)) for n, c in proj.items()])
         for f in filters:
@@ -512,7 +557,8 @@ class Compiler:
                     df = b.df
                     for v in all_vars:
                         if v not in b.variables:
-                            typ = ("bigint" if v in self.id_only else
+                            typ = ("bigint"
+                                   if v in self.id_only or v in self.late else
                                    "struct<kind:string,lex:string,dt:string,lang:string>")
                             df = df.withColumn(vcol(v), F.lit(None).cast(typ))
                     dfs.append(df.select(*[vcol(v) for v in all_vars]))
@@ -957,10 +1003,14 @@ class Compiler:
     # ------------------------------------------------------------------
 
     def compile_select(self, q: SelectQuery) -> Bindings:
+        is_top = False
         if self.use_ids and not self._analyzed:
             self._analyzed = True
-            self.id_only = self._analyze_id_vars(q)
+            is_top = True
+            self.id_only, self.late = self._analyze_id_vars(q)
         bindings = self.compile_group(q.where)
+        if is_top and self.late:
+            bindings = self._decode_late(bindings)
         has_agg = bool(q.group_by) or any(
             self._contains_agg(e) for e, _ in q.projections
         ) or bool(q.having)
@@ -1038,6 +1088,32 @@ class Compiler:
             bindings = Bindings(bindings.df.limit(q.limit), bindings.variables,
                                 bindings.certain)
         return bindings
+
+    def _decode_late(self, bindings: Bindings) -> Bindings:
+        """Rematerialize late-encoded vars: left-join each one's 8-byte id
+        against the union of the (filtered) pattern scans that bind it,
+        deduped by id.  Runs ONCE, after the whole WHERE evaluation —
+        the probe side is the already-joined (small) result, so AQE
+        turns this into a broadcast of the result against a map-side
+        scan of the decode relation at scale.  Null ids (OPTIONAL
+        unbound) stay null structs through the left join."""
+        df = bindings.df
+        for v in bindings.variables:
+            if v not in self.late:
+                continue
+            srcs = self._decode_src.get(v)
+            if not srcs:  # defensive: late var never hit a plain pattern
+                continue
+            dec = srcs[0]
+            for s in srcs[1:]:
+                dec = dec.unionByName(s)
+            tid, term = f"__tid_{vcol(v)}", f"__term_{vcol(v)}"
+            dec = dec.dropDuplicates(["__tid"]).select(
+                F.col("__tid").alias(tid), F.col("__term").alias(term))
+            df = (df.join(dec, df[vcol(v)] == dec[tid], "left")
+                    .drop(vcol(v), tid)
+                    .withColumnRenamed(term, vcol(v)))
+        return Bindings(df, bindings.variables, bindings.certain)
 
     @staticmethod
     def _contains_agg(e) -> bool:
@@ -1263,5 +1339,5 @@ class Compiler:
     def compile_ask(self, q: AskQuery) -> bool:
         if self.use_ids and not self._analyzed:
             self._analyzed = True
-            self.id_only = self._analyze_id_vars(q)
+            self.id_only, self.late = self._analyze_id_vars(q)
         return self.compile_group(q.where).df.limit(1).count() > 0

@@ -195,6 +195,30 @@ def sparql_optional_ids(spark, sf_dir):
 
 
 @register(
+    "sparql_late_ids",
+    "SELECT c.c_name AS cust, r.r_name AS rname FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE c.c_acctbal > 9000",
+)
+def sparql_late_ids(spark, sf_dir):
+    """Late materialization (use_ids v3): ?cust and ?rname are *projected*
+    values, yet they cross the whole customer→nation→region join chain as
+    8-byte ids and are decoded by one left join per var at the end
+    (compile.py ``late`` / ``_decode_late``).  ?c and ?n/?r stay id-only.
+    Oracle-checked so the deferred-decode path is correctness-gated."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?cust ?rname { ?c p:c_name ?cust . ?c p:c_nationkey ?n . "
+        " ?n p:n_regionkey ?r . ?r p:r_name ?rname . ?c p:c_acctbal ?bal . "
+        " FILTER(?bal > 9000) }",
+        {"cust": "str", "rname": "str"},
+        tables=("region", "nation", "customer", "supplier"),
+        use_ids=True,
+    )
+
+
+@register(
     "sparql_not_exists",
     "SELECT n_name AS nation FROM nation n WHERE NOT EXISTS "
     "(SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey "

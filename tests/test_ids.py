@@ -110,6 +110,75 @@ def test_projected_var_stays_struct(ends):
     assert comp.id_only == frozenset()
 
 
+LATE_QUERIES = [
+    # projected var crosses the join as an id, decoded at the end
+    "SELECT ?b ?lab { :New_York_City :boro ?b . ?b rdfs:label ?lab }",
+    # late under OPTIONAL: null id must decode to an unbound struct
+    "SELECT ?b ?lab { :New_York_City :boro ?b OPTIONAL { ?b rdfs:label ?lab } }",
+    # late + ORDER BY the late var (sort runs post-decode on the struct)
+    "SELECT ?b { :New_York_City :boro ?b . ?b :pop ?pop . "
+    "FILTER(?pop > 100) } ORDER BY ?b",
+    # late + GROUP BY the late var (decode precedes aggregation)
+    "SELECT ?b (COUNT(*) AS ?n) { :New_York_City :boro ?b . ?b ?p ?o } GROUP BY ?b",
+    # late + DISTINCT (dedup over decoded structs)
+    "SELECT DISTINCT ?b { :New_York_City :boro ?b . ?b ?p ?o }",
+    # late var missing from one UNION branch (null-long cast, then decode)
+    "SELECT ?b ?lab { { :New_York_City :boro ?b } UNION { :Albany rdfs:label ?lab } }",
+    # late var bound by multiple patterns (decode relation is a union)
+    "SELECT ?x { { :New_York_City :boro ?x } UNION { ?x a :Borough } . ?x :pop ?p }",
+]
+
+
+@pytest.mark.parametrize("q", LATE_QUERIES)
+def test_late_equivalent(ends, q):
+    rows = both(ends, q)
+    assert rows
+
+
+def test_late_analysis_and_decode(ends):
+    """use_ids v3: a projected var whose value is needed only at the top
+    level is classified ``late``, travels the WHERE as a bare long, and
+    comes out of compile_select as a struct again."""
+    _, on = ends
+    comp = on._compiler()
+    pq = parse_query(
+        "SELECT ?b ?lab { :New_York_City :boro ?b . ?b rdfs:label ?lab }",
+        prefixes=on.prefixes)
+    b = comp.compile_select(pq)
+    assert comp.late == frozenset({"b", "lab"})
+    assert comp.id_only == frozenset()
+    # final output is decoded back to term structs
+    assert b.df.schema["v_b"].dataType.typeName() == "struct"
+    assert b.df.schema["v_lab"].dataType.typeName() == "struct"
+    # inside the WHERE both vars are 8-byte ids
+    inner = comp.compile_group(pq.where)
+    assert inner.df.schema["v_b"].dataType.typeName() == "long"
+    assert inner.df.schema["v_lab"].dataType.typeName() == "long"
+
+
+def test_late_disabled_for_single_pattern(ends):
+    """One pattern = no join to shrink: the decode join would be pure
+    overhead, so late mode stays off and the var is a plain struct."""
+    _, on = ends
+    comp = on._compiler()
+    comp.compile_select(parse_query(
+        "SELECT ?b { :New_York_City :boro ?b }", prefixes=on.prefixes))
+    assert comp.late == frozenset()
+    assert comp.id_only == frozenset()
+
+
+def test_late_filter_var_excluded(ends):
+    """A value use inside the WHERE (FILTER) disqualifies the var from
+    late encoding — it must be a struct mid-plan."""
+    _, on = ends
+    comp = on._compiler()
+    comp.compile_select(parse_query(
+        "SELECT ?b ?pop { :New_York_City :boro ?b . ?b :pop ?pop . "
+        "FILTER(?pop > 100) }", prefixes=on.prefixes))
+    assert "pop" not in comp.late
+    assert "b" in comp.late
+
+
 def test_count_over_bare_var_stays_id_encoded(ends, spark):
     """r4: COUNT(?v)/COUNT(DISTINCT ?v) need only presence/equality, so a
     var whose only value use is a bare-var COUNT keeps its 8-byte id
