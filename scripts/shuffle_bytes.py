@@ -6,7 +6,10 @@ cannot show (the id win is bandwidth, which local[32] has in excess).
 Shuffle WRITE bytes are deterministic properties of the plan + data
 (unlike wall time), so this measurement is contention-proof.
 
-Usage: python scripts/shuffle_bytes.py [sf_dir]
+Usage: python scripts/shuffle_bytes.py [sf_dir] [query ...]
+Set SHUFFLE_RAW=1 to disable shuffle compression (raw-byte comparison —
+the PERF.md table reports both: raw shows the mechanism, LZ4 shows the
+wire reality on this synthetic corpus).
 """
 
 from __future__ import annotations
@@ -28,49 +31,69 @@ def stage_metrics(ui_url: str, app_id: str) -> tuple[int, int]:
     return write, inp
 
 
+QUERIES = {
+    # join-only vars id-encoded (use_ids v2): the original measurement
+    "sparql_join_agg": (
+        "SELECT ?nation (COUNT(*) AS ?cnt) { "
+        " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
+        "GROUP BY ?nation",
+        {"nation": "str", "cnt": "long"},
+    ),
+    # PROJECTED vars late-materialized (use_ids v3): ?cust and ?rname
+    # cross the whole 5-join chain as longs and decode at the end — the
+    # case v2 could not touch because the values are observable
+    "sparql_late_ids": (
+        "SELECT ?cust ?rname { ?c p:c_name ?cust . ?c p:c_nationkey ?n . "
+        " ?n p:n_regionkey ?r . ?r p:r_name ?rname . ?c p:c_acctbal ?bal . "
+        " FILTER(?bal > 9000) }",
+        {"cust": "str", "rname": "str"},
+    ),
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or list(QUERIES)
 
     from pyspark.sql import SparkSession
 
     from sparkdon.rdf_queries import run
 
-    sparql = (
-        "SELECT ?nation (COUNT(*) AS ?cnt) { "
-        " ?c a c:customer . ?c p:c_nationkey ?n . ?n p:n_name ?nation } "
-        "GROUP BY ?nation"
-    )
-    schema = {"nation": "str", "cnt": "long"}
+    for name in names:
+        sparql, schema = QUERIES[name]
+        results = {}
+        for mode, use_ids in (("plain", False), ("use_ids", True)):
+            spark = (
+                SparkSession.builder.master("local[8]")
+                .appName(f"shuffle-bytes-{mode}")
+                .config("spark.sql.shuffle.partitions", "8")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.ui.enabled", "true")
+                .config("spark.ui.port", "4099")
+                # isolate the measurement: no broadcast short-circuit (a
+                # broadcast join would hide the shuffle we want to compare),
+                # no AQE re-plan moving bytes between stages
+                .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+                .config("spark.sql.adaptive.enabled", "false")
+                .config("spark.shuffle.compress",
+                        "false" if os.environ.get("SHUFFLE_RAW") else "true")
+                .getOrCreate()
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            n = run(spark, sf_dir, sparql, schema, use_ids=use_ids).count()
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            write, inp = stage_metrics(ui, app)
+            results[mode] = {"rows": n, "shuffle_write_bytes": write,
+                             "input_bytes": inp}
+            spark.stop()
 
-    results = {}
-    for mode, use_ids in (("plain", False), ("use_ids", True)):
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName(f"shuffle-bytes-{mode}")
-            .config("spark.sql.shuffle.partitions", "8")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "true")
-            .config("spark.ui.port", "4099")
-            # isolate the measurement: no broadcast short-circuit (a
-            # broadcast join would hide the shuffle we want to compare),
-            # no AQE re-plan moving bytes between stages
-            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-            .config("spark.sql.adaptive.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        n = run(spark, sf_dir, sparql, schema, use_ids=use_ids).count()
-        ui = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        write, inp = stage_metrics(ui, app)
-        results[mode] = {"rows": n, "shuffle_write_bytes": write, "input_bytes": inp}
-        spark.stop()
-
-    ratio = (results["plain"]["shuffle_write_bytes"]
-             / max(1, results["use_ids"]["shuffle_write_bytes"]))
-    print(json.dumps({"sf_dir": sf_dir, "query": "sparql_join_agg",
-                      "plain": results["plain"], "use_ids": results["use_ids"],
-                      "shuffle_write_ratio": round(ratio, 2)}))
+        ratio = (results["plain"]["shuffle_write_bytes"]
+                 / max(1, results["use_ids"]["shuffle_write_bytes"]))
+        print(json.dumps({"sf_dir": sf_dir, "query": name,
+                          "plain": results["plain"],
+                          "use_ids": results["use_ids"],
+                          "shuffle_write_ratio": round(ratio, 2)}))
 
 
 if __name__ == "__main__":

@@ -1009,14 +1009,21 @@ class Compiler:
             is_top = True
             self.id_only, self.late = self._analyze_id_vars(q)
         bindings = self.compile_group(q.where)
-        if is_top and self.late:
-            bindings = self._decode_late(bindings)
         has_agg = bool(q.group_by) or any(
             self._contains_agg(e) for e, _ in q.projections
         ) or bool(q.having)
+        defer = frozenset()
+        if is_top and self.late:
+            if has_agg:
+                # late vars whose values never feed an aggregate argument
+                # or computed group key can stay ids THROUGH the group-by
+                # shuffle — _aggregate decodes them on the collapsed
+                # (#groups-sized) frame instead of the full pre-agg frame
+                defer = self.late - self._agg_value_vars(q)
+            bindings = self._decode_late(bindings, exclude=defer)
         n_hidden = 0
         if has_agg:
-            bindings = self._aggregate(q, bindings)
+            bindings = self._aggregate(q, bindings, defer_decode=defer)
         else:
             if q.projections:
                 colmap = {v: bindings.col(v) for v in bindings.variables}
@@ -1089,7 +1096,59 @@ class Compiler:
                                 bindings.certain)
         return bindings
 
-    def _decode_late(self, bindings: Bindings) -> Bindings:
+    def _agg_value_vars(self, q: SelectQuery) -> frozenset[str]:
+        """Vars whose VALUES are consumed during aggregate computation —
+        aggregate arguments (minus the bare-var COUNT, which only needs
+        id equality) and computed GROUP BY keys.  These must be decoded
+        before the group-by; every other late var defers to after it."""
+        need: set[str] = set()
+
+        def vars_in(e) -> None:
+            if isinstance(e, TermExpr):
+                if isinstance(e.term, Var):
+                    need.add(e.term.name)
+            elif isinstance(e, (OpExpr, FuncExpr)):
+                for a in e.args:
+                    vars_in(a)
+            elif isinstance(e, InExpr):
+                vars_in(e.value)
+                for o in e.options:
+                    vars_in(o)
+            elif isinstance(e, AggExpr):
+                if e.arg is not None:
+                    vars_in(e.arg)
+
+        def find_aggs(e) -> None:
+            if isinstance(e, AggExpr):
+                if e.arg is not None and not (
+                        e.name == "COUNT" and isinstance(e.arg, TermExpr)
+                        and isinstance(e.arg.term, Var)):
+                    vars_in(e.arg)
+            elif isinstance(e, (OpExpr, FuncExpr)):
+                for a in e.args:
+                    find_aggs(a)
+            elif isinstance(e, InExpr):
+                find_aggs(e.value)
+                for o in e.options:
+                    find_aggs(o)
+
+        for e, _a in q.projections:
+            if not isinstance(e, Var):
+                find_aggs(e)
+        for h in q.having:
+            find_aggs(h)
+        for e, _d in q.order_by:
+            find_aggs(e)
+        for g in q.group_by:
+            if isinstance(g, tuple):
+                vars_in(g[0])
+            elif not (isinstance(g, TermExpr) and isinstance(g.term, Var)):
+                vars_in(g)
+        return frozenset(need)
+
+    def _decode_late(self, bindings: Bindings,
+                     only: frozenset[str] | None = None,
+                     exclude: frozenset[str] = frozenset()) -> Bindings:
         """Rematerialize late-encoded vars: left-join each one's 8-byte id
         against the union of the (filtered) pattern scans that bind it,
         deduped by id.  Runs ONCE, after the whole WHERE evaluation —
@@ -1098,8 +1157,9 @@ class Compiler:
         scan of the decode relation at scale.  Null ids (OPTIONAL
         unbound) stay null structs through the left join."""
         df = bindings.df
+        pick = self.late if only is None else only
         for v in bindings.variables:
-            if v not in self.late:
+            if v not in pick or v in exclude:
                 continue
             srcs = self._decode_src.get(v)
             if not srcs:  # defensive: late var never hit a plain pattern
@@ -1125,7 +1185,8 @@ class Compiler:
             return any(Compiler._contains_agg(a) for a in e.args)
         return False
 
-    def _aggregate(self, q: SelectQuery, bindings: Bindings) -> Bindings:
+    def _aggregate(self, q: SelectQuery, bindings: Bindings,
+                   defer_decode: frozenset[str] = frozenset()) -> Bindings:
         """GROUP BY + aggregates.  Aggregate results are encoded straight
         back into term structs (COUNT → xsd:integer literal, SUM/AVG →
         value-typed numeric literal), so post-aggregation expressions
@@ -1157,7 +1218,8 @@ class Compiler:
                     c = F.count(F.lit(1))
                 elif (isinstance(agg.arg, TermExpr)
                         and isinstance(agg.arg.term, Var)
-                        and agg.arg.term.name in self.id_only):
+                        and (agg.arg.term.name in self.id_only
+                             or agg.arg.term.name in defer_decode)):
                     # id-encoded var: count/distinct over the 8-byte id
                     # column (null ⇔ unbound, id equality ⇔ term equality)
                     idc = colmap[agg.arg.term.name]
@@ -1261,6 +1323,12 @@ class Compiler:
                 make_term(KIND_LIT, F.count(F.lit(1)).cast("string"),
                           F.lit(XSD + "integer")).alias(vcol("__dummy")))
         adf = grouped.agg(*agg_cols)
+        if defer_decode:
+            # group keys shuffled as 8-byte ids; decode them here, on the
+            # collapsed per-group frame (#groups rows, not #input rows)
+            adf = self._decode_late(
+                Bindings(adf, key_names, set(key_names)),
+                only=defer_decode).df
 
         post_map = {c[len("v_"):]: adf[c] for c in adf.columns}
         out = adf
