@@ -77,6 +77,71 @@ def encode_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+def build_dense_dictionary(triples: DataFrame) -> DataFrame:
+    """Distinct terms with DENSE sequential ids: (dense_id, kind, lex, dt, lang).
+
+    The content-hash ids of :func:`term_id` are join-free to compute but
+    incompressible (uniform 64-bit noise), so on corpora whose term
+    strings compress well the id-encoded shuffle can lose its wire-byte
+    win to LZ4 (measured in PERF.md).  Dense ids fix that: terms sorted
+    by (kind, lex, dt, lang) get consecutive longs, so ids that co-occur
+    (same namespace, same table) are numerically adjacent and the shuffle
+    stream delta/dictionary-compresses.
+
+    Built with ``zipWithIndex`` — a sortWithinPartitions after a range
+    repartition plus one count-per-partition job, NO single-partition
+    window (a ``row_number() OVER (ORDER BY ...)`` would serialize the
+    dictionary through one task at 100 TB).  Encoding triples with dense
+    ids requires a dictionary JOIN per position (ids are positional, not
+    content-derived) — a one-time ingestion cost a persistent store
+    amortizes across every later query; content-hash mode stays the
+    default for ad-hoc sessions.
+    """
+    subs = triples.select(
+        F.col("s_kind").alias("kind"), F.col("s").alias("lex"),
+        F.lit(None).cast("string").alias("dt"), F.lit(None).cast("string").alias("lang"))
+    preds = triples.select(
+        F.lit("iri").alias("kind"), F.col("p").alias("lex"),
+        F.lit(None).cast("string").alias("dt"), F.lit(None).cast("string").alias("lang"))
+    objs = triples.select(
+        F.col("o_kind").alias("kind"), F.col("o").alias("lex"),
+        F.col("o_dt").alias("dt"), F.col("o_lang").alias("lang"))
+    terms = (subs.unionByName(preds).unionByName(objs).dropDuplicates()
+             .repartitionByRange("kind", "lex")
+             .sortWithinPartitions("kind", "lex", "dt", "lang"))
+    spark = terms.sparkSession
+    schema = terms.schema
+    pairs = terms.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType([StructField("dense_id", LongType(), False)]
+                            + list(schema.fields))
+    return spark.createDataFrame(pairs, out_schema)
+
+
+def encode_triples_dense(triples: DataFrame, dense_dict: DataFrame) -> DataFrame:
+    """Triple table → (s_id, p_id, o_id) dense longs via three dictionary
+    joins (shuffle joins at scale; the dictionary is bigger than any
+    broadcast threshold on a real corpus).  One-time ingestion cost."""
+    def dict_for(prefix: str) -> DataFrame:
+        return dense_dict.select(
+            F.col("dense_id").alias(f"{prefix}_id"),
+            F.col("kind").alias(f"{prefix}__kind"), F.col("lex").alias(f"{prefix}__lex"),
+            F.col("dt").alias(f"{prefix}__dt"), F.col("lang").alias(f"{prefix}__lang"))
+
+    enc = triples.select(
+        F.col("s_kind"), F.col("s"), F.col("p"),
+        F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang"))
+    sd, pd_, od = dict_for("s"), dict_for("p"), dict_for("o")
+    enc = enc.join(sd, (enc["s_kind"] == sd["s__kind"]) & (enc["s"] == sd["s__lex"])
+                   & sd["s__dt"].isNull() & sd["s__lang"].isNull(), "left")
+    enc = enc.join(pd_, (pd_["p__kind"] == "iri") & (enc["p"] == pd_["p__lex"])
+                   & pd_["p__dt"].isNull() & pd_["p__lang"].isNull(), "left")
+    enc = enc.join(od, (enc["o_kind"] == od["o__kind"]) & (enc["o"] == od["o__lex"])
+                   & enc["o_dt"].eqNullSafe(od["o__dt"])
+                   & enc["o_lang"].eqNullSafe(od["o__lang"]), "left")
+    return enc.select("s_id", "p_id", "o_id")
+
+
 def decode_column(encoded: DataFrame, id_col: str, dictionary: DataFrame) -> DataFrame:
     """Join an id column back to its term (used at the result edge only)."""
     d = dictionary.select(
