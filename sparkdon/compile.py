@@ -132,10 +132,12 @@ class Compiler:
         late ids back to term structs, so the var can stay id-encoded
         through the whole WHERE evaluation.  Any value use *inside* the
         WHERE group (FILTER, BIND, VALUES, path endpoint, EXISTS body,
-        sub-SELECT) disqualifies.  Only populated when the query has ≥2
-        plain triple patterns — with a single pattern there is no join
-        for the id encoding to shrink, and the decode join would be pure
-        overhead."""
+        sub-SELECT) disqualifies.  Only populated when the query has a
+        shuffle the encoding can shrink: ≥2 plain triple patterns (a
+        join) or a top-level GROUP BY (the aggregation exchange — group
+        keys then ride it as ids and decode on the per-group frame).
+        A bare single-pattern SELECT gets no benefit, so the decode join
+        would be pure overhead and the mode stays off."""
         value: set[str] = set()
         value_top: set[str] = set()
         pattern_vars: set[str] = set()
@@ -225,8 +227,10 @@ class Compiler:
             return frozenset(), frozenset()
         if star:
             return frozenset(), frozenset()
+        shrinkable = n_plain >= 2 or (
+            isinstance(q, SelectQuery) and bool(q.group_by))
         late = (frozenset(pattern_vars & (value_top - value))
-                if n_plain >= 2 else frozenset())
+                if shrinkable else frozenset())
         return frozenset(pattern_vars - value - value_top), late
 
     # ------------------------------------------------------------------
@@ -240,9 +244,10 @@ class Compiler:
         return make_term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang"))
 
     def compile_pattern(self, tp: TriplePattern,
-                        anchor_sets: dict | None = None) -> Bindings:
+                        anchor_sets: dict | None = None,
+                        prior: Bindings | None = None) -> Bindings:
         if isinstance(tp.p, Path):
-            return self.compile_path_pattern(tp, anchor_sets)
+            return self.compile_path_pattern(tp, anchor_sets, prior)
         df = self.triples
         # constant filters — these push into the Parquet scan
         proj: dict[str, Column] = {}
@@ -311,7 +316,8 @@ class Compiler:
         return Bindings(out, names, set(names))
 
     def compile_path_pattern(self, tp: TriplePattern,
-                             anchor_sets: dict | None = None) -> Bindings:
+                             anchor_sets: dict | None = None,
+                             prior: Bindings | None = None) -> Bindings:
         start_const = None if isinstance(tp.s, Var) else tp.s
         end_const = None if isinstance(tp.o, Var) else tp.o
         # VALUES-driven anchor sets: a closure path whose endpoint var is
@@ -326,6 +332,30 @@ class Compiler:
                 start_anchors = anchor_sets[tp.s.name]
             elif tp.o.name in anchor_sets:
                 end_anchors = anchor_sets[tp.o.name]
+        # Sideways information passing: no constant/VALUES anchor, but the
+        # group prefix compiled so far already binds an endpoint var — its
+        # DISTINCT bound values become the anchor relation (no driver
+        # collect; anchored_closure materializes it once).  The later join
+        # with the prefix restricts to exactly these values, so the
+        # restriction is lossless.  Only certain (never-null) vars
+        # qualify: a possibly-unbound shared var joins through the
+        # null-tolerant compatibility path, where a null row must remain
+        # compatible with EVERY path solution.
+        if (start_anchors is None and end_anchors is None
+                and start_const is None and end_const is None
+                and prior is not None
+                and isinstance(tp.p, Path) and tp.p.op in ("star", "plus")):
+            for t, side in ((tp.s, "start"), (tp.o, "end")):
+                if t.name in prior.variables and t.name in prior.certain:
+                    adf = (prior.df
+                           .select(F.col(vcol(t.name)).alias("node"))
+                           .filter(F.col("node").isNotNull())
+                           .distinct())
+                    if side == "start":
+                        start_anchors = adf
+                    else:
+                        end_anchors = adf
+                    break
         pairs = path_mod.eval_path(self, tp.p, start_const, end_const,
                                    start_anchors=start_anchors,
                                    end_anchors=end_anchors)
@@ -491,9 +521,22 @@ class Compiler:
                     vals = [row[i] for row in el.rows]
                     if vals and all(t is not None for t in vals):
                         anchor_sets.setdefault(v.name, vals)
-        for el in group.elements:
+        for el in self._reorder_for_sip(group.elements):
             if isinstance(el, TriplePattern):
-                bindings = self.join(bindings, self.compile_pattern(el, anchor_sets))
+                prior = bindings
+                if (bindings is not None and isinstance(el.p, Path)
+                        and el.p.op in ("star", "plus")):
+                    # sharpen the SIP anchor harvest: group filters whose
+                    # vars the prefix already binds restrict the final
+                    # solutions anyway, so applying them to the HARVEST
+                    # frame (not the main plan — they still run at group
+                    # end) is lossless and shrinks the anchor set
+                    for expr in deferred:
+                        if self._expr_vars(expr) <= set(bindings.variables):
+                            prior = self.apply_filter(prior, expr)
+                bindings = self.join(
+                    bindings,
+                    self.compile_pattern(el, anchor_sets, prior=prior))
             elif isinstance(el, OptionalGroup):
                 if bindings is None:
                     bindings = self.unit()
@@ -594,6 +637,40 @@ class Compiler:
         for expr in deferred:
             bindings = self.apply_filter(bindings, expr)
         return bindings
+
+    @staticmethod
+    def _reorder_for_sip(elements):
+        """Within each maximal run of triple patterns (filters are
+        group-scoped and already deferred, so they don't break a run),
+        move fully-unanchored closure paths (``?x p*/p+ ?y``) after the
+        plain patterns.  BGP joins are commutative, so this is
+        semantics-preserving — and it means a closure path whose endpoint
+        the rest of the BGP binds compiles AFTER those bindings exist,
+        enabling the sideways-information-passing anchor harvest."""
+        out: list = []
+        run_plain: list = []
+        run_path: list = []
+
+        def flush() -> None:
+            out.extend(run_plain)
+            out.extend(run_path)
+            run_plain.clear()
+            run_path.clear()
+
+        for el in elements:
+            if isinstance(el, TriplePattern):
+                if (isinstance(el.p, Path) and el.p.op in ("star", "plus")
+                        and isinstance(el.s, Var) and isinstance(el.o, Var)):
+                    run_path.append(el)
+                else:
+                    run_plain.append(el)
+            elif isinstance(el, Filter):
+                run_plain.append(el)
+            else:
+                flush()
+                out.append(el)
+        flush()
+        return out
 
     def compile_values(self, values: ValuesClause) -> Bindings:
         names = [v.name for v in values.variables]

@@ -196,16 +196,27 @@ def eval_path(compiler, path, start_const, end_const,
             zero = all_nodes(compiler).select(
                 F.col("node").alias("start"), F.col("node").alias("end"))
             return step.unionByName(zero).distinct()
-        fwd_terms = ([start_const] if start_const is not None
-                     else list(start_anchors) if start_anchors else None)
-        bwd_terms = ([end_const] if end_const is not None
-                     else list(end_anchors) if end_anchors else None)
-        if fwd_terms or bwd_terms:
-            forward = fwd_terms is not None
-            terms = fwd_terms if forward else bwd_terms
-            anchors = spark.createDataFrame(
-                [(_const_struct_row(t),) for t in terms], f"node {TERM_STRUCT_DDL}"
-            )
+        # anchors arrive as a term LIST (constants / VALUES) or as a
+        # one-column ``node`` DATAFRAME (sideways information passing: the
+        # already-joined group prefix supplies the bound endpoint values
+        # without any driver-side collect)
+        fwd = bwd = None
+        if start_const is not None:
+            fwd = [start_const]
+        elif start_anchors is not None:
+            fwd = start_anchors
+        if fwd is None:
+            if end_const is not None:
+                bwd = [end_const]
+            elif end_anchors is not None:
+                bwd = end_anchors
+        if fwd is not None or bwd is not None:
+            forward = fwd is not None
+            src = fwd if forward else bwd
+            anchors = (src if isinstance(src, DataFrame)
+                       else spark.createDataFrame(
+                           [(_const_struct_row(t),) for t in src],
+                           f"node {TERM_STRUCT_DDL}"))
             pairs = anchored_closure(spark, step, anchors, forward, include_zero)
             if forward:
                 return pairs.select(F.col("anchor").alias("start"),

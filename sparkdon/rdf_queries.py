@@ -108,6 +108,39 @@ def sparql_census(spark, sf_dir):
 
 
 @register(
+    "sparql_census_ids",
+    "SELECT p, cnt FROM ("
+    " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
+    "  (SELECT count(*) FROM region)+(SELECT count(*) FROM nation)"
+    "  +(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt"
+    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(*) FROM region)"
+    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(*) FROM nation)"
+    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(*) FROM nation)"
+    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(*) FROM customer)"
+    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(*) FROM supplier)"
+    ")",
+)
+def sparql_census_ids(spark, sf_dir):
+    """The signature census with ``use_ids``: ?s/?o are id-only (COUNT(*)
+    never observes them) and the group key ?p is LATE — the aggregation
+    exchange carries 8-byte predicate ids and `_aggregate` decodes the
+    handful of distinct predicates on the per-group frame.  This is the
+    workload the reference's corpus is dominated by (property censuses),
+    id-encoded end to end."""
+    return run(
+        spark, sf_dir,
+        "SELECT ?p (COUNT(*) AS ?cnt) { ?s ?p ?o } GROUP BY ?p ORDER BY DESC(?cnt)",
+        {"p": "str", "cnt": "long"},
+        use_ids=True,
+    )
+
+
+@register(
     "sparql_filter_gt",
     "SELECT 'urn:g:customer:' || c_custkey AS cust, c_acctbal AS bal "
     "FROM customer WHERE c_acctbal > 5000",
@@ -464,6 +497,35 @@ def sparql_path_star_values(spark, sf_dir):
     raw = e.select_raw(
         "SELECT ?s ?x { VALUES ?s { <urn:g:customer:7> <urn:g:customer:8> "
         "<urn:g:nation:3> } ?s p:locatedIn* ?x }")
+    return raw.select(raw["v_s"]["lex"].alias("s"), raw["v_x"]["lex"].alias("x"))
+
+
+@register(
+    "sparql_path_star_sip",
+    # locatedIn* from the customers a plain pattern binds (c_acctbal >
+    # 9900): each such customer itself (zero-length) plus its cone
+    "SELECT 'urn:g:customer:' || c_custkey AS s, "
+    " 'urn:g:customer:' || c_custkey AS x FROM customer WHERE c_acctbal > 9900 "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:nation:' || c_nationkey "
+    "FROM customer WHERE c_acctbal > 9900 "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:region:' || n_regionkey "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_acctbal > 9900",
+)
+def sparql_path_star_sip(spark, sf_dir):
+    """G3 sideways information passing: no constant or VALUES anchor —
+    the anchor set is the ?s bindings the PLAIN pattern produces at
+    runtime (compile.py `_reorder_for_sip` + the prior-bindings harvest
+    in compile_path_pattern).  The closure BFSes only the bound
+    customers' cones instead of the full locatedIn* closure; the anchors
+    flow as a DataFrame, never through the driver."""
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES)
+    raw = e.select_raw(
+        "SELECT ?s ?x { ?s p:c_acctbal ?bal . FILTER(?bal > 9900) . "
+        "?s p:locatedIn* ?x }")
     return raw.select(raw["v_s"]["lex"].alias("s"), raw["v_x"]["lex"].alias("x"))
 
 

@@ -1,0 +1,63 @@
+"""Sideways information passing (SIP) for closure paths: a fully
+unanchored ``?s p+ ?t`` whose endpoint the rest of the group binds BFSes
+from the bound values (compile.py `_reorder_for_sip` + the prior-bindings
+harvest) instead of computing the full transitive closure.  These tests
+pin the semantics: textual order must not matter, zero-length pairs stay,
+and possibly-unbound shared vars must NOT anchor (the null-tolerant
+compatibility join needs the full closure)."""
+
+from __future__ import annotations
+
+from sparkdon.session import inline
+
+TTL = """
+@prefix : <http://example.com/> .
+:a :link :b . :b :link :c . :c :link :d .
+:x :link :y .
+:root :pick :a ; :pick :x .
+:other :pick :b .
+:weird :opt :a .
+"""
+
+
+def test_sip_matches_both_textual_orders(spark):
+    e = inline(TTL, spark)
+    q_plain_first = "SELECT ?s ?t { :root :pick ?s . ?s :link+ ?t }"
+    q_path_first = "SELECT ?s ?t { ?s :link+ ?t . :root :pick ?s }"
+    r1 = sorted(map(repr, e.select_raw(q_plain_first).collect()))
+    r2 = sorted(map(repr, e.select_raw(q_path_first).collect()))
+    assert r1 == r2
+    # :a's cone {b,c,d} plus :x's cone {y}
+    assert len(r1) == 4
+
+
+def test_sip_star_keeps_zero_length(spark):
+    e = inline(TTL, spark)
+    rows = e.select_raw(
+        "SELECT ?s ?t { :other :pick ?s . ?s :link* ?t }").collect()
+    # ?s = :b — zero-length (b,b) plus (b,c), (b,d)
+    assert len(rows) == 3
+
+
+def test_sip_filter_sharpens_anchor_set_losslessly(spark):
+    e = inline(TTL, spark)
+    # the filter's var is prefix-bound, so the harvest applies it; the
+    # result must equal the unfiltered query restricted by hand
+    rows = e.select_raw(
+        "SELECT ?s ?t { :root :pick ?s . FILTER(STR(?s) = 'http://example.com/a') . "
+        "?s :link+ ?t }").collect()
+    assert sorted(r["v_t"]["lex"] for r in rows) == [
+        "http://example.com/b", "http://example.com/c", "http://example.com/d"]
+
+
+def test_uncertain_var_does_not_anchor(spark):
+    """?s is uncertain (missing from one UNION branch): the engine must
+    fall back to the full closure and the null-tolerant compatibility
+    join, where the unbound-?s row merges with EVERY closure pair."""
+    e = inline(TTL, spark)
+    rows = e.select_raw(
+        "SELECT ?s ?t { { :root :pick ?s } UNION { :weird :opt ?w } . "
+        "?s :link+ ?t }").collect()
+    # branch 1: :a cone (3) + :x cone (1); branch 2's unbound ?s merges
+    # with all 7 closure pairs: (a,b)(a,c)(a,d)(b,c)(b,d)(c,d)(x,y)
+    assert len(rows) == 11
