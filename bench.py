@@ -46,10 +46,13 @@ GROUPS: list[tuple[str, list[str]]] = [
         "sparql",
         [
             "sparql_census",
+            "sparql_census_ids",
             "sparql_join_agg",
             "sparql_join_agg_ids",
+            "sparql_late_ids",
             "sparql_census_orders",
             "sparql_path_plus",
+            "sparql_path_star_sip",
             "sparql_path_nps",
         ],
     ),

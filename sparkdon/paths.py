@@ -114,13 +114,34 @@ def all_nodes(compiler) -> DataFrame:
     return subs.unionByName(objs).distinct()
 
 
+def _retire(df: DataFrame | None) -> None:
+    """Release the pinned blocks of a SUPERSEDED ``localCheckpoint`` frame.
+
+    Every BFS level checkpoints a new generation; without this, a deep
+    closure pins O(depth) copies of seen/frontier in the block manager
+    and a long session accumulates them until executors GC-thrash (the
+    leak reproduces on a 200k-node depth-17 tree).  The frame must be
+    provably dead: a released checkpoint is unrecoverable (lineage was
+    truncated).  Best-effort via the LogicalRDD handle — if the internal
+    accessor ever changes, closures degrade to the old pinned-forever
+    behavior rather than failing."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def transitive_closure(step: DataFrame) -> DataFrame:
     """Full semi-naive transitive closure of a (start, end) relation.
 
     The step relation is materialized once up front: every iteration
     joins AND subtracts against it, and without the checkpoint each
     iteration would re-execute the step's whole upstream plan (for the
-    rdf-ized gate graphs, a 14-branch union scan)."""
+    rdf-ized gate graphs, a 14-branch union scan).  Superseded
+    generations are retired as soon as the next one materializes, so
+    pinned storage stays O(|closure|), not O(depth · |closure|)."""
     step = step.distinct().localCheckpoint(eager=True)
     seen = step
     delta = seen
@@ -131,10 +152,19 @@ def transitive_closure(step: DataFrame) -> DataFrame:
             .select("start", "end")
             .distinct()
         )
+        old_delta = delta
         delta = new.subtract(seen).localCheckpoint(eager=True)
+        if old_delta is not seen and old_delta is not step:
+            _retire(old_delta)
         if delta.isEmpty():
+            _retire(delta)
+            if seen is not step:
+                _retire(step)
             return seen
+        old_seen = seen
         seen = seen.unionByName(delta).localCheckpoint(eager=True)
+        if old_seen is not step:
+            _retire(old_seen)
     raise QueryExecutionError("path closure did not converge")
 
 
@@ -145,36 +175,71 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     anchors: one-column DF ``node``.  Returns (anchor, node) pairs where
     ``node`` is reachable from ``anchor`` along ≥1 steps (≥0 with
     ``include_zero``).  The frontier carries the anchor column and
-    ``seen`` is keyed on the (anchor, node) PAIR, so a whole VALUES-driven
-    anchor set BFSes in one sequence of distributed joins — overlapping
-    cones don't truncate each other, and each level is still one shuffle
-    join regardless of anchor count.  The working set is the union of the
-    anchors' reachable cones, never the full transitive closure."""
+    ``seen`` is keyed on the (anchor, node) PAIR, so a whole anchor set
+    (VALUES-driven or SIP-harvested) BFSes in one sequence of distributed
+    joins — overlapping cones don't truncate each other, and each level
+    is still one shuffle join regardless of anchor count.  The working
+    set is the union of the anchors' reachable cones, never the full
+    transitive closure.
+
+    Distance-≥1 pairs are ``seen − base`` plus the anchors a cycle leads
+    back to: the per-level ``nxt ∩ base`` side-accumulator (a ≤|anchors|
+    frame, checkpointed eagerly) replaces the old lazy ``reached`` union
+    chain, whose plan referenced EVERY frontier generation and therefore
+    kept all of them pinned.  Superseded generations retire per level."""
     if not forward:
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
     # materialize the step once — every BFS level joins against it
     step = step.localCheckpoint(eager=True)
-    base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct()
-    seen = base.localCheckpoint(eager=True)
-    frontier = seen
-    reached = None  # (anchor, node) pairs at distance >= 1
+    base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct() \
+        .localCheckpoint(eager=True)
+    seen = base
+    frontier = base
+    cycles: DataFrame | None = None  # (anchor, anchor) pairs re-reached at ≥1
     for _ in range(MAX_ITERATIONS):
         nxt = (
             frontier.join(step, frontier["node"] == step["start"])
             .select(frontier["anchor"], step["end"].alias("node"))
             .distinct()
         )
-        reached = nxt if reached is None else reached.unionByName(nxt).distinct()
+        if not include_zero:
+            # star results take (a, a) from base anyway — only plus needs
+            # to know a cycle re-reached an anchor
+            cyc = (nxt.join(base, ["anchor", "node"], "left_semi")
+                   if cycles is None else
+                   cycles.unionByName(
+                       nxt.join(base, ["anchor", "node"], "left_semi"))
+                   .distinct())
+            old_cycles = cycles
+            cycles = cyc.localCheckpoint(eager=True)
+            _retire(old_cycles)
+        old_frontier = frontier
         frontier = nxt.subtract(seen).localCheckpoint(eager=True)
+        if old_frontier is not base and old_frontier is not seen:
+            _retire(old_frontier)
         if frontier.isEmpty():
+            _retire(frontier)
             break
+        old_seen = seen
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        if old_seen is not base:
+            _retire(old_seen)
     else:
         raise QueryExecutionError("path closure did not converge")
+    _retire(step)
     if include_zero:
+        if seen is not base:
+            _retire(base)
         return seen  # (anchor, anchor) zero-length pairs + everything reached
-    result = reached if reached is not None else base.filter(F.lit(False))
-    return result.localCheckpoint(eager=True)
+    reached = seen.subtract(base)
+    if cycles is not None:
+        reached = reached.unionByName(cycles).distinct()
+    result = reached.localCheckpoint(eager=True)
+    if seen is not base:
+        _retire(seen)
+    _retire(base)
+    _retire(cycles)
+    return result
 
 
 def eval_path(compiler, path, start_const, end_const,
@@ -243,6 +308,10 @@ def fixpoint_union(store: DataFrame, produce_new, max_iterations: int = MAX_ITER
     for _ in range(max_iterations):
         new = produce_new(current).subtract(current).localCheckpoint(eager=True)
         if new.isEmpty():
+            _retire(new)
             return current
+        old = current
         current = current.unionByName(new).localCheckpoint(eager=True)
+        _retire(old)
+        _retire(new)
     raise QueryExecutionError("rule fixpoint did not converge")

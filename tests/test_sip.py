@@ -61,3 +61,19 @@ def test_uncertain_var_does_not_anchor(spark):
     # branch 1: :a cone (3) + :x cone (1); branch 2's unbound ?s merges
     # with all 7 closure pairs: (a,b)(a,c)(a,d)(b,c)(b,d)(c,d)(x,y)
     assert len(rows) == 11
+
+
+def test_closure_retires_superseded_checkpoints(spark):
+    """paths._retire: BFS generations release their pinned blocks as soon
+    as the next generation materializes — a deep closure must not leave
+    O(depth) checkpoint RDDs in the block manager (the leak GC-thrashed
+    a 200k-node depth-17 tree before the fix)."""
+    e = inline(TTL, spark)
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    e.select_raw("SELECT ?s ?t { :root :pick ?s . ?s :link+ ?t }").count()
+    e.select_raw("SELECT ?s ?t { ?s :link* ?t }").count()
+    after = jsc.getPersistentRDDs().size()
+    # each closure may leave its RESULT frame pinned (caller-lifetime),
+    # but never its iteration history (4 BFS levels here)
+    assert after - before <= 3
