@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Never-driver-green entries hoisted into the driver's verification
 #: window (the r02 fix of q10 has only local oracle runs on record).
 _FRONT = ["q10_seq_decollect", "sparql_late_ids", "sparql_path_star_sip",
-          "sparql_census_ids"]
+          "sparql_census_ids", "sparql_describe", "sparql_service"]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -54,6 +54,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "sparql_path_plus",
             "sparql_path_star_sip",
             "sparql_path_nps",
+            "sparql_describe",
+            "sparql_service",
         ],
     ),
     (

@@ -11,7 +11,8 @@ SELECT [DISTINCT] with expressions/aliases, WHERE with BGPs, FILTER
 (comparisons, && || !, IN, EXISTS/NOT EXISTS, function calls), OPTIONAL,
 MINUS, UNION, BIND, VALUES, subqueries, property paths (``p1/p2``,
 ``^p``, ``p*``, ``p+``, ``p1|p2``), GROUP BY, ORDER BY ASC/DESC, LIMIT,
-OFFSET, CONSTRUCT, ASK (trivial), and updates INSERT/DELETE ... WHERE.
+OFFSET, CONSTRUCT, ASK (trivial), DESCRIBE, SERVICE [SILENT] federation,
+and updates INSERT/DELETE ... WHERE.
 
 The IR is deliberately tiny (dataclasses below); the Spark compiler
 (:mod:`sparkdon.compile`) walks it directly.
@@ -95,6 +96,24 @@ class SubSelect:
 
 
 @dataclass
+class ServiceGroup:
+    """SPARQL 1.1 federation: ``SERVICE [SILENT] <endpoint> { ... }``.
+
+    ``raw`` is the verbatim ``{ ... }`` source text — shipped to the
+    remote endpoint unmodified (wrapped in ``SELECT * WHERE``), so the
+    remote evaluates exactly what the author wrote.  ``group`` is the
+    locally-parsed copy, used only for variable analysis (join planning,
+    ``use_ids`` exclusion).  ``prefixes`` snapshots the prologue in scope
+    at the SERVICE site so qnames inside ``raw`` resolve remotely."""
+
+    endpoint: IRI
+    group: "GroupPattern"
+    raw: str
+    prefixes: dict
+    silent: bool = False
+
+
+@dataclass
 class GroupPattern:
     """A `{ ... }` group: ordered elements (patterns and operators)."""
 
@@ -173,6 +192,16 @@ class ConstructQuery:
 @dataclass
 class AskQuery:
     where: GroupPattern = None
+
+
+@dataclass
+class DescribeQuery:
+    """``DESCRIBE <iri>|?var ... [WHERE { ... }]`` — resources is a list
+    of IRI constants and Var references, or the string ``"*"`` for
+    DESCRIBE * (every variable the WHERE clause binds)."""
+
+    resources: list | str
+    where: GroupPattern | None = None
 
 
 @dataclass
@@ -350,9 +379,13 @@ class Parser:
         elif self.at_keyword("ASK"):
             self.next()
             q = AskQuery(where=self.parse_group())
+        elif self.at_keyword("DESCRIBE"):
+            q = self.parse_describe()
         else:
             t = self.peek()
-            raise SparqlSyntaxError(self.text, t.pos, f"expected SELECT/CONSTRUCT/ASK, got {t.text!r}")
+            raise SparqlSyntaxError(
+                self.text, t.pos,
+                f"expected SELECT/CONSTRUCT/ASK/DESCRIBE, got {t.text!r}")
         t = self.peek()
         if t.kind != "EOF":
             raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
@@ -504,6 +537,35 @@ class Parser:
             limit = int(self.next().text)
         return ConstructQuery(template=template, where=where, limit=limit)
 
+    def parse_describe(self) -> DescribeQuery:
+        self.expect_keyword("DESCRIBE")
+        resources: list | str
+        if self.peek().text == "*":
+            self.next()
+            resources = "*"
+        else:
+            resources = []
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    resources.append(Var(t.text[1:]))
+                elif t.kind in ("IRIREF", "PNAME"):
+                    resources.append(self.parse_iri())
+                else:
+                    break
+            if not resources:
+                raise SparqlSyntaxError(
+                    self.text, self.peek().pos,
+                    "DESCRIBE needs at least one IRI or variable (or *)")
+        where = None
+        if self.at_keyword("WHERE"):
+            self.next()
+            where = self.parse_group()
+        elif self.peek().text == "{":
+            where = self.parse_group()
+        return DescribeQuery(resources=resources, where=where)
+
     def parse_bracketted_expr(self) -> Expr:
         if self.peek().text == "(":
             self.next()
@@ -572,6 +634,25 @@ class Parser:
                 self.next()
                 g.elements.append(self.parse_values())
                 self.accept(".")
+            elif self.at_keyword("SERVICE"):
+                self.next()
+                silent = False
+                if self.at_keyword("SILENT"):
+                    self.next()
+                    silent = True
+                ep = self.peek()
+                if ep.kind == "VAR":
+                    raise SparqlSyntaxError(
+                        self.text, ep.pos,
+                        "SERVICE with a variable endpoint is not supported")
+                endpoint = self.parse_iri()
+                open_tok = self.peek()
+                inner = self.parse_group()
+                close_tok = self.tokens[self.i - 1]
+                raw = self.text[open_tok.pos:close_tok.pos + 1]
+                g.elements.append(ServiceGroup(
+                    endpoint, inner, raw, dict(self.prefixes), silent))
+                self.accept(".")
             else:
                 triples = self.parse_triples_block(stop_at_keywords=True)
                 if not triples:
@@ -621,7 +702,7 @@ class Parser:
                 return out
             if stop_at_keywords and t.kind == "KEYWORD" and t.text.upper() in (
                 "FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION",
-                "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "SERVICE",
             ):
                 return out
             if t.text == "{":

@@ -39,8 +39,8 @@ from sparkdon import paths as path_mod
 from sparkdon.algebra import (
     AggExpr, AskQuery, Bind, ConstructQuery, ExistsExpr, Expr, Filter,
     FuncExpr, GroupPattern, InExpr, MinusGroup, OpExpr, OptionalGroup, Path,
-    SelectQuery, SubSelect, TermExpr, TriplePattern, UnionGroup, UpdateRequest,
-    ValuesClause, Var,
+    SelectQuery, ServiceGroup, SubSelect, TermExpr, TriplePattern, UnionGroup,
+    UpdateRequest, ValuesClause, Var,
 )
 from sparkdon.errors import QueryExecutionError
 from sparkdon.operators.dictionary import term_id
@@ -54,6 +54,60 @@ def vcol(name: str) -> str:
     return "v_" + name
 
 
+def _group_var_names(g: GroupPattern) -> set[str]:
+    """Every variable name mentioned anywhere inside a group pattern."""
+    out: set[str] = set()
+
+    def expr(e) -> None:
+        if isinstance(e, TermExpr):
+            if isinstance(e.term, Var):
+                out.add(e.term.name)
+        elif isinstance(e, (OpExpr, FuncExpr)):
+            for a in e.args:
+                expr(a)
+        elif isinstance(e, InExpr):
+            expr(e.value)
+            for o in e.options:
+                expr(o)
+        elif isinstance(e, AggExpr):
+            if e.arg is not None:
+                expr(e.arg)
+        elif isinstance(e, ExistsExpr):
+            walk(e.group)
+
+    def walk(gp: GroupPattern) -> None:
+        for el in gp.elements:
+            if isinstance(el, TriplePattern):
+                for t in (el.s, el.p, el.o):
+                    if isinstance(t, Var):
+                        out.add(t.name)
+            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+                walk(el.group)
+            elif isinstance(el, UnionGroup):
+                for b in el.branches:
+                    walk(b)
+            elif isinstance(el, Bind):
+                expr(el.expr)
+                out.add(el.var.name)
+            elif isinstance(el, ValuesClause):
+                out.update(v.name for v in el.variables)
+            elif isinstance(el, SubSelect):
+                sq = el.query
+                walk(sq.where)
+                for e, alias in sq.projections:
+                    if isinstance(e, Var):
+                        out.add(e.name)
+                    else:
+                        expr(e)
+                    if alias is not None:
+                        out.add(alias)
+            elif isinstance(el, Filter):
+                expr(el.expr)
+
+    walk(g)
+    return out
+
+
 @dataclass
 class Bindings:
     """A solution-sequence relation: DataFrame + variable bookkeeping."""
@@ -64,6 +118,18 @@ class Bindings:
 
     def col(self, name: str) -> Column:
         return self.df[vcol(name)]
+
+
+def _struct_to_term(v):
+    """Collected term-struct Row → term object (inverse of term_to_struct
+    for constants; driver-side, used by the SERVICE bound-join)."""
+    if v is None:
+        return None
+    if v["kind"] == KIND_IRI:
+        return IRI(v["lex"])
+    if v["kind"] == KIND_BNODE:
+        return BNode(v["lex"])
+    return Literal(v["lex"], v["dt"], v["lang"])
 
 
 def term_to_struct(term) -> Column:
@@ -200,6 +266,10 @@ class Compiler:
                     walk_select(el.query)
                 elif isinstance(el, Filter):
                     walk_expr(el.expr)
+                elif isinstance(el, ServiceGroup):
+                    # remote results arrive as materialized term structs;
+                    # every service var must stay value-encoded
+                    value.update(_group_var_names(el.group))
 
         def walk_select(sq, top: bool = False) -> None:
             nonlocal star
@@ -628,6 +698,8 @@ class Compiler:
                 bindings = self.join(bindings, self.compile_values(el))
             elif isinstance(el, SubSelect):
                 bindings = self.join(bindings, self.compile_select(el.query))
+            elif isinstance(el, ServiceGroup):
+                bindings = self.join(bindings, self.compile_service(el, bindings))
             elif isinstance(el, Filter):
                 deferred.append(el.expr)
             else:
@@ -696,6 +768,118 @@ class Compiler:
         }
         # VALUES tables are tiny by construction — always broadcast
         return Bindings(F.broadcast(df), names, certain)
+
+    # ------------------------------------------------------------------
+    # SERVICE federation
+    # ------------------------------------------------------------------
+
+    #: bound-join cap: above this many distinct local binding rows the
+    #: VALUES injection would bloat the remote request URL; fall back to
+    #: an unconstrained fetch (the local join re-applies the restriction)
+    SERVICE_VALUES_CAP = 1000
+
+    def compile_service(self, el: ServiceGroup, prior: Bindings | None) -> Bindings:
+        """SPARQL 1.1 federation (spec §18): ship the group text to the
+        remote endpoint as ``SELECT * WHERE { ... }``, decode the JSON
+        solution sequence into a bindings relation, and let the caller
+        join it with the local plan (shared-variable compatibility —
+        exactly the local join semantics).
+
+        Bound-join optimization (FedX-style): when the local prefix
+        already binds variables the service group shares and the distinct
+        binding set is small, inject it as a VALUES clause so the
+        endpoint evaluates only the relevant slice.  The outer join
+        re-applies the restriction locally, so skipping the injection
+        (cap exceeded, or bnode bindings — which never transfer across
+        endpoints) cannot change the result.
+
+        The fetch runs at plan-build time on the driver: a remote HTTP
+        endpoint is not a distributed scan, and the result schema must be
+        known before the join compiles.  Partitioned/pushdown reads of
+        large endpoints are the job of sources/sparql_source.py.
+        """
+        from sparkdon.remote import fetch_bindings
+
+        svars = _group_var_names(el.group)
+        values = ""
+        if prior is not None:
+            shared = [v for v in prior.variables
+                      if v in svars and v in prior.certain]
+            if shared:
+                rows = (prior.df
+                        .select(*[vcol(v) for v in shared]).distinct()
+                        .limit(self.SERVICE_VALUES_CAP + 1).collect())
+                if not rows:
+                    # empty local prefix ⇒ empty join; skip the round-trip
+                    return Bindings(
+                        self._empty_struct_frame(sorted(svars)),
+                        sorted(svars), set(svars))
+                n3_rows: list | None = []
+                for r in rows:
+                    terms = [_struct_to_term(r[vcol(v)]) for v in shared]
+                    if any(isinstance(t, BNode) for t in terms):
+                        n3_rows = None
+                        break
+                    n3_rows.append(
+                        "(" + " ".join(t.n3() for t in terms) + ")")
+                if n3_rows is not None and len(n3_rows) <= self.SERVICE_VALUES_CAP:
+                    values = "VALUES (%s) { %s }\n" % (
+                        " ".join("?" + v for v in shared), " ".join(n3_rows))
+        prologue = "".join(f"PREFIX {p}: <{iri}>\n"
+                           for p, iri in sorted(el.prefixes.items()))
+        body = el.raw
+        if values:
+            body = "{\n" + values + body[body.index("{") + 1:]
+        query = f"{prologue}SELECT * WHERE {body}"
+        try:
+            doc = fetch_bindings(str(el.endpoint), query)
+        except Exception:
+            if el.silent:
+                # spec: SILENT failure yields the unit solution sequence
+                return self.unit()
+            raise
+        return self._service_bindings(doc)
+
+    def _empty_struct_frame(self, names: list[str]) -> DataFrame:
+        schema = ", ".join(
+            f"{vcol(n)} struct<kind:string,lex:string,dt:string,lang:string>"
+            for n in names)
+        return self.spark.createDataFrame([], schema)
+
+    def _service_bindings(self, doc: dict) -> Bindings:
+        names = list(doc.get("head", {}).get("vars", []))
+        rows = doc.get("results", {}).get("bindings", [])
+        if not names:
+            # all-constant service pattern: solutions carry no bindings
+            u = self.unit()
+            return u if rows else Bindings(u.df.limit(0), [], set())
+        scope = getattr(self, "_svc_scope", 0) + 1
+        self._svc_scope = scope
+        bound_everywhere = set(names)
+        data = []
+        for b in rows:
+            rec = []
+            for v in names:
+                node = b.get(v)
+                if node is None:
+                    bound_everywhere.discard(v)
+                    rec.append(None)
+                elif node.get("type") == "uri":
+                    rec.append((KIND_IRI, node["value"], None, None))
+                elif node.get("type") == "bnode":
+                    # per-SERVICE fresh scope: remote bnodes never equal
+                    # local ones (or another SERVICE's)
+                    rec.append((KIND_BNODE, f"svc{scope}_{node['value']}",
+                                None, None))
+                else:  # 'literal' / 'typed-literal'
+                    rec.append((KIND_LIT, node["value"],
+                                node.get("datatype"), node.get("xml:lang")))
+            data.append(tuple(rec))
+        schema = ", ".join(
+            f"{vcol(n)} struct<kind:string,lex:string,dt:string,lang:string>"
+            for n in names)
+        return Bindings(self.spark.createDataFrame(data, schema),
+                        names, bound_everywhere)
 
     def apply_filter(self, bindings: Bindings, expr: Expr) -> Bindings:
         if isinstance(expr, ExistsExpr):

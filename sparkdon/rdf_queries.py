@@ -726,3 +726,60 @@ def sparql_offset(spark, sf_dir):
         "ORDER BY DESC(?bal) ?cust LIMIT 20 OFFSET 10",
         {"cust": "str", "bal": "double"},
     )
+
+
+@register(
+    "sparql_describe",
+    "SELECT s, p, o FROM ("
+    " SELECT 'urn:g:region:0' AS s,"
+    "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
+    "  'urn:c:region' AS o"
+    " UNION ALL SELECT 'urn:g:region:0', 'urn:p:r_name', r_name"
+    "  FROM region WHERE r_regionkey = 0"
+    " UNION ALL SELECT 'urn:g:nation:' || n_nationkey,"
+    "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:c:nation'"
+    "  FROM nation"
+    " UNION ALL SELECT 'urn:g:nation:' || n_nationkey, 'urn:p:n_name',"
+    "  n_name FROM nation"
+    " UNION ALL SELECT 'urn:g:nation:' || n_nationkey, 'urn:p:n_regionkey',"
+    "  'urn:g:region:' || n_regionkey FROM nation"
+    ")",
+)
+def sparql_describe(spark, sf_dir):
+    """DESCRIBE through the engine (session.describe): one constant IRI
+    plus every ?n the WHERE clause binds, materialized as the Concise
+    Bounded Description of the node *set* (one distributed BFS, not
+    per-node loops).  The rdf-ized graph has no bnodes, so the CBD is
+    exactly the subject triples — SQL-expressible oracle."""
+    e = endpoint(spark, sf_dir, tables=("region", "nation"))
+    d = e.describe("DESCRIBE <urn:g:region:0> ?n WHERE { ?n a c:nation }")
+    return d.graph.select("s", "p", "o")
+
+
+@register(
+    "sparql_service",
+    "SELECT n.n_name AS nation, count(*) AS cnt FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def sparql_service(spark, sf_dir):
+    """SPARQL 1.1 federation end-to-end: the supplier triples live behind
+    a real HTTP endpoint (sparkdon.protocol server over a second
+    LocalEndpoint on the same Spark session); the local plan binds ?n
+    from the nation graph and the SERVICE clause ships a FedX-style
+    VALUES-bound join to the remote side.  Both the client compilation
+    and the server evaluation are the engine under test."""
+    from sparkdon.protocol import SparqlProtocolServer
+
+    remote = endpoint(spark, sf_dir, tables=("supplier",))
+    with SparqlProtocolServer(remote) as srv:
+        # compile (and the driver-side SERVICE fetch) happens inside the
+        # with-block; the returned plan holds the fetched bindings as a
+        # local relation, so the server need not outlive this call.
+        return run(
+            spark, sf_dir,
+            "SELECT ?nation (COUNT(*) AS ?cnt) { ?n p:n_name ?nation . "
+            f" SERVICE <{srv.url}> {{ ?s p:s_nationkey ?n }} }} "
+            "GROUP BY ?nation",
+            {"nation": "str", "cnt": "long"},
+            tables=("nation",),
+        )

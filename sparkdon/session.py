@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkdon import io as io_mod
 from sparkdon.algebra import (
-    AskQuery, ConstructQuery, Parser, SelectQuery, TermExpr, Var,
-    parse_query, parse_update,
+    AskQuery, ConstructQuery, DescribeQuery, Parser, SelectQuery, TermExpr,
+    Var, parse_query, parse_update,
 )
 from sparkdon.compile import Compiler
 from sparkdon.errors import SparkdonError, one_error
@@ -419,12 +419,22 @@ class LocalEndpoint(Endpoint):
         bnode-closure BFS (reference ``peel``/``_peel``,
         gastrodon/__init__.py:688-743).  Each BFS level is one distributed
         join; frontier is checkpointed (G5)."""
-        from pyspark.sql import functions as F
-
         node = self._resolve_node(node)
         kind = KIND_BNODE if isinstance(node, BNode) else KIND_IRI
-        frontier = self.spark.createDataFrame(
-            [(kind, str(node))], "f_kind string, f string").localCheckpoint(eager=True)
+        nodes = self.spark.createDataFrame(
+            [(kind, str(node))], "f_kind string, f string")
+        return LocalEndpoint(self.spark, self._cbd(nodes),
+                             prefixes=self.prefixes, base_uri=self.base_uri)
+
+    def _cbd(self, nodes: DataFrame) -> DataFrame:
+        """Concise Bounded Description of a node *relation* ``(f_kind,
+        f)``: all triples whose subject is in the set, recursing through
+        blank-node objects.  Each BFS level is one distributed join over
+        the whole node set (not per-node loops), so a DESCRIBE of a
+        million resources is the same number of Spark jobs as one."""
+        from pyspark.sql import functions as F
+
+        frontier = nodes.localCheckpoint(eager=True)
         seen = frontier
         parts = []
         for _ in range(1000):
@@ -448,7 +458,52 @@ class LocalEndpoint(Endpoint):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return LocalEndpoint(self.spark, out.dropDuplicates(),
+        return out.dropDuplicates()
+
+    def describe(self, sparql: str, bindings: dict | None = None) -> "LocalEndpoint":
+        """DESCRIBE → a new LocalEndpoint over the description graph.
+
+        The description form is the Concise Bounded Description (the
+        de-facto standard the spec leaves open, and what Virtuoso — the
+        reference's usual remote store — serves by default): all triples
+        whose subject is a described resource, plus the full closure
+        through blank-node objects (same traversal as :meth:`peel`, but
+        over a node *set* evaluated as one distributed BFS).
+
+        ``DESCRIBE <iri>...`` describes constants; ``DESCRIBE ?v ...
+        WHERE {...}`` describes every IRI/bnode the WHERE clause binds to
+        the listed variables; ``DESCRIBE *`` takes every variable."""
+        from pyspark.sql import functions as F
+
+        sparql = self._prepare(sparql, bindings)
+        q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if not isinstance(q, DescribeQuery):
+            raise SparkdonError("describe() requires a DESCRIBE query")
+        consts = [] if q.resources == "*" else [
+            r for r in q.resources if not isinstance(r, Var)]
+        frames = []
+        if consts:
+            frames.append(self.spark.createDataFrame(
+                [(KIND_IRI, str(c)) for c in consts], "f_kind string, f string"))
+        if q.where is not None:
+            b = self._compiler().compile_group(q.where)
+            if q.resources == "*":
+                names = list(b.variables)
+            else:
+                names = [r.name for r in q.resources
+                         if isinstance(r, Var) and r.name in b.variables]
+            for n in names:
+                c = b.col(n)
+                frames.append(
+                    b.df.select(c["kind"].alias("f_kind"), c["lex"].alias("f"))
+                    .where(F.col("f_kind").isin(KIND_IRI, KIND_BNODE))
+                    .distinct())
+        if not frames:
+            raise SparkdonError("DESCRIBE resolved no describable resources")
+        nodes = frames[0]
+        for fdf in frames[1:]:
+            nodes = nodes.unionByName(fdf)
+        return LocalEndpoint(self.spark, self._cbd(nodes.distinct()),
                              prefixes=self.prefixes, base_uri=self.base_uri)
 
     def _resolve_node(self, node):

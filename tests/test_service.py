@@ -1,0 +1,201 @@
+"""SERVICE federation (SPARQL 1.1 §18), the SPARQL protocol server, and
+DESCRIBE.
+
+The federation tests run against a REAL evaluating endpoint: a second
+LocalEndpoint published over HTTP by sparkdon.protocol — so both sides of
+every SERVICE round-trip (client compilation and server evaluation) are
+the engine under test."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkdon.errors import QueryExecutionError, SparqlSyntaxError
+from sparkdon.protocol import SparqlProtocolServer
+from sparkdon.remote import RemoteEndpoint
+from sparkdon.session import LocalEndpoint, inline
+
+EX = "PREFIX : <http://example.com/>\n"
+
+LOCAL_TTL = """
+@prefix : <http://example.com/> .
+:NYC :boro :Manhattan , :Brooklyn , :Queens , :The_Bronx .
+:Manhattan :grade "A" .
+"""
+
+REMOTE_TTL = """
+@prefix : <http://example.com/> .
+:Manhattan :pop 1694251 .
+:Brooklyn :pop 2736074 .
+:Queens :pop 2405464 .
+:Yonkers :pop 211569 .
+"""
+
+
+@pytest.fixture(scope="module")
+def local(spark):
+    return inline(LOCAL_TTL, spark)
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    srv = SparqlProtocolServer(inline(REMOTE_TTL, spark)).start()
+    yield srv
+    srv.stop()
+
+
+def test_service_joins_remote_bindings(local, served):
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    # The_Bronx has no remote pop row, Yonkers is not a local boro
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]
+
+
+def test_service_bound_join_injects_values(local, served):
+    served.queries.clear()
+    local.select(
+        EX + "SELECT ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }}")
+    (remote_q,) = served.queries
+    assert "VALUES (?b)" in remote_q
+    assert "<http://example.com/The_Bronx>" in remote_q
+    assert "<http://example.com/Yonkers>" not in remote_q
+
+
+def test_service_cap_falls_back_to_unconstrained(local, served, monkeypatch):
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 2)
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    (remote_q,) = served.queries
+    assert "VALUES" not in remote_q  # 4 distinct boros > cap of 2
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]  # same answer
+
+
+def test_service_first_in_group_fetches_whole_pattern(local, served):
+    served.queries.clear()
+    pdf = local.select(
+        EX + f"SELECT ?b WHERE {{ SERVICE <{served.url}> {{ ?b :pop ?pop }} ."
+        "  ?b :grade ?g }")
+    (remote_q,) = served.queries
+    assert "VALUES" not in remote_q  # no prior bindings to push
+    assert list(pdf["b"]) == [":Manhattan"]
+
+
+def test_service_silent_failure_is_unit(local):
+    pdf = local.select(
+        EX + "SELECT ?b WHERE { :NYC :boro ?b ."
+        "  SERVICE SILENT <http://127.0.0.1:9/sparql> { ?b :pop ?pop } }")
+    assert len(pdf) == 4  # all local rows survive, ?pop unbound
+
+
+def test_service_failure_raises_without_silent(local):
+    with pytest.raises(QueryExecutionError, match="cannot reach"):
+        local.select(
+            EX + "SELECT ?b WHERE { :NYC :boro ?b ."
+            "  SERVICE <http://127.0.0.1:9/sparql> { ?b :pop ?pop } }")
+
+
+def test_service_variable_endpoint_rejected(local):
+    with pytest.raises(SparqlSyntaxError, match="variable endpoint"):
+        local.select(EX + "SELECT ?b WHERE { SERVICE ?ep { ?b :pop ?o } }")
+
+
+def test_service_bnode_bindings_skip_injection(spark, served):
+    # local values that include a bnode cannot transfer across endpoints;
+    # the injection must be skipped but the join still evaluated locally
+    g = inline(
+        """@prefix : <http://example.com/> .
+        :NYC :boro [ :alias :Manhattan ] .
+        :NYC :boro :Brooklyn .""",
+        spark,
+    )
+    served.queries.clear()
+    pdf = g.select(
+        EX + "SELECT ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }}")
+    (remote_q,) = served.queries
+    assert "VALUES" not in remote_q
+    assert list(pdf["pop"]) == [2736074]  # only :Brooklyn matches
+
+
+def test_service_under_use_ids_stays_value_encoded(spark, served):
+    # service vars must be excluded from id encoding: the remote relation
+    # arrives as term structs, so an id-encoded local join side would
+    # never match
+    g = LocalEndpoint(spark, inline(LOCAL_TTL, spark).graph,
+                      prefixes={"": "http://example.com/"}, use_ids=True)
+    pdf = g.select(
+        EX + "SELECT ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?pop")
+    assert list(pdf["pop"]) == [1694251, 2405464, 2736074]
+
+
+def test_remote_endpoint_client_against_protocol_server(spark, served):
+    # the in-repo protocol client reads the in-repo protocol server
+    ep = RemoteEndpoint(served.url, spark, prefixes={"": "http://example.com/"})
+    pdf = ep.select("SELECT ?s ?pop WHERE { ?s :pop ?pop } ORDER BY DESC(?pop)")
+    assert len(pdf) == 4
+    assert str(pdf.iloc[0]["s"]) == ":Brooklyn"
+
+
+def test_protocol_server_ask_and_update(spark):
+    g = inline("@prefix : <http://example.com/> .\n:a :p :b .", spark)
+    with SparqlProtocolServer(g) as srv:
+        ep = RemoteEndpoint(srv.url, spark, prefixes={"": "http://example.com/"})
+        assert ep.select("SELECT ?o { :a :p ?o }").shape[0] == 1
+        srv.endpoint.update("PREFIX : <http://example.com/> "
+                            "INSERT { :a :p :c } WHERE {}")
+        assert ep.select("SELECT ?o { :a :p ?o }").shape[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE
+# ---------------------------------------------------------------------------
+
+DESCRIBE_TTL = """
+@prefix : <http://example.com/> .
+:Manhattan :pop 1694251 ; :mayor [ :name "Eric" ; :office [ :addr "City Hall" ] ] .
+:Brooklyn :pop 2736074 .
+:NYC :boro :Manhattan , :Brooklyn .
+"""
+
+
+@pytest.fixture(scope="module")
+def desc_graph(spark):
+    return inline(DESCRIBE_TTL, spark)
+
+
+def test_describe_constant_follows_bnode_closure(desc_graph):
+    d = desc_graph.describe(EX + "DESCRIBE :Manhattan")
+    # pop + mayor + (name, office) + addr — two bnode hops deep
+    assert d.count() == 5
+    assert ":addr" in d.ttl()
+
+
+def test_describe_variables_from_where(desc_graph):
+    d = desc_graph.describe(EX + "DESCRIBE ?b WHERE { :NYC :boro ?b }")
+    assert d.count() == 6  # Manhattan CBD (5) + Brooklyn (1)
+
+
+def test_describe_star_ignores_literal_bindings(desc_graph):
+    d = desc_graph.describe(EX + "DESCRIBE * WHERE { ?s :pop ?p }")
+    assert d.count() == 6  # ?p binds literals — not describable
+
+
+def test_describe_mixed_constant_and_var(desc_graph):
+    d = desc_graph.describe(
+        EX + "DESCRIBE :Brooklyn ?m WHERE { :Manhattan :mayor ?m }")
+    # Brooklyn (1) + the mayor bnode subtree (name, office, addr)
+    assert d.count() == 4
+
+
+def test_describe_requires_describe_form(desc_graph):
+    from sparkdon.errors import SparkdonError
+
+    with pytest.raises(SparkdonError, match="DESCRIBE"):
+        desc_graph.describe(EX + "SELECT ?s WHERE { ?s ?p ?o }")
