@@ -107,14 +107,22 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name, fn) -> None:
+        # A single failing query must not kill the whole bench (round 4
+        # lost every number to one AnalysisException): record the error
+        # and keep timing the rest.
         best = None
-        for _ in range(N_RUNS):
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
         timings[name] = round(best, 3)
 
     def group_barrier() -> None:
@@ -125,7 +133,10 @@ def main() -> None:
     # whole-stage-codegen compilation + stage-scheduling setup, ~2x the
     # steady-state time)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    flagship(spark, sf_dir).collect()
+    try:
+        flagship(spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001
+        pass
 
     flag_rows: list = []
 
@@ -143,18 +154,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "flagship_rows": len(flag_rows),
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_rows": len(flag_rows),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

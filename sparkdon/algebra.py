@@ -578,6 +578,15 @@ class Parser:
     def parse_group(self) -> GroupPattern:
         self.expect("{")
         g = GroupPattern()
+        # grammar: GroupGraphPattern ::= '{' (SubSelect | GroupGraphPatternSub) '}'
+        # — a *bare* subselect directly behind the brace (common as a
+        # SERVICE body) is legal, not just the nested '{ { SELECT ... } }'
+        t0 = self.peek()
+        if t0.kind == "KEYWORD" and t0.text.upper() == "SELECT":
+            sub = self.parse_select()
+            self.expect("}")
+            g.elements.append(SubSelect(sub))
+            return g
         while True:
             t = self.peek()
             if t.text == "}":

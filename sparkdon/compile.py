@@ -54,6 +54,48 @@ def vcol(name: str) -> str:
     return "v_" + name
 
 
+def _injectable_vars(g: GroupPattern) -> set[str]:
+    """Variables safe to constrain via a VALUES injection into a SERVICE
+    group: those occurring in subject/predicate/object position of a
+    *mandatory* triple pattern (top level or inside UNION branches).
+
+    Everything else is excluded because pre-binding changes semantics or
+    well-formedness:
+
+    - FILTER-only vars: bottom-up evaluation leaves them unbound (the
+      filter errors and eliminates rows); injection would bind them and
+      rows would survive.
+    - BIND targets: the variable is already in scope after injection, so
+      the remote query becomes ill-formed.
+    - OPTIONAL-only vars: ``VALUES ?v {a} OPTIONAL {..?v..}`` keeps the
+      left row when no optional match has ``?v = a``, where the
+      uninjected query produced only the optional matches — the local
+      re-join cannot repair the extra surviving rows.
+    - MINUS-only vars: injection makes ``?v`` shared with the MINUS
+      group, activating removals the uninjected evaluation (no shared
+      bound vars ⇒ remove nothing) never performs.
+    - SubSelect-internal vars: scoped out remotely; a top-level VALUES
+      would cross-product rather than constrain.
+    """
+    pos: set[str] = set()
+    banned: set[str] = set()
+
+    def walk(gp: GroupPattern) -> None:
+        for el in gp.elements:
+            if isinstance(el, TriplePattern):
+                for t in (el.s, el.p, el.o):
+                    if isinstance(t, Var):
+                        pos.add(t.name)
+            elif isinstance(el, UnionGroup):
+                for b in el.branches:
+                    walk(b)
+            elif isinstance(el, Bind):
+                banned.add(el.var.name)
+
+    walk(g)
+    return pos - banned
+
+
 def _group_var_names(g: GroupPattern) -> set[str]:
     """Every variable name mentioned anywhere inside a group pattern."""
     out: set[str] = set()
@@ -801,10 +843,11 @@ class Compiler:
         from sparkdon.remote import fetch_bindings
 
         svars = _group_var_names(el.group)
+        injectable = _injectable_vars(el.group)
         values = ""
         if prior is not None:
             shared = [v for v in prior.variables
-                      if v in svars and v in prior.certain]
+                      if v in injectable and v in prior.certain]
             if shared:
                 rows = (prior.df
                         .select(*[vcol(v) for v in shared]).distinct()
@@ -833,12 +876,16 @@ class Compiler:
         query = f"{prologue}SELECT * WHERE {body}"
         try:
             doc = fetch_bindings(str(el.endpoint), query)
+            # decode inside the try: a malformed results document (bad
+            # JSON shape, missing head/results keys) is equally a failed
+            # service execution, which SILENT must degrade to the unit
+            # solution (spec §18.3.1)
+            return self._service_bindings(doc)
         except Exception:
             if el.silent:
                 # spec: SILENT failure yields the unit solution sequence
                 return self.unit()
             raise
-        return self._service_bindings(doc)
 
     def _empty_struct_frame(self, names: list[str]) -> DataFrame:
         schema = ", ".join(

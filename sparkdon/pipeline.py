@@ -1103,7 +1103,12 @@ def x_window_sessionize(spark, sf_dir):
     batch equivalent of session_window/applyInPandasWithState."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    # parquet annotates it (Spark 4 infers NTZ for untagged micros);
+    # NTZ cannot cast straight to BIGINT, but NTZ -> TIMESTAMP -> BIGINT
+    # is legal and, with the session tz pinned to UTC, value-identical.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("ns", new_session)

@@ -36,11 +36,22 @@ _FORM_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: prologue declarations stripped before form detection — a PREFIX label
+#: or IRI may embed a form keyword (``PREFIX d: <urn:ns/delete#>``) and
+#: must not win the match
+_PROLOGUE_RE = re.compile(
+    r"^\s*(?:#[^\n]*\n\s*"                       # comment lines
+    r"|PREFIX\s+[^<\s]*\s*<[^>]*>\s*"            # PREFIX label: <iri>
+    r"|BASE\s*<[^>]*>\s*)*",
+    re.IGNORECASE,
+)
+
 
 def _query_form(sparql: str) -> str:
-    """First query-form keyword after the prologue (PREFIX/BASE lines
-    contain none of the form keywords, so the first match is the form)."""
-    m = _FORM_RE.search(sparql)
+    """First query-form keyword after the prologue.  PREFIX/BASE
+    declarations (and comments) are stripped first so that labels or
+    IRIs containing a form keyword cannot misroute the query."""
+    m = _FORM_RE.search(sparql[_PROLOGUE_RE.match(sparql).end():])
     return m.group(1).upper() if m else ""
 
 
@@ -76,11 +87,11 @@ class SparqlProtocolServer:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 params = urllib.parse.parse_qs(self.rfile.read(length).decode())
-                outer._handle(self, params)
+                outer._handle(self, params, method="POST")
 
             def do_GET(self):
                 _, _, qs = self.path.partition("?")
-                outer._handle(self, urllib.parse.parse_qs(qs))
+                outer._handle(self, urllib.parse.parse_qs(qs), method="GET")
 
             def log_message(self, *args):  # quiet
                 pass
@@ -115,9 +126,21 @@ class SparqlProtocolServer:
 
     # -- request handling ----------------------------------------------
 
-    def _handle(self, h: BaseHTTPRequestHandler, params: dict) -> None:
+    def _handle(self, h: BaseHTTPRequestHandler, params: dict,
+                method: str = "POST") -> None:
         try:
             if "update" in params:
+                if method != "POST":
+                    # SPARQL 1.1 protocol §2.2: update only via POST; a
+                    # state-mutating GET is also a CSRF/crawler hazard
+                    body = b"update is only accepted via POST"
+                    h.send_response(405)
+                    h.send_header("Allow", "POST")
+                    h.send_header("Content-Type", "text/plain; charset=utf-8")
+                    h.send_header("Content-Length", str(len(body)))
+                    h.end_headers()
+                    h.wfile.write(body)
+                    return
                 sparql = params["update"][0]
                 self.queries.append(sparql)
                 self.endpoint.update(sparql)

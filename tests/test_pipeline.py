@@ -414,3 +414,37 @@ def test_streaming_near_dup_matches(spark, tmp_path):
     assert rows, "near-dup of corpus doc produced no band collisions"
     assert {r.doc_id for r in rows} == {1}
     assert all(r.corpus_doc_id == 100 for r in rows)
+
+
+def test_sessionize_survives_timestamp_ntz(spark, tmp_path):
+    """Round-4 driver regression: events.parquet regenerated with
+    untagged micros timestamps reads as TIMESTAMP_NTZ (Spark 4 infers
+    NTZ), and ``cast(ts as bigint)`` is illegal on NTZ — the old
+    sessionize expression crashed the whole bench run.  Pin both input
+    flavors to identical session counts."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from sparkdon import pipeline
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10),
+        (2, datetime(2024, 1, 1, 0, 10, 0), 10),   # same session (10 min gap)
+        (3, datetime(2024, 1, 1, 2, 0, 0), 10),    # new session (>30 min)
+        (4, datetime(2024, 1, 1, 0, 0, 0), 20),
+    ]
+    base = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+
+    ntz = base.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+
+    from unittest import mock
+
+    out = {}
+    for label, df in (("tz", base), ("ntz", ntz)):
+        with mock.patch.object(pipeline, "table", lambda s, d, n, df=df: df):
+            got = pipeline.x_window_sessionize(spark, "ignored").collect()
+        out[label] = {r.user_id: r.n_sessions for r in got}
+
+    assert out["tz"] == out["ntz"] == {10: 2, 20: 1}
