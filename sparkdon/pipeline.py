@@ -763,20 +763,38 @@ def x_sim_ivf(spark, sf_dir):
     rows); assignment is a narrow map against K literal centroids; the
     candidate join is keyed on cell with the tiny probe side broadcast —
     no all-pairs.  K scales ~√n and the centroid model stays driver-side
-    model state, exactly like a real IVF index build."""
-    e = _ann_vectors(spark, sf_dir, spread=True)
+    model state, exactly like a real IVF index build.
+
+    The build is ~5 chained actions (two Lloyd means, two assignments,
+    probe/refine); each materialization point is ``localCheckpoint``-ed so
+    no action re-executes upstream lineage — in particular the K×D-literal
+    distance expression is parsed/codegen'd once per distinct centroid set
+    and *evaluated* once per row, not once per downstream action.  That is
+    exactly what a real index build does: persist the assignment table.
+    BENCH_r05 recorded 15.1 s here because the uncached chain re-ran the
+    scan + assignment under every action, which amplifies any executor
+    contention ~5x."""
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
 
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
-    assigned = e.select("vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
-    cents = _ivf_mean(assigned.select("cell", "v"))
-    assigned = e.select("vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
+    a1 = e.select(
+        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
+    ).localCheckpoint()
+    cents = _ivf_mean(a1.select("cell", "v"))
+    # One evaluation of the final-centroid distance array serves both the
+    # corpus assignment ([0].cell) and the query probe set (slice 1..NPROBE).
+    scored = e.select(
+        "vec_id", "v", _ivf_cells(cents).alias("cells")
+    ).localCheckpoint()
+    assigned = scored.select(
+        "vec_id", "v", F.col("cells")[0]["cell"].alias("cell"))
 
     probes = (
-        e.filter(F.col("vec_id") < 10)
+        scored.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("qid"),
             F.explode(F.transform(
-                F.slice(_ivf_cells(cents), 1, _IVF_NPROBE),
+                F.slice("cells", 1, _IVF_NPROBE),
                 lambda s: s["cell"])).alias("cell"),
         )
     )
