@@ -152,20 +152,37 @@ def main() -> None:
             if name in qs:
                 timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = build_output(timings, errors, sf, len(flag_rows))
+    print(json.dumps(out))
+    spark.stop()
+
+
+def build_output(timings: dict, errors: dict, sf, flagship_rows: int) -> dict:
+    """Assemble the one-line JSON record.
+
+    A failing query is excluded from the timing sum — but a partial sum
+    is NOT comparable round-over-round (a crash would read as a *faster*
+    suite), so when any query errored the headline ``value`` is null and
+    ``partial``/``error_count`` flag the record; the surviving per-query
+    timings stay available under ``queries``.
+    """
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "flagship_rows": len(flag_rows),
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+        "flagship_rows": flagship_rows,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
-    spark.stop()
+        out["partial"] = True
+        out["error_count"] = len(errors)
+        out["partial_total_sec"] = total
+        out["value"] = None
+    return out
 
 
 if __name__ == "__main__":
