@@ -30,6 +30,7 @@ reference corpus, so the fast path is the only hot path.
 from __future__ import annotations
 
 import itertools
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -48,6 +49,9 @@ from sparkdon.terms import (
     XSD, BNode, IRI, KIND_BNODE, KIND_IRI, KIND_LIT, Literal, NUMERIC_DATATYPES,
     iri_term, lit_term, make_term, numeric_value, sort_key,
 )
+
+
+logger = logging.getLogger(__name__)
 
 
 def vcol(name: str) -> str:
@@ -76,9 +80,31 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
       bound vars ⇒ remove nothing) never performs.
     - SubSelect-internal vars: scoped out remotely; a top-level VALUES
       would cross-product rather than constrain.
+    - BIND targets *anywhere* — including inside OPTIONAL/MINUS/nested
+      groups/subselects: even when the BIND sits in a different group
+      scope (so the remote query stays well-formed), the interaction
+      between an injected binding and an inner BIND of the same name is
+      unanalyzed, so the exclusion is conservative (round-5 ADVICE).
     """
     pos: set[str] = set()
     banned: set[str] = set()
+
+    def collect_banned(gp: GroupPattern) -> None:
+        """Recursive BIND-target sweep — contributes to ``banned`` only,
+        never to ``pos`` (triples inside OPTIONAL/MINUS/etc stay
+        non-mandatory)."""
+        for el in gp.elements:
+            if isinstance(el, Bind):
+                banned.add(el.var.name)
+            elif isinstance(el, UnionGroup):
+                for b in el.branches:
+                    collect_banned(b)
+            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+                collect_banned(el.group)
+            elif isinstance(el, GroupPattern):
+                collect_banned(el)
+            elif isinstance(el, SubSelect) and el.query.where is not None:
+                collect_banned(el.query.where)
 
     def walk(gp: GroupPattern) -> None:
         for el in gp.elements:
@@ -91,6 +117,12 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
                     walk(b)
             elif isinstance(el, Bind):
                 banned.add(el.var.name)
+            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+                collect_banned(el.group)
+            elif isinstance(el, GroupPattern):
+                collect_banned(el)
+            elif isinstance(el, SubSelect) and el.query.where is not None:
+                collect_banned(el.query.where)
 
     walk(g)
     return pos - banned
@@ -876,16 +908,29 @@ class Compiler:
         query = f"{prologue}SELECT * WHERE {body}"
         try:
             doc = fetch_bindings(str(el.endpoint), query)
-            # decode inside the try: a malformed results document (bad
-            # JSON shape, missing head/results keys) is equally a failed
-            # service execution, which SILENT must degrade to the unit
-            # solution (spec §18.3.1)
-            return self._service_bindings(doc)
-        except Exception:
+        except Exception as exc:
             if el.silent:
                 # spec: SILENT failure yields the unit solution sequence
+                logger.debug("SERVICE SILENT <%s>: fetch failed: %r",
+                             el.endpoint, exc)
                 return self.unit()
             raise
+        try:
+            return self._service_bindings(doc)
+        except (TypeError, KeyError, AttributeError, ValueError) as exc:
+            # Only document-SHAPE errors (bad JSON structure, missing
+            # head/results keys) count as a failed service execution that
+            # SILENT degrades to the unit solution (spec §18.3.1).  A
+            # driver-side defect while materializing the frame (e.g. a
+            # Spark createDataFrame error) raises other types and must
+            # surface, SILENT or not — local bugs are not remote failures.
+            if el.silent:
+                logger.debug("SERVICE SILENT <%s>: malformed results "
+                             "document: %r", el.endpoint, exc)
+                return self.unit()
+            raise QueryExecutionError(
+                f"SERVICE <{el.endpoint}> returned a malformed results "
+                f"document: {type(exc).__name__}: {exc}") from exc
 
     def _empty_struct_frame(self, names: list[str]) -> DataFrame:
         schema = ", ".join(

@@ -152,7 +152,10 @@ def test_service_silent_malformed_document(local, monkeypatch):
 
     from sparkdon.errors import QueryExecutionError
 
-    with pytest.raises((QueryExecutionError, Exception)):
+    # pin the exact error surface: a malformed document on a non-SILENT
+    # SERVICE must raise the engine's QueryExecutionError naming the
+    # endpoint — not whatever decode exception happened to escape
+    with pytest.raises(QueryExecutionError, match="malformed results"):
         local.select(q.replace("SERVICE SILENT", "SERVICE"))
 
 
