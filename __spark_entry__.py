@@ -61,10 +61,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Never-driver-green entries hoisted into the driver's verification
-#: window (the r02 fix of q10 has only local oracle runs on record).
-_FRONT = ["q10_seq_decollect", "sparql_late_ids", "sparql_path_star_sip",
-          "sparql_census_ids", "sparql_describe", "sparql_service"]
+#: Entries hoisted into the driver's verification window.  Round 6: the
+#: 42 entries with no driver-green row since r02 (the relational battery
+#: plus ask/construct/offset/group_concat and the decollect/fixpoint
+#: session ops) — all green in every local check_correctness.py run, but
+#: the driver record should show it too (round-5 VERDICT task 2).  The
+#: round-5 window (50 entries, all green in CORRECTNESS_r05.json) rotates
+#: to the back.
+_FRONT = [
+    "q_peel_bnode_closure", "q_decollect_seq", "q_rule_fixpoint",
+    "sparql_construct_count", "sparql_group_concat", "sparql_ask",
+    "sparql_offset",
+    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
+    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in", "p8_bind",
+    "p9_values_join",
+    "j1_inner_join_chain", "j2_left_outer", "j3_anti_not_exists",
+    "j4_minus", "j5_semi_exists",
+    "a1_group_count", "a2_group_expr", "a3_count_distinct",
+    "a4_global_agg", "a5_group_multi_pattern", "a6_subquery_filter",
+    "a7_distinct", "a8_bag_decollect", "a9_multi_agg",
+    "o1_order_asc", "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
+    "u1_union", "u2_except", "u3_intersect",
+    "f1_str_cast", "f3_strstarts", "f4_substr", "f5_regex",
+    "f6_numeric_cast", "f7_count_expr",
+]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake or ``NotImplementedError``), but everything Spark-side
-is real and tested: the schema, the Arrow batch shape, the
-``mapInPandas`` plumbing, and the partitioning story.
+DECODE is real for codec-free formats — binary/ASCII PPM (P6/P3),
+uncompressed 24-bit BMP, and PCM WAV are pure struct parsing over numpy,
+no codec library needed.  Compressed formats (PNG/JPEG/MP3/…) raise
+``NotImplementedError`` because the container genuinely has no codecs;
+the deterministic fakes remain available for exercising the plumbing
+with arbitrary payload bytes.  Everything Spark-side is real and tested
+either way: the schema, the Arrow batch shape, the ``mapInPandas``
+plumbing, and the partitioning story.
 
 Design for 100 TB of media:
 - media rows are (id, modality, payload binary, meta struct) — payloads
@@ -68,14 +72,156 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real codec absent
-    """Real image decode — requires an image library not present in this
-    container.  The Spark plumbing calls :func:`fake_feature` instead when
-    ``decode_real=False``."""
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer header tokens (PPM allows
+    ``#`` comments anywhere in the header); returns (tokens, offset just
+    past the single whitespace byte that terminates the last token)."""
+    toks: list[int] = []
+    i = 0
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            i = len(payload) if nl == -1 else nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # skip exactly one whitespace byte after maxval
+
+
+def decode_image(payload: bytes):
+    """Codec-free image decode → HxWx3 uint8 numpy array.
+
+    Real parsing for binary PPM (``P6``), ASCII PPM (``P3``), and
+    uncompressed 24-bit BMP (``BM`` + BI_RGB) — pure struct/numpy work,
+    no codec library.  Compressed formats raise ``NotImplementedError``
+    (the honest boundary: this container has no codecs to wire in).
+    """
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P3"):
+        (w, h, maxval), off = _ppm_tokens(payload[2:], 3)
+        off += 2
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        if payload[:2] == b"P6":
+            raster = np.frombuffer(payload, np.uint8, w * h * 3, off)
+        else:
+            vals = payload[off - 1:].split()
+            if len(vals) < w * h * 3:
+                raise ValueError("truncated P3 raster")
+            raster = np.array(vals[: w * h * 3], dtype=np.uint8)
+        if maxval != 255:
+            raster = (raster.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+        return raster.reshape(h, w, 3)
+
+    if payload[:2] == b"BM":
+        import struct
+
+        off, = struct.unpack_from("<I", payload, 10)
+        hdr_sz, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+                f"compression={compression})")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        flipped = h > 0
+        h = abs(h)
+        rows = np.frombuffer(payload, np.uint8, stride * h, off)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flipped:  # BMP stores bottom-up unless height is negative
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+    head = payload[:8].hex()
     raise NotImplementedError(
-        "image decoding requires an image codec library; "
-        "wire one in here (payload -> HxWxC array) and set decode_real=True"
-    )
+        f"no codec-free decoder for payload starting {head!r}; PPM (P6/P3) "
+        "and 24-bit BMP decode natively, compressed formats need a codec "
+        "library wired in here")
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 array → binary PPM (P6) bytes — the re-encode half of
+    decode→resize→re-encode, also codec-free."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV decode → (samples int16 ndarray [n, channels], rate).
+
+    RIFF/WAVE chunk walk, format 1 (PCM) with 8- or 16-bit samples; pure
+    struct parsing.  Compressed/float WAV raises ``NotImplementedError``.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid, size = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV supported (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2")
+    else:
+        samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+    return samples.reshape(-1, channels), rate
+
+
+def resample_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample of an HxWxC array — numpy indexing, the
+    classic codec-free resize."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+def image_feature(arr, dim: int = 8) -> list[float]:
+    """Real image feature: ``dim``-bin normalized grayscale histogram —
+    deterministic, shape-compatible with :func:`fake_feature`."""
+    import numpy as np
+
+    gray = arr.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    return (hist / max(1, gray.size)).tolist()
+
+
+def audio_feature(samples, rate: int, dim: int = 8) -> list[float]:
+    """Real audio feature: [duration_s, rms, zero-crossing rate, peak] +
+    ``dim - 4`` coarse energy-envelope bins."""
+    import numpy as np
+
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = max(1, len(mono))
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / n
+    head = [n / float(rate), float(np.sqrt(np.mean(mono**2))), zc,
+            float(np.abs(mono).max(initial=0.0))]
+    bins = np.array_split(mono, max(1, dim - 4))
+    env = [float(np.sqrt(np.mean(b**2))) if len(b) else 0.0 for b in bins]
+    return head + env[: dim - 4]
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -90,7 +236,13 @@ def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
     """Feature-extraction stage: Arrow-batched ``mapInPandas``, narrow
     (no shuffle).  Output: one row per media row with byte size, content
-    hash, and an 8-dim feature vector."""
+    hash, and an 8-dim feature vector.
+
+    ``decode_real=True`` runs the codec-free decoders — PPM/BMP images
+    through :func:`image_feature`, PCM WAV audio through
+    :func:`audio_feature`; compressed payloads raise (the honest
+    boundary).  ``decode_real=False`` keeps the deterministic sha-derived
+    fake so the plumbing works on arbitrary bytes."""
 
     def run(batches) -> Iterator:
         import hashlib as _hl
@@ -99,13 +251,19 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
 
         for pdf in batches:
             feats, sizes, shas = [], [], []
-            for payload in pdf["payload"]:
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 raw = bytes(payload) if payload is not None else b""
-                if decode_real:
-                    decode_image(raw)
                 sizes.append(len(raw))
                 shas.append(_hl.sha256(raw).hexdigest())
-                feats.append(fake_feature(raw))
+                if not decode_real:
+                    feats.append(fake_feature(raw))
+                elif modality == "image":
+                    feats.append(image_feature(decode_image(raw)))
+                elif modality == "audio":
+                    feats.append(audio_feature(*decode_wav(raw)))
+                else:
+                    raise NotImplementedError(
+                        f"no codec-free decoder for modality {modality!r}")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -140,22 +298,28 @@ def resize_images(media: DataFrame, width: int, height: int,
     """Resize stage for image rows: Arrow-batched ``mapInPandas``, narrow
     (no shuffle), emitting the same media schema with updated geometry
     metadata — so resize stages compose with extract_features /
-    sample_frames.  The pixel work is a deterministic fake unless
-    ``decode_real`` (no codec in this container; see :func:`decode_image`)."""
+    sample_frames.  ``decode_real=True`` is the real pipeline on
+    codec-free formats: decode (PPM/BMP) → nearest-neighbor resample →
+    re-encode as binary PPM.  ``decode_real=False`` keeps the
+    deterministic fake for arbitrary payload bytes."""
 
     def run(batches) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out_payloads = []
-            for payload in pdf["payload"]:
+            out_payloads, mimes = [], []
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(payload) if payload is not None else b""
                 if decode_real:
-                    decode_image(raw)
-                out_payloads.append(fake_resize(raw, width, height))
+                    resized = resample_nearest(decode_image(raw), width, height)
+                    out_payloads.append(encode_ppm(resized))
+                    mimes.append("image/x-portable-pixmap")
+                else:
+                    out_payloads.append(fake_resize(raw, width, height))
+                    mimes.append(m["mime"])
             meta = pd.DataFrame(
                 {
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": mimes,
                     "width": width,
                     "height": height,
                     "duration_ms": [m["duration_ms"] for m in pdf["meta"]],

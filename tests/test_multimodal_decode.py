@@ -1,0 +1,159 @@
+"""Real codec-free multimodal decode (round-6: VERDICT task 3).
+
+PPM (P6/P3), 24-bit BMP, and PCM WAV decode are pure struct/numpy
+parsing; the NotImplementedError boundary now covers only genuinely
+compressed formats.  The Spark stages run the real path end-to-end:
+decode → resample → re-encode PPM, and decode → real feature vectors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparkdon.multimodal import (
+    audio_feature, decode_image, decode_wav, encode_ppm, extract_features,
+    image_feature, resample_nearest, resize_images,
+)
+
+
+def make_rgb(h: int, w: int) -> np.ndarray:
+    rng = np.random.default_rng(h * 1000 + w)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_bmp(arr: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+# -- pure decode ---------------------------------------------------------
+
+def test_ppm_p6_roundtrip_with_comments():
+    arr = make_rgb(5, 7)
+    payload = b"P6 # cmt\n# another comment\n7 5\n255\n" + arr.tobytes()
+    out = decode_image(payload)
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, arr)
+    # encode half round-trips too
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+
+def test_ppm_p3_matches_p6():
+    arr = make_rgb(3, 4)
+    ascii_body = " ".join(str(int(x)) for x in arr.reshape(-1))
+    payload = ("P3\n4 3\n255\n" + ascii_body).encode()
+    assert np.array_equal(decode_image(payload), arr)
+
+
+def test_ppm_maxval_scaling():
+    # maxval 15 -> values scale to 0..255
+    payload = b"P6\n1 1\n15\n" + bytes([15, 0, 7])
+    out = decode_image(payload)
+    assert out.tolist() == [[[255, 0, 119]]]
+
+
+def test_bmp_24bit_decode():
+    arr = make_rgb(4, 5)  # width 5 forces row padding (15 -> 16 bytes)
+    assert np.array_equal(decode_image(make_bmp(arr)), arr)
+
+
+def test_compressed_formats_still_raise():
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(png)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x00 not a wav")
+
+
+def test_wav_pcm16_decode():
+    t = np.arange(800)
+    mono = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    samples = np.stack([mono, -mono], axis=1)
+    got, rate = decode_wav(make_wav(samples))
+    assert rate == 8000 and got.shape == (800, 2)
+    assert np.array_equal(got, samples)
+
+
+def test_resample_nearest_and_features():
+    arr = make_rgb(10, 20)
+    small = resample_nearest(arr, 5, 4)
+    assert small.shape == (4, 5, 3)
+    # upscale keeps the value set (nearest never interpolates)
+    big = resample_nearest(arr, 40, 20)
+    assert set(np.unique(big)) <= set(np.unique(arr))
+    feat = image_feature(arr)
+    assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-9
+    mono = np.zeros((100, 1), dtype=np.int16)
+    af = audio_feature(mono, 8000)
+    assert len(af) == 8 and af[1] == 0.0  # silence -> zero rms
+
+
+# -- Spark end-to-end ----------------------------------------------------
+
+MEDIA_DDL = ("media_id long, modality string, payload binary, "
+             "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+
+
+def media_df(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def test_spark_real_resize_consumes_real_pixels(spark):
+    arrs = {i: make_rgb(8 + i, 12) for i in range(4)}
+    rows = [(i, "image", bytearray(encode_ppm(a)),
+             ("image/x-portable-pixmap", 12, 8 + i, None))
+            for i, a in arrs.items()]
+    out = resize_images(media_df(spark, rows), 6, 4, decode_real=True).collect()
+    assert len(out) == 4
+    for r in out:
+        decoded = decode_image(bytes(r["payload"]))
+        assert decoded.shape == (4, 6, 3)
+        expect = resample_nearest(arrs[r["media_id"]], 6, 4)
+        assert np.array_equal(decoded, expect)
+        assert r["meta"]["width"] == 6 and r["meta"]["height"] == 4
+    # composes: real features over the real resized pixels
+    feats = extract_features(
+        resize_images(media_df(spark, rows), 6, 4, decode_real=True),
+        decode_real=True).collect()
+    assert len(feats) == 4
+    for f in feats:
+        assert abs(sum(f["feature"]) - 1.0) < 1e-6
+
+
+def test_spark_real_audio_features(spark):
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 220 * t / 8000) * 16000).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(make_wav(tone.reshape(-1, 1))),
+         ("audio/wav", None, None, 200)),
+        (2, "audio", bytearray(make_wav(np.zeros((800, 1), dtype=np.int16))),
+         ("audio/wav", None, None, 100)),
+    ]
+    got = {r["media_id"]: r["feature"]
+           for r in extract_features(media_df(spark, rows),
+                                     decode_real=True).collect()}
+    assert got[1][0] == pytest.approx(0.2)   # duration_s
+    assert got[1][1] > 0.1                   # tone rms
+    assert got[2][1] == 0.0                  # silence rms
