@@ -84,6 +84,7 @@ _FRONT = [
     "u1_union", "u2_except", "u3_intersect",
     "f1_str_cast", "f3_strstarts", "f4_substr", "f5_regex",
     "f6_numeric_cast", "f7_count_expr",
+    "x_dedup_stream",  # new in r06: streaming dedup via foreachBatch
 ]
 
 

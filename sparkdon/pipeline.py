@@ -1166,3 +1166,64 @@ def x_salted_census(spark, sf_dir):
             "max_event": ("max", "event_id"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming gate (round 6): dedup_stream driven to a parquet sink
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_dedup_stream",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def x_dedup_stream(spark, sf_dir):
+    """Oracle gate for the streaming exact-dedup plan
+    (streaming/windows.py dedup_stream): the events fixture is read as a
+    file-source stream, deduped with ``dropDuplicatesWithinWatermark``,
+    materialized to parquet via ``foreachBatch`` under
+    ``Trigger.AvailableNow``, and the materialized result is returned for
+    the DuckDB compare.
+
+    Determinism: AvailableNow without ``maxFilesPerTrigger`` processes
+    the fixture as ONE micro-batch, so no key's state can expire
+    mid-stream and the emitted set is exactly the distinct keys —
+    order-free and oracle-expressible.  The *incremental* semantics
+    (cross-batch state, watermark expiry, first-arrival row retention)
+    are pytest-covered in tests/test_skew_stateful.py, where arrival
+    order is controlled; they are not SQL-expressible, which is why this
+    gate projects to the key columns.
+
+    100 TB shape: dedup state is one entry per key bounded by the
+    watermark horizon; foreachBatch writes are executor-side parquet
+    appends — nothing passes through the driver."""
+    import os
+    import tempfile
+
+    from sparkdon.streaming.windows import dedup_stream
+
+    out_dir = tempfile.mkdtemp(prefix="sparkdon_dedup_stream_")
+    target = os.path.join(out_dir, "out")
+    src = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)  # exact on-disk types
+        # the file source needs a directory; glob-filter to the events
+        # file so sibling tables in the sf dir are not swept in
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        # the fixture's untagged micros arrive as TIMESTAMP_NTZ, which
+        # watermarks reject; NTZ -> TIMESTAMP is value-identical with the
+        # session tz pinned to UTC (same note as x_window_sessionize)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = dedup_stream(stream, keys=("user_id", "event_type"))
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(target))
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
