@@ -9,11 +9,15 @@ another sparkdon session (or any SPARQL 1.1 client) can point a
 ``SERVICE <url> { ... }`` clause or a :class:`~sparkdon.remote.RemoteEndpoint`
 at it.
 
-Protocol subset: query-via-POST (``application/x-www-form-urlencoded``,
-``query=`` parameter) and update-via-POST (``update=`` parameter),
-results as ``application/sparql-results+json``.  SELECT answers with a
-bindings document, ASK with a boolean document.  This is the slice the
-in-repo clients (remote.py, sources/sparql_source.py, SERVICE) speak.
+Protocol coverage (SPARQL 1.1 Protocol §2.1/§2.2): query via GET
+(``?query=``), query via URL-encoded POST (``query=`` parameter), query
+via direct POST (``application/sparql-query`` body), update via
+URL-encoded POST (``update=`` parameter), and update via direct POST
+(``application/sparql-update`` body).  Results are
+``application/sparql-results+json`` (the only serialization produced —
+an ``Accept`` header that excludes it is answered 406; an unsupported
+POST body type is answered 415).  SELECT answers with a bindings
+document, ASK with a boolean document.
 
 The handler evaluates queries on the Spark driver; requests are served
 from daemon threads of a ``ThreadingHTTPServer`` — Spark sessions are
@@ -86,7 +90,27 @@ class SparqlProtocolServer:
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
-                params = urllib.parse.parse_qs(self.rfile.read(length).decode())
+                body = self.rfile.read(length).decode()
+                # media type without parameters (";charset=...")
+                ctype = (self.headers.get("Content-Type") or
+                         "application/x-www-form-urlencoded")
+                ctype = ctype.split(";", 1)[0].strip().lower()
+                if ctype == "application/sparql-query":
+                    # §2.1.3 query via direct POST: the body IS the query;
+                    # protocol params (default-graph-uri...) ride the URL
+                    params = {"query": [body]}
+                elif ctype == "application/sparql-update":
+                    # §2.2.2 update via direct POST
+                    params = {"update": [body]}
+                elif ctype == "application/x-www-form-urlencoded":
+                    params = urllib.parse.parse_qs(body)
+                else:
+                    outer._plain(self, 415,
+                                 f"unsupported Content-Type {ctype!r}; use "
+                                 "application/x-www-form-urlencoded, "
+                                 "application/sparql-query, or "
+                                 "application/sparql-update")
+                    return
                 outer._handle(self, params, method="POST")
 
             def do_GET(self):
@@ -126,6 +150,33 @@ class SparqlProtocolServer:
 
     # -- request handling ----------------------------------------------
 
+    @staticmethod
+    def _plain(h: BaseHTTPRequestHandler, code: int, text: str,
+               allow: str | None = None) -> None:
+        body = text.encode()
+        h.send_response(code)
+        if allow:
+            h.send_header("Allow", allow)
+        h.send_header("Content-Type", "text/plain; charset=utf-8")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    @staticmethod
+    def _accepts_json(h: BaseHTTPRequestHandler) -> bool:
+        """Minimal content negotiation: we produce exactly one results
+        serialization; honor an Accept header that can take it (or that
+        wildcards), reject one that explicitly cannot."""
+        accept = h.headers.get("Accept")
+        if not accept:
+            return True
+        for part in accept.split(","):
+            mt = part.split(";", 1)[0].strip().lower()
+            if mt in ("application/sparql-results+json", "application/json",
+                      "application/*", "*/*"):
+                return True
+        return False
+
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
         try:
@@ -133,13 +184,8 @@ class SparqlProtocolServer:
                 if method != "POST":
                     # SPARQL 1.1 protocol §2.2: update only via POST; a
                     # state-mutating GET is also a CSRF/crawler hazard
-                    body = b"update is only accepted via POST"
-                    h.send_response(405)
-                    h.send_header("Allow", "POST")
-                    h.send_header("Content-Type", "text/plain; charset=utf-8")
-                    h.send_header("Content-Length", str(len(body)))
-                    h.end_headers()
-                    h.wfile.write(body)
+                    self._plain(h, 405, "update is only accepted via POST",
+                                allow="POST")
                     return
                 sparql = params["update"][0]
                 self.queries.append(sparql)
@@ -149,6 +195,10 @@ class SparqlProtocolServer:
                 return
             sparql = params.get("query", [""])[0]
             self.queries.append(sparql)
+            if not self._accepts_json(h):
+                self._plain(h, 406, "only application/sparql-results+json "
+                                    "is produced")
+                return
             form = _query_form(sparql)
             if form == "ASK":
                 doc: dict = {"head": {}, "boolean": bool(self.endpoint.ask(sparql))}
@@ -159,12 +209,7 @@ class SparqlProtocolServer:
                     f"unsupported query form {form or 'EMPTY'!r}; this "
                     "endpoint serves SELECT / ASK / update")
         except Exception as e:  # protocol: malformed/failed → 4xx + text
-            body = str(e).encode()
-            h.send_response(400)
-            h.send_header("Content-Type", "text/plain; charset=utf-8")
-            h.send_header("Content-Length", str(len(body)))
-            h.end_headers()
-            h.wfile.write(body)
+            self._plain(h, 400, str(e))
             return
         body = json.dumps(doc).encode()
         h.send_response(200)

@@ -51,18 +51,31 @@ def _decode_json_term(node: dict | None) -> Any:
 
 def fetch_bindings(url: str, sparql: str, default_graph: str | None = None,
                    user: str | None = None, passwd: str | None = None,
-                   timeout: int = 60) -> dict:
-    """One SPARQL-protocol request → parsed JSON results document."""
-    params = {"query": sparql}
-    if default_graph:
-        params["default-graph-uri"] = default_graph
-    data = urllib.parse.urlencode(params).encode()
+                   timeout: int = 60, raw_post: bool = False) -> dict:
+    """One SPARQL-protocol request → parsed JSON results document.
+
+    ``raw_post=True`` uses the §2.1.3 direct-POST form (body is the bare
+    query, ``Content-Type: application/sparql-query``, protocol params on
+    the URL) instead of form encoding — the right choice for very large
+    queries, where percent-encoding inflates the body."""
+    if raw_post:
+        if default_graph:
+            url += ("&" if "?" in url else "?") + urllib.parse.urlencode(
+                {"default-graph-uri": default_graph})
+        data = sparql.encode()
+        ctype = "application/sparql-query; charset=UTF-8"
+    else:
+        params = {"query": sparql}
+        if default_graph:
+            params["default-graph-uri"] = default_graph
+        data = urllib.parse.urlencode(params).encode()
+        ctype = "application/x-www-form-urlencoded"
     req = urllib.request.Request(
         url,
         data=data,
         headers={
             "Accept": "application/sparql-results+json",
-            "Content-Type": "application/x-www-form-urlencoded",
+            "Content-Type": ctype,
         },
     )
     if user is not None:

@@ -1,0 +1,122 @@
+"""SPARQL 1.1 Protocol direct-POST bodies + content negotiation
+(round-6: VERDICT task 6).
+
+protocol.py now accepts `application/sparql-query` and
+`application/sparql-update` POST bodies per spec section 2.1.3/2.2.2,
+answers 415 for unknown body types and 406 for an Accept header that
+excludes the one serialization produced.  remote.fetch_bindings grows
+the matching raw_post client mode, driven through a real SERVICE loop.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from sparkdon.protocol import SparqlProtocolServer
+from sparkdon.session import inline
+
+EX = "PREFIX : <http://example.com/>\n"
+
+TTL = """
+@prefix : <http://example.com/> .
+:Manhattan :pop 1694251 .
+:Brooklyn :pop 2736074 .
+"""
+
+LOCAL_TTL = """
+@prefix : <http://example.com/> .
+:NYC :boro :Manhattan , :Brooklyn .
+"""
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    srv = SparqlProtocolServer(inline(TTL, spark)).start()
+    yield srv
+    srv.stop()
+
+
+def post(url, body: str, ctype: str, accept: str | None = None):
+    headers = {"Content-Type": ctype}
+    if accept:
+        headers["Accept"] = accept
+    req = urllib.request.Request(url, data=body.encode(), headers=headers)
+    return urllib.request.urlopen(req)
+
+
+def test_direct_post_query(served):
+    q = EX + "SELECT ?s ?pop WHERE { ?s :pop ?pop } ORDER BY ?s"
+    resp = post(served.url, q, "application/sparql-query")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/sparql-results+json"
+    doc = json.loads(resp.read())
+    assert [b["pop"]["value"] for b in doc["results"]["bindings"]] == [
+        "2736074", "1694251"]
+
+
+def test_direct_post_query_with_charset_param(served):
+    q = EX + "ASK { :Manhattan :pop 1694251 }"
+    doc = json.loads(post(served.url, q,
+                          "application/sparql-query; charset=UTF-8").read())
+    assert doc["boolean"] is True
+
+
+def test_direct_post_update(spark):
+    ep = inline(TTL, spark)
+    with SparqlProtocolServer(ep) as srv:
+        n0 = ep.select_raw("SELECT * WHERE { ?s ?p ?o }").count()
+        upd = EX + "INSERT DATA { :Queens :pop 2405464 }"
+        resp = post(srv.url, upd, "application/sparql-update")
+        assert resp.status == 204
+        assert ep.select_raw("SELECT * WHERE { ?s ?p ?o }").count() == n0 + 1
+        # and the update body is NOT treated as a query
+        assert srv.queries[-1] == upd
+
+
+def test_unsupported_content_type_415(served):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post(served.url, "{}", "application/json")
+    assert ei.value.code == 415
+
+
+def test_accept_negotiation(served):
+    q = EX + "ASK { :Manhattan :pop 1694251 }"
+    # explicit acceptable types succeed
+    for accept in ("application/sparql-results+json", "application/json",
+                   "text/html, */*;q=0.1"):
+        assert post(served.url, q, "application/sparql-query",
+                    accept=accept).status == 200
+    # a client that cannot take the one serialization we produce gets 406
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post(served.url, q, "application/sparql-query", accept="text/csv")
+    assert ei.value.code == 406
+
+
+def test_form_encoded_post_still_works(served):
+    q = EX + "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    req = urllib.request.Request(
+        served.url, data=urllib.parse.urlencode({"query": q}).encode())
+    doc = json.loads(urllib.request.urlopen(req).read())
+    assert doc["results"]["bindings"][0]["n"]["value"] == "2"
+
+
+def test_service_loop_via_raw_post(spark, served, monkeypatch):
+    """Drive a real SERVICE federation round-trip with the direct-POST
+    client mode: the local engine ships its bound-join query as an
+    application/sparql-query body."""
+    import sparkdon.remote as remote
+
+    orig = remote.fetch_bindings
+    monkeypatch.setattr(
+        remote, "fetch_bindings",
+        lambda url, sparql, **kw: orig(url, sparql, raw_post=True, **kw))
+    local = inline(LOCAL_TTL, spark)
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    assert list(pdf["pop"]) == [2736074, 1694251]
