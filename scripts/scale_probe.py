@@ -60,7 +60,10 @@ def main() -> None:
 
     scale_table("documents", {"doc_id": 1_000_000}, text_col="text")
     scale_table("embeddings", {"vec_id": 1_000_000})
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+    # customer is scaled too (ids shifted, nationkeys kept) so the SPARQL
+    # tier probes run over a ~10x triple count
+    scale_table("customer", {"c_custkey": 1_000_000})
+    for t in ("region", "nation", "supplier", "part", "orders",
               "lineitem", "events"):
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
@@ -75,12 +78,17 @@ def main() -> None:
         x_dedup_minhash,
         x_sim_lsh_refined,
     )
+    from sparkdon.rdf_queries import sparql_census, sparql_path_star_anchored
 
     probes = {
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_sim_lsh_refined": x_sim_lsh_refined,
         "x_dedup_embed_strict": x_dedup_embed_strict,
+        # SPARQL tier (round 6): full-scan census agg and an anchored
+        # closure whose BFS cone stays constant while the graph grows kx
+        "sparql_census": sparql_census,
+        "sparql_path_star_anchored": sparql_path_star_anchored,
     }
 
     def best_of_2(fn, d):

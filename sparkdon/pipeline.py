@@ -1227,3 +1227,52 @@ def x_dedup_stream(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+@register(
+    "x_window_stream",
+    "SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_window_stream(spark, sf_dir):
+    """Oracle gate for the streaming tumbling-window aggregation
+    (streaming/windows.py tumbling_counts): events stream through the
+    file source into watermarked 1-hour windows; ``complete`` output mode
+    hands foreachBatch the full aggregate at every trigger, the final
+    trigger's snapshot is what lands in parquet (overwrite) and feeds the
+    DuckDB compare — identical result shape to the batch twin
+    ``x_window_tumbling``.
+
+    ``value`` is pre-cast to DECIMAL(18,2) so the sum is order-exact
+    across engines (same trick as the batch gate: double summation order
+    differs between Spark partial aggs and DuckDB)."""
+    import os
+    import tempfile
+
+    from sparkdon.streaming.windows import tumbling_counts
+
+    out_dir = tempfile.mkdtemp(prefix="sparkdon_window_stream_")
+    target = os.path.join(out_dir, "out")
+    src = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value", F.col("value").cast("decimal(18,2)"))
+    )
+    agg = tumbling_counts(stream)
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("overwrite").parquet(target))
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target).select(
+        "bucket", "event_type", "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"))

@@ -249,7 +249,9 @@ def test_lsh_refined_recall_vs_exact(spark):
     exact = {(r.qid, r.cid) for r in x_sim_topk(spark, sf).collect()}
     approx = {(r.qid, r.cid) for r in x_sim_lsh_refined(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall@5 {recall:.2f} too low"
+    # measured 0.74 on sf0.01 (deterministic); floor at 0.7 to match the
+    # IVF assertion so a recall regression cannot hide under slack
+    assert recall >= 0.7, f"recall@5 {recall:.2f} too low"
 
 
 def test_ivf_recall_and_shape(spark):
