@@ -82,3 +82,31 @@ def test_stateful_user_profiles(spark, tmp_path):
         "FROM profiles_test GROUP BY user_id ORDER BY user_id").collect()
     got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
     assert got == {1: (3, 6.0), 2: (3, 60.0)}
+
+
+def test_streaming_gates_match_batch(spark):
+    """The oracle-gated streaming entries (x_dedup_stream,
+    x_window_stream) must agree with their batch equivalents on the
+    fixture — the same claim the DuckDB gate makes, kept in the pytest
+    suite so a regression is caught before the driver run."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline import x_dedup_stream, x_window_stream, x_window_tumbling
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    got = x_dedup_stream(spark, sf)
+    assert got.count() == events.select("user_id", "event_type").distinct().count()
+    assert set(got.columns) == {"user_id", "event_type"}
+
+    stream_rows = {
+        (r["bucket"], r["event_type"], r["cnt"], round(r["sum_value"], 2))
+        for r in x_window_stream(spark, sf).collect()
+    }
+    batch_rows = {
+        (r["bucket"], r["event_type"], r["cnt"], round(r["sum_value"], 2))
+        for r in x_window_tumbling(spark, sf)
+        .withColumn("bucket", F.col("bucket").cast("timestamp")).collect()
+    }
+    assert stream_rows == batch_rows
