@@ -292,3 +292,21 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
         F.lit("."),
     )
     triples.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def nt_string(triples: DataFrame, limit: int = 100_000) -> str:
+    """Serialize a bounded triple DataFrame to N-Triples text (sorted for
+    determinism).  Driver-side by design — the protocol server's graph
+    result delivery; use :func:`write_ntriples` for unbounded graphs."""
+    rows = triples.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise SparkdonError(
+            f"graph exceeds serialization bound of {limit} triples; "
+            "use write_ntriples")
+    lines = [
+        f"{_term_nt(r['s_kind'], r['s'])} <{r['p']}> "
+        f"{_term_nt(r['o_kind'], r['o'], r['o_dt'], r['o_lang'])} ."
+        for r in sorted(rows, key=lambda r: (r["s_kind"], r["s"], r["p"],
+                                             r["o_kind"], r["o"]))
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")

@@ -163,19 +163,24 @@ class SparqlProtocolServer:
         h.wfile.write(body)
 
     @staticmethod
-    def _accepts_json(h: BaseHTTPRequestHandler) -> bool:
-        """Minimal content negotiation: we produce exactly one results
-        serialization; honor an Accept header that can take it (or that
-        wildcards), reject one that explicitly cannot."""
+    def _accepts(h: BaseHTTPRequestHandler, offered: tuple) -> bool:
+        """Minimal content negotiation: we produce exactly one
+        serialization per result kind; honor an Accept header that can
+        take it (or that wildcards), reject one that explicitly cannot."""
         accept = h.headers.get("Accept")
         if not accept:
             return True
         for part in accept.split(","):
             mt = part.split(";", 1)[0].strip().lower()
-            if mt in ("application/sparql-results+json", "application/json",
-                      "application/*", "*/*"):
+            if mt in offered or mt == "*/*":
                 return True
         return False
+
+    #: acceptable Accept media types per result kind
+    _JSON_TYPES = ("application/sparql-results+json", "application/json",
+                   "application/*")
+    _NT_TYPES = ("application/n-triples", "text/plain", "text/*",
+                 "application/*")
 
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
@@ -195,11 +200,29 @@ class SparqlProtocolServer:
                 return
             sparql = params.get("query", [""])[0]
             self.queries.append(sparql)
-            if not self._accepts_json(h):
+            form = _query_form(sparql)
+            if form in ("CONSTRUCT", "DESCRIBE"):
+                # graph results serialize as N-Triples
+                from sparkdon.io import nt_string
+
+                if not self._accepts(h, self._NT_TYPES):
+                    self._plain(h, 406, "graph results are produced as "
+                                        "application/n-triples")
+                    return
+                result = (self.endpoint.construct(sparql)
+                          if form == "CONSTRUCT"
+                          else self.endpoint.describe(sparql))
+                body = nt_string(result.graph).encode()
+                h.send_response(200)
+                h.send_header("Content-Type", "application/n-triples")
+                h.send_header("Content-Length", str(len(body)))
+                h.end_headers()
+                h.wfile.write(body)
+                return
+            if not self._accepts(h, self._JSON_TYPES):
                 self._plain(h, 406, "only application/sparql-results+json "
                                     "is produced")
                 return
-            form = _query_form(sparql)
             if form == "ASK":
                 doc: dict = {"head": {}, "boolean": bool(self.endpoint.ask(sparql))}
             elif form == "SELECT":
@@ -207,7 +230,8 @@ class SparqlProtocolServer:
             else:
                 raise ValueError(
                     f"unsupported query form {form or 'EMPTY'!r}; this "
-                    "endpoint serves SELECT / ASK / update")
+                    "endpoint serves SELECT / ASK / CONSTRUCT / DESCRIBE "
+                    "/ update")
         except Exception as e:  # protocol: malformed/failed → 4xx + text
             self._plain(h, 400, str(e))
             return

@@ -120,3 +120,35 @@ def test_service_loop_via_raw_post(spark, served, monkeypatch):
         EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
         f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
     assert list(pdf["pop"]) == [2736074, 1694251]
+
+
+def test_construct_over_protocol(served):
+    q = EX + "CONSTRUCT { ?s :population ?pop } WHERE { ?s :pop ?pop }"
+    resp = post(served.url, q, "application/sparql-query")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/n-triples"
+    text = resp.read().decode()
+    lines = sorted(l for l in text.splitlines() if l)
+    assert lines == [
+        "<http://example.com/Brooklyn> <http://example.com/population> "
+        '"2736074"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        "<http://example.com/Manhattan> <http://example.com/population> "
+        '"1694251"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    ]
+
+
+def test_describe_over_protocol(served):
+    q = EX + "DESCRIBE <http://example.com/Manhattan>"
+    text = post(served.url, q, "application/sparql-query").read().decode()
+    assert "<http://example.com/Manhattan> <http://example.com/pop>" in text
+    assert "Brooklyn" not in text
+
+
+def test_construct_accept_negotiation(served):
+    q = EX + "CONSTRUCT { ?s :p ?pop } WHERE { ?s :pop ?pop }"
+    assert post(served.url, q, "application/sparql-query",
+                accept="application/n-triples").status == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post(served.url, q, "application/sparql-query",
+             accept="application/sparql-results+json")
+    assert ei.value.code == 406
