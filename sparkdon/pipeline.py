@@ -1276,3 +1276,70 @@ def x_window_stream(spark, sf_dir):
     return spark.read.parquet(target).select(
         "bucket", "event_type", "cnt",
         F.col("sum_value").cast("double").alias("sum_value"))
+
+
+@register(
+    "x_text_repetition",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+    " list_transform(generate_series(1, len(t) - 1), "
+    "  i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END AS grams FROM toks) "
+    "SELECT doc_id, len(grams) AS n_bigrams, "
+    "len(list_distinct(grams)) AS n_distinct, "
+    "CASE WHEN len(grams) > 0 THEN CAST(FLOOR(10000.0 * (len(grams) - "
+    " len(list_distinct(grams))) / len(grams)) AS BIGINT) ELSE 0 END "
+    " AS dup_scaled, "
+    "CASE WHEN len(grams) > 0 AND 10000.0 * (len(grams) - "
+    " len(list_distinct(grams))) / len(grams) >= 3000 THEN 0 ELSE 1 END "
+    " AS keep "
+    "FROM g",
+)
+def x_text_repetition(spark, sf_dir):
+    """Within-document repetition filter (the Gopher/MassiveText
+    duplicate-n-gram heuristic): fraction of repeated word bigrams per
+    document, with a keep flag at the 30 % threshold.  Pure codegen array
+    expressions — the token array is lambda-bound so the text tokenizes
+    once per row; a narrow map, no shuffle at all.  Ratios compare as
+    scaled floors (engine-portable, same convention as the other text
+    gates)."""
+    docs = table(spark, sf_dir, "documents")
+    grams_expr = (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 2, sequence(1, size(t) - 1), array()), "
+        "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))[0]"
+    )
+    g = docs.select("doc_id", F.expr(grams_expr).alias("grams"))
+    n = F.size("grams")
+    d = F.size(F.array_distinct("grams"))
+    dup = F.when(n > 0, F.floor(10000.0 * (n - d) / n)).otherwise(F.lit(0))
+    return g.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        d.cast("long").alias("n_distinct"),
+        dup.cast("long").alias("dup_scaled"),
+        F.when((n > 0) & (10000.0 * (n - d) / n >= 3000), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("keep"),
+    )
+
+
+@register(
+    "x_vocab_topk",
+    "SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
+    "AS tok FROM documents) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20",
+)
+def x_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: explode tokens → count → top-20
+    (ties broken on the token for determinism).
+
+    100 TB shape: the canonical word count — map-side partial aggregation
+    shrinks the shuffle to one row per (partition, distinct token), and
+    ORDER+LIMIT compiles to TakeOrderedAndProject (each partition
+    contributes its local top-20; no global sort materializes)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )

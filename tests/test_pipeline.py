@@ -450,3 +450,34 @@ def test_sessionize_survives_timestamp_ntz(spark, tmp_path):
         out[label] = {r.user_id: r.n_sessions for r in got}
 
     assert out["tz"] == out["ntz"] == {10: 2, 20: 1}
+
+
+def test_repetition_and_vocab_plans(spark):
+    """x_text_repetition must be a pure narrow map (zero Exchange);
+    x_vocab_topk's ORDER+LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    from sparkdon.pipeline import x_text_repetition, x_vocab_topk
+
+    rep_plan = x_text_repetition(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in rep_plan
+
+    top_plan = x_vocab_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in top_plan
+
+    rows = x_text_repetition(spark, SF).collect()
+    assert all(0 <= r["dup_scaled"] <= 10000 for r in rows)
+    # the synthetic corpus has real bigram repetition (max ~14% at
+    # sf0.001) but sits under the 30% Gopher threshold — so the ratio
+    # must be non-trivial and the keep flag must pass everything here
+    assert max(r["dup_scaled"] for r in rows) > 0
+    assert all(r["keep"] == 1 for r in rows)
+    # a pathological doc is flagged
+    from sparkdon import pipeline
+    import unittest.mock as mock
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "a b c d e f g")],
+        "doc_id long, text string")
+    with mock.patch.object(pipeline, "table", lambda s, d, n: docs):
+        flagged = {r["doc_id"]: r["keep"]
+                   for r in pipeline.x_text_repetition(spark, SF).collect()}
+    assert flagged == {1: 0, 2: 1}
