@@ -85,7 +85,8 @@ _FRONT = [
     "f1_str_cast", "f3_strstarts", "f4_substr", "f5_regex",
     "f6_numeric_cast", "f7_count_expr",
     "x_dedup_stream",  # new in r06: streaming dedup via foreachBatch
-    "x_window_stream", "x_text_repetition", "x_vocab_topk",  # new in r06
+    "x_window_stream", "x_text_repetition", "x_vocab_topk",
+    "x_dedup_clusters",  # new in r06
 ]
 
 

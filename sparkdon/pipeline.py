@@ -1343,3 +1343,85 @@ def x_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(20)
     )
+
+
+def _min_label_components(nodes: DataFrame, pairs: DataFrame,
+                          max_iters: int = 50) -> DataFrame:
+    """Connected components by min-label propagation (HashMin): every
+    node repeatedly takes the minimum label among itself and its
+    neighbors until a fixpoint.  Returns (node, rep).
+
+    Per iteration: one join shuffle keyed on node + one partial-agg min —
+    the same bounded-lineage pattern as the path fixpoints
+    (``localCheckpoint`` truncates per round, convergence is one count
+    action).  Iterations = component diameter, which for near-dup
+    clusters is small; production-scale variants (large-star/small-star,
+    alternating) cut worst-case rounds to O(log n) with the same
+    join+min building blocks."""
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+    ).localCheckpoint()
+    labels = nodes.select(F.col("node"), F.col("node").alias("lab")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a").agg(F.min("lab").alias("nbr_lab"))
+        )
+        merged = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+            )
+        ).localCheckpoint()
+        changed = (
+            merged.alias("m").join(labels.alias("l"), "node")
+            .filter(F.col("m.lab") != F.col("l.lab")).limit(1).count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lab").alias("rep"))
+
+
+@register(
+    "x_dedup_clusters",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b) "
+    "SELECT node AS doc_id, MIN(lab) AS cluster_rep, "
+    "CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS keep "
+    "FROM reach GROUP BY node",
+)
+def x_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution — the step that turns near-dup PAIRS
+    into keep/drop decisions: connected components over the MinHash-LSH
+    candidate graph, representative = min doc_id per component, keep the
+    representative and drop the rest.  Singletons keep themselves.
+
+    The DuckDB oracle computes the same components with a recursive CTE
+    (min reachable id over the undirected edge set), so the whole
+    pairs → components → keep-list pipeline is verified end-to-end.
+
+    100 TB shape: the pair graph is already bucket-local and capped
+    (never all-pairs); propagation shuffles (node, lab) ids only, with
+    map-side-combined mins, and each round's lineage is truncated.  The
+    keep-list join back to the corpus is a broadcast when the dup set is
+    small — the common regime — or an id-keyed shuffle otherwise."""
+    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = _bucket_pairs(_minhash_bands(spark, sf_dir))
+    comp = _min_label_components(docs, pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("cluster_rep"),
+        F.when(F.col("node") == F.col("rep"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+    )

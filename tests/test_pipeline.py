@@ -481,3 +481,30 @@ def test_repetition_and_vocab_plans(spark):
         flagged = {r["doc_id"]: r["keep"]
                    for r in pipeline.x_text_repetition(spark, SF).collect()}
     assert flagged == {1: 0, 2: 1}
+
+
+def test_min_label_components_semantics(spark):
+    """Planted graph: a chain {1-2, 2-3}, a pair {10-11}, singleton 99 —
+    components must resolve to min-id reps regardless of propagation
+    order, including multi-hop chains."""
+    from sparkdon.pipeline import _min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "node long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "d1 long, d2 long")
+    got = {r["node"]: r["rep"] for r in _min_label_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_keep_list(spark):
+    from sparkdon.pipeline import x_dedup_clusters
+
+    rows = x_dedup_clusters(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs_n
+    by_id = {r["doc_id"]: r for r in rows}
+    # every rep is kept, every non-rep dropped, reps are component minima
+    for r in rows:
+        assert r["keep"] == (1 if r["doc_id"] == r["cluster_rep"] else 0)
+        assert by_id[r["cluster_rep"]]["cluster_rep"] == r["cluster_rep"]
+        assert r["cluster_rep"] <= r["doc_id"]
