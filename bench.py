@@ -77,6 +77,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "pipeline_heavy",
         [
             "x_dedup_minhash",
+            "x_dedup_clusters",
             "x_sim_topk",
             "x_sim_lsh_refined",
             "x_sim_ivf",
