@@ -66,6 +66,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_text_stats",
             "x_text_repetition",
             "x_vocab_topk",
+            "x_event_percentiles",
+            "x_sample_stratified",
             "x_window_sessionize",
         ],
     ),

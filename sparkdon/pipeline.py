@@ -1425,3 +1425,63 @@ def x_dedup_clusters(spark, sf_dir):
         F.when(F.col("node") == F.col("rep"), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("keep"),
     )
+
+
+@register(
+    "x_event_percentiles",
+    "SELECT event_type, COUNT(*) AS cnt, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.5)) AS BIGINT) AS p50_scaled, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.95)) AS BIGINT) AS p95_scaled, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.99)) AS BIGINT) AS p99_scaled "
+    "FROM events GROUP BY event_type",
+)
+def x_event_percentiles(spark, sf_dir):
+    """Exact latency-style percentiles per event type (p50/p95/p99 with
+    linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same estimator, so the oracle matches
+    on scaled floors).
+
+    At 100 TB exact percentiles are the wrong tool — this gate is the
+    *correctness baseline* for the sketch path: swap in
+    ``percentile_approx`` (t-digest) per group at scale, validated
+    against this exact twin on samples."""
+    e = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), pct.alias("p"))
+        .select(
+            "event_type", "cnt",
+            F.floor(1e4 * F.col("p")[0]).alias("p50_scaled"),
+            F.floor(1e4 * F.col("p")[1]).alias("p95_scaled"),
+            F.floor(1e4 * F.col("p")[2]).alias("p99_scaled"),
+        )
+    )
+
+
+@register(
+    "x_sample_stratified",
+    "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
+    "FROM documents "
+    "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    " AS BIGINT) % 100 < 10 "
+    "GROUP BY lang",
+)
+def x_sample_stratified(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample, reported per language
+    stratum: the selection key is md5(doc_id) — content-stable, so the
+    SAME rows are sampled on every engine, every run, every cluster size
+    (unlike ``df.sample``'s partition-dependent RNG).  This is how a
+    training pipeline carves held-out/eval slices reproducibly.
+
+    Narrow map + one partial-agg shuffle; the md5 gate pushes no rows
+    through Python."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    return (
+        d.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.min("doc_id").alias("first_doc"))
+    )
