@@ -355,3 +355,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def show_image(filename: str):
+    """Embed an image file into an IPython/Jupyter notebook (reference S7,
+    gastrodon/__init__.py:836-846 ``show_image`` — reads the file, hands
+    the bytes to ``display_png``).
+
+    Headless parity: when IPython is not importable (this container),
+    codec-free formats (PPM/BMP) are decoded and the HxWx3 pixel array is
+    returned so the caller still gets the image *content*; other formats
+    return the raw bytes.  Under IPython the display side effect happens
+    and None is returned, exactly like the reference."""
+    with open(filename, "rb") as f:
+        image = f.read()
+    try:
+        from IPython.display import display_png
+    except ImportError:
+        try:
+            return decode_image(image)
+        except NotImplementedError:
+            return image
+    display_png(image, raw=True)
+    return None

@@ -157,3 +157,23 @@ def test_spark_real_audio_features(spark):
     assert got[1][0] == pytest.approx(0.2)   # duration_s
     assert got[1][1] > 0.1                   # tone rms
     assert got[2][1] == 0.0                  # silence rms
+
+
+def test_show_image_headless(tmp_path):
+    """S7 parity: without IPython, show_image returns decoded pixels for
+    codec-free formats and raw bytes otherwise."""
+    from sparkdon.multimodal import show_image
+
+    arr = make_rgb(3, 3)
+    p = tmp_path / "img.ppm"
+    p.write_bytes(encode_ppm(arr))
+    out = show_image(str(p))
+    if hasattr(out, "shape"):  # headless container path
+        assert np.array_equal(out, arr)
+    else:  # IPython present: display side effect, None returned
+        assert out is None
+
+    q = tmp_path / "img.png"
+    q.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    out2 = show_image(str(q))
+    assert out2 is None or bytes(out2).startswith(b"\x89PNG")
