@@ -86,7 +86,8 @@ _FRONT = [
     "f6_numeric_cast", "f7_count_expr",
     "x_dedup_stream",  # new in r06: streaming dedup via foreachBatch
     "x_window_stream", "x_text_repetition", "x_vocab_topk",
-    "x_dedup_clusters", "x_event_percentiles", "x_sample_stratified",  # new in r06
+    "x_dedup_clusters", "x_event_percentiles", "x_sample_stratified",
+    "x_asof_join",  # new in r06
 ]
 
 

@@ -68,6 +68,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_vocab_topk",
             "x_event_percentiles",
             "x_sample_stratified",
+            "x_asof_join",
             "x_window_sessionize",
         ],
     ),

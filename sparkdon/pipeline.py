@@ -1485,3 +1485,48 @@ def x_sample_stratified(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sampled"),
              F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "x_asof_join",
+    "WITH l AS (SELECT event_id, user_id, ts FROM events "
+    " WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, ts FROM events WHERE event_type = 'view') "
+    "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS purchase_tus, "
+    "epoch_us(r.ts) AS view_tus "
+    "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts",
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join — each purchase matched to the user's most recent
+    strictly-earlier view (the feature-engineering staple Spark lacks as
+    a native join type; DuckDB's native ASOF JOIN is the oracle).
+
+    Implemented as the scalable union+window pattern rather than a range
+    join: tag left/right rows, union, and take a running ``max`` of the
+    right-side timestamp over an event-time window bounded at -1 µs —
+    one shuffle on user_id and an in-partition sort, no join blow-up.
+    At 100 TB this is exactly the plan you want: the state per user is
+    one running value, the same shape a stream-stream as-of would keep,
+    and skewed users split cleanly under AQE because the window is an
+    aggregation, not an expanding join."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", "event_id", F.lit(None).cast("long").alias("r_tus"))
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "tus", F.lit(None).cast("long").alias("event_id"),
+        F.col("tus").alias("r_tus"))
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        u.withColumn("view_tus", F.max("r_tus").over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.col("tus").alias("purchase_tus"),
+            "view_tus",
+        )
+    )
