@@ -177,3 +177,38 @@ def test_show_image_headless(tmp_path):
     q.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
     out2 = show_image(str(q))
     assert out2 is None or bytes(out2).startswith(b"\x89PNG")
+
+
+# -- property tests ------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1))
+def test_ppm_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(1, 12),
+       st.integers(1, 12))
+def test_resample_roundtrip_property(h, w, th, tw):
+    rng = np.random.default_rng(h * 13 + w * 7 + th * 3 + tw)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resample_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    # identity resample is exact
+    assert np.array_equal(resample_nearest(arr, w, h), arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 400), st.integers(1, 2), st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+    got, rate = decode_wav(make_wav(samples, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(got, samples)
