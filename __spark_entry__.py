@@ -87,7 +87,7 @@ _FRONT = [
     "x_dedup_stream",  # new in r06: streaming dedup via foreachBatch
     "x_window_stream", "x_text_repetition", "x_vocab_topk",
     "x_dedup_clusters", "x_event_percentiles", "x_sample_stratified",
-    "x_asof_join",  # new in r06
+    "x_asof_join", "x_window_sliding",  # new in r06
 ]
 
 

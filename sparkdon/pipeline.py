@@ -1530,3 +1530,28 @@ def x_asof_join(spark, sf_dir):
             "view_tus",
         )
     )
+
+
+@register(
+    "x_window_sliding",
+    # 10-minute windows sliding every 5: each event lands in exactly two
+    # windows (start = 5-min floor, and 5 minutes before that)
+    "SELECT CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS bucket, COUNT(*) AS cnt FROM ("
+    " SELECT unnest([floor(epoch(ts) / 300) * 300, "
+    "  floor(epoch(ts) / 300) * 300 - 300]) AS bucket_s FROM events) "
+    "GROUP BY bucket_s",
+)
+def x_window_sliding(spark, sf_dir):
+    """Sliding (hopping) windows, batch form of streaming
+    ``sliding_rates``: 10-minute windows every 5 minutes —
+    ``F.window(ts, '10 minutes', '5 minutes')`` explodes each event into
+    its two covering windows; one partial-agg shuffle on the window
+    start.  The DuckDB oracle derives the same two window starts
+    arithmetically."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w").start.alias("bucket"), "cnt")
+    )
