@@ -61,14 +61,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 6: the
-#: 42 entries with no driver-green row since r02 (the relational battery
-#: plus ask/construct/offset/group_concat and the decollect/fixpoint
-#: session ops) — all green in every local check_correctness.py run, but
-#: the driver record should show it too (round-5 VERDICT task 2).  The
-#: round-5 window (50 entries, all green in CORRECTNESS_r05.json) rotates
-#: to the back.
+#: Entries hoisted into the driver's verification window.  Round 6, in
+#: priority order: first the 9 BRAND-NEW gates (streaming dedup/windows,
+#: repetition, vocab top-k, dedup clusters, percentiles, stratified
+#: sample, as-of join, sliding windows — no gate record anywhere yet),
+#: then the 42 entries with no driver-green row since r02 (the
+#: relational battery plus ask/construct/offset/group_concat and the
+#: decollect/fixpoint session ops — all green in every local
+#: check_correctness.py run, but the driver record should show it too;
+#: round-5 VERDICT task 2).  The round-5 window (50 entries, all green
+#: in CORRECTNESS_r05.json) rotates to the back.
 _FRONT = [
+    # new in r06 — never gated anywhere
+    "x_dedup_stream", "x_window_stream", "x_window_sliding",
+    "x_text_repetition", "x_vocab_topk", "x_dedup_clusters",
+    "x_event_percentiles", "x_sample_stratified", "x_asof_join",
+    # no driver-green row since r02
     "q_peel_bnode_closure", "q_decollect_seq", "q_rule_fixpoint",
     "sparql_construct_count", "sparql_group_concat", "sparql_ask",
     "sparql_offset",
@@ -84,10 +92,6 @@ _FRONT = [
     "u1_union", "u2_except", "u3_intersect",
     "f1_str_cast", "f3_strstarts", "f4_substr", "f5_regex",
     "f6_numeric_cast", "f7_count_expr",
-    "x_dedup_stream",  # new in r06: streaming dedup via foreachBatch
-    "x_window_stream", "x_text_repetition", "x_vocab_topk",
-    "x_dedup_clusters", "x_event_percentiles", "x_sample_stratified",
-    "x_asof_join", "x_window_sliding",  # new in r06
 ]
 
 
