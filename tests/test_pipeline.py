@@ -508,3 +508,22 @@ def test_dedup_clusters_keep_list(spark):
         assert r["keep"] == (1 if r["doc_id"] == r["cluster_rep"] else 0)
         assert by_id[r["cluster_rep"]]["cluster_rep"] == r["cluster_rep"]
         assert r["cluster_rep"] <= r["doc_id"]
+
+
+def test_asof_and_sliding_plans(spark):
+    """x_asof_join must be one user_id shuffle + one sort + a window agg
+    (never an expanding range join); x_window_sliding must be a
+    partial+final aggregate over one shuffle."""
+    from sparkdon.pipeline import x_asof_join, x_window_sliding
+
+    asof = plan_of(x_asof_join(spark, SF))
+    assert asof.count("Exchange") == 1 and "Window" in asof
+    assert "Join" not in asof and "CartesianProduct" not in asof
+
+    sld = plan_of(x_window_sliding(spark, SF))
+    assert sld.count("Exchange") == 1 and sld.count("HashAggregate") == 2
+
+    # semantics spot-check: every matched view strictly precedes its purchase
+    rows = x_asof_join(spark, SF).collect()
+    assert rows and all(
+        r["view_tus"] is None or r["view_tus"] < r["purchase_tus"] for r in rows)
