@@ -73,6 +73,7 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
         x_dedup_minhash,
@@ -85,6 +86,8 @@ def main() -> None:
         "x_dedup_minhash": x_dedup_minhash,
         "x_sim_lsh_refined": x_sim_lsh_refined,
         "x_dedup_embed_strict": x_dedup_embed_strict,
+        # iterative components over the LSH pair graph (round 6)
+        "x_dedup_clusters": x_dedup_clusters,
         # SPARQL tier (round 6): full-scan census agg and an anchored
         # closure whose BFS cone stays constant while the graph grows kx
         "sparql_census": sparql_census,
