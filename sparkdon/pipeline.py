@@ -1555,3 +1555,78 @@ def x_window_sliding(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w").start.alias("bucket"), "cnt")
     )
+
+
+@register(
+    "x_corpus_keep",
+    # composition of the cluster / repetition / length gates into the
+    # final per-document keep decision a cleaning pipeline emits
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
+    "feat AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "grams AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+    " list_transform(generate_series(1, len(t) - 1), "
+    "  i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END AS g, len(t) AS n_tok "
+    " FROM feat) "
+    "SELECT c.doc_id, "
+    "CASE WHEN c.doc_id = c.rep THEN 1 ELSE 0 END AS uniq_ok, "
+    "CASE WHEN len(g) > 0 AND 10000.0 * (len(g) - len(list_distinct(g))) "
+    " / len(g) >= 3000 THEN 0 ELSE 1 END AS rep_ok, "
+    "CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS len_ok, "
+    "CASE WHEN c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
+    " AND NOT (len(g) > 0 AND 10000.0 * (len(g) - len(list_distinct(g))) "
+    "  / len(g) >= 3000) THEN 1 ELSE 0 END AS keep "
+    "FROM comp c JOIN grams USING (doc_id)",
+)
+def x_corpus_keep(spark, sf_dir):
+    """The pipeline capstone: one keep/drop decision per document,
+    composing the near-dup cluster resolution (keep only component
+    representatives), the repetition filter (duplicate-bigram < 30 %),
+    and the length gate (20–2000 tokens) — i.e. the actual output a
+    corpus-cleaning pipeline writes before training.
+
+    100 TB shape: the per-doc feature columns are narrow maps over the
+    same documents scan; the only non-trivial input is the component
+    frame, whose propagation is id-only; the final assembly is one join
+    keyed on doc_id (broadcast-eligible whenever the dup set is small).
+    The DuckDB oracle recomputes every stage — recursive-CTE components
+    included — so the composite decision is verified end-to-end, not
+    just its parts."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    comp = _min_label_components(
+        docs.select(F.col("doc_id").alias("node")),
+        _bucket_pairs(_minhash_bands(spark, sf_dir)))
+    grams_expr = (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 2, sequence(1, size(t) - 1), array()), "
+        "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))[0]"
+    )
+    feat = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(grams_expr).alias("g"),
+    )
+    n, d = F.size("g"), F.size(F.array_distinct("g"))
+    rep_bad = (n > 0) & (10000.0 * (n - d) / n >= 3000)
+    len_ok = F.col("n_tok").between(20, 2000)
+    uniq_ok = F.col("node") == F.col("rep")
+    return (
+        comp.join(feat, comp.node == feat.doc_id)
+        .select(
+            "doc_id",
+            F.when(uniq_ok, 1).otherwise(0).cast("long").alias("uniq_ok"),
+            F.when(rep_bad, 0).otherwise(1).cast("long").alias("rep_ok"),
+            F.when(len_ok, 1).otherwise(0).cast("long").alias("len_ok"),
+            F.when(uniq_ok & len_ok & ~rep_bad, 1).otherwise(0)
+            .cast("long").alias("keep"),
+        )
+    )
