@@ -69,6 +69,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_event_percentiles",
             "x_sample_stratified",
             "x_asof_join",
+            "x_window_sliding",
             "x_window_sessionize",
         ],
     ),
@@ -81,6 +82,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_dedup_minhash",
             "x_dedup_clusters",
+            "x_corpus_keep",
             "x_sim_topk",
             "x_sim_lsh_refined",
             "x_sim_ivf",

@@ -1347,17 +1347,21 @@ def x_vocab_topk(spark, sf_dir):
 
 def _min_label_components(nodes: DataFrame, pairs: DataFrame,
                           max_iters: int = 50) -> DataFrame:
-    """Connected components by min-label propagation (HashMin): every
-    node repeatedly takes the minimum label among itself and its
-    neighbors until a fixpoint.  Returns (node, rep).
+    """Connected components by min-label propagation (HashMin) with
+    pointer jumping: every node takes the minimum label among itself and
+    its neighbors, then labels are shortcut through one level of
+    indirection (``lab := label(lab)``) so information travels 2^k hops
+    after k rounds — O(log diameter) rounds instead of O(diameter), the
+    property that keeps chain-shaped components from serializing the job
+    at scale.  Returns (node, rep).
 
-    Per iteration: one join shuffle keyed on node + one partial-agg min —
-    the same bounded-lineage pattern as the path fixpoints
+    Per iteration: two join shuffles keyed on node id + one partial-agg
+    min — the same bounded-lineage pattern as the path fixpoints
     (``localCheckpoint`` truncates per round, convergence is one count
-    action).  Iterations = component diameter, which for near-dup
-    clusters is small; production-scale variants (large-star/small-star,
-    alternating) cut worst-case rounds to O(log n) with the same
-    join+min building blocks."""
+    action).  The full large-star/small-star algorithm would also shrink
+    the *edge* set per round; for LSH dup graphs (tiny dense clusters)
+    the edge set is already small relative to the corpus, so label-side
+    jumping is where the rounds go."""
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
@@ -1368,12 +1372,15 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
             edges.join(labels, edges.b == labels.node)
             .groupBy("a").agg(F.min("lab").alias("nbr_lab"))
         )
+        merged = labels.join(nbr, labels.node == nbr.a, "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+        )
+        # pointer jumping: shortcut each label to its label's label
+        hop = merged.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
         merged = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
-            )
+            merged.join(hop, merged.lab == hop.jnode, "left")
+            .select("node", F.least("lab", F.coalesce("jlab", "lab")).alias("lab"))
         ).localCheckpoint()
         changed = (
             merged.alias("m").join(labels.alias("l"), "node")

@@ -527,3 +527,18 @@ def test_asof_and_sliding_plans(spark):
     rows = x_asof_join(spark, SF).collect()
     assert rows and all(
         r["view_tus"] is None or r["view_tus"] < r["purchase_tus"] for r in rows)
+
+
+def test_components_chain_converges_fast(spark):
+    """Pointer jumping: a 64-node path graph (worst-case diameter) must
+    resolve to one component — and in far fewer than 64 propagation
+    rounds (2^k reach after k rounds)."""
+    from sparkdon import pipeline
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "d1 long, d2 long")
+    comp = pipeline._min_label_components(nodes, pairs, max_iters=12)
+    got = {r["node"]: r["rep"] for r in comp.collect()}
+    assert got == {i: 0 for i in range(n)}  # 12 rounds ≪ 63-hop diameter
