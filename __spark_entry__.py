@@ -76,7 +76,7 @@ _FRONT = [
     "x_dedup_stream", "x_window_stream", "x_window_sliding",
     "x_text_repetition", "x_vocab_topk", "x_dedup_clusters",
     "x_event_percentiles", "x_sample_stratified", "x_asof_join",
-    "x_corpus_keep",
+    "x_corpus_keep", "x_topk_per_lang",
     # no driver-green row since r02
     "q_peel_bnode_closure", "q_decollect_seq", "q_rule_fixpoint",
     "sparql_construct_count", "sparql_group_concat", "sparql_ask",

@@ -1637,3 +1637,45 @@ def x_corpus_keep(spark, sf_dir):
             .cast("long").alias("keep"),
         )
     )
+
+
+def event_percentiles_approx(spark, sf_dir, accuracy: int = 10000) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (t-digest
+    sketch) per event type — mergeable, bounded-memory, one partial-agg
+    shuffle.  Not oracle-gated (the sketch is engine-specific and its
+    merge order is plan-dependent); instead pytest asserts it against
+    the exact twin ``x_event_percentiles`` within sketch tolerance."""
+    e = table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                              F.lit(accuracy))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), pct.alias("p"))
+        .select(
+            "event_type", "cnt",
+            F.col("p")[0].alias("p50"), F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+
+
+@register(
+    "x_topk_per_lang",
+    "SELECT lang, doc_id, n_chars FROM ("
+    " SELECT lang, doc_id, n_chars, row_number() OVER "
+    "  (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+    " FROM documents) WHERE rn <= 3",
+)
+def x_topk_per_lang(spark, sf_dir):
+    """Top-k per group (3 longest documents per language): the
+    rank-within-partition pattern — one shuffle on the group key, sort
+    within partitions, early-out at rn <= 3.  Deterministic tie-break on
+    doc_id."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

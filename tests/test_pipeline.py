@@ -542,3 +542,20 @@ def test_components_chain_converges_fast(spark):
     comp = pipeline._min_label_components(nodes, pairs, max_iters=12)
     got = {r["node"]: r["rep"] for r in comp.collect()}
     assert got == {i: 0 for i in range(n)}  # 12 rounds ≪ 63-hop diameter
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """The sketch path must agree with the exact twin within t-digest
+    tolerance at this accuracy (the validation the docstring promises)."""
+    from sparkdon.pipeline import event_percentiles_approx, x_event_percentiles
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: (r["p50_scaled"], r["p95_scaled"], r["p99_scaled"])
+             for r in x_event_percentiles(spark, sf).collect()}
+    approx = {r["event_type"]: (r["p50"], r["p95"], r["p99"])
+              for r in event_percentiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for et, (e50, e95, e99) in exact.items():
+        a50, a95, a99 = approx[et]
+        for ex, ap in ((e50, a50), (e95, a95), (e99, a99)):
+            assert abs(ap - ex / 1e4) <= max(0.05 * abs(ex / 1e4), 0.05)
