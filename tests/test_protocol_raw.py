@@ -152,3 +152,19 @@ def test_construct_accept_negotiation(served):
         post(served.url, q, "application/sparql-query",
              accept="application/sparql-results+json")
     assert ei.value.code == 406
+
+
+def test_concurrent_queries(served):
+    """The threaded server claim: parallel clients against one endpoint
+    (Spark sessions accept concurrent job submission)."""
+    import concurrent.futures
+
+    q = EX + "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+
+    def one_call(_):
+        doc = json.loads(post(served.url, q, "application/sparql-query").read())
+        return doc["results"]["bindings"][0]["n"]["value"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(one_call, range(16)))
+    assert got == ["2"] * 16
