@@ -559,3 +559,20 @@ def test_percentile_approx_tracks_exact(spark):
         a50, a95, a99 = approx[et]
         for ex, ap in ((e50, a50), (e95, a95), (e99, a99)):
             assert abs(ap - ex / 1e4) <= max(0.05 * abs(ex / 1e4), 0.05)
+
+
+def test_topk_per_lang_plan_and_values(spark):
+    """Catalyst's WindowGroupLimit must prune each partition to its
+    local top-k BEFORE the shuffle (the rank filter is pushed down) —
+    one Exchange total."""
+    from sparkdon.pipeline import x_topk_per_lang
+
+    df = x_topk_per_lang(spark, SF)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan and plan.count("Exchange") == 1
+    rows = df.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    assert all(len(v) <= 3 and v == sorted(v, reverse=True)
+               for v in per_lang.values())
