@@ -61,7 +61,12 @@ def vcol(name: str) -> str:
 def _injectable_vars(g: GroupPattern) -> set[str]:
     """Variables safe to constrain via a VALUES injection into a SERVICE
     group: those occurring in subject/predicate/object position of a
-    *mandatory* triple pattern (top level or inside UNION branches).
+    *mandatory* triple pattern — at the top level, or in EVERY branch of
+    a UNION (a var bound in only some branches is excluded: solutions
+    from the non-binding branches carry it unbound, are join-compatible
+    with every injected VALUES row, and would come back once per row —
+    an N-fold bag-cardinality inflation the local re-join cannot
+    collapse).
 
     Everything else is excluded because pre-binding changes semantics or
     well-formedness:
@@ -106,15 +111,20 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
             elif isinstance(el, SubSelect) and el.query.where is not None:
                 collect_banned(el.query.where)
 
-    def walk(gp: GroupPattern) -> None:
+    def certain(gp: GroupPattern) -> set[str]:
+        """Vars bound in a mandatory triple position on EVERY evaluation
+        path through ``gp``; side effect: sweeps BIND targets into
+        ``banned`` everywhere."""
+        out: set[str] = set()
         for el in gp.elements:
             if isinstance(el, TriplePattern):
                 for t in (el.s, el.p, el.o):
                     if isinstance(t, Var):
-                        pos.add(t.name)
+                        out.add(t.name)
             elif isinstance(el, UnionGroup):
-                for b in el.branches:
-                    walk(b)
+                branch_sets = [certain(b) for b in el.branches]
+                if branch_sets:
+                    out |= set.intersection(*branch_sets)
             elif isinstance(el, Bind):
                 banned.add(el.var.name)
             elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
@@ -123,8 +133,9 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
                 collect_banned(el)
             elif isinstance(el, SubSelect) and el.query.where is not None:
                 collect_banned(el.query.where)
+        return out
 
-    walk(g)
+    pos |= certain(g)
     return pos - banned
 
 

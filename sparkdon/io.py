@@ -307,6 +307,7 @@ def nt_string(triples: DataFrame, limit: int = 100_000) -> str:
         f"{_term_nt(r['s_kind'], r['s'])} <{r['p']}> "
         f"{_term_nt(r['o_kind'], r['o'], r['o_dt'], r['o_lang'])} ."
         for r in sorted(rows, key=lambda r: (r["s_kind"], r["s"], r["p"],
-                                             r["o_kind"], r["o"]))
+                                             r["o_kind"], r["o"],
+                                             r["o_dt"] or "", r["o_lang"] or ""))
     ]
     return "\n".join(lines) + ("\n" if lines else "")

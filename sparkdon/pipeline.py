@@ -1172,6 +1172,23 @@ def x_salted_census(spark, sf_dir):
 # streaming gate (round 6): dedup_stream driven to a parquet sink
 # ---------------------------------------------------------------------------
 
+def _stream_scratch(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for a streaming gate, wiped on every
+    invocation — repeated correctness/bench runs reuse one directory per
+    (gate, sf_dir) instead of accumulating mkdtemp junk in /tmp."""
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkdon_{kind}_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    return out_dir
+
+
 @register(
     "x_dedup_stream",
     "SELECT DISTINCT user_id, event_type FROM events",
@@ -1197,11 +1214,10 @@ def x_dedup_stream(spark, sf_dir):
     watermark horizon; foreachBatch writes are executor-side parquet
     appends — nothing passes through the driver."""
     import os
-    import tempfile
 
     from sparkdon.streaming.windows import dedup_stream
 
-    out_dir = tempfile.mkdtemp(prefix="sparkdon_dedup_stream_")
+    out_dir = _stream_scratch("dedup_stream", sf_dir)
     target = os.path.join(out_dir, "out")
     src = f"{sf_dir}/events.parquet"
     stream = (
@@ -1248,11 +1264,10 @@ def x_window_stream(spark, sf_dir):
     across engines (same trick as the batch gate: double summation order
     differs between Spark partial aggs and DuckDB)."""
     import os
-    import tempfile
 
     from sparkdon.streaming.windows import tumbling_counts
 
-    out_dir = tempfile.mkdtemp(prefix="sparkdon_window_stream_")
+    out_dir = _stream_scratch("window_stream", sf_dir)
     target = os.path.join(out_dir, "out")
     src = f"{sf_dir}/events.parquet"
     stream = (
@@ -1278,20 +1293,46 @@ def x_window_stream(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"))
 
 
+#: Gopher/MassiveText duplicate-bigram keep threshold, scaled by 1e4
+#: (shared by x_text_repetition and the x_corpus_keep capstone — one
+#: definition, both Spark expressions and both DuckDB oracles)
+REPETITION_DUP_SCALED = 3000
+
+#: Spark: word-bigram array per document, lambda-bound so the text
+#: tokenizes once per row
+_BIGRAMS_EXPR = (
+    "transform(array(split(text, ' ')), t -> "
+    " transform(if(size(t) >= 2, sequence(1, size(t) - 1), array()), "
+    "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))[0]"
+)
+
+#: DuckDB twin of :data:`_BIGRAMS_EXPR` over a token-list column ``t``
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1), "
+    " i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END"
+)
+
+
+def _rep_bad_spark(n, d):
+    """Repetition-threshold predicate over gram count / distinct count."""
+    return (n > 0) & (10000.0 * (n - d) / n >= REPETITION_DUP_SCALED)
+
+
+def _duck_rep_bad(g: str) -> str:
+    return (f"len({g}) > 0 AND 10000.0 * (len({g}) - "
+            f"len(list_distinct({g}))) / len({g}) >= {REPETITION_DUP_SCALED}")
+
+
 @register(
     "x_text_repetition",
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "g AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
-    " list_transform(generate_series(1, len(t) - 1), "
-    "  i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END AS grams FROM toks) "
+    f"g AS (SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM toks) "
     "SELECT doc_id, len(grams) AS n_bigrams, "
     "len(list_distinct(grams)) AS n_distinct, "
     "CASE WHEN len(grams) > 0 THEN CAST(FLOOR(10000.0 * (len(grams) - "
     " len(list_distinct(grams))) / len(grams)) AS BIGINT) ELSE 0 END "
     " AS dup_scaled, "
-    "CASE WHEN len(grams) > 0 AND 10000.0 * (len(grams) - "
-    " len(list_distinct(grams))) / len(grams) >= 3000 THEN 0 ELSE 1 END "
-    " AS keep "
+    f"CASE WHEN {_duck_rep_bad('grams')} THEN 0 ELSE 1 END AS keep "
     "FROM g",
 )
 def x_text_repetition(spark, sf_dir):
@@ -1303,12 +1344,7 @@ def x_text_repetition(spark, sf_dir):
     scaled floors (engine-portable, same convention as the other text
     gates)."""
     docs = table(spark, sf_dir, "documents")
-    grams_expr = (
-        "transform(array(split(text, ' ')), t -> "
-        " transform(if(size(t) >= 2, sequence(1, size(t) - 1), array()), "
-        "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))[0]"
-    )
-    g = docs.select("doc_id", F.expr(grams_expr).alias("grams"))
+    g = docs.select("doc_id", F.expr(_BIGRAMS_EXPR).alias("grams"))
     n = F.size("grams")
     d = F.size(F.array_distinct("grams"))
     dup = F.when(n > 0, F.floor(10000.0 * (n - d) / n)).otherwise(F.lit(0))
@@ -1317,7 +1353,7 @@ def x_text_repetition(spark, sf_dir):
         n.cast("long").alias("n_bigrams"),
         d.cast("long").alias("n_distinct"),
         dup.cast("long").alias("dup_scaled"),
-        F.when((n > 0) & (10000.0 * (n - d) / n >= 3000), F.lit(0))
+        F.when(_rep_bad_spark(n, d), F.lit(0))
         .otherwise(F.lit(1)).cast("long").alias("keep"),
     )
 
@@ -1518,11 +1554,14 @@ def x_asof_join(spark, sf_dir):
     aggregation, not an expanding join."""
     e = table(spark, sf_dir, "events").withColumn(
         "tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    # explicit side tag — discriminating on event_id nullability would
+    # silently drop a left row whose event_id happens to be NULL
     left = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "tus", "event_id", F.lit(None).cast("long").alias("r_tus"))
+        "user_id", "tus", "event_id", F.lit(True).alias("is_left"),
+        F.lit(None).cast("long").alias("r_tus"))
     right = e.filter(F.col("event_type") == "view").select(
         "user_id", "tus", F.lit(None).cast("long").alias("event_id"),
-        F.col("tus").alias("r_tus"))
+        F.lit(False).alias("is_left"), F.col("tus").alias("r_tus"))
     u = left.unionByName(right)
     w = (
         Window.partitionBy("user_id").orderBy("tus")
@@ -1530,7 +1569,7 @@ def x_asof_join(spark, sf_dir):
     )
     return (
         u.withColumn("view_tus", F.max("r_tus").over(w))
-        .filter(F.col("event_id").isNotNull())
+        .filter(F.col("is_left"))
         .select(
             "event_id", "user_id",
             F.col("tus").alias("purchase_tus"),
@@ -1580,18 +1619,14 @@ def x_window_sliding(spark, sf_dir):
     "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
     "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
     "feat AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "grams AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
-    " list_transform(generate_series(1, len(t) - 1), "
-    "  i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END AS g, len(t) AS n_tok "
+    f"grams AS (SELECT doc_id, {_DUCK_BIGRAMS} AS g, len(t) AS n_tok "
     " FROM feat) "
     "SELECT c.doc_id, "
     "CASE WHEN c.doc_id = c.rep THEN 1 ELSE 0 END AS uniq_ok, "
-    "CASE WHEN len(g) > 0 AND 10000.0 * (len(g) - len(list_distinct(g))) "
-    " / len(g) >= 3000 THEN 0 ELSE 1 END AS rep_ok, "
+    f"CASE WHEN {_duck_rep_bad('g')} THEN 0 ELSE 1 END AS rep_ok, "
     "CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS len_ok, "
     "CASE WHEN c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
-    " AND NOT (len(g) > 0 AND 10000.0 * (len(g) - len(list_distinct(g))) "
-    "  / len(g) >= 3000) THEN 1 ELSE 0 END AS keep "
+    f" AND NOT ({_duck_rep_bad('g')}) THEN 1 ELSE 0 END AS keep "
     "FROM comp c JOIN grams USING (doc_id)",
 )
 def x_corpus_keep(spark, sf_dir):
@@ -1612,18 +1647,13 @@ def x_corpus_keep(spark, sf_dir):
     comp = _min_label_components(
         docs.select(F.col("doc_id").alias("node")),
         _bucket_pairs(_minhash_bands(spark, sf_dir)))
-    grams_expr = (
-        "transform(array(split(text, ' ')), t -> "
-        " transform(if(size(t) >= 2, sequence(1, size(t) - 1), array()), "
-        "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))[0]"
-    )
     feat = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tok"),
-        F.expr(grams_expr).alias("g"),
+        F.expr(_BIGRAMS_EXPR).alias("g"),
     )
     n, d = F.size("g"), F.size(F.array_distinct("g"))
-    rep_bad = (n > 0) & (10000.0 * (n - d) / n >= 3000)
+    rep_bad = _rep_bad_spark(n, d)
     len_ok = F.col("n_tok").between(20, 2000)
     uniq_ok = F.col("node") == F.col("rep")
     return (

@@ -89,8 +89,14 @@ class SparqlProtocolServer:
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length).decode()
+                # a malformed request (bad Content-Length, non-UTF-8
+                # body) must answer 400, not kill the handler thread
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length).decode()
+                except (ValueError, UnicodeDecodeError) as exc:
+                    outer._plain(self, 400, f"malformed request: {exc}")
+                    return
                 # media type without parameters (";charset=...")
                 ctype = (self.headers.get("Content-Type") or
                          "application/x-www-form-urlencoded")

@@ -115,3 +115,39 @@ def test_silent_still_covers_fetch_failure(local, monkeypatch):
     pdf = local.select(SVC_Q)
     # failed service execution -> unit solution -> local rows survive
     assert len(pdf) == 3
+
+
+# -- round-6 self-review: UNION partial-binding cardinality -------------
+
+def test_union_partial_branch_var_not_injectable():
+    """A var bound in only SOME union branches must not be injected:
+    solutions from the non-binding branch carry it unbound and would
+    join-multiply against every VALUES row (bag-cardinality bug)."""
+    g = group_of("{ ?s :p ?v } UNION { ?s :q ?w }")
+    inj = _injectable_vars(g)
+    assert "v" not in inj and "w" not in inj
+    assert "s" in inj  # bound in every branch
+
+
+def test_union_all_branch_var_still_injectable():
+    g = group_of("{ ?s :p ?v } UNION { ?s :q ?v }")
+    assert {"s", "v"} <= _injectable_vars(g)
+
+
+def test_union_cardinality_not_inflated_by_injection(local, spark):
+    """End-to-end: a SERVICE whose union binds ?pop in one branch only
+    must return each remote solution once, not once per VALUES row."""
+    from sparkdon.protocol import SparqlProtocolServer
+
+    remote = inline(
+        "@prefix : <http://example.com/> .\n"
+        ":Manhattan :pop 1694251 .\n"
+        ":Manhattan :grade \"A\" .\n", spark)
+    with SparqlProtocolServer(remote) as srv:
+        pdf = local.select(
+            EX + "SELECT ?b ?pop ?g WHERE { :NYC :boro ?b ."
+            f" SERVICE <{srv.url}> {{ {{ ?b :pop ?pop }} UNION "
+            "{ ?b :grade ?g } } }")
+    # Manhattan matches both branches once each; Brooklyn/Queens match
+    # nothing remotely -> exactly 2 rows, never N-fold duplicates
+    assert len(pdf) == 2

@@ -98,3 +98,22 @@ def test_read_ntriples_malformed_lines(spark, tmp_path):
     assert all(r["p"] == "http://p" for r in df.collect())
     with pytest.raises(SparkdonError, match="malformed"):
         read_ntriples(spark, str(p), strict=True).count()
+
+
+def test_nt_string_deterministic_on_dt_ties(spark):
+    """Triples identical except datatype/lang must serialize in a stable
+    order (the sort key includes o_dt/o_lang)."""
+    from sparkdon.io import nt_string
+    from sparkdon.terms import KIND_IRI, KIND_LIT
+
+    rows = [
+        (KIND_IRI, "urn:s", "urn:p", KIND_LIT, "1",
+         "http://www.w3.org/2001/XMLSchema#long", None),
+        (KIND_IRI, "urn:s", "urn:p", KIND_LIT, "1",
+         "http://www.w3.org/2001/XMLSchema#int", None),
+    ]
+    schema = "s_kind string, s string, p string, o_kind string, o string, o_dt string, o_lang string"
+    a = nt_string(spark.createDataFrame(rows, schema))
+    b = nt_string(spark.createDataFrame(list(reversed(rows)), schema))
+    assert a == b
+    assert a.index("XMLSchema#int") < a.index("XMLSchema#long")

@@ -168,3 +168,16 @@ def test_concurrent_queries(served):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         got = list(ex.map(one_call, range(16)))
     assert got == ["2"] * 16
+
+
+def test_malformed_body_is_400_not_thread_death(served):
+    """Invalid UTF-8 POST body must answer 400, not kill the handler."""
+    req = urllib.request.Request(
+        served.url, data=b"\xff\xfe\xfd",
+        headers={"Content-Type": "application/sparql-query"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    # the server thread survives and keeps answering
+    q = EX + "ASK { :Manhattan :pop 1694251 }"
+    assert post(served.url, q, "application/sparql-query").status == 200
