@@ -62,15 +62,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: Entries hoisted into the driver's verification window.  Round 6, in
-#: priority order: first the 9 BRAND-NEW gates (streaming dedup/windows,
+#: priority order: first the 11 BRAND-NEW gates (streaming dedup/windows,
 #: repetition, vocab top-k, dedup clusters, percentiles, stratified
-#: sample, as-of join, sliding windows — no gate record anywhere yet),
-#: then the 42 entries with no driver-green row since r02 (the
-#: relational battery plus ask/construct/offset/group_concat and the
-#: decollect/fixpoint session ops — all green in every local
-#: check_correctness.py run, but the driver record should show it too;
-#: round-5 VERDICT task 2).  The round-5 window (50 entries, all green
-#: in CORRECTNESS_r05.json) rotates to the back.
+#: sample, as-of join, sliding windows, corpus-keep capstone, top-k per
+#: group — no gate record anywhere yet), then the 42 entries with no
+#: driver-green row since r02 (the relational battery plus
+#: ask/construct/offset/group_concat and the decollect/fixpoint session
+#: ops — all green in every local check_correctness.py run, but the
+#: driver record should show it too; round-5 VERDICT task 2).  The
+#: round-5 window (50 entries, all green in CORRECTNESS_r05.json)
+#: rotates to the back.
 _FRONT = [
     # new in r06 — never gated anywhere
     "x_dedup_stream", "x_window_stream", "x_window_sliding",

@@ -1175,7 +1175,11 @@ def x_salted_census(spark, sf_dir):
 def _stream_scratch(kind: str, sf_dir: str) -> str:
     """Deterministic scratch dir for a streaming gate, wiped on every
     invocation — repeated correctness/bench runs reuse one directory per
-    (gate, sf_dir) instead of accumulating mkdtemp junk in /tmp."""
+    (gate, sf_dir, pid) instead of accumulating mkdtemp junk in /tmp.
+    The pid component keeps concurrent processes over the same fixture
+    (e.g. pytest alongside a driver correctness run) from wiping each
+    other's checkpoint/sink mid-query; within one process, runs are
+    serial, so reuse is safe."""
     import hashlib as _hl
     import os
     import shutil
@@ -1183,7 +1187,8 @@ def _stream_scratch(kind: str, sf_dir: str) -> str:
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"sparkdon_{kind}_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+        f"sparkdon_{kind}_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     return out_dir
@@ -1403,6 +1408,7 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
     ).localCheckpoint()
     labels = nodes.select(F.col("node"), F.col("node").alias("lab")).localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.b == labels.node)
@@ -1425,6 +1431,15 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
         labels = merged
         if changed == 0:
             break
+    if changed != 0:
+        # never return silently-wrong components: an unconverged label
+        # frame would emit wrong representatives with no error signal
+        from sparkdon.errors import SparkdonError
+
+        raise SparkdonError(
+            f"connected components did not converge within {max_iters} "
+            "pointer-jumping rounds (graph diameter > 2^max_iters is not "
+            "plausible — this indicates a bug or a pathological edge set)")
     return labels.select("node", F.col("lab").alias("rep"))
 
 

@@ -104,10 +104,16 @@ class SparqlProtocolServer:
                 if ctype == "application/sparql-query":
                     # §2.1.3 query via direct POST: the body IS the query;
                     # protocol params (default-graph-uri...) ride the URL
-                    params = {"query": [body]}
+                    # query string, so merge them in
+                    params = urllib.parse.parse_qs(
+                        urllib.parse.urlparse(self.path).query)
+                    params["query"] = [body]
                 elif ctype == "application/sparql-update":
-                    # §2.2.2 update via direct POST
-                    params = {"update": [body]}
+                    # §2.2.2 update via direct POST (URL params merged as
+                    # for direct-POST query)
+                    params = urllib.parse.parse_qs(
+                        urllib.parse.urlparse(self.path).query)
+                    params["update"] = [body]
                 elif ctype == "application/x-www-form-urlencoded":
                     params = urllib.parse.parse_qs(body)
                 else:
