@@ -590,15 +590,35 @@ def sparql_year_agg(spark, sf_dir):
     )
 
 
-@register("q_peel_bnode_closure")
+@register(
+    "q_peel_bnode_closure",
+    # golden relation, hand-derived from the fixture's known shape: peel
+    # copies exactly the 5 facts reachable from :thing (never :other's),
+    # and WL canonicalization must rank the "a" bnode (2 out-edges +
+    # :part in-edge from an IRI) apart from the nested "b" bnode —
+    # cb0/cb1 per the structural-hash order verified stable across
+    # permuted re-serializations in tests/test_engine2.py
+    "SELECT * FROM (VALUES "
+    "('bnode', 'cb0', 'http://example.com/name', 'lit', 'a'), "
+    "('bnode', 'cb0', 'http://example.com/sub', 'bnode', 'cb1'), "
+    "('bnode', 'cb1', 'http://example.com/name', 'lit', 'b'), "
+    "('iri', 'http://example.com/thing', 'http://example.com/label', 'lit', 'top'), "
+    "('iri', 'http://example.com/thing', 'http://example.com/part', 'bnode', 'cb0')"
+    ") t(s_kind, s, p, o_kind, o)",
+)
 def q_peel_bnode_closure(spark, sf_dir):
-    """S5/G5 (rows-only BY NECESSITY: the peeled triples carry
-    parser-generated blank-node labels, which no independent engine can
-    reproduce — label-insensitive graph isomorphism is not expressible
-    as a SQL value compare; structure is asserted in
-    tests/test_engine.py::test_peel_through_bnodes instead): peel copies
-    the bnode-closure of a node on an inline fixture."""
-    from sparkdon.session import inline
+    """S5/G5: peel copies the bnode-closure of a node on an inline
+    fixture (reference ``peel``/``_peel``, gastrodon/__init__.py:688-743).
+
+    Parser-generated blank-node labels defeat a naive value compare (the
+    same structure parses to different labels every time), so the gate
+    projects the peeled subgraph through
+    :func:`sparkdon.session.canonicalize_bnodes` — a WL-style iterative
+    structural relabeling — making the full (s, p, o) content
+    hash-comparable against the golden relation, INCLUDING which triples
+    hang off which bnode.  Structure/isomorphism invariants are
+    additionally asserted in tests/test_engine.py::test_peel_through_bnodes."""
+    from sparkdon.session import canonicalize_bnodes, inline
 
     e = inline(
         """@prefix : <http://example.com/> .
@@ -606,7 +626,8 @@ def q_peel_bnode_closure(spark, sf_dir):
         :other :part [ :name "c" ] .""",
         spark,
     )
-    return e.peel(":thing").graph.select("s_kind", "p", "o_kind", "o")
+    return canonicalize_bnodes(e.peel(":thing").graph).select(
+        "s_kind", "s", "p", "o_kind", "o")
 
 
 @register(

@@ -565,6 +565,117 @@ class LocalEndpoint(Endpoint):
 # ---------------------------------------------------------------------------
 
 
+def canonicalize_bnodes(graph: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Relabel blank nodes deterministically by structural position —
+    an iterative Weisfeiler-Leman-style refinement, entirely as
+    DataFrame operations.
+
+    Parser-generated blank-node labels are arbitrary (the same Turtle
+    parsed twice, or by two engines, yields different labels), which
+    makes any graph containing bnodes impossible to value-compare.
+    This produces a *canonical form*: each bnode's label becomes
+    ``cb{rank}`` where rank orders the nodes by an iterated structural
+    signature — the md5 of the sorted multiset of its edge descriptors,
+    with neighboring bnodes represented by their previous-round
+    signature.  Signatures refine until the number of distinct
+    signatures stops growing (≤ #bnodes rounds; ``max_iters`` bounds
+    pathological chains).  Automorphic bnodes (indistinguishable by
+    structure) share a label by design — that is what a canonical form
+    means — and rows are NOT deduplicated, so cardinality is preserved.
+
+    Reference behavior this supports: ``peel``'s bnode closure
+    (gastrodon/__init__.py:688-743) copies subgraphs whose only
+    non-reproducible part is the bnode labels; canonicalized output is
+    stable across parses and engines, so it can be hash-compared.
+
+    Scale shape: each round is two edge⋈signature joins plus one
+    grouped sort-agg, all keyed on the bnode id; the final ranking
+    window is over #bnodes rows (bounded — peel/DESCRIBE closures, not
+    whole corpora)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bnodes = (
+        graph.filter(F.col("s_kind") == KIND_BNODE).select(F.col("s").alias("n"))
+        .union(graph.filter(F.col("o_kind") == KIND_BNODE).select(F.col("o").alias("n")))
+        .distinct()
+    )
+    if bnodes.isEmpty():
+        return graph
+    sig = bnodes.withColumn("h", F.lit("b0")).localCheckpoint(eager=True)
+    n_distinct = 1
+    for _ in range(max_iters):
+        osig = sig.select(F.col("n").alias("o_n"), F.col("h").alias("o_h"))
+        ssig = sig.select(F.col("n").alias("s_n"), F.col("h").alias("s_h"))
+        # ground terms carry their full identity; bnode neighbors carry
+        # their previous-round signature
+        out_c = (
+            graph.filter(F.col("s_kind") == KIND_BNODE)
+            .join(osig, (F.col("o_kind") == KIND_BNODE) & (F.col("o") == F.col("o_n")),
+                  "left")
+            .select(
+                F.col("s").alias("n"),
+                F.concat_ws(
+                    "\x1f", F.lit("out"), F.col("p"),
+                    F.when(F.col("o_kind") == KIND_BNODE,
+                           F.concat(F.lit("B:"), F.col("o_h")))
+                    .otherwise(F.concat_ws(
+                        "\x1e", F.col("o_kind"), F.col("o"),
+                        F.coalesce(F.col("o_dt"), F.lit("")),
+                        F.coalesce(F.col("o_lang"), F.lit("")))),
+                ).alias("c"),
+            )
+        )
+        in_c = (
+            graph.filter(F.col("o_kind") == KIND_BNODE)
+            .join(ssig, (F.col("s_kind") == KIND_BNODE) & (F.col("s") == F.col("s_n")),
+                  "left")
+            .select(
+                F.col("o").alias("n"),
+                F.concat_ws(
+                    "\x1f", F.lit("in"), F.col("p"),
+                    F.when(F.col("s_kind") == KIND_BNODE,
+                           F.concat(F.lit("B:"), F.col("s_h")))
+                    .otherwise(F.concat_ws("\x1e", F.col("s_kind"), F.col("s"))),
+                ).alias("c"),
+            )
+        )
+        new_sig = (
+            out_c.union(in_c)
+            .groupBy("n")
+            .agg(F.md5(F.concat_ws("\x1d", F.array_sort(F.collect_list("c"))))
+                 .alias("h"))
+        )
+        sig = (
+            bnodes.join(new_sig, "n", "left")
+            .select("n", F.coalesce("h", F.lit("b0")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        now_distinct = sig.select("h").distinct().count()
+        if now_distinct == n_distinct:
+            break  # refinement is monotone; no-growth = stable partition
+        n_distinct = now_distinct
+    mapping = sig.select(
+        "n",
+        F.concat(F.lit("cb"),
+                 (F.dense_rank().over(Window.orderBy("h")) - 1).cast("string"))
+        .alias("canon"),
+    )
+    smap = mapping.select(F.col("n").alias("ms_n"), F.col("canon").alias("ms_c"))
+    omap = mapping.select(F.col("n").alias("mo_n"), F.col("canon").alias("mo_c"))
+    return (
+        graph
+        .join(smap, (F.col("s_kind") == KIND_BNODE) & (F.col("s") == F.col("ms_n")),
+              "left")
+        .join(omap, (F.col("o_kind") == KIND_BNODE) & (F.col("o") == F.col("mo_n")),
+              "left")
+        .select(
+            "s_kind", F.coalesce("ms_c", "s").alias("s"), "p",
+            "o_kind", F.coalesce("mo_c", "o").alias("o"), "o_dt", "o_lang",
+        )
+    )
+
+
 def one(items) -> Any:
     """Exactly-one extractor (gastrodon ``one``, gastrodon/__init__.py:859-883):
     1×1 pandas DataFrame → the cell; 1-element list/Series → the element."""

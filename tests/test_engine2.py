@@ -268,3 +268,81 @@ def test_timezone_duration(ep):
     # no designator -> type error -> unbound
     df = q(ep, 'SELECT ?t { :c :when ?w . BIND(TIMEZONE(?w) AS ?t) }')
     assert df["t"][0] is None
+
+
+# -- bnode canonicalization (backs the q_peel_bnode_closure oracle) ------
+
+
+def test_canonicalize_bnodes_stable_across_parses(spark):
+    """The same structure serialized two different ways (different parser
+    label assignment, different statement order) canonicalizes to the
+    identical triple set — the property that makes peel's output
+    value-comparable."""
+    from sparkdon.session import canonicalize_bnodes, inline
+
+    a = inline(
+        """@prefix : <http://example.com/> .
+        :thing :part [ :name "a" ; :sub [ :name "b" ] ] ; :label "top" .""",
+        spark,
+    )
+    b = inline(
+        """@prefix : <http://example.com/> .
+        _:y :name "b" .
+        :thing :label "top" .
+        _:x :sub _:y . _:x :name "a" .
+        :thing :part _:x .""",
+        spark,
+    )
+    ra = sorted(map(tuple, canonicalize_bnodes(a.graph).collect()))
+    rb = sorted(map(tuple, canonicalize_bnodes(b.graph).collect()))
+    assert ra == rb
+    labels = {r[1] for r in ra if r[0] == "bnode"}
+    assert labels == {"cb0", "cb1"}
+
+
+def test_canonicalize_bnodes_no_bnodes_passthrough(spark):
+    from sparkdon.session import canonicalize_bnodes, inline
+
+    e = inline(
+        '@prefix : <http://example.com/> . :a :name "x" . :b :name "y" .',
+        spark,
+    )
+    assert sorted(map(tuple, canonicalize_bnodes(e.graph).collect())) == \
+        sorted(map(tuple, e.graph.collect()))
+
+
+def test_canonicalize_bnodes_automorphic_share_label(spark):
+    """Two structurally indistinguishable bnodes share a canonical label
+    (that IS the canonical form) and cardinality is preserved — no
+    dedup."""
+    from sparkdon.session import canonicalize_bnodes, inline
+
+    e = inline(
+        """@prefix : <http://example.com/> .
+        :r :part [ :name "same" ] , [ :name "same" ] .""",
+        spark,
+    )
+    rows = canonicalize_bnodes(e.graph).collect()
+    assert len(rows) == len(e.graph.collect()) == 4
+    bn = [r for r in rows if r["s_kind"] == "bnode"]
+    assert {r["s"] for r in bn} == {"cb0"}
+    # both :part links survive as two identical canonical rows
+    parts = [r for r in rows if r["p"].endswith("part")]
+    assert len(parts) == 2
+
+
+def test_canonicalize_bnodes_distinguishes_depth_chain(spark):
+    """A 4-deep bnode chain gets 4 distinct labels (WL refinement must
+    iterate past round 1 to split middle nodes)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.session import canonicalize_bnodes, inline
+
+    e = inline(
+        """@prefix : <http://example.com/> .
+        :top :next [ :next [ :next [ :next [ :name "leaf" ] ] ] ] .""",
+        spark,
+    )
+    g = canonicalize_bnodes(e.graph)
+    labels = {r["s"] for r in g.filter(F.col("s_kind") == "bnode").collect()}
+    assert len(labels) == 4
