@@ -61,39 +61,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 6, in
-#: priority order: first the 11 BRAND-NEW gates (streaming dedup/windows,
-#: repetition, vocab top-k, dedup clusters, percentiles, stratified
-#: sample, as-of join, sliding windows, corpus-keep capstone, top-k per
-#: group — no gate record anywhere yet), then the 42 entries with no
-#: driver-green row since r02 (the relational battery plus
-#: ask/construct/offset/group_concat and the decollect/fixpoint session
-#: ops — all green in every local check_correctness.py run, but the
-#: driver record should show it too; round-5 VERDICT task 2).  The
-#: round-5 window (50 entries, all green in CORRECTNESS_r05.json)
-#: rotates to the back.
+#: Entries hoisted into the driver's verification window.  Round 7, in
+#: priority order: first the entries with NO row in r05 ∪ r06 — the two
+#: brand-new streaming gates (sliding + session windows), the peel gate
+#: whose oracle is new this round (r06 recorded it rows-only), and the
+#: three F-tier entries the r06 window cut at 50 — then the full
+#: round-5 window (50 entries, all green in CORRECTNESS_r05.json, two
+#: rounds stale after this round otherwise).  The round-6 window
+#: rotates to the back.  The final six are deliberate cut candidates if
+#: the driver caps at 50: each duplicates coverage that an r06-green
+#: twin already carries (q_decollect_seq, sparql_census /
+#: sparql_join_agg_ids, j2_left_outer, sparql_census, x_fingerprint).
 _FRONT = [
-    # new in r06 — never gated anywhere
-    "x_dedup_stream", "x_window_stream", "x_window_sliding",
-    "x_text_repetition", "x_vocab_topk", "x_dedup_clusters",
-    "x_event_percentiles", "x_sample_stratified", "x_asof_join",
-    "x_corpus_keep", "x_topk_per_lang",
-    # no driver-green row since r02
-    "q_peel_bnode_closure", "q_decollect_seq", "q_rule_fixpoint",
-    "sparql_construct_count", "sparql_group_concat", "sparql_ask",
-    "sparql_offset",
-    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
-    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in", "p8_bind",
-    "p9_values_join",
-    "j1_inner_join_chain", "j2_left_outer", "j3_anti_not_exists",
-    "j4_minus", "j5_semi_exists",
-    "a1_group_count", "a2_group_expr", "a3_count_distinct",
-    "a4_global_agg", "a5_group_multi_pattern", "a6_subquery_filter",
-    "a7_distinct", "a8_bag_decollect", "a9_multi_agg",
-    "o1_order_asc", "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
-    "u1_union", "u2_except", "u3_intersect",
-    "f1_str_cast", "f3_strstarts", "f4_substr", "f5_regex",
-    "f6_numeric_cast", "f7_count_expr",
+    # new/changed gates — no (current-form) driver record anywhere
+    "x_sliding_stream", "x_session_stream", "q_peel_bnode_closure",
+    # cut at 50 in the r06 window; green r02 + every local run
+    "f5_regex", "f6_numeric_cast", "f7_count_expr",
+    # the round-5 window, freshest-coverage-first
+    "sparql_service", "sparql_describe", "sparql_late_ids",
+    "sparql_path_star_sip", "s1_ntriples_roundtrip", "sparql_year_agg",
+    "x_dedup_exact", "x_fingerprint", "x_dedup_minhash",
+    "x_dedup_jaccard", "x_dedup_simhash", "x_sim_topk",
+    "x_sim_lsh_bucketed", "x_sim_lsh_refined", "x_sim_ivf",
+    "x_dedup_embed", "x_dedup_embed_strict", "x_embed_quantize",
+    "x_embed_norm", "x_text_stats", "x_text_quality", "x_lang_id",
+    "x_token_bpe", "x_window_tumbling", "x_salted_census",
+    "sparql_census", "sparql_filter_gt", "sparql_join_agg",
+    "sparql_join_agg_ids", "sparql_optional", "sparql_not_exists",
+    "sparql_minus", "sparql_union", "sparql_values",
+    "sparql_path_seq", "sparql_path_inverse", "sparql_path_nps",
+    "sparql_subquery_having", "sparql_orderby_limit",
+    "sparql_bind_strstarts", "sparql_count_distinct", "sparql_path_plus",
+    "sparql_path_star_anchored", "sparql_path_star_values",
+    # deliberate cut candidates (coverage duplicated by green twins:
+    # q_decollect_seq, x_session_stream, sparql_census/sparql_join_agg_ids,
+    # j2_left_outer, x_fingerprint)
+    "q10_seq_decollect", "x_window_sessionize", "sparql_census_orders",
+    "sparql_optional_ids", "sparql_census_ids", "x_fingerprint_winnow",
 ]
 
 

@@ -73,10 +73,11 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_window_sessionize",
         ],
     ),
-    # NOTE: the streaming gates (x_dedup_stream, x_window_stream) are
-    # correctness-gated but not benched: their wall time is dominated by
-    # per-query streaming machinery (checkpoint dir, query startup), not
-    # plan quality, and would smear the suite total with fixed overhead.
+    # NOTE: the streaming gates (x_dedup_stream, x_window_stream,
+    # x_sliding_stream, x_session_stream) are correctness-gated but not
+    # benched: their wall time is dominated by per-query streaming
+    # machinery (checkpoint dir, query startup), not plan quality, and
+    # would smear the suite total with fixed overhead.
     (
         "pipeline_heavy",
         [

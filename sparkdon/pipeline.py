@@ -1298,6 +1298,105 @@ def x_window_stream(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"))
 
 
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events fixture with ``ts`` cast to a
+    watermarkable TIMESTAMP (shared by the streaming gates; see the NTZ
+    note on x_dedup_stream)."""
+    src = f"{sf_dir}/events.parquet"
+    return (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_complete_snapshot(df, kind: str, sf_dir: str):
+    """Drive a streaming aggregation to its final snapshot: complete
+    output mode → foreachBatch parquet overwrite under AvailableNow, so
+    the last trigger's full state is what the oracle compares.  Returns
+    the materialized DataFrame."""
+    import os
+
+    out_dir = _stream_scratch(kind, sf_dir)
+    target = os.path.join(out_dir, "out")
+    q = (
+        df.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("overwrite").parquet(target))
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark = df.sparkSession
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
+
+
+@register(
+    "x_sliding_stream",
+    # same derivation as the batch twin x_window_sliding: each event
+    # covers exactly two 10-minute windows hopping every 5
+    "SELECT CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS bucket, COUNT(*) AS cnt FROM ("
+    " SELECT unnest([floor(epoch(ts) / 300) * 300, "
+    "  floor(epoch(ts) / 300) * 300 - 300]) AS bucket_s FROM events) "
+    "GROUP BY bucket_s",
+)
+def x_sliding_stream(spark, sf_dir):
+    """Oracle gate for the streaming sliding-window aggregation
+    (streaming/windows.py ``sliding_rates``): watermarked 10-minute
+    windows hopping every 5, driven to the final complete-mode snapshot
+    via foreachBatch under ``Trigger.AvailableNow`` — the same recipe as
+    ``x_window_stream``, closing the batch/streaming gate gap for the
+    sliding shape (the batch twin is ``x_window_sliding``).
+
+    100 TB shape: state is (window)-keyed partial counts bounded by the
+    watermark horizon; each event routes to exactly window/slide = 2
+    state keys."""
+    from sparkdon.streaming.windows import sliding_rates
+
+    return _run_complete_snapshot(
+        sliding_rates(_events_stream(spark, sf_dir)),
+        "sliding_stream", sf_dir)
+
+
+@register(
+    "x_session_stream",
+    # gaps-and-islands twin of Spark's session_window merge rule: a new
+    # session starts when the gap STRICTLY exceeds 30 minutes (an
+    # exactly-30-minute gap merges — probed empirically and pinned by
+    # tests/test_skew_stateful.py::test_session_window_boundary);
+    # session_end = last event + gap
+    "WITH brk AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+    " (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    " ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "grp AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+    " ORDER BY ts ROWS UNBOUNDED PRECEDING) AS g FROM brk) "
+    "SELECT MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "user_id, COUNT(*) AS cnt FROM grp GROUP BY user_id, g",
+)
+def x_session_stream(spark, sf_dir):
+    """Oracle gate for streaming session windows (streaming/windows.py
+    ``session_windows``): per-user 30-minute-inactivity-gap sessions via
+    ``F.session_window``, final complete-mode snapshot compared against
+    a DuckDB gaps-and-islands reconstruction (lag + cumulative-sum over
+    the strict-gap breaks) — the whole merge rule is verified, not just
+    counts (the batch count-only twin is ``x_window_sessionize``).
+
+    100 TB shape: session state is one (user, open-window) entry,
+    merged/expired by the watermark — the canonical stateful-streaming
+    shape; the batch oracle is a two-pass window function, also one
+    shuffle on user_id."""
+    from sparkdon.streaming.windows import session_windows
+
+    return _run_complete_snapshot(
+        session_windows(_events_stream(spark, sf_dir)),
+        "session_stream", sf_dir)
+
+
 #: Gopher/MassiveText duplicate-bigram keep threshold, scaled by 1e4
 #: (shared by x_text_repetition and the x_corpus_keep capstone — one
 #: definition, both Spark expressions and both DuckDB oracles)

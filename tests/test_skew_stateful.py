@@ -110,3 +110,66 @@ def test_streaming_gates_match_batch(spark):
         .withColumn("bucket", F.col("bucket").cast("timestamp")).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_session_window_boundary(spark):
+    """Pin Spark's session_window merge rule at the exact gap boundary:
+    a gap of EXACTLY the session gap merges; one microsecond more
+    splits.  The x_session_stream DuckDB oracle encodes the same strict
+    inequality — if a Spark upgrade ever flips this, this test fails
+    before the driver gate does."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=1800)),
+            (2, base), (2, base + dt.timedelta(seconds=1800, microseconds=1))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_user = {r["user_id"]: r["cnt"]
+                for r in out.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_user == {1: 1, 2: 2}
+
+
+def test_streaming_session_sliding_match_batch(spark):
+    """The two round-7 streaming gates agree with batch recomputation on
+    the fixture (same pattern as test_streaming_gates_match_batch)."""
+    from sparkdon.pipeline import (
+        x_session_stream, x_sliding_stream, x_window_sliding,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sliding = {
+        (r["bucket"], r["cnt"]) for r in x_sliding_stream(spark, sf).collect()
+    }
+    batch = {
+        (r["bucket"].replace(tzinfo=None) if r["bucket"].tzinfo else r["bucket"],
+         r["cnt"])
+        for r in x_window_sliding(spark, sf).collect()
+    }
+    sliding = {(b.replace(tzinfo=None) if getattr(b, "tzinfo", None) else b, c)
+               for b, c in sliding}
+    assert sliding == batch
+
+    # session snapshot: per-user session counts equal the batch
+    # gaps-and-islands sessionization
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    batch_sessions = (
+        events.withColumn("ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id").agg(F.sum("ns").alias("n"))
+    )
+    got = (
+        x_session_stream(spark, sf)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    lhs = {(r["user_id"], r["n"]) for r in got.collect()}
+    rhs = {(r["user_id"], r["n"]) for r in batch_sessions.collect()}
+    assert lhs == rhs
