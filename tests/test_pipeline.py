@@ -576,3 +576,24 @@ def test_topk_per_lang_plan_and_values(spark):
         per_lang.setdefault(r["lang"], []).append(r["n_chars"])
     assert all(len(v) <= 3 and v == sorted(v, reverse=True)
                for v in per_lang.values())
+
+
+def test_component_frame_memoized(spark):
+    """x_dedup_clusters and x_corpus_keep share one component
+    computation per (session, fixture) — the memo returns the identical
+    checkpointed frame, so the second gate pays zero propagation
+    rounds."""
+    from sparkdon.pipeline import (
+        _COMPONENTS_MEMO, _doc_components, x_corpus_keep, x_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _COMPONENTS_MEMO.clear()
+    c1 = _doc_components(spark, sf)
+    c2 = _doc_components(spark, sf)
+    assert c1 is c2
+    # both gates still agree with each other on the keep decision for
+    # component representatives
+    clusters = {r["doc_id"]: r["keep"] for r in x_dedup_clusters(spark, sf).collect()}
+    keep = {r["doc_id"]: r["uniq_ok"] for r in x_corpus_keep(spark, sf).collect()}
+    assert clusters == keep
