@@ -13,11 +13,13 @@ Protocol coverage (SPARQL 1.1 Protocol §2.1/§2.2): query via GET
 (``?query=``), query via URL-encoded POST (``query=`` parameter), query
 via direct POST (``application/sparql-query`` body), update via
 URL-encoded POST (``update=`` parameter), and update via direct POST
-(``application/sparql-update`` body).  Results are
-``application/sparql-results+json`` (the only serialization produced —
-an ``Accept`` header that excludes it is answered 406; an unsupported
-POST body type is answered 415).  SELECT answers with a bindings
-document, ASK with a boolean document.
+(``application/sparql-update`` body).  SELECT/ASK results serialize as
+``application/sparql-results+json`` (default), ``text/csv``, or
+``text/tab-separated-values`` (SPARQL 1.1 Query Results CSV/TSV
+formats) under Accept-header negotiation; CONSTRUCT/DESCRIBE as
+``application/n-triples``.  An ``Accept`` header that excludes every
+produced type is answered 406; an unsupported POST body type is
+answered 415.
 
 The handler evaluates queries on the Spark driver; requests are served
 from daemon threads of a ``ThreadingHTTPServer`` — Spark sessions are
@@ -194,6 +196,36 @@ class SparqlProtocolServer:
     _NT_TYPES = ("application/n-triples", "text/plain", "text/*",
                  "application/*")
 
+    #: SELECT/ASK serializations offered, by media type (SPARQL 1.1
+    #: Query Results JSON + CSV/TSV formats); ``text/*`` resolves to CSV
+    #: as the most interoperable text form
+    _SELECT_TYPES = {
+        "application/sparql-results+json": "json",
+        "application/json": "json",
+        "application/*": "json",
+        "text/csv": "csv",
+        "text/tab-separated-values": "tsv",
+        "text/*": "csv",
+    }
+
+    def _negotiate_select(self, h: BaseHTTPRequestHandler) -> str | None:
+        """Pick the SELECT/ASK serialization from the Accept header:
+        first acceptable media type in the client's listed order wins
+        (minimal negotiation — no q-value sorting, same policy as
+        :meth:`_accepts`); no header or a wildcard means JSON.  Returns
+        ``json`` | ``csv`` | ``tsv``, or None for 406."""
+        accept = h.headers.get("Accept")
+        if not accept:
+            return "json"
+        for part in accept.split(","):
+            mt = part.split(";", 1)[0].strip().lower()
+            if mt == "*/*":
+                return "json"
+            fmt = self._SELECT_TYPES.get(mt)
+            if fmt is not None:
+                return fmt
+        return None
+
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
         try:
@@ -231,14 +263,30 @@ class SparqlProtocolServer:
                 h.end_headers()
                 h.wfile.write(body)
                 return
-            if not self._accepts(h, self._JSON_TYPES):
-                self._plain(h, 406, "only application/sparql-results+json "
-                                    "is produced")
+            fmt = self._negotiate_select(h)
+            if fmt is None:
+                self._plain(h, 406, "SELECT/ASK results are produced as "
+                                    "application/sparql-results+json, "
+                                    "text/csv, or text/tab-separated-values")
                 return
             if form == "ASK":
-                doc: dict = {"head": {}, "boolean": bool(self.endpoint.ask(sparql))}
+                result = bool(self.endpoint.ask(sparql))
+                if fmt == "json":
+                    body = json.dumps({"head": {}, "boolean": result}).encode()
+                else:
+                    # the CSV/TSV results spec covers SELECT only; for
+                    # ASK serve the de-facto one-column convention
+                    sep_name = "_askResult" if fmt == "csv" else "?_askResult"
+                    body = (f"{sep_name}\r\n{str(result).lower()}\r\n"
+                            if fmt == "csv" else
+                            f"{sep_name}\n{str(result).lower()}\n").encode()
             elif form == "SELECT":
-                doc = self._select_document(sparql)
+                if fmt == "json":
+                    body = json.dumps(self._select_document(sparql)).encode()
+                elif fmt == "csv":
+                    body = self._select_csv(sparql).encode()
+                else:
+                    body = self._select_tsv(sparql).encode()
             else:
                 raise ValueError(
                     f"unsupported query form {form or 'EMPTY'!r}; this "
@@ -247,22 +295,80 @@ class SparqlProtocolServer:
         except Exception as e:  # protocol: malformed/failed → 4xx + text
             self._plain(h, 400, str(e))
             return
-        body = json.dumps(doc).encode()
+        ctype = {
+            "json": "application/sparql-results+json",
+            "csv": "text/csv; charset=utf-8",
+            "tsv": "text/tab-separated-values; charset=utf-8",
+        }[fmt]
         h.send_response(200)
-        h.send_header("Content-Type", "application/sparql-results+json")
+        h.send_header("Content-Type", ctype)
         h.send_header("Content-Length", str(len(body)))
         h.end_headers()
         h.wfile.write(body)
 
-    def _select_document(self, sparql: str) -> dict:
+    def _select_rows(self, sparql: str):
+        """(variable names, rows of term structs) for a SELECT — shared
+        by the three result serializers."""
         pdf = self.endpoint.select_raw(sparql).toPandas()
         names = [c[2:] for c in pdf.columns if c.startswith("v_")]
+        rows = [[row["v_" + n] for n in names] for _, row in pdf.iterrows()]
+        return names, rows
+
+    def _select_document(self, sparql: str) -> dict:
+        names, rows = self._select_rows(sparql)
         bindings = []
-        for _, row in pdf.iterrows():
+        for row in rows:
             b = {}
-            for n in names:
-                node = _struct_to_json(row["v_" + n])
+            for n, v in zip(names, row):
+                node = _struct_to_json(v)
                 if node is not None:
                     b[n] = node
             bindings.append(b)
         return {"head": {"vars": names}, "results": {"bindings": bindings}}
+
+    def _select_csv(self, sparql: str) -> str:
+        """SPARQL 1.1 Query Results CSV: header = bare variable names,
+        terms in plain lexical form (IRIs bare, bnodes ``_:label``,
+        literals bare), unbound = empty field, RFC 4180 quoting."""
+        import csv
+        import io
+
+        names, rows = self._select_rows(sparql)
+        out = io.StringIO()
+        w = csv.writer(out, lineterminator="\r\n")
+        w.writerow(names)
+        for row in rows:
+            w.writerow(["" if v is None else
+                        ("_:" + v["lex"] if v["kind"] == KIND_BNODE
+                         else v["lex"])
+                        for v in row])
+        return out.getvalue()
+
+    @staticmethod
+    def _tsv_term(v) -> str:
+        """One term in SPARQL/Turtle syntax (the TSV results format):
+        ``<iri>``, ``_:bnode``, ``"lit"``/``"lit"@lang``/``"lit"^^<dt>``;
+        unbound = empty."""
+        if v is None:
+            return ""
+        if v["kind"] == KIND_IRI:
+            return f"<{v['lex']}>"
+        if v["kind"] == KIND_BNODE:
+            return "_:" + v["lex"]
+        lex = (v["lex"].replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r")
+               .replace("\t", "\\t"))
+        term = f'"{lex}"'
+        if v["lang"]:
+            return term + "@" + v["lang"]
+        if v["dt"]:
+            return term + f"^^<{v['dt']}>"
+        return term
+
+    def _select_tsv(self, sparql: str) -> str:
+        """SPARQL 1.1 Query Results TSV: header = ``?var`` names, terms
+        in Turtle syntax, one tab-separated line per solution."""
+        names, rows = self._select_rows(sparql)
+        lines = ["\t".join("?" + n for n in names)]
+        lines += ["\t".join(self._tsv_term(v) for v in row) for row in rows]
+        return "\n".join(lines) + "\n"

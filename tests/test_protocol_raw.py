@@ -91,9 +91,11 @@ def test_accept_negotiation(served):
                    "text/html, */*;q=0.1"):
         assert post(served.url, q, "application/sparql-query",
                     accept=accept).status == 200
-    # a client that cannot take the one serialization we produce gets 406
+    # a client that cannot take any produced serialization gets 406
+    # (text/csv stopped being a 406 in round 7 — it's now served)
     with pytest.raises(urllib.error.HTTPError) as ei:
-        post(served.url, q, "application/sparql-query", accept="text/csv")
+        post(served.url, q, "application/sparql-query",
+             accept="application/xml")
     assert ei.value.code == 406
 
 
@@ -181,3 +183,82 @@ def test_malformed_body_is_400_not_thread_death(served):
     # the server thread survives and keeps answering
     q = EX + "ASK { :Manhattan :pop 1694251 }"
     assert post(served.url, q, "application/sparql-query").status == 200
+
+
+# -- CSV / TSV result serializations (round 7) ---------------------------
+
+def get(url, query: str, accept: str):
+    req = urllib.request.Request(
+        url + "?" + urllib.parse.urlencode({"query": query}),
+        headers={"Accept": accept})
+    return urllib.request.urlopen(req)
+
+
+def test_select_csv_via_get(served):
+    q = EX + "SELECT ?s ?pop WHERE { ?s :pop ?pop } ORDER BY ?s"
+    resp = get(served.url, q, "text/csv")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/csv")
+    lines = resp.read().decode().strip().split("\r\n")
+    assert lines[0] == "s,pop"
+    assert lines[1] == "http://example.com/Brooklyn,2736074"
+    assert lines[2] == "http://example.com/Manhattan,1694251"
+
+
+def test_select_tsv_via_direct_post(served):
+    q = EX + "SELECT ?s ?pop WHERE { ?s :pop ?pop } ORDER BY ?s"
+    resp = post(served.url, q, "application/sparql-query",
+                accept="text/tab-separated-values")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/tab-separated-values")
+    lines = resp.read().decode().strip().split("\n")
+    assert lines[0] == "?s\t?pop"
+    assert lines[1] == ("<http://example.com/Brooklyn>\t"
+                        '"2736074"^^<http://www.w3.org/2001/XMLSchema#integer>')
+
+
+def test_csv_escaping_and_unbound(spark):
+    ttl = '''@prefix : <http://example.com/> .
+    :a :label "has, comma and \\"quote\\"" .
+    :b :other "plain" .'''
+    with SparqlProtocolServer(inline(ttl, spark)) as srv:
+        q = EX + ("SELECT ?s ?v WHERE { ?s ?p ?o . "
+                  "OPTIONAL { ?s :label ?v } } ORDER BY ?s")
+        lines = get(srv.url, q, "text/csv").read().decode().split("\r\n")
+        assert lines[1] == 'http://example.com/a,"has, comma and ""quote"""'
+        assert lines[2] == "http://example.com/b,"  # unbound -> empty
+
+
+def test_tsv_lang_tag_and_bnode(spark):
+    ttl = '''@prefix : <http://example.com/> .
+    :a :label "bonjour"@fr ; :child [ :name "kid" ] .'''
+    with SparqlProtocolServer(inline(ttl, spark)) as srv:
+        q = EX + "SELECT ?v WHERE { :a :label ?v }"
+        body = get(srv.url, q, "text/tab-separated-values").read().decode()
+        assert body.splitlines()[1] == '"bonjour"@fr'
+        q2 = EX + "SELECT ?c WHERE { :a :child ?c }"
+        body2 = get(srv.url, q2, "text/tab-separated-values").read().decode()
+        assert body2.splitlines()[1].startswith("_:")
+
+
+def test_ask_csv_tsv(served):
+    q = EX + "ASK { ?s :pop ?pop }"
+    body = get(served.url, q, "text/csv").read().decode()
+    assert body == "_askResult\r\ntrue\r\n"
+    body = get(served.url, q, "text/tab-separated-values").read().decode()
+    assert body == "?_askResult\ntrue\n"
+
+
+def test_accept_order_and_406_still_work(served):
+    q = EX + "SELECT ?s WHERE { ?s :pop ?pop }"
+    # client preference order wins: csv listed first -> csv served
+    resp = get(served.url, q, "text/csv, application/sparql-results+json")
+    assert resp.headers["Content-Type"].startswith("text/csv")
+    # json first -> json
+    resp = get(served.url, q, "application/sparql-results+json, text/csv")
+    assert resp.headers["Content-Type"].startswith(
+        "application/sparql-results+json")
+    # nothing producible -> 406
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(served.url, q, "application/xml")
+    assert e.value.code == 406
