@@ -177,7 +177,13 @@ def _minhash_bands(spark, sf_dir) -> DataFrame:
     Catalyst collapses the shingle projection into every signature
     column, re-tokenizing the document 16 times.
     """
-    docs = table(spark, sf_dir, "documents")
+    return _bands_of(table(spark, sf_dir, "documents"))
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """Banded MinHash signature of an arbitrary (doc_id, text) frame —
+    the fixture-independent body of :func:`_minhash_bands` (tests and
+    the overflow-routing path feed constructed corpora through it)."""
     md5 = F.md5(F.col("s").cast("binary"))
     exploded = _spark_shingles(docs).select(
         "doc_id", F.explode("shingles").alias("s")
@@ -260,6 +266,48 @@ def minhash_overflow_buckets(spark, sf_dir,
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > cap)
     )
+
+
+def routed_minhash_pairs(docs: DataFrame,
+                         cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """MinHash-LSH candidate pairs with the overflow fallback WIRED IN
+    (not just monitored): buckets over the cap are excluded from
+    quadratic pair generation, and their documents are routed through
+    exact-hash dedup instead — identical-text groups emit star pairs
+    (min-id representative ↔ every other member).  The union is the
+    production candidate set for a boilerplate-heavy corpus.
+
+    Why this is the right 100 TB fallback: a degenerate bucket is almost
+    always an *exact*-duplicate pile (empty docs, license headers), and
+    exact groups need only |group|−1 star edges to land every member in
+    the right connected component downstream — linear where bucket-local
+    pair generation would be quadratic.  Near-dup-but-not-identical
+    members of an overflowed bucket are the one recall loss; they are
+    exactly what ``minhash_overflow_buckets`` keeps reporting for
+    operator follow-up.
+
+    Shapes: the exact path is one md5 map + one window-min keyed on the
+    text hash — no collected id arrays, so even a single million-doc
+    identical pile streams through; the star explode is the filter
+    ``doc_id != rep``."""
+    bands = _bands_of(docs)
+    lsh = _bucket_pairs(bands, cap)
+    over = (
+        bands.groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band", "bk")
+    )
+    over_docs = bands.join(over, ["band", "bk"]).select("doc_id").distinct()
+    texts = docs.join(over_docs, "doc_id").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+    w = Window.partitionBy("th")
+    star = (
+        texts.withColumn("d1", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("d1"))
+        .select("d1", F.col("doc_id").alias("d2"))
+    )
+    return lsh.unionByName(star).distinct()
 
 
 @register(

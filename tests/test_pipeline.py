@@ -597,3 +597,46 @@ def test_component_frame_memoized(spark):
     clusters = {r["doc_id"]: r["keep"] for r in x_dedup_clusters(spark, sf).collect()}
     keep = {r["doc_id"]: r["uniq_ok"] for r in x_corpus_keep(spark, sf).collect()}
     assert clusters == keep
+
+
+def test_minhash_overflow_routing(spark):
+    """The overflow cap's fallback path end-to-end: on a pathological
+    all-identical corpus every LSH bucket overflows, bucket-local pair
+    generation yields nothing, and the exact-hash star pairs still
+    connect every document into one cluster."""
+    from sparkdon.pipeline import (
+        _bands_of, _bucket_pairs, _min_label_components, routed_minhash_pairs,
+    )
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "exact same license header text repeated verbatim "
+             "in every single document of the corpus") for i in range(n)],
+        "doc_id long, text string")
+    cap = 5
+    # without routing the cap silently drops everything
+    assert _bucket_pairs(_bands_of(docs), cap=cap).count() == 0
+    pairs = routed_minhash_pairs(docs, cap=cap)
+    rows = pairs.collect()
+    assert len(rows) == n - 1                       # star, not quadratic
+    assert {r["d1"] for r in rows} == {0}           # min-id representative
+    assert {r["d2"] for r in rows} == set(range(1, n))
+    comp = _min_label_components(
+        docs.select(F.col("doc_id").alias("node")), pairs)
+    assert {r["rep"] for r in comp.collect()} == {0}  # one component
+
+
+def test_minhash_routing_noop_without_overflow(spark):
+    """With the production cap, routing is a no-op on the fixture: the
+    candidate set equals plain bucket-local generation."""
+    from sparkdon.pipeline import (
+        _bands_of, _bucket_pairs, routed_minhash_pairs, table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    plain = {(r["d1"], r["d2"])
+             for r in _bucket_pairs(_bands_of(docs)).collect()}
+    routed = {(r["d1"], r["d2"])
+              for r in routed_minhash_pairs(docs).collect()}
+    assert routed == plain
