@@ -559,6 +559,16 @@ class LocalEndpoint(Endpoint):
     def ttl(self) -> str:
         return io_mod.ttl_string(self.graph, self.prefixes)
 
+    def canonical(self) -> "LocalEndpoint":
+        """A new endpoint over the same graph with blank-node labels
+        rewritten to their canonical structural form (see
+        :func:`canonicalize_bnodes`) — two isomorphic graphs compare
+        equal triple-set-wise after this, regardless of how either was
+        parsed.  Useful for diffing, deduplicating, or hashing graphs
+        that contain bnodes."""
+        return LocalEndpoint(self.spark, canonicalize_bnodes(self.graph),
+                             prefixes=self.prefixes, base_uri=self.base_uri)
+
 
 # ---------------------------------------------------------------------------
 # module-level helpers matching the reference's free functions

@@ -346,3 +346,16 @@ def test_canonicalize_bnodes_distinguishes_depth_chain(spark):
     g = canonicalize_bnodes(e.graph)
     labels = {r["s"] for r in g.filter(F.col("s_kind") == "bnode").collect()}
     assert len(labels) == 4
+
+
+def test_endpoint_canonical_method(spark):
+    from sparkdon.session import inline
+
+    a = inline('@prefix : <http://example.com/> . :r :p [ :q "v" ] .', spark)
+    b = inline(
+        '@prefix : <http://example.com/> . _:z :q "v" . :r :p _:z .', spark)
+    ca = sorted(map(tuple, a.canonical().graph.collect()))
+    cb = sorted(map(tuple, b.canonical().graph.collect()))
+    assert ca == cb
+    # prefixes survive
+    assert a.canonical().prefixes == a.prefixes
