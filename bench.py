@@ -63,6 +63,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_dedup_exact",
             "x_dedup_jaccard",
+            "x_pii_scrub",
             "x_text_stats",
             "x_text_repetition",
             "x_vocab_topk",
@@ -81,6 +82,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     (
         "pipeline_heavy",
         [
+            "x_contamination",
             "x_dedup_minhash",
             "x_dedup_clusters",
             "x_corpus_keep",

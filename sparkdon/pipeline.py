@@ -1855,6 +1855,146 @@ def x_corpus_keep(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub + benchmark decontamination (the Dolma/FineWeb-style cleanup
+# stages a training pipeline runs after dedup)
+# ---------------------------------------------------------------------------
+
+#: portable between Java regex (Spark) and RE2-ish (DuckDB): char
+#: classes, \d, \b, bounded repetition only
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: deterministic PII injection — the synthetic corpus carries no PII, so
+#: both engines append the same synthetic identifiers (keyed on doc_id)
+#: before scrubbing; the gate then verifies detection AND redaction
+#: byte-for-byte via md5 of the scrubbed text
+_PII_INJECT_SPARK = (
+    "concat(text, CASE CAST(doc_id % 5 AS INT) "
+    " WHEN 0 THEN concat(' contact user', doc_id, '@example.com now') "
+    " WHEN 1 THEN ' call 555-123-4567 today' "
+    " WHEN 2 THEN ' from 10.0.200.77 addr' "
+    " ELSE '' END)"
+)
+_PII_INJECT_DUCK = (
+    "concat(text, CASE doc_id % 5 "
+    " WHEN 0 THEN concat(' contact user', doc_id, '@example.com now') "
+    " WHEN 1 THEN ' call 555-123-4567 today' "
+    " WHEN 2 THEN ' from 10.0.200.77 addr' "
+    " ELSE '' END)"
+)
+
+
+@register(
+    "x_pii_scrub",
+    f"WITH p AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t FROM documents) "
+    "SELECT doc_id, "
+    f"len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails, "
+    f"len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones, "
+    f"len(regexp_extract_all(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f" '{_PII_IP}')) AS n_ips, "
+    f"md5(regexp_replace(regexp_replace(regexp_replace(t, "
+    f" '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f" '{_PII_PHONE}', '<PHONE>', 'g'), "
+    f" '{_PII_IP}', '<IP>', 'g')) AS scrub_md5 "
+    "FROM p",
+)
+def x_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (the scrub pass a training pipeline
+    runs before anything ships): count emails / phone numbers / IPv4
+    addresses and replace each with a typed token.  The corpus is
+    synthetic, so both engines first append the SAME deterministic
+    identifiers keyed on doc_id — the oracle then verifies detection
+    counts and the redacted text byte-for-byte (md5), i.e. the regex
+    semantics agree across engines, not just the row plumbing.
+
+    IP counting runs after email redaction (an address inside an email
+    host must not double-count) — mirrored exactly in the oracle.
+
+    100 TB shape: a pure narrow map — three regexp_replace passes inside
+    whole-stage codegen, no shuffle, no Python."""
+    p = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("t"))
+    no_email = F.regexp_replace("t", _PII_EMAIL, "<EMAIL>")
+    scrub = F.regexp_replace(
+        F.regexp_replace(no_email, _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IP), 0))
+        .cast("long").alias("n_ips"),
+        F.md5(scrub.cast("binary")).alias("scrub_md5"),
+    )
+
+
+#: 8-word grams for decontamination (long enough that overlap means
+#: shared phrasing, short enough that the tiny-vocabulary fixture
+#: produces real hits)
+_G8_SPARK = (
+    "transform(array(split(text, ' ')), t -> "
+    " transform(if(size(t) >= 8, sequence(1, size(t) - 7), array()), "
+    "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+    "   element_at(t, i+2), element_at(t, i+3), element_at(t, i+4), "
+    "   element_at(t, i+5), element_at(t, i+6), element_at(t, i+7))))[0]"
+)
+_G8_DUCK = (
+    "CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7), "
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], "
+    "  t[i+6], t[i+7])) ELSE [] END"
+)
+
+
+@register(
+    "x_contamination",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    f"g AS (SELECT doc_id, unnest({_G8_DUCK}) AS gram FROM toks), "
+    "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+    "h AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hit FROM g "
+    " JOIN b USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id) "
+    "SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit, "
+    "CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated "
+    "FROM documents d LEFT JOIN h USING (doc_id) WHERE d.doc_id % 97 <> 0",
+)
+def x_contamination(spark, sf_dir):
+    """Benchmark decontamination (the Dolma/GPT-3-style n-gram overlap
+    check): flag training documents sharing any 8-word gram with the
+    held-out benchmark set — here the deterministic ~1 % slice
+    ``doc_id % 97 = 0`` stands in for the benchmark corpus.  Output: one
+    row per non-benchmark document with its overlapping-gram count and
+    the contaminated flag.
+
+    100 TB shape: the benchmark gram set is small and BROADCAST into a
+    hash semi-join against the exploded corpus grams — the corpus never
+    shuffles; at extreme benchmark sizes the broadcast becomes a bloom
+    filter (``spark.sql.optimizer.runtime.bloomFilter``) with exact
+    confirmation on the survivors.  The gram explode is a narrow map."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(F.expr(_G8_SPARK)).alias("gram"))
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("gram").distinct())
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(F.coalesce("n_hit", F.lit(0)) > 0, 1).otherwise(0)
+            .cast("long").alias("contaminated"),
+        )
+    )
+
+
 def event_percentiles_approx(spark, sf_dir, accuracy: int = 10000) -> DataFrame:
     """The 100 TB percentile path: ``percentile_approx`` (t-digest
     sketch) per event type — mergeable, bounded-memory, one partial-agg

@@ -640,3 +640,56 @@ def test_minhash_routing_noop_without_overflow(spark):
     routed = {(r["d1"], r["d2"])
               for r in routed_minhash_pairs(docs).collect()}
     assert routed == plain
+
+
+def test_pii_scrub_removes_all_pii(spark):
+    """After redaction no PII pattern survives anywhere in the corpus,
+    and the per-kind counts line up with the deterministic injection
+    (doc_id % 5: 0 -> email, 1 -> phone, 2 -> ip)."""
+    from sparkdon.pipeline import (
+        _PII_EMAIL, _PII_INJECT_SPARK, _PII_IP, _PII_PHONE, table, x_pii_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = x_pii_scrub(spark, sf)
+    rows = got.collect()
+    for r in rows:
+        mod = r["doc_id"] % 5
+        assert r["n_emails"] == (1 if mod == 0 else 0)
+        assert r["n_phones"] == (1 if mod == 1 else 0)
+        assert r["n_ips"] == (1 if mod == 2 else 0)
+    # re-scrub the scrubbed text: zero residual matches
+    p = table(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("t"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+                         _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>")
+    residual = p.select(
+        (F.size(F.regexp_extract_all(scrub, F.lit(_PII_EMAIL), 0))
+         + F.size(F.regexp_extract_all(scrub, F.lit(_PII_PHONE), 0))
+         + F.size(F.regexp_extract_all(scrub, F.lit(_PII_IP), 0))).alias("n"))
+    assert residual.agg(F.sum("n")).collect()[0][0] == 0
+
+
+def test_contamination_flags_planted_copy(spark):
+    """A verbatim copy of a benchmark document must be flagged; a
+    disjoint-vocabulary document must not."""
+    from sparkdon.pipeline import x_contamination
+    import sparkdon.pipeline as P
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lambda mu")
+    rows = [
+        (0, bench_text),                      # 0 % 97 == 0 -> benchmark
+        (1, bench_text),                      # verbatim copy -> flagged
+        (2, "one two three four five six seven eight nine ten"),  # clean
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="contam_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r["contaminated"]
+           for r in x_contamination(spark, d).collect()}
+    assert got == {1: 1, 2: 0}  # benchmark doc 0 excluded from output
