@@ -62,8 +62,10 @@ GROUPS: list[tuple[str, list[str]]] = [
         "pipeline_light",
         [
             "x_dedup_exact",
+            "x_chunk_dedup",
             "x_dedup_jaccard",
             "x_pii_scrub",
+            "x_pq_codes",
             "x_text_stats",
             "x_text_repetition",
             "x_vocab_topk",
@@ -83,6 +85,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "pipeline_heavy",
         [
             "x_contamination",
+            "x_semantic_dedup",
             "x_dedup_minhash",
             "x_dedup_clusters",
             "x_corpus_keep",

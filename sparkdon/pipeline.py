@@ -2035,3 +2035,289 @@ def x_topk_per_lang(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup, semantic dedup, product quantization, stream joins
+# ---------------------------------------------------------------------------
+
+#: passage granularity for chunk-level exact dedup: consecutive
+#: non-overlapping token windows (the whitespace-token analogue of the
+#: CCNet/RefinedWeb line-level dedup — the fixture has no newlines)
+CHUNK_TOKENS = 10
+
+
+@register(
+    "x_chunk_dedup",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "cl AS (SELECT doc_id, list_transform("
+    f" generate_series(1, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)), "
+    f" i -> array_to_string(t[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')) AS cs "
+    " FROM toks), "
+    "ch AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS ci, "
+    " unnest(cs) AS chunk FROM cl), "
+    "k AS (SELECT doc_id, ci, chunk, row_number() OVER "
+    " (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM ch) "
+    "SELECT doc_id, COUNT(*) AS n_chunks, "
+    "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), "
+    " '')) AS clean_md5 FROM k GROUP BY doc_id",
+)
+def x_chunk_dedup(spark, sf_dir):
+    """Passage-level exact dedup (the line-dedup pass of CCNet /
+    RefinedWeb, at 10-token chunk granularity since the fixture has no
+    newlines): split every document into consecutive non-overlapping
+    token chunks, keep only the globally FIRST occurrence of each chunk
+    (ordered by doc_id, then position), and reassemble the cleaned
+    text.  Output per document: chunk count, kept count, and the md5 of
+    the reassembled text — the oracle verifies the reassembly
+    byte-for-byte, so chunking, the keep rule, and the ordered
+    re-concatenation are all checked.
+
+    100 TB shape: exactly two shuffles — one on the chunk string (the
+    dedup key; map-side distinct-ish combine does not apply, but the
+    row_number window is a single hash partition by chunk with tiny
+    per-group fan-in), one back on doc_id for reassembly.  Chunk
+    strings are bounded (≤ ~10 tokens), so the shuffle rows stay small;
+    heavy boilerplate chunks (the 100 TB analogue: license headers)
+    concentrate into single groups whose cost is group size, and AQE
+    skew-split handles the pathological ones."""
+    n = CHUNK_TOKENS
+    docs = table(spark, sf_dir, "documents")
+    chunks = (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
+        f"{n}.0) as int)), array()), "
+        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
+    )
+    ch = docs.select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("p", "chunk")
+    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    k = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("ci", "chunk"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["chunk"]),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+#: semantic-dedup similarity threshold — same scaled-cosine bar as the
+#: strict embedding near-dup tier (the fixture's planted dups peak at
+#: cos ≈ 0.51; a production corpus would gate at ~0.9)
+SEMANTIC_DUP_SIM_SCALED = EMBED_DUP_STRICT_SIM_SCALED
+
+_DUCK_L2 = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[2]-x[1])*(x[2]-x[1])))")
+
+_DUCK_COS_SCALED = (
+    "CAST(FLOOR(1e6 * list_sum(list_transform(list_zip({a}, {b}), t -> t[1]*t[2])) "
+    " / (sqrt(list_sum(list_transform({a}, t -> t*t))) "
+    "  * sqrt(list_sum(list_transform({b}, t -> t*t))))) AS BIGINT)"
+)
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    dist = _DUCK_L2.format(a="c.cv", b="e.v")
+    cos = _DUCK_COS_SCALED.format(a="ex.v", b="ey.v")
+    return (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+        "cv AS (SELECT cell, list(val ORDER BY pos) AS cv FROM ("
+        " SELECT label AS cell, pos, FLOOR(AVG(v[pos]) * 1e6)/1e6 AS val FROM e, "
+        "  (SELECT unnest(generate_series(1, 64)) AS pos) p "
+        " GROUP BY label, pos) GROUP BY cell), "
+        "a AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM cv c "
+        f" ORDER BY {dist} ASC, c.cell ASC LIMIT 1) AS cluster FROM e), "
+        "p AS (SELECT x.vec_id AS d1, y.vec_id AS d2 FROM a x "
+        " JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id), "
+        "s AS (SELECT DISTINCT d2 FROM p "
+        " JOIN e ex ON ex.vec_id = p.d1 JOIN e ey ON ey.vec_id = p.d2 "
+        f" WHERE {cos} >= {SEMANTIC_DUP_SIM_SCALED}) "
+        "SELECT a.vec_id, a.cluster, "
+        "CASE WHEN s.d2 IS NULL THEN 1 ELSE 0 END AS kept "
+        "FROM a LEFT JOIN s ON a.vec_id = s.d2"
+    )
+
+
+@register("x_semantic_dedup", _semantic_dedup_oracle_sql())
+def x_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space, then drop any vector whose cosine to an EARLIER vector in
+    the same cluster exceeds the near-dup bar — clustering bounds the
+    pair space (the whole point of SemDeDup: intra-cluster pairs only,
+    never corpus²).
+
+    Clustering here is one deterministic assignment step: centroids are
+    the per-``label`` means (quantized to 1e-6 so both engines hold
+    bit-identical model state — the same trick as the IVF coarse
+    quantizer), and every vector is assigned to its nearest centroid by
+    squared L2 (ties to the smaller cell).  Assignment is verified by
+    the oracle, not assumed from the label column.
+
+    100 TB shape: K×D centroids broadcast as literals into a narrow
+    codegen assignment pass; pair generation is bucket-local per
+    cluster (sorted collect_list, capped — reusing the LSH candidate
+    machinery with cluster as the bucket key); the final keep bit is
+    one left anti lookup.  Nothing quadratic in the corpus."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    cents = _ivf_mean(
+        e.select(F.col("label").alias("cell"), "v"))
+    asg = e.select(
+        "vec_id", "v",
+        _ivf_cells(cents)[0]["cell"].alias("cluster"))
+    pairs = _bucket_pairs(
+        asg.select(F.col("vec_id").alias("doc_id"),
+                   F.lit(0).alias("band"),
+                   F.col("cluster").alias("bk")))
+    en = asg.select("vec_id", "v", _norm_col("v").alias("nv"))
+    x, y = en.alias("x"), en.alias("y")
+    dot = F.aggregate(F.zip_with("xv", "yv", lambda a, t: a * t),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    dropped = (
+        pairs.join(x, pairs.d1 == F.col("x.vec_id"))
+        .join(y, pairs.d2 == F.col("y.vec_id"))
+        .select(
+            "d2",
+            F.col("x.v").alias("xv"), F.col("y.v").alias("yv"),
+            F.col("x.nv").alias("xn"), F.col("y.nv").alias("yn"),
+        )
+        .select("d2", F.floor(1e6 * dot / (F.col("xn") * F.col("yn")))
+                .alias("sim_scaled"))
+        .filter(F.col("sim_scaled") >= SEMANTIC_DUP_SIM_SCALED)
+        .select("d2").distinct()
+    )
+    return (
+        asg.join(dropped, asg.vec_id == dropped.d2, "left")
+        .select(
+            "vec_id", "cluster",
+            F.when(F.col("d2").isNull(), 1).otherwise(0).cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+#: product quantization geometry: 64 dims → 8 subspaces × 8 dims, 16
+#: codebook entries per subspace (codes fit one nibble; a 64-dim float32
+#: vector compresses 256 B → 4 B, the 100 TB serving form)
+PQ_M, PQ_SUB, PQ_K = 8, 8, 16
+
+
+def _pq_oracle_sql() -> str:
+    m, sub, k = PQ_M, PQ_SUB, PQ_K
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"cb AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < {k}), "
+        f"ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m), "
+        "d AS (SELECT e.vec_id, ms.m, cb.j, "
+        " CAST(FLOOR(1e6 * list_sum(list_transform(list_zip("
+        f"  e.v[ms.m*{sub}+1 : ms.m*{sub}+{sub}], "
+        f"  cb.cv[ms.m*{sub}+1 : ms.m*{sub}+{sub}]), "
+        "  t -> (t[1]-t[2])*(t[1]-t[2])))) AS BIGINT) AS dist "
+        " FROM e, ms, cb), "
+        "best AS (SELECT vec_id, m, j FROM ("
+        " SELECT vec_id, m, j, row_number() OVER "
+        "  (PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d) WHERE rn = 1) "
+        "SELECT vec_id, string_agg(j::VARCHAR, ',' ORDER BY m) AS codes "
+        "FROM best GROUP BY vec_id"
+    )
+
+
+def _pq_codebook(e: DataFrame) -> list:
+    """The deterministic PQ training sample: the first PQ_K vectors by
+    vec_id.  K×D doubles of model state (like the LSH plane matrix and
+    the IVF centroids), not data."""
+    rows = (e.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "v").collect())
+    return [list(r["v"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+def _pq_code_expr(cb: list) -> F.Column:
+    """One parsed SQL expression computing all PQ_M codes for column
+    ``v``: per subspace, the argmin over PQ_K literal sub-centroids of
+    the (1e6-floored) squared L2 — floored-integer compare plus the j
+    tie-break keeps the argmin portable across engines.  Built as a
+    single expr string for the same reason as :func:`_ivf_cells`
+    (per-element F.lit is K×D py4j round-trips)."""
+    m, sub = PQ_M, PQ_SUB
+    codes = []
+    for mi in range(m):
+        entries = []
+        for j, cv in enumerate(cb):
+            arr = "array(" + ", ".join(
+                f"{float(x)!r}D" for x in cv[mi * sub:(mi + 1) * sub]) + ")"
+            entries.append(
+                f"named_struct('d', floor(1e6 * aggregate(zip_with("
+                f"slice(v, {mi * sub + 1}, {sub}), {arr}, "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)), "
+                f"'j', {j})")
+        codes.append(
+            "cast(array_min(array(" + ", ".join(entries) + ")).j as string)")
+    return F.expr("concat_ws(',', " + ", ".join(codes) + ")")
+
+
+@register("x_pq_codes", _pq_oracle_sql())
+def x_pq_codes(spark, sf_dir):
+    """Product quantization: encode each 64-dim embedding as 8 nibble
+    codes (8 subspaces × 16-entry codebooks) — the compressed serving
+    form ANN indexes ship at scale (256 B float32 → 4 B per vector; ADC
+    scans the codes, never the floats).  The codebook is the
+    deterministic training sample (first 16 vectors), so both engines
+    hold identical model state and the oracle verifies every argmin.
+
+    100 TB shape: encoding is one narrow codegen pass over broadcast
+    literal codebooks — embarrassingly parallel, no shuffle; a real
+    build would train the codebooks with k-means on a sample (the same
+    collect-K×D-floats shape as the IVF centroids)."""
+    e = _ann_vectors(spark, sf_dir, spread=True)
+    cb = _pq_codebook(e)
+    return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
+
+
+@register(
+    "x_join_stream",
+    "SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id "
+    "FROM events v JOIN events c ON c.user_id = v.user_id "
+    "AND v.event_type = 'view' AND c.event_type = 'click' "
+    "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR",
+)
+def x_join_stream(spark, sf_dir):
+    """Oracle gate for the stream-stream interval join
+    (streaming/joins.py ``view_click_join``): the events fixture
+    streams through the file source TWICE (view side / click side),
+    inner-joined on user within a 6-hour event-time window, emitted
+    rows appended via foreachBatch under ``Trigger.AvailableNow``, and
+    the emitted set compared against a DuckDB interval self-join —
+    inner stream-stream joins emit exactly the matched set regardless
+    of batch boundaries, so the gate is order-free.
+
+    100 TB shape: both sides shuffle once on user_id; join state per
+    key is bounded by watermark + interval horizon (Spark derives the
+    eviction bound from the time-range condition) — see
+    streaming/joins.py for the state story."""
+    import os
+
+    from sparkdon.streaming.joins import view_click_join
+
+    out_dir = _stream_scratch("join_stream", sf_dir)
+    target = os.path.join(out_dir, "out")
+    joined = view_click_join(_events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(target))
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)

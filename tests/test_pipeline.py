@@ -693,3 +693,159 @@ def test_contamination_flags_planted_copy(spark):
     got = {r["doc_id"]: r["contaminated"]
            for r in x_contamination(spark, d).collect()}
     assert got == {1: 1, 2: 0}  # benchmark doc 0 excluded from output
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: chunk dedup, semantic dedup, PQ codes, stream join
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_drops_repeated_passage(spark):
+    """A 10-token chunk copied verbatim into a later document must be
+    removed from the later document's reassembled text — and only
+    there."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkdon.pipeline import x_chunk_dedup
+
+    c1 = " ".join(f"a{i}" for i in range(10))
+    c2 = " ".join(f"b{i}" for i in range(10))
+    c3 = " ".join(f"c{i}" for i in range(10))
+    rows = [(0, f"{c1} {c2}"), (1, f"{c1} {c3}")]
+    d = tempfile.mkdtemp(prefix="chunkdedup_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in x_chunk_dedup(spark, d).collect()}
+    assert got[0]["n_chunks"] == 2 and got[0]["n_kept"] == 2
+    assert got[1]["n_chunks"] == 2 and got[1]["n_kept"] == 1
+    assert got[0]["clean_md5"] == hashlib.md5(
+        f"{c1} {c2}".encode()).hexdigest()
+    # doc 1 keeps only its novel chunk
+    assert got[1]["clean_md5"] == hashlib.md5(c3.encode()).hexdigest()
+
+
+def test_chunk_dedup_kept_equals_distinct_chunks(spark):
+    """Global invariant on the fixture: total kept chunks == number of
+    distinct chunk strings (each distinct chunk survives exactly once)."""
+    from sparkdon.pipeline import CHUNK_TOKENS, table, x_chunk_dedup
+
+    got = x_chunk_dedup(spark, SF)
+    total_kept = got.agg(F.sum("n_kept")).collect()[0][0]
+    n = CHUNK_TOKENS
+    chunks = (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
+        f"{n}.0) as int)), array()), "
+        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
+    )
+    distinct = (
+        table(spark, SF, "documents")
+        .select(F.explode(F.expr(chunks)).alias("c"))
+        .distinct().count()
+    )
+    assert total_kept == distinct
+    plan = plan_of(got)
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Independent numpy recompute of the whole SemDeDup gate at
+    sf0.001: quantized label-mean centroids, L2 assignment with
+    min-cell tie-break, intra-cluster earlier-neighbor cosine drop."""
+    import math
+
+    import numpy as np
+
+    from sparkdon.pipeline import (
+        SEMANTIC_DUP_SIM_SCALED, table, x_semantic_dedup,
+    )
+
+    rows = table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding").collect()
+    ids = sorted(r["vec_id"] for r in rows)
+    v = {r["vec_id"]: np.array([float(x) for x in r["embedding"]]) for r in rows}
+    lab = {r["vec_id"]: r["label"] for r in rows}
+    cents = {}
+    for c in sorted(set(lab.values())):
+        m = np.mean([v[i] for i in ids if lab[i] == c], axis=0)
+        cents[c] = np.floor(m * 1e6) / 1e6
+    assign = {
+        i: min(cents, key=lambda c: (float(np.sum((v[i] - cents[c]) ** 2)), c))
+        for i in ids
+    }
+    kept = {}
+    for i in ids:
+        drop = False
+        for j in ids:
+            if j >= i or assign[j] != assign[i]:
+                continue
+            cos = float(v[i] @ v[j]) / (
+                math.sqrt(float(v[i] @ v[i])) * math.sqrt(float(v[j] @ v[j])))
+            if math.floor(1e6 * cos) >= SEMANTIC_DUP_SIM_SCALED:
+                drop = True
+                break
+        kept[i] = 0 if drop else 1
+    got = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in x_semantic_dedup(spark, SF).collect()}
+    assert got == {i: (assign[i], kept[i]) for i in ids}
+
+
+def test_pq_training_vectors_encode_to_themselves(spark):
+    """Each codebook vector's nearest sub-centroid in every subspace is
+    itself (self-distance 0) — a sharp end-to-end check of the argmin."""
+    from sparkdon.pipeline import PQ_K, PQ_M, x_pq_codes
+
+    got = {r["vec_id"]: r["codes"] for r in x_pq_codes(spark, SF).collect()}
+    for j in range(PQ_K):
+        assert got[j] == ",".join([str(j)] * PQ_M)
+
+
+def test_pq_reconstruction_beats_constant_code(spark):
+    """ADC sanity: reconstructing from the assigned codes gives a lower
+    mean squared error than collapsing every vector to codebook entry 0
+    — i.e. the argmin actually selects closer sub-centroids."""
+    import numpy as np
+
+    from sparkdon.pipeline import PQ_K, PQ_M, PQ_SUB, table, x_pq_codes
+
+    rows = table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    v = {r["vec_id"]: np.array([float(x) for x in r["embedding"]]) for r in rows}
+    cb = [v[j] for j in range(PQ_K)]
+    codes = {r["vec_id"]: [int(c) for c in r["codes"].split(",")]
+             for r in x_pq_codes(spark, SF).collect()}
+    err_pq = err_const = 0.0
+    n = 0
+    for i, vec in v.items():
+        if i < PQ_K:
+            continue  # training vectors reconstruct exactly
+        rec = np.concatenate([
+            cb[codes[i][m]][m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)])
+        base = np.concatenate([
+            cb[0][m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)])
+        err_pq += float(np.sum((vec - rec) ** 2))
+        err_const += float(np.sum((vec - base) ** 2))
+        n += 1
+    assert n > 0 and err_pq < err_const
+
+
+def test_stream_join_matches_batch_twin(spark):
+    """The stream-stream interval join emits exactly the batch join's
+    row set (inner joins emit on match; AvailableNow drains the
+    fixture)."""
+    from sparkdon.pipeline import table, x_join_stream
+
+    e = table(spark, SF, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    batch = views.join(clicks, F.expr(
+        "vu = cu AND cts >= vts AND cts <= vts + interval 6 hours"))
+    expect = {(r["view_id"], r["click_id"], r["vu"]) for r in batch.collect()}
+    got = {(r["view_id"], r["click_id"], r["user_id"])
+           for r in x_join_stream(spark, SF).collect()}
+    assert got == expect
