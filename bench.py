@@ -71,6 +71,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_vocab_topk",
             "x_event_percentiles",
             "x_sample_stratified",
+            "x_mix_sample",
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",
@@ -92,6 +93,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_sim_topk",
             "x_sim_lsh_refined",
             "x_sim_ivf",
+            "x_sim_pq",
             "x_dedup_embed_strict",
             "x_dedup_embed",
         ],
