@@ -72,6 +72,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_event_percentiles",
             "x_sample_stratified",
             "x_mix_sample",
+            "x_pack_sequences",
+            "x_tfidf_topk",
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",

@@ -2269,6 +2269,124 @@ def x_pq_codes(spark, sf_dir):
 
 
 @register(
+    "x_tfidf_topk",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    " FROM documents), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "s AS (SELECT tf.doc_id, tf.term, "
+    " CAST(FLOOR(1e6 * (tf.c * 1.0 / dl.n_tok) "
+    "  * ln((nd.n + 1.0) / (dfq.df + 1.0))) AS BIGINT) AS score_scaled "
+    " FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), nd) "
+    "SELECT doc_id, term, score_scaled FROM ("
+    " SELECT doc_id, term, score_scaled, row_number() OVER "
+    "  (PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS rn FROM s) "
+    "WHERE rn <= 3",
+)
+def x_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the keyword/salience primitive
+    of corpus analysis (and the classic two-aggregate + join shape):
+    term frequency normalized by document length, inverse document
+    frequency smoothed as ln((N+1)/(df+1)), scores compared as
+    1e6-floored integers with the term string as tie-break.
+
+    100 TB shape: TF is one (doc, term) partial-agg shuffle; DF is one
+    term-keyed partial agg whose result is vocabulary-sized (Zipf:
+    orders of magnitude smaller than the corpus) and joins back on the
+    term key — AQE broadcasts it when it fits, falls back to a shuffle
+    join when a web-scale vocabulary doesn't; N is one scalar.  Top-3
+    per doc is the rank-in-partition pattern with group-limit
+    pushdown."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = (
+        tf.join(dl, "doc_id").join(dfq, "term")
+        .select(
+            "doc_id", "term",
+            F.floor(1e6 * (F.col("c") / F.col("n_tok"))
+                    * F.log((n + 1.0) / (F.col("df") + 1.0)))
+            .cast("long").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("term"))
+    return (s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).drop("rn"))
+
+
+#: training sequence length for document packing
+PACK_SEQ_LEN = 512
+
+
+@register(
+    "x_pack_sequences",
+    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    " AS start_tok FROM d) "
+    "SELECT doc_id, n_tok, start_tok, "
+    f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
+    f"start_tok % {PACK_SEQ_LEN} AS seq_offset, "
+    f"CAST(FLOOR((start_tok + n_tok - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS end_seq "
+    "FROM c",
+)
+def x_pack_sequences(spark, sf_dir):
+    """Document packing — the step that turns a cleaned corpus into
+    fixed-length training sequences: concatenate documents in doc_id
+    order and cut every ``PACK_SEQ_LEN`` tokens.  Each document gets its
+    global token offset, the sequence it starts in, its offset within
+    that sequence, and the sequence it ends in (documents may span
+    boundaries).  The whole assignment is one exact global prefix sum
+    over token counts.
+
+    The oracle states the semantics as the naive single-order window
+    (``SUM() OVER (ORDER BY doc_id)``); the Spark plan computes the SAME
+    sum as a two-pass distributed prefix sum — the shape that survives
+    100 TB where a global-order window collapses to one partition:
+
+    1. range-partition by doc_id (contiguous id ranges per partition);
+    2. per-partition token totals → running bucket offsets (a window
+       over #partitions rows — driver-scale, not data-scale);
+    3. within-bucket cumulative sum + broadcast bucket offset.
+
+    The result is bucket-boundary-independent, so the (sampled, hence
+    unpinned) range boundaries cannot change a single output value."""
+    n = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    p = spark.sparkContext.defaultParallelism
+    dd = (d.repartitionByRange(p, "doc_id")
+          .withColumn("b", F.spark_partition_id()))
+    per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
+    wl = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        dd.withColumn("local", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
+        .join(F.broadcast(offs), "b")
+        .select(
+            "doc_id", "n_tok",
+            (F.col("local") + F.col("boff")).alias("start_tok"),
+            F.floor((F.col("local") + F.col("boff")) / n).cast("long")
+            .alias("seq_id"),
+            ((F.col("local") + F.col("boff")) % n).alias("seq_offset"),
+            F.floor((F.col("local") + F.col("boff") + F.col("n_tok") - 1) / n)
+            .cast("long").alias("end_seq"),
+        )
+    )
+
+
+@register(
     "x_mix_sample",
     "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
     " AS n_tok FROM documents), "

@@ -895,3 +895,53 @@ def test_mix_sample_budgets_and_gate(spark):
         assert r["rate_bp"] == int(10000 * floor_min / masses[k])
         assert r["n_sampled"] == expect_n[k]
     assert got[min(masses, key=lambda k: (masses[k], k))]["rate_bp"] == 10000
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    """The two-pass distributed prefix sum must reproduce the naive
+    global-window semantics exactly, and the per-doc fields must be
+    mutually consistent (start = seq_id*L + offset, end covers n_tok)."""
+    from sparkdon.pipeline import PACK_SEQ_LEN, table, x_pack_sequences
+
+    rows = sorted(x_pack_sequences(spark, SF).collect(),
+                  key=lambda r: r["doc_id"])
+    docs = sorted(table(spark, SF, "documents")
+                  .select("doc_id", F.size(F.split("text", " "))
+                          .cast("long").alias("n_tok")).collect(),
+                  key=lambda r: r["doc_id"])
+    cum = 0
+    L = PACK_SEQ_LEN
+    for got, d in zip(rows, docs):
+        assert got["doc_id"] == d["doc_id"]
+        assert got["start_tok"] == cum
+        assert got["seq_id"] == cum // L
+        assert got["seq_offset"] == cum % L
+        assert got["end_seq"] == (cum + d["n_tok"] - 1) // L
+        assert got["start_tok"] == got["seq_id"] * L + got["seq_offset"]
+        cum += d["n_tok"]
+
+
+def test_tfidf_surfaces_planted_rare_term(spark):
+    """A term unique to one document must be that document's top TF-IDF
+    term; a term present in every document scores at the bottom."""
+    import os
+    import tempfile
+
+    from sparkdon.pipeline import x_tfidf_topk
+
+    common = "the quick brown fox jumps over lazy dogs daily"
+    rows = [
+        (0, f"{common} zyzzyva"),
+        (1, common),
+        (2, common),
+        (3, common),
+    ]
+    d = tempfile.mkdtemp(prefix="tfidf_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    got = x_tfidf_topk(spark, d).collect()
+    top0 = sorted((r for r in got if r["doc_id"] == 0),
+                  key=lambda r: -r["score_scaled"])
+    assert top0[0]["term"] == "zyzzyva"
+    # ubiquitous terms carry ln(5/5)=0 idf -> score 0 everywhere
+    assert all(r["score_scaled"] == 0 for r in got if r["term"] != "zyzzyva")
