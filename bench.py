@@ -92,6 +92,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_dedup_minhash",
             "x_dedup_clusters",
             "x_corpus_keep",
+            "x_corpus_pack",
             "x_sim_topk",
             "x_sim_lsh_refined",
             "x_sim_ivf",

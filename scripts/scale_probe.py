@@ -73,11 +73,14 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_chunk_dedup,
         x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
         x_dedup_minhash,
+        x_pack_sequences,
         x_sim_lsh_refined,
+        x_sim_pq,
     )
     from sparkdon.rdf_queries import sparql_census, sparql_path_star_anchored
 
@@ -88,6 +91,17 @@ def main() -> None:
         "x_dedup_embed_strict": x_dedup_embed_strict,
         # iterative components over the LSH pair graph (round 6)
         "x_dedup_clusters": x_dedup_clusters,
+        # round 7: chunk-key dedup (two shuffles), compressed-domain ADC
+        # scan + bounded re-rank, and the two-pass distributed prefix sum
+        "x_chunk_dedup": x_chunk_dedup,
+        "x_sim_pq": x_sim_pq,
+        "x_pack_sequences": x_pack_sequences,
+        # x_semantic_dedup is deliberately NOT probed: its fixture
+        # clustering is fixed-K (the 10 label centroids), so a kx corpus
+        # means kx-sized clusters — the configuration SemDeDup explicitly
+        # avoids by scaling cluster count with corpus size.  Probing it
+        # here would only measure the bucket cap dropping oversized
+        # clusters, not the operator's scaling.
         # SPARQL tier (round 6): full-scan census agg and an anchored
         # closure whose BFS cone stays constant while the graph grows kx
         "sparql_census": sparql_census,
@@ -97,6 +111,12 @@ def main() -> None:
     def best_of_2(fn, d):
         best = None
         for _ in range(2):
+            # same reset as bench.py pre_run: without it min-of-2 would
+            # record the component-memo READ (~0.1 s) for
+            # x_dedup_clusters instead of the propagation being probed
+            from sparkdon.pipeline import _COMPONENTS_MEMO
+
+            _COMPONENTS_MEMO.clear()
             t0 = time.time()
             fn(spark, d).count()
             dt = time.time() - t0

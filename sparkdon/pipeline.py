@@ -1789,10 +1789,43 @@ def x_window_sliding(spark, sf_dir):
     )
 
 
-@register(
-    "x_corpus_keep",
-    # composition of the cluster / repetition / length gates into the
-    # final per-document keep decision a cleaning pipeline emits
+#: training sequence length for document packing (shared by
+#: ``x_pack_sequences`` and the packing capstone ``x_corpus_pack``)
+PACK_SEQ_LEN = 512
+
+
+def _prefix_pack(spark, d: DataFrame) -> DataFrame:
+    """Two-pass distributed prefix sum over (doc_id, n_tok): adds
+    ``start_tok`` — each row's global token offset in doc_id order.
+    Pass 1 range-partitions by doc_id (contiguous id ranges) and takes
+    per-partition totals; pass 2 turns those into running bucket
+    offsets (a window over #partitions rows — driver-scale) and adds
+    the within-bucket cumulative sum.  The result is identical to the
+    naive single-partition ``SUM() OVER (ORDER BY doc_id)`` but never
+    collapses the data to one partition, and is independent of where
+    the (sampled) range boundaries fall."""
+    p = spark.sparkContext.defaultParallelism
+    dd = (d.repartitionByRange(p, "doc_id")
+          .withColumn("b", F.spark_partition_id()))
+    per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
+    wl = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        dd.withColumn("local", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
+        .join(F.broadcast(offs), "b")
+        .withColumn("start_tok", F.col("local") + F.col("boff"))
+        .drop("b", "local", "boff")
+    )
+
+
+#: shared CTE chain for the corpus capstones: LSH bands → pair graph →
+#: recursive-CTE connected components → per-doc features (bigrams,
+#: token count).  ``x_corpus_keep`` selects the gate bits from it;
+#: ``x_corpus_pack`` extends the chain with the kept-doc prefix sum.
+_CORPUS_KEEP_CTES = (
     "WITH RECURSIVE "
     + _DUCK_BANDS[len("WITH "):] +
     ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
@@ -1807,6 +1840,14 @@ def x_window_sliding(spark, sf_dir):
     "feat AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
     f"grams AS (SELECT doc_id, {_DUCK_BIGRAMS} AS g, len(t) AS n_tok "
     " FROM feat) "
+)
+
+
+@register(
+    "x_corpus_keep",
+    # composition of the cluster / repetition / length gates into the
+    # final per-document keep decision a cleaning pipeline emits
+    _CORPUS_KEEP_CTES +
     "SELECT c.doc_id, "
     "CASE WHEN c.doc_id = c.rep THEN 1 ELSE 0 END AS uniq_ok, "
     f"CASE WHEN {_duck_rep_bad('g')} THEN 0 ELSE 1 END AS rep_ok, "
@@ -1831,6 +1872,14 @@ def x_corpus_keep(spark, sf_dir):
     just its parts.  The component frame itself is shared with
     ``x_dedup_clusters`` via the per-(session, fixture) memo — computed
     once, consumed twice, as the real pipeline would."""
+    return _corpus_keep_frame(spark, sf_dir).select(
+        "doc_id", "uniq_ok", "rep_ok", "len_ok", "keep")
+
+
+def _corpus_keep_frame(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_tok, uniq_ok, rep_ok, len_ok, keep) — the capstone
+    gate bits plus the token count, shared by ``x_corpus_keep`` and the
+    packing capstone ``x_corpus_pack``."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     comp = _doc_components(spark, sf_dir)
     feat = docs.select(
@@ -1846,12 +1895,53 @@ def x_corpus_keep(spark, sf_dir):
         comp.join(feat, comp.node == feat.doc_id)
         .select(
             "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
             F.when(uniq_ok, 1).otherwise(0).cast("long").alias("uniq_ok"),
             F.when(rep_bad, 0).otherwise(1).cast("long").alias("rep_ok"),
             F.when(len_ok, 1).otherwise(0).cast("long").alias("len_ok"),
             F.when(uniq_ok & len_ok & ~rep_bad, 1).otherwise(0)
             .cast("long").alias("keep"),
         )
+    )
+
+
+@register(
+    "x_corpus_pack",
+    _CORPUS_KEEP_CTES +
+    ", keepq AS (SELECT c.doc_id, CAST(n_tok AS BIGINT) AS n_tok "
+    " FROM comp c JOIN grams USING (doc_id) "
+    " WHERE c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
+    f" AND NOT ({_duck_rep_bad('g')})), "
+    "c2 AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    " AS start_tok FROM keepq) "
+    "SELECT doc_id, n_tok, start_tok, "
+    f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
+    f"start_tok % {PACK_SEQ_LEN} AS seq_offset "
+    "FROM c2",
+)
+def x_corpus_pack(spark, sf_dir):
+    """The full corpus-to-training-batches flow in one verified gate:
+    near-dup cluster resolution + repetition + length gates decide the
+    keep set (same composition as ``x_corpus_keep``), and the SURVIVORS
+    are packed into fixed 512-token training sequences with the two-pass
+    distributed prefix sum of ``x_pack_sequences`` — clean → select →
+    pack, i.e. what a training pipeline actually writes out.  The
+    DuckDB oracle recomputes everything end-to-end: recursive-CTE
+    components, the gate bits, and the kept-doc cumulative sum.
+
+    100 TB shape: the union of its parts — id-only component
+    propagation, narrow feature maps, one doc_id join, then the
+    prefix-sum's two bounded shuffles.  Nothing new is added on top of
+    the audited stages; the gate proves they compose."""
+    kept = (_corpus_keep_frame(spark, sf_dir)
+            .filter(F.col("keep") == 1).select("doc_id", "n_tok"))
+    n = PACK_SEQ_LEN
+    packed = _prefix_pack(spark, kept)
+    return packed.select(
+        "doc_id", "n_tok", "start_tok",
+        F.floor(F.col("start_tok") / n).cast("long").alias("seq_id"),
+        (F.col("start_tok") % n).alias("seq_offset"),
     )
 
 
@@ -2321,10 +2411,6 @@ def x_tfidf_topk(spark, sf_dir):
             .filter(F.col("rn") <= 3).drop("rn"))
 
 
-#: training sequence length for document packing
-PACK_SEQ_LEN = 512
-
-
 @register(
     "x_pack_sequences",
     "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
@@ -2362,27 +2448,12 @@ def x_pack_sequences(spark, sf_dir):
     n = PACK_SEQ_LEN
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
-    p = spark.sparkContext.defaultParallelism
-    dd = (d.repartitionByRange(p, "doc_id")
-          .withColumn("b", F.spark_partition_id()))
-    per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
-    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per.select(
-        "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
-    wl = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1)
-    return (
-        dd.withColumn("local", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
-        .join(F.broadcast(offs), "b")
-        .select(
-            "doc_id", "n_tok",
-            (F.col("local") + F.col("boff")).alias("start_tok"),
-            F.floor((F.col("local") + F.col("boff")) / n).cast("long")
-            .alias("seq_id"),
-            ((F.col("local") + F.col("boff")) % n).alias("seq_offset"),
-            F.floor((F.col("local") + F.col("boff") + F.col("n_tok") - 1) / n)
-            .cast("long").alias("end_seq"),
-        )
+    return _prefix_pack(spark, d).select(
+        "doc_id", "n_tok", "start_tok",
+        F.floor(F.col("start_tok") / n).cast("long").alias("seq_id"),
+        (F.col("start_tok") % n).alias("seq_offset"),
+        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / n)
+        .cast("long").alias("end_seq"),
     )
 
 

@@ -945,3 +945,21 @@ def test_tfidf_surfaces_planted_rare_term(spark):
     assert top0[0]["term"] == "zyzzyva"
     # ubiquitous terms carry ln(5/5)=0 idf -> score 0 everywhere
     assert all(r["score_scaled"] == 0 for r in got if r["term"] != "zyzzyva")
+
+
+def test_corpus_pack_composes_keep_and_prefix_sum(spark):
+    """The packing capstone must pack exactly the keep=1 documents of
+    x_corpus_keep, in doc_id order, with a contiguous global prefix
+    sum starting at zero."""
+    from sparkdon.pipeline import x_corpus_keep, x_corpus_pack
+
+    keep = {r["doc_id"] for r in x_corpus_keep(spark, SF).collect()
+            if r["keep"] == 1}
+    rows = sorted(x_corpus_pack(spark, SF).collect(),
+                  key=lambda r: r["doc_id"])
+    assert {r["doc_id"] for r in rows} == keep
+    cum = 0
+    for r in rows:
+        assert r["start_tok"] == cum
+        assert r["seq_id"] == cum // 512 and r["seq_offset"] == cum % 512
+        cum += r["n_tok"]
