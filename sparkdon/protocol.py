@@ -14,8 +14,9 @@ Protocol coverage (SPARQL 1.1 Protocol §2.1/§2.2): query via GET
 via direct POST (``application/sparql-query`` body), update via
 URL-encoded POST (``update=`` parameter), and update via direct POST
 (``application/sparql-update`` body).  SELECT/ASK results serialize as
-``application/sparql-results+json`` (default), ``text/csv``, or
-``text/tab-separated-values`` (SPARQL 1.1 Query Results CSV/TSV
+``application/sparql-results+json`` (default),
+``application/sparql-results+xml``, ``text/csv``, or
+``text/tab-separated-values`` (SPARQL 1.1 Query Results XML/CSV/TSV
 formats) under Accept-header negotiation; CONSTRUCT/DESCRIBE as
 ``application/n-triples``.  An ``Accept`` header that excludes every
 produced type is answered 406; an unsupported POST body type is
@@ -203,6 +204,8 @@ class SparqlProtocolServer:
         "application/sparql-results+json": "json",
         "application/json": "json",
         "application/*": "json",
+        "application/sparql-results+xml": "xml",
+        "application/xml": "xml",
         "text/csv": "csv",
         "text/tab-separated-values": "tsv",
         "text/*": "csv",
@@ -213,7 +216,7 @@ class SparqlProtocolServer:
         first acceptable media type in the client's listed order wins
         (minimal negotiation — no q-value sorting, same policy as
         :meth:`_accepts`); no header or a wildcard means JSON.  Returns
-        ``json`` | ``csv`` | ``tsv``, or None for 406."""
+        ``json`` | ``xml`` | ``csv`` | ``tsv``, or None for 406."""
         accept = h.headers.get("Accept")
         if not accept:
             return "json"
@@ -267,12 +270,19 @@ class SparqlProtocolServer:
             if fmt is None:
                 self._plain(h, 406, "SELECT/ASK results are produced as "
                                     "application/sparql-results+json, "
+                                    "application/sparql-results+xml, "
                                     "text/csv, or text/tab-separated-values")
                 return
             if form == "ASK":
                 result = bool(self.endpoint.ask(sparql))
                 if fmt == "json":
                     body = json.dumps({"head": {}, "boolean": result}).encode()
+                elif fmt == "xml":
+                    body = (
+                        '<?xml version="1.0"?>\n<sparql xmlns='
+                        '"http://www.w3.org/2005/sparql-results#">'
+                        f"<head/><boolean>{str(result).lower()}</boolean>"
+                        "</sparql>").encode()
                 else:
                     # the CSV/TSV results spec covers SELECT only; for
                     # ASK serve the de-facto one-column convention
@@ -283,6 +293,8 @@ class SparqlProtocolServer:
             elif form == "SELECT":
                 if fmt == "json":
                     body = json.dumps(self._select_document(sparql)).encode()
+                elif fmt == "xml":
+                    body = self._select_xml(sparql).encode()
                 elif fmt == "csv":
                     body = self._select_csv(sparql).encode()
                 else:
@@ -297,6 +309,7 @@ class SparqlProtocolServer:
             return
         ctype = {
             "json": "application/sparql-results+json",
+            "xml": "application/sparql-results+xml",
             "csv": "text/csv; charset=utf-8",
             "tsv": "text/tab-separated-values; charset=utf-8",
         }[fmt]
@@ -325,6 +338,41 @@ class SparqlProtocolServer:
                     b[n] = node
             bindings.append(b)
         return {"head": {"vars": names}, "results": {"bindings": bindings}}
+
+    def _select_xml(self, sparql: str) -> str:
+        """SPARQL 1.1 Query Results XML Format: ``<sparql><head>`` with
+        the variable list, one ``<result>`` of ``<binding>`` elements
+        per solution; terms as ``<uri>``, ``<bnode>``, or ``<literal>``
+        (with ``xml:lang`` / ``datatype``); unbound vars omitted."""
+        from xml.sax.saxutils import escape, quoteattr
+
+        names, rows = self._select_rows(sparql)
+        parts = ['<?xml version="1.0"?>',
+                 '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+                 "<head>"]
+        parts += [f"<variable name={quoteattr(n)}/>" for n in names]
+        parts.append("</head><results>")
+        for row in rows:
+            parts.append("<result>")
+            for n, v in zip(names, row):
+                if v is None:
+                    continue
+                if v["kind"] == KIND_IRI:
+                    term = f"<uri>{escape(v['lex'])}</uri>"
+                elif v["kind"] == KIND_BNODE:
+                    term = f"<bnode>{escape(v['lex'])}</bnode>"
+                elif v["lang"]:
+                    term = (f"<literal xml:lang={quoteattr(v['lang'])}>"
+                            f"{escape(v['lex'])}</literal>")
+                elif v["dt"]:
+                    term = (f"<literal datatype={quoteattr(v['dt'])}>"
+                            f"{escape(v['lex'])}</literal>")
+                else:
+                    term = f"<literal>{escape(v['lex'])}</literal>"
+                parts.append(f"<binding name={quoteattr(n)}>{term}</binding>")
+            parts.append("</result>")
+        parts.append("</results></sparql>")
+        return "".join(parts)
 
     def _select_csv(self, sparql: str) -> str:
         """SPARQL 1.1 Query Results CSV: header = bare variable names,

@@ -92,10 +92,11 @@ def test_accept_negotiation(served):
         assert post(served.url, q, "application/sparql-query",
                     accept=accept).status == 200
     # a client that cannot take any produced serialization gets 406
-    # (text/csv stopped being a 406 in round 7 — it's now served)
+    # (text/csv and application/xml stopped being 406s in round 7 —
+    # both are now served)
     with pytest.raises(urllib.error.HTTPError) as ei:
         post(served.url, q, "application/sparql-query",
-             accept="application/xml")
+             accept="image/png")
     assert ei.value.code == 406
 
 
@@ -260,5 +261,50 @@ def test_accept_order_and_406_still_work(served):
         "application/sparql-results+json")
     # nothing producible -> 406
     with pytest.raises(urllib.error.HTTPError) as e:
-        get(served.url, q, "application/xml")
+        get(served.url, q, "image/png")
     assert e.value.code == 406
+
+
+# -- XML result serialization (round 7) ----------------------------------
+
+def test_select_xml_via_get(served):
+    q = EX + "SELECT ?s ?pop WHERE { ?s :pop ?pop } ORDER BY ?s"
+    resp = get(served.url, q, "application/sparql-results+xml")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith(
+        "application/sparql-results+xml")
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(resp.read().decode())
+    assert [v.get("name") for v in root.find(f"{ns}head")] == ["s", "pop"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    assert len(results) == 2
+    b0 = {b.get("name"): b[0] for b in results[0]}
+    assert b0["s"].tag == f"{ns}uri"
+    assert b0["s"].text == "http://example.com/Brooklyn"
+    assert b0["pop"].tag == f"{ns}literal"
+    assert b0["pop"].get("datatype") == (
+        "http://www.w3.org/2001/XMLSchema#integer")
+    assert b0["pop"].text == "2736074"
+
+
+def test_ask_xml_and_escaping(served, spark):
+    q = EX + "ASK { ?s :pop ?pop }"
+    body = get(served.url, q, "application/sparql-results+xml").read().decode()
+    assert "<boolean>true</boolean>" in body
+    # literal with markup-significant characters round-trips escaped
+    ttl = '''@prefix : <http://example.com/> .
+    :a :label "a <b> & \\"c\\"" ; :tag "salut"@fr .'''
+    with SparqlProtocolServer(inline(ttl, spark)) as srv:
+        import xml.etree.ElementTree as ET
+
+        ns = "{http://www.w3.org/2005/sparql-results#}"
+        q2 = EX + "SELECT ?v ?t WHERE { :a :label ?v ; :tag ?t }"
+        root = ET.fromstring(
+            get(srv.url, q2, "application/xml").read().decode())
+        b = {x.get("name"): x[0]
+             for x in root.find(f"{ns}results").find(f"{ns}result")}
+        assert b["v"].text == 'a <b> & "c"'
+        assert b["t"].get(
+            "{http://www.w3.org/XML/1998/namespace}lang") == "fr"
