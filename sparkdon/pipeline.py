@@ -2358,6 +2358,30 @@ def x_pq_codes(spark, sf_dir):
     return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
 
 
+def vocab_size_exact(spark, sf_dir) -> DataFrame:
+    """Exact per-language vocabulary size (distinct whitespace tokens) —
+    the correctness baseline for the HLL sketch twin below."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term"))
+    return toks.groupBy("lang").agg(
+        F.countDistinct("term").alias("vocab"))
+
+
+def vocab_size_approx(spark, sf_dir, rsd: float = 0.02) -> DataFrame:
+    """The 100 TB cardinality path: per-language vocabulary size via
+    HyperLogLog++ (``approx_count_distinct``) — a mergeable
+    bounded-memory sketch, one partial-agg shuffle, no exact-distinct
+    re-shuffle of the token stream.  Not oracle-gated (the sketch is
+    engine-specific and merge-order-dependent); pytest asserts it
+    against :func:`vocab_size_exact` within sketch tolerance — the same
+    pattern as ``event_percentiles_approx`` vs the exact percentile
+    gate."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term"))
+    return toks.groupBy("lang").agg(
+        F.approx_count_distinct("term", rsd).alias("vocab_approx"))
+
+
 @register(
     "x_tfidf_topk",
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

@@ -169,6 +169,20 @@ class Endpoint:
             raise SparkdonError("select() requires a SELECT query")
         return self._compiler().compile_select(q).df
 
+    def explain(self, sparql: str, bindings: dict | None = None,
+                mode: str = "formatted") -> str:
+        """The Spark physical plan for a SELECT query, without executing
+        it — the ops tool for answering "did my FILTER reach the parquet
+        scan (PushedFilters), did the small side broadcast, where are
+        the Exchanges" about a SPARQL query.  ``mode`` is any Spark
+        explain mode (``simple`` | ``extended`` | ``codegen`` | ``cost``
+        | ``formatted``).  Beyond reference parity (gastrodon delegates
+        execution to rdflib, which exposes no plan)."""
+        df = self.select_raw(sparql, bindings, _depth=4)
+        sc = df.sparkSession.sparkContext
+        return sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode)
+
     def select(self, sparql: str, bindings: dict | None = None) -> pd.DataFrame:
         """SELECT → pandas DataFrame with GROUP-BY index
         (gastrodon/__init__.py:487-511)."""

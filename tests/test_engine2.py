@@ -359,3 +359,13 @@ def test_endpoint_canonical_method(spark):
     assert ca == cb
     # prefixes survive
     assert a.canonical().prefixes == a.prefixes
+
+
+def test_explain_exposes_physical_plan(ep):
+    """ep.explain() returns the Spark physical plan for a SPARQL query
+    without executing it — pushdown and join strategy visible."""
+    plan = ep.explain(
+        "SELECT ?s { ?s :age ?a . FILTER(?a > 30) }")
+    assert "Physical Plan" in plan
+    simple = ep.explain("SELECT ?s ?n { ?s :name ?n }", mode="simple")
+    assert "Scan" in simple or "LocalTableScan" in simple

@@ -963,3 +963,18 @@ def test_corpus_pack_composes_keep_and_prefix_sum(spark):
         assert r["start_tok"] == cum
         assert r["seq_id"] == cum // 512 and r["seq_offset"] == cum % 512
         cum += r["n_tok"]
+
+
+def test_vocab_hll_within_sketch_tolerance(spark):
+    """The HyperLogLog vocabulary path must land within sketch tolerance
+    of the exact distinct twin on every language stratum (rsd 0.02 →
+    assert within 10% — 5 sigma of the configured error)."""
+    from sparkdon.pipeline import vocab_size_approx, vocab_size_exact
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["lang"]: r["vocab"] for r in vocab_size_exact(spark, sf).collect()}
+    approx = {r["lang"]: r["vocab_approx"]
+              for r in vocab_size_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for lang, v in exact.items():
+        assert abs(approx[lang] - v) <= max(1, 0.10 * v), (lang, v, approx[lang])
