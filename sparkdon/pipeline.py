@@ -2358,6 +2358,38 @@ def x_pq_codes(spark, sf_dir):
     return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
 
 
+@register(
+    "x_json_extract",
+    "SELECT event_type, COUNT(*) AS cnt, "
+    "CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k, "
+    "MIN(json_extract(props, '$.k')::BIGINT) AS min_k, "
+    "MAX(json_extract(props, '$.k')::BIGINT) AS max_k "
+    "FROM events GROUP BY event_type",
+)
+def x_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column and aggregate it per event type — the
+    schema-on-read pattern event logs always need.  ``get_json_object``
+    stays inside whole-stage codegen (no Python, no UDF); at scale the
+    right move is to hoist hot JSON fields into real columns once, and
+    this operator is exactly that hoist.
+
+    100 TB shape: a narrow extraction map + one partial-agg shuffle on
+    the (low-cardinality) event type; AQE handles the 5-key skew."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def vocab_size_exact(spark, sf_dir) -> DataFrame:
     """Exact per-language vocabulary size (distinct whitespace tokens) —
     the correctness baseline for the HLL sketch twin below."""
