@@ -1797,16 +1797,34 @@ PACK_SEQ_LEN = 512
 def _prefix_pack(spark, d: DataFrame) -> DataFrame:
     """Two-pass distributed prefix sum over (doc_id, n_tok): adds
     ``start_tok`` — each row's global token offset in doc_id order.
-    Pass 1 range-partitions by doc_id (contiguous id ranges) and takes
-    per-partition totals; pass 2 turns those into running bucket
-    offsets (a window over #partitions rows — driver-scale) and adds
-    the within-bucket cumulative sum.  The result is identical to the
-    naive single-partition ``SUM() OVER (ORDER BY doc_id)`` but never
-    collapses the data to one partition, and is independent of where
-    the (sampled) range boundaries fall."""
+    Pass 1 buckets rows into contiguous doc_id ranges and takes
+    per-bucket totals; pass 2 turns those into running bucket offsets
+    (a window over #buckets rows — driver-scale) and adds the
+    within-bucket cumulative sum.  The result is identical to the naive
+    single-partition ``SUM() OVER (ORDER BY doc_id)`` but never
+    collapses the data to one partition.
+
+    The bucket is ARITHMETIC — equal-width id ranges from one (min,
+    max) aggregate — not ``repartitionByRange`` + ``spark_partition_id``:
+    the range partitioner's boundaries come from nondeterministic
+    sampling, and this frame is consumed by TWO branches (totals and
+    windowed cumsum), so correctness there would silently hinge on
+    physical Exchange reuse giving both branches the same boundaries.
+    An expression-derived bucket is the same value in every branch by
+    construction.  Sparse/clustered ids only skew bucket SIZES (a
+    performance matter); contiguity, which correctness needs, always
+    holds.  The (min, max) pair rides along as a broadcast one-row
+    frame, so the whole builder stays lazy — no driver action until the
+    caller runs the plan."""
     p = spark.sparkContext.defaultParallelism
-    dd = (d.repartitionByRange(p, "doc_id")
-          .withColumn("b", F.spark_partition_id()))
+    mm = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    bucket = F.least(
+        F.lit(p - 1),
+        F.floor((F.col("doc_id") - F.col("_lo")) * p
+                / (F.col("_hi") - F.col("_lo") + 1))
+    ).cast("int")
+    dd = (d.crossJoin(F.broadcast(mm))
+          .withColumn("b", bucket).drop("_lo", "_hi"))
     per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
     wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
@@ -2137,6 +2155,19 @@ def x_topk_per_lang(spark, sf_dir):
 CHUNK_TOKENS = 10
 
 
+def _chunk_expr(n: int = CHUNK_TOKENS) -> str:
+    """Spark SQL expression: the text column's consecutive
+    non-overlapping ``n``-token chunk array (lambda-bound so the text
+    tokenizes once per row).  Shared by :func:`x_chunk_dedup` and its
+    invariant test so the chunking rule has exactly one definition."""
+    return (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
+        f"{n}.0) as int)), array()), "
+        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
+    )
+
+
 @register(
     "x_chunk_dedup",
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
@@ -2172,16 +2203,9 @@ def x_chunk_dedup(spark, sf_dir):
     heavy boilerplate chunks (the 100 TB analogue: license headers)
     concentrate into single groups whose cost is group size, and AQE
     skew-split handles the pathological ones."""
-    n = CHUNK_TOKENS
     docs = table(spark, sf_dir, "documents")
-    chunks = (
-        "transform(array(split(text, ' ')), t -> "
-        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
-        f"{n}.0) as int)), array()), "
-        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
-    )
     ch = docs.select(
-        "doc_id", F.posexplode(F.expr(chunks)).alias("p", "chunk")
+        "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
     ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
     w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
     k = ch.withColumn("rn", F.row_number().over(w))
@@ -2256,7 +2280,17 @@ def x_semantic_dedup(spark, sf_dir):
     codegen assignment pass; pair generation is bucket-local per
     cluster (sorted collect_list, capped — reusing the LSH candidate
     machinery with cluster as the bucket key); the final keep bit is
-    one left anti lookup.  Nothing quadratic in the corpus."""
+    one left anti lookup.  Nothing quadratic in the corpus.
+
+    CAP CAVEAT: clusters over ``MINHASH_BUCKET_CAP`` are dropped from
+    pair generation by the shared machinery (their members all report
+    kept=1).  With the fixture's fixed-K label centroids, cluster size
+    grows with the corpus, so past ~1000 vectors/cluster the operator
+    needs MORE CLUSTERS, not a bigger cap — that is SemDeDup's own
+    design rule (cluster count scales with corpus so clusters stay
+    pair-able).  ``semantic_overflow_clusters`` is the monitoring twin
+    that surfaces any cluster the cap would silence; it is the same
+    monitor-then-route pattern as ``minhash_overflow_buckets``."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -2294,6 +2328,25 @@ def x_semantic_dedup(spark, sf_dir):
             F.when(F.col("d2").isNull(), 1).otherwise(0).cast("int")
             .alias("kept"),
         )
+    )
+
+
+def semantic_overflow_clusters(spark, sf_dir,
+                               cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Monitoring twin of :func:`x_semantic_dedup`: the (cluster,
+    n_vecs) rows whose size exceeds the pair-generation cap — non-empty
+    means the clustering is too coarse for this corpus and the operator
+    must raise the cluster count (SemDeDup's scaling rule), because
+    those clusters' members are silently reported kept=1."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cents = _ivf_mean(e.select(F.col("label").alias("cell"), "v"))
+    return (
+        e.select(_ivf_cells(cents)[0]["cell"].alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > cap)
     )
 
 
@@ -2444,9 +2497,10 @@ def x_tfidf_topk(spark, sf_dir):
     term key — AQE broadcasts it when it fits, falls back to a shuffle
     join when a web-scale vocabulary doesn't; N is one scalar.  Top-3
     per doc is the rank-in-partition pattern with group-limit
-    pushdown."""
+    pushdown.  The document count joins in as a broadcast one-row
+    aggregate, keeping the builder lazy — one plan, no eager scan."""
     docs = table(spark, sf_dir, "documents")
-    n = docs.count()
+    nd = docs.agg(F.count(F.lit(1)).alias("_n"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
@@ -2454,10 +2508,11 @@ def x_tfidf_topk(spark, sf_dir):
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     s = (
         tf.join(dl, "doc_id").join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id", "term",
             F.floor(1e6 * (F.col("c") / F.col("n_tok"))
-                    * F.log((n + 1.0) / (F.col("df") + 1.0)))
+                    * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)))
             .cast("long").alias("score_scaled"),
         )
     )
@@ -2672,7 +2727,7 @@ def x_sim_pq(spark, sf_dir):
     shortlist is portable), the top-``PQ_SHORTLIST`` shortlist is then
     re-ranked by exact cosine — the standard PQ + re-rank serving
     pattern.  Measured recall@5 vs exact cosine: 0.72 at sf0.01
-    (pytest-asserted ≥ 0.6); raw ADC without re-rank sits at 0.16 on
+    (pytest-asserted ≥ 0.7); raw ADC without re-rank sits at 0.16 on
     this deliberately PQ-hostile isotropic corpus — the re-rank IS the
     operating point.
 

@@ -729,20 +729,13 @@ def test_chunk_dedup_drops_repeated_passage(spark):
 def test_chunk_dedup_kept_equals_distinct_chunks(spark):
     """Global invariant on the fixture: total kept chunks == number of
     distinct chunk strings (each distinct chunk survives exactly once)."""
-    from sparkdon.pipeline import CHUNK_TOKENS, table, x_chunk_dedup
+    from sparkdon.pipeline import _chunk_expr, table, x_chunk_dedup
 
     got = x_chunk_dedup(spark, SF)
     total_kept = got.agg(F.sum("n_kept")).collect()[0][0]
-    n = CHUNK_TOKENS
-    chunks = (
-        "transform(array(split(text, ' ')), t -> "
-        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
-        f"{n}.0) as int)), array()), "
-        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
-    )
     distinct = (
         table(spark, SF, "documents")
-        .select(F.explode(F.expr(chunks)).alias("c"))
+        .select(F.explode(F.expr(_chunk_expr())).alias("c"))
         .distinct().count()
     )
     assert total_kept == distinct
@@ -978,3 +971,14 @@ def test_vocab_hll_within_sketch_tolerance(spark):
     assert set(exact) == set(approx)
     for lang, v in exact.items():
         assert abs(approx[lang] - v) <= max(1, 0.10 * v), (lang, v, approx[lang])
+
+
+def test_semantic_overflow_monitor(spark):
+    """Empty on the fixture (all clusters under the cap); a tiny cap
+    must flag every cluster — the monitor is what tells an operator the
+    clustering is too coarse before the pair cap silences duplicates."""
+    from sparkdon.pipeline import semantic_overflow_clusters
+
+    assert semantic_overflow_clusters(spark, SF).count() == 0
+    flagged = semantic_overflow_clusters(spark, SF, cap=2)
+    assert flagged.count() == 10  # every label cluster exceeds cap=2

@@ -173,3 +173,50 @@ def test_streaming_session_sliding_match_batch(spark):
     lhs = {(r["user_id"], r["n"]) for r in got.collect()}
     rhs = {(r["user_id"], r["n"]) for r in batch_sessions.collect()}
     assert lhs == rhs
+
+
+def test_stream_join_matches_across_batches(spark, tmp_path):
+    """A view arriving in batch 1 must still join a click arriving in
+    batch 2 (the view is held in join state across the trigger), and a
+    click outside the 6-hour interval must not match."""
+    from sparkdon.streaming.joins import view_click_join
+    from sparkdon.streaming.windows import read_event_stream
+
+    views = pd.DataFrame(
+        {
+            "event_id": [100, 101],
+            "ts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 09:30"]),
+            "user_id": [1, 2],
+            "event_type": ["view"] * 2,
+            "value": [0.0] * 2,
+            "props": ["{}"] * 2,
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "event_id": [200, 201],
+            # user 1 clicks inside the window; user 2 clicks 7h later
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 16:30"]),
+            "user_id": [1, 2],
+            "event_type": ["click"] * 2,
+            "value": [0.0] * 2,
+            "props": ["{}"] * 2,
+        }
+    )
+    views.to_parquet(tmp_path / "b1.parquet", coerce_timestamps="us")
+    clicks.to_parquet(tmp_path / "b2.parquet", coerce_timestamps="us")
+
+    stream = read_event_stream(spark, str(tmp_path))  # 1 file per trigger
+    q = (
+        view_click_join(stream)
+        .writeStream.format("memory")
+        .queryName("join_incremental_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT view_id, click_id, user_id FROM join_incremental_test"
+    ).collect()
+    assert {(r["view_id"], r["click_id"], r["user_id"]) for r in rows} == {
+        (100, 200, 1)}
