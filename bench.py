@@ -90,6 +90,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_contamination",
             "x_semantic_dedup",
+            "x_embed_gram",
             "x_dedup_minhash",
             "x_dedup_clusters",
             "x_corpus_keep",

@@ -2443,6 +2443,50 @@ def x_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "x_embed_gram",
+    "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), "
+    "p AS (SELECT di.i, dj.j, v[di.i] * v[dj.j] AS prod FROM e, "
+    " (SELECT unnest(generate_series(1, 64)) AS i) di, "
+    " (SELECT unnest(generate_series(1, 64)) AS j) dj) "
+    "SELECT i, j, CAST(FLOOR(1e6 * CAST(SUM(CAST(prod AS DECIMAL(28,10))) "
+    " AS DOUBLE) / COUNT(*)) AS BIGINT) AS gram_scaled "
+    "FROM p GROUP BY i, j",
+)
+def x_embed_gram(spark, sf_dir):
+    """Distributed Gram matrix (Xᵀ X / n) over the embedding corpus —
+    the one-pass building block PCA / whitening / covariance start
+    from.  Per row, the 64×64 outer product explodes to (i, j, x·y)
+    triples; one partial-agg shuffle over the D² = 4096 keys averages
+    them.  Products are summed as DECIMAL(28,10) so the cross-row sum
+    is exact and ORDER-INDEPENDENT (double summation order differs
+    between Spark partial aggs and DuckDB — the same trick as the money
+    sums), then floored at 1e6 for the compare.
+
+    100 TB shape: agg state is D² keys regardless of corpus size;
+    map-side combine reduces the shuffle to D² rows per partition.  A
+    full covariance/whitening step subtracts the mean outer product and
+    inverts driver-side — D×D is model state, exactly like the IVF
+    centroids."""
+    e = _ann_vectors(spark, sf_dir, spread=True)
+    pairs = (
+        "flatten(transform(v, (x, i) -> "
+        " transform(v, (y, j) -> named_struct("
+        "  'i', i + 1, 'j', j + 1, 'p', x * y))))"
+    )
+    return (
+        e.select(F.explode(F.expr(pairs)).alias("c"))
+        .select(
+            F.col("c.i").alias("i"), F.col("c.j").alias("j"),
+            F.col("c.p").cast("decimal(28,10)").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.floor(1e6 * F.sum("p").cast("double") / F.count(F.lit(1)))
+            .cast("long").alias("gram_scaled"))
+    )
+
+
 def vocab_size_exact(spark, sf_dir) -> DataFrame:
     """Exact per-language vocabulary size (distinct whitespace tokens) —
     the correctness baseline for the HLL sketch twin below."""

@@ -982,3 +982,22 @@ def test_semantic_overflow_monitor(spark):
     assert semantic_overflow_clusters(spark, SF).count() == 0
     flagged = semantic_overflow_clusters(spark, SF, cap=2)
     assert flagged.count() == 10  # every label cluster exceeds cap=2
+
+
+def test_embed_gram_symmetric_and_matches_numpy(spark):
+    """The Gram matrix is exactly symmetric (decimal sums of identical
+    products) and matches a numpy recompute within floor rounding."""
+    import numpy as np
+
+    from sparkdon.pipeline import table, x_embed_gram
+
+    got = {(r["i"], r["j"]): r["gram_scaled"]
+           for r in x_embed_gram(spark, SF).collect()}
+    assert len(got) == 64 * 64
+    for (i, j), v in got.items():
+        assert got[(j, i)] == v
+    rows = table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    G = X.T @ X / len(X)
+    for (i, j) in [(1, 1), (1, 2), (32, 7), (64, 64)]:
+        assert abs(got[(i, j)] - np.floor(1e6 * G[i - 1, j - 1])) <= 1
