@@ -75,6 +75,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_mix_sample",
             "x_pack_sequences",
             "x_tfidf_topk",
+            "x_neg_sample",
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",

@@ -872,6 +872,83 @@ def x_sim_ivf(spark, sf_dir):
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
+    """General Lloyd's k-means over a (vec_id, v) frame, Spark-first:
+    deterministic hash-group init (``vec_id % k``), then per iteration
+    one narrow assignment pass against K×D broadcast literal centroids
+    (the :func:`_ivf_cells` expression) and one partial-agg mean —
+    centroids quantized to 1e-6 each round so runs are bit-reproducible.
+    Returns ``(centroids, assignment)``: the final {cell: vector} dict
+    (model state) and the lazily-evaluated (vec_id, v, cell) frame.
+
+    This is the generalized form of the IVF coarse quantizer
+    (``x_sim_ivf`` fixes iters=1 and oracles the result); pytest asserts
+    the Lloyd invariant — inertia non-increasing across iterations —
+    and run-to-run determinism.
+
+    100 TB shape per iteration: assignment is embarrassingly parallel
+    (no shuffle, K×D literals ride the closure); the mean is one
+    (cell, dim)-keyed partial agg; the driver holds only K×D floats.
+    ``localCheckpoint`` truncates the lineage each round, exactly like
+    the component propagation loop."""
+    cur = df.select("vec_id", "v").localCheckpoint()
+    cents = _ivf_mean(cur.select((F.col("vec_id") % k).alias("cell"), "v"))
+    for _ in range(iters):
+        asg = cur.select(
+            "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
+        ).localCheckpoint()
+        cents = _ivf_mean(asg.select("cell", "v"))
+    asg = cur.select(
+        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
+    return cents, asg
+
+
+def kmeans_inertia(vectors: DataFrame, cents: dict) -> float:
+    """Σ min_c ‖v − c‖² over a frame with a ``v`` column — the k-means
+    objective Lloyd iterations must not increase (one narrow scan +
+    global agg)."""
+    dist = _ivf_cells(cents)[0]["dist"]
+    return vectors.select(dist.alias("d")).agg(F.sum("d")).collect()[0][0]
+
+
+@register(
+    "x_neg_sample",
+    "WITH nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "s AS (SELECT doc_id, unnest(generate_series(1, 3)) AS j FROM documents) "
+    "SELECT doc_id, j, CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END "
+    " AS neg_id FROM ("
+    " SELECT doc_id, j, n, CAST(concat('0x', substr(md5(doc_id || ':' || j), "
+    "  1, 8)) AS BIGINT) % n AS raw FROM s, nd)",
+)
+def x_neg_sample(spark, sf_dir):
+    """Deterministic negative sampling — the pair-construction step of
+    contrastive / embedding training: each document draws 3
+    pseudo-random negative partners keyed on md5(doc_id:j), with a
+    collision bump when the draw lands on itself.  Content-stable like
+    the sampling gates: the same negatives on every engine, run, and
+    cluster size — so a training run is reproducible end-to-end.
+
+    100 TB shape: a pure narrow map (explode ×3 + hash arithmetic; the
+    corpus count rides in as a broadcast one-row aggregate); the
+    subsequent pair-feature join is doc_id-keyed and AQE-planned."""
+    docs = table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("_n"))
+    s = (docs.select("doc_id")
+         .crossJoin(F.broadcast(nd))
+         .select("doc_id", "_n",
+                 F.explode(F.expr("sequence(1, 3)")).alias("j")))
+    raw = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.col("j").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % F.col("_n"))
+    return s.select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        F.when(raw == F.col("doc_id"), (raw + 1) % F.col("_n"))
+        .otherwise(raw).alias("neg_id"),
+    )
+
+
 #: near-dup cosine threshold, compared as floor(1e6·cos) ≥ this (integer
 #: compare — portable across engines)
 EMBED_DUP_SIM_SCALED = 300_000

@@ -1001,3 +1001,39 @@ def test_embed_gram_symmetric_and_matches_numpy(spark):
     G = X.T @ X / len(X)
     for (i, j) in [(1, 1), (1, 2), (32, 7), (64, 64)]:
         assert abs(got[(i, j)] - np.floor(1e6 * G[i - 1, j - 1])) <= 1
+
+
+def test_kmeans_lloyd_invariant_and_determinism(spark):
+    """kmeans_fit: inertia is non-increasing across Lloyd iterations,
+    and two fits over the same frame are bit-identical."""
+    from sparkdon.pipeline import _ann_vectors, kmeans_fit, kmeans_inertia
+
+    e = _ann_vectors(spark, SF)
+    prev = None
+    for iters in (0, 1, 3):
+        cents, _asg = kmeans_fit(e, k=4, iters=iters)
+        inertia = kmeans_inertia(e, cents)
+        if prev is not None:
+            assert inertia <= prev + 1e-6, (iters, inertia, prev)
+        prev = inertia
+    c1, a1 = kmeans_fit(e, k=4, iters=2)
+    c2, a2 = kmeans_fit(e, k=4, iters=2)
+    assert c1 == c2
+    assert ({(r["vec_id"], r["cell"]) for r in a1.collect()}
+            == {(r["vec_id"], r["cell"]) for r in a2.collect()})
+
+
+def test_neg_sample_shape_and_no_self_pairs(spark):
+    """Every document draws exactly 3 in-range negatives, never itself,
+    and the draw is deterministic across invocations."""
+    from sparkdon.pipeline import table, x_neg_sample
+
+    n = table(spark, SF, "documents").count()
+    rows = x_neg_sample(spark, SF).collect()
+    assert len(rows) == 3 * n
+    for r in rows:
+        assert 0 <= r["neg_id"] < n
+        assert r["neg_id"] != r["doc_id"]
+    again = {(r["doc_id"], r["j"], r["neg_id"])
+             for r in x_neg_sample(spark, SF).collect()}
+    assert again == {(r["doc_id"], r["j"], r["neg_id"]) for r in rows}
