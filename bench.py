@@ -76,6 +76,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_pack_sequences",
             "x_tfidf_topk",
             "x_neg_sample",
+            "x_length_buckets",
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",

@@ -2564,6 +2564,96 @@ def x_embed_gram(spark, sf_dir):
     )
 
 
+@register(
+    "x_length_buckets",
+    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "q AS (SELECT quantile_cont(n_tok, 0.25) AS q1, "
+    " quantile_cont(n_tok, 0.50) AS q2, "
+    " quantile_cont(n_tok, 0.75) AS q3 FROM d) "
+    "SELECT doc_id, n_tok, CASE WHEN n_tok <= q1 THEN 0 "
+    " WHEN n_tok <= q2 THEN 1 WHEN n_tok <= q3 THEN 2 ELSE 3 END AS bucket "
+    "FROM d, q",
+)
+def x_length_buckets(spark, sf_dir):
+    """Length-bucketed batching: assign every document to one of four
+    exact-quartile token-length buckets — how a training loader groups
+    similar-length documents so padding waste stays low.  Thresholds
+    are exact interpolated quartiles (the same percentile semantics the
+    percentile gate verifies; quartile fractions are binary-exact, so
+    both engines hold bit-identical thresholds), broadcast as a one-row
+    aggregate into a narrow bucket map.
+
+    100 TB shape: one percentile aggregate over an integer column
+    (at real scale: ``percentile_approx``, whose t-digest twin is
+    already pytest-gated) + a broadcast compare — the corpus never
+    shuffles to be bucketed."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    q = d.agg(F.expr(
+        "percentile(n_tok, array(0.25D, 0.50D, 0.75D))").alias("_q"))
+    dd = d.crossJoin(F.broadcast(q))
+    q1, q2, q3 = (F.col("_q")[0], F.col("_q")[1], F.col("_q")[2])
+    return dd.select(
+        "doc_id", "n_tok",
+        F.when(F.col("n_tok") <= q1, 0)
+        .when(F.col("n_tok") <= q2, 1)
+        .when(F.col("n_tok") <= q3, 2)
+        .otherwise(3).cast("long").alias("bucket"),
+    )
+
+
+def whiten_embeddings(spark, sf_dir, eps: float = 1e-6) -> DataFrame:
+    """PCA whitening on top of :func:`x_embed_gram`'s machinery: the
+    D×D covariance is aggregated distributed (mean + Gram, one
+    partial-agg pass each), eigendecomposed DRIVER-SIDE (D×D is model
+    state, like the IVF centroids), and the whitening matrix
+    W = U·diag(1/√(λ+eps))·Uᵀ is applied per row in an Arrow-batched
+    ``mapInPandas`` (a D×D × batch matrix multiply — the sanctioned
+    Python path, vectorized per batch, never per element).
+
+    Not oracle-gated (eigendecomposition is not SQL-expressible);
+    pytest asserts the defining property instead: the whitened corpus'
+    covariance is ≈ identity."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    e = _ann_vectors(spark, sf_dir, spread=True)
+    stats = e.select(F.posexplode("v").alias("i", "x")).groupBy("i").agg(
+        F.avg("x").alias("m"))
+    mean = np.array([r["m"] for r in sorted(stats.collect(),
+                                            key=lambda r: r["i"])])
+    dims = len(mean)
+    prods = (
+        "flatten(transform(v, (x, i) -> transform(v, (y, j) -> "
+        "named_struct('i', i, 'j', j, 'p', x * y))))"
+    )
+    g = (e.select(F.explode(F.expr(prods)).alias("c"))
+         .groupBy("c.i", "c.j").agg(F.avg("c.p").alias("g")).collect())
+    G = np.zeros((dims, dims))
+    for r in g:
+        G[r["i"], r["j"]] = r["g"]
+    cov = G - np.outer(mean, mean)
+    lam, U = np.linalg.eigh(cov)
+    W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ U.T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("w", T.ArrayType(T.DoubleType())),
+    ])
+
+    def apply_w(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy()) - mean
+            Y = X @ W.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "w": list(Y)})
+
+    return e.mapInPandas(apply_w, schema=schema)
+
+
 def vocab_size_exact(spark, sf_dir) -> DataFrame:
     """Exact per-language vocabulary size (distinct whitespace tokens) —
     the correctness baseline for the HLL sketch twin below."""

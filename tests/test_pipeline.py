@@ -1037,3 +1037,35 @@ def test_neg_sample_shape_and_no_self_pairs(spark):
     again = {(r["doc_id"], r["j"], r["neg_id"])
              for r in x_neg_sample(spark, SF).collect()}
     assert again == {(r["doc_id"], r["j"], r["neg_id"]) for r in rows}
+
+
+def test_length_buckets_are_balanced_quartiles(spark):
+    """Quartile buckets each hold ~25% of documents, and bucket order
+    respects length order (max of bucket b <= min of bucket b+1)."""
+    from sparkdon.pipeline import x_length_buckets
+
+    rows = x_length_buckets(spark, SF).collect()
+    n = len(rows)
+    by_b = {}
+    for r in rows:
+        by_b.setdefault(r["bucket"], []).append(r["n_tok"])
+    assert set(by_b) == {0, 1, 2, 3}
+    for b, toks in by_b.items():
+        assert 0.10 * n <= len(toks) <= 0.40 * n, (b, len(toks))
+    for b in (0, 1, 2):
+        assert max(by_b[b]) <= min(by_b[b + 1])
+
+
+def test_whitening_yields_identity_covariance(spark):
+    """The whitened corpus' empirical covariance is ~identity — the
+    defining property of PCA whitening."""
+    import numpy as np
+
+    from sparkdon.pipeline import whiten_embeddings
+
+    rows = whiten_embeddings(spark, SF).collect()
+    Y = np.stack([np.array(r["w"]) for r in rows])
+    cov = (Y - Y.mean(axis=0)).T @ (Y - Y.mean(axis=0)) / len(Y)
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.05
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05
