@@ -897,7 +897,10 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
         asg = cur.select(
             "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
         ).localCheckpoint()
-        cents = _ivf_mean(asg.select("cell", "v"))
+        # a cell that lost every member keeps its previous centroid
+        # (standard empty-cluster handling; also keeps the centroid
+        # count stable for callers like the PQ codebook trainer)
+        cents = {**cents, **_ivf_mean(asg.select("cell", "v"))}
     asg = cur.select(
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     return cents, asg
@@ -2468,6 +2471,29 @@ def _pq_code_expr(cb: list) -> F.Column:
     return F.array_join(
         F.transform(_pq_codes_array_expr(cb), lambda c: c.cast("string")),
         ",")
+
+
+def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
+    """k-means-trained PQ codebooks — the real PQ build step,
+    connecting :func:`kmeans_fit` to the PQ encode path: each of the
+    PQ_M subspaces trains its own PQ_K-entry codebook over the corpus'
+    subvectors (deterministic init, so training is reproducible), and
+    the per-subspace centroids are reassembled into the full-width
+    layout :func:`_pq_codes_array_expr` consumes — entry j's subspace-m
+    slice is subspace m's centroid j.  The gate ``x_pq_codes`` keeps
+    the naive first-K-vectors sample so its oracle stays SQL-
+    expressible; pytest asserts training strictly reduces
+    reconstruction error vs that sample."""
+    cbs = []
+    for m in range(PQ_M):
+        sub = e.select(
+            "vec_id",
+            F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})").alias("v"))
+        cents, _ = kmeans_fit(sub, PQ_K, iters)
+        cbs.append([list(cents[j]) for j in sorted(cents)])
+    return [
+        [x for m in range(PQ_M) for x in cbs[m][j]] for j in range(PQ_K)
+    ]
 
 
 @register("x_pq_codes", _pq_oracle_sql())

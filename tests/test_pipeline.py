@@ -1069,3 +1069,53 @@ def test_whitening_yields_identity_covariance(spark):
     assert np.abs(np.diag(cov) - 1.0).max() < 0.05
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 0.05
+
+
+def test_round7_ops_prune_and_avoid_cartesians(spark):
+    """Plan shape for the round-7 narrow/broadcast operators: no
+    cartesian product anywhere, and x_json_extract's parquet scan reads
+    ONLY the two columns it needs (pruning reached the source)."""
+    from sparkdon import pipeline as P
+
+    for fn in (P.x_mix_sample, P.x_tfidf_topk, P.x_pack_sequences,
+               P.x_neg_sample, P.x_json_extract, P.x_length_buckets):
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+    jplan = plan_of(P.x_json_extract(spark, SF))
+    assert "struct<event_type:string,props:string>" in jplan
+
+
+def test_pq_trained_codebooks_beat_naive_sample(spark):
+    """k-means-trained sub-codebooks must strictly reduce PQ
+    reconstruction error vs the naive first-K-vectors sample — the
+    point of training the codebook at all."""
+    import numpy as np
+
+    from sparkdon.pipeline import (
+        PQ_K, PQ_M, PQ_SUB, _ann_vectors, _pq_codebook,
+        _pq_codes_array_expr, pq_train_codebooks, table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = _ann_vectors(spark, sf)
+    naive = _pq_codebook(e)
+    trained = pq_train_codebooks(e, iters=2)
+    assert len(trained) == PQ_K and all(len(c) == PQ_M * PQ_SUB
+                                        for c in trained)
+    rows = table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    v = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+         for r in rows}
+
+    def mse(cb):
+        codes = {r["vec_id"]: list(r["codes"]) for r in e.select(
+            "vec_id", _pq_codes_array_expr(cb).alias("codes")).collect()}
+        cbn = [np.array(c) for c in cb]
+        err = 0.0
+        for i, vec in v.items():
+            rec = np.concatenate([
+                cbn[codes[i][m]][m * PQ_SUB:(m + 1) * PQ_SUB]
+                for m in range(PQ_M)])
+            err += float(np.sum((vec - rec) ** 2))
+        return err / len(v)
+
+    assert mse(trained) < mse(naive)
