@@ -12,7 +12,8 @@ SELECT [DISTINCT] with expressions/aliases, WHERE with BGPs, FILTER
 MINUS, UNION, BIND, VALUES, subqueries, property paths (``p1/p2``,
 ``^p``, ``p*``, ``p+``, ``p1|p2``), GROUP BY, ORDER BY ASC/DESC, LIMIT,
 OFFSET, CONSTRUCT, ASK (trivial), DESCRIBE, SERVICE [SILENT] federation,
-and updates INSERT/DELETE ... WHERE.
+and updates INSERT/DELETE [DATA] ... WHERE, DELETE WHERE, and
+CLEAR [SILENT] DEFAULT|ALL.
 
 The IR is deliberately tiny (dataclasses below); the Spark compiler
 (:mod:`sparkdon.compile`) walks it directly.
@@ -209,6 +210,9 @@ class UpdateRequest:
     delete_template: list | None
     insert_template: list | None
     where: GroupPattern | None
+    #: "DEFAULT" | "ALL" for CLEAR requests (single-graph store: both
+    #: empty the default graph); None for template updates
+    clear: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +398,23 @@ class Parser:
     def parse_update(self) -> UpdateRequest:
         self.parse_prologue()
         delete_t = insert_t = None
+        if self.at_keyword("CLEAR"):
+            self.next()
+            if self.at_keyword("SILENT"):
+                self.next()
+            for tgt in ("DEFAULT", "ALL"):
+                if self.at_keyword(tgt):
+                    self.next()
+                    t = self.peek()
+                    if t.kind != "EOF":
+                        raise SparqlSyntaxError(
+                            self.text, t.pos, f"trailing input {t.text!r}")
+                    return UpdateRequest(None, None, None, clear=tgt)
+            t = self.peek()
+            raise SparqlSyntaxError(
+                self.text, t.pos,
+                "CLEAR supports DEFAULT or ALL on this single-graph "
+                f"store (got {t.text!r})")
         if self.at_keyword("INSERT"):
             self.next()
             if self.at_keyword("DATA"):
@@ -413,6 +434,23 @@ class Parser:
                 tpl = self.parse_triples_block(allow_vars=False)
                 self.expect("}")
                 return UpdateRequest(tpl, None, None)
+            if self.at_keyword("WHERE"):
+                # DELETE WHERE { P }: the quad pattern is both the
+                # delete template and the WHERE clause (SPARQL 1.1
+                # Update §3.1.3.2) — parse the same braces twice, once
+                # as a template, once as a group
+                self.next()
+                save = self.i
+                self.expect("{")
+                tpl = self.parse_triples_block()
+                self.expect("}")
+                self.i = save
+                where = self.parse_group()
+                t = self.peek()
+                if t.kind != "EOF":
+                    raise SparqlSyntaxError(
+                        self.text, t.pos, f"trailing input {t.text!r}")
+                return UpdateRequest(tpl, None, where)
             self.expect("{")
             delete_t = self.parse_triples_block()
             self.expect("}")

@@ -379,6 +379,11 @@ class LocalEndpoint(Endpoint):
         u = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         compiler = self._compiler()
         new = self.graph
+        if u.clear:
+            # CLEAR DEFAULT / CLEAR ALL — single-graph store, so both
+            # empty the default graph (schema kept for later inserts)
+            self.graph = new.limit(0).localCheckpoint(eager=True)
+            return
         if u.where is None:
             if u.insert_template:
                 rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.insert_template]

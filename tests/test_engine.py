@@ -321,3 +321,36 @@ def test_base_relative_iri(spark):
     e.base_uri = "http://example.com/"
     df = e.select("SELECT ?o { <x> :p ?o }")
     assert len(df) == 1
+
+
+def test_update_delete_where_shorthand(spark):
+    """DELETE WHERE { P }: the quad pattern is both template and WHERE
+    clause (SPARQL 1.1 Update §3.1.3.2)."""
+    e = inline(BOROS_TTL, spark)
+    n0 = e.count()
+    labels = e.select("SELECT (COUNT(*) AS ?n) { ?s rdfs:label ?l }")
+    n_lab = int(labels["n"].iloc[0])
+    assert n_lab > 0
+    e.update("DELETE WHERE { ?s rdfs:label ?l }")
+    assert e.count() == n0 - n_lab
+    left = e.select("SELECT (COUNT(*) AS ?n) { ?s rdfs:label ?l }")
+    assert int(left["n"].iloc[0]) == 0
+
+
+def test_update_clear(spark):
+    """CLEAR DEFAULT / CLEAR ALL empty the single-graph store; later
+    inserts still work, and named-graph CLEAR errors helpfully."""
+    import pytest as _pytest
+
+    from sparkdon.errors import SparkdonError
+
+    e = inline(BOROS_TTL, spark)
+    assert e.count() > 0
+    e.update("CLEAR DEFAULT")
+    assert e.count() == 0
+    e.update("INSERT DATA { :a :b :c }")
+    assert e.count() == 1
+    e.update("CLEAR SILENT ALL")
+    assert e.count() == 0
+    with _pytest.raises(Exception, match="DEFAULT or ALL"):
+        e.update("CLEAR GRAPH <http://example.com/g>")
