@@ -395,8 +395,23 @@ class Parser:
             raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
         return q
 
-    def parse_update(self) -> UpdateRequest:
+    def parse_update(self) -> list[UpdateRequest]:
+        """An update request: one or more operations separated by ``;``
+        (SPARQL 1.1 Update §3 — operations apply in sequence)."""
         self.parse_prologue()
+        ops = [self._parse_update_op()]
+        while self.accept(";"):
+            if self.peek().kind == "EOF":  # trailing ';' is legal
+                break
+            # each operation may carry its own prologue per the grammar
+            self.parse_prologue()
+            ops.append(self._parse_update_op())
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
+        return ops
+
+    def _parse_update_op(self) -> UpdateRequest:
         delete_t = insert_t = None
         if self.at_keyword("CLEAR"):
             self.next()
@@ -405,10 +420,6 @@ class Parser:
             for tgt in ("DEFAULT", "ALL"):
                 if self.at_keyword(tgt):
                     self.next()
-                    t = self.peek()
-                    if t.kind != "EOF":
-                        raise SparqlSyntaxError(
-                            self.text, t.pos, f"trailing input {t.text!r}")
                     return UpdateRequest(None, None, None, clear=tgt)
             t = self.peek()
             raise SparqlSyntaxError(
@@ -446,10 +457,6 @@ class Parser:
                 self.expect("}")
                 self.i = save
                 where = self.parse_group()
-                t = self.peek()
-                if t.kind != "EOF":
-                    raise SparqlSyntaxError(
-                        self.text, t.pos, f"trailing input {t.text!r}")
                 return UpdateRequest(tpl, None, where)
             self.expect("{")
             delete_t = self.parse_triples_block()
@@ -466,9 +473,6 @@ class Parser:
         if self.at_keyword("WHERE"):
             self.next()
             where = self.parse_group()
-        t = self.peek()
-        if t.kind != "EOF":
-            raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
         return UpdateRequest(delete_t, insert_t, where)
 
     # --- SELECT ---

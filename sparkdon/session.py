@@ -372,11 +372,17 @@ class LocalEndpoint(Endpoint):
     # -- update (Q4 / S6) ----------------------------------------------
 
     def update(self, sparql: str, bindings: dict | None = None) -> None:
-        """INSERT/DELETE ... WHERE applied once; the graph reference is
-        swapped to a new immutable snapshot (gastrodon mutates rdflib
-        in place, gastrodon/__init__.py:596-623, 803-805)."""
+        """One or more ``;``-separated update operations applied in
+        sequence (each sees its predecessors' effects); the graph
+        reference is swapped to a new immutable snapshot per operation
+        (gastrodon mutates rdflib in place,
+        gastrodon/__init__.py:596-623, 803-805)."""
         sparql = self._prepare(sparql, bindings)
-        u = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        ops = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        for u in ops:
+            self._apply_update(u)
+
+    def _apply_update(self, u) -> None:
         compiler = self._compiler()
         new = self.graph
         if u.clear:
@@ -407,7 +413,10 @@ class LocalEndpoint(Endpoint):
         forward-chaining closure (G7, Inference_Over_RDF_Containers
         #cell17,26,33 applies rules repeatedly)."""
         sparql = self._prepare(sparql, bindings)
-        u = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        ops = _parse_update_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
+        if len(ops) != 1:
+            raise SparkdonError("update_to_fixpoint needs exactly one rule")
+        u = ops[0]
         if not u.insert_template or u.where is None or u.delete_template:
             raise SparkdonError("update_to_fixpoint needs an INSERT ... WHERE rule")
 

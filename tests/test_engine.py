@@ -354,3 +354,18 @@ def test_update_clear(spark):
     assert e.count() == 0
     with _pytest.raises(Exception, match="DEFAULT or ALL"):
         e.update("CLEAR GRAPH <http://example.com/g>")
+
+
+def test_update_operation_sequence(spark):
+    """Multiple ';'-separated operations apply in order, each seeing
+    its predecessors' effects (SPARQL 1.1 Update request sequences)."""
+    e = inline(BOROS_TTL, spark)
+    e.update("""
+        CLEAR DEFAULT ;
+        INSERT DATA { :x :v 1 } ;
+        INSERT { :x :doubled ?w } WHERE { :x :v ?w } ;
+        DELETE WHERE { :x :v ?w } ;
+    """)
+    assert e.count() == 1
+    df = e.select("SELECT ?w { :x :doubled ?w }")
+    assert list(df["w"]) == [1]
