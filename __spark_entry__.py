@@ -77,7 +77,7 @@ _FRONT = [
     "x_chunk_dedup", "x_semantic_dedup", "x_pq_codes", "x_sim_pq",
     "x_mix_sample", "x_pack_sequences", "x_tfidf_topk", "x_corpus_pack",
     "x_json_extract", "x_embed_gram", "x_neg_sample", "x_length_buckets",
-    "x_join_stream",
+    "x_winsorize", "x_join_stream",
     "x_sliding_stream", "x_session_stream", "x_pii_scrub",
     "x_contamination", "q_peel_bnode_closure",
     # cut at 50 in the r06 window; green r02 + every local run

@@ -70,6 +70,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_text_repetition",
             "x_vocab_topk",
             "x_event_percentiles",
+            "x_winsorize",
             "x_json_extract",
             "x_sample_stratified",
             "x_mix_sample",

@@ -2680,6 +2680,57 @@ def whiten_embeddings(spark, sf_dir, eps: float = 1e-6) -> DataFrame:
     return e.mapInPandas(apply_w, schema=schema)
 
 
+@register(
+    "x_winsorize",
+    "WITH q AS (SELECT event_type, "
+    " FLOOR(100 * quantile_cont(value, 0.05)) / 100 AS lo, "
+    " FLOOR(100 * quantile_cont(value, 0.95)) / 100 AS hi "
+    " FROM events GROUP BY event_type) "
+    "SELECT e.event_type, COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(LEAST(GREATEST(e.value, q.lo), q.hi) AS DECIMAL(18,2))) "
+    " AS DOUBLE) AS sum_clipped, "
+    "CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_low, "
+    "CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_high "
+    "FROM events e JOIN q USING (event_type) GROUP BY e.event_type",
+)
+def x_winsorize(spark, sf_dir):
+    """Winsorization — the outlier-clipping stage of metric cleaning:
+    per event type, clip values to the [p05, p95] band and report the
+    clipped sum plus how many rows hit each side.  Thresholds are
+    quantized to 2 decimals (floor) so both engines compare against
+    BIT-IDENTICAL bounds — interpolated percentiles at non-binary
+    fractions can differ in the last ulp between engines, and a clip
+    compare must not hinge on that; the clipped sum goes through
+    DECIMAL so the cross-row sum is order-independent (the money
+    trick).
+
+    100 TB shape: one percentile partial agg per (low-cardinality)
+    type, broadcast back for a narrow clip map, one partial-agg
+    report — the corpus shuffles zero times (both aggs are map-side
+    partial on the same key)."""
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        (F.floor(100 * F.expr("percentile(value, 0.05D)")) / 100).alias("lo"),
+        (F.floor(100 * F.expr("percentile(value, 0.95D)")) / 100).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(clipped.cast("decimal(18,2)")).cast("double")
+            .alias("sum_clipped"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_high"),
+        )
+    )
+
+
 def vocab_size_exact(spark, sf_dir) -> DataFrame:
     """Exact per-language vocabulary size (distinct whitespace tokens) —
     the correctness baseline for the HLL sketch twin below."""

@@ -1119,3 +1119,24 @@ def test_pq_trained_codebooks_beat_naive_sample(spark):
         return err / len(v)
 
     assert mse(trained) < mse(naive)
+
+
+def test_winsorize_clips_about_ten_percent(spark):
+    """~5% of rows clip on each side per event type (quantized p05/p95
+    thresholds), and the clipped sum is bounded by the raw sum of the
+    band edges."""
+    from sparkdon.pipeline import table, x_winsorize
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["event_type"]: r for r in x_winsorize(spark, sf).collect()}
+    totals = {r["event_type"]: r["n"] for r in
+              table(spark, sf, "events").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(rows) == set(totals)
+    for t, r in rows.items():
+        n = totals[t]
+        assert r["cnt"] == n
+        # quantized-floor thresholds shift the band slightly low:
+        # allow [2%, 9%] on each side around the nominal 5%
+        assert 0.02 * n <= r["n_low"] <= 0.09 * n, (t, r["n_low"], n)
+        assert 0.02 * n <= r["n_high"] <= 0.09 * n, (t, r["n_high"], n)
