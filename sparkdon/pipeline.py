@@ -2010,12 +2010,12 @@ def _corpus_keep_frame(spark, sf_dir) -> DataFrame:
     " FROM comp c JOIN grams USING (doc_id) "
     " WHERE c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
     f" AND NOT ({_duck_rep_bad('g')})), "
-    "c2 AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER ("
+    "c2 AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER ("
     " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-    " AS start_tok FROM keepq) "
+    " AS BIGINT) AS start_tok FROM keepq) "
     "SELECT doc_id, n_tok, start_tok, "
     f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
-    f"start_tok % {PACK_SEQ_LEN} AS seq_offset "
+    f"CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset "
     "FROM c2",
 )
 def x_corpus_pack(spark, sf_dir):
@@ -2814,12 +2814,12 @@ def x_tfidf_topk(spark, sf_dir):
     "x_pack_sequences",
     "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
     " AS n_tok FROM documents), "
-    "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER ("
+    "c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER ("
     " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-    " AS start_tok FROM d) "
+    " AS BIGINT) AS start_tok FROM d) "
     "SELECT doc_id, n_tok, start_tok, "
     f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
-    f"start_tok % {PACK_SEQ_LEN} AS seq_offset, "
+    f"CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset, "
     f"CAST(FLOOR((start_tok + n_tok - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS end_seq "
     "FROM c",
 )
