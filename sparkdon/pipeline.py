@@ -2514,6 +2514,74 @@ def x_pq_codes(spark, sf_dir):
     return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
 
 
+def _pq_trained_oracle_sql() -> str:
+    m, sub, k = PQ_M, PQ_SUB, PQ_K
+
+    def dist(cv, v):
+        return (f"list_sum(list_transform(list_zip({cv}, {v}), "
+                "x -> (x[2]-x[1])*(x[2]-x[1])))")
+
+    def mean(src):
+        return (
+            f"(SELECT m, cell, list(val ORDER BY pos) AS cv FROM "
+            f" (SELECT m, cell, pos, FLOOR(AVG(sv[pos]) * 1e6)/1e6 AS val "
+            f"  FROM {src}, (SELECT unnest(generate_series(1, {sub})) AS pos) p "
+            f"  GROUP BY m, cell, pos) GROUP BY m, cell)"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m), "
+        f"sv AS (SELECT e.vec_id, ms.m, e.v[ms.m*{sub}+1 : ms.m*{sub}+{sub}] "
+        " AS sv FROM e, ms), "
+        # deterministic hash-group init, exactly kmeans_fit's vec_id % k
+        f"g0 AS (SELECT m, vec_id % {k} AS cell, sv FROM sv), "
+        f"cv0 AS {mean('g0')}, "
+        # one Lloyd round: assign on RAW squared L2 (dist, cell) order —
+        # the _ivf_cells training comparator — then re-mean
+        "a1 AS (SELECT s.m, s.sv, (SELECT c.cell FROM cv0 c WHERE c.m = s.m "
+        f" ORDER BY {dist('c.cv', 's.sv')} ASC, c.cell ASC LIMIT 1) AS cell "
+        " FROM sv s), "
+        f"m1 AS {mean('a1')}, "
+        # empty-cluster carryover: a cell that lost every member keeps
+        # its previous centroid ({**cents, **new} in kmeans_fit)
+        "cv1 AS (SELECT p.m, p.cell, COALESCE(n.cv, p.cv) AS cv "
+        " FROM cv0 p LEFT JOIN m1 n USING (m, cell)), "
+        # final encode: FLOORED-integer dist + j tie-break, the portable
+        # comparator of _pq_codes_array_expr
+        "best AS (SELECT s.vec_id, s.m, (SELECT c.cell FROM cv1 c "
+        " WHERE c.m = s.m ORDER BY CAST(FLOOR(1e6 * "
+        f"{dist('c.cv', 's.sv')}) AS BIGINT) ASC, c.cell ASC LIMIT 1) AS j "
+        " FROM sv s) "
+        "SELECT vec_id, string_agg(j::VARCHAR, ',' ORDER BY m) AS codes "
+        "FROM best GROUP BY vec_id"
+    )
+
+
+@register("x_pq_trained", _pq_trained_oracle_sql())
+def x_pq_trained(spark, sf_dir):
+    """PQ encode with TRAINED codebooks — the real build step gated
+    end-to-end: each subspace's 16-entry codebook is k-means-trained by
+    :func:`pq_train_codebooks` (deterministic hash-group init + one
+    Lloyd round, centroids quantized to 1e-6, empty cells carry over),
+    then every vector is encoded against the trained books.  The DuckDB
+    oracle recomputes the whole chain — init means, Lloyd assignment on
+    the raw-distance comparator, carryover merge, floored-argmin encode
+    — so the gate verifies training AND encoding, not just the argmin
+    over a handed-down codebook (``x_pq_codes`` keeps the naive
+    first-K-sample variant; pytest asserts the trained books strictly
+    reduce reconstruction error vs that sample).
+
+    100 TB shape: identical to ``x_pq_codes`` serving plus the
+    ``kmeans_fit`` build — per subspace one narrow assignment pass and a
+    (cell, dim)-keyed partial agg; the driver holds only PQ_K×64 floats
+    of model state.  Encoding stays a single narrow codegen pass over
+    broadcast codebook literals."""
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    cb = pq_train_codebooks(e, iters=1)
+    return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
+
+
 @register(
     "x_json_extract",
     "SELECT event_type, COUNT(*) AS cnt, "
@@ -3024,8 +3092,17 @@ def x_sim_pq(spark, sf_dir):
     the per-query shortlist bounds the exact-refine join to
     ``PQ_SHORTLIST`` float-vector reads per query.  Codebooks ride the
     closure as literals, exactly like the IVF centroids."""
+    return _pq_ann(spark, sf_dir)
+
+
+def _pq_ann(spark, sf_dir, cb: list | None = None):
+    """PQ-ADC + exact re-rank over an arbitrary codebook (default: the
+    deterministic first-K sample ``x_sim_pq`` oracles; pass
+    :func:`pq_train_codebooks` output for the trained A/B that
+    tests/test_pipeline.py asserts recall on)."""
     e = _ann_vectors(spark, sf_dir, spread=True)
-    cb = _pq_codebook(e)
+    if cb is None:
+        cb = _pq_codebook(e)
     coded = e.select("vec_id", _pq_codes_array_expr(cb).alias("codes"))
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
     q = en.filter(F.col("vec_id") < 10).select(
