@@ -2362,15 +2362,18 @@ def x_semantic_dedup(spark, sf_dir):
     machinery with cluster as the bucket key); the final keep bit is
     one left anti lookup.  Nothing quadratic in the corpus.
 
-    CAP CAVEAT: clusters over ``MINHASH_BUCKET_CAP`` are dropped from
-    pair generation by the shared machinery (their members all report
-    kept=1).  With the fixture's fixed-K label centroids, cluster size
-    grows with the corpus, so past ~1000 vectors/cluster the operator
-    needs MORE CLUSTERS, not a bigger cap — that is SemDeDup's own
-    design rule (cluster count scales with corpus so clusters stay
-    pair-able).  ``semantic_overflow_clusters`` is the monitoring twin
-    that surfaces any cluster the cap would silence; it is the same
-    monitor-then-route pattern as ``minhash_overflow_buckets``."""
+    CAP GUARD: the gate RAISES if any cluster exceeds
+    ``MINHASH_BUCKET_CAP`` — its oracle enumerates ALL intra-cluster
+    pairs, so a silently capped Spark side would diverge exactly when
+    the fixture grows (the round-7 advisor finding).  With the
+    fixture's fixed-K label centroids, cluster size grows with the
+    corpus, so past ~1000 vectors/cluster the operator needs MORE
+    CLUSTERS, not a bigger cap — SemDeDup's own design rule.
+    ``semantic_overflow_clusters`` is the monitoring twin;
+    :func:`routed_semantic_pairs` is the production path that keeps
+    going instead of raising — it re-clusters overflowed cells at
+    higher K, the same monitor-then-route pattern as
+    ``routed_minhash_pairs``."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -2380,6 +2383,16 @@ def x_semantic_dedup(spark, sf_dir):
     asg = e.select(
         "vec_id", "v",
         _ivf_cells(cents)[0]["cell"].alias("cluster"))
+    n_over = (asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") > MINHASH_BUCKET_CAP).count())
+    if n_over:
+        raise ValueError(
+            f"x_semantic_dedup: {n_over} cluster(s) exceed the "
+            f"pair-generation cap ({MINHASH_BUCKET_CAP}) — the gate's "
+            "all-intra-cluster-pairs oracle would silently diverge. "
+            "Raise the cluster count (SemDeDup's scaling rule) or use "
+            "routed_semantic_pairs, the production path that re-clusters "
+            "overflowed cells at higher K.")
     pairs = _bucket_pairs(
         asg.select(F.col("vec_id").alias("doc_id"),
                    F.lit(0).alias("band"),
@@ -2428,6 +2441,88 @@ def semantic_overflow_clusters(spark, sf_dir,
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .filter(F.col("n_vecs") > cap)
     )
+
+
+def routed_semantic_pairs(asg: DataFrame,
+                          cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Semantic-dedup candidate pairs with the overflow fallback WIRED
+    IN — the production counterpart of the loud guard in
+    ``x_semantic_dedup`` and the semantic twin of
+    :func:`routed_minhash_pairs`.  Input: a (vec_id, v, cluster)
+    assignment frame.
+
+    Clusters within the cap pair up bucket-locally as before.  Clusters
+    OVER the cap are re-clustered at higher K — SemDeDup's scaling rule
+    applied locally: each overflowed cluster is split into
+    ``ceil(2·n/cap)`` subclusters by one deterministic mini-Lloyd round
+    (hash-group init on vec_id, per-(cluster, sub, dim) partial-agg
+    means quantized to 1e-6, re-assignment by squared L2 with sub
+    tie-break), and pairs are generated within (cluster, sub).  Unlike
+    the gate's literal-centroid assignment, the split is join-based —
+    sub-centroids stay a DataFrame keyed (cluster, sub), so ANY number
+    of clusters can overflow without driver state.
+
+    Last-resort star fallback: a subcluster still over the cap after
+    the split is almost always an identical-embedding pile (every
+    member at cosine 1, so all are dups of the first) — exactly like
+    MinHash's exact-text piles.  Those members pair star-wise to their
+    bucket's min-id on the EXACT vector bytes, linear in pile size.
+    Near-identical (but not byte-equal) members of a still-overflowed
+    subcluster are the one recall loss, surfaced by
+    ``semantic_overflow_clusters`` for operator follow-up.
+
+    100 TB shapes: sizes are one partial agg; the split touches ONLY
+    overflow docs (one posexplode agg + one dist join bounded by
+    docs × subcells-per-cluster ≈ 2·n/cap per doc); pair generation
+    stays bucket-local and capped everywhere."""
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    base = _bucket_pairs(
+        asg.select(F.col("vec_id").alias("doc_id"),
+                   F.lit(0).alias("band"),
+                   F.col("cluster").alias("bk")), cap)
+    over = sizes.filter(F.col("n") > cap)
+    od = (asg.join(F.broadcast(over), "cluster")
+          .withColumn("sub0", F.pmod(F.col("vec_id"),
+                                     F.ceil(F.lit(2.0) * F.col("n") / cap)
+                                     .cast("long")))
+          .localCheckpoint())
+    subcents = (
+        od.select("cluster", "sub0", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "sub0", "pos")
+        .agg((F.floor(F.avg("x") * 1e6) / 1e6).alias("val"))
+        .groupBy("cluster", "sub0")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select("cluster", F.col("sub0").alias("sub"),
+                F.transform("pv", lambda s: s["val"]).alias("cv"))
+    )
+    dist = F.aggregate(F.zip_with("v", "cv", lambda a, c: (a - c) * (a - c)),
+                       F.lit(0.0), lambda acc, t: acc + t)
+    wsub = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("sub"))
+    split = (
+        od.join(subcents, "cluster")
+        .select("vec_id", "v", "cluster", "sub", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(wsub))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster", "sub")
+    )
+    sub_pairs = _bucket_pairs(
+        split.select(F.col("vec_id").alias("doc_id"),
+                     F.col("cluster").alias("band"),
+                     F.col("sub").alias("bk")), cap)
+    still = (split.groupBy("cluster", "sub")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > cap)
+             .select("cluster", "sub"))
+    piles = (split.join(still, ["cluster", "sub"])
+             .select("vec_id",
+                     F.md5(F.to_json(F.struct("v"))).alias("vh")))
+    wpile = Window.partitionBy("vh")
+    star = (
+        piles.withColumn("d1", F.min("vec_id").over(wpile))
+        .filter(F.col("vec_id") != F.col("d1"))
+        .select("d1", F.col("vec_id").alias("d2"))
+    )
+    return base.unionByName(sub_pairs).unionByName(star).distinct()
 
 
 #: product quantization geometry: 64 dims → 8 subspaces × 8 dims, 16

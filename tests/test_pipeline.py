@@ -984,6 +984,70 @@ def test_semantic_overflow_monitor(spark):
     assert flagged.count() == 10  # every label cluster exceeds cap=2
 
 
+def test_semantic_dedup_raises_on_cap_overflow(spark, monkeypatch):
+    """The gate must fail LOUDLY (not silently under-dedup) when any
+    cluster exceeds the pair-generation cap — the round-7 advisor
+    finding: its oracle enumerates all intra-cluster pairs, so a capped
+    Spark side diverges exactly when the fixture grows."""
+    import pytest as _pytest
+
+    import sparkdon.pipeline as pl
+
+    monkeypatch.setattr(pl, "MINHASH_BUCKET_CAP", 3)
+    with _pytest.raises(ValueError, match="routed_semantic_pairs"):
+        pl.x_semantic_dedup(spark, SF)
+
+
+def test_routed_semantic_pairs_overflow_fallback(spark):
+    """Pathological single-cluster fixture: 6 orthogonal one-hot base
+    vectors × 20 identical copies, all in one cluster, cap 10.  The
+    higher-K split keeps each identical pile together (same argmin
+    subcell), the still-over piles fall back to exact-byte star pairs,
+    and the SemDeDup keep-set recomputed from the ROUTED pairs equals
+    the uncapped all-intra-cluster-pairs result: one representative
+    per pile."""
+    import sparkdon.pipeline as pl
+    from pyspark.sql import functions as F
+
+    n_base, n_copy, dims, cap = 6, 20, 16, 10
+    rows = [
+        (b * n_copy + c, [1.0 if d == b else 0.0 for d in range(dims)], 0)
+        for b in range(n_base) for c in range(n_copy)
+    ]
+    asg = spark.createDataFrame(
+        rows, "vec_id: long, v: array<double>, cluster: long")
+    pairs = pl.routed_semantic_pairs(asg, cap=cap).collect()
+    assert all(r["d1"] < r["d2"] for r in pairs)
+    # identical pairs (cosine 1) drop every non-min member: the drops
+    # under SemDeDup's earlier-neighbor rule are exactly the non-reps
+    dropped = {r["d2"] for r in pairs
+               if r["d1"] // n_copy == r["d2"] // n_copy}
+    expect_dropped = {b * n_copy + c
+                      for b in range(n_base) for c in range(1, n_copy)}
+    assert dropped == expect_dropped
+    # orthogonal cross-pile pairs never reach the cosine bar, so even
+    # if the split emits some, the keep-set is unaffected; sanity-check
+    # the routed set stays far from quadratic (120²/2 = 7140)
+    assert len(pairs) < 1000
+
+
+def test_routed_semantic_pairs_noop_without_overflow(spark):
+    """With no cluster over the cap the routed set IS the plain
+    bucket-local set — the fallback must cost nothing when unused."""
+    import sparkdon.pipeline as pl
+    from pyspark.sql import functions as F
+
+    e = pl.table(spark, SF, "embeddings").select(
+        "vec_id", F.col("label").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    base = {(r["d1"], r["d2"]) for r in pl._bucket_pairs(
+        e.select(F.col("vec_id").alias("doc_id"), F.lit(0).alias("band"),
+                 F.col("cluster").alias("bk"))).collect()}
+    routed = {(r["d1"], r["d2"])
+              for r in pl.routed_semantic_pairs(e).collect()}
+    assert routed == base and base
+
+
 def test_embed_gram_symmetric_and_matches_numpy(spark):
     """The Gram matrix is exactly symmetric (decimal sums of identical
     products) and matches a numpy recompute within floor rounding."""
