@@ -411,21 +411,47 @@ class Parser:
             raise SparqlSyntaxError(self.text, t.pos, f"trailing input {t.text!r}")
         return ops
 
+    def _reject_bnodes(self, triples, pos: int, where: str) -> None:
+        """SPARQL 1.1 Update forbids blank nodes in delete positions
+        (§3.1.2 DELETE DATA, §3.1.3 DELETE templates, §3.1.3.2
+        DELETE WHERE) — a bnode can never match-by-name, so accepting
+        one silently deletes nothing."""
+        for tr in triples:
+            if any(isinstance(x, BNode) for x in (tr.s, tr.p, tr.o)):
+                raise SparqlSyntaxError(
+                    self.text, pos,
+                    f"blank nodes are not allowed in {where}")
+
     def _parse_update_op(self) -> UpdateRequest:
         delete_t = insert_t = None
         if self.at_keyword("CLEAR"):
             self.next()
+            silent = False
             if self.at_keyword("SILENT"):
                 self.next()
+                silent = True
             for tgt in ("DEFAULT", "ALL"):
                 if self.at_keyword(tgt):
                     self.next()
                     return UpdateRequest(None, None, None, clear=tgt)
+            # GRAPH <iri> / NAMED: unsupported targets on this
+            # single-graph store.  Per SPARQL 1.1 Update §3.2.3 SILENT
+            # suppresses the failure — consume the target and no-op;
+            # without SILENT the error is the correct outcome.
             t = self.peek()
+            if self.at_keyword("NAMED"):
+                self.next()
+                if silent:
+                    return UpdateRequest(None, None, None)
+            elif self.at_keyword("GRAPH"):
+                self.next()
+                self.parse_iri()  # the target graph IRI
+                if silent:
+                    return UpdateRequest(None, None, None)
             raise SparqlSyntaxError(
                 self.text, t.pos,
                 "CLEAR supports DEFAULT or ALL on this single-graph "
-                f"store (got {t.text!r})")
+                f"store (got {t.text!r}; add SILENT for a no-op)")
         if self.at_keyword("INSERT"):
             self.next()
             if self.at_keyword("DATA"):
@@ -442,8 +468,12 @@ class Parser:
             if self.at_keyword("DATA"):
                 self.next()
                 self.expect("{")
+                pos = self.peek().pos
                 tpl = self.parse_triples_block(allow_vars=False)
                 self.expect("}")
+                # §3.1.2: blank nodes are not permitted in DELETE DATA
+                # (they are fine in INSERT DATA, where they mint nodes)
+                self._reject_bnodes(tpl, pos, "DELETE DATA")
                 return UpdateRequest(tpl, None, None)
             if self.at_keyword("WHERE"):
                 # DELETE WHERE { P }: the quad pattern is both the
@@ -453,14 +483,21 @@ class Parser:
                 self.next()
                 save = self.i
                 self.expect("{")
+                brace_pos = self.peek().pos
                 tpl = self.parse_triples_block()
                 self.expect("}")
+                # SPARQL 1.1 Update §3.1.3.2: the QuadPattern of
+                # DELETE WHERE must not contain blank nodes
+                self._reject_bnodes(tpl, brace_pos, "DELETE WHERE")
                 self.i = save
                 where = self.parse_group()
                 return UpdateRequest(tpl, None, where)
             self.expect("{")
+            pos = self.peek().pos
             delete_t = self.parse_triples_block()
             self.expect("}")
+            # §3.1.3: the DELETE template must not contain blank nodes
+            self._reject_bnodes(delete_t, pos, "a DELETE template")
             if self.at_keyword("INSERT"):
                 self.next()
                 self.expect("{")

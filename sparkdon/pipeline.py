@@ -1374,7 +1374,7 @@ def x_dedup_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(target)
 
 
@@ -1420,7 +1420,7 @@ def x_window_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(target).select(
         "bucket", "event_type", "cnt",
         F.col("sum_value").cast("double").alias("sum_value"))
@@ -1429,7 +1429,16 @@ def x_window_stream(spark, sf_dir):
 def _events_stream(spark, sf_dir):
     """File-source stream over the events fixture with ``ts`` cast to a
     watermarkable TIMESTAMP (shared by the streaming gates; see the NTZ
-    note on x_dedup_stream)."""
+    note on x_dedup_stream).
+
+    SINGLE-BATCH INGESTION IS PINNED: the fixture is one parquet file
+    and no ``maxFilesPerTrigger`` is set, so ``Trigger.AvailableNow``
+    processes everything in one micro-batch.  The watermark-bearing
+    gates rely on this — with multiple batches a 1-hour watermark could
+    evict state between batches and drop late rows the batch oracles
+    keep (correct streaming semantics, but a different answer).  If the
+    fixture ever splits into multiple files, the oracles must model
+    eviction or the watermark must widen past the fixture's time span."""
     src = f"{sf_dir}/events.parquet"
     return (
         spark.readStream.format("parquet")
@@ -1438,6 +1447,18 @@ def _events_stream(spark, sf_dir):
         .load(sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+
+
+def _await_stream(q, timeout_s: int = 300) -> None:
+    """awaitTermination with the timeout made LOUD: a False return
+    means the query is still running — reading its sink now would
+    surface as a confusing partial-value mismatch downstream, so stop
+    the query and raise instead (round-7 advisor finding)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query '{q.name or q.id}' did not finish within "
+            f"{timeout_s}s; sink contents would be partial")
 
 
 def _run_complete_snapshot(df, kind: str, sf_dir: str):
@@ -1458,7 +1479,7 @@ def _run_complete_snapshot(df, kind: str, sf_dir: str):
         .start()
     )
     spark = df.sparkSession
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(target)
 
 
@@ -3320,5 +3341,5 @@ def x_join_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(target)

@@ -105,5 +105,8 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query '{name}' did not finish within {timeout_s}s")
     return q

@@ -356,6 +356,47 @@ def test_update_clear(spark):
         e.update("CLEAR GRAPH <http://example.com/g>")
 
 
+def test_update_clear_silent_unsupported_targets_noop(spark):
+    """SPARQL 1.1 Update §3.2.3: SILENT suppresses the failure of an
+    unsupported CLEAR target — GRAPH <g> / NAMED no-op instead of
+    raising, and the store is untouched; without SILENT they still
+    error.  Sequences keep applying after the silent no-op."""
+    import pytest as _pytest
+
+    e = inline(BOROS_TTL, spark)
+    n0 = e.count()
+    assert n0 > 0
+    e.update("CLEAR SILENT GRAPH <http://example.com/g>")
+    assert e.count() == n0
+    e.update("CLEAR SILENT NAMED")
+    assert e.count() == n0
+    e.update("CLEAR SILENT GRAPH <http://example.com/g> ; "
+             "INSERT DATA { :a :b :c }")
+    assert e.count() == n0 + 1
+    with _pytest.raises(Exception, match="DEFAULT or ALL"):
+        e.update("CLEAR NAMED")
+
+
+def test_update_delete_rejects_blank_nodes(spark):
+    """Blank nodes are forbidden in every delete position (§3.1.2 /
+    §3.1.3 / §3.1.3.2) — they could never match by name, so accepting
+    one silently deletes nothing.  INSERT DATA keeps accepting bnodes
+    (there they mint fresh nodes)."""
+    import pytest as _pytest
+
+    e = inline(BOROS_TTL, spark)
+    for op in (
+        "DELETE WHERE { _:b :v ?w }",
+        "DELETE DATA { _:b :v 1 }",
+        "DELETE { _:b :v ?w } WHERE { ?s :v ?w }",
+    ):
+        with _pytest.raises(Exception, match="blank nodes"):
+            e.update(op)
+    n0 = e.count()
+    e.update("INSERT DATA { _:fresh :v 1 }")
+    assert e.count() == n0 + 1
+
+
 def test_update_operation_sequence(spark):
     """Multiple ';'-separated operations apply in order, each seeing
     its predecessors' effects (SPARQL 1.1 Update request sequences)."""
