@@ -452,15 +452,22 @@ def x_sim_topk(spark, sf_dir):
     baseline ANN.  The query side is tiny and broadcast; the corpus side
     streams once.  Cosine is a fold over ``zip_with`` (pure codegen)."""
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).select("vec_id", "v", _norm_col("v").alias("nv"))
-    q = e.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    return exact_cosine_topk(e)
+
+
+def exact_cosine_topk(e: DataFrame, k: int = 5, n_q: int = 10) -> DataFrame:
+    """Exact per-query cosine top-k over any (vec_id, v) frame (queries
+    are ``vec_id < n_q``) — the frame-parameterized core of
+    ``x_sim_topk``, reused by the whitened-space A/B in pytest."""
+    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
+    q = en.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nv").alias("qn"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     sims = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
@@ -468,7 +475,7 @@ def x_sim_topk(spark, sf_dir):
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
 def _sim_lsh_bucketed_oracle_sql() -> str:
@@ -673,14 +680,23 @@ def x_sim_lsh_refined(spark, sf_dir):
     - recall tunes with bands×planes (more bands → higher recall, more
       candidates), asserted against the exact baseline in pytest.
     """
-    e = _ann_vectors(spark, sf_dir, spread=True)
+    return lsh_refined_topk(_ann_vectors(spark, sf_dir, spread=True))
+
+
+def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
+                     mat: list | None = None) -> DataFrame:
+    """Banded-LSH candidates + exact cosine top-k refine over any
+    (vec_id, v) frame — the frame-parameterized core of
+    ``x_sim_lsh_refined``, reused by the whitened-space A/B in
+    pytest."""
+    mat = _ANN_MAT if mat is None else mat
 
     # narrow (vec_id, band:bucket) form — wide vectors stay behind
     keys = e.select(
-        "vec_id", F.posexplode(_band_bucket_array(_ANN_MAT)).alias("band", "bk0"),
+        "vec_id", F.posexplode(_band_bucket_array(mat)).alias("band", "bk0"),
     ).select("vec_id", F.concat_ws(":", "band", "bk0").alias("bk"))
     q_keys = (
-        keys.filter(F.col("vec_id") < 10)
+        keys.filter(F.col("vec_id") < n_q)
         .select(F.col("vec_id").alias("qid"), "bk")
     )
     cand = (
@@ -691,7 +707,7 @@ def x_sim_lsh_refined(spark, sf_dir):
     )
 
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
-    qv = en.filter(F.col("vec_id") < 10).select(
+    qv = en.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nv").alias("qn"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda a, x: a * x),
@@ -706,7 +722,7 @@ def x_sim_lsh_refined(spark, sf_dir):
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
 # --- IVF (coarse-quantizer) ANN --------------------------------------------
