@@ -1774,6 +1774,59 @@ def x_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "x_split_by_cluster",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node) "
+    "SELECT doc_id, rep AS cluster_rep, "
+    "CAST(CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    " % 10000 AS BIGINT) AS draw, "
+    "CASE WHEN CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    "  % 10000 < 9000 THEN 'train' "
+    " WHEN CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    "  % 10000 < 9500 THEN 'val' ELSE 'test' END AS split "
+    "FROM comp",
+)
+def x_split_by_cluster(spark, sf_dir):
+    """Leakage-safe train/val/test split — the assignment step every
+    training pipeline needs before writing shards: the split is drawn
+    per near-dup CLUSTER (deterministic md5 draw on the component
+    representative's id, 90/5/5), and every member inherits its
+    cluster's split — so two near-duplicate documents can never land
+    on opposite sides of a train/test boundary and leak eval answers
+    into training.  Content-keyed and engine-portable like the other
+    sampling gates: the same document lands in the same split on every
+    run, engine, and cluster size.
+
+    100 TB shape: reuses the memoized component frame (id-only
+    propagation, shared with ``x_dedup_clusters`` / ``x_corpus_keep``);
+    the draw and split label are one narrow codegen map over it —
+    nothing new shuffles.  The oracle recomputes components via the
+    recursive CTE and the identical md5 arithmetic."""
+    comp = _doc_components(spark, sf_dir)
+    draw = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit("split"),
+                          F.col("rep").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("cluster_rep"),
+        draw.alias("draw"),
+        F.when(draw < 9000, F.lit("train"))
+        .when(draw < 9500, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@register(
     "x_event_percentiles",
     "SELECT event_type, COUNT(*) AS cnt, "
     "CAST(FLOOR(1e4 * quantile_cont(value, 0.5)) AS BIGINT) AS p50_scaled, "
@@ -2215,6 +2268,94 @@ def x_contamination(spark, sf_dir):
             "doc_id",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.when(F.coalesce("n_hit", F.lit(0)) > 0, 1).otherwise(0)
+            .cast("long").alias("contaminated"),
+        )
+    )
+
+
+#: Bloom geometry for the decontamination twin: 2^20 bits (128 KiB
+#: packed) and 5 hash draws.  At the production regime (~10 bits/gram
+#: for the benchmark set) the false-positive rate is ~1 %; size m to
+#: the benchmark gram count, the corpus size is irrelevant.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 5
+
+
+def _bloom_positions(gram_col) -> F.Column:
+    """array<long> of BLOOM_K bit positions for a gram — independent
+    xxhash64 draws (gram salted with the draw index), pure JVM-side
+    codegen so the hot corpus path never touches Python."""
+    return F.array(*[
+        F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_K)
+    ])
+
+
+def bloom_build(grams: DataFrame, col: str = "gram"):
+    """Distributed Bloom-filter build: explode each gram's BLOOM_K bit
+    positions, distinct them (bounded by m, not by gram count), and
+    pack the collected positions into a uint8 bitset driver-side —
+    BLOOM_M_BITS/8 bytes of model state, like the IVF centroids."""
+    import numpy as np
+
+    pos = (grams.select(F.explode(_bloom_positions(F.col(col))).alias("p"))
+           .distinct().collect())
+    bits = np.zeros(BLOOM_M_BITS, dtype=bool)
+    bits[[r["p"] for r in pos]] = True
+    return np.packbits(bits)
+
+
+def bloom_decontaminate(spark, sf_dir) -> DataFrame:
+    """The 100 TB decontamination path — Bloom twin of the exact
+    ``x_contamination`` gate (same benchmark slice, same 8-grams): the
+    benchmark gram set is compressed into a broadcast bitset instead of
+    a broadcast hash set, and every corpus gram probes it.  By
+    construction there are NO false negatives (every exactly-
+    contaminated document is flagged); false positives are the ~1 %
+    price, and the standard production topology confirms survivors with
+    the exact join — which then touches only the flagged sliver.
+
+    Not oracle-gated (the bitset is engine-specific, the same standing
+    as the HLL/t-digest twins); pytest asserts the superset property
+    and the false-positive budget against the exact gate.
+
+    100 TB shapes: build cost is keyed by the BENCHMARK size (the small
+    side) and collapses to ≤ m distinct positions; the corpus-side
+    probe is a narrow pass — positions in codegen, the bitset lookup
+    Arrow-vectorized per batch (a (n × k) numpy gather, never per-row
+    Python); nothing about the corpus ever shuffles."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(F.expr(_G8_SPARK)).alias("gram"))
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("gram").distinct())
+    packed = bloom_build(bench)
+    bc = spark.sparkContext.broadcast(packed)
+
+    @pandas_udf("boolean")
+    def might_contain(pos_s):
+        import pandas as pd
+
+        bits = np.unpackbits(bc.value).astype(bool)
+        if not len(pos_s):
+            return pd.Series([], dtype=bool)
+        P = np.stack(pos_s.to_numpy())
+        return pd.Series(bits[P].all(axis=1))
+
+    corpus = (grams.filter(F.col("doc_id") % 97 != 0)
+              .select("doc_id", _bloom_positions(F.col("gram")).alias("pos")))
+    hits = (corpus.filter(might_contain("pos"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_maybe")))
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_maybe", F.lit(0)).cast("long").alias("n_maybe"),
+            F.when(F.coalesce("n_maybe", F.lit(0)) > 0, 1).otherwise(0)
             .cast("long").alias("contaminated"),
         )
     )

@@ -695,6 +695,28 @@ def test_contamination_flags_planted_copy(spark):
     assert got == {1: 1, 2: 0}  # benchmark doc 0 excluded from output
 
 
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The Bloom twin's defining guarantees vs the exact gate at
+    sf0.01: NO false negatives (every exactly-contaminated document is
+    Bloom-flagged) and the false-positive budget holds (≤ 2 % of clean
+    documents; at this occupancy it is effectively zero).  The planted
+    fixture from the exact test also behaves identically."""
+    from sparkdon.pipeline import bloom_decontaminate, x_contamination
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in x_contamination(spark, sf).collect()}
+    bloom = {r["doc_id"]: r["contaminated"]
+             for r in bloom_decontaminate(spark, sf).collect()}
+    assert set(bloom) == set(exact)
+    flagged_exact = {d for d, c in exact.items() if c}
+    flagged_bloom = {d for d, c in bloom.items() if c}
+    assert flagged_exact <= flagged_bloom  # no false negatives, ever
+    clean = len(exact) - len(flagged_exact)
+    fp = len(flagged_bloom - flagged_exact)
+    assert fp <= max(1, 0.02 * clean), (fp, clean)
+
+
 # ---------------------------------------------------------------------------
 # round-7 additions: chunk dedup, semantic dedup, PQ codes, stream join
 # ---------------------------------------------------------------------------
@@ -1204,6 +1226,31 @@ def test_pq_trained_ann_recall_not_worse_than_sample(spark):
     r_trained = len(exact & trained) / len(exact)
     assert r_trained >= r_sample, (r_trained, r_sample)
     assert r_trained >= 0.7, f"recall@5 {r_trained:.2f} too low"
+
+
+def test_split_by_cluster_leakage_free(spark):
+    """The split invariants: every member of a near-dup cluster lands
+    in its representative's split (no train/test leakage through
+    near-duplicates), the draw is the documented md5 arithmetic, and
+    the per-CLUSTER proportions track 90/5/5."""
+    import hashlib
+
+    from sparkdon.pipeline import x_split_by_cluster
+
+    sf = "/root/testdata/sf0.01"
+    rows = x_split_by_cluster(spark, sf).collect()
+    assert len(rows) == 500
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["cluster_rep"], set()).add(r["split"])
+        want = int(hashlib.md5(
+            f"split:{r['cluster_rep']}".encode()).hexdigest()[:8], 16) % 10000
+        assert r["draw"] == want
+    assert all(len(s) == 1 for s in by_rep.values())
+    reps = len(by_rep)
+    train = sum(1 for r in rows if r["split"] == "train"
+                and r["doc_id"] == r["cluster_rep"])
+    assert 0.8 < train / reps < 0.97
 
 
 def test_whitened_lsh_recall_non_regression(spark):
