@@ -1224,6 +1224,96 @@ def x_token_bpe(spark, sf_dir):
     )
 
 
+@register(
+    "x_bpe_pairs",
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "wc AS (SELECT word, COUNT(*) AS n FROM w WHERE len(word) > 1 "
+    " GROUP BY word), "
+    "p AS (SELECT substr(word, i, 2) AS pair, n FROM wc, "
+    " LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) s) "
+    "SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair "
+    "ORDER BY cnt DESC, pair LIMIT 20",
+)
+def x_bpe_pairs(spark, sf_dir):
+    """The first BPE merge step, distributed — the statistics a
+    tokenizer trainer computes over the whole corpus: adjacent
+    character-pair frequencies weighted by word frequency (classic BPE
+    counts over the distinct-word histogram, not raw text — the
+    corpus-size-independent trick), top-20 by count with a
+    deterministic pair tie-break.  :func:`bpe_train_merges` iterates
+    this to an actual merge list.
+
+    100 TB shape: the word histogram is one partial-agg shuffle whose
+    reduced size is the VOCABULARY (many orders below corpus size);
+    everything after — pair explode, pair agg, top-k — operates on the
+    histogram.  All codegen: substring explode, no Python."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") > 1)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    pairs = wc.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))")).alias("pair"),
+        "n")
+    return (pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair")).limit(20))
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
+    """Distributed BPE training — the real tokenizer-induction loop:
+    start from the per-word character sequence over the distinct-word
+    histogram, then ``n_merges`` times (a) count adjacent symbol pairs
+    weighted by word frequency, (b) pick the most frequent pair
+    (deterministic lexicographic tie-break), (c) apply the merge
+    left-to-right greedy in every word.  Returns the ordered merge
+    list — the artifact a BPE tokenizer ships.
+
+    Spark shapes per iteration, all on the WORD HISTOGRAM (vocabulary-
+    sized, not corpus-sized): the pair count is one explode +
+    partial-agg; the winner is a driver-side 1-row collect (model
+    state, like a k-means centroid); the merge apply is a narrow
+    codegen ``aggregate`` fold over each word's symbol array —
+    left-to-right greedy exactly like the reference algorithm.
+    ``localCheckpoint`` truncates the growing lineage every iteration,
+    the same discipline as the component-propagation loop.  pytest
+    verifies the merge list against a pure-Python reference BPE."""
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") > 0)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+          .select(F.expr("split(word, '')").alias("syms"), "n")
+          .localCheckpoint())
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            wc.filter(F.size("syms") > 1)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), i -> "
+                "struct(element_at(syms, i) AS a, "
+                "element_at(syms, i + 1) AS b))")).alias("p"), "n")
+            .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1).collect()
+        )
+        if not pair_counts or pair_counts[0]["cnt"] < 2:
+            break
+        a, b = pair_counts[0]["a"], pair_counts[0]["b"]
+        merges.append((a, b))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # CASE branches evaluate lazily, so the empty-acc branch fires
+        # before any element_at(-1) (ANSI mode would error on it)
+        merged = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) = 0 THEN array(x) "
+            f"WHEN element_at(acc, -1) = '{qa}' AND x = '{qb}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        wc = wc.select(F.expr(merged).alias("syms"), "n").localCheckpoint()
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # event-time windows
 # ---------------------------------------------------------------------------

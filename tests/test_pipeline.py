@@ -695,6 +695,62 @@ def test_contamination_flags_planted_copy(spark):
     assert got == {1: 1, 2: 0}  # benchmark doc 0 excluded from output
 
 
+def _reference_bpe(word_counts: dict, n_merges: int) -> list:
+    """Pure-Python Sennrich-style BPE over a word histogram: count all
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent (ties: lexicographically smallest pair), stop when the
+    best count drops below 2."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = (
+                    stats.get((syms[i], syms[i + 1]), 0) + n)
+        if not stats:
+            break
+        best = min(stats, key=lambda p: (-stats[p], p))
+        if stats[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    """The distributed BPE trainer's merge list is identical to the
+    pure-Python reference on a corpus with repeats, overlaps (aaa),
+    and ties — and the greedy left-to-right apply matches too."""
+    from collections import Counter
+
+    from sparkdon.pipeline import bpe_train_merges
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaa aaab low newer",
+        "widest wide wide wider",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = bpe_train_merges(docs, n_merges=8)
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    want = _reference_bpe(wc, 8)
+    assert got == want and len(got) >= 5
+
+
 def test_bloom_decontaminate_superset_of_exact(spark):
     """The Bloom twin's defining guarantees vs the exact gate at
     sf0.01: NO false negatives (every exactly-contaminated document is
