@@ -61,48 +61,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 7, in
-#: priority order: first the entries with NO row in r05 ∪ r06 — the two
-#: brand-new streaming gates (sliding + session windows), the peel gate
-#: whose oracle is new this round (r06 recorded it rows-only), and the
-#: three F-tier entries the r06 window cut at 50 — then the full
-#: round-5 window (50 entries, all green in CORRECTNESS_r05.json, two
-#: rounds stale after this round otherwise).  The round-6 window
-#: rotates to the back.  The final six are deliberate cut candidates if
-#: the driver caps at 50: each duplicates coverage that an r06-green
-#: twin already carries (q_decollect_seq, sparql_census /
-#: sparql_join_agg_ids, j2_left_outer, sparql_census, x_fingerprint).
+#: Entries hoisted into the driver's verification window.  Round 8, in
+#: priority order:
+#: 1. The two round-7 hash-mismatch entries, repaired this round (the
+#:    HUGEINT oracle casts) -- driver-green rows for these are the
+#:    round's top task.
+#: 2. The three brand-new gates (trained PQ, cluster split, BPE pairs)
+#:    and the gates whose code changed this round (semantic-dedup cap
+#:    guard; the refactored sim/topk cores; the stream-join await
+#:    path).
+#: 3. The 22 entries whose newest driver-green row is r05 (the
+#:    sparql_* engine tier the r06/r07 windows cut) -- three rounds
+#:    stale after this round otherwise.
+#: 4. Fill to 50 with the oldest r06 entries, preferring ones adjacent
+#:    to this round's changes (x_corpus_keep shares the memoized
+#:    component frame with the new split gate).  The ~30 remaining
+#:    r06/r07-green entries stay within the two-round freshness budget
+#:    (r06 u r07 u r08 covers the whole battery).
 _FRONT = [
-    # new/changed gates — no (current-form) driver record anywhere
-    "x_chunk_dedup", "x_semantic_dedup", "x_pq_codes", "x_sim_pq",
-    "x_mix_sample", "x_pack_sequences", "x_tfidf_topk", "x_corpus_pack",
-    "x_json_extract", "x_embed_gram", "x_neg_sample", "x_length_buckets",
-    "x_winsorize", "x_join_stream",
-    "x_sliding_stream", "x_session_stream", "x_pii_scrub",
-    "x_contamination", "q_peel_bnode_closure",
-    # cut at 50 in the r06 window; green r02 + every local run
-    "f5_regex", "f6_numeric_cast", "f7_count_expr",
-    # the round-5 window, freshest-coverage-first
-    "sparql_service", "sparql_describe", "sparql_late_ids",
-    "sparql_path_star_sip", "s1_ntriples_roundtrip", "sparql_year_agg",
-    "x_dedup_exact", "x_fingerprint", "x_dedup_minhash",
-    "x_dedup_jaccard", "x_dedup_simhash", "x_sim_topk",
-    "x_sim_lsh_bucketed", "x_sim_lsh_refined", "x_sim_ivf",
-    "x_dedup_embed", "x_dedup_embed_strict", "x_embed_quantize",
-    "x_embed_norm", "x_text_stats", "x_text_quality", "x_lang_id",
-    "x_token_bpe", "x_window_tumbling", "x_salted_census",
-    "sparql_census", "sparql_filter_gt", "sparql_join_agg",
-    "sparql_join_agg_ids", "sparql_optional", "sparql_not_exists",
-    "sparql_minus", "sparql_union", "sparql_values",
-    "sparql_path_seq", "sparql_path_inverse", "sparql_path_nps",
-    "sparql_subquery_having", "sparql_orderby_limit",
-    "sparql_bind_strstarts", "sparql_count_distinct", "sparql_path_plus",
+    # 1. repaired round-7 reds
+    "x_pack_sequences", "x_corpus_pack",
+    # 2. new gates + changed code paths
+    "x_pq_trained", "x_split_by_cluster", "x_bpe_pairs",
+    "x_semantic_dedup", "x_sim_pq", "x_sim_topk", "x_sim_lsh_refined",
+    "x_join_stream",
+    # 3. r05-stale engine tier
+    "sparql_optional", "sparql_not_exists", "sparql_minus",
+    "sparql_union", "sparql_values", "sparql_path_seq",
+    "sparql_path_inverse", "sparql_path_nps", "sparql_path_plus",
     "sparql_path_star_anchored", "sparql_path_star_values",
-    # deliberate cut candidates (coverage duplicated by green twins:
-    # q_decollect_seq, x_session_stream, sparql_census/sparql_join_agg_ids,
-    # j2_left_outer, x_fingerprint)
-    "q10_seq_decollect", "x_window_sessionize", "sparql_census_orders",
-    "sparql_optional_ids", "sparql_census_ids", "x_fingerprint_winnow",
+    "sparql_subquery_having", "sparql_orderby_limit",
+    "sparql_bind_strstarts", "sparql_count_distinct",
+    "sparql_join_agg_ids", "sparql_census_ids", "sparql_census_orders",
+    "sparql_optional_ids", "q10_seq_decollect", "x_window_sessionize",
+    "x_fingerprint_winnow",
+    # 4. oldest-r06 refresh
+    "j1_inner_join_chain", "j2_left_outer", "j3_anti_not_exists",
+    "j4_minus", "j5_semi_exists", "a1_group_count", "a3_count_distinct",
+    "a6_subquery_filter", "a8_bag_decollect", "o1_order_asc",
+    "o4_limit_topk", "u1_union", "u2_except", "u3_intersect",
+    "p1_scan_filter", "p9_values_join", "q_rule_fixpoint",
+    "x_corpus_keep",
 ]
 
 

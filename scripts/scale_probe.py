@@ -73,14 +73,17 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_bpe_pairs,
         x_chunk_dedup,
         x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
         x_dedup_minhash,
         x_pack_sequences,
+        x_pq_trained,
         x_sim_lsh_refined,
         x_sim_pq,
+        x_split_by_cluster,
     )
     from sparkdon.rdf_queries import sparql_census, sparql_path_star_anchored
 
@@ -96,6 +99,13 @@ def main() -> None:
         "x_chunk_dedup": x_chunk_dedup,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,
+        # round 8: keyed one-pass PQ training, cluster-keyed split
+        # (components + narrow md5 map), and the vocabulary-sized BPE
+        # pair count (the histogram shrinks the kx corpus before the
+        # pair explode, so the ratio should sit well under k)
+        "x_pq_trained": x_pq_trained,
+        "x_split_by_cluster": x_split_by_cluster,
+        "x_bpe_pairs": x_bpe_pairs,
         # x_semantic_dedup is deliberately NOT probed: its fixture
         # clustering is fixed-K (the 10 label centroids), so a kx corpus
         # means kx-sized clusters — the configuration SemDeDup explicitly
