@@ -695,6 +695,31 @@ def test_contamination_flags_planted_copy(spark):
     assert got == {1: 1, 2: 0}  # benchmark doc 0 excluded from output
 
 
+def test_bpe_pairs_plan_shape(spark):
+    """x_bpe_pairs' promised 100 TB shape: exactly two partial-agg
+    Exchanges (word histogram, pair counts) and a TakeOrderedAndProject
+    top-k — never a global Sort of the pair table."""
+    from sparkdon.pipeline import x_bpe_pairs
+
+    plan = plan_of(x_bpe_pairs(spark, SF))
+    assert plan.count("Exchange") == 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_by_cluster_plan_no_extra_shuffle(spark):
+    """x_split_by_cluster adds NOTHING to the component frame but a
+    narrow md5 map — its plan on top of the memoized frame must contain
+    no Exchange and no join."""
+    import sparkdon.pipeline as pl
+
+    pl._COMPONENTS_MEMO.clear()
+    df = pl.x_split_by_cluster(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_quality_lr_learns_the_weak_label(spark):
     """The distributed logistic-regression quality filter: log-loss
     decreases monotonically at the default step, training is
