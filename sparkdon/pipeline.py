@@ -3430,6 +3430,29 @@ def x_pack_sequences(spark, sf_dir):
     )
 
 
+def write_training_shards(spark, sf_dir, out_dir: str,
+                          n_shards: int = 8) -> DataFrame:
+    """The pipeline's write side: materialize the packed corpus
+    (``x_pack_sequences``' doc → sequence assignment) into
+    ``n_shards`` parquet shards, RANGE-partitioned on ``seq_id`` so
+    each shard holds a contiguous block of training sequences — the
+    layout a data loader streams sequentially, resumes by (shard,
+    seq_id) checkpoint, and shuffles at the shard level.  Exactly one
+    file per shard (each range partition writes its own file), sizes
+    balanced by the range partitioner's sampling.  Returns the
+    re-read frame for verification.
+
+    100 TB shape: ``repartitionByRange`` is the one shuffle (keyed on
+    the already-computed global sequence order — no global sort);
+    everything upstream is the audited two-pass prefix sum.  Shard
+    count scales to taste (one per loader worker); parquet predicate
+    pushdown on ``seq_id`` gives random access within a shard."""
+    packed = x_pack_sequences(spark, sf_dir)
+    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "x_mix_sample",
     "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
@@ -3475,6 +3498,74 @@ def x_mix_sample(spark, sf_dir):
                 / F.col("lang_tokens")))
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                     16, 10).cast("long") % 10000
+    s = (d.join(F.broadcast(r.select("lang", "rate_bp")), "lang")
+         .filter(bucket < F.col("rate_bp")))
+    agg = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tok").alias("tok_sampled"))
+    return (
+        r.join(agg, "lang", "left")
+        .select(
+            "lang", "lang_tokens", "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("tok_sampled", F.lit(0)).cast("long")
+            .alias("tok_sampled"),
+        )
+    )
+
+
+@register(
+    "x_mix_temperature",
+    "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d "
+    " GROUP BY lang), "
+    "r AS (SELECT lang, lang_tokens, CAST(FLOOR(10000.0 * "
+    " sqrt(CAST((SELECT MIN(lang_tokens) FROM lt) AS DOUBLE) "
+    "      / lang_tokens)) AS BIGINT) AS rate_bp "
+    " FROM lt), "
+    "s AS (SELECT d.lang, d.n_tok FROM d JOIN r USING (lang) "
+    " WHERE CAST(concat('0x', substr(md5('t:' || d.doc_id), 1, 8)) "
+    "  AS BIGINT) % 10000 < r.rate_bp), "
+    "agg AS (SELECT lang, COUNT(*) AS n_sampled, "
+    " CAST(SUM(n_tok) AS BIGINT) AS tok_sampled FROM s GROUP BY lang) "
+    "SELECT r.lang, r.lang_tokens, r.rate_bp, "
+    "COALESCE(agg.n_sampled, 0) AS n_sampled, "
+    "COALESCE(agg.tok_sampled, 0) AS tok_sampled "
+    "FROM r LEFT JOIN agg USING (lang)",
+)
+def x_mix_temperature(spark, sf_dir):
+    """Temperature-based data mixing, α = 0.5 — the multilingual-
+    pretraining sampling rule (q_i ∝ mass_i^α): keep-rate per language
+    is √(mass_min/mass_i), which IS the α = 0.5 mixture normalized so
+    the smallest language is fully kept — low-resource languages are
+    upweighted relative to proportional sampling but high-resource
+    ones are not flattened to uniform (``x_mix_sample`` is the α → 0
+    balanced-budget limit of the same machinery).
+
+    Portability is exact, not approximate: mass ratios are exact in
+    doubles at these magnitudes and IEEE-754 requires CORRECTLY-ROUNDED
+    sqrt, so both engines floor identical basis-point rates — the
+    reason this gate uses α = 0.5 specifically rather than a pow()
+    whose last ulp is library-dependent.  The keep gate is the
+    content-stable md5 draw (salted 't:' so it decorrelates from the
+    other sampling gates).
+
+    100 TB shape: identical to ``x_mix_sample`` — one tiny per-language
+    aggregate broadcast back for a narrow filter; the corpus never
+    shuffles."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    lt = d.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    r = lt.withColumn(
+        "rate_bp",
+        F.floor(10000.0 * F.sqrt(
+            F.min("lang_tokens").over(Window.partitionBy())
+            / F.col("lang_tokens"))).cast("long"))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 10000
     s = (d.join(F.broadcast(r.select("lang", "rate_bp")), "lang")
          .filter(bucket < F.col("rate_bp")))
     agg = s.groupBy("lang").agg(

@@ -782,6 +782,61 @@ def _reference_bpe(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+def test_write_training_shards_contiguous_and_complete(spark):
+    """The shard writer: every packed row round-trips, shards carry
+    CONTIGUOUS non-overlapping seq_id ranges (the loader contract),
+    and the file count equals the requested shard count."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline import write_training_shards, x_pack_sequences
+
+    sf = "/root/testdata/sf0.01"
+    out = tempfile.mkdtemp(prefix="shards_")
+    got = write_training_shards(spark, sf, out, n_shards=8)
+    want = {tuple(r) for r in x_pack_sequences(spark, sf).collect()}
+    assert {tuple(r) for r in got.select(*x_pack_sequences(spark, sf).columns)
+            .collect()} == want
+    per_file = (got.withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg(F.min("seq_id").alias("lo"), F.max("seq_id").alias("hi"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+    assert len(per_file) == 8
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # ranges never interleave across shards
+    sizes = [r["n"] for r in per_file]
+    assert max(sizes) <= 4 * max(1, min(sizes))  # balanced within reason
+
+
+def test_mix_temperature_between_balanced_and_proportional(spark):
+    """α = 0.5 temperature rates sit strictly between the balanced
+    (α → 0) mixture and proportional sampling: √(min/mass) ≥ min/mass
+    for every language (high-resource languages keep MORE than under
+    the balanced budget), the smallest language is fully kept
+    (rate 10000), rates decrease with mass, and every rate is exactly
+    floor(1e4·√(min/mass))."""
+    import math
+
+    from sparkdon.pipeline import x_mix_sample, x_mix_temperature
+
+    sf = "/root/testdata/sf0.01"
+    temp = {r["lang"]: r for r in x_mix_temperature(spark, sf).collect()}
+    bal = {r["lang"]: r for r in x_mix_sample(spark, sf).collect()}
+    assert set(temp) == set(bal) and len(temp) >= 3
+    min_mass = min(r["lang_tokens"] for r in temp.values())
+    for lang, r in temp.items():
+        want = math.floor(10000.0 * math.sqrt(min_mass / r["lang_tokens"]))
+        assert r["rate_bp"] == want
+        assert r["rate_bp"] >= bal[lang]["rate_bp"]
+    ordered = sorted(temp.values(), key=lambda r: r["lang_tokens"])
+    assert ordered[0]["rate_bp"] == 10000  # smallest language fully kept
+    rates = [r["rate_bp"] for r in ordered]
+    assert rates == sorted(rates, reverse=True)
+
+
 def test_bpe_train_merges_matches_reference(spark):
     """The distributed BPE trainer's merge list is identical to the
     pure-Python reference on a corpus with repeats, overlaps (aaa),
