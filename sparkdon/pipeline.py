@@ -3515,6 +3515,66 @@ def x_mix_sample(spark, sf_dir):
 
 
 @register(
+    "x_lm_score",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    " FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c "
+    " FROM toks GROUP BY doc_id, term), "
+    "cw AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cnt FROM tf GROUP BY term), "
+    "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+    " CAST(COUNT(*) AS BIGINT) AS v FROM cw), "
+    "lp AS (SELECT term, CAST(FLOOR(1e6 * ln((cnt + 1.0) / (n + v))) "
+    " AS BIGINT) AS lp_scaled FROM cw, tot), "
+    "d AS (SELECT tf.doc_id, CAST(SUM(tf.c) AS BIGINT) AS n_tok, "
+    " CAST(SUM(tf.c * lp.lp_scaled) AS BIGINT) AS lp_sum "
+    " FROM tf JOIN lp USING (term) GROUP BY tf.doc_id) "
+    "SELECT doc_id, n_tok, "
+    "CAST(FLOOR(CAST(-lp_sum AS DOUBLE) / n_tok) AS BIGINT) AS nll_scaled "
+    "FROM d",
+)
+def x_lm_score(spark, sf_dir):
+    """Unigram language-model quality scoring — the CCNet/KenLM-style
+    perplexity filter at the unigram order: train an add-1-smoothed
+    unigram LM on the corpus itself, score every document by its mean
+    negative log-likelihood (×1e6).  Rare-word-heavy / junk documents
+    score HIGH, fluent common-vocabulary text scores LOW — filter by a
+    band, exactly like winsorize's value clip (keeping the LOW tail
+    only also deletes boilerplate, the classic CCNet "head" caveat).
+
+    Portability by integer arithmetic: each term's log-probability is
+    floored to 1e-6 units FIRST, so every per-document sum is an exact
+    integer — order-independent across engines and partitionings (the
+    same trick as the DECIMAL Gram sums); the single ln() per VOCAB
+    entry is the only float op, with the x_tfidf_topk precedent.
+
+    100 TB shape: tf is one (doc, term) partial agg; the LM is a
+    vocab-sized term agg (orders below corpus size); scoring joins tf
+    against the LM term-keyed — broadcast when the vocab fits, plain
+    shuffle join otherwise — then one doc-keyed integer partial agg.
+    Training an n-gram order instead swaps the term key for an n-gram
+    key; nothing else changes."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("c")))
+    cw = tf.groupBy("term").agg(F.sum("c").alias("cnt"))
+    tot = cw.agg(F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = (cw.crossJoin(F.broadcast(tot))
+          .select("term",
+                  F.floor(1e6 * F.log((F.col("cnt") + 1.0)
+                                      / (F.col("n") + F.col("v"))))
+                  .cast("long").alias("lp_scaled")))
+    d = (tf.join(lp, "term")
+         .groupBy("doc_id")
+         .agg(F.sum("c").cast("long").alias("n_tok"),
+              F.sum(F.col("c") * F.col("lp_scaled")).alias("lp_sum")))
+    return d.select(
+        "doc_id", "n_tok",
+        F.floor(-F.col("lp_sum").cast("double") / F.col("n_tok"))
+        .cast("long").alias("nll_scaled"))
+
+
+@register(
     "x_mix_temperature",
     "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
     " AS n_tok FROM documents), "

@@ -782,6 +782,39 @@ def _reference_bpe(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+def test_lm_score_orders_rare_above_common(spark):
+    """The unigram LM scorer's defining property on a planted corpus:
+    a document of corpus-frequent words scores strictly LOWER mean NLL
+    than a document of hapax legomena, and scores match an independent
+    Python recompute of the add-1 unigram model exactly (integer
+    arithmetic end-to-end)."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from sparkdon.pipeline import x_lm_score
+
+    rows = [
+        (0, "the the the cat cat sat"),
+        (1, "the cat sat on the mat"),
+        (2, "zyx qwv jkl pqr"),      # all rare -> worst score
+    ]
+    d = tempfile.mkdtemp(prefix="lm_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r["nll_scaled"] for r in x_lm_score(spark, d).collect()}
+    cw = Counter(w for _, t in rows for w in t.split(" "))
+    n, v = sum(cw.values()), len(cw)
+    lp = {w: math.floor(1e6 * math.log((c + 1) / (n + v)))
+          for w, c in cw.items()}
+    for doc_id, t in rows:
+        ws = t.split(" ")
+        want = math.floor(-sum(lp[w] for w in ws) / len(ws))
+        assert got[doc_id] == want
+    assert got[0] < got[1] < got[2]
+
+
 def test_write_training_shards_contiguous_and_complete(spark):
     """The shard writer: every packed row round-trips, shards carry
     CONTIGUOUS non-overlapping seq_id ranges (the loader contract),
