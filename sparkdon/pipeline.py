@@ -1949,6 +1949,56 @@ def x_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "x_dedup_priority",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
+    "ranked AS (SELECT c.doc_id, c.rep, "
+    " CAST(substr(d.source, 4) AS BIGINT) AS src_rank, "
+    " row_number() OVER (PARTITION BY c.rep "
+    "  ORDER BY CAST(substr(d.source, 4) AS BIGINT), c.doc_id) AS rn "
+    " FROM comp c JOIN documents d USING (doc_id)) "
+    "SELECT doc_id, rep AS cluster_rep, src_rank, "
+    "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+    "FROM ranked",
+)
+def x_dedup_priority(spark, sf_dir):
+    """Source-priority duplicate resolution — the keep rule real web
+    pipelines use instead of min-id: within each near-dup cluster keep
+    the document from the most TRUSTED source (curated beats crawled),
+    breaking ties on doc_id.  Here source priority is the fixture's
+    numeric suffix (src0 highest); swap in any rank table.  Differs
+    from ``x_dedup_clusters`` exactly when a cluster's min-id doc is
+    not its best-source doc — the practice that keeps the Wikipedia
+    copy over the CommonCrawl mirror.
+
+    100 TB shape: the component frame is the shared memoized
+    propagation; the only additions are a doc-keyed join to fetch
+    (source) and ONE rep-keyed window — both id+rank rows only, and the
+    window partitions by cluster (bounded groups), never globally."""
+    comp = _doc_components(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("source", 4, 10).cast("long").alias("src_rank"))
+    j = (comp.select(F.col("node").alias("doc_id"),
+                     F.col("rep").alias("cluster_rep"))
+         .join(src, "doc_id"))
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.asc("src_rank"), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "cluster_rep", "src_rank",
+                    F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("keep")))
+
+
+@register(
     "x_split_by_cluster",
     "WITH RECURSIVE "
     + _DUCK_BANDS[len("WITH "):] +

@@ -782,6 +782,28 @@ def _reference_bpe(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+def test_dedup_priority_keeps_best_source(spark):
+    """Exactly one keeper per cluster, the keeper has the cluster's
+    minimal (src_rank, doc_id), and against x_dedup_clusters the
+    cluster structure is identical while the keeper may move off the
+    min-id doc — the point of source priority."""
+    from sparkdon.pipeline import x_dedup_clusters, x_dedup_priority
+
+    sf = "/root/testdata/sf0.01"
+    rows = x_dedup_priority(spark, sf).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [m for m in members if m["keep"] == 1]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (m["src_rank"], m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+    clusters = {r["doc_id"]: r["cluster_rep"]
+                for r in x_dedup_clusters(spark, sf).collect()}
+    assert {r["doc_id"]: r["cluster_rep"] for r in rows} == clusters
+
+
 def test_lm_score_orders_rare_above_common(spark):
     """The unigram LM scorer's defining property on a planted corpus:
     a document of corpus-frequent words scores strictly LOWER mean NLL
