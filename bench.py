@@ -80,6 +80,9 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_json_extract",
             "x_sample_stratified",
             "x_mix_sample",
+            "x_mix_temperature",
+            "x_lm_score",
+            "x_bpe_pairs",
             "x_pack_sequences",
             "x_tfidf_topk",
             "x_neg_sample",
@@ -101,6 +104,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_semantic_dedup",
             "x_dedup_minhash",
             "x_dedup_clusters",
+            "x_dedup_priority",
+            "x_split_by_cluster",
             "x_corpus_keep",
             "x_corpus_pack",
             "x_sim_topk",
