@@ -82,6 +82,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_mix_sample",
             "x_mix_temperature",
             "x_lm_score",
+            "x_lm_bigram",
             "x_bpe_pairs",
             "x_pack_sequences",
             "x_tfidf_topk",

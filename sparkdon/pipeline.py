@@ -3625,6 +3625,77 @@ def x_lm_score(spark, sf_dir):
 
 
 @register(
+    "x_lm_bigram",
+    "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN "
+    " list_transform(generate_series(1, len(t) - 1), "
+    "  i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END) AS bigram FROM tl), "
+    "bf AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c "
+    " FROM bg GROUP BY doc_id, bigram), "
+    "c2 AS (SELECT bigram, CAST(SUM(c) AS BIGINT) AS c12 FROM bf "
+    " GROUP BY bigram), "
+    "c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, "
+    " CAST(SUM(c12) AS BIGINT) AS ctx FROM c2 GROUP BY 1), "
+    "vv AS (SELECT CAST(COUNT(DISTINCT unnest.t) AS BIGINT) AS v FROM "
+    " (SELECT unnest(t) AS t FROM tl) unnest), "
+    "lp AS (SELECT c2.bigram, CAST(FLOOR(1e6 * "
+    " ln((c2.c12 + 1.0) / (c1.ctx + vv.v))) AS BIGINT) AS lp_scaled "
+    " FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1, vv), "
+    "d AS (SELECT bf.doc_id, CAST(SUM(bf.c) AS BIGINT) AS n_bigrams, "
+    " CAST(SUM(bf.c * lp.lp_scaled) AS BIGINT) AS lp_sum "
+    " FROM bf JOIN lp USING (bigram) GROUP BY bf.doc_id) "
+    "SELECT doc_id, n_bigrams, "
+    "CAST(FLOOR(CAST(-lp_sum AS DOUBLE) / n_bigrams) AS BIGINT) "
+    " AS nll_scaled FROM d",
+)
+def x_lm_bigram(spark, sf_dir):
+    """Bigram-order LM scoring — the order upgrade the ``x_lm_score``
+    docstring promises: P(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V) with
+    add-1 smoothing, where ctx(w1) is w1's bigram-context count
+    (Σ_w2 c(w1 w2), self-consistent with the bigram table) and V the
+    unigram vocabulary.  Per-document mean bigram NLL ×1e6; documents
+    with never-seen-together word sequences score high even when every
+    individual word is common — what the unigram order cannot see, and
+    why CCNet filters on an n-gram LM.  Single-token documents have no
+    bigrams and drop out (both engines agree).
+
+    Same integer-portability discipline as the unigram gate: one ln()
+    per VOCAB² entry floored to 1e-6 units, then exact integer sums.
+
+    100 TB shape: the per-doc bigram tf is one (doc, bigram) partial
+    agg; the LM tables are bigram-vocab-sized aggs; scoring joins tf
+    against the LM bigram-keyed and re-aggregates doc-keyed — the same
+    four-shuffle skeleton as TF-IDF, nothing corpus-quadratic."""
+    tl = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    bg = tl.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))) "
+        "ELSE array() END")).alias("bigram"))
+    bf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    c2 = bf.groupBy("bigram").agg(F.sum("c").alias("c12"))
+    c1 = (c2.select(F.split("bigram", " ").getItem(0).alias("w1"), "c12")
+          .groupBy("w1").agg(F.sum("c12").alias("ctx")))
+    vv = tl.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("v"))
+    lp = (c2.withColumn("w1", F.split("bigram", " ").getItem(0))
+          .join(c1, "w1")
+          .crossJoin(F.broadcast(vv))
+          .select("bigram",
+                  F.floor(1e6 * F.log((F.col("c12") + 1.0)
+                                      / (F.col("ctx") + F.col("v"))))
+                  .cast("long").alias("lp_scaled")))
+    d = (bf.join(lp, "bigram")
+         .groupBy("doc_id")
+         .agg(F.sum("c").cast("long").alias("n_bigrams"),
+              F.sum(F.col("c") * F.col("lp_scaled")).alias("lp_sum")))
+    return d.select(
+        "doc_id", "n_bigrams",
+        F.floor(-F.col("lp_sum").cast("double") / F.col("n_bigrams"))
+        .cast("long").alias("nll_scaled"))
+
+
+@register(
     "x_mix_temperature",
     "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
     " AS n_tok FROM documents), "

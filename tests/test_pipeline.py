@@ -837,6 +837,46 @@ def test_lm_score_orders_rare_above_common(spark):
     assert got[0] < got[1] < got[2]
 
 
+def test_lm_bigram_sees_word_order(spark):
+    """The bigram order's point: a document of common words in a NOVEL
+    order scores high where the unigram model cannot tell it apart.
+    Corpus: three copies of "a b c d" plus one reversed "d c b a" —
+    identical unigram NLLs, but the reversed doc's bigrams are unseen,
+    so its bigram NLL is strictly worse.  Scores also match an exact
+    Python recompute."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from sparkdon.pipeline import x_lm_bigram, x_lm_score
+
+    rows = [(i, "a b c d") for i in range(3)] + [(3, "d c b a")]
+    d = tempfile.mkdtemp(prefix="lm2_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    uni = {r["doc_id"]: r["nll_scaled"] for r in x_lm_score(spark, d).collect()}
+    assert uni[0] == uni[3]  # unigram order is blind to word order
+    bi = {r["doc_id"]: r["nll_scaled"] for r in x_lm_bigram(spark, d).collect()}
+    assert bi[3] > bi[0]
+    # exact recompute
+    c2 = Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        c2.update(zip(ws, ws[1:]))
+    ctx = Counter()
+    for (w1, _), c in c2.items():
+        ctx[w1] += c
+    v = len({w for _, t in rows for w in t.split(" ")})
+    lp = {b: math.floor(1e6 * math.log((c + 1) / (ctx[b[0]] + v)))
+          for b, c in c2.items()}
+    for doc_id, t in rows:
+        ws = t.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        want = math.floor(-sum(lp[b] for b in bgs) / len(bgs))
+        assert bi[doc_id] == want
+
+
 def test_write_training_shards_contiguous_and_complete(spark):
     """The shard writer: every packed row round-trips, shards carry
     CONTIGUOUS non-overlapping seq_id ranges (the loader contract),
