@@ -3191,17 +3191,26 @@ def x_embed_gram(spark, sf_dir):
     sums), then floored at 1e6 for the compare.
 
     100 TB shape: agg state is D² keys regardless of corpus size;
-    map-side combine reduces the shuffle to D² rows per partition.  A
-    full covariance/whitening step subtracts the mean outer product and
+    map-side combine reduces the shuffle to D² rows per partition.
+    SYMMETRY EXPLOITED (round 8): only the upper triangle explodes —
+    D(D+1)/2 products per row instead of D², a 1.97× cut of the
+    dominant explode+agg volume — and the lower triangle is mirrored
+    AFTER aggregation from the same DECIMAL sums, so emitted values
+    are bit-identical to the full-product version (x·y = y·x,
+    identical summands).  Measured at sf0.1/local[32]: ~1.0 s isolated
+    best-of-2 vs the ~6 s the full-product version recorded in the r07
+    suite (triangle halves the product count AND the smaller struct
+    stream cuts allocation pressure).  A full
+    covariance/whitening step subtracts the mean outer product and
     inverts driver-side — D×D is model state, exactly like the IVF
     centroids."""
     e = _ann_vectors(spark, sf_dir, spread=True)
     pairs = (
         "flatten(transform(v, (x, i) -> "
-        " transform(v, (y, j) -> named_struct("
-        "  'i', i + 1, 'j', j + 1, 'p', x * y))))"
+        " transform(slice(v, i + 1, size(v) - i), (y, k) -> named_struct("
+        "  'i', i + 1, 'j', i + 1 + k, 'p', x * y))))"
     )
-    return (
+    upper = (
         e.select(F.explode(F.expr(pairs)).alias("c"))
         .select(
             F.col("c.i").alias("i"), F.col("c.j").alias("j"),
@@ -3212,6 +3221,10 @@ def x_embed_gram(spark, sf_dir):
             F.floor(1e6 * F.sum("p").cast("double") / F.count(F.lit(1)))
             .cast("long").alias("gram_scaled"))
     )
+    lower = (upper.filter(F.col("i") < F.col("j"))
+             .select(F.col("j").alias("i"), F.col("i").alias("j"),
+                     "gram_scaled"))
+    return upper.unionByName(lower)
 
 
 @register(
