@@ -79,6 +79,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_winsorize",
             "x_json_extract",
             "x_sample_stratified",
+            "x_sample_exact_k",
             "x_mix_sample",
             "x_mix_temperature",
             "x_lm_score",

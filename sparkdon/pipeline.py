@@ -2112,6 +2112,36 @@ def x_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "x_sample_exact_k",
+    "SELECT doc_id, lang FROM ("
+    " SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "  ORDER BY md5('k:' || doc_id), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 20",
+)
+def x_sample_exact_k(spark, sf_dir):
+    """Exact-k per-stratum sampling — 'exactly 20 documents per
+    language', the eval-slice carve a rate-based Bernoulli gate cannot
+    promise (its stratum counts are binomial).  Selection order is the
+    md5 of the salted doc_id — a deterministic uniform permutation, so
+    the chosen k are content-stable across engines, runs, and cluster
+    sizes, and growing the corpus only displaces rows at the hash
+    boundary.
+
+    100 TB shape: one window per stratum key (bounded groups — lang
+    cardinality, not corpus), which AQE executes as a partial top-k per
+    partition before the per-lang rank; nothing global.  For heavily
+    skewed strata the rank-over-hash is still a single shuffle of
+    (lang, hash, id) triples — the document bodies never move."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("k:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"))
+    return (d.select("doc_id", "lang")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20).drop("rn"))
+
+
+@register(
     "x_asof_join",
     "WITH l AS (SELECT event_id, user_id, ts FROM events "
     " WHERE event_type = 'purchase'), "
