@@ -915,7 +915,8 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
         ).localCheckpoint()
         # a cell that lost every member keeps its previous centroid
         # (standard empty-cluster handling; also keeps the centroid
-        # count stable for callers like the PQ codebook trainer)
+        # count stable — the same carryover rule the keyed PQ trainer
+        # (pq_train_codebooks) and its DuckDB oracle implement)
         cents = {**cents, **_ivf_mean(asg.select("cell", "v"))}
     asg = cur.select(
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))

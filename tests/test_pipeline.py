@@ -1287,7 +1287,6 @@ def test_routed_semantic_pairs_overflow_fallback(spark):
     the uncapped all-intra-cluster-pairs result: one representative
     per pile."""
     import sparkdon.pipeline as pl
-    from pyspark.sql import functions as F
 
     n_base, n_copy, dims, cap = 6, 20, 16, 10
     rows = [
