@@ -1,0 +1,155 @@
+"""Seeded random differential battery: generated SPARQL through the
+full engine stack vs mechanically-generated SQL on DuckDB.
+
+The hand-written oracle gates cover chosen shapes; this battery walks a
+constrained query grammar (patterns over the rdf-ized customer/nation
+schema, numeric/string filters, optional group-count, optional
+order+limit) with a FIXED seed, so it is deterministic in CI yet covers
+combinations nobody hand-picked.  Every case asserts the engine's bag
+of rows equals DuckDB's on the original relational tables — the same
+compare the driver runs, minus the hashing.
+"""
+
+import math
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+N_CASES = 24
+SEED = 20260814
+
+#: (sparql var, predicate, sql column, type)
+CUSTOMER_ATTRS = [
+    ("name", "p:c_name", "c_name", "str"),
+    ("bal", "p:c_acctbal", "c_acctbal", "double"),
+    ("seg", "p:c_mktsegment", "c_mktsegment", "str"),
+]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def gen_case(rng):
+    """One random case: returns (sparql, sql, schema_dict, tables)."""
+    attrs = rng.sample(CUSTOMER_ATTRS, rng.randint(1, len(CUSTOMER_ATTRS)))
+    join_nation = rng.random() < 0.5
+    patterns = [f"?c {p} ?{v} ." for v, p, _, _ in attrs]
+    sql_cols = {v: c for v, _, c, _ in attrs}
+    joins = ""
+    tables = ("region", "nation", "customer", "supplier")
+    opt_schema = {}
+    if join_nation:
+        patterns.append("?c p:c_nationkey ?n . ?n p:n_name ?nname .")
+        sql_cols["nname"] = "n_name"
+        joins = " JOIN nation ON c_nationkey = n_nationkey"
+        if rng.random() < 0.4:  # second FK hop to region
+            patterns.append("?n p:n_regionkey ?r . ?r p:r_name ?rname .")
+            sql_cols["rname"] = "r_name"
+            joins += " JOIN region ON n_regionkey = r_regionkey"
+    # OPTIONAL with the filter scoped INSIDE: binds only when the same
+    # row clears the bar, NULL otherwise (left-join semantics on self)
+    if "bal" not in sql_cols and rng.random() < 0.35:
+        bar = rng.choice([2000, 5000.25, 8000])
+        patterns.append(
+            f"OPTIONAL {{ ?c p:c_acctbal ?optbal FILTER(?optbal > {bar}) }}")
+        sql_cols["optbal"] = (
+            f"CASE WHEN c_acctbal > {bar} THEN c_acctbal ELSE NULL END")
+        opt_schema["optbal"] = "double"
+
+    filters, conds = [], []
+    if any(v == "bal" for v, *_ in attrs) and rng.random() < 0.7:
+        op = rng.choice(["<", ">", "<=", ">="])
+        const = rng.choice([0, 1000, 4500.5, 9000])
+        filters.append(f"FILTER(?bal {op} {const})")
+        conds.append(f"c_acctbal {op} {const}")
+    if any(v == "seg" for v, *_ in attrs) and rng.random() < 0.5:
+        segs = rng.sample(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+            rng.randint(1, 3))
+        inlist = ", ".join(f'"{s}"' for s in segs)
+        filters.append(f"FILTER(?seg IN ({inlist}))")
+        conds.append("c_mktsegment IN (%s)" % ", ".join(f"'{s}'" for s in segs))
+    if join_nation and rng.random() < 0.4:
+        letter = rng.choice("ABCEIMU")
+        filters.append(f'FILTER(STRSTARTS(?nname, "{letter}"))')
+        conds.append(f"n_name LIKE '{letter}%'")
+    if rng.random() < 0.3:  # anti-join: customers with no orders
+        tables = tables + ("orders",)
+        filters.append("FILTER NOT EXISTS { ?o p:o_custkey ?c }")
+        conds.append("NOT EXISTS (SELECT 1 FROM orders "
+                     "WHERE o_custkey = c_custkey)")
+
+    where = " ".join(patterns + filters)
+    sql_where = (" WHERE " + " AND ".join(conds)) if conds else ""
+
+    group_var = None
+    if rng.random() < 0.4:
+        groupable = [v for v in sql_cols if v in ("seg", "nname", "rname")]
+        if groupable:
+            group_var = rng.choice(groupable)
+
+    if group_var:
+        sparql = (f"SELECT ?{group_var} (COUNT(*) AS ?cnt) {{ {where} }} "
+                  f"GROUP BY ?{group_var}")
+        sql = (f"SELECT {sql_cols[group_var]} AS {group_var}, "
+               f"COUNT(*) AS cnt FROM customer{joins}{sql_where} "
+               f"GROUP BY {sql_cols[group_var]}")
+        schema = {group_var: "str", "cnt": "long"}
+        return sparql, sql, schema, tables
+
+    proj = list(sql_cols)
+    sel = " ".join(f"?{v}" for v in proj)
+    sparql = f"SELECT {sel} {{ {where} }}"
+    sql = ("SELECT " + ", ".join(f"{sql_cols[v]} AS {v}" for v in proj)
+           + f" FROM customer{joins}{sql_where}")
+    base_types = {v: t for v, _, _, t in attrs}
+    base_types.update({"nname": "str", "rname": "str"})
+    base_types.update(opt_schema)
+    schema = {v: base_types[v] for v in proj}
+
+    if rng.random() < 0.3:
+        order_v = rng.choice(proj)
+        # a LIMIT under ORDER BY is only deterministic on a unique key;
+        # none of these are, so order WITHOUT limit (full result, bag
+        # compare is order-insensitive anyway) — the point is that
+        # ORDER BY parses/compiles, not the cutoff
+        sparql = f"SELECT {sel} {{ {where} }} ORDER BY ?{order_v}"
+    return sparql, sql, schema, tables
+
+
+@pytest.fixture(scope="module")
+def fuzz_cases():
+    rng = random.Random(SEED)
+    return [gen_case(rng) for _ in range(N_CASES)]
+
+
+def test_random_differential_battery(spark, fuzz_cases):
+    from sparkdon.rdf_queries import PREFIXES, run
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    failures = []
+    for i, (sparql, sql, schema, tables) in enumerate(fuzz_cases):
+        got = run(spark, SF, sparql, schema, tables=tables)
+        grows = sorted(
+            "|".join(canon(r[c]) for c in schema) for r in got.collect())
+        cur = con.execute(sql)
+        drows = sorted(
+            "|".join(canon(v) for v in r) for r in cur.fetchall())
+        if grows != drows:
+            diffs = [(a, b) for a, b in zip(grows, drows) if a != b][:2]
+            failures.append((i, sparql, len(grows), len(drows), diffs))
+    assert not failures, failures
