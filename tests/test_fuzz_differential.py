@@ -21,7 +21,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
-N_CASES = 24
+N_CASES = 40
 SEED = 20260814
 
 #: (sparql var, predicate, sql column, type)
@@ -89,6 +89,20 @@ def gen_case(rng):
         filters.append("FILTER NOT EXISTS { ?o p:o_custkey ?c }")
         conds.append("NOT EXISTS (SELECT 1 FROM orders "
                      "WHERE o_custkey = c_custkey)")
+
+    # BIND arithmetic on the balance when projected
+    if "bal" in sql_cols and rng.random() < 0.4:
+        k = rng.choice([2, 10, 0.5])
+        patterns.append(f"BIND(?bal * {k} AS ?scaled)")
+        sql_cols["scaled"] = f"c_acctbal * {k}"
+        opt_schema["scaled"] = "double"
+    # VALUES-constrained segment (inline table join)
+    if "seg" in sql_cols and rng.random() < 0.3:
+        segs = rng.sample(["BUILDING", "MACHINERY", "HOUSEHOLD"], 2)
+        patterns.append(
+            "VALUES ?seg { %s }" % " ".join(f'"{s}"' for s in segs))
+        conds.append("c_mktsegment IN (%s)"
+                     % ", ".join(f"'{s}'" for s in segs))
 
     where = " ".join(patterns + filters)
     sql_where = (" WHERE " + " AND ".join(conds)) if conds else ""
