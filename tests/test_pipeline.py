@@ -240,6 +240,60 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted((r.user_id, r.value) for r in rows) == [(1, 1.0), (2, 2.0), (3, 3.0)]
 
 
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across a QUERY RESTART: run the dedup stream to
+    completion with a checkpoint, stop it, land MORE files (overlapping
+    keys within the watermark horizon), start a NEW query on the SAME
+    checkpoint — the restored state must suppress cross-restart
+    duplicates and the already-emitted batch must not re-emit.  This is
+    the recovery contract a real ingest pipeline leans on."""
+    import os
+
+    import pandas as pd
+
+    from sparkdon.streaming.windows import dedup_stream, read_event_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, ids, users, values, times):
+        pd.DataFrame({
+            "event_id": ids,
+            "ts": pd.to_datetime(times),
+            "user_id": users,
+            "event_type": ["click"] * len(ids),
+            "value": values,
+            "props": ["{}"] * len(ids),
+        }).to_parquet(src / name, coerce_timestamps="us")
+
+    def run_once():
+        q = (
+            dedup_stream(read_event_stream(spark, str(src)))
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    write_batch("b1.parquet", [0, 1, 2], [1, 2, 1], [1.0, 2.0, 1.0],
+                ["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02"])
+    run_once()
+    # restart: (1, 1.0) and (2, 2.0) are duplicates of run 1's keys and
+    # inside the 10-minute horizon; (3, 3.0) is new
+    write_batch("b2.parquet", [3, 4, 5], [1, 2, 3], [1.0, 2.0, 3.0],
+                ["2024-01-01 10:03", "2024-01-01 10:04", "2024-01-01 10:05"])
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    got = sorted((r["user_id"], r["value"]) for r in rows)
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)], got
+    assert sorted(r["event_id"] for r in rows) == [0, 1, 5]
+
+
 def test_lsh_refined_recall_vs_exact(spark):
     """The banded-LSH refine must recover a solid fraction of the exact
     top-5 neighbors (band-OR over 6 bands × 3-bit sketches)."""
