@@ -1,0 +1,121 @@
+"""Seeded random property-path battery: random edge sets through the
+engine's recursive path machinery vs a pure-Python reachability
+reference.
+
+paths.py is the hand-written 'hard 10%' (semi-naive fixpoint loops,
+anchored BFS, SIP) — exactly where a wrong frontier dedup or off-by-one
+iteration silently loses pairs.  Each case builds a random directed
+graph over a small node space (cycles, self-loops, multi-predicate
+edges all arise naturally), runs `p*` / `p+` / `^p` / `p1/p2` / `p?` /
+`p1|p2` through the full engine, and compares the pair set against an
+independent closure computed with plain Python sets.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkdon.session import inline  # noqa: E402
+
+N_GRAPHS = 6
+SEED = 20260815
+NODES = 8
+
+
+def random_graph(rng):
+    """{pred: set[(s, o)]} over n0..n7 — dense enough for cycles."""
+    edges = {"p": set(), "q": set()}
+    for pred in edges:
+        for _ in range(rng.randint(6, 14)):
+            edges[pred].add((rng.randrange(NODES), rng.randrange(NODES)))
+    return edges
+
+
+def to_turtle(edges):
+    lines = ["@prefix : <http://x.com/> ."]
+    for pred, pairs in edges.items():
+        for s, o in pairs:
+            lines.append(f":n{s} :{pred} :n{o} .")
+    return "\n".join(lines)
+
+
+def ref_closure(pairs, reflexive_nodes=None):
+    """Transitive closure of a pair set; with reflexive_nodes adds the
+    zero-length pairs p* requires (every subject/object in the graph)."""
+    reach = {}
+    for s, o in pairs:
+        reach.setdefault(s, set()).add(o)
+    changed = True
+    while changed:
+        changed = False
+        for s in list(reach):
+            new = set()
+            for mid in reach[s]:
+                new |= reach.get(mid, set())
+            if not new <= reach[s]:
+                reach[s] |= new
+                changed = True
+    out = {(s, o) for s, os_ in reach.items() for o in os_}
+    if reflexive_nodes is not None:
+        out |= {(n, n) for n in reflexive_nodes}
+    return out
+
+
+def engine_pairs(e, path_expr):
+    q = f"SELECT ?s ?o {{ ?s {path_expr} ?o }}"
+    rows = e.select_raw(q).select("v_s", "v_o").collect()
+
+    def node(t):
+        lex = t[1]
+        return int(lex.rsplit("n", 1)[-1])
+
+    return {(node(r["v_s"]), node(r["v_o"])) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def graphs(spark):
+    rng = random.Random(SEED)
+    out = []
+    for _ in range(N_GRAPHS):
+        edges = random_graph(rng)
+        out.append((edges, inline(to_turtle(edges), spark)))
+    return out
+
+
+def test_path_star_and_plus(graphs):
+    for edges, e in graphs:
+        nodes = {x for prs in edges.values() for pr in prs for x in pr}
+        p = edges["p"]
+        assert engine_pairs(e, ":p+") == ref_closure(p)
+        # p*: closure plus zero-length on EVERY term in the graph
+        assert engine_pairs(e, ":p*") == ref_closure(p, reflexive_nodes=nodes)
+
+
+def test_path_inverse_and_seq(graphs):
+    for edges, e in graphs:
+        p, q = edges["p"], edges["q"]
+        assert engine_pairs(e, "^:p") == {(o, s) for s, o in p}
+        want_seq = {(s, o2) for s, o in p for o1, o2 in q if o == o1}
+        assert engine_pairs(e, ":p/:q") == want_seq
+
+
+def test_path_alternation_and_optional(graphs):
+    for edges, e in graphs:
+        nodes = {x for prs in edges.values() for pr in prs for x in pr}
+        p, q = edges["p"], edges["q"]
+        assert engine_pairs(e, "(:p|:q)") == p | q
+        assert engine_pairs(e, ":p?") == p | {(n, n) for n in nodes}
+
+
+def test_path_star_over_alternation(graphs):
+    for edges, e in graphs:
+        nodes = {x for prs in edges.values() for pr in prs for x in pr}
+        both = edges["p"] | edges["q"]
+        assert engine_pairs(e, "(:p|:q)*") == ref_closure(
+            both, reflexive_nodes=nodes)
