@@ -69,6 +69,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_dedup_exact",
             "x_chunk_dedup",
+            "x_boilerplate",
             "x_dedup_jaccard",
             "x_pii_scrub",
             "x_pq_codes",

@@ -2738,6 +2738,73 @@ def x_chunk_dedup(spark, sf_dir):
     )
 
 
+#: a chunk present in at least this many DISTINCT documents is
+#: boilerplate (the fixture's planted cross-doc chunks top out at 6
+#: docs; production corpora use line-frequency bars like RefinedWeb's)
+BOILERPLATE_DF = 3
+
+
+@register(
+    "x_boilerplate",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "cl AS (SELECT doc_id, list_transform("
+    f" generate_series(1, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)), "
+    f" i -> array_to_string(t[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')) AS cs "
+    " FROM toks), "
+    "ch AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS ci, "
+    " unnest(cs) AS chunk FROM cl), "
+    "dfq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS d FROM ch GROUP BY chunk), "
+    "k AS (SELECT ch.doc_id, ch.ci, ch.chunk, "
+    f" CASE WHEN dfq.d >= {BOILERPLATE_DF} THEN 1 ELSE 0 END AS bp "
+    " FROM ch JOIN dfq USING (chunk)) "
+    "SELECT doc_id, COUNT(*) AS n_chunks, "
+    "CAST(SUM(bp) AS BIGINT) AS n_removed, "
+    "md5(COALESCE(string_agg(CASE WHEN bp = 0 THEN chunk END, ' ' ORDER BY ci), "
+    " '')) AS clean_md5 FROM k GROUP BY doc_id",
+)
+def x_boilerplate(spark, sf_dir):
+    """Boilerplate removal — the OTHER line-frequency pass real web
+    pipelines run next to keep-first chunk dedup: a chunk occurring in
+    ≥ ``BOILERPLATE_DF`` distinct documents (license headers, nav bars,
+    cookie banners) is removed from EVERY document, first occurrence
+    included — ubiquity means it carries no training signal anywhere.
+    Keep-first dedup (``x_chunk_dedup``) would still train on one copy;
+    this pass trains on none.  Output per document: chunk count,
+    removed count, and the md5 of the reassembled text, so the oracle
+    verifies chunking, the frequency rule, and the ordered
+    re-concatenation byte-for-byte.
+
+    100 TB shape: the chunk document-frequency table is one
+    (chunk)-keyed partial agg (map-side combine collapses per-partition
+    repeats); the verdict joins back chunk-keyed — both shuffles carry
+    ≤ 10-token strings; reassembly re-shuffles on doc_id.  The df table
+    at the boilerplate threshold is TINY (only ubiquitous chunks
+    matter), so at scale the join flips to a broadcast of just the
+    over-threshold chunk set — a one-line `.filter` change the
+    docstring documents rather than hides: here the full join keeps the
+    gate's n_chunks accounting oracle-comparable."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
+    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
+    dfq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("d"))
+    k = ch.join(dfq, "chunk").withColumn(
+        "bp", F.when(F.col("d") >= BOILERPLATE_DF, 1).otherwise(0))
+    kept = F.when(F.col("bp") == 0, F.struct("ci", "chunk"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("bp").cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["chunk"]),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
 #: semantic-dedup similarity threshold — same scaled-cosine bar as the
 #: strict embedding near-dup tier (the fixture's planted dups peak at
 #: cos ≈ 0.51; a production corpus would gate at ~0.9)

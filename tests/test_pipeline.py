@@ -836,6 +836,47 @@ def _reference_bpe(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+def test_boilerplate_removes_every_copy(spark):
+    """The distinction from keep-first chunk dedup: a chunk in >=
+    BOILERPLATE_DF distinct docs vanishes from ALL of them (first
+    occurrence included), while under-threshold repeats survive
+    everywhere."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkdon.pipeline import BOILERPLATE_DF, x_boilerplate, x_chunk_dedup
+
+    assert BOILERPLATE_DF == 3
+    bp = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"          # in 3 docs -> boilerplate
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"        # in 2 docs -> kept
+    uniq = ["u%d" % i for i in range(40)]
+    rows = [
+        (0, bp + " " + " ".join(uniq[:10])),
+        (1, bp + " " + rare),
+        (2, " ".join(uniq[10:20]) + " " + bp),
+        (3, rare + " " + " ".join(uniq[20:30])),
+    ]
+    d = tempfile.mkdtemp(prefix="bp_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in x_boilerplate(spark, d).collect()}
+    # every copy of bp removed, rare kept in both its docs
+    expect_clean = {
+        0: " ".join(uniq[:10]),
+        1: rare,
+        2: " ".join(uniq[10:20]),
+        3: rare + " " + " ".join(uniq[20:30]),
+    }
+    for doc_id, clean in expect_clean.items():
+        assert got[doc_id]["clean_md5"] == hashlib.md5(
+            clean.encode()).hexdigest(), doc_id
+    assert [got[i]["n_removed"] for i in range(4)] == [1, 1, 1, 0]
+    # keep-first dedup, by contrast, keeps doc 0's copy of bp
+    cd = {r["doc_id"]: r["n_kept"] for r in x_chunk_dedup(spark, d).collect()}
+    assert cd[0] == got[0]["n_chunks"]  # doc 0 keeps everything under keep-first
+
+
 def test_dedup_priority_keeps_best_source(spark):
     """Exactly one keeper per cluster, the keeper has the cluster's
     minimal (src_rank, doc_id), and against x_dedup_clusters the
