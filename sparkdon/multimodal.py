@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 DECODE is real for codec-free formats — binary/ASCII PPM (P6/P3),
-uncompressed 24-bit BMP, PCM WAV, and non-interlaced 8-bit PNG (stdlib
-``zlib`` inflate + the five scanline filters in numpy) are pure
+uncompressed 24-bit BMP, PCM WAV, non-interlaced 8-bit PNG (stdlib
+``zlib`` inflate + the five scanline filters in numpy), and
+non-interlaced GIF87a/89a (pure-Python variable-width LZW, r8) are pure
 struct/numpy parsing, no codec library needed.  Remaining compressed
-formats (JPEG/MP3/…, interlaced PNG) raise ``NotImplementedError``
+formats (JPEG/MP3/…, interlaced PNG/GIF) raise ``NotImplementedError``
 because the container genuinely has no codecs; the deterministic fakes
 remain available for exercising the plumbing with arbitrary payload
 bytes.  Everything Spark-side is real and tested
@@ -278,11 +279,124 @@ def decode_image(payload: bytes):
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR -> RGB
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+
     head = payload[:8].hex()
     raise NotImplementedError(
         f"no codec-free decoder for payload starting {head!r}; PPM (P6/P3), "
-        "24-bit BMP, and non-interlaced 8-bit PNG decode natively; other "
-        "compressed formats need a codec library wired in here")
+        "24-bit BMP, non-interlaced 8-bit PNG, and non-interlaced GIF "
+        "decode natively; other compressed formats need a codec library "
+        "wired in here")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size + 1``, CLEAR resets the table, widths grow at table
+    sizes 2^w up to 12 bits.  Pure-Python, index stream out."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    # bit reader: GIF packs codes LSB-first
+    acc = bit_cnt = 0
+    pos = 0
+
+    def read_code(width):
+        nonlocal acc, bit_cnt, pos
+        while bit_cnt < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: treat as end
+            acc |= data[pos] << bit_cnt
+            bit_cnt += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bit_cnt -= width
+        return code
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == len(table) + 2:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            table[len(table) + 2] = prev + [entry[0]]
+        if len(table) + 2 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a → HxWx3 uint8 numpy (first image frame): logical
+    screen + color tables via struct, pixel indices via
+    :func:`_gif_lzw_decode`.  Interlaced images raise
+    ``NotImplementedError`` (same honest boundary as Adam7 PNG)."""
+    import struct
+
+    import numpy as np
+
+    w_screen, h_screen, flags, _bg, _ar = struct.unpack_from(
+        "<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block: label + sub-blocks, skip
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(data))[: w * h]
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel stream")
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            return pal[np.array(idx, dtype=np.int32)].reshape(h, w, 3)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
 
 
 def encode_ppm(arr) -> bytes:

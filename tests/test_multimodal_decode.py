@@ -351,3 +351,128 @@ def test_png_roundtrip_property(h, w, seed):
     assert np.array_equal(decode_image(encode_png(arr)), arr)
     # and cross-format: PNG-decoded pixels re-encode to identical PPM
     assert encode_ppm(decode_image(encode_png(arr))) == encode_ppm(arr)
+
+
+# --- GIF (round 8: pure-stdlib LZW decode) --------------------------------
+
+def _gif_pack(codes, width_of):
+    """LSB-first bit packing of an LZW code sequence (per-code widths)."""
+    acc = bits = 0
+    out = bytearray()
+    for c, w in codes:
+        acc |= c << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(indices, w, h, palette, min_code, code_stream):
+    """Assemble a single-frame GIF87a around a pre-built LZW stream."""
+    import struct
+
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * ((1 << depth) - n)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += gct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    data = _gif_pack(code_stream, None)
+    i = 0
+    while i < len(data):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+        i += 255
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _gif_encode_uncompressed(indices, min_code):
+    """CLEAR before every literal — the classic 'uncompressed GIF'
+    trick: the decoder's table never grows, so this stream exercises
+    the reader/palette path independently of the LZW table logic."""
+    clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    codes = []
+    for px in indices:
+        codes.append((clear, width))
+        codes.append((px, width))
+    codes.append((eoi, width))
+    return codes
+
+
+def _gif_encode_lzw(indices, min_code):
+    """Real GIF LZW encoder (string table, width growth) — the
+    compressed round-trip exercises compound codes and KwKwK."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = [(clear, min_code + 1)]
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    run = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        codes.append((table[run], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            # decoder grows width when its next slot hits 2^width;
+            # mirror that exactly (grow after assigning code 2^width-1)
+            width += 1
+        run = (px,)
+    if run:
+        codes.append((table[run], width))
+    codes.append((eoi, width))
+    return codes
+
+
+def test_gif_uncompressed_stream_decodes_exact():
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    gif = _gif_bytes(idx, 4, 2, palette, 2, _gif_encode_uncompressed(idx, 2))
+    arr = decode_image(gif)
+    assert arr.shape == (2, 4, 3)
+    want = np.array([palette[i] for i in idx], dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(arr, want)
+
+
+def test_gif_lzw_roundtrip_with_runs():
+    """Repeated runs force compound codes, immediate-reuse (KwKwK), and
+    code-width growth past min_code+1."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    palette = [(i, 255 - i, i * 3 % 256) for i in range(8)]
+    # long runs -> the encoder table grows well past 2^(min+1)
+    idx = []
+    for _ in range(40):
+        v = int(rng.integers(0, 8))
+        idx += [v] * int(rng.integers(1, 9))
+    w, h = len(idx), 1
+    gif = _gif_bytes(idx, w, h, palette, 3, _gif_encode_lzw(idx, 3))
+    arr = decode_image(gif)
+    want = np.array([palette[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(arr, want)
+
+
+def test_gif_interlaced_raises():
+    import struct
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    codes = _gif_encode_uncompressed([0, 1], 2)
+    gif = bytearray(_gif_bytes([0, 1], 2, 1, palette, 2, codes))
+    # set the interlace flag in the image descriptor
+    desc = gif.index(b"\x2C")
+    gif[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_image(bytes(gif))
