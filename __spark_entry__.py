@@ -66,7 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: 1. The two round-7 hash-mismatch entries, repaired this round (the
 #:    HUGEINT oracle casts) -- driver-green rows for these are the
 #:    round's top task.
-#: 2. The three brand-new gates (trained PQ, cluster split, BPE pairs)
+#: 2. The round-8 brand-new gates (trained PQ, cluster split, BPE
+#:    pairs, unigram+bigram LM scoring, temperature mixture,
+#:    source-priority dedup, exact-k sampling, boilerplate removal)
 #:    and the gates whose code changed this round (semantic-dedup cap
 #:    guard; the refactored sim/topk cores; the stream-join await
 #:    path).
