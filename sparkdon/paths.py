@@ -100,7 +100,25 @@ def eval_pairs(compiler, path) -> DataFrame:
             out = out.unionByName(o)
         return out
     if path.op in ("star", "plus", "opt"):
-        raise QueryExecutionError("closure path inside another path — evaluate via eval_path")
+        # A closure NESTED inside a composite path (:p/:q*, (^:p)+/..,
+        # (:p*|:q)): evaluate the inner relation and close it with the
+        # shared semi-naive machinery.  Zero-length arms (star/opt)
+        # match every term in the graph per spec §18.4 ZeroOrMorePath —
+        # the same domain the top-level unanchored evaluation uses.
+        # This is deliberately the FULL closure: nesting denies the
+        # anchored-BFS/SIP fast paths their anchor, and a full closure
+        # joined into the rest of the sequence is the general answer
+        # (the documented last-resort cost, same as unanchored p*).
+        inner = eval_pairs(compiler, path.parts[0])
+        if path.op == "opt":
+            closed = inner
+        elif path.op == "plus":
+            return transitive_closure(inner)
+        else:
+            closed = transitive_closure(inner)
+        zero = all_nodes(compiler).select(
+            F.col("node").alias("start"), F.col("node").alias("end"))
+        return closed.unionByName(zero).distinct()
     raise QueryExecutionError(f"unsupported path op {path.op}")
 
 

@@ -113,6 +113,31 @@ def test_path_alternation_and_optional(graphs):
         assert engine_pairs(e, ":p?") == p | {(n, n) for n in nodes}
 
 
+def test_path_inverse_plus(graphs):
+    """(^:p)+ is the closure of the REVERSED edge set — frontier
+    direction bugs show up here and nowhere else."""
+    for edges, e in graphs:
+        rev = {(o, s) for s, o in edges["p"]}
+        assert engine_pairs(e, "(^:p)+") == ref_closure(rev)
+
+
+def test_path_seq_into_star(graphs):
+    """:p/:q* — one p-hop then ANY number of q-hops (zero included, so
+    every p-edge endpoint survives): composing a plain step with a
+    closure exercises the join between the BGP tier and the recursive
+    tier."""
+    for edges, e in graphs:
+        p, q = edges["p"], edges["q"]
+        qreach = {}
+        for s, o in ref_closure(q):
+            qreach.setdefault(s, set()).add(o)
+        want = set(p)  # zero q-hops
+        for s, o in p:
+            for t in qreach.get(o, ()):
+                want.add((s, t))
+        assert engine_pairs(e, ":p/:q*") == want
+
+
 def test_path_star_over_alternation(graphs):
     for edges, e in graphs:
         nodes = {x for prs in edges.values() for pr in prs for x in pr}
