@@ -138,6 +138,22 @@ def test_path_seq_into_star(graphs):
         assert engine_pairs(e, ":p/:q*") == want
 
 
+def test_path_plus_over_sequence(graphs):
+    """(:p/:q)+ — the closure's STEP is itself composite."""
+    for edges, e in graphs:
+        p, q = edges["p"], edges["q"]
+        step = {(s, o2) for s, o in p for o1, o2 in q if o == o1}
+        assert engine_pairs(e, "(:p/:q)+") == ref_closure(step)
+
+
+def test_path_inverse_of_sequence(graphs):
+    """^(:p/:q) reverses the composed relation (≡ ^:q/^:p)."""
+    for edges, e in graphs:
+        p, q = edges["p"], edges["q"]
+        step = {(s, o2) for s, o in p for o1, o2 in q if o == o1}
+        assert engine_pairs(e, "^(:p/:q)") == {(o, s) for s, o in step}
+
+
 def test_path_star_over_alternation(graphs):
     for edges, e in graphs:
         nodes = {x for prs in edges.values() for pr in prs for x in pr}
