@@ -73,12 +73,15 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_boilerplate,
         x_bpe_pairs,
         x_chunk_dedup,
         x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
         x_dedup_minhash,
+        x_lm_bigram,
+        x_lm_score,
         x_pack_sequences,
         x_pq_trained,
         x_sim_lsh_refined,
@@ -106,6 +109,11 @@ def main() -> None:
         "x_pq_trained": x_pq_trained,
         "x_split_by_cluster": x_split_by_cluster,
         "x_bpe_pairs": x_bpe_pairs,
+        # round 8 late additions: chunk-df boilerplate (two chunk-keyed
+        # shuffles), vocab-bound unigram LM, bigram-vocab-bound LM
+        "x_boilerplate": x_boilerplate,
+        "x_lm_score": x_lm_score,
+        "x_lm_bigram": x_lm_bigram,
         # x_semantic_dedup is deliberately NOT probed: its fixture
         # clustering is fixed-K (the 10 label centroids), so a kx corpus
         # means kx-sized clusters — the configuration SemDeDup explicitly
