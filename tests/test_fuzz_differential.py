@@ -114,12 +114,22 @@ def gen_case(rng):
             group_var = rng.choice(groupable)
 
     if group_var:
-        sparql = (f"SELECT ?{group_var} (COUNT(*) AS ?cnt) {{ {where} }} "
-                  f"GROUP BY ?{group_var}")
-        sql = (f"SELECT {sql_cols[group_var]} AS {group_var}, "
-               f"COUNT(*) AS cnt FROM customer{joins}{sql_where} "
-               f"GROUP BY {sql_cols[group_var]}")
+        # COUNT always; MIN/MAX over the balance when it is in scope
+        # (exactly portable — unlike a double SUM, whose partial-agg
+        # addition order differs between engines at the ulp level)
+        aggs_sparql = ["(COUNT(*) AS ?cnt)"]
+        aggs_sql = ["COUNT(*) AS cnt"]
         schema = {group_var: "str", "cnt": "long"}
+        if "bal" in sql_cols and rng.random() < 0.6:
+            fn = rng.choice(["MIN", "MAX"])
+            aggs_sparql.append(f"({fn}(?bal) AS ?m)")
+            aggs_sql.append(f"{fn}(c_acctbal) AS m")
+            schema["m"] = "double"
+        sparql = (f"SELECT ?{group_var} {' '.join(aggs_sparql)} "
+                  f"{{ {where} }} GROUP BY ?{group_var}")
+        sql = (f"SELECT {sql_cols[group_var]} AS {group_var}, "
+               f"{', '.join(aggs_sql)} FROM customer{joins}{sql_where} "
+               f"GROUP BY {sql_cols[group_var]}")
         return sparql, sql, schema, tables
 
     proj = list(sql_cols)

