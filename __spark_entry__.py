@@ -86,7 +86,7 @@ _FRONT = [
     # 2. new gates + changed code paths
     "x_pq_trained", "x_split_by_cluster", "x_bpe_pairs",
     "x_lm_score", "x_lm_bigram", "x_mix_temperature", "x_dedup_priority",
-    "x_sample_exact_k", "x_boilerplate",
+    "x_sample_exact_k", "x_boilerplate", "x_cross_dedup",
     "x_semantic_dedup", "x_sim_pq", "x_sim_topk", "x_sim_lsh_refined",
     "x_join_stream",
     # 3. r05-stale engine tier
@@ -103,7 +103,7 @@ _FRONT = [
     "j1_inner_join_chain", "j2_left_outer", "j3_anti_not_exists",
     "j4_minus", "j5_semi_exists", "a1_group_count", "a3_count_distinct",
     "a6_subquery_filter", "a8_bag_decollect",
-    "p1_scan_filter", "q_rule_fixpoint",
+    "q_rule_fixpoint",
     "x_corpus_keep",
 ]
 

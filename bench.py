@@ -104,6 +104,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "pipeline_heavy",
         [
             "x_contamination",
+            "x_cross_dedup",
             "x_semantic_dedup",
             "x_dedup_minhash",
             "x_dedup_clusters",

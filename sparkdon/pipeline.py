@@ -2738,6 +2738,48 @@ def x_chunk_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "x_cross_dedup",
+    _DUCK_BANDS +
+    "SELECT n.doc_id, "
+    "CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_ref_hits, "
+    "CAST(CASE WHEN COUNT(r.doc_id) > 0 THEN 1 ELSE 0 END AS BIGINT) "
+    " AS is_dup "
+    "FROM (SELECT * FROM bands WHERE doc_id % 97 <> 0) n "
+    "LEFT JOIN (SELECT * FROM bands WHERE doc_id % 97 = 0) r "
+    " ON n.band = r.band AND n.bk = r.bk "
+    "GROUP BY n.doc_id",
+)
+def x_cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dup screening — the incremental-ingestion
+    batch story: every NEW document (here the doc_id % 97 ≠ 0 slice)
+    is checked for MinHash band collisions against a REFERENCE corpus
+    (the % 97 = 0 slice standing in for 'what we already trained on'),
+    WITHOUT any new-vs-new pairing.  The near-dup complement of exact
+    8-gram ``x_contamination``, and the batch twin of the
+    streaming-vs-static band join (streaming/neardup.py).  Output per
+    new doc: distinct reference docs collided with, and the dup flag.
+
+    100 TB shape: both sides reduce to (band, bk) keys before joining —
+    signatures are 4 band rows/doc regardless of text size; the
+    reference side's band index is small (and in the real topology
+    PRECOMPUTED once, stored bucketed on (band, bk), and reused by
+    every ingest batch) so the join broadcasts; the new corpus never
+    self-joins, so ingest cost is linear in the batch."""
+    bands = _minhash_bands(spark, sf_dir)
+    new = bands.filter(F.col("doc_id") % 97 != 0)
+    ref = (bands.filter(F.col("doc_id") % 97 == 0)
+           .select(F.col("doc_id").alias("ref_id"), "band", "bk"))
+    hits = (new.join(F.broadcast(ref), ["band", "bk"], "left")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("ref_id").alias("n_ref_hits")))
+    return hits.select(
+        "doc_id",
+        F.col("n_ref_hits").cast("long").alias("n_ref_hits"),
+        F.when(F.col("n_ref_hits") > 0, 1).otherwise(0).cast("long")
+        .alias("is_dup"))
+
+
 #: a chunk present in at least this many DISTINCT documents is
 #: boilerplate (the fixture's planted cross-doc chunks top out at 6
 #: docs; production corpora use line-frequency bars like RefinedWeb's)
