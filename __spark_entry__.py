@@ -61,50 +61,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 8, in
-#: priority order:
-#: 1. The two round-7 hash-mismatch entries, repaired this round (the
-#:    HUGEINT oracle casts) -- driver-green rows for these are the
-#:    round's top task.
-#: 2. The round-8 brand-new gates (trained PQ, cluster split, BPE
-#:    pairs, unigram+bigram LM scoring, temperature mixture,
-#:    source-priority dedup, exact-k sampling, boilerplate removal)
-#:    and the gates whose code changed this round (semantic-dedup cap
-#:    guard; the refactored sim/topk cores; the stream-join await
-#:    path).
-#: 3. The 22 entries whose newest driver-green row is r05 (the
-#:    sparql_* engine tier the r06/r07 windows cut) -- three rounds
-#:    stale after this round otherwise.
-#: 4. Fill to 50 with the oldest r06 entries, preferring ones adjacent
-#:    to this round's changes (x_corpus_keep shares the memoized
-#:    component frame with the new split gate).  The ~30 remaining
-#:    r06/r07-green entries stay within the two-round freshness budget
-#:    (r06 u r07 u r08 covers the whole battery).
+#: Entries hoisted into the driver's verification window.  Round 9, in
+#: priority order (freshness invariant: no battery entry's newest
+#: driver-green row may be older than two rounds, so r09 must cover
+#: everything whose newest green is r06 -- after r08 those 38 entries
+#: are exactly two rounds stale):
+#: 1. Gates whose Spark-side code changed this round
+#:    (x_dedup_priority: the src_rank substring-length advice fix).
+#: 2. The 38 entries whose newest driver-green row is r06 (the r07/r08
+#:    windows cut them; VERDICT r8 item 2 lists them explicitly).
+#: The ~90 remaining entries are all r07/r08-green and stay within the
+#: two-round freshness budget (r07 u r08 u r09 covers the battery).
 _FRONT = [
-    # 1. repaired round-7 reds
-    "x_pack_sequences", "x_corpus_pack",
-    # 2. new gates + changed code paths
-    "x_pq_trained", "x_split_by_cluster", "x_bpe_pairs",
-    "x_lm_score", "x_lm_bigram", "x_mix_temperature", "x_dedup_priority",
-    "x_sample_exact_k", "x_boilerplate", "x_cross_dedup",
-    "x_semantic_dedup", "x_sim_pq", "x_sim_topk", "x_sim_lsh_refined",
-    "x_join_stream",
-    # 3. r05-stale engine tier
-    "sparql_optional", "sparql_not_exists", "sparql_minus",
-    "sparql_union", "sparql_values", "sparql_path_seq",
-    "sparql_path_inverse", "sparql_path_nps", "sparql_path_plus",
-    "sparql_path_star_anchored", "sparql_path_star_values",
-    "sparql_subquery_having", "sparql_orderby_limit",
-    "sparql_bind_strstarts", "sparql_count_distinct",
-    "sparql_join_agg_ids", "sparql_census_ids", "sparql_census_orders",
-    "sparql_optional_ids", "q10_seq_decollect", "x_window_sessionize",
-    "x_fingerprint_winnow",
-    # 4. oldest-r06 refresh
-    "j1_inner_join_chain", "j2_left_outer", "j3_anti_not_exists",
-    "j4_minus", "j5_semi_exists", "a1_group_count", "a3_count_distinct",
-    "a6_subquery_filter", "a8_bag_decollect",
-    "q_rule_fixpoint",
-    "x_corpus_keep",
+    # 1. changed code paths this round
+    "x_dedup_priority",
+    # 2. r06-green refresh (two rounds stale after r08)
+    "a2_group_expr", "a4_global_agg", "a5_group_multi_pattern",
+    "a7_distinct", "a9_multi_agg",
+    "f1_str_cast", "f3_strstarts", "f4_substr",
+    "o1_order_asc", "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
+    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
+    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in",
+    "p8_bind", "p9_values_join",
+    "q_decollect_seq",
+    "sparql_ask", "sparql_construct_count", "sparql_group_concat",
+    "sparql_offset",
+    "u1_union", "u2_except", "u3_intersect",
+    "x_asof_join", "x_dedup_clusters", "x_dedup_stream",
+    "x_event_percentiles", "x_sample_stratified", "x_text_repetition",
+    "x_topk_per_lang", "x_vocab_topk", "x_window_sliding",
+    "x_window_stream",
 ]
 
 

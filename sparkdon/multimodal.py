@@ -335,7 +335,11 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         else:
             raise ValueError(f"corrupt GIF LZW stream (code {code})")
         out.extend(entry)
-        if prev is not None:
+        # spec decoders freeze the table at 4096 codes (12-bit ceiling);
+        # deferred-clear streams keep emitting existing codes past that
+        # point, so both the insert and the KwKwK next-code bookkeeping
+        # must stop growing or they drift off the encoder's code space
+        if prev is not None and len(table) + 2 < 4096:
             table[len(table) + 2] = prev + [entry[0]]
         if len(table) + 2 == (1 << width) and width < 12:
             width += 1
@@ -360,14 +364,21 @@ def _decode_gif(payload: bytes):
         n = 2 << (flags & 0x07)
         gct = payload[pos:pos + 3 * n]
         pos += 3 * n
+    def _byte(p: int) -> int:
+        if p >= len(payload):
+            raise ValueError("truncated GIF")
+        return payload[p]
+
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension block: label + sub-blocks, skip
             pos += 2
-            while payload[pos]:
+            while _byte(pos):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF")
             _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             ct = gct
@@ -379,10 +390,10 @@ def _decode_gif(payload: bytes):
                 raise NotImplementedError("interlaced GIF not supported")
             if ct is None:
                 raise ValueError("GIF image has no color table")
-            min_code = payload[pos]
+            min_code = _byte(pos)
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while _byte(pos):
                 ln = payload[pos]
                 data += payload[pos + 1:pos + 1 + ln]
                 pos += 1 + ln

@@ -1987,7 +1987,8 @@ def x_dedup_priority(spark, sf_dir):
     window partitions by cluster (bounded groups), never globally."""
     comp = _doc_components(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("source", 4, 10).cast("long").alias("src_rank"))
+        "doc_id",
+        F.expr("substring(source, 4)").cast("long").alias("src_rank"))
     j = (comp.select(F.col("node").alias("doc_id"),
                      F.col("rep").alias("cluster_rep"))
          .join(src, "doc_id"))
@@ -2129,8 +2130,10 @@ def x_sample_exact_k(spark, sf_dir):
     boundary.
 
     100 TB shape: one window per stratum key (bounded groups — lang
-    cardinality, not corpus), which AQE executes as a partial top-k per
-    partition before the per-lang rank; nothing global.  For heavily
+    cardinality, not corpus); Catalyst's window-group-limit rewrite
+    (``InferWindowGroupLimit``, the rank-limit pushdown — plan-asserted
+    in tests/test_pipeline.py) turns the ``rn <= 20`` filter into a
+    partial top-k per partition before the shuffle; nothing global.  For heavily
     skewed strata the rank-over-hash is still a single shuffle of
     (lang, hash, id) triples — the document bodies never move."""
     d = table(spark, sf_dir, "documents")

@@ -45,7 +45,10 @@ _GRAPH_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str, tables, located_in: bool = False) -> DataFrame:
-    key = (id(spark), sf_dir, tuple(tables), located_in)
+    # applicationId, not id(spark): id() of a stopped session can be
+    # reused by a new object, which would hand back plans bound to a
+    # dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir, tuple(tables), located_in)
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = rdfize(spark, sf_dir, tables, located_in=located_in)
     return _GRAPH_CACHE[key]

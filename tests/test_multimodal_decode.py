@@ -465,6 +465,68 @@ def test_gif_lzw_roundtrip_with_runs():
     assert np.array_equal(arr, want)
 
 
+def test_gif_truncated_raises_valueerror():
+    """A GIF chopped mid-stream must raise the module's documented
+    ValueError, not a bare IndexError from the block walker
+    (advice r8: bounds-check the sub-block loops)."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    gif = _gif_bytes(idx, 4, 2, palette, 2, _gif_encode_uncompressed(idx, 2))
+    # chop at several points: inside the header, the descriptor, the
+    # sub-block chain, and right before the terminator byte
+    for cut in (14, 30, len(gif) // 2, len(gif) - 2):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image(gif[:cut])
+    # a truncated extension block (0x21 intro, then EOF) as well
+    ext = gif[:13 + 3 * 4] + b"\x21\xF9\x04"
+    with pytest.raises(ValueError):
+        decode_image(ext)
+
+
+def test_gif_lzw_table_freezes_at_4096():
+    """Deferred-clear streams: the string table must freeze at the
+    12-bit/4096-code ceiling (spec decoder behavior) while decode stays
+    exact — the encoder here freezes its inserts at 4096 the way real
+    frozen encoders do, and keeps emitting existing codes after."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # random 8-color pixels mint roughly one table entry per 2-4 px;
+    # 20000 px hits the 4096 ceiling with no CLEAR ever sent
+    idx = [int(v) for v in rng.integers(0, 8, size=20000)]
+    clear, eoi, min_code = 8, 9, 3
+    codes = [(clear, min_code + 1)]
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    run = ()
+    frozen = False
+    for px in idx:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        codes.append((table[run], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            frozen = True
+        run = (px,)
+    assert frozen, "fixture too small to reach the 4096 ceiling"
+    if run:
+        codes.append((table[run], width))
+    codes.append((eoi, width))
+    palette = [(i, 255 - i, i * 3 % 256) for i in range(8)]
+    gif = _gif_bytes(idx, len(idx), 1, palette, min_code, codes)
+    arr = decode_image(gif)
+    want = np.array([palette[i] for i in idx],
+                    dtype=np.uint8).reshape(1, len(idx), 3)
+    assert np.array_equal(arr, want)
+
+
 def test_gif_interlaced_raises():
     import struct
 

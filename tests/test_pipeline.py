@@ -632,6 +632,23 @@ def test_topk_per_lang_plan_and_values(spark):
                for v in per_lang.values())
 
 
+def test_sample_exact_k_plan_and_values(spark):
+    """The exact-k stratum sampler rides the same window-group-limit
+    pushdown as topk_per_lang: each partition keeps only its local
+    top-20-by-hash before the single per-lang shuffle."""
+    from sparkdon.pipeline import x_sample_exact_k
+
+    df = x_sample_exact_k(spark, SF)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan and plan.count("Exchange") == 1
+    rows = df.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) <= 20 for v in per_lang.values())
+    assert all(len(set(v)) == len(v) for v in per_lang.values())
+
+
 def test_component_frame_memoized(spark):
     """x_dedup_clusters and x_corpus_keep share one component
     computation per (session, fixture) — the memo returns the identical
