@@ -91,6 +91,14 @@ _FRONT = [
     "x_event_percentiles", "x_sample_stratified", "x_text_repetition",
     "x_topk_per_lang", "x_vocab_topk", "x_window_sliding",
     "x_window_stream",
+    # 3. fill to 50 with r07-green entries (newest green r07 -> due for
+    #    refresh in r10 anyway; pulling 11 forward spreads the load and
+    #    pins the window deterministically) -- preferring gates whose
+    #    code moved in this round's pipeline-package split
+    "x_dedup_minhash", "x_dedup_exact", "x_chunk_dedup",
+    "x_dedup_embed", "x_dedup_embed_strict", "x_sim_ivf",
+    "x_pq_codes", "x_tfidf_topk", "x_contamination",
+    "x_embed_gram", "x_winsorize",
 ]
 
 

@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # optional probe-name filter: `scale_probe.py 100 dir x_dedup_minhash ...`
+    only = set(sys.argv[3:])
     out_dir = f"/tmp/sparkdon_scale_{k}x"
 
     from pyspark.sql import SparkSession
@@ -60,10 +62,13 @@ def main() -> None:
 
     scale_table("documents", {"doc_id": 1_000_000}, text_col="text")
     scale_table("embeddings", {"vec_id": 1_000_000})
-    # customer is scaled too (ids shifted, nationkeys kept) so the SPARQL
-    # tier probes run over a ~10x triple count
+    # customer and supplier are scaled too (ids shifted, nationkeys
+    # kept) so the SPARQL tier probes run over a ~kx triple count on
+    # both the join-agg side (customer) and the optional/minus side
+    # (supplier)
     scale_table("customer", {"c_custkey": 1_000_000})
-    for t in ("region", "nation", "supplier", "part", "orders",
+    scale_table("supplier", {"s_suppkey": 1_000_000})
+    for t in ("region", "nation", "part", "orders",
               "lineitem", "events"):
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
@@ -82,13 +87,22 @@ def main() -> None:
         x_dedup_minhash,
         x_lm_bigram,
         x_lm_score,
+        x_corpus_pack,
         x_pack_sequences,
         x_pq_trained,
         x_sim_lsh_refined,
         x_sim_pq,
         x_split_by_cluster,
     )
-    from sparkdon.rdf_queries import sparql_census, sparql_path_star_anchored
+    from sparkdon.rdf_queries import (
+        sparql_census,
+        sparql_join_agg_ids,
+        sparql_late_ids,
+        sparql_minus,
+        sparql_optional_ids,
+        sparql_path_plus,
+        sparql_path_star_anchored,
+    )
 
     probes = {
         "x_dedup_exact": x_dedup_exact,
@@ -102,6 +116,9 @@ def main() -> None:
         "x_chunk_dedup": x_chunk_dedup,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,
+        # round 9: the capstone chain (keep-filter join + greedy pack) —
+        # the minhash/components/keep frames all recompute at probe scale
+        "x_corpus_pack": x_corpus_pack,
         # round 8: keyed one-pass PQ training, cluster-keyed split
         # (components + narrow md5 map), and the vocabulary-sized BPE
         # pair count (the histogram shrinks the kx corpus before the
@@ -124,6 +141,15 @@ def main() -> None:
         # closure whose BFS cone stays constant while the graph grows kx
         "sparql_census": sparql_census,
         "sparql_path_star_anchored": sparql_path_star_anchored,
+        # round 9 (VERDICT r8 item 4): the ids-encoded joins, the MINUS
+        # anti-join, late materialization, and the FULL closure (customer
+        # edges grow kx; closure depth stays 2, so the semi-naive
+        # fixpoint should scale with edge count, not super-linearly)
+        "sparql_join_agg_ids": sparql_join_agg_ids,
+        "sparql_optional_ids": sparql_optional_ids,
+        "sparql_minus": sparql_minus,
+        "sparql_late_ids": sparql_late_ids,
+        "sparql_path_plus": sparql_path_plus,
     }
 
     def best_of_2(fn, d):
@@ -140,6 +166,12 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         return round(best, 3)
+
+    if only:
+        unknown = only - set(probes)
+        if unknown:
+            raise SystemExit(f"unknown probe names: {sorted(unknown)}")
+        probes = {n: f for n, f in probes.items() if n in only}
 
     results = {}
     for name, fn in probes.items():

@@ -1,0 +1,244 @@
+"""Near-dup graph machinery: label-propagation connected components
+(pointer jumping), cluster resolution, source-priority dedup, leakage-safe
+cluster splits.
+
+Split out of the former monolithic ``sparkdon/pipeline.py`` (round 9);
+every gate registers into the shared :mod:`sparkdon.pipeline` registry,
+so ``pipeline.QUERIES`` / ``pipeline.ORACLE`` and every public name are
+unchanged for callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import register, table
+from .dedup import _DUCK_BANDS, _bucket_pairs, _minhash_bands
+
+
+def _min_label_components(nodes: DataFrame, pairs: DataFrame,
+                          max_iters: int = 50) -> DataFrame:
+    """Connected components by min-label propagation (HashMin) with
+    pointer jumping: every node takes the minimum label among itself and
+    its neighbors, then labels are shortcut through one level of
+    indirection (``lab := label(lab)``) so information travels 2^k hops
+    after k rounds — O(log diameter) rounds instead of O(diameter), the
+    property that keeps chain-shaped components from serializing the job
+    at scale.  Returns (node, rep).
+
+    Per iteration: two join shuffles keyed on node id + one partial-agg
+    min — the same bounded-lineage pattern as the path fixpoints
+    (``localCheckpoint`` truncates per round, convergence is one count
+    action).  The full large-star/small-star algorithm would also shrink
+    the *edge* set per round; for LSH dup graphs (tiny dense clusters)
+    the edge set is already small relative to the corpus, so label-side
+    jumping is where the rounds go."""
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+    ).localCheckpoint()
+    labels = nodes.select(F.col("node"), F.col("node").alias("lab")).localCheckpoint()
+    changed = -1
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a").agg(F.min("lab").alias("nbr_lab"))
+        )
+        merged = labels.join(nbr, labels.node == nbr.a, "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+        )
+        # pointer jumping: shortcut each label to its label's label
+        hop = merged.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
+        merged = (
+            merged.join(hop, merged.lab == hop.jnode, "left")
+            .select("node", F.least("lab", F.coalesce("jlab", "lab")).alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            merged.alias("m").join(labels.alias("l"), "node")
+            .filter(F.col("m.lab") != F.col("l.lab")).limit(1).count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    if changed != 0:
+        # never return silently-wrong components: an unconverged label
+        # frame would emit wrong representatives with no error signal
+        from sparkdon.errors import SparkdonError
+
+        raise SparkdonError(
+            f"connected components did not converge within {max_iters} "
+            "pointer-jumping rounds (graph diameter > 2^max_iters is not "
+            "plausible — this indicates a bug or a pathological edge set)")
+    return labels.select("node", F.col("lab").alias("rep"))
+
+
+#: connected-components frame memo, keyed on (Spark application, sf_dir):
+#: in a real pipeline the component table is computed ONCE and consumed
+#: by every downstream stage; the memo models exactly that when several
+#: gates run in one session (bench, correctness battery) while each gate
+#: stays self-contained for the driver.  Safe because the gates are
+#: read-only over fixed fixtures, and the application id in the key
+#: prevents a stale frame from leaking across sessions.
+_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_components(spark, sf_dir: str) -> DataFrame:
+    """(node, rep) connected components of the MinHash-LSH candidate
+    graph over ``documents`` — the shared input of ``x_dedup_clusters``
+    and ``x_corpus_keep``.  The result is a localCheckpoint-backed frame
+    (one row per document), so reuse costs no recomputation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _COMPONENTS_MEMO.get(key)
+    if comp is None:
+        docs = table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("node"))
+        pairs = _bucket_pairs(_minhash_bands(spark, sf_dir))
+        comp = _min_label_components(docs, pairs)
+        _COMPONENTS_MEMO[key] = comp
+    return comp
+
+
+@register(
+    "x_dedup_clusters",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b) "
+    "SELECT node AS doc_id, MIN(lab) AS cluster_rep, "
+    "CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS keep "
+    "FROM reach GROUP BY node",
+)
+def x_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution — the step that turns near-dup PAIRS
+    into keep/drop decisions: connected components over the MinHash-LSH
+    candidate graph, representative = min doc_id per component, keep the
+    representative and drop the rest.  Singletons keep themselves.
+
+    The DuckDB oracle computes the same components with a recursive CTE
+    (min reachable id over the undirected edge set), so the whole
+    pairs → components → keep-list pipeline is verified end-to-end.
+
+    100 TB shape: the pair graph is already bucket-local and capped
+    (never all-pairs); propagation shuffles (node, lab) ids only, with
+    map-side-combined mins, and each round's lineage is truncated.  The
+    keep-list join back to the corpus is a broadcast when the dup set is
+    small — the common regime — or an id-keyed shuffle otherwise."""
+    comp = _doc_components(spark, sf_dir)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("cluster_rep"),
+        F.when(F.col("node") == F.col("rep"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+    )
+
+
+@register(
+    "x_dedup_priority",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
+    "ranked AS (SELECT c.doc_id, c.rep, "
+    " CAST(substr(d.source, 4) AS BIGINT) AS src_rank, "
+    " row_number() OVER (PARTITION BY c.rep "
+    "  ORDER BY CAST(substr(d.source, 4) AS BIGINT), c.doc_id) AS rn "
+    " FROM comp c JOIN documents d USING (doc_id)) "
+    "SELECT doc_id, rep AS cluster_rep, src_rank, "
+    "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+    "FROM ranked",
+)
+def x_dedup_priority(spark, sf_dir):
+    """Source-priority duplicate resolution — the keep rule real web
+    pipelines use instead of min-id: within each near-dup cluster keep
+    the document from the most TRUSTED source (curated beats crawled),
+    breaking ties on doc_id.  Here source priority is the fixture's
+    numeric suffix (src0 highest); swap in any rank table.  Differs
+    from ``x_dedup_clusters`` exactly when a cluster's min-id doc is
+    not its best-source doc — the practice that keeps the Wikipedia
+    copy over the CommonCrawl mirror.
+
+    100 TB shape: the component frame is the shared memoized
+    propagation; the only additions are a doc-keyed join to fetch
+    (source) and ONE rep-keyed window — both id+rank rows only, and the
+    window partitions by cluster (bounded groups), never globally."""
+    comp = _doc_components(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substring(source, 4)").cast("long").alias("src_rank"))
+    j = (comp.select(F.col("node").alias("doc_id"),
+                     F.col("rep").alias("cluster_rep"))
+         .join(src, "doc_id"))
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.asc("src_rank"), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "cluster_rep", "src_rank",
+                    F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("keep")))
+
+
+@register(
+    "x_split_by_cluster",
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node) "
+    "SELECT doc_id, rep AS cluster_rep, "
+    "CAST(CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    " % 10000 AS BIGINT) AS draw, "
+    "CASE WHEN CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    "  % 10000 < 9000 THEN 'train' "
+    " WHEN CAST(concat('0x', substr(md5('split:' || rep), 1, 8)) AS BIGINT) "
+    "  % 10000 < 9500 THEN 'val' ELSE 'test' END AS split "
+    "FROM comp",
+)
+def x_split_by_cluster(spark, sf_dir):
+    """Leakage-safe train/val/test split — the assignment step every
+    training pipeline needs before writing shards: the split is drawn
+    per near-dup CLUSTER (deterministic md5 draw on the component
+    representative's id, 90/5/5), and every member inherits its
+    cluster's split — so two near-duplicate documents can never land
+    on opposite sides of a train/test boundary and leak eval answers
+    into training.  Content-keyed and engine-portable like the other
+    sampling gates: the same document lands in the same split on every
+    run, engine, and cluster size.
+
+    100 TB shape: reuses the memoized component frame (id-only
+    propagation, shared with ``x_dedup_clusters`` / ``x_corpus_keep``);
+    the draw and split label are one narrow codegen map over it —
+    nothing new shuffles.  The oracle recomputes components via the
+    recursive CTE and the identical md5 arithmetic."""
+    comp = _doc_components(spark, sf_dir)
+    draw = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit("split"),
+                          F.col("rep").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("cluster_rep"),
+        draw.alias("draw"),
+        F.when(draw < 9000, F.lit("train"))
+        .when(draw < 9500, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )

@@ -1,0 +1,508 @@
+"""Token/shingle-level deduplication: exact, fingerprint, winnowing,
+MinHash LSH, n-gram Jaccard, SimHash, chunk-level and cross-corpus dedup.
+
+Split out of the former monolithic ``sparkdon/pipeline.py`` (round 9);
+every gate registers into the shared :mod:`sparkdon.pipeline` registry,
+so ``pipeline.QUERIES`` / ``pipeline.ORACLE`` and every public name are
+unchanged for callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_dedup_exact",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS copies "
+    "FROM documents GROUP BY md5(text)",
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content; keeper = min doc_id.
+    One shuffle on the hash; map-side partial agg handles the heavy
+    duplicates."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@register(
+    "x_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp "
+    "FROM documents",
+)
+def x_fingerprint(spark, sf_dir):
+    """Document fingerprint: normalization (lower, strip non-alnum) + md5 —
+    the canonical near-exact-dup key."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").cast("binary")).alias("fp"),
+    )
+
+
+#: winnowing fingerprint parameters: k-token grams, window of w gram
+#: hashes; each window contributes its (lexicographic) min md5 — the
+#: standard MOSS/winnowing scheme, giving position-robust fingerprints
+#: with guaranteed coverage (every w consecutive grams share a pick).
+WINNOW_K, WINNOW_W = 3, 4
+
+
+@register(
+    "x_fingerprint_winnow",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "g AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2), "
+    " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS h FROM toks), "
+    "w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(h) - 3), "
+    " j -> list_min(h[j:j+3]))) AS fp FROM g) "
+    "SELECT DISTINCT doc_id, fp FROM w",
+)
+def x_fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): md5 over each
+    3-token gram, then the min hash of every 4-gram window, dedup'd per
+    document.  Pure codegen array expressions — the token and gram-hash
+    arrays are lambda-bound so each is computed once per row; a narrow
+    map + explode, no shuffle before the final DISTINCT.  md5-string
+    mins are portable, so the DuckDB oracle reproduces fingerprints
+    bit-for-bit."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        f"transform(if(size(t) >= {k}, sequence(1, size(t) - {k - 1}), array()), "
+        " i -> md5(cast(concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+        "  element_at(t, i+2)) as binary)))"
+    )
+    wins = (
+        f"transform(if(size(g) >= {w}, sequence(1, size(g) - {w - 1}), array()), "
+        f" j -> array_min(slice(g, j, {w})))"
+    )
+    expr = (f"transform(array(split(text, ' ')), t -> "
+            f" transform(array({grams}), g -> {wins})[0])[0]")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("fp"))
+    )
+
+
+#: shared SQL fragments for shingling (DuckDB side)
+_DUCK_SHINGLES = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2), "
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM toks) "
+)
+
+
+def _spark_shingles(df: DataFrame) -> DataFrame:
+    """3-word shingles per doc, computed with array expressions (codegen).
+
+    The ``transform(array(split(..)), t -> ...)`` wrapper binds the token
+    array to a lambda variable so the text is tokenized ONCE per row —
+    referencing ``split(text)`` directly inside the per-shingle lambda
+    would re-split the document for every element access.
+
+    Documents shorter than 3 tokens yield an EMPTY shingle array: the
+    index range must be guarded with ``if(size >= 3, ...)`` because
+    Spark's ``sequence(1, 0)`` is the *descending* [1, 0] (not empty
+    like DuckDB's generate_series), which would drive ``element_at``
+    out of bounds and kill the whole job on the first short document."""
+    return df.select(
+        "doc_id",
+        F.expr(
+            "transform(array(split(text, ' ')), t -> "
+            " transform(if(size(t) >= 3, sequence(1, size(t) - 2), array()), "
+            "  i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+            "   element_at(t, i+2))))[0]"
+        ).alias("shingles"),
+    )
+
+
+N_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+MINHASH_P = 4_294_967_291  # largest prime < 2^32
+
+
+def _minhash_bands(spark, sf_dir) -> DataFrame:
+    """Per-doc banded MinHash signature.
+
+    minhash_k(doc) = min over shingles of (h1 + k·h2) mod P, where
+    h1/h2 are the two 32-bit halves of ONE md5 per shingle and P is the
+    largest prime < 2³² (Kirsch-Mitzenmacher double hashing — k derived
+    hash functions from one strong hash).  One md5 per shingle instead
+    of one per (shingle, k) is a 16× cut in hash work — md5 dominated
+    the signature pass.  The mod-P wrap is what keeps the k functions
+    usefully independent: without it k·h2 dominates the ordering for
+    large k and the 16 mins collapse toward argmin(h2), inflating
+    false-positive buckets ~6×.  All intermediates stay < 16·2³² ≪ 2⁶³,
+    so no overflow semantics are involved and DuckDB reproduces every
+    value exactly.
+
+    Shape: explode shingles once, then ONE hash-aggregate computing all
+    16 mins (map-side partial min → tiny shuffle keyed by doc_id).  A
+    per-column ``array_min(transform(...))`` formulation is 10× slower:
+    Catalyst collapses the shingle projection into every signature
+    column, re-tokenizing the document 16 times.
+    """
+    return _bands_of(table(spark, sf_dir, "documents"))
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """Banded MinHash signature of an arbitrary (doc_id, text) frame —
+    the fixture-independent body of :func:`_minhash_bands` (tests and
+    the overflow-routing path feed constructed corpora through it)."""
+    md5 = F.md5(F.col("s").cast("binary"))
+    exploded = _spark_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + k * F.col("h2")) % MINHASH_P).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                                     for r in range(BAND_ROWS)]).cast("binary")).alias("bk"),
+        )
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    # one explode instead of a 4-way union — the signature aggregate is
+    # evaluated once, not once per band
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bandkey")
+    ).select("doc_id", F.col("bandkey.band").alias("band"), F.col("bandkey.bk").alias("bk"))
+
+
+_DUCK_BANDS = (
+    _DUCK_SHINGLES +
+    ", hs AS (SELECT doc_id, "
+    "  CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1, "
+    "  CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h2 FROM sh), "
+    "mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967291) AS m "
+    "  FROM hs, (SELECT unnest(generate_series(0, 15)) AS seed) seeds "
+    "  GROUP BY doc_id, seed), "
+    "bands AS (SELECT doc_id, seed // 4 AS band, "
+    "  md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS bk "
+    "  FROM mh GROUP BY doc_id, seed // 4) "
+)
+
+
+# Degenerate buckets (boilerplate-heavy corpora: empty docs, license
+# headers) otherwise blow up quadratically — a 1 M-doc bucket is 5·10¹¹
+# pairs.  Capped buckets are DROPPED from pair generation and surfaced
+# via minhash_overflow_buckets(); at 100 TB an operator routes them to
+# exact dedup instead.  The cap is far above any sf0.01 bucket size, so
+# the oracle gate is unchanged.
+MINHASH_BUCKET_CAP = 1000
+
+
+def _bucket_pairs(bands: DataFrame, cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Bucket-local pair generation from sorted id lists, with a size cap."""
+    buckets = (
+        bands.groupBy("band", "bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(cap)))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ids, (x, i) -> "
+                    " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2)))"
+                )
+            )
+        ).alias("pair")
+    )
+    return pairs.select(F.col("pair.d1").alias("d1"), F.col("pair.d2").alias("d2")).distinct()
+
+
+def minhash_overflow_buckets(spark, sf_dir,
+                             cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Monitoring twin of x_dedup_minhash: the (band, bk, n_docs) buckets
+    the cap excluded from pair generation."""
+    return (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
+def routed_minhash_pairs(docs: DataFrame,
+                         cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """MinHash-LSH candidate pairs with the overflow fallback WIRED IN
+    (not just monitored): buckets over the cap are excluded from
+    quadratic pair generation, and their documents are routed through
+    exact-hash dedup instead — identical-text groups emit star pairs
+    (min-id representative ↔ every other member).  The union is the
+    production candidate set for a boilerplate-heavy corpus.
+
+    Why this is the right 100 TB fallback: a degenerate bucket is almost
+    always an *exact*-duplicate pile (empty docs, license headers), and
+    exact groups need only |group|−1 star edges to land every member in
+    the right connected component downstream — linear where bucket-local
+    pair generation would be quadratic.  Near-dup-but-not-identical
+    members of an overflowed bucket are the one recall loss; they are
+    exactly what ``minhash_overflow_buckets`` keeps reporting for
+    operator follow-up.
+
+    Shapes: the exact path is one md5 map + one window-min keyed on the
+    text hash — no collected id arrays, so even a single million-doc
+    identical pile streams through; the star explode is the filter
+    ``doc_id != rep``."""
+    bands = _bands_of(docs)
+    lsh = _bucket_pairs(bands, cap)
+    over = (
+        bands.groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band", "bk")
+    )
+    over_docs = bands.join(over, ["band", "bk"]).select("doc_id").distinct()
+    texts = docs.join(over_docs, "doc_id").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+    w = Window.partitionBy("th")
+    star = (
+        texts.withColumn("d1", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("d1"))
+        .select("d1", F.col("doc_id").alias("d2"))
+    )
+    return lsh.unionByName(star).distinct()
+
+
+@register(
+    "x_dedup_minhash",
+    _DUCK_BANDS +
+    "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id",
+)
+def x_dedup_minhash(spark, sf_dir):
+    """Near-dup candidates via banded MinHash LSH (shingle → minhash →
+    band → bucket).  Pairs are generated WITHIN each bucket from a
+    sorted collect_list — one aggregate over the signatures instead of a
+    self-join (which would re-evaluate the signature subtree per side).
+    Bucket fan-out is bounded by bucket size (capped at
+    MINHASH_BUCKET_CAP), never corpus size."""
+    return _bucket_pairs(_minhash_bands(spark, sf_dir))
+
+
+@register(
+    "x_dedup_jaccard",
+    _DUCK_SHINGLES +
+    ", ds AS (SELECT doc_id, list_distinct(list(s)) AS sh FROM sh GROUP BY doc_id) "
+    "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+    "CAST(FLOOR(10000.0 * len(list_intersect(a.sh, b.sh)) "
+    " / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jac_scaled "
+    "FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1",
+)
+def x_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity on consecutive-doc pairs (the
+    verification stage that would follow LSH candidate generation)."""
+    sh = _spark_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.array_distinct("shingles").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.floor(
+                10000.0
+                * F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            ).alias("jac_scaled"),
+        )
+    )
+
+
+_SIMHASH_ORACLE = (
+    # token hash = first 8 md5 bytes as unsigned big-endian, split into two
+    # 32-bit halves so every shift stays inside BIGINT; bit i accumulates
+    # +1/-1 per token, and the final word re-packs bit 63 as the sign bit
+    # (-2^63) to match Spark's signed LongType.  sum(BIGINT) is HUGEINT in
+    # DuckDB, hence the outer CAST.
+    "WITH toks AS (SELECT doc_id, "
+    " unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok "
+    " FROM documents), "
+    "h AS (SELECT doc_id, "
+    " CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi, "
+    " CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM toks), "
+    "bits AS (SELECT doc_id, p.i, "
+    " SUM(CASE WHEN (CASE WHEN p.i < 32 THEN (lo >> p.i) & 1 "
+    "  ELSE (hi >> (p.i - 32)) & 1 END) = 1 THEN 1 ELSE -1 END) AS acc "
+    " FROM h, (SELECT unnest(generate_series(0, 63)) AS i) p "
+    " GROUP BY doc_id, p.i), "
+    "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN "
+    " (CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END) "
+    " ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash "
+    "FROM documents d LEFT JOIN sh USING (doc_id)"
+)
+
+
+@register("x_dedup_simhash", _SIMHASH_ORACLE)
+def x_dedup_simhash(spark, sf_dir):
+    """SimHash-64 per document via Arrow-batched ``mapInPandas``.
+    Deterministic: token hashes come from md5, so the DuckDB oracle
+    replicates the bit math exactly (md5-hex halves → 32-bit shifts →
+    ±1 bit votes → signed-64 repack).  At scale this is one narrow map
+    stage — no shuffle."""
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                acc = [0] * 64
+                for tok in (t or "").split():
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big", signed=False)
+                    for i in range(64):
+                        acc[i] += 1 if (h >> i) & 1 else -1
+                v = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        v |= 1 << i
+                # reinterpret as signed 64-bit for Spark LongType
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, simhash long")
+
+
+#: passage granularity for chunk-level exact dedup: consecutive
+#: non-overlapping token windows (the whitespace-token analogue of the
+#: CCNet/RefinedWeb line-level dedup — the fixture has no newlines)
+CHUNK_TOKENS = 10
+
+
+def _chunk_expr(n: int = CHUNK_TOKENS) -> str:
+    """Spark SQL expression: the text column's consecutive
+    non-overlapping ``n``-token chunk array (lambda-bound so the text
+    tokenizes once per row).  Shared by :func:`x_chunk_dedup` and its
+    invariant test so the chunking rule has exactly one definition."""
+    return (
+        "transform(array(split(text, ' ')), t -> "
+        " transform(if(size(t) >= 1, sequence(1, cast(ceil(size(t) / "
+        f"{n}.0) as int)), array()), "
+        f" i -> concat_ws(' ', slice(t, (i-1)*{n}+1, {n}))))[0]"
+    )
+
+
+@register(
+    "x_chunk_dedup",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "cl AS (SELECT doc_id, list_transform("
+    f" generate_series(1, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)), "
+    f" i -> array_to_string(t[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')) AS cs "
+    " FROM toks), "
+    "ch AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS ci, "
+    " unnest(cs) AS chunk FROM cl), "
+    "k AS (SELECT doc_id, ci, chunk, row_number() OVER "
+    " (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM ch) "
+    "SELECT doc_id, COUNT(*) AS n_chunks, "
+    "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), "
+    " '')) AS clean_md5 FROM k GROUP BY doc_id",
+)
+def x_chunk_dedup(spark, sf_dir):
+    """Passage-level exact dedup (the line-dedup pass of CCNet /
+    RefinedWeb, at 10-token chunk granularity since the fixture has no
+    newlines): split every document into consecutive non-overlapping
+    token chunks, keep only the globally FIRST occurrence of each chunk
+    (ordered by doc_id, then position), and reassemble the cleaned
+    text.  Output per document: chunk count, kept count, and the md5 of
+    the reassembled text — the oracle verifies the reassembly
+    byte-for-byte, so chunking, the keep rule, and the ordered
+    re-concatenation are all checked.
+
+    100 TB shape: exactly two shuffles — one on the chunk string (the
+    dedup key; map-side distinct-ish combine does not apply, but the
+    row_number window is a single hash partition by chunk with tiny
+    per-group fan-in), one back on doc_id for reassembly.  Chunk
+    strings are bounded (≤ ~10 tokens), so the shuffle rows stay small;
+    heavy boilerplate chunks (the 100 TB analogue: license headers)
+    concentrate into single groups whose cost is group size, and AQE
+    skew-split handles the pathological ones."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
+    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    k = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("ci", "chunk"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["chunk"]),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+@register(
+    "x_cross_dedup",
+    _DUCK_BANDS +
+    "SELECT n.doc_id, "
+    "CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_ref_hits, "
+    "CAST(CASE WHEN COUNT(r.doc_id) > 0 THEN 1 ELSE 0 END AS BIGINT) "
+    " AS is_dup "
+    "FROM (SELECT * FROM bands WHERE doc_id % 97 <> 0) n "
+    "LEFT JOIN (SELECT * FROM bands WHERE doc_id % 97 = 0) r "
+    " ON n.band = r.band AND n.bk = r.bk "
+    "GROUP BY n.doc_id",
+)
+def x_cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dup screening — the incremental-ingestion
+    batch story: every NEW document (here the doc_id % 97 ≠ 0 slice)
+    is checked for MinHash band collisions against a REFERENCE corpus
+    (the % 97 = 0 slice standing in for 'what we already trained on'),
+    WITHOUT any new-vs-new pairing.  The near-dup complement of exact
+    8-gram ``x_contamination``, and the batch twin of the
+    streaming-vs-static band join (streaming/neardup.py).  Output per
+    new doc: distinct reference docs collided with, and the dup flag.
+
+    100 TB shape: both sides reduce to (band, bk) keys before joining —
+    signatures are 4 band rows/doc regardless of text size; the
+    reference side's band index is small (and in the real topology
+    PRECOMPUTED once, stored bucketed on (band, bk), and reused by
+    every ingest batch) so the join broadcasts; the new corpus never
+    self-joins, so ingest cost is linear in the batch."""
+    bands = _minhash_bands(spark, sf_dir)
+    new = bands.filter(F.col("doc_id") % 97 != 0)
+    ref = (bands.filter(F.col("doc_id") % 97 == 0)
+           .select(F.col("doc_id").alias("ref_id"), "band", "bk"))
+    hits = (new.join(F.broadcast(ref), ["band", "bk"], "left")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("ref_id").alias("n_ref_hits")))
+    return hits.select(
+        "doc_id",
+        F.col("n_ref_hits").cast("long").alias("n_ref_hits"),
+        F.when(F.col("n_ref_hits") > 0, 1).otherwise(0).cast("long")
+        .alias("is_dup"))
+
+
+#: a chunk present in at least this many DISTINCT documents is
+#: boilerplate (the fixture's planted cross-doc chunks top out at 6
+#: docs; production corpora use line-frequency bars like RefinedWeb's)

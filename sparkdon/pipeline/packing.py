@@ -1,0 +1,260 @@
+"""Training-example assembly: distributed prefix-sum sequence packing,
+corpus keep/pack capstones, shard writer.
+
+Split out of the former monolithic ``sparkdon/pipeline.py`` (round 9);
+every gate registers into the shared :mod:`sparkdon.pipeline` registry,
+so ``pipeline.QUERIES`` / ``pipeline.ORACLE`` and every public name are
+unchanged for callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import register, table
+from .clusters import _doc_components
+from .dedup import _DUCK_BANDS
+from .text import (_BIGRAMS_EXPR, _DUCK_BIGRAMS, _duck_rep_bad,
+                   _rep_bad_spark)
+
+
+PACK_SEQ_LEN = 512
+
+
+def _prefix_pack(spark, d: DataFrame) -> DataFrame:
+    """Two-pass distributed prefix sum over (doc_id, n_tok): adds
+    ``start_tok`` — each row's global token offset in doc_id order.
+    Pass 1 buckets rows into contiguous doc_id ranges and takes
+    per-bucket totals; pass 2 turns those into running bucket offsets
+    (a window over #buckets rows — driver-scale) and adds the
+    within-bucket cumulative sum.  The result is identical to the naive
+    single-partition ``SUM() OVER (ORDER BY doc_id)`` but never
+    collapses the data to one partition.
+
+    The bucket is ARITHMETIC — equal-width id ranges from one (min,
+    max) aggregate — not ``repartitionByRange`` + ``spark_partition_id``:
+    the range partitioner's boundaries come from nondeterministic
+    sampling, and this frame is consumed by TWO branches (totals and
+    windowed cumsum), so correctness there would silently hinge on
+    physical Exchange reuse giving both branches the same boundaries.
+    An expression-derived bucket is the same value in every branch by
+    construction.  Sparse/clustered ids only skew bucket SIZES (a
+    performance matter); contiguity, which correctness needs, always
+    holds.  The (min, max) pair rides along as a broadcast one-row
+    frame, so the whole builder stays lazy — no driver action until the
+    caller runs the plan."""
+    p = spark.sparkContext.defaultParallelism
+    mm = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    bucket = F.least(
+        F.lit(p - 1),
+        F.floor((F.col("doc_id") - F.col("_lo")) * p
+                / (F.col("_hi") - F.col("_lo") + 1))
+    ).cast("int")
+    dd = (d.crossJoin(F.broadcast(mm))
+          .withColumn("b", bucket).drop("_lo", "_hi"))
+    per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
+    wl = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        dd.withColumn("local", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
+        .join(F.broadcast(offs), "b")
+        .withColumn("start_tok", F.col("local") + F.col("boff"))
+        .drop("b", "local", "boff")
+    )
+
+
+#: shared CTE chain for the corpus capstones: LSH bands → pair graph →
+#: recursive-CTE connected components → per-doc features (bigrams,
+#: token count).  ``x_corpus_keep`` selects the gate bits from it;
+#: ``x_corpus_pack`` extends the chain with the kept-doc prefix sum.
+_CORPUS_KEEP_CTES = (
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
+    "feat AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    f"grams AS (SELECT doc_id, {_DUCK_BIGRAMS} AS g, len(t) AS n_tok "
+    " FROM feat) "
+)
+
+
+@register(
+    "x_corpus_keep",
+    # composition of the cluster / repetition / length gates into the
+    # final per-document keep decision a cleaning pipeline emits
+    _CORPUS_KEEP_CTES +
+    "SELECT c.doc_id, "
+    "CASE WHEN c.doc_id = c.rep THEN 1 ELSE 0 END AS uniq_ok, "
+    f"CASE WHEN {_duck_rep_bad('g')} THEN 0 ELSE 1 END AS rep_ok, "
+    "CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS len_ok, "
+    "CASE WHEN c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
+    f" AND NOT ({_duck_rep_bad('g')}) THEN 1 ELSE 0 END AS keep "
+    "FROM comp c JOIN grams USING (doc_id)",
+)
+def x_corpus_keep(spark, sf_dir):
+    """The pipeline capstone: one keep/drop decision per document,
+    composing the near-dup cluster resolution (keep only component
+    representatives), the repetition filter (duplicate-bigram < 30 %),
+    and the length gate (20–2000 tokens) — i.e. the actual output a
+    corpus-cleaning pipeline writes before training.
+
+    100 TB shape: the per-doc feature columns are narrow maps over the
+    same documents scan; the only non-trivial input is the component
+    frame, whose propagation is id-only; the final assembly is one join
+    keyed on doc_id (broadcast-eligible whenever the dup set is small).
+    The DuckDB oracle recomputes every stage — recursive-CTE components
+    included — so the composite decision is verified end-to-end, not
+    just its parts.  The component frame itself is shared with
+    ``x_dedup_clusters`` via the per-(session, fixture) memo — computed
+    once, consumed twice, as the real pipeline would."""
+    return _corpus_keep_frame(spark, sf_dir).select(
+        "doc_id", "uniq_ok", "rep_ok", "len_ok", "keep")
+
+
+def _corpus_keep_frame(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_tok, uniq_ok, rep_ok, len_ok, keep) — the capstone
+    gate bits plus the token count, shared by ``x_corpus_keep`` and the
+    packing capstone ``x_corpus_pack``."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    comp = _doc_components(spark, sf_dir)
+    feat = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(_BIGRAMS_EXPR).alias("g"),
+    )
+    n, d = F.size("g"), F.size(F.array_distinct("g"))
+    rep_bad = _rep_bad_spark(n, d)
+    len_ok = F.col("n_tok").between(20, 2000)
+    uniq_ok = F.col("node") == F.col("rep")
+    return (
+        comp.join(feat, comp.node == feat.doc_id)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.when(uniq_ok, 1).otherwise(0).cast("long").alias("uniq_ok"),
+            F.when(rep_bad, 0).otherwise(1).cast("long").alias("rep_ok"),
+            F.when(len_ok, 1).otherwise(0).cast("long").alias("len_ok"),
+            F.when(uniq_ok & len_ok & ~rep_bad, 1).otherwise(0)
+            .cast("long").alias("keep"),
+        )
+    )
+
+
+@register(
+    "x_corpus_pack",
+    _CORPUS_KEEP_CTES +
+    ", keepq AS (SELECT c.doc_id, CAST(n_tok AS BIGINT) AS n_tok "
+    " FROM comp c JOIN grams USING (doc_id) "
+    " WHERE c.doc_id = c.rep AND n_tok BETWEEN 20 AND 2000 "
+    f" AND NOT ({_duck_rep_bad('g')})), "
+    "c2 AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    " AS BIGINT) AS start_tok FROM keepq) "
+    "SELECT doc_id, n_tok, start_tok, "
+    f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
+    f"CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset "
+    "FROM c2",
+)
+def x_corpus_pack(spark, sf_dir):
+    """The full corpus-to-training-batches flow in one verified gate:
+    near-dup cluster resolution + repetition + length gates decide the
+    keep set (same composition as ``x_corpus_keep``), and the SURVIVORS
+    are packed into fixed 512-token training sequences with the two-pass
+    distributed prefix sum of ``x_pack_sequences`` — clean → select →
+    pack, i.e. what a training pipeline actually writes out.  The
+    DuckDB oracle recomputes everything end-to-end: recursive-CTE
+    components, the gate bits, and the kept-doc cumulative sum.
+
+    100 TB shape: the union of its parts — id-only component
+    propagation, narrow feature maps, one doc_id join, then the
+    prefix-sum's two bounded shuffles.  Nothing new is added on top of
+    the audited stages; the gate proves they compose."""
+    kept = (_corpus_keep_frame(spark, sf_dir)
+            .filter(F.col("keep") == 1).select("doc_id", "n_tok"))
+    n = PACK_SEQ_LEN
+    packed = _prefix_pack(spark, kept)
+    return packed.select(
+        "doc_id", "n_tok", "start_tok",
+        F.floor(F.col("start_tok") / n).cast("long").alias("seq_id"),
+        (F.col("start_tok") % n).alias("seq_offset"),
+    )
+
+
+@register(
+    "x_pack_sequences",
+    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER ("
+    " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    " AS BIGINT) AS start_tok FROM d) "
+    "SELECT doc_id, n_tok, start_tok, "
+    f"CAST(FLOOR(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id, "
+    f"CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset, "
+    f"CAST(FLOOR((start_tok + n_tok - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS end_seq "
+    "FROM c",
+)
+def x_pack_sequences(spark, sf_dir):
+    """Document packing — the step that turns a cleaned corpus into
+    fixed-length training sequences: concatenate documents in doc_id
+    order and cut every ``PACK_SEQ_LEN`` tokens.  Each document gets its
+    global token offset, the sequence it starts in, its offset within
+    that sequence, and the sequence it ends in (documents may span
+    boundaries).  The whole assignment is one exact global prefix sum
+    over token counts.
+
+    The oracle states the semantics as the naive single-order window
+    (``SUM() OVER (ORDER BY doc_id)``); the Spark plan computes the SAME
+    sum as a two-pass distributed prefix sum — the shape that survives
+    100 TB where a global-order window collapses to one partition:
+
+    1. range-partition by doc_id (contiguous id ranges per partition);
+    2. per-partition token totals → running bucket offsets (a window
+       over #partitions rows — driver-scale, not data-scale);
+    3. within-bucket cumulative sum + broadcast bucket offset.
+
+    The result is bucket-boundary-independent, so the (sampled, hence
+    unpinned) range boundaries cannot change a single output value."""
+    n = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    return _prefix_pack(spark, d).select(
+        "doc_id", "n_tok", "start_tok",
+        F.floor(F.col("start_tok") / n).cast("long").alias("seq_id"),
+        (F.col("start_tok") % n).alias("seq_offset"),
+        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / n)
+        .cast("long").alias("end_seq"),
+    )
+
+
+def write_training_shards(spark, sf_dir, out_dir: str,
+                          n_shards: int = 8) -> DataFrame:
+    """The pipeline's write side: materialize the packed corpus
+    (``x_pack_sequences``' doc → sequence assignment) into
+    ``n_shards`` parquet shards, RANGE-partitioned on ``seq_id`` so
+    each shard holds a contiguous block of training sequences — the
+    layout a data loader streams sequentially, resumes by (shard,
+    seq_id) checkpoint, and shuffles at the shard level.  Exactly one
+    file per shard (each range partition writes its own file), sizes
+    balanced by the range partitioner's sampling.  Returns the
+    re-read frame for verification.
+
+    100 TB shape: ``repartitionByRange`` is the one shuffle (keyed on
+    the already-computed global sequence order — no global sort);
+    everything upstream is the audited two-pass prefix sum.  Shard
+    count scales to taste (one per loader worker); parquet predicate
+    pushdown on ``seq_id`` gives random access within a shard."""
+    packed = x_pack_sequences(spark, sf_dir)
+    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,340 @@
+"""Sampling & distribution shaping: stratified/exact-k sampling,
+percentiles (exact + t-digest), per-stratum top-k, winsorization,
+mixture/temperature sampling.
+
+Split out of the former monolithic ``sparkdon/pipeline.py`` (round 9);
+every gate registers into the shared :mod:`sparkdon.pipeline` registry,
+so ``pipeline.QUERIES`` / ``pipeline.ORACLE`` and every public name are
+unchanged for callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import register, table
+
+
+@register(
+    "x_event_percentiles",
+    "SELECT event_type, COUNT(*) AS cnt, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.5)) AS BIGINT) AS p50_scaled, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.95)) AS BIGINT) AS p95_scaled, "
+    "CAST(FLOOR(1e4 * quantile_cont(value, 0.99)) AS BIGINT) AS p99_scaled "
+    "FROM events GROUP BY event_type",
+)
+def x_event_percentiles(spark, sf_dir):
+    """Exact latency-style percentiles per event type (p50/p95/p99 with
+    linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same estimator, so the oracle matches
+    on scaled floors).
+
+    At 100 TB exact percentiles are the wrong tool — this gate is the
+    *correctness baseline* for the sketch path: swap in
+    ``percentile_approx`` (t-digest) per group at scale, validated
+    against this exact twin on samples."""
+    e = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), pct.alias("p"))
+        .select(
+            "event_type", "cnt",
+            F.floor(1e4 * F.col("p")[0]).alias("p50_scaled"),
+            F.floor(1e4 * F.col("p")[1]).alias("p95_scaled"),
+            F.floor(1e4 * F.col("p")[2]).alias("p99_scaled"),
+        )
+    )
+
+
+@register(
+    "x_sample_stratified",
+    "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
+    "FROM documents "
+    "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    " AS BIGINT) % 100 < 10 "
+    "GROUP BY lang",
+)
+def x_sample_stratified(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample, reported per language
+    stratum: the selection key is md5(doc_id) — content-stable, so the
+    SAME rows are sampled on every engine, every run, every cluster size
+    (unlike ``df.sample``'s partition-dependent RNG).  This is how a
+    training pipeline carves held-out/eval slices reproducibly.
+
+    Narrow map + one partial-agg shuffle; the md5 gate pushes no rows
+    through Python."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    return (
+        d.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "x_sample_exact_k",
+    "SELECT doc_id, lang FROM ("
+    " SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "  ORDER BY md5('k:' || doc_id), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 20",
+)
+def x_sample_exact_k(spark, sf_dir):
+    """Exact-k per-stratum sampling — 'exactly 20 documents per
+    language', the eval-slice carve a rate-based Bernoulli gate cannot
+    promise (its stratum counts are binomial).  Selection order is the
+    md5 of the salted doc_id — a deterministic uniform permutation, so
+    the chosen k are content-stable across engines, runs, and cluster
+    sizes, and growing the corpus only displaces rows at the hash
+    boundary.
+
+    100 TB shape: one window per stratum key (bounded groups — lang
+    cardinality, not corpus); Catalyst's window-group-limit rewrite
+    (``InferWindowGroupLimit``, the rank-limit pushdown — plan-asserted
+    in tests/test_pipeline.py) turns the ``rn <= 20`` filter into a
+    partial top-k per partition before the shuffle; nothing global.  For heavily
+    skewed strata the rank-over-hash is still a single shuffle of
+    (lang, hash, id) triples — the document bodies never move."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("k:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"))
+    return (d.select("doc_id", "lang")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20).drop("rn"))
+
+
+def event_percentiles_approx(spark, sf_dir, accuracy: int = 10000) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (t-digest
+    sketch) per event type — mergeable, bounded-memory, one partial-agg
+    shuffle.  Not oracle-gated (the sketch is engine-specific and its
+    merge order is plan-dependent); instead pytest asserts it against
+    the exact twin ``x_event_percentiles`` within sketch tolerance."""
+    e = table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                              F.lit(accuracy))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), pct.alias("p"))
+        .select(
+            "event_type", "cnt",
+            F.col("p")[0].alias("p50"), F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+
+
+@register(
+    "x_topk_per_lang",
+    "SELECT lang, doc_id, n_chars FROM ("
+    " SELECT lang, doc_id, n_chars, row_number() OVER "
+    "  (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+    " FROM documents) WHERE rn <= 3",
+)
+def x_topk_per_lang(spark, sf_dir):
+    """Top-k per group (3 longest documents per language): the
+    rank-within-partition pattern — one shuffle on the group key, sort
+    within partitions, early-out at rn <= 3.  Deterministic tie-break on
+    doc_id."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup, semantic dedup, product quantization, stream joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_winsorize",
+    "WITH q AS (SELECT event_type, "
+    " FLOOR(100 * quantile_cont(value, 0.05)) / 100 AS lo, "
+    " FLOOR(100 * quantile_cont(value, 0.95)) / 100 AS hi "
+    " FROM events GROUP BY event_type) "
+    "SELECT e.event_type, COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(LEAST(GREATEST(e.value, q.lo), q.hi) AS DECIMAL(18,2))) "
+    " AS DOUBLE) AS sum_clipped, "
+    "CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_low, "
+    "CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_high "
+    "FROM events e JOIN q USING (event_type) GROUP BY e.event_type",
+)
+def x_winsorize(spark, sf_dir):
+    """Winsorization — the outlier-clipping stage of metric cleaning:
+    per event type, clip values to the [p05, p95] band and report the
+    clipped sum plus how many rows hit each side.  Thresholds are
+    quantized to 2 decimals (floor) so both engines compare against
+    BIT-IDENTICAL bounds — interpolated percentiles at non-binary
+    fractions can differ in the last ulp between engines, and a clip
+    compare must not hinge on that; the clipped sum goes through
+    DECIMAL so the cross-row sum is order-independent (the money
+    trick).
+
+    100 TB shape: one percentile partial agg per (low-cardinality)
+    type, broadcast back for a narrow clip map, one partial-agg
+    report — the corpus shuffles zero times (both aggs are map-side
+    partial on the same key)."""
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        (F.floor(100 * F.expr("percentile(value, 0.05D)")) / 100).alias("lo"),
+        (F.floor(100 * F.expr("percentile(value, 0.95D)")) / 100).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(clipped.cast("decimal(18,2)")).cast("double")
+            .alias("sum_clipped"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_high"),
+        )
+    )
+
+
+@register(
+    "x_mix_sample",
+    "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d "
+    " GROUP BY lang), "
+    "r AS (SELECT lang, lang_tokens, CAST(FLOOR(10000.0 * "
+    " (SELECT MIN(lang_tokens) FROM lt) / lang_tokens) AS BIGINT) AS rate_bp "
+    " FROM lt), "
+    "s AS (SELECT d.lang, d.n_tok FROM d JOIN r USING (lang) "
+    " WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+    "  AS BIGINT) % 10000 < r.rate_bp), "
+    "agg AS (SELECT lang, COUNT(*) AS n_sampled, "
+    " CAST(SUM(n_tok) AS BIGINT) AS tok_sampled FROM s GROUP BY lang) "
+    "SELECT r.lang, r.lang_tokens, r.rate_bp, "
+    "COALESCE(agg.n_sampled, 0) AS n_sampled, "
+    "COALESCE(agg.tok_sampled, 0) AS tok_sampled "
+    "FROM r LEFT JOIN agg USING (lang)",
+)
+def x_mix_sample(spark, sf_dir):
+    """Data mixing to a target per-language token budget — the sampling
+    stage that turns a raw corpus into a training mixture: compute each
+    language's token mass, set every language's keep-rate so it
+    downsamples to the SMALLEST language's budget (a balanced mixture;
+    any target vector works the same way), then apply the rate with the
+    content-stable md5 gate — the same rows are kept on every engine,
+    run, and cluster size.  Rates are integer basis points
+    (floor(1e4·budget/mass)), so the gate compare is portable.  Output
+    per language: token mass, applied rate, and the sampled doc/token
+    counts — the oracle re-derives the whole budget computation.
+
+    100 TB shape: the mixture table is one tiny per-language aggregate
+    (partial-agg shuffle), BROADCAST back onto the corpus for a narrow
+    filter — the corpus itself never shuffles to be sampled; the final
+    per-language report is a second partial agg."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    lt = d.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    r = lt.withColumn(
+        "rate_bp",
+        F.floor(10000.0 * F.min("lang_tokens").over(Window.partitionBy())
+                / F.col("lang_tokens")))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10000
+    s = (d.join(F.broadcast(r.select("lang", "rate_bp")), "lang")
+         .filter(bucket < F.col("rate_bp")))
+    agg = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tok").alias("tok_sampled"))
+    return (
+        r.join(agg, "lang", "left")
+        .select(
+            "lang", "lang_tokens", "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("tok_sampled", F.lit(0)).cast("long")
+            .alias("tok_sampled"),
+        )
+    )
+
+
+@register(
+    "x_mix_temperature",
+    "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS n_tok FROM documents), "
+    "lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d "
+    " GROUP BY lang), "
+    "r AS (SELECT lang, lang_tokens, CAST(FLOOR(10000.0 * "
+    " sqrt(CAST((SELECT MIN(lang_tokens) FROM lt) AS DOUBLE) "
+    "      / lang_tokens)) AS BIGINT) AS rate_bp "
+    " FROM lt), "
+    "s AS (SELECT d.lang, d.n_tok FROM d JOIN r USING (lang) "
+    " WHERE CAST(concat('0x', substr(md5('t:' || d.doc_id), 1, 8)) "
+    "  AS BIGINT) % 10000 < r.rate_bp), "
+    "agg AS (SELECT lang, COUNT(*) AS n_sampled, "
+    " CAST(SUM(n_tok) AS BIGINT) AS tok_sampled FROM s GROUP BY lang) "
+    "SELECT r.lang, r.lang_tokens, r.rate_bp, "
+    "COALESCE(agg.n_sampled, 0) AS n_sampled, "
+    "COALESCE(agg.tok_sampled, 0) AS tok_sampled "
+    "FROM r LEFT JOIN agg USING (lang)",
+)
+def x_mix_temperature(spark, sf_dir):
+    """Temperature-based data mixing, α = 0.5 — the multilingual-
+    pretraining sampling rule (q_i ∝ mass_i^α): keep-rate per language
+    is √(mass_min/mass_i), which IS the α = 0.5 mixture normalized so
+    the smallest language is fully kept — low-resource languages are
+    upweighted relative to proportional sampling but high-resource
+    ones are not flattened to uniform (``x_mix_sample`` is the α → 0
+    balanced-budget limit of the same machinery).
+
+    Portability is exact, not approximate: mass ratios are exact in
+    doubles at these magnitudes and IEEE-754 requires CORRECTLY-ROUNDED
+    sqrt, so both engines floor identical basis-point rates — the
+    reason this gate uses α = 0.5 specifically rather than a pow()
+    whose last ulp is library-dependent.  The keep gate is the
+    content-stable md5 draw (salted 't:' so it decorrelates from the
+    other sampling gates).
+
+    100 TB shape: identical to ``x_mix_sample`` — one tiny per-language
+    aggregate broadcast back for a narrow filter; the corpus never
+    shuffles."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    lt = d.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    r = lt.withColumn(
+        "rate_bp",
+        F.floor(10000.0 * F.sqrt(
+            F.min("lang_tokens").over(Window.partitionBy())
+            / F.col("lang_tokens"))).cast("long"))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 10000
+    s = (d.join(F.broadcast(r.select("lang", "rate_bp")), "lang")
+         .filter(bucket < F.col("rate_bp")))
+    agg = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tok").alias("tok_sampled"))
+    return (
+        r.join(agg, "lang", "left")
+        .select(
+            "lang", "lang_tokens", "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("tok_sampled", F.lit(0)).cast("long")
+            .alias("tok_sampled"),
+        )
+    )
+
+
+#: ADC shortlist size: the PQ scan keeps this many candidates per query
+#: for the exact re-rank (10% of the sf0.01 corpus; measured recall@5 vs
+#: exact cosine is 0.72 at this setting — same bar as the IVF/LSH gates)
