@@ -152,14 +152,46 @@ def _png_unfilter(data: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_deinterlace(raw: bytes, w: int, h: int, ch: int):
+    """Adam7: the IDAT stream holds SEVEN independently-filtered
+    sub-images (one per pass); unfilter each with its own pass-width
+    stride, then scatter its pixels onto the final raster at the pass's
+    (x_start::x_step, y_start::y_step) grid (round 9 — closes the
+    interlaced boundary left honest since round 5)."""
+    import numpy as np
+
+    out = np.zeros((h, w, ch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for small images — zero bytes in IDAT
+        stride = pw * ch
+        need = ph * (1 + stride)
+        sub = raw[pos:pos + need]
+        if len(sub) < need:
+            raise ValueError("truncated PNG raster (interlaced pass)")
+        pos += need
+        px = _png_unfilter(sub, ph, stride, ch).reshape(ph, pw, ch)
+        out[y0::dy, x0::dx] = px
+    return out
+
+
 def _decode_png(payload: bytes):
-    """Non-interlaced 8-bit PNG → HxWx3 uint8: stdlib ``zlib`` for the
-    IDAT stream + the five scanline filters in numpy — no codec library.
-    Covers color types 0 (gray), 2 (RGB), 3 (palette — what the
-    reference's own ``art/*.png`` all are), 4 (gray+alpha), 6 (RGBA);
-    alpha is dropped, gray replicated to 3 channels.  Interlaced or
-    16-bit PNGs raise ``NotImplementedError`` (Adam7 is a genuinely
-    different raster layout, not a missing codec)."""
+    """8-bit PNG → HxWx3 uint8: stdlib ``zlib`` for the IDAT stream +
+    the five scanline filters in numpy — no codec library.  Covers
+    color types 0 (gray), 2 (RGB), 3 (palette — what the reference's
+    own ``art/*.png`` all are), 4 (gray+alpha), 6 (RGBA); alpha is
+    dropped, gray replicated to 3 channels.  Both progressive layouts
+    decode: sequential and Adam7 interlaced (r9,
+    :func:`_png_deinterlace`).  16-bit PNGs still raise
+    ``NotImplementedError``."""
     import struct
     import zlib
 
@@ -184,15 +216,18 @@ def _decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"only 8-bit PNG color types 0/2/3/4/6 supported "
             f"(got depth={bit_depth}, type={color_type})")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if interlace == 1:
+        px = _png_deinterlace(raw, w, h, ch)
+    else:
+        px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -285,9 +320,9 @@ def decode_image(payload: bytes):
     head = payload[:8].hex()
     raise NotImplementedError(
         f"no codec-free decoder for payload starting {head!r}; PPM (P6/P3), "
-        "24-bit BMP, non-interlaced 8-bit PNG, and non-interlaced GIF "
-        "decode natively; other compressed formats need a codec library "
-        "wired in here")
+        "24-bit BMP, 8-bit PNG (sequential + Adam7), and GIF87a/89a "
+        "(sequential + interlaced) decode natively; other compressed "
+        "formats need a codec library wired in here")
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
@@ -350,8 +385,9 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
 def _decode_gif(payload: bytes):
     """GIF87a/89a → HxWx3 uint8 numpy (first image frame): logical
     screen + color tables via struct, pixel indices via
-    :func:`_gif_lzw_decode`.  Interlaced images raise
-    ``NotImplementedError`` (same honest boundary as Adam7 PNG)."""
+    :func:`_gif_lzw_decode`.  Interlaced images decode too (r9): the
+    stored row order is the 4-pass 0::8/4::8/2::4/1::2 permutation,
+    undone after the LZW stage."""
     import struct
 
     import numpy as np
@@ -386,8 +422,6 @@ def _decode_gif(payload: bytes):
                 n = 2 << (iflags & 0x07)
                 ct = payload[pos:pos + 3 * n]
                 pos += 3 * n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if ct is None:
                 raise ValueError("GIF image has no color table")
             min_code = _byte(pos)
@@ -402,7 +436,19 @@ def _decode_gif(payload: bytes):
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel stream")
             pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
-            return pal[np.array(idx, dtype=np.int32)].reshape(h, w, 3)
+            img = pal[np.array(idx, dtype=np.int32)].reshape(h, w, 3)
+            if iflags & 0x40:
+                # interlaced: rows are STORED pass-by-pass (0::8, 4::8,
+                # 2::4, 1::2); permute the stored rows back to display
+                # order (round 9 — a pure row permutation over the same
+                # LZW core)
+                order = np.concatenate([np.arange(s, h, t)
+                                        for s, t in ((0, 8), (4, 8),
+                                                     (2, 4), (1, 2))])
+                out = np.empty_like(img)
+                out[order] = img
+                return out
+            return img
         elif b == 0x3B:  # trailer
             break
         else:

@@ -311,10 +311,75 @@ def test_png_color_type_variants():
 
 def test_png_unsupported_variants_raise():
     arr = np.zeros((2, 2, 3), np.uint8)
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_image(make_png(arr, interlace=1))
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_image(make_png(arr, bit_depth=16))
+
+
+def make_png_adam7(arr: np.ndarray, pass_filter: int = 0) -> bytes:
+    """Adam7 PNG writer for tests: the IDAT stream is the 7 sub-images
+    in pass order, each with its own filtered scanlines."""
+    from sparkdon.multimodal import _ADAM7
+
+    a = arr.astype(np.uint8)
+    h, w, ch = a.shape
+    lines = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * ch, np.int32)
+        for y in range(sub.shape[0]):
+            cur = sub[y].reshape(-1).astype(np.int32)
+            if pass_filter == 2:  # Up
+                enc = (cur - prev) & 0xFF
+                lines.append(b"\x02" + enc.astype(np.uint8).tobytes())
+            else:
+                lines.append(b"\x00" + cur.astype(np.uint8).tobytes())
+            prev = cur
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode (round 9): the 7 passes scatter back to the exact
+    sequential raster — checked on sizes that hit empty and partial
+    passes (1x1 has only pass 1; 9x9 exercises all seven), and with
+    Up-filtered pass scanlines (each pass filters independently)."""
+    rng = np.random.default_rng(13)
+    for (h, w) in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 9), (16, 11)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = decode_image(make_png_adam7(arr))
+        assert np.array_equal(got, arr), (h, w)
+    arr = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    got = decode_image(make_png_adam7(arr, pass_filter=2))
+    assert np.array_equal(got, arr)
+
+
+def test_png_adam7_truncated_raises():
+    """An interlaced raster missing part of a late pass raises the
+    module's ValueError, not an index error."""
+    arr = np.random.default_rng(5).integers(
+        0, 256, size=(9, 9, 3), dtype=np.uint8)
+    full = make_png_adam7(arr)
+    i = full.index(b"IDAT")
+    length = struct.unpack(">I", full[i - 4:i])[0]
+    body = full[i + 4:i + 4 + length]
+    short = zlib.compress(zlib.decompress(body)[:-20])
+
+    def chunk(ctype, b):
+        return (struct.pack(">I", len(b)) + ctype + b
+                + struct.pack(">I", zlib.crc32(ctype + b)))
+
+    rebuilt = full[:i - 4] + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(rebuilt)
 
 
 def test_png_reference_art_corpus_decodes():
@@ -527,14 +592,26 @@ def test_gif_lzw_table_freezes_at_4096():
     assert np.array_equal(arr, want)
 
 
-def test_gif_interlaced_raises():
-    import struct
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIF decode (round 9): rows stored in the 4-pass
+    0::8/4::8/2::4/1::2 order come back permuted to display order —
+    checked on heights that hit every pass boundary."""
+    import numpy as np
 
-    palette = [(0, 0, 0), (255, 255, 255)]
-    codes = _gif_encode_uncompressed([0, 1], 2)
-    gif = bytearray(_gif_bytes([0, 1], 2, 1, palette, 2, codes))
-    # set the interlace flag in the image descriptor
-    desc = gif.index(b"\x2C")
-    gif[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_image(bytes(gif))
+    rng = np.random.default_rng(17)
+    palette = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    for h in (1, 2, 3, 5, 8, 9, 13):
+        w = 6
+        disp = rng.integers(0, 16, size=(h, w))
+        order = np.concatenate([np.arange(s, h, t)
+                                for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))])
+        stored = disp[order]  # rows in transmission order
+        idx = [int(v) for v in stored.reshape(-1)]
+        gif = bytearray(_gif_bytes(idx, w, h, palette, 4,
+                                   _gif_encode_lzw(idx, 4)))
+        desc = gif.index(b"\x2C")
+        gif[desc + 9] |= 0x40  # set the interlace flag
+        arr = decode_image(bytes(gif))
+        want = np.array([palette[i] for i in disp.reshape(-1)],
+                        dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(arr, want), h
