@@ -14,6 +14,23 @@ Adds what the mapInPandas stripe fetcher cannot express:
 - **Partition planning** (``partitions``): one ``InputPartition`` per
   LIMIT/OFFSET stripe family, fetched executor-side exactly like
   ``to_spark`` (each task pages through its own stripes).
+- **LIMIT re-emission** (``option("limit", n)``): the row cap rides
+  into every remote request (``LIMIT min(pagesize, remaining)``), the
+  fetch collapses to one sequential-paging partition, and at most n
+  rows ever cross the wire — the endpoint prunes, not Spark.
+- **Aggregate re-emission** (``option("aggregate", "count")``, optional
+  ``option("groupby", "var1,var2")``): the query is rewritten to
+  ``SELECT ?var1 ?var2 (COUNT(*) AS ?cnt) … GROUP BY ?var1 ?var2`` so
+  the ENDPOINT aggregates; Spark receives group-cardinality rows
+  instead of the full result.  Pushed FILTERs compose inside the
+  aggregate wrap (filter-before-group, matching DataFrame semantics).
+
+The Python Data Source API (Spark 4.1) exposes only ``pushFilters`` —
+there is no ``pushLimit``/``pushAggregation`` hook for Catalyst to
+drive these automatically, so LIMIT/aggregate re-emission is
+option-directed (the caller states intent; the source emits the
+SPARQL).  If/when the API grows those hooks, the same rewrite slots in
+behind them.
 
 All result columns are strings (lexical forms) — cast downstream.  The
 user query must be a plain SELECT; its own solution modifiers keep their
@@ -55,6 +72,14 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StringType, StructField, StructType
 
 _PROLOGUE_RE = re.compile(r"(?im)^\s*(?:PREFIX\s+\S+\s+<[^>]*>|BASE\s+<[^>]*>)\s*")
+
+_AGGREGATES = {"count"}  # extensible: sum/min/max need a value var
+
+
+def _groupby_vars(spec: str) -> list[str]:
+    """Parse the ``groupby`` option: comma/space-separated variable
+    names, ``?``-prefix optional."""
+    return [v.lstrip("?") for v in re.split(r"[\s,]+", spec) if v.strip()]
 
 
 def _split_prologue(query: str) -> tuple[str, str]:
@@ -127,6 +152,16 @@ class SparqlDataSource(DataSource):
     def schema(self) -> StructType:
         url = self.options["url"]
         query = self.options["query"]
+        # An aggregate rewrite fixes the projection without a probe:
+        # groupby vars + the aggregate alias.
+        agg = self.options.get("aggregate")
+        if agg:
+            gvars = _groupby_vars(self.options.get("groupby", ""))
+            alias = self.options.get("aggalias", "cnt")
+            return StructType(
+                [StructField(v, StringType()) for v in gvars]
+                + [StructField(alias, StringType())]
+            )
         # Probe through the same subselect wrapper the reader uses — a bare
         # " LIMIT 1" suffix would be a syntax error when the user query
         # already ends in its own LIMIT/OFFSET (which the docstring allows).
@@ -158,6 +193,20 @@ class SparqlReader(DataSourceReader):
         self.orderby = options.get("orderby", "").strip()
         if self.orderby.lower() == "none":
             self.n_partitions = 1
+        # -- limit / aggregate re-emission (option-directed; see module
+        # docstring for why Catalyst cannot drive these) --------------
+        self.limit = int(options["limit"]) if "limit" in options else None
+        self.aggregate = options.get("aggregate")
+        if self.aggregate is not None and self.aggregate not in _AGGREGATES:
+            raise ValueError(
+                f"unsupported aggregate {self.aggregate!r}; "
+                f"supported: {sorted(_AGGREGATES)}")
+        self.groupby = _groupby_vars(options.get("groupby", ""))
+        self.agg_alias = options.get("aggalias", "cnt")
+        if self.aggregate or self.limit is not None:
+            # results are bounded (group cardinality / n rows): one
+            # sequential-paging task, no stripe fan-out
+            self.n_partitions = 1
         self.pushed_sparql: list[str] = []
 
     # -- pushdown ------------------------------------------------------
@@ -174,9 +223,21 @@ class SparqlReader(DataSourceReader):
         prologue, body = _split_prologue(self.query)
         if self.pushed_sparql:
             conds = " && ".join(f"({c})" for c in self.pushed_sparql)
-            wrapped = f"SELECT * WHERE {{ {{ {body} }} FILTER({conds}) }}"
+            group = f"{{ {{ {body} }} FILTER({conds}) }}"
+            wrapped = f"SELECT * WHERE {group}"
         else:
+            group = f"{{ {{ {body} }} }}"
             wrapped = None
+        if self.aggregate:
+            # re-emit the aggregation: the ENDPOINT groups and counts;
+            # only group-cardinality rows cross the wire.  ORDER BY the
+            # group keys keeps paging deterministic.
+            gv = " ".join(f"?{v}" for v in self.groupby)
+            proj = (f"{gv} " if gv else "") + f"(COUNT(*) AS ?{self.agg_alias})"
+            q = f"{prologue}SELECT {proj} WHERE {group}"
+            if self.groupby:
+                q += f" GROUP BY {gv} ORDER BY {gv}"
+            return q
         if self.orderby.lower() == "none":
             return f"{prologue}{wrapped or body}"
         keys = self.orderby or " ".join(f"?{f}" for f in self.fields)
@@ -191,14 +252,23 @@ class SparqlReader(DataSourceReader):
     def read(self, partition: InputPartition):
         pid = partition.value
         query = self._effective_query()
+        fields = (self.groupby + [self.agg_alias] if self.aggregate
+                  else self.fields)
         for page in range(self.max_pages):
             offset = (pid + page * self.n_partitions) * self.page_size
+            size = self.page_size
+            if self.limit is not None:
+                # re-emit the cap: at most `limit` rows are ever
+                # requested from (or materialized by) the endpoint
+                if offset >= self.limit:
+                    return
+                size = min(size, self.limit - offset)
             doc = _fetch_json(
-                self.url, f"{query} LIMIT {self.page_size} OFFSET {offset}")
+                self.url, f"{query} LIMIT {size} OFFSET {offset}")
             rows = doc["results"]["bindings"]
             for r in rows:
                 yield tuple(
-                    r[v]["value"] if v in r else None for v in self.fields
+                    r[v]["value"] if v in r else None for v in fields
                 )
-            if len(rows) < self.page_size:
+            if len(rows) < size:
                 return

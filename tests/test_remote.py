@@ -79,6 +79,57 @@ class MockSparqlHandler(BaseHTTPRequestHandler):
         for var, val in _re.findall(r'STR\(\?(\w+)\) = "([^"]*)"', query):
             rows = [r for r in rows
                     if r.get(var) is not None and r[var]["value"] == val]
+        # honor a re-emitted COUNT(*) aggregation (round 9 pushdown):
+        # SELECT [?g...] (COUNT(*) AS ?alias) ... [GROUP BY ?g...]
+        m_cnt = _re.search(r"\(COUNT\(\*\) AS \?(\w+)\)", query)
+        if m_cnt:
+            alias = m_cnt.group(1)
+            m_grp = _re.search(r"GROUP BY ((?:\?\w+\s*)+)", query)
+            gvars = (_re.findall(r"\?(\w+)", m_grp.group(1))
+                     if m_grp else [])
+            groups: dict = {}
+            for r in rows:
+                key = tuple(
+                    r[g]["value"] if r.get(g) is not None else None
+                    for g in gvars)
+                groups[key] = groups.get(key, 0) + 1
+            agg_vars = gvars + [alias]
+            rows = [
+                {**{g: ({"type": "literal", "value": k[i]}
+                        if k[i] is not None else None)
+                    for i, g in enumerate(gvars)},
+                 alias: {"type": "typed-literal",
+                         "datatype":
+                             "http://www.w3.org/2001/XMLSchema#integer",
+                         "value": str(c)}}
+                for k, c in sorted(groups.items(),
+                                   key=lambda kv: [x or "" for x in kv[0]])
+            ]
+            limit = offset = None
+            for tok, val in zip(query.split(), query.split()[1:]):
+                if tok.upper() == "LIMIT":
+                    limit = int(val)
+                if tok.upper() == "OFFSET":
+                    offset = int(val)
+            if offset:
+                rows = rows[offset:]
+            if limit is not None:
+                rows = rows[:limit]
+            doc = {
+                "head": {"vars": agg_vars},
+                "results": {"bindings": [
+                    {k: v for k, v in r.items() if v is not None}
+                    for r in rows
+                ]},
+            }
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         limit = offset = None
         for tok, val in zip(query.split(), query.split()[1:]):
             if tok.upper() == "LIMIT":
@@ -223,6 +274,103 @@ def test_sparql_datasource_reads_and_pushes_filters(spark, mock_server):
     assert [r["n"] for r in got] == ["7"]
     sent = "\n".join(server.queries)
     assert 'STR(?n) = "7"' in sent  # the equality reached the endpoint
+
+
+def test_sparql_datasource_limit_reemission(spark, mock_server):
+    """option('limit', n): the cap rides into every remote request, the
+    fetch collapses to one partition, and at most n rows cross the
+    wire (round 9 — SURVEY §4.2 item 5 LIMIT re-emission)."""
+    from sparkdon.sources.sparql_source import SparqlDataSource
+
+    url, server = mock_server
+    try:
+        spark.dataSource.register(SparqlDataSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    server.queries.clear()
+    df = (
+        spark.read.format("sparql")
+        .option("url", url)
+        .option("query", "SELECT ?s ?label ?n WHERE { ?s ?p ?o }")
+        .option("partitions", "4")
+        .option("pagesize", "8")
+        .option("limit", "5")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    data_queries = [q for q in server.queries if "LIMIT 1" != q[-7:]]
+    fetches = [q for q in data_queries if "OFFSET" in q or "LIMIT 5" in q]
+    # single partition, one request, cap re-emitted
+    assert any("LIMIT 5" in q for q in fetches), fetches
+    # no request ever asked for more than the cap
+    import re as _re
+    for q in fetches:
+        m = _re.search(r"LIMIT (\d+)", q)
+        assert m and int(m.group(1)) <= 5, q
+
+
+def test_sparql_datasource_aggregate_reemission(spark, mock_server):
+    """option('aggregate','count') + option('groupby','label'): the
+    endpoint receives SELECT ?label (COUNT(*) AS ?cnt) ... GROUP BY
+    ?label and Spark sees only group-cardinality rows."""
+    from sparkdon.sources.sparql_source import SparqlDataSource
+
+    url, server = mock_server
+    try:
+        spark.dataSource.register(SparqlDataSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    # global count
+    server.queries.clear()
+    df = (
+        spark.read.format("sparql")
+        .option("url", url)
+        .option("query", "SELECT ?s ?label ?n WHERE { ?s ?p ?o }")
+        .option("aggregate", "count")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["cnt"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == "30"
+    sent = "\n".join(server.queries)
+    assert "(COUNT(*) AS ?cnt)" in sent
+
+    # grouped count (labels: 20 bound over 20 distinct values, 10 unbound)
+    server.queries.clear()
+    df = (
+        spark.read.format("sparql")
+        .option("url", url)
+        .option("query", "SELECT ?s ?label ?n WHERE { ?s ?p ?o }")
+        .option("aggregate", "count")
+        .option("groupby", "label")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["label", "cnt"]
+    got = {r["label"]: r["cnt"] for r in df.collect()}
+    # every 3rd of 30 rows is unbound -> one None group of 10, 20 singletons
+    assert got[None] == "10"
+    assert sum(int(v) for v in got.values()) == 30
+    sent = "\n".join(server.queries)
+    assert "GROUP BY ?label" in sent
+    assert "(COUNT(*) AS ?cnt)" in sent
+
+    # composes with filter pushdown: the FILTER lands INSIDE the wrap
+    server.queries.clear()
+    df2 = (
+        spark.read.format("sparql")
+        .option("url", url)
+        .option("query", "SELECT ?s ?label ?n WHERE { ?s ?p ?o }")
+        .option("aggregate", "count")
+        .option("groupby", "n")
+        .load()
+    ).filter("n = '7'")
+    # Catalyst pushes the filter on the RESULT columns; n is a group key
+    # so the endpoint-side pre-group filter is equivalent
+    out = df2.collect()
+    assert [(r["n"], r["cnt"]) for r in out] == [("7", "1")]
 
 
 def test_remote_update_bnode_virtuoso_quirk(mock_server):
