@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: The ~90 remaining entries are all r07/r08-green and stay within the
 #: two-round freshness budget (r07 u r08 u r09 covers the battery).
 _FRONT = [
+    # 0. round-9 NEW gates (never driver-verified)
+    "x_dedup_intra", "x_ngram_novelty",
     # 1. changed code paths this round
     "x_dedup_priority",
     # 2. r06-green refresh (two rounds stale after r08)
@@ -98,7 +100,6 @@ _FRONT = [
     "x_dedup_minhash", "x_dedup_exact", "x_chunk_dedup",
     "x_dedup_embed", "x_dedup_embed_strict", "x_sim_ivf",
     "x_pq_codes", "x_tfidf_topk", "x_contamination",
-    "x_embed_gram", "x_winsorize",
 ]
 
 

@@ -69,6 +69,8 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_dedup_exact",
             "x_chunk_dedup",
+            "x_dedup_intra",
+            "x_ngram_novelty",
             "x_boilerplate",
             "x_dedup_jaccard",
             "x_pii_scrub",

@@ -462,6 +462,61 @@ def x_chunk_dedup(spark, sf_dir):
 
 
 @register(
+    "x_dedup_intra",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "cl AS (SELECT doc_id, list_transform("
+    f" generate_series(1, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)), "
+    f" i -> array_to_string(t[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')) AS cs "
+    " FROM toks), "
+    "ch AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS ci, "
+    " unnest(cs) AS chunk FROM cl), "
+    "k AS (SELECT doc_id, ci, chunk, row_number() OVER "
+    " (PARTITION BY doc_id, chunk ORDER BY ci) AS rn FROM ch) "
+    "SELECT doc_id, COUNT(*) AS n_chunks, "
+    "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), "
+    " '')) AS clean_md5 FROM k GROUP BY doc_id",
+)
+def x_dedup_intra(spark, sf_dir):
+    """WITHIN-document repeated-chunk removal (round 9) — the intra-doc
+    pass of the CCNet/RefinedWeb line-dedup family: a chunk repeated
+    inside the SAME document keeps only its first occurrence, but may
+    freely repeat across documents (that cross-doc case is
+    :func:`x_chunk_dedup`'s job).  This is the stage that strips
+    within-page boilerplate repetition — repeated nav blocks, footer
+    echoes, copy-pasted paragraphs — before cross-corpus dedup sees the
+    text.  Output per document: chunk count, kept count, and the md5 of
+    the reassembled cleaned text (byte-verified by the oracle).
+
+    100 TB shape: strictly easier than the cross-doc variant — the
+    dedup window keys on (doc_id, chunk), so the shuffle carries
+    doc-locality and NO global hot groups exist by construction (a
+    chunk's group never outgrows its own document).  One (doc_id,
+    chunk) shuffle for the window, one doc_id shuffle for reassembly;
+    at real scale the first can drop to a narrow in-partition pass by
+    pre-partitioning the corpus on doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
+    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
+    w = Window.partitionBy("doc_id", "chunk").orderBy("ci")
+    k = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("ci", "chunk"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["chunk"]),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+@register(
     "x_cross_dedup",
     _DUCK_BANDS +
     "SELECT n.doc_id, "

@@ -733,6 +733,57 @@ def x_length_buckets(spark, sf_dir):
     )
 
 
+@register(
+    "x_ngram_novelty",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
+    " WHERE len(string_split(text, ' ')) >= 3), "
+    "g AS (SELECT DISTINCT doc_id, array_to_string(t[i : i+2], ' ') AS gram "
+    " FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)), "
+    "fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram) "
+    "SELECT g.doc_id, COUNT(*) AS n_types, "
+    "CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_novel, "
+    "CAST(FLOOR(10000.0 * SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 "
+    " ELSE 0 END) / COUNT(*)) AS BIGINT) AS novelty_scaled "
+    "FROM g JOIN fd USING (gram) GROUP BY g.doc_id",
+)
+def x_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty rate (round 9): the fraction of a
+    document's distinct trigram TYPES whose globally first occurrence
+    (min doc_id — the 'crawl order' of the fixture) is this document.
+    The standard dataset-diversity / memorization-pressure diagnostic:
+    late documents full of already-seen trigrams add little signal, and
+    a corpus-level novelty decay curve is read straight off this
+    output.  Ratio reported as the engine-portable scaled floor.
+
+    100 TB shape: distinct (doc, gram) pairs → one gram-keyed partial
+    agg for the first-doc table → one gram join back → doc-keyed agg.
+    Everything is gram-type-bound, not token-bound (the DISTINCT
+    collapses within-doc repeats before anything shuffles); the
+    first-doc table is vocabulary-sized and the join is gram-hash
+    partitioned with no hot keys beyond natural stopword grams, which
+    AQE skew-splits.  Docs with <3 tokens have no trigram type and are
+    excluded by definition."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    g = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 2), "
+            " i -> concat_ws(' ', slice(t, i, 3)))")).alias("gram"),
+    ).distinct()
+    fd = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(fd, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_types"),
+             F.sum(novel).cast("long").alias("n_novel"),
+             F.floor(F.lit(10000.0) * F.sum(novel) / F.count(F.lit(1)))
+             .cast("long").alias("novelty_scaled"))
+    )
+
+
 def vocab_size_exact(spark, sf_dir) -> DataFrame:
     """Exact per-language vocabulary size (distinct whitespace tokens) —
     the correctness baseline for the HLL sketch twin below."""
