@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-DECODE is real for codec-free formats — binary/ASCII PPM (P6/P3),
-uncompressed 24-bit BMP, PCM WAV, non-interlaced 8-bit PNG (stdlib
-``zlib`` inflate + the five scanline filters in numpy), and
-non-interlaced GIF87a/89a (pure-Python variable-width LZW, r8) are pure
-struct/numpy parsing, no codec library needed.  Remaining compressed
-formats (JPEG/MP3/…, interlaced PNG/GIF) raise ``NotImplementedError``
-because the container genuinely has no codecs; the deterministic fakes
-remain available for exercising the plumbing with arbitrary payload
-bytes.  Everything Spark-side is real and tested
+DECODE is real — binary/ASCII PPM (P6/P3), uncompressed 24-bit BMP,
+PCM WAV, 8-bit PNG both sequential and Adam7-interlaced (stdlib
+``zlib`` inflate + the five scanline filters in numpy, r9 interlace),
+GIF87a/89a both sequential and interlaced (pure-Python variable-width
+LZW, r8/r9), and baseline JPEG (pure-Python Huffman + numpy IDCT,
+:mod:`sparkdon.jpeg`, r9) — no codec library needed anywhere.
+Remaining formats (progressive/arithmetic/12-bit JPEG, 16-bit PNG,
+MP3-class audio codecs) raise ``NotImplementedError``; the
+deterministic fakes remain available for exercising the plumbing with
+arbitrary payload bytes.  Everything Spark-side is real and tested
 either way: the schema, the Arrow batch shape, the ``mapInPandas``
 plumbing, and the partitioning story.
 
@@ -266,13 +267,13 @@ def decode_image(payload: bytes):
     """Codec-free image decode → HxWx3 uint8 numpy array.
 
     Real parsing for binary PPM (``P6``), ASCII PPM (``P3``),
-    uncompressed 24-bit BMP (``BM`` + BI_RGB), and non-interlaced 8-bit
-    PNG (stdlib ``zlib`` + the five scanline filters — gray / RGB /
+    uncompressed 24-bit BMP (``BM`` + BI_RGB), 8-bit PNG sequential and
+    Adam7 (stdlib ``zlib`` + the five scanline filters — gray / RGB /
     palette / alpha variants; the reference's own ``art/*.png`` corpus
-    is 8-bit palette and decodes here) — pure struct/numpy work, no
-    codec library.  Remaining compressed formats (JPEG, interlaced or
-    16-bit PNG) raise ``NotImplementedError`` (the honest boundary: this
-    container has no codecs to wire in).
+    is 8-bit palette and decodes here), GIF, and baseline JPEG
+    (:mod:`sparkdon.jpeg`) — pure struct/numpy work, no codec library.
+    Remaining formats (progressive/arithmetic JPEG, 16-bit PNG) raise
+    ``NotImplementedError`` (the honest boundary).
     """
     import numpy as np
 
@@ -317,12 +318,17 @@ def decode_image(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
 
+    if payload[:2] == b"\xff\xd8":
+        from sparkdon.jpeg import decode_jpeg  # r9: pure-Python baseline
+
+        return decode_jpeg(payload)
+
     head = payload[:8].hex()
     raise NotImplementedError(
         f"no codec-free decoder for payload starting {head!r}; PPM (P6/P3), "
-        "24-bit BMP, 8-bit PNG (sequential + Adam7), and GIF87a/89a "
-        "(sequential + interlaced) decode natively; other compressed "
-        "formats need a codec library wired in here")
+        "24-bit BMP, 8-bit PNG (sequential + Adam7), GIF87a/89a "
+        "(sequential + interlaced), and baseline JPEG decode natively; "
+        "other compressed formats need a codec library wired in here")
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:

@@ -80,9 +80,14 @@ def test_bmp_24bit_decode():
 
 
 def test_compressed_formats_still_raise():
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # JPEG/JFIF magic
-    with pytest.raises(NotImplementedError, match="codec"):
+    # JPEG decodes as of r9 (sparkdon/jpeg.py); a garbage body behind
+    # the SOI magic is now a parse error, not a missing codec
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises(ValueError):
         decode_image(jpeg)
+    # unknown format (no decoder): still the honest boundary
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x00\x11unknown-format-bytes")
     with pytest.raises(NotImplementedError):
         decode_wav(b"ID3\x00 not a wav")
     # malformed PNG (signature but no chunks) is a parse error, not a
@@ -615,3 +620,65 @@ def test_gif_interlaced_roundtrip():
         want = np.array([palette[i] for i in disp.reshape(-1)],
                         dtype=np.uint8).reshape(h, w, 3)
         assert np.array_equal(arr, want), h
+
+
+# --- JPEG (round 9: pure-Python baseline decoder, sparkdon/jpeg.py) --------
+
+def test_jpeg_roundtrip_444():
+    """Encode→decode with 4:4:4 sampling and fine quantization must
+    reproduce pixels within the quantization error bound."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    for (h, w) in ((1, 1), (8, 8), (7, 9), (16, 16), (33, 41)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(arr, quality_div=16))
+        assert out.shape == arr.shape
+        err = int(np.max(np.abs(out.astype(int) - arr.astype(int))))
+        assert err <= 12, ((h, w), err)
+
+
+def test_jpeg_roundtrip_420_and_restarts():
+    """4:2:0 chroma subsampling and restart-marker streams decode; a
+    smooth gradient bounds the subsampling error tightly."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 17)
+    y = np.linspace(0, 255, 23)
+    gx, gy = np.meshgrid(x, y)
+    arr = np.stack([gx, gy, (gx + gy) / 2], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality_div=16, subsample=True))
+    assert int(np.max(np.abs(out.astype(int) - arr.astype(int)))) <= 16
+    out2 = decode_jpeg(
+        encode_jpeg(arr, quality_div=16, restart_interval=2))
+    assert int(np.max(np.abs(out2.astype(int) - arr.astype(int)))) <= 4
+
+
+def test_jpeg_decode_image_dispatch():
+    """decode_image routes SOI-headed payloads to the JPEG decoder."""
+    from sparkdon.jpeg import encode_jpeg
+
+    arr = np.full((9, 9, 3), 77, np.uint8)
+    out = decode_image(encode_jpeg(arr, quality_div=16))
+    assert out.shape == (9, 9, 3)
+    assert int(np.max(np.abs(out.astype(int) - 77))) <= 3
+
+
+def test_jpeg_unsupported_and_corrupt_raise():
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    # truncated segment
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x45\x00")
+    # chopped scan: decoder either hits a padding-induced invalid code
+    # or runs out of data — both must be clean ValueErrors
+    arr = np.random.default_rng(9).integers(
+        0, 256, size=(24, 24, 3), dtype=np.uint8)
+    full = encode_jpeg(arr, quality_div=16)
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: int(len(full) * 0.6)])
