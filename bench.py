@@ -60,6 +60,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "sparql_path_plus",
             "sparql_path_star_sip",
             "sparql_path_nps",
+            "sparql_strfuncs",
             "sparql_describe",
             "sparql_service",
         ],
@@ -83,6 +84,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_json_extract",
             "x_sample_stratified",
             "x_sample_exact_k",
+            "x_sample_weighted",
             "x_mix_sample",
             "x_mix_temperature",
             "x_lm_score",

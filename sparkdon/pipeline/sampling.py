@@ -77,6 +77,44 @@ def x_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "x_sample_weighted",
+    "SELECT doc_id, lang, w, priority FROM ("
+    " SELECT doc_id, lang, CAST(length(text) AS BIGINT) + 1 AS w, "
+    "  CAST(FLOOR(1000000.0 * CAST(concat('0x', "
+    "   substr(md5('w:' || doc_id), 1, 8)) AS BIGINT) "
+    "   / (CAST(length(text) AS BIGINT) + 1)) AS BIGINT) AS priority "
+    " FROM documents) "
+    "ORDER BY priority, doc_id LIMIT 100",
+)
+def x_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement via Duffield–Lund–Thorup
+    PRIORITY SAMPLING (round 9): each document draws a deterministic
+    uniform u from md5 and gets priority u/w (w = char length + 1, the
+    'sample long documents more' weight a token-budget-aware corpus
+    carve wants); the k smallest priorities are the sample.  Published
+    scheme with unbiased subset-sum estimators — not an ad-hoc ranking.
+
+    Engine-portability: the priority is floor(1e6·h32/w) computed in
+    BIGINT/double — h32 < 2^32, so 1e6·h32 < 2^52 stays exactly
+    representable and the single correctly-rounded division + floor is
+    bit-identical on both engines; ties break on doc_id.
+
+    100 TB shape: a narrow map then ORDER BY + LIMIT, which Spark
+    executes as TakeOrderedAndProject — per-partition top-k, merge of
+    k-row heaps on the driver side of the exchange; nothing global ever
+    sorts.  Plan-asserted in tests/test_pipeline.py."""
+    d = table(spark, sf_dir, "documents")
+    w = (F.length("text").cast("long") + 1).alias("w")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("w:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long")
+    pri = F.floor(F.lit(1000000.0) * h / (F.length("text").cast("long") + 1)
+                  ).cast("long").alias("priority")
+    return (d.select("doc_id", "lang", w, pri)
+            .orderBy("priority", "doc_id").limit(100))
+
+
+@register(
     "x_sample_exact_k",
     "SELECT doc_id, lang FROM ("
     " SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "

@@ -418,6 +418,33 @@ def sparql_bind_strstarts(spark, sf_dir):
 
 
 @register(
+    "sparql_strfuncs",
+    "SELECT upper(c_name) AS u, "
+    "CASE WHEN strpos(c_name, '#') > 0 "
+    " THEN substr(c_name, 1, strpos(c_name, '#') - 1) ELSE '' END AS b, "
+    "CASE WHEN strpos(c_name, '#') > 0 "
+    " THEN substr(c_name, strpos(c_name, '#') + 1) ELSE '' END AS a, "
+    "regexp_replace(c_name, 'Customer', 'Cst', 'g') AS r, "
+    "CAST(length(c_name) AS BIGINT) AS l FROM customer",
+)
+def sparql_strfuncs(spark, sf_dir):
+    """F-family string builtins end-to-end with a DuckDB oracle (round
+    9 — previously pytest-only): UCASE, STRBEFORE / STRAFTER (empty
+    string when the needle is absent, per spec), regex REPLACE, STRLEN.
+    All compile to single-pass Column expressions (compile.py:1216-1250)
+    — no UDF, no shuffle."""
+    return run(
+        spark, sf_dir,
+        'SELECT ?u ?b ?a ?r ?l { ?c p:c_name ?name . '
+        ' BIND(UCASE(?name) AS ?u) . BIND(STRBEFORE(?name, "#") AS ?b) . '
+        ' BIND(STRAFTER(?name, "#") AS ?a) . '
+        ' BIND(REPLACE(?name, "Customer", "Cst") AS ?r) . '
+        " BIND(STRLEN(?name) AS ?l) }",
+        {"u": "str", "b": "str", "a": "str", "r": "str", "l": "long"},
+    )
+
+
+@register(
     "sparql_count_distinct",
     "SELECT count(DISTINCT c_mktsegment) AS segments FROM customer",
 )

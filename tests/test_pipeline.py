@@ -649,6 +649,31 @@ def test_sample_exact_k_plan_and_values(spark):
     assert all(len(set(v)) == len(v) for v in per_lang.values())
 
 
+def test_sample_weighted_plan_and_semantics(spark):
+    """Priority sampling must compile to TakeOrderedAndProject
+    (per-partition top-k, no global sort), and the chosen set must be
+    exactly the k smallest floor(1e6*h/w) priorities."""
+    from sparkdon.pipeline import x_sample_weighted, table
+
+    df = x_sample_weighted(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 100
+    got = [(r["priority"], r["doc_id"]) for r in rows]
+    assert got == sorted(got)
+    # recompute every priority and check the cut line
+    import hashlib
+
+    docs = table(spark, SF, "documents").select("doc_id", "text").collect()
+    pris = sorted(
+        (int(1000000.0 * int(hashlib.md5(f"w:{d['doc_id']}".encode())
+                             .hexdigest()[:8], 16)
+             // (len(d["text"]) + 1)), d["doc_id"])
+        for d in docs)
+    assert {(p, i) for p, i in pris[:100]} == set(got)
+
+
 def test_component_frame_memoized(spark):
     """x_dedup_clusters and x_corpus_keep share one component
     computation per (session, fixture) — the memo returns the identical
