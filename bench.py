@@ -109,6 +109,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         [
             "x_contamination",
             "x_cross_dedup",
+            "x_dedup_substring",
             "x_semantic_dedup",
             "x_dedup_minhash",
             "x_dedup_clusters",

@@ -85,6 +85,7 @@ def main() -> None:
         x_dedup_embed_strict,
         x_dedup_exact,
         x_dedup_minhash,
+        x_dedup_substring,
         x_lm_bigram,
         x_lm_score,
         x_corpus_pack,
@@ -114,6 +115,9 @@ def main() -> None:
         # round 7: chunk-key dedup (two shuffles), compressed-domain ADC
         # scan + bounded re-rank, and the two-pass distributed prefix sum
         "x_chunk_dedup": x_chunk_dedup,
+        # round 9: window-hash ExactSubstr twin — two hash shuffles,
+        # expected to track x_chunk_dedup's slope
+        "x_dedup_substring": x_dedup_substring,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,
         # round 9: the capstone chain (keep-filter join + greedy pack) —

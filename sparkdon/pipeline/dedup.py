@@ -561,3 +561,98 @@ def x_cross_dedup(spark, sf_dir):
 #: a chunk present in at least this many DISTINCT documents is
 #: boilerplate (the fixture's planted cross-doc chunks top out at 6
 #: docs; production corpora use line-frequency bars like RefinedWeb's)
+
+
+#: duplicated-substring window length (tokens): any exact duplicate
+#: passage of >= SUBSTR_L tokens across the corpus contains at least one
+#: aligned duplicated L-window, so window-level detection finds every
+#: long duplicate span (Lee et al., "Deduplicating Training Data Makes
+#: Language Models Better" — the ExactSubstr family, re-expressed as
+#: sliding-window hashing instead of a monolithic suffix array)
+SUBSTR_L = 8
+
+
+@register(
+    "x_dedup_substring",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+    f" WHERE len(string_split(text, ' ')) >= {SUBSTR_L}), "
+    "win AS (SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS w "
+    " FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+    "c AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY w) AS cnt FROM win), "
+    "base AS (SELECT doc_id, COUNT(*) AS n_windows, "
+    " CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+    " FROM c GROUP BY doc_id), "
+    "sp AS (SELECT doc_id, i AS s, i + 7 AS e FROM c WHERE cnt > 1), "
+    "brk AS (SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER "
+    " (PARTITION BY doc_id ORDER BY s "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+    " THEN 1 ELSE 0 END AS nb FROM sp), "
+    "isl AS (SELECT doc_id, s, e, SUM(nb) OVER (PARTITION BY doc_id "
+    " ORDER BY s ROWS UNBOUNDED PRECEDING) AS island FROM brk), "
+    "cov AS (SELECT doc_id, CAST(SUM(mx - mn + 1) AS BIGINT) AS dup_cover "
+    " FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM isl "
+    "  GROUP BY doc_id, island) GROUP BY doc_id) "
+    "SELECT base.doc_id, n_windows, n_dup, "
+    "COALESCE(dup_cover, 0) AS dup_cover "
+    "FROM base LEFT JOIN cov USING (doc_id)",
+)
+def x_dedup_substring(spark, sf_dir):
+    """ExactSubstr-style duplicated-passage detection (round 9): slide
+    an ``SUBSTR_L``-token window (stride 1) over every document, flag
+    windows whose text occurs anywhere else in the corpus (including
+    elsewhere in the same document), and report per document the window
+    count, the duplicated-window count, and the TOKEN COVERAGE of the
+    duplicated region — overlapping flagged windows merged into maximal
+    spans via a gaps-and-islands pass, which is exactly the "how much of
+    this document is copied text" number the Lee-et-al. trim step needs.
+
+    This is the sliding-window re-expression of suffix-array ExactSubstr
+    dedup: any duplicate passage of >= L tokens contains an aligned
+    duplicated L-window, so span coverage lower-bounds true duplicate
+    coverage by at most L-1 tokens per span end.
+
+    100 TB shape: one shuffle on the window text for the occurrence
+    count (hash partition; window strings are bounded at L tokens), one
+    doc_id shuffle shared by the island merge and the final aggregate.
+    No suffix array, no global sort, no driver state — the classic
+    single-node suffix-array bottleneck of ExactSubstr is replaced by
+    two hash shuffles.  At real scale the window text would be replaced
+    by its xxhash64 before shuffling (collision-safe at 64 bits for
+    dedup purposes); the gate shuffles the text itself so the oracle is
+    bit-exact."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SUBSTR_L)
+    win = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t) - {SUBSTR_L - 1}), "
+            f" i -> concat_ws(' ', slice(t, i, {SUBSTR_L})))")
+        ).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    cnt = win.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("w")))
+    base = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup"))
+    sp = cnt.filter(F.col("cnt") > 1).select(
+        "doc_id", F.col("i").alias("s"),
+        (F.col("i") + SUBSTR_L - 1).alias("e"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (sp
+           .withColumn("nb", F.when(
+               F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+               1).otherwise(0))
+           .withColumn("island", F.sum("nb").over(w_run)))
+    cov = (isl.groupBy("doc_id", "island")
+           .agg((F.max("e") - F.min("s") + 1).alias("span"))
+           .groupBy("doc_id")
+           .agg(F.sum("span").cast("long").alias("dup_cover")))
+    return (base.join(cov, "doc_id", "left")
+            .select("doc_id", "n_windows", "n_dup",
+                    F.coalesce("dup_cover", F.lit(0)).cast("long")
+                    .alias("dup_cover")))

@@ -649,6 +649,26 @@ def test_sample_exact_k_plan_and_values(spark):
     assert all(len(set(v)) == len(v) for v in per_lang.values())
 
 
+def test_dedup_substring_planted_passage(spark):
+    """Two documents share a 12-token passage; every aligned 8-window
+    inside it (5 per doc) must flag, and the merged span coverage must
+    be exactly 12 tokens in each doc.  A third unique doc reports 0."""
+    from sparkdon import pipeline
+    import unittest.mock as mock
+
+    passage = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, "a1 b1 c1 " + passage + " z1 y1"),
+         (2, "a2 b2 c2 d2 " + passage + " z2"),
+         (3, " ".join(f"uniq{i}" for i in range(20)))],
+        "doc_id long, text string")
+    with mock.patch.object(pipeline, "table", lambda s, d, n: docs):
+        got = {r["doc_id"]: (r["n_dup"], r["dup_cover"])
+               for r in pipeline.x_dedup_substring(spark, SF).collect()}
+    assert got[1] == (5, 12) and got[2] == (5, 12)
+    assert got[3] == (0, 0)
+
+
 def test_sample_weighted_plan_and_semantics(spark):
     """Priority sampling must compile to TakeOrderedAndProject
     (per-partition top-k, no global sort), and the chosen set must be
