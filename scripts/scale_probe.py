@@ -84,10 +84,12 @@ def main() -> None:
         x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
+        x_dedup_intra,
         x_dedup_minhash,
         x_dedup_substring,
         x_lm_bigram,
         x_lm_score,
+        x_ngram_novelty,
         x_corpus_pack,
         x_pack_sequences,
         x_pq_trained,
@@ -116,8 +118,10 @@ def main() -> None:
         # scan + bounded re-rank, and the two-pass distributed prefix sum
         "x_chunk_dedup": x_chunk_dedup,
         # round 9: window-hash ExactSubstr twin — two hash shuffles,
-        # expected to track x_chunk_dedup's slope
+        # expected to track x_chunk_dedup's slope — and the
+        # doc-local intra-dedup (its shuffle key carries doc_id)
         "x_dedup_substring": x_dedup_substring,
+        "x_dedup_intra": x_dedup_intra,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,
         # round 9: the capstone chain (keep-filter join + greedy pack) —
@@ -135,6 +139,8 @@ def main() -> None:
         "x_boilerplate": x_boilerplate,
         "x_lm_score": x_lm_score,
         "x_lm_bigram": x_lm_bigram,
+        # round 9: distinct (doc,gram) -> vocab-sized first-doc table
+        "x_ngram_novelty": x_ngram_novelty,
         # x_semantic_dedup is deliberately NOT probed: its fixture
         # clustering is fixed-K (the 10 label centroids), so a kx corpus
         # means kx-sized clusters — the configuration SemDeDup explicitly

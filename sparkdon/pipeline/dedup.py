@@ -656,3 +656,49 @@ def x_dedup_substring(spark, sf_dir):
             .select("doc_id", "n_windows", "n_dup",
                     F.coalesce("dup_cover", F.lit(0)).cast("long")
                     .alias("dup_cover")))
+
+
+def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
+    """Production twin of :func:`x_dedup_substring`: identical output,
+    but the occurrence-count shuffle carries ``xxhash64(window)`` (8
+    bytes) instead of the L-token window TEXT — the shuffle-volume cut
+    the gate's docstring promises (the gate itself ships text so the
+    DuckDB oracle can be bit-exact; an oracle cannot replay xxhash64).
+    A 64-bit key over < 2^40 windows has collision probability < 1e-7
+    per corpus (birthday bound), and a collision only ever OVER-counts
+    a window as duplicated — dedup-safe.  Equality with the text-keyed
+    gate is pytest-asserted on the fixture."""
+    win = docs.select(
+        "doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= L).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t) - {L - 1}), "
+            f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"),
+             F.xxhash64("w").alias("wh"))
+    cnt = win.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+    base = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup"))
+    sp = cnt.filter(F.col("cnt") > 1).select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + L - 1).alias("e"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (sp
+           .withColumn("nb", F.when(
+               F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+               1).otherwise(0))
+           .withColumn("island", F.sum("nb").over(w_run)))
+    cov = (isl.groupBy("doc_id", "island")
+           .agg((F.max("e") - F.min("s") + 1).alias("span"))
+           .groupBy("doc_id")
+           .agg(F.sum("span").cast("long").alias("dup_cover")))
+    return (base.join(cov, "doc_id", "left")
+            .select("doc_id", "n_windows", "n_dup",
+                    F.coalesce("dup_cover", F.lit(0)).cast("long")
+                    .alias("dup_cover")))

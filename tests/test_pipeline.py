@@ -1756,3 +1756,22 @@ def test_winsorize_clips_about_ten_percent(spark):
         # allow [2%, 9%] on each side around the nominal 5%
         assert 0.02 * n <= r["n_low"] <= 0.09 * n, (t, r["n_low"], n)
         assert 0.02 * n <= r["n_high"] <= 0.09 * n, (t, r["n_high"], n)
+
+
+def test_dedup_substring_hashed_twin_matches(spark):
+    """The xxhash64-keyed production variant must produce EXACTLY the
+    text-keyed gate's output on the fixture (collisions are
+    astronomically unlikely at this scale and would only over-count)."""
+    from sparkdon.pipeline import dedup_substring_hashed, x_dedup_substring, table
+
+    gate = {r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_cover"])
+            for r in x_dedup_substring(spark, SF).collect()}
+    twin = {r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_cover"])
+            for r in dedup_substring_hashed(
+                table(spark, SF, "documents")).collect()}
+    assert gate == twin
+    # and the shuffle key really is the 8-byte hash, not the text
+    plan = dedup_substring_hashed(
+        table(spark, SF, "documents"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "xxhash64" in plan
