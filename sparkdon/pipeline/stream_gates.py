@@ -472,3 +472,79 @@ def x_join_stream(spark, sf_dir):
     )
     _await_stream(q)
     return spark.read.parquet(target)
+
+
+@register(
+    "x_contamination_stream",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "g AS (SELECT doc_id, unnest("
+    "CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t) - 7), "
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], "
+    "  t[i+6], t[i+7])) ELSE [] END) AS gram FROM toks), "
+    "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0) "
+    "SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hit FROM g "
+    "JOIN b USING (gram) WHERE g.doc_id % 7 <> 0 GROUP BY g.doc_id",
+)
+def x_contamination_stream(spark, sf_dir):
+    """Streaming-ingest decontamination (round 9): incoming documents
+    are screened for 8-gram overlap with a STATIC benchmark index
+    in flight — the screen a training pipeline runs on every new crawl
+    batch before it ever lands in the corpus.  The documents fixture is
+    read as a file-source stream, the benchmark gram set (the
+    ``doc_id % 7 = 0`` slice — a larger cut than x_contamination's %97
+    so the gate is non-degenerate at every fixture sf: the %97 slice
+    shares no 8-gram with the rest at sf0.01) is a
+    batch-side frame broadcast into a stream-static join, and each
+    micro-batch's hits aggregate to (doc_id, n_hit) in ``foreachBatch``.
+    Output: exactly the contaminated documents with their
+    distinct-overlap counts — verified against the batch SQL oracle.
+
+    Determinism: ``AvailableNow`` without ``maxFilesPerTrigger``
+    processes the fixture as ONE micro-batch, so every document's grams
+    aggregate together (same note as ``x_dedup_stream``); in production
+    a document is wholly contained in its arrival file, so the
+    per-batch aggregate stays correct under real incremental triggers.
+
+    100 TB shape: the stream side is a narrow explode + broadcast hash
+    semi-join — ZERO streaming state (same pattern as
+    streaming/neardup.py); the benchmark index is computed once,
+    batch-side, and at extreme benchmark sizes becomes the Bloom bitset
+    of ``bloom_decontaminate``."""
+    import os
+
+    from .text import _G8_SPARK
+
+    out_dir = _stream_scratch("contam_stream", sf_dir)
+    target = os.path.join(out_dir, "out")
+    src = f"{sf_dir}/documents.parquet"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    bench = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.explode(F.expr(_G8_SPARK)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        stream.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.explode(F.expr(_G8_SPARK)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+    )
+
+    def sink(bdf, _bid):
+        (bdf.groupBy("doc_id")
+         .agg(F.countDistinct("gram").alias("n_hit"))
+         .write.mode("append").parquet(target))
+
+    q = (
+        hits.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(target)
