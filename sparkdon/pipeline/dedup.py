@@ -492,9 +492,12 @@ def x_dedup_intra(spark, sf_dir):
     dedup window keys on (doc_id, chunk), so the shuffle carries
     doc-locality and NO global hot groups exist by construction (a
     chunk's group never outgrows its own document).  One (doc_id,
-    chunk) shuffle for the window, one doc_id shuffle for reassembly;
-    at real scale the first can drop to a narrow in-partition pass by
-    pre-partitioning the corpus on doc_id."""
+    chunk) shuffle for the window, one doc_id shuffle for reassembly —
+    and on a doc_id-BUCKETED corpus BOTH disappear (the doc_id
+    HashPartitioning satisfies the (doc_id, chunk) clustering by the
+    subset rule, and the reassembly consumes the same layout):
+    plan-asserted zero-Exchange in
+    tests/test_bucketing.py::test_bucketed_corpus_intra_dedup_is_exchange_free."""
     docs = table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")

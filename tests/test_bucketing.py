@@ -104,3 +104,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_corpus_intra_dedup_is_exchange_free(spark):
+    """The x_dedup_intra docstring's scale claim, demonstrated: on a
+    doc_id-bucketed corpus, BOTH shuffles disappear — the (doc_id,
+    chunk) dedup window is satisfied by the doc_id HashPartitioning
+    (subset-of-clustering-keys rule) and the doc_id reassembly aggregate
+    consumes the same layout.  Results must equal the plain-parquet run
+    byte for byte."""
+    import unittest.mock as mock
+
+    from sparkdon import pipeline
+    from sparkdon.operators.bucketing import write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    write_bucketed(docs.select("doc_id", "text"), "t_docs_b",
+                   ["doc_id"], 8)
+    try:
+        plain = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_md5"])
+                 for r in pipeline.x_dedup_intra(spark, SF).collect()}
+        bdf = spark.table("t_docs_b")
+        with mock.patch.object(pipeline, "table", lambda s, d, n: bdf):
+            df = pipeline.x_dedup_intra(spark, SF)
+            plan = plan_of(df)
+            got = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_md5"])
+                   for r in df.collect()}
+        assert "Exchange" not in plan, plan
+        assert got == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
