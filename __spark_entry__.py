@@ -76,6 +76,7 @@ _FRONT = [
     # 0. round-9 NEW gates (never driver-verified)
     "x_dedup_intra", "x_ngram_novelty", "x_sample_weighted",
     "sparql_strfuncs", "x_dedup_substring", "x_contamination_stream",
+    "x_pivot_source_lang", "x_events_rollup",
     # 1. changed code paths this round
     "x_dedup_priority",
     # 2. r06-green refresh (two rounds stale after r08)
@@ -99,7 +100,6 @@ _FRONT = [
     #    pins the window deterministically) -- preferring gates whose
     #    code moved in this round's pipeline-package split
     "x_dedup_minhash", "x_dedup_exact", "x_chunk_dedup",
-    "x_dedup_embed", "x_dedup_embed_strict",
 ]
 
 

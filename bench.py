@@ -42,6 +42,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "j3_anti_not_exists",
             "a1_group_count",
             "a9_multi_agg",
+            "x_pivot_source_lang",
+            "x_events_rollup",
             "a6_subquery_filter",
             "o2_topk_desc",
             "u1_union",

@@ -693,3 +693,62 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"))
     )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "x_pivot_source_lang",
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_{lg}" for lg in _LANGS)
+    + ", COUNT(*) AS n_total FROM documents GROUP BY source",
+)
+def x_pivot_source_lang(spark, sf_dir):
+    """Pivot / crosstab (round 9): the per-source × per-language
+    document count matrix — the corpus-composition report every
+    training-data dashboard starts with.  Uses ``pivot`` with an
+    EXPLICIT value list: passing the languages up front removes the
+    extra distinct-values collect pass Spark otherwise runs, keeping the
+    plan a single partial+final hash aggregate (lang cardinality ×
+    source cardinality cells — model-sized, never corpus-sized)."""
+    d = table(spark, sf_dir, "documents")
+    piv = (d.groupBy("source").pivot("lang", _LANGS).count())
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    out = piv.join(tot, "source")
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+          for lg in _LANGS],
+        "n_total")
+
+
+@register(
+    "x_events_rollup",
+    "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS val_scaled "
+    "FROM events GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))",
+)
+def x_events_rollup(spark, sf_dir):
+    """ROLLUP (round 9): event counts and value totals at three grains
+    in one pass — (event_type, day), event_type subtotal, grand total —
+    the OLAP hierarchy aggregate Spark executes as a single Expand +
+    hash aggregate (each input row fans out to its grouping sets
+    map-side; one shuffle total, NOT one per grain).  Values are
+    floor-scaled to integers BEFORE summation so both engines sum
+    exactly (the double-sum order-dependence rule).  NULL group keys
+    mark the subtotal rows, as in standard SQL ROLLUP."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            F.floor(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v").cast("long").alias("val_scaled"))
+    )
