@@ -6,8 +6,9 @@ PCM WAV, 8-bit PNG both sequential and Adam7-interlaced (stdlib
 GIF87a/89a both sequential and interlaced (pure-Python variable-width
 LZW, r8/r9), and baseline JPEG (pure-Python Huffman + numpy IDCT,
 :mod:`sparkdon.jpeg`, r9) — no codec library needed anywhere.
-Remaining formats (progressive/arithmetic/12-bit JPEG, 16-bit PNG,
-MP3-class audio codecs) raise ``NotImplementedError``; the
+Remaining formats (progressive/arithmetic/12-bit JPEG, 16-bit
+palette PNG — spec-invalid anyway — and MP3-class audio codecs)
+raise ``NotImplementedError``; the
 deterministic fakes remain available for exercising the plumbing with
 arbitrary payload bytes.  Everything Spark-side is real and tested
 either way: the schema, the Arrow batch shape, the ``mapInPandas``
@@ -158,41 +159,42 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_deinterlace(raw: bytes, w: int, h: int, ch: int):
+def _png_deinterlace(raw: bytes, w: int, h: int, ch: int, sb: int = 1):
     """Adam7: the IDAT stream holds SEVEN independently-filtered
     sub-images (one per pass); unfilter each with its own pass-width
     stride, then scatter its pixels onto the final raster at the pass's
     (x_start::x_step, y_start::y_step) grid (round 9 — closes the
-    interlaced boundary left honest since round 5)."""
+    interlaced boundary left honest since round 5).  ``sb`` = bytes per
+    sample (2 for 16-bit; the high byte is kept downstream)."""
     import numpy as np
 
-    out = np.zeros((h, w, ch), np.uint8)
+    out = np.zeros((h, w, ch * sb), np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty pass for small images — zero bytes in IDAT
-        stride = pw * ch
+        stride = pw * ch * sb
         need = ph * (1 + stride)
         sub = raw[pos:pos + need]
         if len(sub) < need:
             raise ValueError("truncated PNG raster (interlaced pass)")
         pos += need
-        px = _png_unfilter(sub, ph, stride, ch).reshape(ph, pw, ch)
+        px = _png_unfilter(sub, ph, stride, ch * sb).reshape(ph, pw, ch * sb)
         out[y0::dy, x0::dx] = px
     return out
 
 
 def _decode_png(payload: bytes):
-    """8-bit PNG → HxWx3 uint8: stdlib ``zlib`` for the IDAT stream +
-    the five scanline filters in numpy — no codec library.  Covers
+    """8/16-bit PNG → HxWx3 uint8: stdlib ``zlib`` for the IDAT stream
+    + the five scanline filters in numpy — no codec library.  Covers
     color types 0 (gray), 2 (RGB), 3 (palette — what the reference's
     own ``art/*.png`` all are), 4 (gray+alpha), 6 (RGBA); alpha is
     dropped, gray replicated to 3 channels.  Both progressive layouts
     decode: sequential and Adam7 interlaced (r9,
-    :func:`_png_deinterlace`).  16-bit PNGs still raise
-    ``NotImplementedError``."""
+    :func:`_png_deinterlace`); 16-bit samples reduce via the standard
+    high-byte truncation (r9)."""
     import struct
     import zlib
 
@@ -219,16 +221,23 @@ def _decode_png(payload: bytes):
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS or bit_depth not in (8, 16) or (
+            bit_depth == 16 and color_type == 3):
         raise NotImplementedError(
-            f"only 8-bit PNG color types 0/2/3/4/6 supported "
+            f"only 8/16-bit PNG color types 0/2/3/4/6 supported "
             f"(got depth={bit_depth}, type={color_type})")
     ch = _PNG_CHANNELS[color_type]
+    sb = bit_depth // 8  # bytes per sample; filters operate on bytes
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
-        px = _png_deinterlace(raw, w, h, ch)
+        px = _png_deinterlace(raw, w, h, ch, sb)
     else:
-        px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+        px = _png_unfilter(raw, h, w * ch * sb, ch * sb).reshape(
+            h, w, ch * sb)
+    if sb == 2:
+        # 16-bit samples are big-endian; keep the high byte (the
+        # standard 16->8 depth reduction)
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -272,7 +281,8 @@ def decode_image(payload: bytes):
     palette / alpha variants; the reference's own ``art/*.png`` corpus
     is 8-bit palette and decodes here), GIF, and baseline JPEG
     (:mod:`sparkdon.jpeg`) — pure struct/numpy work, no codec library.
-    Remaining formats (progressive/arithmetic JPEG, 16-bit PNG) raise
+    8/16-bit depths both decode (16-bit via the standard high-byte
+    reduction); remaining formats (progressive/arithmetic JPEG) raise
     ``NotImplementedError`` (the honest boundary).
     """
     import numpy as np

@@ -314,10 +314,60 @@ def test_png_color_type_variants():
     assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
 
 
+def make_png16(arr16: np.ndarray, color_type: int = 2,
+               up_filter: bool = False) -> bytes:
+    """16-bit PNG writer for tests: big-endian samples, filter 0 (or
+    byte-wise Up) scanlines."""
+    a = np.asarray(arr16, dtype=">u2")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    rows = a.reshape(h, -1).view(np.uint8)  # bytes per row, BE order
+    lines = []
+    prev = np.zeros(rows.shape[1], np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        if up_filter:
+            lines.append(b"\x02" + ((cur - prev) & 0xFF)
+                         .astype(np.uint8).tobytes())
+        else:
+            lines.append(b"\x00" + cur.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16,
+                                         color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit PNGs decode with the standard high-byte depth reduction
+    (round 9 — closes the last PNG boundary); filters operate on BYTES
+    per spec, so the Up-filtered variant checks byte-wise reconstruction
+    across the 2-byte samples."""
+    rng = np.random.default_rng(23)
+    rgb16 = rng.integers(0, 65536, size=(5, 7, 3), dtype=np.uint16)
+    got = decode_image(make_png16(rgb16))
+    assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
+    got_up = decode_image(make_png16(rgb16, up_filter=True))
+    assert np.array_equal(got_up, (rgb16 >> 8).astype(np.uint8))
+    gray16 = rng.integers(0, 65536, size=(4, 6), dtype=np.uint16)
+    got_g = decode_image(make_png16(gray16, color_type=0))
+    want_g = np.repeat(((gray16 >> 8).astype(np.uint8))[:, :, None], 3, axis=2)
+    assert np.array_equal(got_g, want_g)
+
+
 def test_png_unsupported_variants_raise():
-    arr = np.zeros((2, 2, 3), np.uint8)
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        decode_image(make_png(arr, bit_depth=16))
+    arr = np.zeros((2, 2), np.uint8)
+    # 16-bit PALETTE is invalid per spec and stays unsupported
+    with pytest.raises(NotImplementedError, match="16-bit|8/16-bit"):
+        decode_image(make_png(arr, color_type=3, bit_depth=16,
+                              palette=np.zeros((2, 3), np.uint8)))
 
 
 def make_png_adam7(arr: np.ndarray, pass_filter: int = 0) -> bytes:
