@@ -732,3 +732,35 @@ def test_jpeg_unsupported_and_corrupt_raise():
     full = encode_jpeg(arr, quality_div=16)
     with pytest.raises(ValueError):
         decode_jpeg(full[: int(len(full) * 0.6)])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1),
+       st.booleans())
+def test_jpeg_roundtrip_property(h, w, seed, subsample):
+    """Property fuzz: any size (including non-multiple-of-8/16 edges),
+    any noise content, both sampling modes — encode→decode stays within
+    the quantization error bound and never crashes."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality_div=16, subsample=subsample))
+    assert out.shape == arr.shape
+    if subsample:
+        # 4:2:0 averages 2x2 chroma neighborhoods — on NOISE the chroma
+        # error is unbounded by the quant step, but LUMINANCE is never
+        # subsampled and must still round-trip tightly
+        def luma(a):
+            return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                    + 0.114 * a[:, :, 2])
+
+        # bound is loose-ish (32) because gamut CLIPPING of
+        # chroma-shifted channels distorts recomputed luma — still far
+        # under the ~200 worst case of raw chroma averaging
+        err = float(np.max(np.abs(luma(out.astype(float))
+                                  - luma(arr.astype(float)))))
+        assert err <= 32, (h, w, seed, err)
+    else:
+        err = int(np.max(np.abs(out.astype(int) - arr.astype(int))))
+        assert err <= 12, (h, w, seed, err)
