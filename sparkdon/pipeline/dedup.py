@@ -432,25 +432,29 @@ def x_chunk_dedup(spark, sf_dir):
     byte-for-byte, so chunking, the keep rule, and the ordered
     re-concatenation are all checked.
 
-    100 TB shape: exactly two shuffles — one on the chunk string (the
-    dedup key; map-side distinct-ish combine does not apply, but the
-    row_number window is a single hash partition by chunk with tiny
-    per-group fan-in), one back on doc_id for reassembly.  Chunk
-    strings are bounded (≤ ~10 tokens), so the shuffle rows stay small;
-    heavy boilerplate chunks (the 100 TB analogue: license headers)
-    concentrate into single groups whose cost is group size, and AQE
-    skew-split handles the pathological ones."""
+    100 TB shape (r9 rewrite): the keep rule is computed as a chunk-keyed
+    AGGREGATE — min(struct(doc_id, ci)) per chunk — joined back to the
+    occurrences, NOT as a row_number window.  Identical output (rn=1 ⟺
+    the row IS the min struct), but the aggregate runs a map-side
+    partial combine — a boilerplate chunk occurring 10M times (license
+    headers, the 100 TB pathology) reduces to one row per map task
+    before the shuffle — and the join back is an equi-join AQE's
+    skew-split CAN break up, which it cannot do for a window partition
+    (a window's group must be co-resident, so a hot chunk pins a whole
+    executor).  Then one doc_id shuffle for reassembly."""
     docs = table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
     ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
-    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
-    k = ch.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, F.struct("ci", "chunk"))
+    first = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "ci")).alias("first_occ"))
+    k = ch.join(first, "chunk").withColumn(
+        "is_first",
+        (F.col("first_occ") == F.struct("doc_id", "ci")).cast("int"))
+    kept = F.when(F.col("is_first") == 1, F.struct("ci", "chunk"))
     return k.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
-        .alias("n_kept"),
+        F.sum("is_first").cast("long").alias("n_kept"),
         F.md5(
             F.array_join(
                 F.transform(F.array_sort(F.collect_list(kept)),
@@ -614,12 +618,15 @@ def x_dedup_substring(spark, sf_dir):
     duplicated L-window, so span coverage lower-bounds true duplicate
     coverage by at most L-1 tokens per span end.
 
-    100 TB shape: one shuffle on the window text for the occurrence
-    count (hash partition; window strings are bounded at L tokens), one
-    doc_id shuffle shared by the island merge and the final aggregate.
-    No suffix array, no global sort, no driver state — the classic
-    single-node suffix-array bottleneck of ExactSubstr is replaced by
-    two hash shuffles.  At real scale the window text would be replaced
+    100 TB shape: the occurrence count is a window-keyed AGGREGATE
+    (map-side partial combine — a hot boilerplate window reduces to one
+    row per map task before the shuffle) joined back to the
+    occurrences; the join is an equi-join AQE's skew-split can break
+    up, unlike a window partition (r9 rewrite, same rationale as
+    x_chunk_dedup).  Then one doc_id shuffle shared by the island merge
+    and the final aggregate.  No suffix array, no global sort, no
+    driver state — the classic single-node suffix-array bottleneck of
+    ExactSubstr is replaced by hash shuffles.  At real scale the window text would be replaced
     by its xxhash64 before shuffling (collision-safe at 64 bits for
     dedup purposes); the gate shuffles the text itself so the oracle is
     bit-exact."""
@@ -633,8 +640,8 @@ def x_dedup_substring(spark, sf_dir):
             f" i -> concat_ws(' ', slice(t, i, {SUBSTR_L})))")
         ).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
-    cnt = win.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("w")))
+    wc = win.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = win.join(wc, "w")
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -680,8 +687,8 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
             f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"),
              F.xxhash64("w").alias("wh"))
-    cnt = win.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+    wc = win.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = win.join(wc, "wh")
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
