@@ -76,7 +76,7 @@ _FRONT = [
     # 0. round-9 NEW gates (never driver-verified)
     "x_dedup_intra", "x_ngram_novelty", "x_sample_weighted",
     "sparql_strfuncs", "x_dedup_substring", "x_contamination_stream",
-    "x_pivot_source_lang", "x_events_rollup",
+    "x_pivot_source_lang", "x_events_rollup", "x_event_lag",
     # 1. changed code paths this round
     "x_dedup_priority",
     # 2. r06-green refresh (two rounds stale after r08)
@@ -99,7 +99,10 @@ _FRONT = [
     #    refresh in r10 anyway; pulling 11 forward spreads the load and
     #    pins the window deterministically) -- preferring gates whose
     #    code moved in this round's pipeline-package split
-    "x_dedup_minhash", "x_dedup_exact", "x_chunk_dedup",
+    "x_dedup_minhash",
+    # x_chunk_dedup stays in-window: its Spark plan changed this round
+    # (window -> aggregate+join keep rule) and must re-verify
+    "x_chunk_dedup",
 ]
 
 

@@ -99,6 +99,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",
+            "x_event_lag",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,

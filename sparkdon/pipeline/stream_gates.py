@@ -548,3 +548,48 @@ def x_contamination_stream(spark, sf_dir):
     )
     _await_stream(q)
     return spark.read.parquet(target)
+
+
+@register(
+    "x_event_lag",
+    "SELECT event_id, user_id, "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id) AS since_prev_us, "
+    "CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    " / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) "
+    " AS ma3_scaled "
+    "FROM events",
+)
+def x_event_lag(spark, sf_dir):
+    """LAG + bounded moving frame (round 9) — the per-user
+    event-history features every behavioral model starts with:
+    microseconds since the user's previous event, and a 3-event moving
+    average of the event value (``ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW``).  Values floor-scale to integers before the frame SUM and
+    the average is an exact integer floor-division, so both engines
+    agree bit-for-bit; ties in event time break on event_id.
+
+    100 TB shape: one shuffle on user_id with per-user sorted frames —
+    user histories are bounded (no group outgrows a user), the frame is
+    O(1) memory per row (running sum, not a buffer), and the same
+    partitioning serves both window functions.  This is the window
+    shape that IS right for scale — contrast the global-order NTILE /
+    percent_rank family, which collapses to a single partition and is
+    deliberately absent."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    # NTZ -> TIMESTAMP is value-identical with the session tz pinned to
+    # UTC (same note as x_window_sessionize); unix_micros needs TIMESTAMP
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = F.floor(F.col("value") * 10000).cast("long")
+    return e.select(
+        "event_id", "user_id",
+        (tus - F.lag(tus).over(w)).alias("since_prev_us"),
+        F.floor(F.sum(v).over(frame).cast("double")
+                / F.count(F.lit(1)).over(frame))
+        .cast("long").alias("ma3_scaled"),
+    )
