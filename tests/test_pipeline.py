@@ -1775,3 +1775,32 @@ def test_dedup_substring_hashed_twin_matches(spark):
         table(spark, SF, "documents"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_pipeline_package_no_duplicate_definitions():
+    """The facade copies every family module's names into
+    sparkdon.pipeline; a name DEFINED (not just imported) in two family
+    modules would silently shadow one of them.  Guard: no symbol is
+    defined at module level in more than one family module."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path("sparkdon/pipeline")
+    seen: dict = {}
+    dupes = []
+    for p in sorted(pkg.glob("*.py")):
+        if p.name in ("__init__.py", "_registry.py"):
+            continue
+        tree = ast.parse(p.read_text())
+        for node in tree.body:
+            names = []
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets
+                         if isinstance(t, ast.Name)]
+            for n in names:
+                if n in seen:
+                    dupes.append((n, seen[n], p.name))
+                seen[n] = p.name
+    assert not dupes, dupes
