@@ -61,48 +61,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 9, in
+#: Entries hoisted into the driver's verification window.  Round 10, in
 #: priority order (freshness invariant: no battery entry's newest
-#: driver-green row may be older than two rounds, so r09 must cover
-#: everything whose newest green is r06 -- after r08 those 38 entries
-#: are exactly two rounds stale):
-#: 1. Gates whose Spark-side code changed this round
-#:    (x_dedup_priority: the src_rank substring-length advice fix).
-#: 2. The 38 entries whose newest driver-green row is r06 (the r07/r08
-#:    windows cut them; VERDICT r8 item 2 lists them explicitly).
-#: The ~90 remaining entries are all r07/r08-green and stay within the
-#: two-round freshness budget (r07 u r08 u r09 covers the battery).
+#: driver-green row may be older than two rounds; after r09 exactly 41
+#: entries' newest green is r07, and ALL of them are below, so
+#: r08 u r09 u r10 covers the whole battery):
+#: 1. Round-10 NEW gates (never driver-verified).
+#: 2. Gates whose Spark plan changed this round: the path-closure tier
+#:    now runs its semi-naive loops on 64-bit term ids (paths.py
+#:    CLOSURE_IDS), so every closure gate not already in the stale list
+#:    must re-verify.
+#: 3. The 41 entries whose newest driver-green row is r07 (listed in
+#:    VERDICT r9 item 2 / memory).
 _FRONT = [
-    # 0. round-9 NEW gates (never driver-verified)
-    "x_dedup_intra", "x_ngram_novelty", "x_sample_weighted",
-    "sparql_strfuncs", "x_dedup_substring", "x_contamination_stream",
-    "x_pivot_source_lang", "x_events_rollup", "x_event_lag",
-    # 1. changed code paths this round
-    "x_dedup_priority",
-    # 2. r06-green refresh (two rounds stale after r08)
-    "a2_group_expr", "a4_global_agg", "a5_group_multi_pattern",
-    "a7_distinct", "a9_multi_agg",
-    "f1_str_cast", "f3_strstarts", "f4_substr",
-    "o1_order_asc", "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
-    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
-    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in",
-    "p8_bind", "p9_values_join",
-    "q_decollect_seq",
-    "sparql_ask", "sparql_construct_count", "sparql_group_concat",
-    "sparql_offset",
-    "u1_union", "u2_except", "u3_intersect",
-    "x_asof_join", "x_dedup_clusters", "x_dedup_stream",
-    "x_event_percentiles", "x_sample_stratified", "x_text_repetition",
-    "x_topk_per_lang", "x_vocab_topk", "x_window_sliding",
-    "x_window_stream",
-    # 3. fill to 50 with r07-green entries (newest green r07 -> due for
-    #    refresh in r10 anyway; pulling 11 forward spreads the load and
-    #    pins the window deterministically) -- preferring gates whose
-    #    code moved in this round's pipeline-package split
-    "x_dedup_minhash",
-    # x_chunk_dedup stays in-window: its Spark plan changed this round
-    # (window -> aggregate+join keep rule) and must re-verify
-    "x_chunk_dedup",
+    # 0. round-10 NEW gates (never driver-verified)
+    "sparql_path_plus_ids", "sparql_path_star_values_ids",
+    "x_dedup_substring_hashed",
+    # 1. changed code paths this round (closure tier id-encoding;
+    #    sparql_path_star_sip is already in the stale list below)
+    "sparql_path_plus", "sparql_path_star_anchored",
+    "sparql_path_star_values",
+    # 2. r07-green refresh (two rounds stale after r09) -- all 41
+    "f5_regex", "f6_numeric_cast", "f7_count_expr",
+    "q_peel_bnode_closure", "s1_ntriples_roundtrip",
+    "sparql_census", "sparql_describe", "sparql_filter_gt",
+    "sparql_join_agg", "sparql_late_ids", "sparql_path_star_sip",
+    "sparql_service", "sparql_year_agg",
+    "x_contamination", "x_dedup_embed", "x_dedup_embed_strict",
+    "x_dedup_exact", "x_dedup_jaccard", "x_dedup_simhash",
+    "x_embed_gram", "x_embed_norm", "x_embed_quantize",
+    "x_fingerprint", "x_json_extract", "x_lang_id", "x_length_buckets",
+    "x_mix_sample", "x_neg_sample", "x_pii_scrub", "x_pq_codes",
+    "x_salted_census", "x_session_stream", "x_sim_ivf",
+    "x_sim_lsh_bucketed", "x_sliding_stream", "x_text_quality",
+    "x_text_stats", "x_tfidf_topk", "x_token_bpe", "x_window_tumbling",
+    "x_winsorize",
 ]
 
 

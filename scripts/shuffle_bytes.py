@@ -51,11 +51,58 @@ QUERIES = {
 }
 
 
+def _session(mode: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"shuffle-bytes-{mode}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4099")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.shuffle.compress",
+                "false" if os.environ.get("SHUFFLE_RAW") else "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def measure_closure(sf_dir: str, gate: str = "sparql_path_plus") -> None:
+    """A/B the recursive-closure tier: ``paths.CLOSURE_IDS`` off (term
+    structs shuffle every BFS level) vs on (16-byte long pairs shuffle,
+    one decode join at the edge).  Round-10 evidence row for PERF.md."""
+    from sparkdon import paths
+    from sparkdon import rdf_queries
+
+    results = {}
+    for mode, flag in (("structs", False), ("ids", True)):
+        paths.CLOSURE_IDS = flag
+        spark = _session(f"closure-{mode}")
+        n = rdf_queries.QUERIES[gate](spark, sf_dir).count()
+        write, inp = stage_metrics(spark.sparkContext.uiWebUrl,
+                                   spark.sparkContext.applicationId)
+        results[mode] = {"rows": n, "shuffle_write_bytes": write,
+                         "input_bytes": inp}
+        spark.stop()
+    paths.CLOSURE_IDS = True
+    ratio = (results["structs"]["shuffle_write_bytes"]
+             / max(1, results["ids"]["shuffle_write_bytes"]))
+    print(json.dumps({"sf_dir": sf_dir, "query": gate + " [closure A/B]",
+                      "structs": results["structs"], "ids": results["ids"],
+                      "shuffle_write_ratio": round(ratio, 2)}))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(QUERIES)
-
-    from pyspark.sql import SparkSession
+    if names and names[0] == "closure":
+        for gate in names[1:] or ["sparql_path_plus"]:
+            measure_closure(sf_dir, gate)
+        return
 
     from sparkdon.rdf_queries import run
 

@@ -103,10 +103,14 @@ class _BitReader:
     def sync_restart(self):
         """Consume the pending RST marker and realign to the byte after
         it; resets bit state."""
-        # drop padding bits
+        # drop padding bits; the truncation budget is per restart segment,
+        # so a valid multi-restart stream that over-reads padding in many
+        # segments never trips the cumulative cap
         self.acc = 0
         self.nbits = 0
         self.restart_hit = False
+        self.pad_bytes = 0
+        self.ended = False
         d = self.data
         # self.pos points AT the 0xFF of the RST marker
         if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -235,6 +239,11 @@ def _decode_scan(payload, pos, sof, scan, qt, restart_interval):
     import numpy as np
 
     h, w = sof["h"], sof["w"]
+    if len(scan) == 1:
+        # T.81 §A.2.2: a single-component scan is non-interleaved — the
+        # MCU is one 8x8 block and the declared sampling factors are
+        # ignored (a grayscale JPEG declaring 2x2 still lays out 1x1)
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     if hmax > 2 or vmax > 2 or any(c["h"] not in (1, 2) or c["v"] not in (1, 2)

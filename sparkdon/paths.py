@@ -151,8 +151,78 @@ def _retire(df: DataFrame | None) -> None:
         pass
 
 
+#: Run the semi-naive closure loops on 64-bit term ids instead of term
+#: structs (round 10).  Every BFS level is a shuffle join + a subtract;
+#: with raw terms those shuffles move ~60-120-byte (kind, lex, dt, lang)
+#: structs PER ITERATION — at 100 TB the iterated string-key shuffles
+#: dominate closure cost.  Id mode hashes each endpoint once up front
+#: (operators/dictionary.term_id — xxhash64, join-free, deterministic),
+#: runs the whole fixpoint on 8-byte longs (≈8-15× less shuffle wire
+#: volume, single-long join hashing), and decodes the final pairs with
+#: two id→term joins against a decode map built from the step relation.
+#: Same trust model as the compiler's ``use_ids`` join mode: id equality
+#: ⇔ term equality modulo the documented 2⁻⁶⁵-per-pair xxhash64 odds.
+#: Toggle exists for A/B measurement (scripts/shuffle_bytes.py rows in
+#: PERF.md), not as a correctness hedge.
+CLOSURE_IDS = True
+
+
+def _sid(struct_col):
+    """Term-struct column → 64-bit content-hash id (shared ``term_id``)."""
+    from sparkdon.operators.dictionary import term_id
+
+    return term_id(struct_col["kind"], struct_col["lex"],
+                   struct_col["dt"], struct_col["lang"])
+
+
+def _encode_step(step: DataFrame, extra_nodes: DataFrame | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Encode a (start, end) struct relation to long ids.
+
+    Returns ``(encoded_step, decode_map)`` where the decode map is the
+    distinct (id, term) pairs over every node of the step relation (plus
+    ``extra_nodes`` — anchors may have no edges yet still appear in the
+    zero-length output).  The map is checkpointed once; the closure
+    result references it lazily, so it stays pinned exactly as long as
+    the returned closure frame itself."""
+    nodes = (step.select(F.col("start").alias("node"))
+             .unionByName(step.select(F.col("end").alias("node"))))
+    if extra_nodes is not None:
+        nodes = nodes.unionByName(extra_nodes.select("node"))
+    dec = (nodes.distinct()
+           .select(_sid(F.col("node")).alias("__nid"), F.col("node"))
+           .localCheckpoint(eager=True))
+    enc = step.select(_sid(F.col("start")).alias("start"),
+                      _sid(F.col("end")).alias("end"))
+    return enc, dec
+
+
+def _decode_pairs(ids: DataFrame, dec: DataFrame, *cols: str) -> DataFrame:
+    """Join id columns back to term structs (inner — every id in the
+    closure originates from the decode map's node set)."""
+    out = ids
+    for c in cols:
+        d = dec.select(F.col("__nid").alias(c),
+                       F.col("node").alias("__dec_" + c))
+        out = out.join(d, on=c, how="inner")
+    return out.select(*[F.col("__dec_" + c).alias(c) for c in cols])
+
+
 def transitive_closure(step: DataFrame) -> DataFrame:
     """Full semi-naive transitive closure of a (start, end) relation.
+
+    With :data:`CLOSURE_IDS` the loop runs on 8-byte term ids and the
+    result is decoded at the edge; the loop body itself is
+    representation-agnostic."""
+    if not CLOSURE_IDS:
+        return _closure_loop(step)
+    enc, dec = _encode_step(step)
+    closed = _closure_loop(enc)
+    return _decode_pairs(closed, dec, "start", "end")
+
+
+def _closure_loop(step: DataFrame) -> DataFrame:
+    """The semi-naive loop (column-type-agnostic: structs or longs).
 
     The step relation is materialized once up front: every iteration
     joins AND subtracts against it, and without the checkpoint each
@@ -189,6 +259,23 @@ def transitive_closure(step: DataFrame) -> DataFrame:
 def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
                      forward: bool, include_zero: bool) -> DataFrame:
     """BFS closure from a set of anchor nodes, with per-anchor provenance.
+
+    With :data:`CLOSURE_IDS` the BFS frontier carries (anchor_id,
+    node_id) long pairs — 16 bytes per row through every per-level
+    shuffle — and the final (anchor, node) pairs decode via two id→term
+    joins.  The loop body (:func:`_anchored_loop`) is
+    representation-agnostic."""
+    if not CLOSURE_IDS:
+        return _anchored_loop(spark, step, anchors, forward, include_zero)
+    enc_step, dec = _encode_step(step, extra_nodes=anchors)
+    enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
+    pairs = _anchored_loop(spark, enc_step, enc_anchors, forward, include_zero)
+    return _decode_pairs(pairs, dec, "anchor", "node")
+
+
+def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
+                   forward: bool, include_zero: bool) -> DataFrame:
+    """The anchored-BFS loop (column-type-agnostic: structs or longs).
 
     anchors: one-column DF ``node``.  Returns (anchor, node) pairs where
     ``node`` is reachable from ``anchor`` along ≥1 steps (≥0 with

@@ -480,6 +480,58 @@ def sparql_path_plus(spark, sf_dir):
 
 
 @register(
+    "sparql_path_plus_ids",
+    "SELECT 'urn:g:customer:' || c_custkey AS x, 'urn:g:nation:' || c_nationkey AS y "
+    "FROM customer "
+    "UNION SELECT 'urn:g:nation:' || n_nationkey, 'urn:g:region:' || n_regionkey FROM nation "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:region:' || n_regionkey "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+def sparql_path_plus_ids(spark, sf_dir):
+    """G4 with the full id stack on (round 10): the compiler runs in
+    ``use_ids`` mode AND the closure tier itself (paths.CLOSURE_IDS)
+    iterates its semi-naive fixpoint on 64-bit term ids — every BFS
+    level shuffles 16-byte (start, end) long pairs instead of term
+    structs, decoded once at the edge.  Oracle-checked so the
+    id-encoded recursive tier is correctness-gated end to end."""
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES, use_ids=True)
+    raw = e.select_raw("SELECT ?x ?y { ?x p:locatedIn+ ?y }")
+    return raw.select(raw["v_x"]["lex"].alias("x"), raw["v_y"]["lex"].alias("y"))
+
+
+@register(
+    "sparql_path_star_values_ids",
+    "SELECT 'urn:g:customer:' || c_custkey AS s, "
+    " 'urn:g:customer:' || c_custkey AS x FROM customer WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:nation:' || c_nationkey "
+    "FROM customer WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:customer:' || c_custkey, 'urn:g:region:' || n_regionkey "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey IN (7, 8) "
+    "UNION SELECT 'urn:g:nation:3', 'urn:g:nation:3' "
+    "UNION SELECT 'urn:g:nation:3', 'urn:g:region:' || n_regionkey "
+    "FROM nation WHERE n_nationkey = 3",
+)
+def sparql_path_star_values_ids(spark, sf_dir):
+    """G3 multi-anchor with the full id stack on (round 10): the
+    VALUES-driven anchored BFS (per-anchor provenance) runs its frontier
+    loop on (anchor_id, node_id) long pairs — the id-encoded analogue of
+    ``sparql_path_star_values``, oracle-checked."""
+    e = LocalEndpoint(
+        spark,
+        _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
+               located_in=True),
+        prefixes=PREFIXES, use_ids=True)
+    raw = e.select_raw(
+        "SELECT ?s ?x { VALUES ?s { <urn:g:customer:7> <urn:g:customer:8> "
+        "<urn:g:nation:3> } ?s p:locatedIn* ?x }")
+    return raw.select(raw["v_s"]["lex"].alias("s"), raw["v_x"]["lex"].alias("x"))
+
+
+@register(
     "sparql_path_star_anchored",
     "SELECT 'urn:g:customer:7' AS x "
     "UNION SELECT 'urn:g:nation:' || c_nationkey FROM customer WHERE c_custkey = 7 "

