@@ -87,6 +87,7 @@ def main() -> None:
         x_dedup_intra,
         x_dedup_minhash,
         x_dedup_substring,
+        x_dedup_substring_hashed,
         x_lm_bigram,
         x_lm_score,
         x_ngram_novelty,
@@ -121,6 +122,10 @@ def main() -> None:
         # expected to track x_chunk_dedup's slope — and the
         # doc-local intra-dedup (its shuffle key carries doc_id)
         "x_dedup_substring": x_dedup_substring,
+        # round 10 (VERDICT r9 item 4): the xxhash64 production twin —
+        # same join shape, 8-byte occurrence-count key; expected at or
+        # below the text-keyed slope
+        "x_dedup_substring_hashed": x_dedup_substring_hashed,
         "x_dedup_intra": x_dedup_intra,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,

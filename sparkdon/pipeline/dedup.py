@@ -391,6 +391,59 @@ def x_dedup_simhash(spark, sf_dir):
 #: CCNet/RefinedWeb line-level dedup — the fixture has no newlines)
 CHUNK_TOKENS = 10
 
+#: occurrence count at which a chunk/window key takes the broadcast lane
+#: of :func:`_join_back_skew_robust`.  The hot-key SET size is bounded by
+#: |occurrences| / threshold — at 10¹² corpus tokens and 10⁵ threshold
+#: that is ≤ 10⁷ keys, of which only the truly pathological few carry
+#: meaningful weight; raise the bar if the broadcast estimate exceeds the
+#: driver budget.  Module-level so tests (and operators with measured
+#: corpora) can lower it to exercise the hot lane.
+HOT_KEY_MIN_COUNT = 100_000
+
+
+def _join_back_skew_robust(occ: DataFrame, per_key: DataFrame, key: str,
+                           hot_min: int | None = None) -> DataFrame:
+    """Join per-key aggregates back to their occurrences, skew-robustly.
+
+    ``per_key`` must carry a ``cnt`` column (occurrences per key).  The
+    round-9 agg+join rewrite removed the window co-residency constraint,
+    but measurement (scripts/skew_probe.py, round 10) showed the claimed
+    AQE skew-split never actually engages for this plan shape: the
+    aggregate's output partitioning (hash by key) already satisfies the
+    sort-merge join's requirement, so agg → sort → join fuse into ONE
+    stage with no shuffle boundary on the build side, and
+    ``OptimizeSkewedJoin`` — which pattern-matches a join whose BOTH
+    children are shuffle stages — cannot fire.  A hot key's occurrences
+    therefore still pile into a single reducer task.
+
+    The fix is a differentiated join, all plain DataFrame ops:
+
+    - keys with ``cnt >= hot_min`` (bounded set: ≤ |occ| / hot_min rows
+      by construction) join through a BROADCAST lane — the hot key's
+      occurrences never co-locate at all;
+    - the remaining keys join through the normal shuffle lane, which is
+      skew-free by construction (every key in it has < hot_min rows);
+      hot occurrences are peeled off that lane by a broadcast anti-join
+      against the (tiny) hot key set.
+
+    ``per_key`` is lazily ``localCheckpoint``-ed because three plan arms
+    read it (hot lane, anti filter, cold lane): one materialization
+    instead of three recomputed aggregations — the same "persist the
+    chunk dictionary" move a production ExactSubstr pipeline makes.
+
+    On a corpus with NO hot key (every gate fixture) the hot side is
+    empty, the broadcast is an empty relation, and the output is
+    bit-identical to the plain join — which is how the oracle gates keep
+    certifying this exact production path."""
+    hot_min = HOT_KEY_MIN_COUNT if hot_min is None else hot_min
+    per_key = per_key.localCheckpoint(eager=False)
+    hot = per_key.filter(F.col("cnt") >= hot_min)
+    cold = per_key.filter(F.col("cnt") < hot_min)
+    occ_hot = occ.join(F.broadcast(hot), key, "inner")
+    occ_cold = (occ.join(F.broadcast(hot.select(key)), key, "left_anti")
+                .join(cold, key))
+    return occ_hot.unionByName(occ_cold)
+
 
 def _chunk_expr(n: int = CHUNK_TOKENS) -> str:
     """Spark SQL expression: the text column's consecutive
@@ -432,23 +485,26 @@ def x_chunk_dedup(spark, sf_dir):
     byte-for-byte, so chunking, the keep rule, and the ordered
     re-concatenation are all checked.
 
-    100 TB shape (r9 rewrite): the keep rule is computed as a chunk-keyed
-    AGGREGATE — min(struct(doc_id, ci)) per chunk — joined back to the
-    occurrences, NOT as a row_number window.  Identical output (rn=1 ⟺
-    the row IS the min struct), but the aggregate runs a map-side
-    partial combine — a boilerplate chunk occurring 10M times (license
-    headers, the 100 TB pathology) reduces to one row per map task
-    before the shuffle — and the join back is an equi-join AQE's
-    skew-split CAN break up, which it cannot do for a window partition
-    (a window's group must be co-resident, so a hot chunk pins a whole
-    executor).  Then one doc_id shuffle for reassembly."""
+    100 TB shape (r9 rewrite + r10 hot-lane fix): the keep rule is
+    computed as a chunk-keyed AGGREGATE — min(struct(doc_id, ci)) per
+    chunk — joined back to the occurrences, NOT as a row_number window.
+    Identical output (rn=1 ⟺ the row IS the min struct), but the
+    aggregate runs a map-side partial combine — a boilerplate chunk
+    occurring 10M times (license headers, the 100 TB pathology) reduces
+    to one row per map task before the shuffle — and the join back runs
+    through :func:`_join_back_skew_robust`, whose broadcast hot lane
+    keeps a hot chunk's occurrences from ever co-locating on one
+    reducer (measured in scripts/skew_probe.py; AQE alone cannot split
+    this join — see the helper's docstring).  Then one doc_id shuffle
+    for reassembly."""
     docs = table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
     ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
     first = ch.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "ci")).alias("first_occ"))
-    k = ch.join(first, "chunk").withColumn(
+        F.min(F.struct("doc_id", "ci")).alias("first_occ"),
+        F.count(F.lit(1)).alias("cnt"))
+    k = _join_back_skew_robust(ch, first, "chunk").withColumn(
         "is_first",
         (F.col("first_occ") == F.struct("doc_id", "ci")).cast("int"))
     kept = F.when(F.col("is_first") == 1, F.struct("ci", "chunk"))
@@ -579,8 +635,10 @@ def x_cross_dedup(spark, sf_dir):
 SUBSTR_L = 8
 
 
-@register(
-    "x_dedup_substring",
+#: shared oracle for the text-keyed gate and its xxhash64 twin: both
+#: produce the identical (doc_id, n_windows, n_dup, dup_cover) relation —
+#: the hash never appears in the output, so DuckDB needn't replay it
+_SUBSTR_ORACLE = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents"
     f" WHERE len(string_split(text, ' ')) >= {SUBSTR_L}), "
     "win AS (SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS w "
@@ -601,8 +659,11 @@ SUBSTR_L = 8
     "  GROUP BY doc_id, island) GROUP BY doc_id) "
     "SELECT base.doc_id, n_windows, n_dup, "
     "COALESCE(dup_cover, 0) AS dup_cover "
-    "FROM base LEFT JOIN cov USING (doc_id)",
+    "FROM base LEFT JOIN cov USING (doc_id)"
 )
+
+
+@register("x_dedup_substring", _SUBSTR_ORACLE)
 def x_dedup_substring(spark, sf_dir):
     """ExactSubstr-style duplicated-passage detection (round 9): slide
     an ``SUBSTR_L``-token window (stride 1) over every document, flag
@@ -641,7 +702,7 @@ def x_dedup_substring(spark, sf_dir):
         ).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
     wc = win.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = win.join(wc, "w")
+    cnt = _join_back_skew_robust(win, wc, "w")
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -672,12 +733,13 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
     """Production twin of :func:`x_dedup_substring`: identical output,
     but the occurrence-count shuffle carries ``xxhash64(window)`` (8
     bytes) instead of the L-token window TEXT — the shuffle-volume cut
-    the gate's docstring promises (the gate itself ships text so the
-    DuckDB oracle can be bit-exact; an oracle cannot replay xxhash64).
-    A 64-bit key over < 2^40 windows has collision probability < 1e-7
-    per corpus (birthday bound), and a collision only ever OVER-counts
-    a window as duplicated — dedup-safe.  Equality with the text-keyed
-    gate is pytest-asserted on the fixture."""
+    the gate's docstring promises.  A 64-bit key over < 2^40 windows has
+    collision probability < 1e-7 per corpus (birthday bound), and a
+    collision only ever OVER-counts a window as duplicated — dedup-safe.
+    Equality with the text-keyed gate is pytest-asserted on the fixture,
+    and the twin is oracle-gated directly as ``x_dedup_substring_hashed``
+    (round 10): the hash never reaches the OUTPUT columns, so the
+    text-keyed DuckDB oracle applies verbatim."""
     win = docs.select(
         "doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= L).select(
@@ -688,7 +750,7 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
     ).select("doc_id", (F.col("p") + 1).alias("i"),
              F.xxhash64("w").alias("wh"))
     wc = win.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = win.join(wc, "wh")
+    cnt = _join_back_skew_robust(win, wc, "wh")
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -712,3 +774,13 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
             .select("doc_id", "n_windows", "n_dup",
                     F.coalesce("dup_cover", F.lit(0)).cast("long")
                     .alias("dup_cover")))
+
+@register("x_dedup_substring_hashed", _SUBSTR_ORACLE)
+def x_dedup_substring_hashed(spark, sf_dir):
+    """The xxhash64 production path of ExactSubstr-style passage
+    detection, oracle-gated (round 10, VERDICT r9 item 4): the window
+    occurrence-count shuffle moves 8-byte hashes, everything downstream
+    of the count is identical to ``x_dedup_substring``, and the output
+    relation carries no hash — so the driver compares it against the
+    same bit-exact DuckDB oracle as the text-keyed gate."""
+    return dedup_substring_hashed(table(spark, sf_dir, "documents"))

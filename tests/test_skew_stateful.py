@@ -220,3 +220,57 @@ def test_stream_join_matches_across_batches(spark, tmp_path):
     ).collect()
     assert {(r["view_id"], r["click_id"], r["user_id"]) for r in rows} == {
         (100, 200, 1)}
+
+
+def test_join_back_hot_lane_matches_plain(spark, monkeypatch):
+    """Round 10: `_join_back_skew_robust` with a planted hot key must
+    (a) produce bit-identical rows to the plain join-back, and (b)
+    actually route the hot key through the broadcast lane (hot set
+    non-empty, BroadcastHashJoin in the executed plan) — the
+    deterministic half of scripts/skew_probe.py's evidence."""
+    from sparkdon.pipeline import dedup
+
+    hot = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("ci"),
+        F.lit("permission is hereby granted free of charge").alias("chunk"))
+    bg = spark.range(500).select(
+        (F.col("id") + 2000).alias("doc_id"), F.lit(1).alias("ci"),
+        F.concat(F.lit("unique chunk "), F.col("id").cast("string"))
+        .alias("chunk"))
+    ch = hot.unionByName(bg)
+    first = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "ci")).alias("first_occ"),
+        F.count(F.lit(1)).alias("cnt"))
+
+    plain = sorted(map(tuple, ch.join(first, "chunk").collect()))
+
+    monkeypatch.setattr(dedup, "HOT_KEY_MIN_COUNT", 1000)
+    robust_df = dedup._join_back_skew_robust(ch, first, "chunk")
+    robust = sorted(map(tuple, robust_df.collect()))
+    assert robust == plain
+
+    # the hot lane must have engaged: one key over the threshold, and
+    # the executed plan carries the broadcast joins of the hot/cold split
+    n_hot = first.filter(F.col("cnt") >= 1000).count()
+    assert n_hot == 1
+    plan = robust_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # no-hot-key corpus: hot lane empty, output still identical (the
+    # gate-fixture regime)
+    monkeypatch.setattr(dedup, "HOT_KEY_MIN_COUNT", 100_000)
+    robust2 = sorted(map(tuple,
+                         dedup._join_back_skew_robust(ch, first, "chunk")
+                         .collect()))
+    assert robust2 == plain
+
+
+def test_chunk_dedup_output_stable_under_hot_threshold(spark, monkeypatch):
+    """x_chunk_dedup's output must not depend on HOT_KEY_MIN_COUNT: the
+    hot/cold routing is a pure execution-strategy choice."""
+    from sparkdon.pipeline import dedup
+
+    base = sorted(map(tuple, dedup.x_chunk_dedup(spark, SF).collect()))
+    monkeypatch.setattr(dedup, "HOT_KEY_MIN_COUNT", 2)
+    routed = sorted(map(tuple, dedup.x_chunk_dedup(spark, SF).collect()))
+    assert routed == base
