@@ -151,6 +151,18 @@ class Endpoint:
             sparql = self._substitute_arguments(sparql, env)
         return sparql
 
+    def _resolve_node(self, node):
+        if isinstance(node, QName):
+            return node.to_uri()
+        if isinstance(node, (IRI, BNode)):
+            return node
+        if isinstance(node, str):
+            pfx, _, local = node.partition(":")
+            if pfx in self.prefixes:
+                return IRI(self.prefixes[pfx] + local)
+            return IRI(node)
+        raise SparkdonError(f"cannot resolve node {node!r}")
+
     # -- compilation hooks (overridden by endpoint kinds) --------------
 
     def _compiler(self) -> Compiler:
@@ -533,18 +545,6 @@ class LocalEndpoint(Endpoint):
             nodes = nodes.unionByName(fdf)
         return LocalEndpoint(self.spark, self._cbd(nodes.distinct()),
                              prefixes=self.prefixes, base_uri=self.base_uri)
-
-    def _resolve_node(self, node):
-        if isinstance(node, QName):
-            return node.to_uri()
-        if isinstance(node, (IRI, BNode)):
-            return node
-        if isinstance(node, str):
-            pfx, _, local = node.partition(":")
-            if pfx in self.prefixes:
-                return IRI(self.prefixes[pfx] + local)
-            return IRI(node)
-        raise SparkdonError(f"cannot resolve node {node!r}")
 
     def decollect(self, node):
         """RDF container → Python value: Seq/Alt → list (ordered by the
