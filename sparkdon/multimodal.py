@@ -4,11 +4,11 @@ DECODE is real — binary/ASCII PPM (P6/P3), uncompressed 24-bit BMP,
 PCM WAV, 8-bit PNG both sequential and Adam7-interlaced (stdlib
 ``zlib`` inflate + the five scanline filters in numpy, r9 interlace),
 GIF87a/89a both sequential and interlaced (pure-Python variable-width
-LZW, r8/r9), and baseline JPEG (pure-Python Huffman + numpy IDCT,
-:mod:`sparkdon.jpeg`, r9) — no codec library needed anywhere.
-Remaining formats (progressive/arithmetic/12-bit JPEG, 16-bit
-palette PNG — spec-invalid anyway — and MP3-class audio codecs)
-raise ``NotImplementedError``; the
+LZW, r8/r9), and baseline + progressive JPEG (pure-Python Huffman + numpy
+IDCT, :mod:`sparkdon.jpeg`, r9/r10) — no codec library needed
+anywhere.  Remaining formats (arithmetic/12-bit/lossless JPEG,
+16-bit palette PNG — spec-invalid anyway — and MP3-class audio
+codecs) raise ``NotImplementedError``; the
 deterministic fakes remain available for exercising the plumbing with
 arbitrary payload bytes.  Everything Spark-side is real and tested
 either way: the schema, the Arrow batch shape, the ``mapInPandas``
@@ -279,11 +279,11 @@ def decode_image(payload: bytes):
     uncompressed 24-bit BMP (``BM`` + BI_RGB), 8-bit PNG sequential and
     Adam7 (stdlib ``zlib`` + the five scanline filters — gray / RGB /
     palette / alpha variants; the reference's own ``art/*.png`` corpus
-    is 8-bit palette and decodes here), GIF, and baseline JPEG
-    (:mod:`sparkdon.jpeg`) — pure struct/numpy work, no codec library.
-    8/16-bit depths both decode (16-bit via the standard high-byte
-    reduction); remaining formats (progressive/arithmetic JPEG) raise
-    ``NotImplementedError`` (the honest boundary).
+    is 8-bit palette and decodes here), GIF, and baseline/progressive
+    JPEG (:mod:`sparkdon.jpeg`) — pure struct/numpy work, no codec
+    library.  8/16-bit depths both decode (16-bit via the standard
+    high-byte reduction); remaining formats (arithmetic/lossless JPEG)
+    raise ``NotImplementedError`` (the honest boundary).
     """
     import numpy as np
 

@@ -719,9 +719,9 @@ def test_jpeg_unsupported_and_corrupt_raise():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2
+    # lossless SOF3 (progressive SOF2 decodes as of r10)
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x00\x00")
     # truncated segment
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x45\x00")
@@ -768,3 +768,155 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
         # under the quality_div=16 quant step while deterministic in CI
         err = int(np.max(np.abs(out.astype(int) - arr.astype(int))))
         assert err <= 16, (h, w, seed, err)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) — round 10
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_exact_vs_baseline():
+    """The progressive stream carries the SAME quantized coefficients as
+    the baseline stream (shared `_coeff_grids` math), so decoding it
+    must give EXACTLY the baseline decode's pixels — a strong
+    cross-check: the two entropy paths (sequential Huffman vs spectral
+    bands + successive approximation + EOB runs + refinement correction
+    bits) share no decode code beyond the bit reader and IDCT."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for h, w, sub, ri in [(16, 16, False, 0), (24, 17, False, 0),
+                          (32, 32, True, 0), (23, 9, True, 0),
+                          (40, 40, False, 3), (33, 31, True, 2),
+                          (8, 8, False, 0), (1, 1, False, 0),
+                          (3, 21, True, 0)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, quality_div=8, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            arr, quality_div=8, subsample=sub, restart_interval=ri))
+        assert np.array_equal(base, prog), (h, w, sub, ri)
+
+
+def test_jpeg_progressive_flat_image_eob_runs():
+    """A flat image drives maximal EOB-run accumulation (every AC block
+    empty): the whole-band EOBn path plus the flat-image exactness the
+    baseline codec guarantees."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    arr = np.full((48, 40, 3), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(arr, quality_div=8))
+    assert int(np.max(np.abs(out.astype(int) - arr.astype(int)))) <= 1
+
+
+def test_jpeg_progressive_truncation_semantics():
+    """Progressive truncation has TWO correct behaviors: a cut at a
+    scan boundary yields a valid coarse PREVIEW (that is the format's
+    whole point — browsers render exactly this), while a cut inside a
+    scan's entropy data is a clean ValueError."""
+    from sparkdon.jpeg import _next_marker, decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    full = encode_jpeg_progressive(arr, quality_div=8)
+
+    # locate the first SOS and its entropy span
+    sos = full.index(b"\xff\xda")
+    seglen = struct.unpack(">H", full[sos + 2:sos + 4])[0]
+    entropy_start = sos + 2 + seglen
+    entropy_end = _next_marker(full, entropy_start)
+    assert entropy_end - entropy_start > 8
+
+    # mid-entropy cut -> error
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: entropy_start + (entropy_end - entropy_start) // 2])
+
+    # scan-boundary cut -> coarse but valid preview
+    preview = decode_jpeg(full[:entropy_end])
+    assert preview.shape == arr.shape
+
+
+def test_jpeg_grayscale_scan_ignores_sampling_factors():
+    """T.81 §A.2.2: a single-component scan is non-interleaved — one 8x8
+    block per MCU regardless of declared factors.  Patch a 1x1 grayscale
+    stream's SOF to declare 2x2; the decode must be unchanged (the r10
+    ADVICE fix; previously the raster came out scrambled)."""
+    from sparkdon.jpeg import decode_jpeg
+
+    # build a grayscale baseline JPEG by hand from the RGB encoder's Y
+    # path: encode a gray RGB image, then rewrite SOF/SOS to 1 component
+    from sparkdon.jpeg import encode_jpeg
+
+    g = np.random.default_rng(11).integers(0, 256, (16, 16), dtype=np.uint8)
+    arr = np.repeat(g[:, :, None], 3, axis=2)
+    # reference: full RGB decode (gray in = gray out)
+    rgb = decode_jpeg(encode_jpeg(arr, quality_div=16))
+
+    # hand-build the grayscale stream: reuse encoder internals
+    from sparkdon.jpeg import (_BitWriter, _K_DC_LUMA, _K_AC_LUMA, _K_LUMA,
+                               _ZIGZAG, _dct_matrix, _encode_table, _mag, _seg)
+    import struct as _struct
+
+    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) // 16)
+    ql8 = ql.reshape(8, 8).astype(float)
+    C = _dct_matrix()
+    dc_t, ac_t = _encode_table(*_K_DC_LUMA), _encode_table(*_K_AC_LUMA)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(2):
+        for bx in range(2):
+            blk = g[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128.0
+            zz = np.round((C @ blk @ C.T) / ql8).astype(np.int64).reshape(-1)[_ZIGZAG]
+            t, bits = _mag(int(zz[0]) - pred)
+            pred = int(zz[0])
+            code, ln = dc_t[t]
+            bw.write(code, ln)
+            bw.write(bits, t)
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            run = 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_t[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                t, bits = _mag(v)
+                code, ln = ac_t[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(bits, t)
+                run = 0
+            if last < 63:
+                code, ln = ac_t[0x00]
+                bw.write(code, ln)
+    bw.flush()
+
+    def gray_jpeg(hv):
+        head = bytearray(b"\xff\xd8")
+        head += _seg(0xDB, bytes([0]) + bytes(int(ql[_ZIGZAG[k]]) for k in range(64)))
+        head += _seg(0xC0, _struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, hv, 0]))
+        head += _seg(0xC4, bytes([0x00]) + bytes(_K_DC_LUMA[0]) + _K_DC_LUMA[1])
+        head += _seg(0xC4, bytes([0x10]) + bytes(_K_AC_LUMA[0]) + _K_AC_LUMA[1])
+        head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+    out11 = decode_jpeg(gray_jpeg(0x11))
+    out22 = decode_jpeg(gray_jpeg(0x22))  # declared 2x2 must be ignored
+    assert np.array_equal(out11, out22)
+    assert int(np.max(np.abs(out11.astype(int) - rgb.astype(int)))) <= 2
+
+
+def test_jpeg_many_restart_segments_pad_budget():
+    """r10 ADVICE fix: the >2-padding-byte truncation cap is per restart
+    segment, not cumulative — a valid stream with many restart intervals
+    must decode even when several segments over-read padding bits."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    # restart_interval=1 -> 35 restart segments on a 6x6-MCU image
+    out = decode_jpeg(encode_jpeg(arr, quality_div=16, restart_interval=1))
+    assert out.shape == arr.shape
