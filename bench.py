@@ -32,6 +32,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # (group name, query names) — light first, heavy ANN/embedding last.
+#
+# SET SELECTION RULE (round 10, VERDICT r9 item 8 — also stated in
+# PERF.md): every non-streaming pipeline gate (x_*) is benched; the
+# relational and SPARQL micro-gate batteries are benched by SHAPE
+# REPRESENTATIVE (one scan/filter, one bind, one join chain, one
+# anti-join, one grouped agg, one multi-agg, one subquery, one top-k,
+# one union, one decollect — their siblings differ only in expression
+# content, not plan shape, so a regression in the shared machinery
+# shows in the representative); streaming gates are excluded because
+# their wall time is dominated by fixed per-query streaming machinery
+# (checkpoint dir, query startup), not plan quality.  Any NEW gate
+# whose Spark plan is novel (not a sibling of an existing shape) must
+# be added here in the round that introduces it.
 GROUPS: list[tuple[str, list[str]]] = [
     (
         "relational",
@@ -60,6 +73,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "sparql_late_ids",
             "sparql_census_orders",
             "sparql_path_plus",
+            "sparql_path_plus_ids",
             "sparql_path_star_sip",
             "sparql_path_nps",
             "sparql_strfuncs",
@@ -99,7 +113,18 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_asof_join",
             "x_window_sliding",
             "x_window_sessionize",
+            "x_window_tumbling",
             "x_event_lag",
+            # round 10: the previously-unbenched non-streaming pipeline
+            # gates (set-selection rule above)
+            "x_fingerprint",
+            "x_fingerprint_winnow",
+            "x_lang_id",
+            "x_text_quality",
+            "x_topk_per_lang",
+            "x_embed_norm",
+            "x_embed_quantize",
+            "x_salted_census",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,
@@ -113,8 +138,12 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_contamination",
             "x_cross_dedup",
             "x_dedup_substring",
+            "x_dedup_substring_hashed",
             "x_semantic_dedup",
             "x_dedup_minhash",
+            "x_dedup_simhash",
+            "x_sim_lsh_bucketed",
+            "x_token_bpe",
             "x_dedup_clusters",
             "x_dedup_priority",
             "x_split_by_cluster",
