@@ -79,8 +79,12 @@ def measure_closure(sf_dir: str, gate: str = "sparql_path_plus") -> None:
     from sparkdon import rdf_queries
 
     results = {}
+    default_min = paths.CLOSURE_IDS_MIN_STEP
     for mode, flag in (("structs", False), ("ids", True)):
         paths.CLOSURE_IDS = flag
+        # force the representation regardless of the cost-based size
+        # gate — the A/B measures the mechanism, not the planner choice
+        paths.CLOSURE_IDS_MIN_STEP = 0 if flag else default_min
         spark = _session(f"closure-{mode}")
         n = rdf_queries.QUERIES[gate](spark, sf_dir).count()
         write, inp = stage_metrics(spark.sparkContext.uiWebUrl,
@@ -89,6 +93,7 @@ def measure_closure(sf_dir: str, gate: str = "sparql_path_plus") -> None:
                          "input_bytes": inp}
         spark.stop()
     paths.CLOSURE_IDS = True
+    paths.CLOSURE_IDS_MIN_STEP = default_min
     ratio = (results["structs"]["shuffle_write_bytes"]
              / max(1, results["ids"]["shuffle_write_bytes"]))
     print(json.dumps({"sf_dir": sf_dir, "query": gate + " [closure A/B]",

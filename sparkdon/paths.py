@@ -157,14 +157,30 @@ def _retire(df: DataFrame | None) -> None:
 #: structs PER ITERATION — at 100 TB the iterated string-key shuffles
 #: dominate closure cost.  Id mode hashes each endpoint once up front
 #: (operators/dictionary.term_id — xxhash64, join-free, deterministic),
-#: runs the whole fixpoint on 8-byte longs (≈8-15× less shuffle wire
-#: volume, single-long join hashing), and decodes the final pairs with
+#: runs the whole fixpoint on 8-byte longs (≈3.4× less raw shuffle
+#: measured, single-long join hashing), and decodes the final pairs with
 #: two id→term joins against a decode map built from the step relation.
 #: Same trust model as the compiler's ``use_ids`` join mode: id equality
 #: ⇔ term equality modulo the documented 2⁻⁶⁵-per-pair xxhash64 odds.
 #: Toggle exists for A/B measurement (scripts/shuffle_bytes.py rows in
 #: PERF.md), not as a correctness hedge.
 CLOSURE_IDS = True
+
+#: Cost-based representation choice: encoding pays two fixed jobs (the
+#: id map + decode-map checkpoint, then the final decode joins) to
+#: shrink every BFS level's shuffle.  Isolated quiet-host best-of-3 at
+#: sf0.1 (PERF.md round 10) measured that fixed cost at ~1.2 s per
+#: closure on graphs whose whole step relation is ~15k rows — pure
+#: overhead there, while at 10⁸+ step rows the per-level savings
+#: dominate by construction.  So the wrappers measure the (already
+#: checkpointed) step relation's row count — a cheap job on pinned
+#: blocks — and encode only at or above this bar; the same decision
+#: shape as AQE's size-based plan choices.  The 100× scale probe's
+#: replica graph (~1.5M step rows) exercises the id path; the sf0.01
+#: driver gates exercise the struct path, and the ``*_ids`` gates force
+#: the id path via ``CLOSURE_IDS_MIN_STEP = 0`` so BOTH representations
+#: stay oracle-green every round.
+CLOSURE_IDS_MIN_STEP = 1_000_000
 
 
 def _sid(struct_col):
@@ -211,18 +227,25 @@ def _decode_pairs(ids: DataFrame, dec: DataFrame, *cols: str) -> DataFrame:
 def transitive_closure(step: DataFrame) -> DataFrame:
     """Full semi-naive transitive closure of a (start, end) relation.
 
-    With :data:`CLOSURE_IDS` the loop runs on 8-byte term ids and the
-    result is decoded at the edge; the loop body itself is
-    representation-agnostic."""
-    if not CLOSURE_IDS:
+    Representation is chosen by measured size (see
+    :data:`CLOSURE_IDS_MIN_STEP`): big step relations iterate on 8-byte
+    term ids and decode at the edge; small ones skip the fixed
+    encode/decode cost.  The loop body is representation-agnostic."""
+    step = step.distinct().localCheckpoint(eager=True)
+    if not (CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP):
         return _closure_loop(step)
     enc, dec = _encode_step(step)
+    # ids of distinct structs are distinct (modulo the documented hash
+    # odds), so no re-distinct; materialize and drop the struct form
+    enc = enc.localCheckpoint(eager=True)
+    _retire(step)
     closed = _closure_loop(enc)
     return _decode_pairs(closed, dec, "start", "end")
 
 
 def _closure_loop(step: DataFrame) -> DataFrame:
-    """The semi-naive loop (column-type-agnostic: structs or longs).
+    """The semi-naive loop (column-type-agnostic: structs or longs;
+    ``step`` must arrive distinct + checkpointed).
 
     The step relation is materialized once up front: every iteration
     joins AND subtracts against it, and without the checkpoint each
@@ -230,7 +253,6 @@ def _closure_loop(step: DataFrame) -> DataFrame:
     rdf-ized gate graphs, a 14-branch union scan).  Superseded
     generations are retired as soon as the next one materializes, so
     pinned storage stays O(|closure|), not O(depth · |closure|)."""
-    step = step.distinct().localCheckpoint(eager=True)
     seen = step
     delta = seen
     for _ in range(MAX_ITERATIONS):
@@ -260,22 +282,27 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
                      forward: bool, include_zero: bool) -> DataFrame:
     """BFS closure from a set of anchor nodes, with per-anchor provenance.
 
-    With :data:`CLOSURE_IDS` the BFS frontier carries (anchor_id,
+    With the id representation (chosen by measured step size, see
+    :data:`CLOSURE_IDS_MIN_STEP`) the BFS frontier carries (anchor_id,
     node_id) long pairs — 16 bytes per row through every per-level
     shuffle — and the final (anchor, node) pairs decode via two id→term
     joins.  The loop body (:func:`_anchored_loop`) is
     representation-agnostic."""
-    if not CLOSURE_IDS:
+    step = step.localCheckpoint(eager=True)
+    if not (CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP):
         return _anchored_loop(spark, step, anchors, forward, include_zero)
     enc_step, dec = _encode_step(step, extra_nodes=anchors)
+    enc_step = enc_step.localCheckpoint(eager=True)
     enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
+    _retire(step)
     pairs = _anchored_loop(spark, enc_step, enc_anchors, forward, include_zero)
     return _decode_pairs(pairs, dec, "anchor", "node")
 
 
 def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
                    forward: bool, include_zero: bool) -> DataFrame:
-    """The anchored-BFS loop (column-type-agnostic: structs or longs).
+    """The anchored-BFS loop (column-type-agnostic: structs or longs;
+    ``step`` must arrive checkpointed).
 
     anchors: one-column DF ``node``.  Returns (anchor, node) pairs where
     ``node`` is reachable from ``anchor`` along ≥1 steps (≥0 with
@@ -292,10 +319,10 @@ def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
     frame, checkpointed eagerly) replaces the old lazy ``reached`` union
     chain, whose plan referenced EVERY frontier generation and therefore
     kept all of them pinned.  Superseded generations retire per level."""
+    step_ckpt = step  # the caller's checkpointed frame — retired at exit
     if not forward:
+        # lazy swap over the pinned blocks; no second materialization
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
-    # materialize the step once — every BFS level joins against it
-    step = step.localCheckpoint(eager=True)
     base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct() \
         .localCheckpoint(eager=True)
     seen = base
@@ -331,7 +358,7 @@ def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
             _retire(old_seen)
     else:
         raise QueryExecutionError("path closure did not converge")
-    _retire(step)
+    _retire(step_ckpt)
     if include_zero:
         if seen is not base:
             _retire(base)

@@ -489,17 +489,27 @@ def sparql_path_plus(spark, sf_dir):
 )
 def sparql_path_plus_ids(spark, sf_dir):
     """G4 with the full id stack on (round 10): the compiler runs in
-    ``use_ids`` mode AND the closure tier itself (paths.CLOSURE_IDS)
-    iterates its semi-naive fixpoint on 64-bit term ids — every BFS
-    level shuffles 16-byte (start, end) long pairs instead of term
-    structs, decoded once at the edge.  Oracle-checked so the
-    id-encoded recursive tier is correctness-gated end to end."""
+    ``use_ids`` mode AND the closure tier iterates its semi-naive
+    fixpoint on 64-bit term ids — every BFS level shuffles 16-byte
+    (start, end) long pairs instead of term structs, decoded once at
+    the edge.  The id representation is size-gated in production
+    (paths.CLOSURE_IDS_MIN_STEP, a cost-based choice); the gate forces
+    it so the id path stays oracle-green at driver scale — the closure
+    runs eagerly inside ``select_raw``, so the override window is
+    exactly this call."""
+    from sparkdon import paths
+
     e = LocalEndpoint(
         spark,
         _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
                located_in=True),
         prefixes=PREFIXES, use_ids=True)
-    raw = e.select_raw("SELECT ?x ?y { ?x p:locatedIn+ ?y }")
+    old = paths.CLOSURE_IDS_MIN_STEP
+    paths.CLOSURE_IDS_MIN_STEP = 0
+    try:
+        raw = e.select_raw("SELECT ?x ?y { ?x p:locatedIn+ ?y }")
+    finally:
+        paths.CLOSURE_IDS_MIN_STEP = old
     return raw.select(raw["v_x"]["lex"].alias("x"), raw["v_y"]["lex"].alias("y"))
 
 
@@ -519,15 +529,23 @@ def sparql_path_star_values_ids(spark, sf_dir):
     """G3 multi-anchor with the full id stack on (round 10): the
     VALUES-driven anchored BFS (per-anchor provenance) runs its frontier
     loop on (anchor_id, node_id) long pairs — the id-encoded analogue of
-    ``sparql_path_star_values``, oracle-checked."""
+    ``sparql_path_star_values``, oracle-checked (id path forced past the
+    cost-based size gate, as in ``sparql_path_plus_ids``)."""
+    from sparkdon import paths
+
     e = LocalEndpoint(
         spark,
         _graph(spark, sf_dir, ("region", "nation", "customer", "supplier"),
                located_in=True),
         prefixes=PREFIXES, use_ids=True)
-    raw = e.select_raw(
-        "SELECT ?s ?x { VALUES ?s { <urn:g:customer:7> <urn:g:customer:8> "
-        "<urn:g:nation:3> } ?s p:locatedIn* ?x }")
+    old = paths.CLOSURE_IDS_MIN_STEP
+    paths.CLOSURE_IDS_MIN_STEP = 0
+    try:
+        raw = e.select_raw(
+            "SELECT ?s ?x { VALUES ?s { <urn:g:customer:7> <urn:g:customer:8> "
+            "<urn:g:nation:3> } ?s p:locatedIn* ?x }")
+    finally:
+        paths.CLOSURE_IDS_MIN_STEP = old
     return raw.select(raw["v_s"]["lex"].alias("s"), raw["v_x"]["lex"].alias("x"))
 
 

@@ -160,3 +160,36 @@ def test_path_star_over_alternation(graphs):
         both = edges["p"] | edges["q"]
         assert engine_pairs(e, "(:p|:q)*") == ref_closure(
             both, reflexive_nodes=nodes)
+
+
+def test_closure_id_and_struct_representations_agree(spark):
+    """Round 10: the cost-based representation choice
+    (paths.CLOSURE_IDS_MIN_STEP) must be invisible to results — the same
+    closure evaluated on term structs and on forced 64-bit ids returns
+    identical pairs, for both the full transitive closure and the
+    anchored multi-cone BFS."""
+    from sparkdon import paths
+    from sparkdon.session import inline
+
+    ttl = "@prefix : <http://example.com/> .\n" + "\n".join(
+        f":n{i} :edge :n{(i * 7 + 3) % 23} ." for i in range(23)) + (
+        "\n:n0 :edge :n5 . :n5 :edge :n0 .")  # cycle
+    e = inline(ttl, spark)
+    q_plus = "SELECT ?x ?y { ?x :edge+ ?y }"
+    q_star = ("SELECT ?s ?x { VALUES ?s { :n0 :n7 } ?s :edge* ?x }")
+
+    def rows(q):
+        raw = e.select_raw(q)
+        return sorted(tuple(r[c]["lex"] for c in raw.columns)
+                      for r in raw.collect())
+
+    old = paths.CLOSURE_IDS_MIN_STEP
+    try:
+        paths.CLOSURE_IDS_MIN_STEP = 10 ** 9  # struct path
+        plus_struct, star_struct = rows(q_plus), rows(q_star)
+        paths.CLOSURE_IDS_MIN_STEP = 0  # forced id path
+        plus_ids, star_ids = rows(q_plus), rows(q_star)
+    finally:
+        paths.CLOSURE_IDS_MIN_STEP = old
+    assert plus_ids == plus_struct and len(plus_struct) > 23
+    assert star_ids == star_struct and len(star_struct) > 2
