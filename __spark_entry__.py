@@ -82,7 +82,7 @@ _FRONT = [
     #    x_chunk_dedup + x_dedup_substring(+_hashed above) now join back
     #    through the hot/cold skew lane)
     "sparql_path_plus", "sparql_path_star_anchored",
-    "sparql_path_star_values", "x_chunk_dedup",
+    "sparql_path_star_values", "x_chunk_dedup", "x_dedup_substring",
     # 2. r07-green refresh (two rounds stale after r09) -- all 41
     "f5_regex", "f6_numeric_cast", "f7_count_expr",
     "q_peel_bnode_closure", "s1_ntriples_roundtrip",
