@@ -172,10 +172,14 @@ CLOSURE_IDS = True
 #: sf0.1 (PERF.md round 10) measured that fixed cost at ~1.2 s per
 #: closure on graphs whose whole step relation is ~15k rows — pure
 #: overhead there, while at 10⁸+ step rows the per-level savings
-#: dominate by construction.  So the wrappers measure the (already
-#: checkpointed) step relation's row count — a cheap job on pinned
-#: blocks — and encode only at or above this bar; the same decision
-#: shape as AQE's size-based plan choices.  The 100× scale probe's
+#: dominate by construction.  So the wrappers count the RAW step plan
+#: (a scan-side aggregate, no shuffle, no materialization — the id
+#: path must never pay a struct-relation shuffle, that being its whole
+#: point) and encode only at or above this bar; the same decision
+#: shape as AQE's size-based plan choices.  Raw rows over-count vs
+#: distinct rows, which only errs toward ids on duplicate-heavy
+#: relations — where id-side dedup is exactly the cheap path anyway.
+#: The 100× scale probe's
 #: replica graph (~1.5M step rows) exercises the id path; the sf0.01
 #: driver gates exercise the struct path, and the ``*_ids`` gates force
 #: the id path via ``CLOSURE_IDS_MIN_STEP = 0`` so BOTH representations
@@ -230,17 +234,18 @@ def transitive_closure(step: DataFrame) -> DataFrame:
     Representation is chosen by measured size (see
     :data:`CLOSURE_IDS_MIN_STEP`): big step relations iterate on 8-byte
     term ids and decode at the edge; small ones skip the fixed
-    encode/decode cost.  The loop body is representation-agnostic."""
-    step = step.distinct().localCheckpoint(eager=True)
-    if not (CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP):
-        return _closure_loop(step)
-    enc, dec = _encode_step(step)
-    # ids of distinct structs are distinct (modulo the documented hash
-    # odds), so no re-distinct; materialize and drop the struct form
-    enc = enc.localCheckpoint(eager=True)
-    _retire(step)
-    closed = _closure_loop(enc)
-    return _decode_pairs(closed, dec, "start", "end")
+    encode/decode cost.  The decision counts the RAW step plan — a
+    scan-side aggregate with no shuffle — so the id path never
+    materializes the struct relation at all: its distinct runs on the
+    16-byte encoded rows (the whole point of the mode), and the struct
+    path keeps its original distinct+checkpoint.  The loop body is
+    representation-agnostic."""
+    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+        enc, dec = _encode_step(step)
+        enc = enc.distinct().localCheckpoint(eager=True)
+        closed = _closure_loop(enc)
+        return _decode_pairs(closed, dec, "start", "end")
+    return _closure_loop(step.distinct().localCheckpoint(eager=True))
 
 
 def _closure_loop(step: DataFrame) -> DataFrame:
@@ -288,15 +293,15 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     shuffle — and the final (anchor, node) pairs decode via two id→term
     joins.  The loop body (:func:`_anchored_loop`) is
     representation-agnostic."""
-    step = step.localCheckpoint(eager=True)
-    if not (CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP):
-        return _anchored_loop(spark, step, anchors, forward, include_zero)
-    enc_step, dec = _encode_step(step, extra_nodes=anchors)
-    enc_step = enc_step.localCheckpoint(eager=True)
-    enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
-    _retire(step)
-    pairs = _anchored_loop(spark, enc_step, enc_anchors, forward, include_zero)
-    return _decode_pairs(pairs, dec, "anchor", "node")
+    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+        enc_step, dec = _encode_step(step, extra_nodes=anchors)
+        enc_step = enc_step.localCheckpoint(eager=True)
+        enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
+        pairs = _anchored_loop(spark, enc_step, enc_anchors, forward,
+                               include_zero)
+        return _decode_pairs(pairs, dec, "anchor", "node")
+    return _anchored_loop(spark, step.localCheckpoint(eager=True), anchors,
+                          forward, include_zero)
 
 
 def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
