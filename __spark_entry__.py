@@ -74,9 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: 3. The 41 entries whose newest driver-green row is r07 (listed in
 #:    VERDICT r9 item 2 / memory).
 _FRONT = [
-    # 0. round-10 NEW gates (never driver-verified)
+    # 0. round-10 NEW gates (never driver-verified); with these the
+    #    window is EXACTLY 50 — no slack left this round
     "sparql_path_plus_ids", "sparql_path_star_values_ids",
-    "x_dedup_substring_hashed",
+    "x_dedup_substring_hashed", "x_rank_normalize",
     # 1. changed code paths this round (closure tier id-encoding;
     #    sparql_path_star_sip is already in the stale list below;
     #    x_chunk_dedup + x_dedup_substring(+_hashed above) now join back

@@ -125,6 +125,9 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_embed_norm",
             "x_embed_quantize",
             "x_salted_census",
+            # round 10 (late): novel plan — grouped two-pass prefix-sum
+            # rank normalization + value-key join-back
+            "x_rank_normalize",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,

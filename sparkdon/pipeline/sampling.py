@@ -373,6 +373,62 @@ def x_mix_temperature(spark, sf_dir):
     )
 
 
-#: ADC shortlist size: the PQ scan keeps this many candidates per query
-#: for the exact re-rank (10% of the sf0.01 corpus; measured recall@5 vs
-#: exact cosine is 0.72 at this setting — same bar as the IVF/LSH gates)
+@register(
+    "x_rank_normalize",
+    "WITH n AS (SELECT COUNT(*) AS n_total FROM documents), "
+    "r AS (SELECT doc_id, n_chars, "
+    " CAST(RANK() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_less "
+    " FROM documents) "
+    "SELECT r.doc_id, r.n_chars, r.rank_less, "
+    "CAST((r.rank_less * 10) // n.n_total AS BIGINT) AS decile "
+    "FROM r, n",
+)
+def x_rank_normalize(spark, sf_dir):
+    """Exact global rank-normalization — every document gets its rank in
+    the corpus-wide ``n_chars`` order (``rank_less`` = how many documents
+    are strictly shorter = ``RANK() OVER (ORDER BY n_chars) - 1``) plus
+    the decile bucket ``rank_less*10 div N``.  This is the
+    quality-score → percentile step of curriculum/filtering pipelines
+    (keep the top-X% by score), kept integer-exact so the oracle compares
+    without float tolerance.
+
+    The naive form is a single global window — ``RANK() OVER (ORDER BY
+    ...)`` collapses 100 TB onto ONE task and is the canonical scale
+    killer.  This plan never does that: (1) groupBy(value) shrinks the
+    corpus to its value domain with a map-side partial agg; (2) the
+    cumulative count over the grouped relation runs as the same two-pass
+    arithmetic-bucket prefix sum as ``x_pack_sequences`` (per-bucket
+    totals → #bucket-row running offsets → within-bucket window), so no
+    stage sees more than a bucket's worth of ordered rows; (3) the
+    rank table joins back on the value key — many-to-one, AQE-broadcast
+    when the domain is small; for a heavy-tailed domain the hot/cold
+    lane of ``dedup._join_back_skew_robust`` is the drop-in production
+    variant.  Ranks are exact at every scale; nothing is sampled."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = spark.sparkContext.defaultParallelism
+    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    mm = g.agg(F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi"),
+               F.sum("c").alias("_n"))
+    bucket = F.least(
+        F.lit(p - 1),
+        F.floor((F.col("n_chars") - F.col("_lo")) * p
+                / (F.col("_hi") - F.col("_lo") + 1))
+    ).cast("int")
+    gg = g.crossJoin(F.broadcast(mm)).withColumn("b", bucket)
+    per = gg.groupBy("b").agg(F.sum("c").alias("bs"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
+    wl = Window.partitionBy("b").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = (
+        gg.withColumn("local", F.coalesce(F.sum("c").over(wl), F.lit(0)))
+        .join(F.broadcast(offs), "b")
+        .select("n_chars",
+                (F.col("local") + F.col("boff")).alias("rank_less"), "_n")
+    )
+    return (
+        d.join(cum, "n_chars")
+        .select("doc_id", "n_chars", "rank_less",
+                F.expr("(rank_less * 10) div _n").alias("decile"))
+    )

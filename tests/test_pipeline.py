@@ -1804,3 +1804,41 @@ def test_pipeline_package_no_duplicate_definitions():
                     dupes.append((n, seen[n], p.name))
                 seen[n] = p.name
     assert not dupes, dupes
+
+
+def test_rank_normalize_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+    from sparkdon.pipeline import x_rank_normalize
+
+    got = {r.doc_id: (r.n_chars, r.rank_less, r.decile)
+           for r in x_rank_normalize(spark, SF).collect()}
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    n = d.count()
+    naive = (
+        d.withColumn("rank_less", F.rank().over(Window.orderBy("n_chars")) - 1)
+        .withColumn("decile", F.expr(f"(rank_less * 10) div {n}"))
+        .collect()
+    )
+    assert len(naive) == len(got) > 0
+    for r in naive:
+        assert got[r.doc_id] == (r.n_chars, r.rank_less, r.decile), r.doc_id
+    # the shipped plan must not contain the naive shape's scale killer:
+    # a window with no partitioning over the raw corpus (the only
+    # unpartitioned window allowed is the #buckets-row offset table)
+    plan = plan_of(x_rank_normalize(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "")  # broadcast 1-row min/max
+
+
+def test_rank_normalize_all_equal_values(spark, tmp_path, monkeypatch):
+    # degenerate domain: every doc the same length -> rank_less 0, decile 0
+    import sparkdon.pipeline.sampling as sampling
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "doc_id long, n_chars long")
+    monkeypatch.setattr(
+        sampling, "table", lambda spark_, sf_dir, name: df)
+    out = sampling.x_rank_normalize(spark, "ignored").collect()
+    assert len(out) == 10
+    assert all(r.rank_less == 0 and r.decile == 0 for r in out)
