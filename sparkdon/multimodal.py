@@ -1,7 +1,8 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 DECODE is real — binary/ASCII PPM (P6/P3), uncompressed 24-bit BMP,
-PCM WAV, 8-bit PNG both sequential and Adam7-interlaced (stdlib
+WAV (8/16/24/32-bit PCM, IEEE float, G.711 A-law/µ-law, extensible
+— r10), 8-bit PNG both sequential and Adam7-interlaced (stdlib
 ``zlib`` inflate + the five scanline filters in numpy, r9 interlace),
 GIF87a/89a both sequential and interlaced (pure-Python variable-width
 LZW, r8/r9), and baseline + progressive JPEG (pure-Python Huffman + numpy
@@ -480,10 +481,18 @@ def encode_ppm(arr) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """PCM WAV decode → (samples int16 ndarray [n, channels], rate).
+    """WAV decode → (samples int16 ndarray [n, channels], rate).
 
-    RIFF/WAVE chunk walk, format 1 (PCM) with 8- or 16-bit samples; pure
-    struct parsing.  Compressed/float WAV raises ``NotImplementedError``.
+    RIFF/WAVE chunk walk, pure struct/numpy parsing.  Supported sample
+    formats (every shape converts to the stable int16 contract):
+
+    - format 1 (PCM), 8/16/24/32-bit (24/32 keep the top 16 bits)
+    - format 3 (IEEE float), 32/64-bit (clip to [-1, 1], scale)
+    - formats 6/7 (G.711 A-law / µ-law), 8-bit telephony corpora
+    - format 0xFFFE (WAVE_FORMAT_EXTENSIBLE) wrapping any of the above
+      (the real code is the SubFormat GUID's first two bytes)
+
+    Compressed formats (ADPCM &c.) raise ``NotImplementedError``.
     """
     import struct
 
@@ -491,25 +500,54 @@ def decode_wav(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
-    i, fmt, data = 12, None, None
+    i, fmt, fmt_body, data = 12, None, b"", None
     while i + 8 <= len(payload):
         cid, size = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"only 8/16-bit PCM WAV supported (fmt={audio_fmt}, bits={bits})")
-    if bits == 16:
+    if audio_fmt == 0xFFFE:  # WAVEFORMATEXTENSIBLE: cbSize @16, GUID @24
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
+    if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(data, "<i2")
-    else:
+    elif audio_fmt == 1 and bits == 8:
         samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+    elif audio_fmt == 1 and bits == 24:
+        b3 = np.frombuffer(data, np.uint8)[: len(data) - len(data) % 3]
+        b3 = b3.reshape(-1, 3).astype(np.int32)
+        full = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        full -= (full & 0x800000) << 1  # sign-extend 24 bits
+        samples = (full >> 8).astype(np.int16)
+    elif audio_fmt == 1 and bits == 32:
+        samples = (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+    elif audio_fmt == 3 and bits in (32, 64):
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        samples = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+        raw = np.frombuffer(data, np.uint8)
+        if audio_fmt == 7:  # µ-law: invert, 3-bit exponent, bias 0x84
+            u = (~raw).astype(np.int32) & 0xFF
+            mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+            samples = np.where(u & 0x80, -mag, mag).astype(np.int16)
+        else:  # A-law: XOR 0x55, exponent 0 is a linear segment
+            a = (raw ^ 0x55).astype(np.int32)
+            exp, mant = (a >> 4) & 7, a & 0x0F
+            mag = np.where(exp == 0, (mant << 4) + 8,
+                           ((mant << 4) + 0x108) << (exp - 1))
+            # A-law sign bit SET is positive (G.711, opposite of µ-law)
+            samples = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV sample format (fmt={audio_fmt}, bits={bits})")
     return samples.reshape(-1, channels), rate
 
 

@@ -920,3 +920,76 @@ def test_jpeg_many_restart_segments_pad_budget():
     # restart_interval=1 -> 35 restart segments on a 6x6-MCU image
     out = decode_jpeg(encode_jpeg(arr, quality_div=16, restart_interval=1))
     assert out.shape == arr.shape
+
+
+# -- round-10 WAV format closure: float, 24/32-bit, G.711, extensible ----
+
+
+def make_wav_ex(data: bytes, fmt_code: int, bits: int, ch: int = 1,
+                rate: int = 8000, extensible: bool = False) -> bytes:
+    block = ch * max(bits // 8, 1)
+    if extensible:
+        guid = struct.pack("<H", fmt_code) + b"\x00\x00" + \
+            b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, ch, rate, rate * block,
+                          block, bits, 22, bits, 0x3) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * block,
+                          block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float_decode_and_clip():
+    vals = np.array([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 3.0])
+    want = np.round(np.clip(vals, -1, 1) * 32767).astype(np.int16)
+    for dt, bits in [("<f4", 32), ("<f8", 64)]:
+        got, rate = decode_wav(make_wav_ex(vals.astype(dt).tobytes(), 3, bits))
+        assert rate == 8000
+        np.testing.assert_array_equal(got[:, 0], want)
+
+
+def test_wav_pcm_24_and_32_bit_keep_top_16():
+    full = np.array([-(1 << 23), -1 << 8, 0, 1 << 8, (1 << 23) - 256],
+                    dtype=np.int32)
+    data24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in full)
+    got, _ = decode_wav(make_wav_ex(data24, 1, 24))
+    np.testing.assert_array_equal(got[:, 0], (full >> 8).astype(np.int16))
+    data32 = (full << 8).astype("<i4").tobytes()
+    got32, _ = decode_wav(make_wav_ex(data32, 1, 32))
+    np.testing.assert_array_equal(got32[:, 0], ((full << 8) >> 16).astype(np.int16))
+
+
+def test_wav_extensible_wraps_pcm16():
+    samples = np.array([[-3], [0], [7], [32000]], dtype=np.int16)
+    plain = decode_wav(make_wav(samples))
+    ext = decode_wav(make_wav_ex(samples.astype("<i2").tobytes(), 1, 16,
+                                 extensible=True))
+    np.testing.assert_array_equal(plain[0], ext[0])
+
+
+def test_wav_g711_spot_values():
+    # µ-law: G.711 table extremes and zero
+    got, _ = decode_wav(make_wav_ex(bytes([0xFF, 0x00, 0x80, 0x7F]), 7, 8))
+    np.testing.assert_array_equal(got[:, 0], [0, -32124, 32124, -0])
+    # A-law: silence pair ±8, max-positive 0xAA = +32256
+    got, _ = decode_wav(make_wav_ex(bytes([0xD5, 0x55, 0xAA, 0x2A]), 6, 8))
+    np.testing.assert_array_equal(got[:, 0], [8, -8, 32256, -32256])
+
+
+def test_wav_g711_bruteforce_roundtrip_monotone():
+    # decode all 256 µ-law/A-law codes; nearest-code re-encode of each
+    # decoded value must be the original code (codec self-consistency)
+    for code in (7, 6):
+        table, _ = decode_wav(make_wav_ex(bytes(range(256)), code, 8))
+        table = table[:, 0].astype(np.int32)
+        assert len(np.unique(table)) >= 255  # ±0 may collide
+        back = np.abs(table[None, :] - table[:, None]).argmin(axis=1)
+        assert np.array_equal(table[back], table)
+
+
+def test_wav_adpcm_still_honest_boundary():
+    with pytest.raises(NotImplementedError, match="fmt=2"):
+        decode_wav(make_wav_ex(b"\x00\x00", 2, 4))
