@@ -94,6 +94,7 @@ def main() -> None:
         x_corpus_pack,
         x_pack_sequences,
         x_pq_trained,
+        x_rank_normalize,
         x_sim_lsh_refined,
         x_sim_pq,
         x_split_by_cluster,
@@ -129,6 +130,11 @@ def main() -> None:
         "x_dedup_intra": x_dedup_intra,
         "x_sim_pq": x_sim_pq,
         "x_pack_sequences": x_pack_sequences,
+        # round 10 (late): grouped two-pass prefix-sum rank + value-key
+        # join-back — the grouped relation is value-domain-sized, so the
+        # ratio should sit well under k until the domain saturates, then
+        # track the join-back's corpus scan
+        "x_rank_normalize": x_rank_normalize,
         # round 9: the capstone chain (keep-filter join + greedy pack) —
         # the minhash/components/keep frames all recompute at probe scale
         "x_corpus_pack": x_corpus_pack,

@@ -5,11 +5,13 @@ JPEG spec).
 
 Supported: SOF0/SOF1 (baseline + extended sequential, Huffman) and
 SOF2 (progressive: spectral selection + successive approximation,
-annex G — the majority layout of real web JPEGs, round 10), 1- or
-3-component scans, H/V sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0),
-restart markers, FF-stuffing, JFIF/EXIF APPn segments.  Arithmetic
-coding, 12-bit precision, lossless/hierarchical, and CMYK raise
-``NotImplementedError`` — a real boundary statement, not a stub.
+annex G — the majority layout of real web JPEGs, round 10), 1-, 3- or
+4-component scans (4 = Adobe CMYK/YCCK via the APP14 transform marker,
+inverted-ink convention, round 10 late), H/V sampling factors up to 2
+(4:4:4, 4:2:2, 4:2:0), restart markers, FF-stuffing, JFIF/EXIF APPn
+segments.  Arithmetic coding, 12-bit precision, and
+lossless/hierarchical raise ``NotImplementedError`` — a real boundary
+statement, not a stub.
 
 Encoder twins (:func:`encode_jpeg` baseline, Annex K tables;
 :func:`encode_jpeg_progressive`, libjpeg-style scan script with
@@ -173,6 +175,7 @@ def decode_jpeg(payload: bytes):
     huff_ac: dict[int, dict] = {}
     sof = None
     restart_interval = 0
+    adobe = None  # APP14 color-transform code (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
     prog_coeffs = None  # progressive: per-component zigzag coeff arrays
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -204,8 +207,8 @@ def decode_jpeg(payload: bytes):
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
-            if ncomp not in (1, 3):
-                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
+            if ncomp not in (1, 3, 4):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -230,6 +233,8 @@ def decode_jpeg(payload: bytes):
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe = seg[11] if len(seg) >= 12 else 0
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -242,7 +247,7 @@ def decode_jpeg(payload: bytes):
                     scan.append({**comp, "dc": huff_dc[tdta >> 4],
                                  "ac": huff_ac[tdta & 0x0F]})
                 return _decode_scan(payload, pos + seglen, sof, scan, qt,
-                                    restart_interval)
+                                    restart_interval, adobe)
             if prog_coeffs is None:
                 prog_coeffs = _progressive_init(sof)
             scomps = []
@@ -261,11 +266,11 @@ def decode_jpeg(payload: bytes):
         # APPn (E0-EF), COM (FE), others: skip
         pos += seglen
     if prog_coeffs is not None:
-        return _progressive_finish(sof, prog_coeffs, qt)
+        return _progressive_finish(sof, prog_coeffs, qt, adobe)
     raise ValueError("JPEG contains no scan data")
 
 
-def _decode_scan(payload, pos, sof, scan, qt, restart_interval):
+def _decode_scan(payload, pos, sof, scan, qt, restart_interval, adobe=None):
     import numpy as np
 
     h, w = sof["h"], sof["w"]
@@ -338,13 +343,46 @@ def _decode_scan(payload, pos, sof, scan, qt, restart_interval):
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    return _planes_to_rgb(full, adobe)
+
+
+def _planes_to_rgb(full, adobe):
+    """Upsampled component planes → HxWx3 uint8.
+
+    1 plane = grayscale; 3 planes = YCbCr (JFIF default — Adobe
+    transform 0 means the components are plain RGB); 4 planes = CMYK.
+    T.81 itself says nothing about 4-component color: the de-facto
+    convention (Adobe TN 5116, followed by libjpeg) is that Adobe
+    encoders store CMYK *inverted* (0 = full ink), and transform 2
+    (YCCK) additionally runs YCbCr over the inverted-CMY channels; a
+    4-component file with no APP14 is taken as direct CMYK ink."""
+    import numpy as np
+
     if len(full) == 1:
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    Y, Cb, Cr = full
-    r = Y + 1.402 * (Cr - 128.0)
-    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    b = Y + 1.772 * (Cb - 128.0)
+
+    def ycc(Y, Cb, Cr):
+        r = Y + 1.402 * (Cr - 128.0)
+        g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+        b = Y + 1.772 * (Cb - 128.0)
+        return r, g, b
+
+    if len(full) == 3:
+        r, g, b = full if adobe == 0 else ycc(*full)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+    c, m, y, k = full
+    if adobe == 2:  # YCCK: undo the YCbCr pass over the stored channels
+        rp, gp, bp = ycc(c, m, y)
+        c, m, y = 255.0 - rp, 255.0 - gp, 255.0 - bp
+    stored = [np.clip(p, 0.0, 255.0) for p in (c, m, y, k)]
+    # Adobe files store inverted ink; bare CMYK is taken at face value
+    ink = [255.0 - p for p in stored] if adobe is not None else stored
+    ck, mk, yk, kk = ink
+    r = (255.0 - ck) * (255.0 - kk) / 255.0
+    g = (255.0 - mk) * (255.0 - kk) / 255.0
+    b = (255.0 - yk) * (255.0 - kk) / 255.0
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb.round(), 0, 255).astype(np.uint8)
 
@@ -532,7 +570,7 @@ def _decode_progressive_scan(payload, pos, sof, coeffs, scomps,
     return _next_marker(payload, br.pos)
 
 
-def _progressive_finish(sof, coeffs, qt):
+def _progressive_finish(sof, coeffs, qt, adobe=None):
     """All scans accumulated → dequantize, IDCT (vectorized over the
     whole block grid), upsample, color-transform — the same math as the
     baseline tail."""
@@ -553,15 +591,7 @@ def _progressive_finish(sof, coeffs, qt):
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         full.append(plane[:h, :w])
-    if len(full) == 1:
-        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    Y, Cb, Cr = full
-    r = Y + 1.402 * (Cr - 128.0)
-    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    b = Y + 1.772 * (Cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(full, adobe)
 
 
 # ---------------------------------------------------------------------------
@@ -672,6 +702,109 @@ def _mag(v: int):
     return t, bits
 
 
+def _emit_baseline_block(bw, pred, ci, blk, q8, C, dct, act):
+    """FDCT + quantize + Huffman-emit one 8x8 block (shared by the
+    3-component and CMYK encoder twins)."""
+    import numpy as np
+
+    coef = C @ (blk - 128.0) @ C.T
+    qz = np.round(coef / q8).astype(np.int64)
+    zz = qz.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t, bits = _mag(diff)
+    code, ln = dct[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, bits = _mag(v)
+        code, ln = act[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits, t)
+        run = 0
+    if last < 63:
+        code, ln = act[0x00]
+        bw.write(code, ln)
+
+
+def encode_jpeg_cmyk(arr, quality_div: int = 8, transform: int = 0) -> bytes:
+    """HxWx4 stored-sample CMYK (Adobe-inverted convention) → baseline
+    4-component JPEG with an Adobe APP14 marker; test twin of the
+    4-component decode path.
+
+    ``transform`` 0 writes the planes as-is (APP14 transform 0 = CMYK);
+    2 runs the YCCK forward pass — YCbCr over (255 - stored CMY) — so
+    the decoder's inverse (:func:`_planes_to_rgb`) round-trips.  All
+    components are 1x1-sampled and share the Annex K luma tables."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape[0], a.shape[1]
+    planes = [a[:, :, i] for i in range(4)]
+    if transform == 2:
+        rp, gp, bp = (255.0 - planes[0], 255.0 - planes[1],
+                      255.0 - planes[2])
+        planes = [
+            0.299 * rp + 0.587 * gp + 0.114 * bp,
+            128.0 - 0.168736 * rp - 0.331264 * gp + 0.5 * bp,
+            128.0 + 0.5 * rp - 0.418688 * gp - 0.081312 * bp,
+            planes[3],
+        ]
+    elif transform != 0:
+        raise ValueError("CMYK transform must be 0 or 2")
+    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) // quality_div)
+    q8 = ql.reshape(8, 8).astype(float)
+    C = _dct_matrix()
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    H, W = mcus_y * 8, mcus_x * 8
+
+    def pad(p):
+        out = np.empty((H, W))
+        out[:h, :w] = p
+        out[h:, :w] = p[h - 1:h, :]
+        out[:, w:] = out[:, w - 1:w]
+        return out
+
+    planes = [pad(p) for p in planes]
+    dct = _encode_table(*_K_DC_LUMA)
+    act = _encode_table(*_K_AC_LUMA)
+    bw = _BitWriter()
+    pred = [0, 0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, p in enumerate(planes):
+                _emit_baseline_block(bw, pred, ci,
+                                     p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                                     q8, C, dct, act)
+    bw.flush()
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+    head += _seg(0xDB, bytes([0]) + bytes(int(ql[_ZIGZAG[k]])
+                                          for k in range(64)))
+    head += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 4)
+                 + b"".join(bytes([i + 1, 0x11, 0]) for i in range(4)))
+    head += _seg(0xC4, bytes([0x00]) + bytes(_K_DC_LUMA[0]) + _K_DC_LUMA[1])
+    head += _seg(0xC4, bytes([0x10]) + bytes(_K_AC_LUMA[0]) + _K_AC_LUMA[1])
+    head += _seg(0xDA, bytes([4]) + b"".join(bytes([i + 1, 0x00])
+                                             for i in range(4))
+                 + bytes([0, 63, 0]))
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+
 def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
                 restart_interval: int = 0) -> bytes:
     """HxWx3 uint8 → baseline JFIF bytes (test twin of
@@ -726,38 +859,8 @@ def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
     out = bytearray()
 
     def emit_block(plane, y0, x0, q8, dct, act, ci):
-        blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
-        coef = C @ blk @ C.T
-        qz = np.round(coef / q8).astype(np.int64)
-        zz = qz.reshape(-1)[_ZIGZAG]
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
-        t, bits = _mag(diff)
-        code, ln = dct[t]
-        bw.write(code, ln)
-        if t:
-            bw.write(bits, t)
-        run = 0
-        last = 63
-        while last > 0 and zz[last] == 0:
-            last -= 1
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = act[0xF0]
-                bw.write(code, ln)
-                run -= 16
-            t, bits = _mag(v)
-            code, ln = act[(run << 4) | t]
-            bw.write(code, ln)
-            bw.write(bits, t)
-            run = 0
-        if last < 63:
-            code, ln = act[0x00]
-            bw.write(code, ln)
+        _emit_baseline_block(bw, pred, ci, plane[y0:y0 + 8, x0:x0 + 8],
+                             q8, C, dct, act)
 
     rst = 0
     mcu_count = 0

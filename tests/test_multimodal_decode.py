@@ -993,3 +993,74 @@ def test_wav_g711_bruteforce_roundtrip_monotone():
 def test_wav_adpcm_still_honest_boundary():
     with pytest.raises(NotImplementedError, match="fmt=2"):
         decode_wav(make_wav_ex(b"\x00\x00", 2, 4))
+
+
+# -- round-10 (late) CMYK/YCCK JPEG ---------------------------------------
+
+
+def _cmyk_reference_rgb(stored: np.ndarray) -> np.ndarray:
+    """Expected RGB for Adobe-inverted stored CMYK samples."""
+    ink = 255.0 - stored.astype(np.float64)
+    r = (255.0 - ink[..., 0]) * (255.0 - ink[..., 3]) / 255.0
+    g = (255.0 - ink[..., 1]) * (255.0 - ink[..., 3]) / 255.0
+    b = (255.0 - ink[..., 2]) * (255.0 - ink[..., 3]) / 255.0
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_cmyk_flat_colors_exact():
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    # stored 255 everywhere = zero ink = white; stored K=0 = full black
+    for stored, want in [
+        ((255, 255, 255, 255), (255, 255, 255)),
+        ((255, 255, 255, 0), (0, 0, 0)),
+        ((0, 255, 255, 255), (0, 255, 255)),     # full cyan ink
+        ((255, 255, 255, 127), (127, 127, 127)),  # gray via K only
+    ]:
+        img = np.full((16, 16, 4), stored, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_cmyk(img, quality_div=16))
+        assert got.shape == (16, 16, 3)
+        np.testing.assert_array_equal(got, np.full((16, 16, 3), want,
+                                                   dtype=np.uint8))
+
+
+def test_jpeg_ycck_matches_cmyk_transform():
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    rng = np.random.default_rng(7)
+    # blockwise-flat stored samples so quantization error stays tiny
+    blocks = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    via_cmyk = decode_jpeg(encode_jpeg_cmyk(img, 16, transform=0)).astype(int)
+    via_ycck = decode_jpeg(encode_jpeg_cmyk(img, 16, transform=2)).astype(int)
+    assert np.abs(via_cmyk - via_ycck).max() <= 2
+    assert np.abs(via_cmyk - _cmyk_reference_rgb(img).astype(int)).max() <= 2
+
+
+def test_jpeg_cmyk_random_roundtrip_bounded():
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 17, 4), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_cmyk(img, quality_div=16)).astype(int)
+    want = _cmyk_reference_rgb(img).astype(int)
+    assert got.shape == want.shape
+    # same quantization-noise regime as the 3-component property tests,
+    # doubled for the two-channel C*K product
+    assert np.abs(got - want).max() <= 32
+    assert np.abs(got - want).mean() <= 4
+
+
+def test_jpeg_cmyk_no_app14_is_direct_ink():
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    img = np.full((8, 8, 4), (0, 0, 0, 0), dtype=np.uint8)  # stored zeros
+    data = encode_jpeg_cmyk(img, quality_div=16)
+    # with APP14: stored 0 = full ink everywhere = black
+    np.testing.assert_array_equal(decode_jpeg(data)[0, 0], (0, 0, 0))
+    # strip the APP14 segment: bare CMYK, stored 0 = no ink = white
+    i = data.index(b"\xff\xee")
+    seglen = int.from_bytes(data[i + 2:i + 4], "big")
+    stripped = data[:i] + data[i + 2 + seglen:]
+    np.testing.assert_array_equal(decode_jpeg(stripped)[0, 0],
+                                  (255, 255, 255))
