@@ -128,6 +128,10 @@ GROUPS: list[tuple[str, list[str]]] = [
             # round 10 (late): novel plan — grouped two-pass prefix-sum
             # rank normalization + value-key join-back
             "x_rank_normalize",
+            # round 10 (late): char-explode entropy + vocab-bounded
+            # co-occurrence self-join (both novel shapes)
+            "x_char_entropy",
+            "x_cooccur_pmi",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,

@@ -992,3 +992,120 @@ def x_lm_bigram(spark, sf_dir):
         "doc_id", "n_bigrams",
         F.floor(-F.col("lp_sum").cast("double") / F.col("n_bigrams"))
         .cast("long").alias("nll_scaled"))
+
+
+@register(
+    "x_char_entropy",
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+    " FROM documents), "
+    "per AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c "
+    " FROM ch WHERE ch <> '' GROUP BY doc_id, ch), "
+    "d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_char, "
+    " CAST(COUNT(*) AS BIGINT) AS distinct_chars, "
+    " CAST(SUM(c * CAST(FLOOR(1e6 * ln(c)) AS BIGINT)) AS BIGINT) AS s "
+    " FROM per GROUP BY doc_id) "
+    "SELECT doc_id, n_char, distinct_chars, "
+    "CAST((n_char * CAST(FLOOR(1e6 * ln(n_char)) AS BIGINT) - s) // n_char "
+    " AS BIGINT) AS ent_scaled "
+    "FROM d",
+)
+def x_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (×1e6 nats) — the
+    gibberish/compression-bomb quality gate: natural text sits in a
+    narrow entropy band, while base64 blobs, repeated-character padding
+    and binary-in-text junk land far outside it and get filtered.
+
+    Portability by integer arithmetic (the ``x_lm_score`` pattern):
+    ``ln`` is evaluated once per (doc, char) COUNT and floored to 1e-6
+    units immediately, so every cross-row sum is an exact integer —
+    order-independent across engines/partitionings; the final
+    ``H = ln(n) - Σ c·ln(c)/n`` is one integer division.  An all-same-
+    character document yields exactly 0.
+
+    100 TB shape: char explode is a narrow map (rows = corpus bytes,
+    but each row is ~1 char + a long); both aggregates are map-side
+    partial on doc-prefixed keys, so the shuffle carries one row per
+    (doc, distinct-char) — ~1% of the exploded volume for real text.
+    The explode itself can be replaced by an ``aggregate()`` over a
+    char-histogram map at the cost of portability; this form keeps the
+    oracle exact."""
+    d = table(spark, sf_dir, "documents")
+    ch = (d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+          .filter(F.col("ch") != ""))
+    lnf = F.floor(1e6 * F.log(F.col("c"))).cast("long")
+    per = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    docs = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_char"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(F.col("c") * lnf).alias("s"),
+    )
+    return docs.select(
+        "doc_id", "n_char", "distinct_chars",
+        F.expr("(n_char * cast(floor(1e6 * ln(n_char)) as bigint) - s) "
+               "div n_char").alias("ent_scaled"),
+    )
+
+
+@register(
+    "x_cooccur_pmi",
+    "WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
+    " AS term FROM documents), "
+    "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt "
+    " GROUP BY term), "
+    "vocab AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 40), "
+    "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), "
+    "dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)), "
+    "p AS (SELECT a.term AS term1, b.term AS term2, "
+    " CAST(COUNT(*) AS BIGINT) AS n_both "
+    " FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term "
+    " GROUP BY a.term, b.term) "
+    "SELECT term1, term2, n_both, "
+    "CAST(FLOOR(1e6 * ln(CAST(n_both * n_docs AS DOUBLE) "
+    " / (v1.df * v2.df))) AS BIGINT) AS pmi_scaled "
+    "FROM p JOIN vocab v1 ON v1.term = p.term1 "
+    "JOIN vocab v2 ON v2.term = p.term2, n "
+    "ORDER BY n_both DESC, term1, term2 LIMIT 50",
+)
+def x_cooccur_pmi(spark, sf_dir):
+    """Document-level term co-occurrence with pointwise mutual
+    information over the top-40 vocabulary — the collocation /
+    topic-drift statistic (PMI > 0 = terms attract, < 0 = repel).
+    Deterministic end to end: vocabulary is (df DESC, term) top-40, the
+    report is (count DESC, pair) top-50, and the single float op per
+    output row is ``ln`` on exact-integer ratios (the floor-scale
+    precedent).
+
+    100 TB shape: the corpus collapses to distinct (doc, term) with a
+    map-side partial agg; everything downstream is vocabulary-bounded —
+    the self-join explodes at most min(len_d, 40)² pairs per document
+    (the classic co-occurrence cost, explicitly capped by the broadcast
+    vocabulary), and both df lookups and the doc count ride along as
+    broadcasts.  No stage shuffles more than the pair histogram."""
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    dfq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfq.orderBy(F.desc("df"), F.asc("term")).limit(40)
+    nrow = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dv = dt.join(F.broadcast(vocab.select("term")), "term")
+    pairs = (
+        dv.alias("a").join(dv.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("term1"),
+                 F.col("b.term").alias("term2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    v1 = vocab.select(F.col("term").alias("term1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("term").alias("term2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(v1), "term1").join(F.broadcast(v2), "term2")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "term1", "term2", "n_both",
+            F.floor(1e6 * F.log(
+                (F.col("n_both") * F.col("n_docs"))
+                / (F.col("df1") * F.col("df2")))).cast("long")
+            .alias("pmi_scaled"))
+        .orderBy(F.desc("n_both"), "term1", "term2").limit(50)
+    )
