@@ -80,7 +80,9 @@ def main() -> None:
     from sparkdon.pipeline import (
         x_boilerplate,
         x_bpe_pairs,
+        x_char_entropy,
         x_chunk_dedup,
+        x_cooccur_pmi,
         x_dedup_clusters,
         x_dedup_embed_strict,
         x_dedup_exact,
@@ -135,6 +137,11 @@ def main() -> None:
         # ratio should sit well under k until the domain saturates, then
         # track the join-back's corpus scan
         "x_rank_normalize": x_rank_normalize,
+        # round 10 (late): char-explode entropy (corpus-linear narrow
+        # map + doc-keyed partials) and vocab-capped co-occurrence
+        # (pair volume bounded by min(len,40)^2 per doc)
+        "x_char_entropy": x_char_entropy,
+        "x_cooccur_pmi": x_cooccur_pmi,
         # round 9: the capstone chain (keep-filter join + greedy pack) —
         # the minhash/components/keep frames all recompute at probe scale
         "x_corpus_pack": x_corpus_pack,
