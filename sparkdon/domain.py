@@ -33,10 +33,11 @@ INDEX_TEMPLATE = "RDF Subject; %s"
 
 
 def squash_uri_to_label(name: str) -> str:
-    """Lower-case and replace every character outside
-    ``[a-z0-9_-]`` with ``-`` (reference
-    gastrodon/domain/__init__.py:86-94) so a URI becomes a valid
-    docutils target id.
+    """Lower-case and keep ``-``, ``_``, ASCII lowercase and Unicode
+    numerics (``str.isnumeric``, faithfully matching the reference's
+    character test, gastrodon/domain/__init__.py:86-94 — NOT a strict
+    ``[a-z0-9_-]`` filter); everything else becomes ``-``, so a URI
+    turns into a stable docutils target id.
 
     >>> squash_uri_to_label("uri-http://example.com/Person")
     'uri-http---example-com-person'

@@ -180,6 +180,10 @@ def decode_jpeg(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -504,6 +508,9 @@ def _next_marker(payload, pos):
             nxt = payload[pos + 1]
             if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 pos += 2
+                continue
+            if nxt == 0xFF:  # T.81 B.1.1.2: optional fill byte
+                pos += 1
                 continue
             return pos
         pos += 1

@@ -352,7 +352,16 @@ class RemoteEndpoint(Endpoint):
                     if row[3] == KIND_BNODE and row[4] not in seen_b:
                         seen_b.add(row[4])
                         queue.append(self._bnode_to_sparql(BNode(row[4])))
+            if queue:  # budget exhausted mid-walk: never return a
+                raise QueryExecutionError(  # silently truncated subgraph
+                    f"peel walk exceeded {max_depth * 1000} bnode fetches "
+                    f"({len(queue)} still queued); raise max_depth")
         elif strategy == "path":
+            if isinstance(node, BNode):
+                raise QueryExecutionError(
+                    "portable SPARQL cannot name a blank node; peel a "
+                    "bnode root with strategy='virtuoso' (store-specific "
+                    "bnode addressing)")
             root = f"<{node}>"
             for depth in range(max_depth):
                 if depth == 0:
@@ -386,7 +395,11 @@ class RemoteEndpoint(Endpoint):
                 if u.startswith("http") or u.startswith("urn:"):
                     used_ns.add(ns_part(u))
         pfx = {p: ns for p, ns in self.prefixes.items() if ns in used_ns}
-        return LocalEndpoint(self.spark, triples_df(self.spark, sorted(rows)),
+        # sort key maps None dt/lang slots to "" — plain tuple sorting
+        # would raise TypeError comparing None against a str when the
+        # same lexical form appears both plain and typed/lang-tagged
+        ordered = sorted(rows, key=lambda r: tuple(v or "" for v in r))
+        return LocalEndpoint(self.spark, triples_df(self.spark, ordered),
                              prefixes=pfx, base_uri=self.base_uri)
 
     def decollect(self, node):

@@ -1064,3 +1064,33 @@ def test_jpeg_cmyk_no_app14_is_direct_ink():
     stripped = data[:i] + data[i + 2 + seglen:]
     np.testing.assert_array_equal(decode_jpeg(stripped)[0, 0],
                                   (255, 255, 255))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """Regression (r10 review): T.81 B.1.1.2 allows any number of 0xFF
+    fill bytes before a marker; both the segment walker and the
+    progressive next-marker scan must skip them."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    def stuff_fill_bytes(data: bytes) -> bytes:
+        # insert fill bytes before every DHT/SOS/EOI marker (never
+        # inside entropy data: these markers all begin a new segment)
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            if data[i] == 0xFF and i + 1 < len(data) and \
+                    data[i + 1] in (0xC4, 0xDA, 0xD9):
+                out += b"\xff\xff\xff"
+            out.append(data[i])
+            i += 1
+        return bytes(out)
+
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        plain = enc(img, 16)
+        stuffed = stuff_fill_bytes(plain)
+        assert len(stuffed) > len(plain)
+        np.testing.assert_array_equal(decode_jpeg(stuffed),
+                                      decode_jpeg(plain))

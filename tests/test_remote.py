@@ -490,3 +490,41 @@ def test_remote_peel_virtuoso_strategy_bnode_free(spark):
             got = sorted(map(tuple, remote.peel(":thing", strategy=strategy)
                              .graph.select("s", "p", "o").collect()))
             assert got == want, strategy
+
+
+def test_remote_peel_mixed_plain_and_tagged_literals(spark):
+    """Regression (r10 review): the peeled row set mixes None and str in
+    the dt/lang slots when the same lexical form appears both plain and
+    lang-tagged — the final deterministic ordering must not TypeError on
+    None-vs-str tuple comparison."""
+    from sparkdon.protocol import SparqlProtocolServer
+    from sparkdon.remote import RemoteEndpoint
+    from sparkdon.session import inline
+
+    local = inline(
+        """@prefix : <http://example.com/> .
+        :rome :label "Rome" ; :label "Rome"@en ;
+              :pop "2873000"^^<http://www.w3.org/2001/XMLSchema#integer> .""",
+        spark,
+    )
+    with SparqlProtocolServer(local) as srv:
+        remote = RemoteEndpoint(srv.url, spark, prefixes=dict(local.prefixes))
+        peeled = remote.peel(":rome")
+        rows = peeled.graph.select("o", "o_dt", "o_lang").collect()
+        assert len(rows) == 3
+        assert {(r.o, r.o_lang) for r in rows if r.o == "Rome"} == {
+            ("Rome", None), ("Rome", "en")}
+
+
+def test_remote_peel_bnode_root_path_strategy_rejected(spark):
+    """Regression (r10 review): a blank-node root cannot be named in
+    portable SPARQL — the path strategy must refuse loudly instead of
+    silently matching nothing."""
+    import pytest as _pytest
+
+    from sparkdon.remote import QueryExecutionError, RemoteEndpoint
+    from sparkdon.terms import BNode
+
+    remote = RemoteEndpoint("http://unused.invalid/sparql", spark)
+    with _pytest.raises(QueryExecutionError, match="virtuoso"):
+        remote.peel(BNode("b7"))
