@@ -187,15 +187,53 @@ def _png_deinterlace(raw: bytes, w: int, h: int, ch: int, sb: int = 1):
     return out
 
 
+def _png_unpack_subbyte(rows, w: int, depth: int):
+    """(h, row_bytes) filtered-byte rows → (h, w) samples for PNG bit
+    depths 1/2/4 (MSB-first packing per the PNG spec)."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)
+    spb = bits.shape[1] // depth
+    grp = bits[:, :spb * depth].reshape(rows.shape[0], spb, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grp * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
+
+def _png_deinterlace_subbyte(raw: bytes, w: int, h: int, depth: int):
+    """Adam7 for sub-byte depths: each pass packs ITS OWN rows to byte
+    boundaries, so unfilter (byte-unit bpp) and unpack per pass, then
+    scatter samples."""
+    import numpy as np
+
+    out = np.zeros((h, w), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * depth + 7) // 8
+        need = ph * (1 + stride)
+        sub = raw[pos:pos + need]
+        if len(sub) < need:
+            raise ValueError("truncated PNG raster (interlaced pass)")
+        pos += need
+        rows = _png_unfilter(sub, ph, stride, 1)
+        out[y0::dy, x0::dx] = _png_unpack_subbyte(rows, pw, depth)
+    return out
+
+
 def _decode_png(payload: bytes):
-    """8/16-bit PNG → HxWx3 uint8: stdlib ``zlib`` for the IDAT stream
+    """PNG → HxWx3 uint8: stdlib ``zlib`` for the IDAT stream
     + the five scanline filters in numpy — no codec library.  Covers
     color types 0 (gray), 2 (RGB), 3 (palette — what the reference's
     own ``art/*.png`` all are), 4 (gray+alpha), 6 (RGBA); alpha is
     dropped, gray replicated to 3 channels.  Both progressive layouts
     decode: sequential and Adam7 interlaced (r9,
     :func:`_png_deinterlace`); 16-bit samples reduce via the standard
-    high-byte truncation (r9)."""
+    high-byte truncation (r9); sub-byte depths 1/2/4 (gray and palette,
+    the only spec-valid combinations) unpack MSB-first with gray
+    samples rescaled to full range (r10)."""
     import struct
     import zlib
 
@@ -222,14 +260,29 @@ def _decode_png(payload: bytes):
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if color_type not in _PNG_CHANNELS or bit_depth not in (8, 16) or (
-            bit_depth == 16 and color_type == 3):
+    if color_type not in _PNG_CHANNELS or bit_depth not in (1, 2, 4, 8, 16) \
+            or (bit_depth == 16 and color_type == 3) \
+            or (bit_depth in (1, 2, 4) and color_type not in (0, 3)):
         raise NotImplementedError(
-            f"only 8/16-bit PNG color types 0/2/3/4/6 supported "
+            f"unsupported PNG depth/type combination "
             f"(got depth={bit_depth}, type={color_type})")
     ch = _PNG_CHANNELS[color_type]
-    sb = bit_depth // 8  # bytes per sample; filters operate on bytes
     raw = zlib.decompress(b"".join(idat))
+    if bit_depth in (1, 2, 4):  # gray or palette only (spec-valid set)
+        if interlace == 1:
+            samples = _png_deinterlace_subbyte(raw, w, h, bit_depth)
+        else:
+            rb = (w * bit_depth + 7) // 8
+            samples = _png_unpack_subbyte(
+                _png_unfilter(raw, h, rb, 1), w, bit_depth)
+        if color_type == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            return plte[samples]
+        g = (samples.astype(np.uint16) * 255
+             // ((1 << bit_depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    sb = bit_depth // 8  # bytes per sample; filters operate on bytes
     if interlace == 1:
         px = _png_deinterlace(raw, w, h, ch, sb)
     else:

@@ -365,7 +365,7 @@ def test_png_16bit_decodes_high_byte():
 def test_png_unsupported_variants_raise():
     arr = np.zeros((2, 2), np.uint8)
     # 16-bit PALETTE is invalid per spec and stays unsupported
-    with pytest.raises(NotImplementedError, match="16-bit|8/16-bit"):
+    with pytest.raises(NotImplementedError, match="depth=16, type=3"):
         decode_image(make_png(arr, color_type=3, bit_depth=16,
                               palette=np.zeros((2, 3), np.uint8)))
 
@@ -1094,3 +1094,101 @@ def test_jpeg_fill_bytes_before_markers():
         assert len(stuffed) > len(plain)
         np.testing.assert_array_equal(decode_jpeg(stuffed),
                                       decode_jpeg(plain))
+
+
+# -- round-10 (late): sub-byte PNG depths (1/2/4-bit gray + palette) -----
+
+
+def _pack_subbyte_rows(samples: np.ndarray, depth: int,
+                       filters: list[int] | None = None) -> bytes:
+    """samples (h, w) -> filtered scanlines, MSB-first bit packing.
+    Filters apply at BYTE level with bpp=1, per the PNG spec."""
+    h, w = samples.shape
+    rb = (w * depth + 7) // 8
+    packed = np.zeros((h, rb), np.uint8)
+    for y in range(h):
+        bits = ((samples[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        bits = bits.reshape(-1).astype(np.uint8)
+        bits = np.pad(bits, (0, rb * 8 - len(bits)))
+        packed[y] = np.packbits(bits)
+    filters = filters if filters is not None else [0] * h
+    lines, prev = [], np.zeros(rb, np.int32)
+    for y in range(h):
+        cur = packed[y].astype(np.int32)
+        ft = filters[y]
+        enc = cur.copy()
+        for x in range(rb):
+            left = cur[x - 1] if x >= 1 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x >= 1 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1}.get(ft)
+            if pred is None:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else ul)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    return b"".join(lines)
+
+
+def _subbyte_png(samples, depth, color_type, palette=None,
+                 filters=None, interlace=0, raster=None) -> bytes:
+    h, w = samples.shape
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                             interlace))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body = raster if raster is not None else _pack_subbyte_rows(
+        samples, depth, filters)
+    return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+
+def test_png_subbyte_gray_depths_rescale():
+    for depth in (1, 2, 4):
+        hi = (1 << depth) - 1
+        rng = np.random.default_rng(depth)
+        s = rng.integers(0, hi + 1, size=(7, 11), dtype=np.uint8)
+        got = decode_image(_subbyte_png(s, depth, 0))
+        want = (s.astype(np.uint16) * 255 // hi).astype(np.uint8)
+        np.testing.assert_array_equal(got, np.repeat(want[:, :, None], 3, 2))
+
+
+def test_png_subbyte_palette_and_filters():
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]],
+                   np.uint8)
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 4, size=(6, 13), dtype=np.uint8)
+    for filters in ([0] * 6, [0, 1, 2, 3, 4, 1]):
+        got = decode_image(_subbyte_png(s, 2, 3, palette=pal,
+                                        filters=filters))
+        np.testing.assert_array_equal(got, pal[s])
+
+
+def test_png_subbyte_interlaced_1bit():
+    from sparkdon.multimodal import _ADAM7
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(0, 2, size=(9, 10), dtype=np.uint8)
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = s[y0::dy, x0::dx]
+        if sub.size:
+            passes.append(_pack_subbyte_rows(sub, 1))
+    got = decode_image(_subbyte_png(s, 1, 0, interlace=1,
+                                    raster=b"".join(passes)))
+    want = (s * 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, np.repeat(want[:, :, None], 3, 2))
+
+
+def test_png_subbyte_rgb_is_rejected():
+    s = np.zeros((4, 4), np.uint8)
+    with pytest.raises(NotImplementedError, match="depth=4, type=2"):
+        decode_image(_subbyte_png(s, 4, 2))
