@@ -200,13 +200,15 @@ def decode_jpeg(payload: bytes):
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
                 tbl = np.zeros(64)
-                for k in range(64):
-                    tbl[_ZIGZAG[k]] = seg[i + 1 + k]
+                for k in range(64):  # pq=1: 16-bit big-endian entries
+                    tbl[_ZIGZAG[k]] = (
+                        seg[i + 1 + k] if pq == 0 else
+                        struct.unpack_from(">H", seg, i + 1 + 2 * k)[0])
                 qt[tq] = tbl.reshape(8, 8)
-                i += 65
+                i += 65 if pq == 0 else 129
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:

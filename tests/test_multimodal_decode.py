@@ -1192,3 +1192,35 @@ def test_png_subbyte_rgb_is_rejected():
     s = np.zeros((4, 4), np.uint8)
     with pytest.raises(NotImplementedError, match="depth=4, type=2"):
         decode_image(_subbyte_png(s, 4, 2))
+
+
+def test_jpeg_16bit_quant_tables():
+    """DQT precision 1 (16-bit entries, legal in extended-sequential
+    streams): rewriting an 8-bit-table stream's DQTs to 16-bit with the
+    same values must decode to identical pixels."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, 8)
+
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0xDB:
+            seglen = int.from_bytes(data[i + 2:i + 4], "big")
+            body = data[i + 4:i + 2 + seglen]
+            assert len(body) == 65 and body[0] >> 4 == 0
+            wide = bytes([0x10 | (body[0] & 0x0F)]) + b"".join(
+                int(v).to_bytes(2, "big") for v in body[1:])
+            out += b"\xff\xdb" + (len(wide) + 2).to_bytes(2, "big") + wide
+            i += 2 + seglen
+        else:
+            out.append(data[i])
+            i += 1
+    np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(data))
+    with pytest.raises(ValueError, match="DQT precision"):
+        bad = bytearray(data)
+        j = bad.index(b"\xff\xdb") + 4
+        bad[j] = 0x20 | (bad[j] & 0x0F)
+        decode_jpeg(bytes(bad))
