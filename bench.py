@@ -160,6 +160,8 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_sim_lsh_refined",
             "x_sim_ivf",
             "x_sim_pq",
+            # round 10 (late): IVF+PQ residual ADC (novel plan shape)
+            "x_sim_ivfpq",
             "x_pq_trained",
             "x_dedup_embed_strict",
             "x_dedup_embed",

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._registry import register, table
-from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _ann_vectors,
+from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _IVF_K,
+                  _IVF_NPROBE, _ann_vectors, _ivf_cells, _ivf_mean,
                   _norm_col)
 
 
@@ -325,6 +326,189 @@ def x_sim_pq(spark, sf_dir):
     ``PQ_SHORTLIST`` float-vector reads per query.  Codebooks ride the
     closure as literals, exactly like the IVF centroids."""
     return _pq_ann(spark, sf_dir)
+
+
+# --- IVF+PQ (residual ADC within probed cells) -----------------------------
+
+
+def _ivfpq_residual_expr(cents: dict, vec: str) -> F.Column:
+    """``vec − centroid[cell]`` as one parsed expression: a CASE on the
+    ``cell`` column dispatching to the matching K×D literal centroid (a
+    missing cell can never be an assignment — the argmin only ranges
+    over existing centroids — so no placeholder branch is needed).
+    Double subtraction is IEEE-exact, so the residual doubles are
+    bit-identical across engines given the 1e-6-quantized centroids."""
+    branches = []
+    for cell, cv in sorted(cents.items()):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+        branches.append(
+            f"WHEN {int(cell)} THEN "
+            f"zip_with({vec}, {arr}, (a, c) -> a - c)")
+    return F.expr("CASE cell " + " ".join(branches) + " END")
+
+
+def _ivfpq_oracle_sql() -> str:
+    ik, nprobe = _IVF_K, _IVF_NPROBE
+    m, sub, k = PQ_M, PQ_SUB, PQ_K
+    dims = 64
+    cos = _DUCK_COS_SCALED.format(a="qe.v", b="ce.v")
+
+    def dist(cv, v):
+        return (f"list_sum(list_transform(list_zip({cv}, {v}), "
+                "x -> (x[2]-x[1])*(x[2]-x[1])))")
+
+    def mean(src):
+        return (
+            f"(SELECT cell, list(val ORDER BY pos) AS cv FROM "
+            f" (SELECT cell, pos, FLOOR(AVG(v[pos]) * 1e6)/1e6 AS val FROM {src}, "
+            f"  (SELECT unnest(generate_series(1, {dims})) AS pos) p "
+            f"  GROUP BY cell, pos) GROUP BY cell)"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        # -- the x_sim_ivf coarse quantizer, verbatim ----------------------
+        f"g0 AS (SELECT vec_id % {ik} AS cell, v FROM e), "
+        f"cv0 AS {mean('g0')}, "
+        "a1 AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM cv0 c "
+        f" ORDER BY {dist('c.cv', 'e.v')} ASC, c.cell ASC LIMIT 1) AS cell FROM e), "
+        f"cv1 AS {mean('a1')}, "
+        "a2 AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM cv1 c "
+        f" ORDER BY {dist('c.cv', 'e.v')} ASC, c.cell ASC LIMIT 1) AS cell FROM e), "
+        # -- residual encode: PQ codebook over (v − centroid) --------------
+        "res AS (SELECT a2.vec_id, a2.cell, "
+        " list_transform(list_zip(a2.v, c.cv), t -> t[1] - t[2]) AS r "
+        " FROM a2 JOIN cv1 c USING (cell)), "
+        f"cb AS (SELECT vec_id AS j, r AS cv FROM res WHERE vec_id < {k}), "
+        f"ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m), "
+        "d AS (SELECT res.vec_id, ms.m, cb.j, "
+        " CAST(FLOOR(1e6 * list_sum(list_transform(list_zip("
+        f"  res.r[ms.m*{sub}+1 : ms.m*{sub}+{sub}], "
+        f"  cb.cv[ms.m*{sub}+1 : ms.m*{sub}+{sub}]), "
+        "  t -> (t[1]-t[2])*(t[1]-t[2])))) AS BIGINT) AS dist "
+        " FROM res, ms, cb), "
+        "code AS (SELECT vec_id, m, j FROM ("
+        " SELECT vec_id, m, j, row_number() OVER "
+        "  (PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d) WHERE rn = 1), "
+        # -- query side: probe cells + per-cell query residual -------------
+        "probes AS (SELECT q.vec_id AS qid, p.cell FROM e q, LATERAL "
+        f" (SELECT c.cell FROM cv1 c ORDER BY {dist('c.cv', 'q.v')} ASC, c.cell ASC "
+        f"  LIMIT {nprobe}) p WHERE q.vec_id < 10), "
+        "qr AS (SELECT probes.qid, probes.cell, "
+        " list_transform(list_zip(q.v, c.cv), t -> t[1] - t[2]) AS qr "
+        " FROM probes JOIN e q ON q.vec_id = probes.qid "
+        " JOIN cv1 c USING (cell)), "
+        # -- ADC over the probed cells' codes ------------------------------
+        "adc AS (SELECT qr.qid, a2.vec_id AS cid, "
+        " SUM(CAST(FLOOR(1e6 * list_sum(list_transform(list_zip("
+        f"  qr.qr[code.m*{sub}+1 : code.m*{sub}+{sub}], "
+        f"  cb.cv[code.m*{sub}+1 : code.m*{sub}+{sub}]), "
+        "  t -> (t[1]-t[2])*(t[1]-t[2])))) AS BIGINT)) AS ad "
+        " FROM qr JOIN a2 ON a2.cell = qr.cell "
+        " JOIN code ON code.vec_id = a2.vec_id JOIN cb ON cb.j = code.j "
+        " WHERE a2.vec_id <> qr.qid GROUP BY qr.qid, a2.vec_id), "
+        "short AS (SELECT qid, cid FROM ("
+        " SELECT qid, cid, row_number() OVER "
+        "  (PARTITION BY qid ORDER BY ad, cid) AS rn FROM adc) "
+        f" WHERE rn <= {PQ_SHORTLIST}), "
+        f"sims AS (SELECT qid, cid, {cos} AS sim_scaled FROM short "
+        " JOIN e qe ON qe.vec_id = short.qid JOIN e ce ON ce.vec_id = short.cid) "
+        "SELECT qid, cid, sim_scaled FROM ("
+        " SELECT qid, cid, sim_scaled, row_number() OVER "
+        "  (PARTITION BY qid ORDER BY sim_scaled DESC, cid) AS rn FROM sims) "
+        "WHERE rn <= 5"
+    )
+
+
+@register("x_sim_ivfpq", _ivfpq_oracle_sql())
+def x_sim_ivfpq(spark, sf_dir):
+    """IVF+PQ ANN — the canonical billion-scale serving shape (FAISS
+    IVFADC): the ``x_sim_ivf`` coarse quantizer routes each query to its
+    ``_IVF_NPROBE`` nearest cells, vectors are PQ-coded on their
+    RESIDUAL (``v − centroid[cell]`` — residuals are what PQ quantizes
+    well, their spread is a cell radius instead of the corpus diameter),
+    the ADC scan reads only the probed cells' 8-byte codes against the
+    per-cell query residual, and the per-query shortlist is re-ranked by
+    exact cosine.  Every stage is the deterministic, oracle-proven
+    machinery of its parent gate (quantized centroids, floored-integer
+    subspace distances, (dist, id) tie-breaks), so the DuckDB oracle
+    replays the full chain bit-for-bit.
+
+    100 TB shape: this composes the two scan cuts that make
+    billion-vector ANN serve — IVF prunes the scan to nprobe/K of the
+    rows AND the rows scanned are codes (4–8 B) not floats (256 B), a
+    combined ~85× read cut at these constants; the query side (10 rows ×
+    nprobe cells of residuals) broadcasts; centroids and codebooks ride
+    the closure as literals (K×D + PQ_K×D doubles of model state);
+    the shortlist bounds the exact-refine join to ``PQ_SHORTLIST``
+    float-vector reads per query.  Measured recall@5 vs exact cosine:
+    0.62 at sf0.01 (deterministic; pytest-asserted ≥ 0.6) — bounded
+    above by ``x_sim_ivf``'s 0.70 candidate recall at the same nprobe
+    (the probed cells cap what ADC can see); the operating point trades
+    that recall for the nprobe/K scan cut, exactly the IVFADC
+    contract."""
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+
+    # coarse quantizer: identical chain to x_sim_ivf (hash-group init +
+    # one Lloyd round, 1e-6-quantized means)
+    cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
+    a1 = e.select(
+        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
+    ).localCheckpoint()
+    cents = _ivf_mean(a1.select("cell", "v"))
+    scored = e.select(
+        "vec_id", "v", _ivf_cells(cents).alias("cells")
+    ).localCheckpoint()
+
+    # residual PQ encode: codebook = first PQ_K residuals (the
+    # x_pq_codes deterministic sample, taken over residual space)
+    res = scored.select(
+        "vec_id", "v", F.col("cells")[0]["cell"].alias("cell")
+    ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v"))
+    cb = _pq_codebook(res)
+    coded = res.select(
+        "vec_id", "cell", _pq_codes_array_expr(cb).alias("codes"))
+
+    # query side: probe set + per-(query, cell) residual
+    qprobe = (
+        scored.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"), "v",
+            F.explode(F.transform(
+                F.slice("cells", 1, _IVF_NPROBE),
+                lambda s: s["cell"])).alias("cell"))
+        .select("qid", "cell", _ivfpq_residual_expr(cents, "v").alias("qv"))
+    )
+
+    adc = (
+        coded.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"),
+                _pq_adc_expr(cb).alias("ad"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
+    short = (adc.withColumn("rn", F.row_number().over(ws))
+             .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
+
+    # exact cosine re-rank on the ORIGINAL vectors
+    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
+    q = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sims = (
+        short.join(en.select(F.col("vec_id").alias("cid"),
+                             F.col("v").alias("cv"),
+                             F.col("nv").alias("cn")), "cid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "cid",
+                F.floor(1e6 * dot / (F.col("qn") * F.col("cn")))
+                .alias("sim_scaled"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
+    return (sims.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 5).drop("rn"))
 
 
 def _pq_ann(spark, sf_dir, cb: list | None = None):
