@@ -234,25 +234,18 @@ def transitive_closure(step: DataFrame) -> DataFrame:
     Representation is chosen by measured size (see
     :data:`CLOSURE_IDS_MIN_STEP`): big step relations iterate on 8-byte
     term ids and decode at the edge; small ones skip the fixed
-    encode/decode cost.  The RAW step plan is localCheckpointed once up
-    front (no shuffle — unlike a distinct-first materialization, which
-    is exactly the struct shuffle the id path exists to avoid), so the
-    step's upstream plan (for the rdf-ized gate graphs, a 14-branch
-    union scan) executes exactly ONCE: the decision count, the decode
-    map's two node scans, the encode pass, and the struct path's
-    distinct all read the checkpoint.  The raw checkpoint retires as
-    soon as the chosen representation has materialized its own frames.
-    The loop body is representation-agnostic."""
-    raw = step.localCheckpoint(eager=True)
-    if CLOSURE_IDS and raw.count() >= CLOSURE_IDS_MIN_STEP:
-        enc, dec = _encode_step(raw)
+    encode/decode cost.  The decision counts the RAW step plan — a
+    scan-side aggregate with no shuffle — so the id path never
+    materializes the struct relation at all: its distinct runs on the
+    16-byte encoded rows (the whole point of the mode), and the struct
+    path keeps its original distinct+checkpoint.  The loop body is
+    representation-agnostic."""
+    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+        enc, dec = _encode_step(step)
         enc = enc.distinct().localCheckpoint(eager=True)
-        _retire(raw)
         closed = _closure_loop(enc)
         return _decode_pairs(closed, dec, "start", "end")
-    dedup = raw.distinct().localCheckpoint(eager=True)
-    _retire(raw)
-    return _closure_loop(dedup)
+    return _closure_loop(step.distinct().localCheckpoint(eager=True))
 
 
 def _closure_loop(step: DataFrame) -> DataFrame:
@@ -300,16 +293,15 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     shuffle — and the final (anchor, node) pairs decode via two id→term
     joins.  The loop body (:func:`_anchored_loop`) is
     representation-agnostic."""
-    raw = step.localCheckpoint(eager=True)
-    if CLOSURE_IDS and raw.count() >= CLOSURE_IDS_MIN_STEP:
-        enc_step, dec = _encode_step(raw, extra_nodes=anchors)
+    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+        enc_step, dec = _encode_step(step, extra_nodes=anchors)
         enc_step = enc_step.localCheckpoint(eager=True)
-        _retire(raw)
         enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
         pairs = _anchored_loop(spark, enc_step, enc_anchors, forward,
                                include_zero)
         return _decode_pairs(pairs, dec, "anchor", "node")
-    return _anchored_loop(spark, raw, anchors, forward, include_zero)
+    return _anchored_loop(spark, step.localCheckpoint(eager=True), anchors,
+                          forward, include_zero)
 
 
 def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
