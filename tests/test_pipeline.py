@@ -1366,6 +1366,51 @@ def test_ivfpq_recall_and_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_trained_residual_codebooks(spark):
+    """Training composes with residual space: k-means-fit codebooks over
+    the (v − centroid) residual frame must strictly reduce the mean
+    self-ADC reconstruction error vs the first-K residual sample
+    (measured 698k → 550k at sf0.01), and the trained end-to-end search
+    must not lose recall (both land 0.62 — the probed-cell candidate
+    set, not ADC fidelity, binds at this scale)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.ann import (_IVF_K, _ann_vectors, _ivf_cells,
+                                       _ivf_mean)
+    from sparkdon.pipeline.pq import (_ivfpq_ann, _ivfpq_residual_expr,
+                                      _pq_adc_expr, _pq_codebook,
+                                      _pq_codes_array_expr,
+                                      pq_train_codebooks)
+
+    sf = "/root/testdata/sf0.01"
+    e = _ann_vectors(spark, sf, spread=True).localCheckpoint()
+    cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
+    a1 = e.select("vec_id", "v",
+                  _ivf_cells(cents)[0]["cell"].alias("cell")).localCheckpoint()
+    cents = _ivf_mean(a1.select("cell", "v"))
+    res = (e.select("vec_id", "v",
+                    _ivf_cells(cents)[0]["cell"].alias("cell"))
+           .select("vec_id", "cell",
+                   _ivfpq_residual_expr(cents, "v").alias("v"))
+           .localCheckpoint())
+
+    def recon_err(cb):
+        coded = res.select(F.col("v").alias("qv"),
+                           _pq_codes_array_expr(cb).alias("codes"))
+        return coded.select(F.avg(_pq_adc_expr(cb)).alias("e")).collect()[0]["e"]
+
+    sample_err = recon_err(_pq_codebook(res))
+    trained_err = recon_err(pq_train_codebooks(res, iters=1))
+    assert trained_err < sample_err, (trained_err, sample_err)
+
+    sample = {(r.qid, r.cid) for r in _ivfpq_ann(spark, sf).collect()}
+    trained = {(r.qid, r.cid)
+               for r in _ivfpq_ann(spark, sf, train=True).collect()}
+    from sparkdon.pipeline import x_sim_topk
+    exact = {(r.qid, r.cid) for r in x_sim_topk(spark, sf).collect()}
+    assert len(exact & trained) >= len(exact & sample)
+
+
 def test_mix_sample_budgets_and_gate(spark):
     """The mixture math: every language's applied rate equals
     floor(1e4·min_mass/mass), the smallest language keeps everything
