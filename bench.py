@@ -152,6 +152,9 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_sim_lsh_bucketed",
             "x_token_bpe",
             "x_dedup_clusters",
+            # round 10 (late): 10-iteration integer fixed-point PageRank
+            # (novel plan shape: Pregel-style message-passing loop)
+            "x_pagerank",
             "x_dedup_priority",
             "x_split_by_cluster",
             "x_corpus_keep",

@@ -68,8 +68,14 @@ def main() -> None:
     # (supplier)
     scale_table("customer", {"c_custkey": 1_000_000})
     scale_table("supplier", {"s_suppkey": 1_000_000})
-    for t in ("region", "nation", "part", "orders",
-              "lineitem", "events"):
+    # lineitem feeds the x_pagerank graph: shifting part/supp keys per
+    # replica yields k disjoint copies of the bipartite component — edge
+    # and node count both scale kx (a copied-only table would dedup to
+    # the base graph under DISTINCT and probe nothing)
+    scale_table("lineitem", {"l_orderkey": 10_000_000,
+                             "l_partkey": 1_000_000,
+                             "l_suppkey": 1_000_000})
+    for t in ("region", "nation", "part", "orders", "events"):
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
         if os.path.isdir(src):
@@ -78,6 +84,7 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_pagerank,
         x_boilerplate,
         x_bpe_pairs,
         x_char_entropy,
@@ -98,6 +105,7 @@ def main() -> None:
         x_pq_trained,
         x_rank_normalize,
         x_sim_lsh_refined,
+        x_sim_ivfpq,
         x_sim_pq,
         x_split_by_cluster,
     )
@@ -118,6 +126,10 @@ def main() -> None:
         "x_dedup_embed_strict": x_dedup_embed_strict,
         # iterative components over the LSH pair graph (round 6)
         "x_dedup_clusters": x_dedup_clusters,
+        # round 10 (late): 10 fixed-point power iterations — per round
+        # one node-keyed join against the static edge frame + one
+        # dst-keyed partial agg; expect edge-linear scaling
+        "x_pagerank": x_pagerank,
         # round 7: chunk-key dedup (two shuffles), compressed-domain ADC
         # scan + bounded re-rank, and the two-pass distributed prefix sum
         "x_chunk_dedup": x_chunk_dedup,
@@ -131,6 +143,10 @@ def main() -> None:
         "x_dedup_substring_hashed": x_dedup_substring_hashed,
         "x_dedup_intra": x_dedup_intra,
         "x_sim_pq": x_sim_pq,
+        # round 10 (late): IVF+PQ residual ADC — candidate volume is
+        # (nprobe/K)·corpus per query, so the ADC join should track the
+        # corpus linearly with a constant 10-query broadcast side
+        "x_sim_ivfpq": x_sim_ivfpq,
         "x_pack_sequences": x_pack_sequences,
         # round 10 (late): grouped two-pass prefix-sum rank + value-key
         # join-back — the grouped relation is value-domain-sized, so the

@@ -242,3 +242,89 @@ def x_split_by_cluster(spark, sf_dir):
         .when(draw < 9500, F.lit("val"))
         .otherwise(F.lit("test")).alias("split"),
     )
+
+
+# --- PageRank (link-graph authority scoring) -------------------------------
+
+PR_SCALE = 10**12
+PR_ITERS = 10
+PR_TOPK = 20
+
+
+def _pagerank_oracle_sql() -> str:
+    # every CTE is MATERIALIZED: DuckDB's default inlining expands the
+    # 10-iteration chain into one deep nested plan whose optimization
+    # alone took ~2 minutes at sf0.001; materialization makes it 10
+    # sequential joins (0.13 s)
+    S, iters, topk = PR_SCALE, PR_ITERS, PR_TOPK
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l_partkey*2 AS a, "
+        "l_suppkey*2+1 AS b FROM lineitem), "
+        "ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 "
+        "UNION ALL SELECT b, a FROM e0), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM ed GROUP BY src), "
+        "nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg), "
+        f"r0 AS MATERIALIZED (SELECT src AS node, CAST({S} // nc.n AS BIGINT) "
+        "AS r FROM deg, nc)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f", r{i + 1} AS MATERIALIZED (SELECT ed.dst AS node, "
+            f"CAST((3*{S}) // (20*nc.n) "
+            f"+ (17 * SUM(r{i}.r // deg.d)) // 20 AS BIGINT) AS r "
+            f"FROM ed JOIN r{i} ON r{i}.node = ed.src "
+            f"JOIN deg ON deg.src = ed.src, nc GROUP BY ed.dst, nc.n)")
+    parts.append(
+        f" SELECT node, r AS pr FROM r{iters} "
+        f"ORDER BY r DESC, node LIMIT {topk}")
+    return "".join(parts)
+
+
+@register("x_pagerank", _pagerank_oracle_sql())
+def x_pagerank(spark, sf_dir):
+    """Damped PageRank over the part–supplier co-purchase graph — the
+    link-analysis authority score corpus pipelines use for page/domain
+    quality weighting (CommonCrawl harmonic/PageRank centrality feeds
+    CCNet-style quality buckets).  The graph is the distinct
+    (l_partkey, l_suppkey) bipartite relation walked undirected; 10
+    power iterations at damping 0.85 in INTEGER fixed point (ranks
+    scaled by 1e12, every division a floor) so both engines agree
+    bit-for-bit — the oracle unrolls the same 10 iterations as chained
+    CTEs.  Returns the top-20 (node, pr) authorities.
+
+    100 TB shape: the Pregel/GraphX message-passing loop in DataFrame
+    form — the edge relation (with pre-joined out-degrees) is built and
+    checkpointed ONCE; each iteration is one node-keyed join (the
+    node-sized rank frame is the only thing that reshuffles against the
+    static edge partitioning) plus one dst-keyed partial agg (map-side
+    combine shrinks messages to distinct-dst counts per partition), and
+    ``localCheckpoint`` truncates the lineage every 5 rounds — measured
+    4× faster than per-round eager checkpointing (whose materialization
+    job per iteration dominates) while still bounding recompute depth
+    and Catalyst analysis cost for long runs.  The final top-k is
+    TakeOrdered (distributed
+    heap-merge), never a single-partition global window.  Integer
+    fixed-point keeps the iteration associative-safe: no float
+    summation-order drift between partitionings, so the result is
+    reproducible under any cluster layout."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select((F.col("l_partkey") * 2).alias("a"),
+                   (F.col("l_suppkey") * 2 + 1).alias("b")).distinct()
+    ed = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edd = ed.join(deg, "src").localCheckpoint()  # (src, dst, d), reused
+    n = deg.count()
+    base = (3 * PR_SCALE) // (20 * n)
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(PR_SCALE // n).alias("r")).localCheckpoint()
+    for i in range(PR_ITERS):
+        msgs = (edd.join(ranks, edd.src == ranks.node)
+                .select("dst", F.expr("r div d").alias("c")))
+        ranks = (msgs.groupBy("dst").agg(F.sum("c").alias("t"))
+                 .select(F.col("dst").alias("node"),
+                         (F.lit(base) + F.expr("17 * t div 20")).alias("r")))
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint()
+    return (ranks.orderBy(F.desc("r"), F.asc("node")).limit(PR_TOPK)
+            .select("node", F.col("r").alias("pr")))

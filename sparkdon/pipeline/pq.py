@@ -503,8 +503,20 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
         .select("qid", F.col("vec_id").alias("cid"),
                 _pq_adc_expr(cb).alias("ad"))
     )
+    # two-stage shortlist: a single per-qid window caps parallelism at
+    # the query count (10 tasks sorting the whole candidate set — the
+    # 100× probe measured a 12.6× decade slope from exactly this), so
+    # first take the per-(qid, salt) local top-k over 32 deterministic
+    # cid-hash salts, then the global per-qid top-k over the ≤ 32·k
+    # survivors.  The union of per-salt top-k supersets the global
+    # top-k, so the result is identical and the oracle is unchanged.
+    salted = Window.partitionBy("qid", F.pmod(F.crc32(
+        F.col("cid").cast("string")), F.lit(32))).orderBy(
+        F.asc("ad"), F.asc("cid"))
     ws = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
-    short = (adc.withColumn("rn", F.row_number().over(ws))
+    short = (adc.withColumn("rn", F.row_number().over(salted))
+             .filter(F.col("rn") <= PQ_SHORTLIST).drop("rn")
+             .withColumn("rn", F.row_number().over(ws))
              .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
 
     # exact cosine re-rank on the ORIGINAL vectors
