@@ -132,6 +132,10 @@ GROUPS: list[tuple[str, list[str]]] = [
             # co-occurrence self-join (both novel shapes)
             "x_char_entropy",
             "x_cooccur_pmi",
+            # round 10 (late): mergeable sketches — CMS (i,bucket)-keyed
+            # partial agg, HLL (group,register) max-agg
+            "x_cms_heavy_hitters",
+            "x_hll_distinct",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,

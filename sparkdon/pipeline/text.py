@@ -1109,3 +1109,183 @@ def x_cooccur_pmi(spark, sf_dir):
             .alias("pmi_scaled"))
         .orderBy(F.desc("n_both"), "term1", "term2").limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality / frequency sketches — the mergeable-summary family every
+# 100 TB profiling pass leans on
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 1024  #: depth (independent hash rows) × width (buckets)
+
+
+def _cms_bucket_spark(i: int, col) -> "F.Column":
+    """Hash row ``i``'s bucket for a token column: the first 8 md5 hex
+    chars of a row-tagged key, as an integer mod CMS_W — the portable
+    md5 idiom every sampling gate uses, so DuckDB computes the
+    identical sketch."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8), 16, 10)
+        .cast("long") % CMS_W)
+
+
+def _cms_bucket_duck(i, tok: str) -> str:
+    return (f"CAST(concat('0x', substr(md5('cms{i}:' || {tok}), 1, 8)) "
+            f"AS BIGINT) % {CMS_W}")
+
+
+def _cms_oracle_sql() -> str:
+    d, topk = CMS_D, 20
+    tb_arms = " UNION ALL ".join(
+        f"SELECT tok, {i} AS i, {_cms_bucket_duck(i, 'tok')} AS b FROM toks"
+        for i in range(d))
+    est_arms = " UNION ALL ".join(
+        f"SELECT e.tok, e.cnt, s.c FROM exact e JOIN sketch s "
+        f"ON s.i = {i} AND s.b = {_cms_bucket_duck(i, 'e.tok')}"
+        for i in range(d))
+    return (
+        "WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "exact AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM toks "
+        f"GROUP BY tok ORDER BY cnt DESC, tok LIMIT {topk}), "
+        f"tb AS ({tb_arms}), "
+        "sketch AS MATERIALIZED (SELECT i, b, COUNT(*) AS c FROM tb "
+        "GROUP BY i, b), "
+        f"est AS ({est_arms}) "
+        "SELECT tok, cnt, MIN(c) AS cms_est FROM est GROUP BY tok, cnt"
+    )
+
+
+@register("x_cms_heavy_hitters", _cms_oracle_sql())
+def x_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream, verified against
+    exact counts on the true top-20 heavy hitters: every token hashes
+    into CMS_D=4 independent md5 rows of CMS_W=1024 counters, the
+    estimate is the min over the 4 counters, and the gate emits (tok,
+    exact cnt, cms_est) — CMS guarantees est ≥ cnt, and the oracle
+    recomputes the identical all-integer sketch (the md5 idiom is the
+    same one the sampling gates prove portable).
+
+    100 TB shape: the sketch is THE mergeable frequency summary — the
+    (i, bucket)-keyed count is a partial agg whose map side builds a
+    per-partition sub-sketch and whose merge is counter addition
+    (associative, constant 4×1024 size regardless of corpus);
+    exact-side verification is the vocab-bound word count reduced to
+    TakeOrdered top-k; the estimate join touches the constant-size
+    sketch against 20×4 expanded probe rows.  Row-tagged hashes keep
+    the 4 rows independent without any RNG."""
+    toks = (table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint())
+    exact = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(20))
+    tb = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _cms_bucket_spark(i, F.col("tok")).alias("b"))
+        for i in range(CMS_D)])).alias("rb")).select("rb.i", "rb.b")
+    sketch = tb.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    probes = exact.select("tok", "cnt", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _cms_bucket_spark(i, F.col("tok")).alias("b"))
+        for i in range(CMS_D)])).alias("rb")).select("tok", "cnt",
+                                                     "rb.i", "rb.b")
+    return (F.broadcast(probes).join(sketch, ["i", "b"])
+            .groupBy("tok", "cnt").agg(F.min("c").alias("cms_est")))
+
+
+HLL_M = 256  #: registers (2^8); j = 8 hash bits, rho over the next 40
+
+#: alpha_m · m² for m=256 — computed once in Python and embedded as the
+#: SAME double literal in both engines' expressions
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / 256) * 65536
+
+
+def _hll_oracle_sql() -> str:
+    a = _HLL_ALPHA_M2
+    return (
+        "WITH toks AS MATERIALIZED (SELECT lang, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "hx AS (SELECT DISTINCT lang, tok FROM toks), "
+        "h AS (SELECT lang, CAST(concat('0x', "
+        "substr(md5('hll:' || tok), 1, 12)) AS BIGINT) AS h FROM hx), "
+        f"jr AS (SELECT lang, h % {HLL_M} AS j, "
+        f"CASE WHEN h // {HLL_M} > 0 "
+        f"THEN 41 - length(bin(h // {HLL_M})) ELSE 41 END AS rho FROM h), "
+        "regs AS (SELECT lang, j, MAX(rho) AS mj FROM jr GROUP BY lang, j), "
+        "agg AS (SELECT lang, COUNT(*) AS present, "
+        "SUM(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS sp FROM regs "
+        "GROUP BY lang), "
+        f"est AS (SELECT lang, CASE WHEN CAST({a!r} AS DOUBLE) "
+        f"/ (sp + ({HLL_M} - present)) <= 2.5 * {HLL_M} "
+        f"AND present < {HLL_M} "
+        f"THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - present)) "
+        f"ELSE CAST({a!r} AS DOUBLE) / (sp + ({HLL_M} - present)) END AS e "
+        "FROM agg), "
+        "ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact_distinct "
+        "FROM toks GROUP BY lang) "
+        "SELECT ex.lang, ex.exact_distinct, "
+        "CAST(FLOOR(est.e) AS BIGINT) AS hll_est "
+        "FROM ex JOIN est USING (lang)"
+    )
+
+
+@register("x_hll_distinct", _hll_oracle_sql())
+def x_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token cardinality per language, verified
+    against the exact COUNT(DISTINCT): 48 md5 bits split into an 8-bit
+    register index and a 40-bit pattern whose leading-zero rank
+    (``41 − length(bin(w))`` — both engines print minimal-width binary)
+    feeds 256 max-registers; the harmonic-mean estimate (with the
+    standard linear-counting branch for the small range) is floored to
+    an integer.  Every float involved is portable BY CONSTRUCTION: the
+    2^−M register terms are dyadic rationals summed well inside double
+    precision (exact in any order — partition-order-independent), the
+    alpha·m² constant is one shared literal, and ln has the suite's
+    floor-guarded green precedent.
+
+    100 TB shape: HLL is the mergeable distinct sketch — the (lang, j)
+    max-register agg is a partial agg whose map side builds
+    per-partition sub-sketches and whose merge is elementwise MAX
+    (associative, 256 counters per group key regardless of corpus);
+    the exact side here exists only to gate the estimate's error and
+    would be the thing you DON'T run at 100 TB.  The estimate itself
+    reads 256 rows per group."""
+    toks = (table(spark, sf_dir, "documents")
+            .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint())
+    est = hll_estimate(toks.select("lang", F.col("tok").alias("item")),
+                       "lang")
+    ex = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct"))
+    return (ex.join(est, "lang")
+            .select("lang", "exact_distinct",
+                    F.floor("e").cast("long").alias("hll_est")))
+
+
+def hll_estimate(df: DataFrame, group_col: str) -> DataFrame:
+    """(group, item) rows → (group, e): the HLL-256 estimate as a raw
+    DOUBLE column, every step portable (see ``x_hll_distinct``).  The
+    gate fixture's tiny vocab lands in the linear-counting branch;
+    tests/test_pipeline.py drives the raw harmonic branch through this
+    same helper at 5k cardinality and asserts the standard-error
+    bound."""
+    h = (df.select(group_col, "item").distinct()
+         .select(group_col, F.conv(F.substring(
+             F.md5(F.concat(F.lit("hll:"), F.col("item"))), 1, 12), 16, 10)
+             .cast("long").alias("h")))
+    jr = h.select(
+        group_col, (F.col("h") % HLL_M).alias("j"),
+        F.when(F.expr(f"h div {HLL_M}") > 0,
+               41 - F.length(F.bin(F.expr(f"h div {HLL_M}"))))
+        .otherwise(F.lit(41)).alias("rho"))
+    regs = jr.groupBy(group_col, "j").agg(F.max("rho").alias("mj"))
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)"))
+        .alias("sp"))
+    raw = F.lit(_HLL_ALPHA_M2) / (F.col("sp") + (HLL_M - F.col("present")))
+    return agg.select(
+        group_col,
+        F.when((raw <= 2.5 * HLL_M) & (F.col("present") < HLL_M),
+               HLL_M * F.log(HLL_M / (HLL_M - F.col("present"))))
+        .otherwise(raw).alias("e"))

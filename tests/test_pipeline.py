@@ -1954,3 +1954,35 @@ def test_pagerank_matches_float_reference(spark):
     assert got[:5] == ref_top[:5]
     total = sum(row["pr"] for row in rows)
     assert 0 < total <= PR_SCALE
+
+
+def test_sketches_cms_and_hll(spark):
+    """Sketch-family properties the oracle can't express: (a) CMS never
+    underestimates and overestimates by at most the eps*N bound with
+    the gate's 4x1024 geometry; (b) HLL's raw harmonic branch (the
+    gate fixture's tiny vocab only reaches linear counting) estimates
+    a 5k-cardinality set within 3 standard errors (3 * 1.04/sqrt(256)
+    = 19.5%)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline import x_cms_heavy_hitters
+    from sparkdon.pipeline.text import hll_estimate
+
+    sf = "/root/testdata/sf0.01"
+    rows = x_cms_heavy_hitters(spark, sf).collect()
+    assert len(rows) == 20
+    total = None
+    for r in rows:
+        assert r.cms_est >= r.cnt, (r.tok, r.cnt, r.cms_est)
+    # eps*N with w=1024: N = total token count
+    from sparkdon.relational import table
+    n = (table(spark, sf, "documents")
+         .select(F.explode(F.split("text", " ")).alias("t")).count())
+    bound = 2 * 2.718281828 * n / 1024  # loose (e/w)*N style bound
+    for r in rows:
+        assert r.cms_est - r.cnt <= bound, (r.tok, r.cnt, r.cms_est, bound)
+
+    items = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("item"))
+    est = hll_estimate(items, "grp").collect()[0]["e"]
+    assert abs(est - 5000) / 5000 < 0.195, est
