@@ -84,6 +84,8 @@ def main() -> None:
             shutil.copyfile(src, dst)
 
     from sparkdon.pipeline import (
+        x_cms_heavy_hitters,
+        x_hll_distinct,
         x_pagerank,
         x_boilerplate,
         x_bpe_pairs,
@@ -175,6 +177,11 @@ def main() -> None:
         "x_lm_bigram": x_lm_bigram,
         # round 9: distinct (doc,gram) -> vocab-sized first-doc table
         "x_ngram_novelty": x_ngram_novelty,
+        # round 10 (late): mergeable sketches — the shuffle after the
+        # map-side partial agg is sketch-sized (4x1024 / group x 256),
+        # NOT corpus-sized, so the ratio should track the token scan
+        "x_cms_heavy_hitters": x_cms_heavy_hitters,
+        "x_hll_distinct": x_hll_distinct,
         # x_semantic_dedup is deliberately NOT probed: its fixture
         # clustering is fixed-K (the 10 label centroids), so a kx corpus
         # means kx-sized clusters — the configuration SemDeDup explicitly

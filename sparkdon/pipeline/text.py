@@ -1269,6 +1269,13 @@ def hll_estimate(df: DataFrame, group_col: str) -> DataFrame:
     tests/test_pipeline.py drives the raw harmonic branch through this
     same helper at 5k cardinality and asserts the standard-error
     bound."""
+    return hll_from_registers(hll_registers(df, group_col), group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str) -> DataFrame:
+    """(group, item) rows → (group, j, mj) max-registers.  Sub-sketches
+    over disjoint slices merge by re-maxing the register frames — the
+    associativity tests/test_pipeline.py asserts."""
     h = (df.select(group_col, "item").distinct()
          .select(group_col, F.conv(F.substring(
              F.md5(F.concat(F.lit("hll:"), F.col("item"))), 1, 12), 16, 10)
@@ -1278,7 +1285,11 @@ def hll_estimate(df: DataFrame, group_col: str) -> DataFrame:
         F.when(F.expr(f"h div {HLL_M}") > 0,
                41 - F.length(F.bin(F.expr(f"h div {HLL_M}"))))
         .otherwise(F.lit(41)).alias("rho"))
-    regs = jr.groupBy(group_col, "j").agg(F.max("rho").alias("mj"))
+    return jr.groupBy(group_col, "j").agg(F.max("rho").alias("mj"))
+
+
+def hll_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, j, mj) registers → (group, e) estimate."""
     agg = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("present"),
         F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)"))

@@ -1986,3 +1986,29 @@ def test_sketches_cms_and_hll(spark):
         F.lit("g").alias("grp"), F.col("id").cast("string").alias("item"))
     est = hll_estimate(items, "grp").collect()[0]["e"]
     assert abs(est - 5000) / 5000 < 0.195, est
+
+
+def test_hll_sketch_merge_is_lossless(spark):
+    """The mergeability contract that makes HLL the 100 TB distinct
+    sketch: registers built on two disjoint halves of a corpus and
+    merged by elementwise MAX must equal the registers (and therefore
+    the estimate) built over the union in one pass — i.e. the groupBy
+    max-agg IS the merge, so partitioning can never change the answer."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.text import hll_estimate
+
+    from sparkdon.pipeline.text import hll_from_registers, hll_registers
+
+    whole = spark.range(4000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("item"))
+    halves = whole.withColumn(
+        "grp", F.when(F.col("item").cast("long") < 2000, "a").otherwise("b"))
+    one_pass = hll_estimate(whole, "grp").collect()[0]["e"]
+    # build two INDEPENDENT sub-sketches, merge their register frames by
+    # re-maxing per register index, and estimate from the merged sketch
+    sub = hll_registers(halves, "grp")  # (a/b, j, mj) — two sketches
+    merged_regs = (sub.withColumn("grp", F.lit("g"))
+                   .groupBy("grp", "j").agg(F.max("mj").alias("mj")))
+    merged = hll_from_registers(merged_regs, "grp").collect()[0]["e"]
+    assert one_pass == merged
