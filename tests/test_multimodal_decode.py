@@ -1224,3 +1224,75 @@ def test_jpeg_16bit_quant_tables():
         j = bad.index(b"\xff\xdb") + 4
         bad[j] = 0x20 | (bad[j] & 0x0F)
         decode_jpeg(bytes(bad))
+
+
+# --- IMA ADPCM (round 10: WAV fmt 0x11) ------------------------------------
+
+def test_ima_adpcm_roundtrip_mono_and_stereo():
+    """Encode→decode with the IMA state machine: a full-scale sine must
+    come back within ADPCM's 4-bit quantization envelope (max err well
+    under 2% of full scale, mean ~54 — the measured operating point
+    with the primed/carried step index), block-count padding included."""
+    from sparkdon.multimodal import decode_wav, encode_wav_ima_adpcm
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(2 * np.pi * t / 50)).astype(np.int16).reshape(-1, 1)
+    got, rate = decode_wav(encode_wav_ima_adpcm(sig, 8000))
+    assert rate == 8000 and got.shape[1] == 1
+    n = min(len(got), len(sig))
+    err = np.abs(got[:n].astype(int) - sig[:n].astype(int))
+    assert err.max() <= 600 and err.mean() <= 120, (err.max(), err.mean())
+
+    sig2 = np.stack([(6000 * np.sin(2 * np.pi * t / 37)).astype(np.int16),
+                     (9000 * np.sin(2 * np.pi * t / 61)).astype(np.int16)],
+                    axis=1)
+    got2, rate2 = decode_wav(encode_wav_ima_adpcm(sig2, 16000))
+    assert rate2 == 16000 and got2.shape[1] == 2
+    n2 = min(len(got2), len(sig2))
+    err2 = np.abs(got2[:n2].astype(int) - sig2[:n2].astype(int))
+    assert err2.max() <= 600 and err2.mean() <= 120
+
+
+def test_ima_adpcm_known_nibbles():
+    """Spec-exactness on a hand-built block: header predictor 0, index
+    0 (step 7), one nibble group — nibble 0 adds step>>3 = 0, nibble 4
+    adds step, nibble 8+4 subtracts; the decoder must reproduce the
+    hand-run state machine exactly."""
+    import struct
+
+    from sparkdon.multimodal import _ima_adpcm_decode
+
+    # mono block, block_align 12: 4-byte header + 8 bytes = 16 nibbles
+    hdr = struct.pack("<hBB", 0, 0, 0)
+    # nibbles: 4 (add step=7), 4 (add step=8 after idx+=6... recompute
+    # below), then zeros
+    nibbles = [4, 4] + [0] * 14
+    body = bytearray(8)
+    for k, nb in enumerate(nibbles):
+        if k % 2:
+            body[k // 2] |= nb << 4
+        else:
+            body[k // 2] |= nb
+    out = _ima_adpcm_decode(bytes(hdr + bytes(body)), 1, 12)
+    # hand-run: pred=0 idx=0 step=7; n=4: diff=7>>3+7=7... diff =
+    # (7>>3)+(7)=7? diff = step>>3 + step = 0+7 = 7 → pred 7, idx
+    # +=2 → 2 (step 9); n=4: diff = 9>>3 + 9 = 1+9 = 10 → pred 17,
+    # idx 4 (step 11); n=0 thereafter: diff = step>>3, idx -1 each
+    assert out[0, 0] == 0 and out[1, 0] == 7 and out[2, 0] == 17
+    # n=0 run: idx 4→3 step 11 diff 1 → 18; idx 3→2 step 10 diff 1 → 19
+    assert out[3, 0] == 18 and out[4, 0] == 19
+
+
+def test_adpcm_unsupported_still_raises():
+    """Non-IMA compressed formats (MS ADPCM fmt 2) stay an honest
+    NotImplementedError boundary."""
+    import struct
+
+    from sparkdon.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 256, 4)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
