@@ -604,6 +604,9 @@ def decode_wav(payload: bytes):
     elif audio_fmt == 17 and bits == 4:  # IMA/DVI ADPCM
         samples = _ima_adpcm_decode(data, channels, fmt[4])
         return samples, rate
+    elif audio_fmt == 2 and bits == 4:  # Microsoft ADPCM
+        samples = _ms_adpcm_decode(data, channels, fmt[4])
+        return samples, rate
     else:
         raise NotImplementedError(
             f"unsupported WAV sample format (fmt={audio_fmt}, bits={bits})")
@@ -656,6 +659,8 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
 
     steps, itab = _ima_tables()
     ba = block_align
+    if ba <= 4 * channels:
+        raise ValueError("ADPCM block_align shorter than the block header")
     nblocks = len(data) // ba
     if nblocks == 0:
         raise ValueError("ADPCM data shorter than one block")
@@ -687,6 +692,154 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
         idx = np.clip(idx + itab[n], 0, 88)
         out[:, k + 1, :] = pred
     return out.reshape(-1, channels).astype(np.int16)
+
+
+_MS_COEF1 = None
+_MS_COEF2 = None
+_MS_ADAPT = None
+
+
+def _ms_tables():
+    global _MS_COEF1, _MS_COEF2, _MS_ADAPT
+    import numpy as np
+
+    if _MS_COEF1 is None:
+        _MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int64)
+        _MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int64)
+        _MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                              768, 614, 512, 409, 307, 230, 230, 230],
+                             np.int64)
+    return _MS_COEF1, _MS_COEF2, _MS_ADAPT
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """Microsoft ADPCM (WAV fmt 2) → int16 [n, channels].
+
+    Per-channel block header: predictor index byte, int16 initial
+    delta, int16 sample1 (newer), int16 sample2 (older) — sample2 is
+    emitted FIRST; nibbles are high-first and channel-interleaved.
+    Like :func:`_ima_adpcm_decode`, the sequential recurrence is
+    vectorized across independent blocks."""
+    import numpy as np
+
+    c1t, c2t, adapt = _ms_tables()
+    ba, ch = block_align, channels
+    if ba <= 7 * ch:
+        raise ValueError("ADPCM block_align shorter than the block header")
+    nblocks = len(data) // ba
+    if nblocks == 0:
+        raise ValueError("ADPCM data shorter than one block")
+    blocks = np.frombuffer(data[: nblocks * ba], np.uint8).reshape(nblocks, ba)
+
+    def _i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return v - ((v & 0x8000) << 1)
+
+    pred_idx = np.clip(blocks[:, 0:ch].astype(np.int64), 0, 6)  # (nb, ch)
+    off = ch
+    delta = _i16(blocks[:, off:off + 2 * ch:2], blocks[:, off + 1:off + 2 * ch:2])
+    off += 2 * ch
+    s1 = _i16(blocks[:, off:off + 2 * ch:2], blocks[:, off + 1:off + 2 * ch:2])
+    off += 2 * ch
+    s2 = _i16(blocks[:, off:off + 2 * ch:2], blocks[:, off + 1:off + 2 * ch:2])
+    body = blocks[:, 7 * ch:]
+    c1 = c1t[pred_idx]
+    c2 = c2t[pred_idx]
+    spb = (ba - 7 * ch) * 2 // ch  # nibble samples per channel
+    out = np.empty((nblocks, spb + 2, ch), dtype=np.int64)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    for k in range(spb):
+        flat = k * ch + np.arange(ch)  # nibble index per channel
+        byts = body[:, flat // 2].astype(np.int64)
+        raw = np.where(flat % 2, byts & 0x0F, byts >> 4)  # high first
+        n = raw - ((raw & 8) << 1)  # signed two's-complement nibble
+        pred = (s1 * c1 + s2 * c2) >> 8
+        cur = np.clip(pred + n * delta, -32768, 32767)
+        s2, s1 = s1, cur
+        delta = np.maximum(16, (adapt[raw] * delta) >> 8)
+        out[:, k + 2, :] = cur
+    return out.reshape(-1, ch).astype(np.int16)
+
+
+def encode_wav_ms_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
+    """int16 [n, channels] → Microsoft ADPCM WAV (fmt 2): per block the
+    best of the 7 predictor pairs is chosen by measured prediction
+    error, the initial delta from the mean residual, then greedy nibble
+    quantization with the decoder's exact state machine."""
+    import struct
+
+    import numpy as np
+
+    c1t, c2t, adapt = _ms_tables()
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    ba = block_align
+    spb = (ba - 7 * ch) * 2 // ch
+    per_block = spb + 2
+    nblocks = max(1, -(-n // per_block))
+    blocks = bytearray()
+    for b in range(nblocks):
+        i0 = b * per_block
+
+        def sm(i):
+            return samples[min(i, n - 1)]
+
+        s2_0, s1_0 = sm(i0), sm(i0 + 1)
+        # pick the predictor that minimizes |error| over the block
+        best = None
+        for ip in range(7):
+            err = 0
+            s2, s1 = s2_0.copy(), s1_0.copy()
+            for k in range(min(spb, 32)):  # error probe on a prefix
+                cur = sm(i0 + 2 + k)
+                pred = (s1 * c1t[ip] + s2 * c2t[ip]) >> 8
+                err += int(np.abs(cur - pred).sum())
+                s2, s1 = s1, cur
+            if best is None or err < best[1]:
+                best = (ip, err)
+        ip = best[0]
+        # initial delta from the mean prefix residual
+        s2, s1 = s2_0.copy(), s1_0.copy()
+        tot = np.zeros(ch, np.int64)
+        cnt = max(1, min(spb, 32))
+        for k in range(cnt):
+            cur = sm(i0 + 2 + k)
+            tot += np.abs(cur - ((s1 * c1t[ip] + s2 * c2t[ip]) >> 8))
+            s2, s1 = s1, cur
+        delta = np.maximum(16, tot // (cnt * 4))
+        hdr = bytes([ip] * ch)
+        for arr in (delta, s1_0, s2_0):
+            for c in range(ch):
+                hdr += struct.pack("<h", int(arr[c]))
+        s2, s1 = s2_0.copy(), s1_0.copy()
+        nib = np.zeros((spb, ch), np.int64)
+        for k in range(spb):
+            cur = sm(i0 + 2 + k)
+            pred = (s1 * c1t[ip] + s2 * c2t[ip]) >> 8
+            q = np.clip((cur - pred + (np.sign(cur - pred) * delta) // 2)
+                        // np.maximum(delta, 1), -8, 7)
+            dec = np.clip(pred + q * delta, -32768, 32767)
+            nib[k] = q & 0x0F
+            s2, s1 = s1, dec
+            delta = np.maximum(16, (adapt[q & 0x0F] * delta) >> 8)
+        body = bytearray(ba - 7 * ch)
+        for k in range(spb):
+            for c in range(ch):
+                fl = k * ch + c
+                if fl % 2:
+                    body[fl // 2] |= int(nib[k, c])
+                else:
+                    body[fl // 2] |= int(nib[k, c]) << 4
+        blocks += hdr + bytes(body)
+    data = bytes(blocks)
+    fmt = struct.pack("<HHIIHHH", 2, ch, rate, rate * ba // per_block, ba, 4, 32)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def encode_wav_ima_adpcm(samples, rate: int, block_align: int = 256) -> bytes:

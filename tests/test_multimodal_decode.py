@@ -991,7 +991,9 @@ def test_wav_g711_bruteforce_roundtrip_monotone():
 
 
 def test_wav_adpcm_still_honest_boundary():
-    with pytest.raises(NotImplementedError, match="fmt=2"):
+    # fmt 2 (MS ADPCM) decodes as of round 10; sub-block payloads are a
+    # loud truncation error, and MPEG audio stays NotImplementedError
+    with pytest.raises(ValueError, match="block"):
         decode_wav(make_wav_ex(b"\x00\x00", 2, 4))
 
 
@@ -1283,14 +1285,38 @@ def test_ima_adpcm_known_nibbles():
     assert out[3, 0] == 18 and out[4, 0] == 19
 
 
+def test_ms_adpcm_roundtrip():
+    """Microsoft ADPCM (fmt 2): predictor-selected, delta-adaptive
+    round trip — tighter than IMA by design (measured max err 71 mono /
+    125 stereo, mean ~19 on full-scale sines)."""
+    from sparkdon.multimodal import decode_wav, encode_wav_ms_adpcm
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(2 * np.pi * t / 50)).astype(np.int16).reshape(-1, 1)
+    got, rate = decode_wav(encode_wav_ms_adpcm(sig, 8000))
+    assert rate == 8000 and got.shape[1] == 1
+    n = min(len(got), len(sig))
+    err = np.abs(got[:n].astype(int) - sig[:n].astype(int))
+    assert err.max() <= 400 and err.mean() <= 80, (err.max(), err.mean())
+
+    sig2 = np.stack([(6000 * np.sin(2 * np.pi * t / 37)).astype(np.int16),
+                     (9000 * np.sin(2 * np.pi * t / 61)).astype(np.int16)],
+                    axis=1)
+    got2, rate2 = decode_wav(encode_wav_ms_adpcm(sig2, 16000))
+    assert rate2 == 16000 and got2.shape[1] == 2
+    n2 = min(len(got2), len(sig2))
+    err2 = np.abs(got2[:n2].astype(int) - sig2[:n2].astype(int))
+    assert err2.max() <= 400 and err2.mean() <= 80
+
+
 def test_adpcm_unsupported_still_raises():
-    """Non-IMA compressed formats (MS ADPCM fmt 2) stay an honest
-    NotImplementedError boundary."""
+    """Still-unsupported compressed formats (MPEG layer-3 fmt 0x55)
+    stay an honest NotImplementedError boundary."""
     import struct
 
     from sparkdon.multimodal import decode_wav
 
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 256, 4)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 256, 0)
     riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
