@@ -963,8 +963,8 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
     hash, and an 8-dim feature vector.
 
     ``decode_real=True`` runs the codec-free decoders — PPM/BMP images
-    through :func:`image_feature`, PCM WAV audio through
-    :func:`audio_feature`; compressed payloads raise (the honest
+    through :func:`image_feature`, WAV audio (PCM/float/G.711/ADPCM)
+    through :func:`audio_feature`; unsupported codecs raise (the honest
     boundary).  ``decode_real=False`` keeps the deterministic sha-derived
     fake so the plumbing works on arbitrary bytes."""
 
