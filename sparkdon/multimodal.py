@@ -547,8 +547,14 @@ def decode_wav(payload: bytes):
     - format 0x11 (IMA/DVI ADPCM, round 10): block-vectorized nibble
       decode; :func:`encode_wav_ima_adpcm` is the tested round-trip twin
 
-    Other compressed formats (MS ADPCM &c.) raise
-    ``NotImplementedError``.
+    - format 0x02 (Microsoft ADPCM, round 10): block-vectorized
+      decode with spec truncating predictor division;
+      :func:`encode_wav_ms_adpcm` is the tested round-trip twin
+
+    Other compressed formats (MPEG &c.) raise ``NotImplementedError``.
+    For the ADPCM formats a ``fact`` chunk's frame count, when present,
+    trims the final block's padding so decode returns exactly the
+    encoded sample count.
     """
     import struct
 
@@ -556,7 +562,7 @@ def decode_wav(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
-    i, fmt, fmt_body, data = 12, None, b"", None
+    i, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while i + 8 <= len(payload):
         cid, size = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
         body = payload[i + 8 : i + 8 + size]
@@ -565,6 +571,8 @@ def decode_wav(payload: bytes):
             fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -603,10 +611,10 @@ def decode_wav(payload: bytes):
             samples = np.where(a & 0x80, mag, -mag).astype(np.int16)
     elif audio_fmt == 17 and bits == 4:  # IMA/DVI ADPCM
         samples = _ima_adpcm_decode(data, channels, fmt[4])
-        return samples, rate
+        return (samples[:fact] if fact else samples), rate
     elif audio_fmt == 2 and bits == 4:  # Microsoft ADPCM
         samples = _ms_adpcm_decode(data, channels, fmt[4])
-        return samples, rate
+        return (samples[:fact] if fact else samples), rate
     else:
         raise NotImplementedError(
             f"unsupported WAV sample format (fmt={audio_fmt}, bits={bits})")
@@ -623,11 +631,6 @@ def _ima_tables():
     import numpy as np
 
     if _IMA_STEPS is None:
-        steps = [7]
-        while len(steps) < 89:
-            steps.append(min(32767, int(steps[-1] * 1.1)))
-        # the spec publishes the exact table; the 1.1 recurrence drifts,
-        # so use the canonical 89 values
         _IMA_STEPS = np.array([
             7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
             34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
@@ -661,6 +664,10 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     ba = block_align
     if ba <= 4 * channels:
         raise ValueError("ADPCM block_align shorter than the block header")
+    if (ba - 4 * channels) % (4 * channels):
+        raise ValueError(
+            "IMA ADPCM block body must be a multiple of 4 bytes per "
+            "channel")
     nblocks = len(data) // ba
     if nblocks == 0:
         raise ValueError("ADPCM data shorter than one block")
@@ -712,6 +719,15 @@ def _ms_tables():
     return _MS_COEF1, _MS_COEF2, _MS_ADAPT
 
 
+def _trunc_div256(v):
+    """C-style truncation toward zero of v/256 (the MS ADPCM spec's
+    predictor divide) — ``>> 8`` floors, which is 1 LSB low for
+    negative sums not divisible by 256."""
+    import numpy as np
+
+    return np.where(v >= 0, v >> 8, -((-v) >> 8))
+
+
 def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
     """Microsoft ADPCM (WAV fmt 2) → int16 [n, channels].
 
@@ -754,7 +770,7 @@ def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
         byts = body[:, flat // 2].astype(np.int64)
         raw = np.where(flat % 2, byts & 0x0F, byts >> 4)  # high first
         n = raw - ((raw & 8) << 1)  # signed two's-complement nibble
-        pred = (s1 * c1 + s2 * c2) >> 8
+        pred = _trunc_div256(s1 * c1 + s2 * c2)
         cur = np.clip(pred + n * delta, -32768, 32767)
         s2, s1 = s1, cur
         delta = np.maximum(16, (adapt[raw] * delta) >> 8)
@@ -795,7 +811,7 @@ def encode_wav_ms_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
             s2, s1 = s2_0.copy(), s1_0.copy()
             for k in range(min(spb, 32)):  # error probe on a prefix
                 cur = sm(i0 + 2 + k)
-                pred = (s1 * c1t[ip] + s2 * c2t[ip]) >> 8
+                pred = _trunc_div256(s1 * c1t[ip] + s2 * c2t[ip])
                 err += int(np.abs(cur - pred).sum())
                 s2, s1 = s1, cur
             if best is None or err < best[1]:
@@ -807,7 +823,7 @@ def encode_wav_ms_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
         cnt = max(1, min(spb, 32))
         for k in range(cnt):
             cur = sm(i0 + 2 + k)
-            tot += np.abs(cur - ((s1 * c1t[ip] + s2 * c2t[ip]) >> 8))
+            tot += np.abs(cur - _trunc_div256(s1 * c1t[ip] + s2 * c2t[ip]))
             s2, s1 = s1, cur
         delta = np.maximum(16, tot // (cnt * 4))
         hdr = bytes([ip] * ch)
@@ -818,7 +834,7 @@ def encode_wav_ms_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
         nib = np.zeros((spb, ch), np.int64)
         for k in range(spb):
             cur = sm(i0 + 2 + k)
-            pred = (s1 * c1t[ip] + s2 * c2t[ip]) >> 8
+            pred = _trunc_div256(s1 * c1t[ip] + s2 * c2t[ip])
             q = np.clip((cur - pred + (np.sign(cur - pred) * delta) // 2)
                         // np.maximum(delta, 1), -8, 7)
             dec = np.clip(pred + q * delta, -32768, 32767)
@@ -835,7 +851,13 @@ def encode_wav_ms_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
                     body[fl // 2] |= int(nib[k, c]) << 4
         blocks += hdr + bytes(body)
     data = bytes(blocks)
-    fmt = struct.pack("<HHIIHHH", 2, ch, rate, rate * ba // per_block, ba, 4, 32)
+    # fmt extension per the spec: cbSize=32 = wSamplesPerBlock +
+    # wNumCoef + the 7 published coefficient pairs
+    ext = struct.pack("<HH", per_block, 7)
+    for i in range(7):
+        ext += struct.pack("<hh", int(c1t[i]), int(c2t[i]))
+    fmt = struct.pack("<HHIIHHH", 2, ch, rate, rate * ba // per_block,
+                      ba, 4, len(ext)) + ext
     riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<II", 4, n)
             + b"data" + struct.pack("<I", len(data)) + data)
@@ -905,7 +927,9 @@ def encode_wav_ima_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
         blocks += hdr + bytes(body)
     data = bytes(blocks)
     byte_rate = rate * ba // (spb + 1) // channels * channels
-    fmt = struct.pack("<HHIIHHH", 17, channels, rate, byte_rate, ba, 4, 2)
+    # fmt extension per the spec: cbSize=2 = wSamplesPerBlock
+    fmt = struct.pack("<HHIIHHHH", 17, channels, rate, byte_rate, ba, 4,
+                      2, spb + 1)
     riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<II", 4, n)
             + b"data" + struct.pack("<I", len(data)) + data)

@@ -12,9 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._registry import register, table
-from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _IVF_K,
-                  _IVF_NPROBE, _ann_vectors, _ivf_cells, _ivf_mean,
-                  _norm_col)
+from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _IVF_DIMS,
+                  _IVF_K, _IVF_NPROBE, _ann_vectors, _ivf_cells,
+                  _ivf_mean, _norm_col)
 
 
 def _pq_oracle_sql() -> str:
@@ -350,7 +350,7 @@ def _ivfpq_residual_expr(cents: dict, vec: str) -> F.Column:
 def _ivfpq_oracle_sql() -> str:
     ik, nprobe = _IVF_K, _IVF_NPROBE
     m, sub, k = PQ_M, PQ_SUB, PQ_K
-    dims = 64
+    dims = _IVF_DIMS
     cos = _DUCK_COS_SCALED.format(a="qe.v", b="ce.v")
 
     def dist(cv, v):
@@ -520,6 +520,14 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
              .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
 
     # exact cosine re-rank on the ORIGINAL vectors
+    return _cosine_rerank(short, e)
+
+
+def _cosine_rerank(short: DataFrame, e: DataFrame, topk: int = 5) -> DataFrame:
+    """(qid, cid) shortlist + (vec_id, v) vectors → exact-cosine top-k
+    (qid, cid, sim_scaled) — the shared re-rank tail of the PQ-ADC and
+    IVF+PQ gates (one code path so the flooring/tie-break can never
+    diverge between them)."""
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
     q = en.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
@@ -537,7 +545,7 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
     return (sims.withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= 5).drop("rn"))
+            .filter(F.col("rn") <= topk).drop("rn"))
 
 
 def _pq_ann(spark, sf_dir, cb: list | None = None):
@@ -549,10 +557,8 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
     if cb is None:
         cb = _pq_codebook(e)
     coded = e.select("vec_id", _pq_codes_array_expr(cb).alias("codes"))
-    en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
-    q = en.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("nv").alias("qn"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     adc = (
         coded.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("cid"),
@@ -561,17 +567,4 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
     ws = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
     short = (adc.withColumn("rn", F.row_number().over(ws))
              .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
-    dot = F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    sims = (
-        short.join(en.select(F.col("vec_id").alias("cid"),
-                             F.col("v").alias("cv"),
-                             F.col("nv").alias("cn")), "cid")
-        .join(F.broadcast(q), "qid")
-        .select("qid", "cid",
-                F.floor(1e6 * dot / (F.col("qn") * F.col("cn")))
-                .alias("sim_scaled"))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return (sims.withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= 5).drop("rn"))
+    return _cosine_rerank(short, e)

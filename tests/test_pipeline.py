@@ -1971,7 +1971,6 @@ def test_sketches_cms_and_hll(spark):
     sf = "/root/testdata/sf0.01"
     rows = x_cms_heavy_hitters(spark, sf).collect()
     assert len(rows) == 20
-    total = None
     for r in rows:
         assert r.cms_est >= r.cnt, (r.tok, r.cnt, r.cms_est)
     # eps*N with w=1024: N = total token count
@@ -1996,9 +1995,8 @@ def test_hll_sketch_merge_is_lossless(spark):
     max-agg IS the merge, so partitioning can never change the answer."""
     from pyspark.sql import functions as F
 
-    from sparkdon.pipeline.text import hll_estimate
-
-    from sparkdon.pipeline.text import hll_from_registers, hll_registers
+    from sparkdon.pipeline.text import (hll_estimate, hll_from_registers,
+                                        hll_registers)
 
     whole = spark.range(4000).select(
         F.lit("g").alias("grp"), F.col("id").cast("string").alias("item"))
