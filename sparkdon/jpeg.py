@@ -1,4 +1,4 @@
-"""JPEG (ITU-T T.81, 8-bit) decode — pure Python + numpy, no codec
+"""JPEG (ITU-T T.81, 8/12-bit) decode — pure Python + numpy, no codec
 library (reference exposure is ``show_image``,
 gastrodon/__init__.py:836-846; everything here is built from the public
 JPEG spec).
@@ -9,9 +9,10 @@ annex G — the majority layout of real web JPEGs, round 10), 1-, 3- or
 4-component scans (4 = Adobe CMYK/YCCK via the APP14 transform marker,
 inverted-ink convention, round 10 late), H/V sampling factors up to 2
 (4:4:4, 4:2:2, 4:2:0), restart markers, FF-stuffing, JFIF/EXIF APPn
-segments.  Arithmetic coding, 12-bit precision, and
-lossless/hierarchical raise ``NotImplementedError`` — a real boundary
-statement, not a stub.
+segments, and 12-bit precision on SOF1/SOF2 (round 10 late; samples
+reduce to the uint8 contract via ``>> 4``, the 16-bit-PNG high-byte
+convention).  Arithmetic coding and lossless/hierarchical raise
+``NotImplementedError`` — a real boundary statement, not a stub.
 
 Encoder twins (:func:`encode_jpeg` baseline, Annex K tables;
 :func:`encode_jpeg_progressive`, libjpeg-style scan script with
@@ -211,7 +212,11 @@ def decode_jpeg(payload: bytes):
                 i += 65 if pq == 0 else 129
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) and progressive (SOF2) also allow 12-bit (round
+            # 10; samples reduce to the uint8 contract via >> 4, the
+            # 16-bit-PNG high-byte convention)
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                 raise NotImplementedError(f"{prec}-bit JPEG")
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
@@ -220,7 +225,7 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            sof = {"h": h, "w": w, "comps": comps,
+            sof = {"h": h, "w": w, "comps": comps, "prec": prec,
                    "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -274,6 +279,16 @@ def decode_jpeg(payload: bytes):
     if prog_coeffs is not None:
         return _progressive_finish(sof, prog_coeffs, qt, adobe)
     raise ValueError("JPEG contains no scan data")
+
+
+def _shift(sof) -> float:
+    """DC level shift for the frame's sample precision (T.81 A.3.1)."""
+    return float(1 << (sof.get("prec", 8) - 1))
+
+
+def _scale(sof) -> float:
+    """Reduction factor from the frame's precision into 8-bit space."""
+    return float(1 << (sof.get("prec", 8) - 8))
 
 
 def _decode_scan(payload, pos, sof, scan, qt, restart_interval, adobe=None):
@@ -337,7 +352,10 @@ def _decode_scan(payload, pos, sof, scan, qt, restart_interval, adobe=None):
                         block = np.zeros(64)
                         block[_ZIGZAG] = coeffs[np.arange(64)]
                         dq = block.reshape(8, 8) * qt[c["tq"]]
-                        px = C.T @ dq @ C + 128.0
+                        # level shift at the source precision, then
+                        # reduce into 8-bit space so every downstream
+                        # stage (upsample, YCbCr, CMYK) is unchanged
+                        px = (C.T @ dq @ C + _shift(sof)) / _scale(sof)
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
@@ -595,7 +613,8 @@ def _progressive_finish(sof, coeffs, qt, adobe=None):
         nat = np.zeros((bh, bw, 64))
         nat[:, :, _ZIGZAG] = zz
         nat = nat.reshape(bh, bw, 8, 8) * qt[c["tq"]][None, None]
-        px = np.einsum("ij,abjk,kl->abil", C.T, nat, C) + 128.0
+        px = (np.einsum("ij,abjk,kl->abil", C.T, nat, C)
+              + _shift(sof)) / _scale(sof)
         plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
@@ -711,12 +730,13 @@ def _mag(v: int):
     return t, bits
 
 
-def _emit_baseline_block(bw, pred, ci, blk, q8, C, dct, act):
+def _emit_baseline_block(bw, pred, ci, blk, q8, C, dct, act,
+                         center: float = 128.0):
     """FDCT + quantize + Huffman-emit one 8x8 block (shared by the
     3-component and CMYK encoder twins)."""
     import numpy as np
 
-    coef = C @ (blk - 128.0) @ C.T
+    coef = C @ (blk - center) @ C.T
     qz = np.round(coef / q8).astype(np.int64)
     zz = qz.reshape(-1)[_ZIGZAG]
     diff = int(zz[0]) - pred[ci]
@@ -815,22 +835,35 @@ def encode_jpeg_cmyk(arr, quality_div: int = 8, transform: int = 0) -> bytes:
 
 
 def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, bits: int = 8) -> bytes:
     """HxWx3 uint8 → baseline JFIF bytes (test twin of
     :func:`decode_jpeg`).  ``quality_div`` divides the Annex K tables
     (higher = finer quantization = closer round-trip); ``subsample``
-    switches chroma to 4:2:0."""
+    switches chroma to 4:2:0.  ``bits=12`` (round 10) takes uint16
+    samples in [0, 4095] and emits an extended-sequential (SOF1) frame
+    with the Annex K tables scaled ×16 (written as 16-bit DQT entries),
+    so quantized coefficients stay inside the standard Huffman tables'
+    categories; quality_div ≤ 16 keeps that bound."""
     import numpy as np
 
+    if bits not in (8, 12):
+        raise ValueError("bits must be 8 or 12")
+    if bits == 12 and quality_div > 16:
+        raise ValueError("quality_div > 16 overflows the Annex K Huffman "
+                         "categories at 12-bit precision")
+    center = float(1 << (bits - 1))
+    qscale = 1 << (bits - 8)
     a = np.asarray(arr, dtype=np.float64)
     h, w = a.shape[0], a.shape[1]
     r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
     Y = 0.299 * r + 0.587 * g + 0.114 * b
-    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    Cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
 
-    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) // quality_div)
-    qc = np.maximum(1, np.array(_K_CHROMA, dtype=np.int64) // quality_div)
+    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) * qscale
+                    // quality_div)
+    qc = np.maximum(1, np.array(_K_CHROMA, dtype=np.int64) * qscale
+                    // quality_div)
     ql8, qc8 = ql.reshape(8, 8).astype(float), qc.reshape(8, 8).astype(float)
     C = _dct_matrix()
 
@@ -869,7 +902,7 @@ def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
 
     def emit_block(plane, y0, x0, q8, dct, act, ci):
         _emit_baseline_block(bw, pred, ci, plane[y0:y0 + 8, x0:x0 + 8],
-                             q8, C, dct, act)
+                             q8, C, dct, act, center)
 
     rst = 0
     mcu_count = 0
@@ -897,6 +930,10 @@ def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     def dqt(tq, q):
+        if int(q.max()) > 255:  # pq=1: 16-bit big-endian entries
+            zz = b"".join(struct.pack(">H", int(q[_ZIGZAG[k]]))
+                          for k in range(64))
+            return seg(0xDB, bytes([0x10 | tq]) + zz)
         zz = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
         return seg(0xDB, bytes([tq]) + zz)
 
@@ -906,7 +943,8 @@ def encode_jpeg(arr, quality_div: int = 8, subsample: bool = False,
     head = bytearray(b"\xff\xd8")
     head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     head += dqt(0, ql) + dqt(1, qc)
-    head += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+    head += seg(0xC0 if bits == 8 else 0xC1,
+                struct.pack(">BHHB", bits, h, w, 3)
                 + bytes([1, (hs << 4) | vs, 0])
                 + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
     head += dht(0, 0, *_K_DC_LUMA) + dht(1, 0, *_K_AC_LUMA)

@@ -1322,3 +1322,41 @@ def test_adpcm_unsupported_still_raises():
     wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(NotImplementedError):
         decode_wav(wav)
+
+
+# -- round-10 (late): 12-bit extended-sequential JPEG -----------------------
+
+def test_jpeg_12bit_roundtrip():
+    """12-bit (SOF1) encode→decode: uint16 samples in [0, 4095], output
+    reduced to uint8 via >> 4 (the 16-bit-PNG high-byte convention) —
+    noise round-trips within the scaled quant envelope and a smooth
+    gradient within 1 LSB."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    a12 = rng.integers(0, 4096, size=(16, 16, 3)).astype(np.uint16)
+    payload = encode_jpeg(a12, quality_div=16, bits=12)
+    assert b"\xff\xc1" in payload and b"\xff\xc0" not in payload
+    out = decode_jpeg(payload)
+    want = (a12 >> 4).astype(int)
+    assert int(np.max(np.abs(out.astype(int) - want))) <= 16
+
+    x = np.linspace(0, 4095, 64)
+    g = np.stack([np.tile(x, (64, 1))] * 3, axis=2).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(g, quality_div=16, bits=12))
+    assert int(np.max(np.abs(out.astype(int) - (g >> 4).astype(int)))) <= 2
+
+
+def test_jpeg_12bit_baseline_rejected():
+    """T.81: baseline (SOF0) frames are 8-bit only — a 12-bit SOF0 must
+    raise, and the encoder refuses table divisors that would overflow
+    the standard Huffman categories."""
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg
+
+    a12 = np.zeros((8, 8, 3), np.uint16)
+    payload = bytearray(encode_jpeg(a12, quality_div=16, bits=12))
+    payload[payload.index(b"\xff\xc1") + 1] = 0xC0  # forge baseline marker
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="quality_div"):
+        encode_jpeg(a12, quality_div=32, bits=12)
