@@ -977,20 +977,26 @@ def _uniform_table(symbols):
     return counts, bytes(syms)
 
 
-def _coeff_grids(arr, quality_div, subsample):
+def _coeff_grids(arr, quality_div, subsample, bits: int = 8):
     """HxWx3 → per-component zigzag quantized coefficient grids
     (bh_full, bw_full, 64) on the MCU-padded layout, plus geometry —
-    the shared front half of both encoders' math."""
+    the shared front half of both encoders' math.  ``bits=12`` shifts
+    at 2048 and scales the Annex K tables ×16 (same convention as
+    :func:`encode_jpeg`)."""
     import numpy as np
 
+    center = float(1 << (bits - 1))
+    qscale = 1 << (bits - 8)
     a = np.asarray(arr, dtype=np.float64)
     h, w = a.shape[0], a.shape[1]
     r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
     Y = 0.299 * r + 0.587 * g + 0.114 * b
-    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) // quality_div)
-    qc = np.maximum(1, np.array(_K_CHROMA, dtype=np.int64) // quality_div)
+    Cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ql = np.maximum(1, np.array(_K_LUMA, dtype=np.int64) * qscale
+                    // quality_div)
+    qc = np.maximum(1, np.array(_K_CHROMA, dtype=np.int64) * qscale
+                    // quality_div)
     ql8, qc8 = ql.reshape(8, 8).astype(float), qc.reshape(8, 8).astype(float)
     hs = vs = 2 if subsample else 1
     mcu_w, mcu_h = 8 * hs, 8 * vs
@@ -1018,7 +1024,7 @@ def _coeff_grids(arr, quality_div, subsample):
 
     def grid(plane, q8):
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-        blk = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0)
+        blk = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - center)
         import numpy as _np
 
         coef = _np.einsum("ij,abjk,kl->abil", C, blk, C.T)
@@ -1032,7 +1038,8 @@ def _coeff_grids(arr, quality_div, subsample):
 
 
 def encode_jpeg_progressive(arr, quality_div: int = 8, subsample: bool = False,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            bits: int = 8) -> bytes:
     """HxWx3 uint8 → progressive (SOF2) JFIF bytes — the fixture twin of
     the SOF2 path in :func:`decode_jpeg` (T.81 annex G).  The scan
     script mirrors the classic libjpeg default: an interleaved DC first
@@ -1040,7 +1047,7 @@ def encode_jpeg_progressive(arr, quality_div: int = 8, subsample: bool = False,
     firsts (all Al=1), then DC and AC refinements to Al=0 — exercising
     spectral selection, successive approximation, EOB runs, and (with
     ``restart_interval``) per-scan restart resets."""
-    grids, ge = _coeff_grids(arr, quality_div, subsample)
+    grids, ge = _coeff_grids(arr, quality_div, subsample, bits)
     h, w, hs, vs = ge["h"], ge["w"], ge["hs"], ge["vs"]
     mcus_x, mcus_y = ge["mcus_x"], ge["mcus_y"]
     # non-interleaved block grids (T.81 §A.2.2: the component's own dims)
@@ -1250,10 +1257,16 @@ def encode_jpeg_progressive(arr, quality_div: int = 8, subsample: bool = False,
 
     head = bytearray(b"\xff\xd8")
     head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    zz_l = bytes(int(ge["ql"][_ZIGZAG[k]]) for k in range(64))
-    zz_c = bytes(int(ge["qc"][_ZIGZAG[k]]) for k in range(64))
-    head += _seg(0xDB, bytes([0]) + zz_l) + _seg(0xDB, bytes([1]) + zz_c)
-    head += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+    def _dqt(tq, q):
+        if int(max(q)) > 255:  # pq=1: 16-bit big-endian entries
+            zz = b"".join(struct.pack(">H", int(q[_ZIGZAG[k]]))
+                          for k in range(64))
+            return _seg(0xDB, bytes([0x10 | tq]) + zz)
+        return _seg(0xDB, bytes([tq]) + bytes(int(q[_ZIGZAG[k]])
+                                              for k in range(64)))
+
+    head += _dqt(0, ge["ql"]) + _dqt(1, ge["qc"])
+    head += _seg(0xC2, struct.pack(">BHHB", bits, h, w, 3)
                  + bytes([1, (hs << 4) | vs, 0])
                  + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
     if restart_interval:

@@ -1347,6 +1347,23 @@ def test_jpeg_12bit_roundtrip():
     assert int(np.max(np.abs(out.astype(int) - (g >> 4).astype(int)))) <= 2
 
 
+def test_jpeg_12bit_progressive_matches_baseline():
+    """12-bit SOF2: the progressive stream's accumulated coefficients
+    must decode to EXACTLY the pixels of the 12-bit baseline stream
+    built from the same quantized blocks (the same cross-check the
+    8-bit paths assert)."""
+    from sparkdon.jpeg import (decode_jpeg, encode_jpeg,
+                               encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    a12 = rng.integers(0, 4096, size=(16, 16, 3)).astype(np.uint16)
+    prog = decode_jpeg(encode_jpeg_progressive(a12, quality_div=16, bits=12))
+    base = decode_jpeg(encode_jpeg(a12, quality_div=16, bits=12))
+    assert np.array_equal(prog, base)
+    want = (a12 >> 4).astype(int)
+    assert int(np.max(np.abs(prog.astype(int) - want))) <= 16
+
+
 def test_jpeg_12bit_baseline_rejected():
     """T.81: baseline (SOF0) frames are 8-bit only — a 12-bit SOF0 must
     raise, and the encoder refuses table divisors that would overflow
