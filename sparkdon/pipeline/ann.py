@@ -487,8 +487,32 @@ def x_sim_ivf(spark, sf_dir):
             F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
+    return salted_qid_topk(sims, k=5)
+
+
+def salted_qid_topk(sims: DataFrame, k: int = 5, nsalts: int = 32) -> DataFrame:
+    """Two-stage per-qid cosine top-k over a (qid, cid, sim_scaled)
+    frame, identical output to the single ``Window.partitionBy("qid")``
+    form: stage 1 takes the local top-k within (qid, cid-hash-salt) over
+    ``nsalts`` deterministic salts, stage 2 the global per-qid top-k over
+    the ≤ nsalts·k survivors.  The union of per-salt top-k supersets the
+    global top-k and both stages share the (sim DESC, cid ASC) tie-break,
+    so the result — and every gate's oracle — is unchanged.
+
+    100 TB shape: a single per-qid window caps parallelism at the query
+    count and pins each query's WHOLE candidate set on one task (the
+    x_sim_ivfpq 100× probe measured a 12.6× decade slope from exactly
+    this before its salted rewrite, PERF.md round-10); salting bounds
+    per-task rows at |cand|/nsalts and scales task count with
+    queries×nsalts."""
+    salt = F.pmod(F.crc32(F.col("cid").cast("string")), F.lit(nsalts))
+    salted = Window.partitionBy("qid", salt).orderBy(
+        F.desc("sim_scaled"), F.asc("cid"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return (sims.withColumn("rn", F.row_number().over(salted))
+            .filter(F.col("rn") <= k).drop("rn")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
 
 
 def kmeans_fit(df: DataFrame, k: int, iters: int = 5):

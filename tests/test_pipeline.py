@@ -2010,3 +2010,28 @@ def test_hll_sketch_merge_is_lossless(spark):
                    .groupBy("grp", "j").agg(F.max("mj").alias("mj")))
     merged = hll_from_registers(merged_regs, "grp").collect()[0]["e"]
     assert one_pass == merged
+
+
+def test_salted_qid_topk_identical_to_single_window(spark):
+    """salted_qid_topk must be output-identical to the single per-qid
+    window it replaces in x_sim_ivf — including when ties on sim_scaled
+    straddle salt buckets (tie-break is cid ASC in both stages) and when
+    a qid has fewer than k candidates."""
+    from pyspark.sql import Window
+    from sparkdon.pipeline.ann import salted_qid_topk
+
+    rows = []
+    # qid 0: 200 candidates, many exact ties (sim = cid % 7) so the
+    # winning set depends entirely on the cid tie-break across salts
+    rows += [(0, cid, cid % 7) for cid in range(100, 300)]
+    # qid 1: fewer than k candidates
+    rows += [(1, cid, 50 - cid) for cid in (7, 8)]
+    # qid 2: all candidates share one sim value
+    rows += [(2, cid, 5) for cid in range(1000, 1040)]
+    sims = spark.createDataFrame(rows, "qid int, cid int, sim_scaled long")
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
+    naive = (sims.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).drop("rn"))
+    got = salted_qid_topk(sims, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
