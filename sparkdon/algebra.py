@@ -115,6 +115,16 @@ class ServiceGroup:
 
 
 @dataclass
+class GraphGroup:
+    """SPARQL 1.1 ``GRAPH VarOrIri { ... }`` — evaluate the inner group
+    against one named graph (IRI constant) or against every named graph
+    with the variable bound to the graph name (§13.3)."""
+
+    term: object  # Var | IRI
+    group: "GroupPattern"
+
+
+@dataclass
 class GroupPattern:
     """A `{ ... }` group: ordered elements (patterns and operators)."""
 
@@ -181,6 +191,10 @@ class SelectQuery:
     order_by: list = field(default_factory=list)  # list[(Expr, 'asc'|'desc')]
     limit: int | None = None
     offset: int | None = None
+    #: SPARQL 1.1 §13.2 dataset clause: ``(from_iris, from_named_iris)``
+    #: tuples, or None when the query has no FROM/FROM NAMED (store
+    #: dataset applies)
+    dataset: tuple | None = None
 
 
 @dataclass
@@ -188,11 +202,13 @@ class ConstructQuery:
     template: list  # list[TriplePattern]
     where: GroupPattern = None
     limit: int | None = None
+    dataset: tuple | None = None
 
 
 @dataclass
 class AskQuery:
     where: GroupPattern = None
+    dataset: tuple | None = None
 
 
 @dataclass
@@ -203,6 +219,7 @@ class DescribeQuery:
 
     resources: list | str
     where: GroupPattern | None = None
+    dataset: tuple | None = None
 
 
 @dataclass
@@ -210,9 +227,16 @@ class UpdateRequest:
     delete_template: list | None
     insert_template: list | None
     where: GroupPattern | None
-    #: "DEFAULT" | "ALL" for CLEAR requests (single-graph store: both
-    #: empty the default graph); None for template updates
+    #: "DEFAULT" | "NAMED" | "ALL" | "GRAPH" for CLEAR requests (GRAPH
+    #: carries the target in ``clear_graph``); None for template updates
     clear: str | None = None
+    clear_graph: IRI | None = None
+    #: CLEAR SILENT …: suppress the absent-graph failure (§3.2.3)
+    silent: bool = False
+    #: ground quads from ``GRAPH <g> { ... }`` blocks inside INSERT DATA /
+    #: DELETE DATA: list of (IRI, TriplePattern)
+    insert_quads: list | None = None
+    delete_quads: list | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +406,10 @@ class Parser:
             q = self.parse_construct()
         elif self.at_keyword("ASK"):
             self.next()
-            q = AskQuery(where=self.parse_group())
+            ds = self.parse_dataset_clauses()
+            if self.at_keyword("WHERE"):
+                self.next()
+            q = AskQuery(where=self.parse_group(), dataset=ds)
         elif self.at_keyword("DESCRIBE"):
             q = self.parse_describe()
         else:
@@ -422,6 +449,35 @@ class Parser:
                     self.text, pos,
                     f"blank nodes are not allowed in {where}")
 
+    def parse_quad_data(self) -> tuple[list, list | None]:
+        """QuadData (SPARQL 1.1 Update §19.8): ``{ triples (GRAPH <g> {
+        triples })* triples … }`` — returns ``(default_graph_triples,
+        [(graph_iri, triple), …] or None)``; everything ground."""
+        self.expect("{")
+        tpl: list = []
+        quads: list = []
+        while True:
+            t = self.peek()
+            if t.text == "}":
+                self.next()
+                break
+            if self.at_keyword("GRAPH"):
+                self.next()
+                g = self.parse_iri()
+                self.expect("{")
+                inner = self.parse_triples_block(allow_vars=False)
+                self.expect("}")
+                quads.extend((g, tr) for tr in inner)
+                self.accept(".")
+                continue
+            block = self.parse_triples_block(allow_vars=False,
+                                             stop_at_keywords=True)
+            if not block:
+                raise SparqlSyntaxError(
+                    self.text, t.pos, f"unexpected {t.text!r} in quad data")
+            tpl.extend(block)
+        return tpl, (quads or None)
+
     def _parse_update_op(self) -> UpdateRequest:
         delete_t = insert_t = None
         if self.at_keyword("CLEAR"):
@@ -430,36 +486,31 @@ class Parser:
             if self.at_keyword("SILENT"):
                 self.next()
                 silent = True
-            for tgt in ("DEFAULT", "ALL"):
+            for tgt in ("DEFAULT", "ALL", "NAMED"):
                 if self.at_keyword(tgt):
                     self.next()
-                    return UpdateRequest(None, None, None, clear=tgt)
-            # GRAPH <iri> / NAMED: unsupported targets on this
-            # single-graph store.  Per SPARQL 1.1 Update §3.2.3 SILENT
-            # suppresses the failure — consume the target and no-op;
-            # without SILENT the error is the correct outcome.
+                    return UpdateRequest(None, None, None, clear=tgt,
+                                         silent=silent)
             t = self.peek()
-            if self.at_keyword("NAMED"):
+            if self.at_keyword("GRAPH"):
                 self.next()
-                if silent:
-                    return UpdateRequest(None, None, None)
-            elif self.at_keyword("GRAPH"):
-                self.next()
-                self.parse_iri()  # the target graph IRI
-                if silent:
-                    return UpdateRequest(None, None, None)
+                return UpdateRequest(None, None, None, clear="GRAPH",
+                                     clear_graph=self.parse_iri(),
+                                     silent=silent)
+            # SILENT (SPARQL 1.1 Update §3.2.3) suppresses failure on an
+            # unrecognized target — consume nothing and no-op
+            if silent:
+                return UpdateRequest(None, None, None)
             raise SparqlSyntaxError(
                 self.text, t.pos,
-                "CLEAR supports DEFAULT or ALL on this single-graph "
-                f"store (got {t.text!r}; add SILENT for a no-op)")
+                "CLEAR supports DEFAULT, NAMED, ALL, or GRAPH <iri> "
+                f"(got {t.text!r}; add SILENT for a no-op)")
         if self.at_keyword("INSERT"):
             self.next()
             if self.at_keyword("DATA"):
                 self.next()
-                self.expect("{")
-                tpl = self.parse_triples_block(allow_vars=False)
-                self.expect("}")
-                return UpdateRequest(None, tpl, None)
+                tpl, quads = self.parse_quad_data()
+                return UpdateRequest(None, tpl, None, insert_quads=quads)
             self.expect("{")
             insert_t = self.parse_triples_block()
             self.expect("}")
@@ -467,14 +518,13 @@ class Parser:
             self.next()
             if self.at_keyword("DATA"):
                 self.next()
-                self.expect("{")
                 pos = self.peek().pos
-                tpl = self.parse_triples_block(allow_vars=False)
-                self.expect("}")
+                tpl, quads = self.parse_quad_data()
                 # §3.1.2: blank nodes are not permitted in DELETE DATA
                 # (they are fine in INSERT DATA, where they mint nodes)
-                self._reject_bnodes(tpl, pos, "DELETE DATA")
-                return UpdateRequest(tpl, None, None)
+                self._reject_bnodes(tpl + [q[1] for q in (quads or [])],
+                                    pos, "DELETE DATA")
+                return UpdateRequest(tpl, None, None, delete_quads=quads)
             if self.at_keyword("WHERE"):
                 # DELETE WHERE { P }: the quad pattern is both the
                 # delete template and the WHERE clause (SPARQL 1.1
@@ -542,6 +592,7 @@ class Parser:
                     break
             if not q.projections:
                 raise SparqlSyntaxError(self.text, self.peek().pos, "empty SELECT list")
+        q.dataset = self.parse_dataset_clauses()
         if self.at_keyword("WHERE"):
             self.next()
         q.where = self.parse_group()
@@ -603,18 +654,42 @@ class Parser:
                 q.offset = int(self.next().text)
         return q
 
+    def parse_dataset_clauses(self) -> tuple | None:
+        """``FROM <g>`` / ``FROM NAMED <g>`` clauses (SPARQL 1.1 §13.2).
+
+        Returns ``(from_iris, from_named_iris)`` as tuples of IRI, or
+        None when absent.  Per the spec, the presence of ANY clause
+        replaces the store's dataset: the default graph is the merge of
+        the FROM graphs (empty if only FROM NAMED appears) and the named
+        set is exactly the FROM NAMED list (empty if only FROM appears).
+        """
+        dflt: list = []
+        named: list = []
+        seen = False
+        while self.at_keyword("FROM"):
+            self.next()
+            seen = True
+            if self.at_keyword("NAMED"):
+                self.next()
+                named.append(self.parse_iri())
+            else:
+                dflt.append(self.parse_iri())
+        return (tuple(dflt), tuple(named)) if seen else None
+
     def parse_construct(self) -> ConstructQuery:
         self.expect_keyword("CONSTRUCT")
         self.expect("{")
         template = self.parse_triples_block()
         self.expect("}")
+        dataset = self.parse_dataset_clauses()
         self.expect_keyword("WHERE")
         where = self.parse_group()
         limit = None
         if self.at_keyword("LIMIT"):
             self.next()
             limit = int(self.next().text)
-        return ConstructQuery(template=template, where=where, limit=limit)
+        return ConstructQuery(template=template, where=where, limit=limit,
+                              dataset=dataset)
 
     def parse_describe(self) -> DescribeQuery:
         self.expect_keyword("DESCRIBE")
@@ -637,13 +712,14 @@ class Parser:
                 raise SparqlSyntaxError(
                     self.text, self.peek().pos,
                     "DESCRIBE needs at least one IRI or variable (or *)")
+        dataset = self.parse_dataset_clauses()
         where = None
         if self.at_keyword("WHERE"):
             self.next()
             where = self.parse_group()
         elif self.peek().text == "{":
             where = self.parse_group()
-        return DescribeQuery(resources=resources, where=where)
+        return DescribeQuery(resources=resources, where=where, dataset=dataset)
 
     def parse_bracketted_expr(self) -> Expr:
         if self.peek().text == "(":
@@ -704,6 +780,16 @@ class Parser:
             elif self.at_keyword("OPTIONAL"):
                 self.next()
                 g.elements.append(OptionalGroup(self.parse_group()))
+                self.accept(".")
+            elif self.at_keyword("GRAPH"):
+                self.next()
+                gt = self.peek()
+                if gt.kind == "VAR":
+                    self.next()
+                    term = Var(gt.text[1:])
+                else:
+                    term = self.parse_iri()
+                g.elements.append(GraphGroup(term, self.parse_group()))
                 self.accept(".")
             elif self.at_keyword("MINUS"):
                 self.next()
@@ -791,6 +877,7 @@ class Parser:
             if stop_at_keywords and t.kind == "KEYWORD" and t.text.upper() in (
                 "FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "UNION",
                 "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "SERVICE",
+                "GRAPH",
             ):
                 return out
             if t.text == "{":

@@ -39,9 +39,9 @@ from pyspark.sql import functions as F
 from sparkdon import paths as path_mod
 from sparkdon.algebra import (
     AggExpr, AskQuery, Bind, ConstructQuery, ExistsExpr, Expr, Filter,
-    FuncExpr, GroupPattern, InExpr, MinusGroup, OpExpr, OptionalGroup, Path,
-    SelectQuery, ServiceGroup, SubSelect, TermExpr, TriplePattern, UnionGroup,
-    UpdateRequest, ValuesClause, Var,
+    FuncExpr, GraphGroup, GroupPattern, InExpr, MinusGroup, OpExpr,
+    OptionalGroup, Path, SelectQuery, ServiceGroup, SubSelect, TermExpr,
+    TriplePattern, UnionGroup, UpdateRequest, ValuesClause, Var,
 )
 from sparkdon.errors import QueryExecutionError
 from sparkdon.operators.dictionary import term_id
@@ -104,7 +104,8 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
             elif isinstance(el, UnionGroup):
                 for b in el.branches:
                     collect_banned(b)
-            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup,
+                                 GraphGroup)):
                 collect_banned(el.group)
             elif isinstance(el, GroupPattern):
                 collect_banned(el)
@@ -127,7 +128,11 @@ def _injectable_vars(g: GroupPattern) -> set[str]:
                     out |= set.intersection(*branch_sets)
             elif isinstance(el, Bind):
                 banned.add(el.var.name)
-            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+            elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup,
+                                 GraphGroup)):
+                # conservative: triples inside GRAPH bind against a
+                # different active graph, so they don't make a var
+                # injectable at this level
                 collect_banned(el.group)
             elif isinstance(el, GroupPattern):
                 collect_banned(el)
@@ -167,6 +172,10 @@ def _group_var_names(g: GroupPattern) -> set[str]:
                     if isinstance(t, Var):
                         out.add(t.name)
             elif isinstance(el, (OptionalGroup, MinusGroup, ServiceGroup)):
+                walk(el.group)
+            elif isinstance(el, GraphGroup):
+                if isinstance(el.term, Var):
+                    out.add(el.term.name)
                 walk(el.group)
             elif isinstance(el, UnionGroup):
                 for b in el.branches:
@@ -239,9 +248,16 @@ _construct_nonce = itertools.count()
 
 class Compiler:
     def __init__(self, spark: SparkSession, triples: DataFrame,
-                 use_ids: bool = False):
+                 use_ids: bool = False, named: DataFrame | None = None):
         self.spark = spark
         self.triples = triples
+        #: named-graph store: QUAD_SCHEMA frame (triple columns + ``g``
+        #: graph IRI), or None when the endpoint has no named graphs —
+        #: ``GRAPH`` then matches nothing, per SPARQL §13.3
+        self.named = named
+        #: set while compiling inside ``GRAPH ?var { … }``: the variable
+        #: name each pattern scan must additionally bind from ``g``
+        self.graph_var: str | None = None
         self._uid = itertools.count()
         #: ``use_ids`` (SURVEY.md §4.3 term-dictionary v2): variables whose
         #: *values* are never needed — they only connect triple patterns —
@@ -337,6 +353,14 @@ class Compiler:
                 elif isinstance(el, OptionalGroup):
                     walk_group(el.group)
                 elif isinstance(el, MinusGroup):
+                    walk_group(el.group)
+                elif isinstance(el, GraphGroup):
+                    # the graph name is materialized as a term struct
+                    # (iri_term over ``g``), and inner patterns scan the
+                    # quad store — keep all involved vars value-encoded
+                    if isinstance(el.term, Var):
+                        value.add(el.term.name)
+                    value.update(_group_var_names(el.group))
                     walk_group(el.group)
                 elif isinstance(el, UnionGroup):
                     for b in el.branches:
@@ -455,6 +479,12 @@ class Compiler:
         handle(tp.o, self._object_struct(),
                term_id(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")),
                o_eq)
+        if self.graph_var is not None:
+            # inside GRAPH ?g: every pattern scan additionally binds the
+            # graph name; handle() reuses the repeated-var equality when
+            # ?g also occupies an s/p/o position of this pattern
+            handle(Var(self.graph_var), iri_term(F.col("g")),
+                   term_id(F.lit(KIND_IRI), F.col("g")), None)
 
         # decode relations for late-materialized vars: exactly this
         # pattern's (constant-filtered, hence pushdown-pruned) scan,
@@ -473,6 +503,14 @@ class Compiler:
     def compile_path_pattern(self, tp: TriplePattern,
                              anchor_sets: dict | None = None,
                              prior: Bindings | None = None) -> Bindings:
+        if self.graph_var is not None:
+            # honest boundary: the closure machinery evaluates one graph
+            # at a time (GRAPH <iri> { p* } works — the store is
+            # pre-sliced); a per-named-graph closure under a graph
+            # VARIABLE would need graph-keyed fixpoint state
+            raise QueryExecutionError(
+                "property paths inside GRAPH ?var are not supported; "
+                "use a constant graph IRI")
         start_const = None if isinstance(tp.s, Var) else tp.s
         end_const = None if isinstance(tp.o, Var) else tp.o
         # VALUES-driven anchor sets: a closure path whose endpoint var is
@@ -785,6 +823,8 @@ class Compiler:
                 bindings = self.join(bindings, self.compile_select(el.query))
             elif isinstance(el, ServiceGroup):
                 bindings = self.join(bindings, self.compile_service(el, bindings))
+            elif isinstance(el, GraphGroup):
+                bindings = self.join(bindings, self.compile_graph_group(el))
             elif isinstance(el, Filter):
                 deferred.append(el.expr)
             else:
@@ -794,6 +834,51 @@ class Compiler:
         for expr in deferred:
             bindings = self.apply_filter(bindings, expr)
         return bindings
+
+    def compile_graph_group(self, el: GraphGroup) -> Bindings:
+        """``GRAPH VarOrIri { … }`` (SPARQL §13.3): swap the pattern
+        store to the named-graph slice for the inner group.
+
+        - constant IRI: the quad store is pre-filtered to that graph and
+          the ``g`` column dropped, so EVERY inner construct — plain
+          patterns, property paths, nested operators — runs unchanged
+          against the slice (filter + column prune both push into the
+          scan);
+        - variable: inner pattern scans run against the full quad store
+          with the variable bound from ``g`` per scan (set
+          ``self.graph_var``); pattern joins then equate the graph name
+          across patterns like any shared variable.  No per-graph loop —
+          one distributed plan regardless of how many named graphs exist
+          (graph-per-document layouts at 100 TB make driver-side graph
+          iteration a non-starter).
+        """
+        from sparkdon.terms import QUAD_SCHEMA
+
+        named = self.named
+        if named is None:
+            named = self.spark.createDataFrame([], QUAD_SCHEMA)
+        saved_triples, saved_var = self.triples, self.graph_var
+        try:
+            if isinstance(el.term, Var):
+                self.triples = named
+                self.graph_var = el.term.name
+            else:
+                self.triples = named.filter(
+                    F.col("g") == str(el.term)).drop("g")
+                self.graph_var = None
+            out = self.compile_group(el.group)
+        finally:
+            self.triples, self.graph_var = saved_triples, saved_var
+        if isinstance(el.term, Var) and el.term.name not in out.variables:
+            # inner group has no triple pattern (e.g. GRAPH ?g {} or a
+            # pure-FILTER body): §13.3 still iterates the named graphs,
+            # binding ?g to each distinct graph name
+            gname = el.term.name
+            graphs = Bindings(
+                named.select(iri_term(F.col("g")).alias(vcol(gname))).distinct(),
+                [gname], {gname})
+            out = self.join(graphs, out)
+        return out
 
     @staticmethod
     def _reorder_for_sip(elements):

@@ -104,6 +104,50 @@ def read_ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataF
     ).dropDuplicates()  # graph set semantics (RDFContainers#cell15-16)
 
 
+#: N-Quads: the N-Triples line with an optional graph-label IRI before
+#: the dot (group 9).  Blank-node graph labels are not modeled (the quad
+#: store's ``g`` column is an IRI string); such lines drop (or raise
+#: under strict) like any other unparseable line.
+_NQ_LINE = _NT_LINE.replace(r")\s*\.\s*$", r")(?:\s+<([^>]*)>)?\s*\.\s*$")
+
+
+def read_nquads(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
+    """Parse an N-Quads file into a quad DataFrame (triple columns +
+    nullable ``g``; null = default-graph statement).  Same JVM-side
+    splittable scan as :func:`read_ntriples` — N-Quads is the
+    line-delimited named-graph interchange format, so a 1000-executor
+    cluster parallelizes the parse for free.
+
+    Split into an endpoint with ``g IS NULL`` → default graph and the
+    rest → named store (:func:`sparkdon.session.from_nquads` does
+    exactly that)."""
+    lines = spark.read.text(path)
+    content = lines.filter(~F.col("value").rlike(r"^\s*(#.*)?$"))
+    if strict:
+        bad = content.filter(~F.col("value").rlike(_NQ_LINE))
+        sample = [r["value"] for r in bad.limit(3).collect()]
+        if sample:
+            raise SparkdonError(
+                f"malformed N-Quads line(s), e.g. {sample[0][:120]!r}")
+    parsed = content.select(
+        *[F.regexp_extract("value", _NQ_LINE, i).alias(f"g{i}") for i in range(1, 10)],
+    ).filter(F.col("g3") != "")
+    return parsed.select(
+        F.when(F.col("g2") != "", F.lit(KIND_BNODE)).otherwise(F.lit(KIND_IRI)).alias("s_kind"),
+        F.when(F.col("g2") != "", F.expr("substring(g2, 3)")).otherwise(F.col("g1")).alias("s"),
+        F.col("g3").alias("p"),
+        F.when(F.col("g4") != "", F.lit(KIND_IRI))
+        .when(F.col("g5") != "", F.lit(KIND_BNODE))
+        .otherwise(F.lit(KIND_LIT)).alias("o_kind"),
+        F.when(F.col("g4") != "", F.col("g4"))
+        .when(F.col("g5") != "", F.expr("substring(g5, 3)"))
+        .otherwise(_unescape_col(F.col("g6"))).alias("o"),
+        F.when(F.col("g7") != "", F.col("g7")).alias("o_dt"),
+        F.when(F.col("g8") != "", F.col("g8")).alias("o_lang"),
+        F.when(F.col("g9") != "", F.col("g9")).alias("g"),
+    ).dropDuplicates()
+
+
 # ---------------------------------------------------------------------------
 # Turtle (S2) — driver-side parser built on the SPARQL tokenizer
 # ---------------------------------------------------------------------------
@@ -167,9 +211,79 @@ def parse_turtle(text: str, prefixes: dict | None = None) -> list[tuple]:
     return TurtleParser(text, prefixes).parse_document()
 
 
+class TriGParser(TurtleParser):
+    """TriG subset parser: Turtle statements (default graph) interleaved
+    with ``[GRAPH] <g> { turtle-statements }`` named-graph blocks.
+    Graph labels are IRIs/prefixed names (blank-node graph labels are a
+    TriG corner the quad store's string ``g`` column does not model).
+
+    Returns ``(triple_rows, quad_rows)`` — encoded tuples for
+    :func:`triples_df` / :func:`quads_df`."""
+
+    def parse_quads_document(self) -> tuple[list[tuple], list[tuple]]:
+        triples: list = []
+        quads: list = []  # (graph_iri_str, TriplePattern)
+        while True:
+            t = self.peek()
+            if t.kind == "EOF":
+                break
+            if t.kind == "LANGTAG" and t.text in ("@prefix", "@base"):
+                self.next()
+                if t.text == "@prefix":
+                    pn = self.next()
+                    iri = self.next()
+                    self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+                else:
+                    self.base = self.next().text[1:-1]
+                self.expect(".")
+                continue
+            if self.at_keyword("PREFIX", "BASE"):
+                self.parse_prologue()
+                continue
+            is_block = (self.at_keyword("GRAPH")
+                        or (t.kind in ("IRIREF", "PNAME")
+                            and self.peek(1).text == "{"))
+            if is_block:
+                if self.at_keyword("GRAPH"):
+                    self.next()
+                g = self.parse_iri()
+                self.expect("{")
+                block: list = []
+                while self.peek().text != "}":
+                    subject = self.parse_term_or_bnode_props(block)
+                    self.parse_property_list(subject, block)
+                    if not self.accept("."):
+                        break
+                self.expect("}")
+                self.accept(".")
+                quads.extend((str(g), tp) for tp in block)
+                continue
+            subject = self.parse_term_or_bnode_props(triples)
+            self.parse_property_list(subject, triples)
+            if self.peek().kind == "EOF":
+                break
+            self.expect(".")
+        return (
+            [_encode_triple(tp.s, tp.p, tp.o) for tp in triples],
+            [_encode_triple(tp.s, tp.p, tp.o) + (g,) for g, tp in quads],
+        )
+
+
+def parse_trig(text: str, prefixes: dict | None = None) -> tuple[list, list]:
+    """TriG text → ``(triple_rows, quad_rows)`` (default graph, named)."""
+    return TriGParser(text, prefixes).parse_quads_document()
+
+
 def triples_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     """Materialize triple rows as a DataFrame with graph set semantics."""
     return spark.createDataFrame(rows, TRIPLE_SCHEMA).dropDuplicates()
+
+
+def quads_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Materialize (triple + graph IRI) rows as a named-graph store."""
+    from sparkdon.terms import QUAD_SCHEMA
+
+    return spark.createDataFrame(rows, QUAD_SCHEMA).dropDuplicates()
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +375,26 @@ def ttl_string(triples: DataFrame, prefixes: dict[str, str] | None = None,
 
 def write_ntriples(triples: DataFrame, path: str) -> None:
     """Distributed N-Triples writer: format each row JVM-side, write text."""
+    triples.select(_nt_line_col().alias("value")).write.mode("overwrite").text(path)
+
+
+def write_nquads(quads: DataFrame, path: str) -> None:
+    """Distributed N-Quads writer: rows with a non-null ``g`` get the
+    graph label; null-``g`` (default graph) rows serialize as plain
+    triple lines, so the output round-trips through
+    :func:`read_nquads`."""
+    line = F.concat_ws(
+        " ",
+        _nt_line_col(terminator=False),
+        F.when(F.col("g").isNotNull(),
+               F.concat(F.lit("<"), F.col("g"), F.lit(">"))),
+        F.lit("."),
+    )
+    quads.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def _nt_line_col(terminator: bool = True):
+    """The N-Triples serialization of a triple row as a JVM-side Column."""
 
     def esc(col):
         c = F.regexp_replace(col, r"\\", r"\\\\")
@@ -284,14 +418,14 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
             F.when(kind == KIND_IRI, iri).when(kind == KIND_BNODE, bnode).otherwise(lit)
         )
 
-    line = F.concat_ws(
-        " ",
+    parts = [
         term(F.col("s_kind"), F.col("s")),
         F.concat(F.lit("<"), F.col("p"), F.lit(">")),
         term(F.col("o_kind"), F.col("o"), F.col("o_dt"), F.col("o_lang")),
-        F.lit("."),
-    )
-    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+    ]
+    if terminator:
+        parts.append(F.lit("."))
+    return F.concat_ws(" ", *parts)
 
 
 def nt_string(triples: DataFrame, limit: int = 100_000) -> str:

@@ -165,7 +165,7 @@ class Endpoint:
 
     # -- compilation hooks (overridden by endpoint kinds) --------------
 
-    def _compiler(self) -> Compiler:
+    def _compiler(self, q=None) -> Compiler:
         raise NotImplementedError
 
     # -- the select pipeline (Q1, Q2, Q7) ------------------------------
@@ -179,7 +179,7 @@ class Endpoint:
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, SelectQuery):
             raise SparkdonError("select() requires a SELECT query")
-        return self._compiler().compile_select(q).df
+        return self._compiler(q).compile_select(q).df
 
     def explain(self, sparql: str, bindings: dict | None = None,
                 mode: str = "formatted") -> str:
@@ -202,7 +202,7 @@ class Endpoint:
         q = _parse_query_cached(prepared, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, SelectQuery):
             raise SparkdonError("select() requires a SELECT query")
-        sdf = self._compiler().compile_select(q)
+        sdf = self._compiler(q).compile_select(q)
         pdf_raw = sdf.df.toPandas()
         out: dict[str, pd.Series] = {}
         for name in sdf.variables:
@@ -293,7 +293,7 @@ class Endpoint:
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, ConstructQuery):
             raise SparkdonError("construct() requires a CONSTRUCT query")
-        out = self._compiler().compile_construct(q)
+        out = self._compiler(q).compile_construct(q)
         return LocalEndpoint(self.spark, out, prefixes=self.prefixes, base_uri=self.base_uri)
 
     def ask(self, sparql: str, bindings: dict | None = None) -> bool:
@@ -301,7 +301,7 @@ class Endpoint:
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, AskQuery):
             raise SparkdonError("ask() requires an ASK query")
-        return self._compiler().compile_ask(q)
+        return self._compiler(q).compile_ask(q)
 
 
 def _int_or_keep(lex: str):
@@ -371,15 +371,48 @@ class LocalEndpoint(Endpoint):
 
     def __init__(self, spark: SparkSession, graph: DataFrame,
                  prefixes: dict[str, str] | None = None, base_uri: str | None = None,
-                 use_ids: bool = False):
+                 use_ids: bool = False, named: DataFrame | None = None,
+                 union_default: bool = False):
         super().__init__(spark, prefixes, base_uri)
         self.graph = graph
         #: opt-in: carry join-only variables as 64-bit term ids through
         #: shuffles (compile.py ``use_ids`` — SURVEY.md §4.3 dictionary v2)
         self.use_ids = use_ids
+        #: named-graph store (terms.QUAD_SCHEMA: triple columns + ``g``);
+        #: None = no named graphs, GRAPH matches nothing
+        self.named = named
+        #: rdflib-ConjunctiveGraph compatibility: queries without a
+        #: dataset clause see default ∪ named (deduped) as the default
+        #: graph, the way the reference's ConjunctiveGraph answers
+        #: non-GRAPH patterns from all contexts
+        self.union_default = union_default
 
-    def _compiler(self) -> Compiler:
-        return Compiler(self.spark, self.graph, use_ids=self.use_ids)
+    def _compiler(self, q=None) -> Compiler:
+        from pyspark.sql import functions as F
+
+        triples, named = self.graph, self.named
+        if named is not None and self.union_default:
+            triples = triples.unionByName(named.drop("g")).dropDuplicates()
+        ds = getattr(q, "dataset", None)
+        if ds is not None:
+            # SPARQL 1.1 §13.2: any FROM/FROM NAMED replaces the store
+            # dataset — default := merge of the FROM graphs (empty when
+            # only FROM NAMED appears), named := the FROM NAMED set.
+            # Graph names resolve against the named store; identical
+            # triples across merged graphs collapse (set semantics).
+            dflt, nmd = ds
+            src = named
+            if src is None:
+                from sparkdon.terms import QUAD_SCHEMA
+                src = self.spark.createDataFrame([], QUAD_SCHEMA)
+            if dflt:
+                triples = (src.filter(F.col("g").isin([str(i) for i in dflt]))
+                           .drop("g").dropDuplicates())
+            else:
+                triples = self.graph.limit(0)
+            named = (src.filter(F.col("g").isin([str(i) for i in nmd]))
+                     if nmd else src.limit(0))
+        return Compiler(self.spark, triples, use_ids=self.use_ids, named=named)
 
     # -- update (Q4 / S6) ----------------------------------------------
 
@@ -395,13 +428,32 @@ class LocalEndpoint(Endpoint):
             self._apply_update(u)
 
     def _apply_update(self, u) -> None:
+        from pyspark.sql import functions as F
+
         compiler = self._compiler()
         new = self.graph
         if u.clear:
-            # CLEAR DEFAULT / CLEAR ALL — single-graph store, so both
-            # empty the default graph (schema kept for later inserts)
-            self.graph = new.limit(0).localCheckpoint(eager=True)
+            # SPARQL 1.1 Update §3.2.3: DEFAULT empties the default
+            # graph, NAMED drops every named graph, ALL both, GRAPH <g>
+            # one named graph (failure when absent, unless SILENT)
+            if u.clear in ("DEFAULT", "ALL"):
+                self.graph = new.limit(0).localCheckpoint(eager=True)
+            if u.clear in ("NAMED", "ALL"):
+                self.named = None
+            elif u.clear == "GRAPH":
+                target = str(u.clear_graph)
+                present = (self.named is not None and
+                           self.named.filter(F.col("g") == target).take(1))
+                if not present and not u.silent:
+                    raise SparkdonError(
+                        f"CLEAR GRAPH <{target}>: no such named graph "
+                        "(add SILENT to make this a no-op)")
+                if present:
+                    self.named = (self.named.filter(F.col("g") != target)
+                                  .localCheckpoint(eager=True))
             return
+        if u.insert_quads or u.delete_quads:
+            self._apply_quad_data(u.insert_quads, u.delete_quads)
         if u.where is None:
             if u.insert_template:
                 rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.insert_template]
@@ -419,6 +471,27 @@ class LocalEndpoint(Endpoint):
                     ConstructQuery(template=u.insert_template, where=u.where))
                 new = new.unionByName(ins_df).dropDuplicates()
         self.graph = new.localCheckpoint(eager=True)
+
+    def _apply_quad_data(self, insert_quads, delete_quads) -> None:
+        """Ground ``GRAPH <g> { … }`` blocks from INSERT DATA / DELETE
+        DATA applied to the named store (SPARQL 1.1 Update §3.1)."""
+        from pyspark.sql import functions as F
+
+        from sparkdon.terms import QUAD_SCHEMA
+
+        named = self.named
+        if named is None:
+            named = self.spark.createDataFrame([], QUAD_SCHEMA)
+        if insert_quads:
+            rows = [io_mod._encode_triple(t.s, t.p, t.o) + (str(g),)
+                    for g, t in insert_quads]
+            named = named.unionByName(
+                self.spark.createDataFrame(rows, QUAD_SCHEMA)).dropDuplicates()
+        if delete_quads:
+            rows = [io_mod._encode_triple(t.s, t.p, t.o) + (str(g),)
+                    for g, t in delete_quads]
+            named = named.subtract(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self.named = named.localCheckpoint(eager=True)
 
     def update_to_fixpoint(self, sparql: str, bindings: dict | None = None) -> None:
         """Apply an INSERT-WHERE rule until no new triples appear —
@@ -766,3 +839,69 @@ def from_ntriples(path: str, spark: SparkSession,
     merged = dict(_DEFAULT_PREFIXES)
     merged.update(prefixes or {})
     return LocalEndpoint(spark, df, prefixes=merged)
+
+
+def inline_rdfxml(xml: str, spark: SparkSession | None = None,
+                  base: str | None = None,
+                  prefixes: dict[str, str] | None = None) -> LocalEndpoint:
+    """RDF/XML text → LocalEndpoint (the reference's rdflib default
+    format; sparkdon/rdfxml.py parses from the public spec)."""
+    from sparkdon.rdfxml import parse_rdfxml
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise SparkdonError("no active SparkSession; pass spark=")
+    merged = dict(_DEFAULT_PREFIXES)
+    merged.update(prefixes or {})
+    return LocalEndpoint(
+        spark, io_mod.triples_df(spark, parse_rdfxml(xml, base)),
+        prefixes=merged)
+
+
+def from_rdfxml(path: str, spark: SparkSession,
+                base: str | None = None,
+                prefixes: dict[str, str] | None = None) -> LocalEndpoint:
+    """RDF/XML file(s) → LocalEndpoint (one parse task per file)."""
+    from sparkdon.rdfxml import read_rdfxml
+
+    merged = dict(_DEFAULT_PREFIXES)
+    merged.update(prefixes or {})
+    return LocalEndpoint(spark, read_rdfxml(spark, path, base), prefixes=merged)
+
+
+def inline_trig(trig: str, spark: SparkSession | None = None,
+                union_default: bool = False) -> LocalEndpoint:
+    """TriG text → LocalEndpoint with named graphs: default-graph
+    statements populate ``graph``, ``[GRAPH] <g> { … }`` blocks the
+    named store, queryable via ``GRAPH`` / ``FROM`` / ``FROM NAMED``.
+    ``union_default=True`` mirrors rdflib's ConjunctiveGraph (non-GRAPH
+    patterns see the union of all contexts)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise SparkdonError("no active SparkSession; pass spark=")
+    parser = io_mod.TriGParser(trig, dict(_DEFAULT_PREFIXES))
+    trows, qrows = parser.parse_quads_document()
+    return LocalEndpoint(
+        spark, io_mod.triples_df(spark, trows),
+        prefixes=dict(parser.prefixes),
+        named=io_mod.quads_df(spark, qrows) if qrows else None,
+        union_default=union_default)
+
+
+def from_nquads(path: str, spark: SparkSession,
+                prefixes: dict[str, str] | None = None,
+                union_default: bool = False) -> LocalEndpoint:
+    """N-Quads file → LocalEndpoint: null-graph lines form the default
+    graph, the rest the named store (distributed line-parallel scan)."""
+    from pyspark.sql import functions as F
+
+    df = io_mod.read_nquads(spark, path)
+    merged = dict(_DEFAULT_PREFIXES)
+    merged.update(prefixes or {})
+    return LocalEndpoint(
+        spark, df.filter(F.col("g").isNull()).drop("g"),
+        prefixes=merged,
+        named=df.filter(F.col("g").isNotNull()),
+        union_default=union_default)

@@ -142,6 +142,13 @@ TRIPLE_SCHEMA = T.StructType(
     ]
 )
 
+#: named-graph quad layout: the triple columns plus the graph IRI.  The
+#: named store holds ONLY named-graph rows (the default graph lives in
+#: its own triple frame), so ``g`` is non-null by construction.
+QUAD_SCHEMA = T.StructType(
+    list(TRIPLE_SCHEMA.fields) + [T.StructField("g", T.StringType(), False)]
+)
+
 
 def make_term(kind: Column | str, lex: Column, dt: Column | None = None,
               lang: Column | None = None) -> Column:

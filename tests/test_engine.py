@@ -338,11 +338,10 @@ def test_update_delete_where_shorthand(spark):
 
 
 def test_update_clear(spark):
-    """CLEAR DEFAULT / CLEAR ALL empty the single-graph store; later
-    inserts still work, and named-graph CLEAR errors helpfully."""
+    """CLEAR DEFAULT / CLEAR ALL empty the default graph; later inserts
+    still work.  CLEAR GRAPH of an absent graph fails per SPARQL 1.1
+    Update §3.2.3 (no named store here)."""
     import pytest as _pytest
-
-    from sparkdon.errors import SparkdonError
 
     e = inline(BOROS_TTL, spark)
     assert e.count() > 0
@@ -352,29 +351,25 @@ def test_update_clear(spark):
     assert e.count() == 1
     e.update("CLEAR SILENT ALL")
     assert e.count() == 0
-    with _pytest.raises(Exception, match="DEFAULT or ALL"):
+    with _pytest.raises(Exception, match="no such named graph"):
         e.update("CLEAR GRAPH <http://example.com/g>")
 
 
-def test_update_clear_silent_unsupported_targets_noop(spark):
-    """SPARQL 1.1 Update §3.2.3: SILENT suppresses the failure of an
-    unsupported CLEAR target — GRAPH <g> / NAMED no-op instead of
-    raising, and the store is untouched; without SILENT they still
-    error.  Sequences keep applying after the silent no-op."""
-    import pytest as _pytest
-
+def test_update_clear_silent_absent_graph_noop(spark):
+    """SPARQL 1.1 Update §3.2.3: SILENT suppresses the absent-graph
+    failure — CLEAR GRAPH <missing> no-ops, the store is untouched, and
+    ;-sequences keep applying after the silent no-op.  CLEAR NAMED on a
+    store with no named graphs succeeds (nothing to drop)."""
     e = inline(BOROS_TTL, spark)
     n0 = e.count()
     assert n0 > 0
     e.update("CLEAR SILENT GRAPH <http://example.com/g>")
     assert e.count() == n0
-    e.update("CLEAR SILENT NAMED")
+    e.update("CLEAR NAMED")
     assert e.count() == n0
     e.update("CLEAR SILENT GRAPH <http://example.com/g> ; "
              "INSERT DATA { :a :b :c }")
     assert e.count() == n0 + 1
-    with _pytest.raises(Exception, match="DEFAULT or ALL"):
-        e.update("CLEAR NAMED")
 
 
 def test_update_delete_rejects_blank_nodes(spark):

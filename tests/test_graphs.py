@@ -1,0 +1,216 @@
+"""Named graphs: GRAPH patterns, FROM / FROM NAMED datasets, TriG and
+N-Quads I/O, and graph-targeted updates (SPARQL 1.1 §13, Update §3.1-3.2).
+
+The reference delegates storage to rdflib, whose ConjunctiveGraph/Dataset
+carries named contexts — so a reference user with named graphs expects
+GRAPH to work.  Engine-side this is a quad store (terms.QUAD_SCHEMA) the
+compiler slices per active graph; no reference code is used.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkdon.errors import SparkdonError
+from sparkdon.session import LocalEndpoint, from_nquads, inline, inline_trig
+
+TRIG = """
+@prefix : <http://ex.com/> .
+:alice :knows :bob .
+:alice :age 19 .
+GRAPH :g1 {
+  :bob :age 42 .
+  :bob :knows :carol .
+}
+:g2 {
+  :carol :age 30 .
+  :carol :level :bob .
+}
+"""
+
+
+@pytest.fixture()
+def ep(spark):
+    return inline_trig(TRIG, spark)
+
+
+def rows(pdf):
+    return sorted(map(tuple, pdf.itertuples(index=False, name=None)))
+
+
+def test_trig_parse_splits_default_and_named(ep):
+    assert ep.graph.count() == 2
+    assert ep.named.count() == 4
+    assert sorted(r["g"] for r in ep.named.select("g").distinct().collect()) == [
+        "http://ex.com/g1", "http://ex.com/g2"]
+
+
+def test_graph_constant_slices_one_graph(ep):
+    pdf = ep.select("SELECT ?x WHERE { GRAPH :g1 { :bob :age ?x } }")
+    assert rows(pdf) == [(42,)]
+    # the other graph's :age triple must not leak in
+    pdf = ep.select("SELECT ?s WHERE { GRAPH :g1 { ?s :age ?o } }")
+    assert rows(pdf) == [(":bob",)]
+
+
+def test_graph_variable_binds_graph_name(ep):
+    pdf = ep.select(
+        "SELECT ?g ?s ?a WHERE { GRAPH ?g { ?s :age ?a } } ORDER BY ?a")
+    assert rows(pdf) == [
+        (":g2", ":carol", 30), (":g1", ":bob", 42)] or rows(pdf) == [
+        (":g1", ":bob", 42), (":g2", ":carol", 30)]
+
+
+def test_default_graph_does_not_see_named(ep):
+    # SPARQL default: non-GRAPH patterns match ONLY the default graph
+    pdf = ep.select("SELECT ?s ?a WHERE { ?s :age ?a }")
+    assert rows(pdf) == [(":alice", 19)]
+
+
+def test_union_default_mode_sees_all_contexts(spark):
+    e = inline_trig(TRIG, spark, union_default=True)
+    pdf = e.select("SELECT ?s ?a WHERE { ?s :age ?a }")
+    assert len(pdf) == 3  # alice + bob + carol
+
+
+def test_join_across_default_and_graph(ep):
+    pdf = ep.select(
+        "SELECT ?w WHERE { :alice :knows ?p . GRAPH ?g { ?p :knows ?w } }")
+    assert rows(pdf) == [(":carol",)]
+
+
+def test_graph_var_shared_across_patterns_stays_within_one_graph(ep):
+    # both patterns must match in the SAME named graph: :bob's age is in
+    # g1 but :carol's in g2, so requiring both under one ?g yields nothing
+    pdf = ep.select(
+        "SELECT ?g WHERE { GRAPH ?g { :bob :age ?x . :carol :age ?y } }")
+    assert len(pdf) == 0
+    pdf = ep.select(
+        "SELECT ?g WHERE { GRAPH ?g { :bob :age ?x . :bob :knows ?w } }")
+    assert rows(pdf) == [(":g1",)]
+
+
+def test_graph_var_repeated_in_pattern_position(ep):
+    # ?g as graph AND object: only g2 holds a triple whose object is a
+    # node that... none match :g2 itself; plant one to be sure the
+    # equality wiring holds
+    e = ep
+    e.update("INSERT DATA { GRAPH :g9 { :x :inside :g9 } }")
+    pdf = e.select("SELECT ?g WHERE { GRAPH ?g { ?s :inside ?g } }")
+    assert rows(pdf) == [(":g9",)]
+
+
+def test_empty_graph_body_iterates_graph_names(ep):
+    pdf = ep.select("SELECT ?g WHERE { GRAPH ?g { } }")
+    assert rows(pdf) == [(":g1",), (":g2",)]
+
+
+def test_optional_and_filter_inside_graph(ep):
+    pdf = ep.select(
+        "SELECT ?s ?w WHERE { GRAPH :g1 { ?s :age ?a . "
+        "OPTIONAL { ?s :knows ?w } FILTER(?a > 40) } }")
+    assert rows(pdf) == [(":bob", ":carol")]
+
+
+def test_path_inside_constant_graph(ep):
+    pdf = ep.select(
+        "SELECT ?y WHERE { GRAPH :g1 { :bob :knows+ ?y } }")
+    assert rows(pdf) == [(":carol",)]
+
+
+def test_path_inside_variable_graph_raises(ep):
+    with pytest.raises(Exception, match="GRAPH .var"):
+        ep.select("SELECT ?y WHERE { GRAPH ?g { :bob :knows+ ?y } }")
+
+
+def test_from_builds_default_from_named_graphs(ep):
+    pdf = ep.select("SELECT ?s FROM :g1 WHERE { ?s :age ?a }")
+    assert rows(pdf) == [(":bob",)]
+    # merge of two graphs
+    pdf = ep.select("SELECT ?s FROM :g1 FROM :g2 WHERE { ?s :age ?a }")
+    assert rows(pdf) == [(":bob",), (":carol",)]
+    # with a dataset clause the store's own default graph is replaced
+    pdf = ep.select("SELECT ?s FROM :g1 WHERE { ?s :knows ?o }")
+    assert rows(pdf) == [(":bob",)]
+
+
+def test_from_named_restricts_graph_iteration(ep):
+    pdf = ep.select(
+        "SELECT ?g FROM NAMED :g2 WHERE { GRAPH ?g { ?s :age ?a } }")
+    assert rows(pdf) == [(":g2",)]
+    # FROM without FROM NAMED empties the named set
+    pdf = ep.select(
+        "SELECT ?g FROM :g1 WHERE { GRAPH ?g { ?s ?p ?o } }")
+    assert len(pdf) == 0
+
+
+def test_graph_on_endpoint_without_named_store(spark):
+    e = inline("@prefix : <http://ex.com/> . :a :b :c .", spark)
+    assert len(e.select("SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }")) == 0
+    assert len(e.select("SELECT ?s FROM :g1 WHERE { ?s ?p ?o }")) == 0
+
+
+def test_construct_and_ask_with_graph(ep):
+    assert ep.ask("ASK { GRAPH :g1 { :bob :knows :carol } }")
+    assert not ep.ask("ASK { GRAPH :g2 { :bob :knows :carol } }")
+    out = ep.construct(
+        "CONSTRUCT { ?s :aged ?a } WHERE { GRAPH ?g { ?s :age ?a } }")
+    assert out.graph.count() == 2
+
+
+def test_use_ids_endpoint_handles_graph_patterns(spark, ep):
+    e = LocalEndpoint(spark, ep.graph, prefixes=ep.prefixes,
+                      named=ep.named, use_ids=True)
+    pdf = e.select(
+        "SELECT ?w WHERE { :alice :knows ?p . GRAPH ?g { ?p :knows ?w } }")
+    assert rows(pdf) == [(":carol",)]
+
+
+def test_quad_insert_delete_and_clear(spark):
+    e = inline_trig(TRIG, spark)
+    e.update("INSERT DATA { GRAPH :g3 { :dan :age 7 . :dan :knows :bob } }")
+    assert e.named.filter("g = 'http://ex.com/g3'").count() == 2
+    e.update("DELETE DATA { GRAPH :g3 { :dan :knows :bob } }")
+    assert e.named.filter("g = 'http://ex.com/g3'").count() == 1
+    e.update("CLEAR GRAPH :g3")
+    assert e.named.filter("g = 'http://ex.com/g3'").count() == 0
+    with pytest.raises(SparkdonError, match="no such named graph"):
+        e.update("CLEAR GRAPH :g3")
+    e.update("CLEAR SILENT GRAPH :g3")  # no-op
+    e.update("CLEAR NAMED")
+    assert e.named is None
+    assert e.graph.count() == 2  # default graph untouched
+    e2 = inline_trig(TRIG, spark)
+    e2.update("CLEAR ALL")
+    assert e2.named is None and e2.graph.count() == 0
+
+
+def test_mixed_quad_data_block(spark):
+    e = inline("@prefix : <http://ex.com/> .", spark)
+    e.update("INSERT DATA { :a :p 1 . GRAPH :g { :a :p 2 } :b :p 3 }")
+    assert e.graph.count() == 2
+    assert e.named.count() == 1
+
+
+def test_nquads_roundtrip(spark, tmp_path, ep):
+    from pyspark.sql import functions as F
+
+    from sparkdon.io import read_nquads, write_nquads
+
+    quads = ep.graph.withColumn("g", F.lit(None).cast("string")).unionByName(
+        ep.named)
+    path = str(tmp_path / "out.nq")
+    write_nquads(quads, path)
+    back = read_nquads(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, quads.collect()))
+    e2 = from_nquads(path, spark, prefixes={"": "http://ex.com/"})
+    assert e2.graph.count() == 2 and e2.named.count() == 4
+    pdf = e2.select("SELECT ?x WHERE { GRAPH :g1 { :bob :age ?x } }")
+    assert rows(pdf) == [(42,)]
+
+
+def test_graph_inside_exists_filter(ep):
+    pdf = ep.select(
+        "SELECT ?p WHERE { :alice :knows ?p "
+        "FILTER EXISTS { GRAPH ?g { ?p :age ?a } } }")
+    assert rows(pdf) == [(":bob",)]
