@@ -1,0 +1,279 @@
+"""RDF/XML reader (W3C RDF 1.1 XML Syntax) — the default rdflib parse
+format, so the most common serialization a reference user feeds
+``Graph().parse(...)`` (gastrodon delegates parsing wholesale to rdflib;
+see gastrodon/__init__.py:848-857 for the inline path).
+
+Implemented from the public spec with stdlib ``xml.etree`` only:
+
+- node elements: ``rdf:Description`` and typed nodes (element name →
+  ``rdf:type``), ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID`` / anonymous
+- property elements: ``rdf:resource`` / ``rdf:nodeID`` objects, text
+  literals with ``rdf:datatype`` or inherited ``xml:lang``, nested node
+  elements, property attributes (on node and empty property elements)
+- ``rdf:parseType`` Resource | Literal (→ ``rdf:XMLLiteral``) |
+  Collection (→ ``rdf:first``/``rdf:rest`` chain)
+- ``rdf:li`` → ``rdf:_1``, ``rdf:_2``, … (per-node-element counter)
+- ``xml:base`` scoping and ``xml:lang`` inheritance
+- reification: ``rdf:ID`` on a property element emits the four
+  ``rdf:Statement`` triples
+
+Scale shape: RDF/XML is not line-splittable, so the distributed unit is
+the FILE — :func:`read_rdfxml` scans with ``binaryFile`` and parses each
+file inside an Arrow-batched ``mapInPandas`` stage (one task per file
+split; a 1000-file dump parses 1000-way parallel).  Inline strings parse
+on the driver like the Turtle path.
+"""
+
+from __future__ import annotations
+
+import itertools
+import xml.etree.ElementTree as ET
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkdon.errors import SparkdonError
+from sparkdon.io import _encode_triple
+from sparkdon.terms import KIND_BNODE, RDF, TRIPLE_SCHEMA, BNode, IRI, Literal
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+#: rdf:* attributes that are syntax, not property attributes
+_SYNTAX_ATTRS = {
+    _RDF_NS + a for a in (
+        "about", "ID", "nodeID", "resource", "datatype", "parseType",
+        "aboutEach", "aboutEachPrefix", "bagID", "li", "RDF", "Description")
+}
+
+#: node-element names that are forbidden (spec §7.2.5 coreSyntaxTerms)
+_FORBIDDEN_NODES = {_RDF_NS + a for a in ("RDF", "ID", "about", "bagID",
+                                          "parseType", "resource", "nodeID",
+                                          "li", "aboutEach",
+                                          "aboutEachPrefix")}
+
+
+def _q(tag: str) -> tuple[str, str]:
+    """Split an ElementTree ``{ns}local`` tag into (ns, local)."""
+    if tag.startswith("{"):
+        ns, _, local = tag[1:].partition("}")
+        return ns, local
+    return "", tag
+
+
+class _Ctx:
+    def __init__(self, base: str | None):
+        self.base = base
+        self.triples: list = []
+        self._bn = itertools.count()
+
+    def bnode(self, label: str | None = None) -> BNode:
+        return BNode(label if label else f"rx{next(self._bn)}")
+
+    def emit(self, s, p, o) -> None:
+        self.triples.append((s, p, o))
+
+    def resolve(self, ref: str, base: str | None) -> IRI:
+        if base:
+            return IRI(urljoin(base, ref))
+        return IRI(ref)
+
+
+def _elem_base(el: ET.Element, base: str | None) -> str | None:
+    xb = el.get("{" + _XML_NS + "}base")
+    if xb is not None:
+        return urljoin(base, xb) if base else xb
+    return base
+
+
+def _elem_lang(el: ET.Element, lang: str | None) -> str | None:
+    xl = el.get("{" + _XML_NS + "}lang")
+    return xl if xl is not None else lang
+
+
+def _node_element(ctx: _Ctx, el: ET.Element, base: str | None,
+                  lang: str | None):
+    """Parse a node element, emit its triples, return its subject term."""
+    base = _elem_base(el, base)
+    lang = _elem_lang(el, lang)
+    ns, local = _q(el.tag)
+    name = ns + local
+    if name in _FORBIDDEN_NODES:
+        raise SparkdonError(f"rdf:{local} is not a valid node element")
+
+    about = el.get("{" + _RDF_NS + "}" + "about")
+    rid = el.get("{" + _RDF_NS + "}" + "ID")
+    nid = el.get("{" + _RDF_NS + "}" + "nodeID")
+    if sum(x is not None for x in (about, rid, nid)) > 1:
+        raise SparkdonError(
+            "at most one of rdf:about / rdf:ID / rdf:nodeID per node")
+    if about is not None:
+        subj = ctx.resolve(about, base)
+    elif rid is not None:
+        subj = ctx.resolve("#" + rid, base)
+    elif nid is not None:
+        subj = ctx.bnode(nid)
+    else:
+        subj = ctx.bnode()
+
+    if name != _RDF_NS + "Description":
+        ctx.emit(subj, IRI(RDF + "type"), IRI(name))
+
+    # property attributes on the node element (spec §2.12)
+    for attr, val in el.attrib.items():
+        ans, alocal = _q(attr)
+        aname = ans + alocal
+        if ans == _XML_NS or aname in _SYNTAX_ATTRS or attr.startswith("xmlns"):
+            continue
+        if aname == _RDF_NS + "type":
+            ctx.emit(subj, IRI(RDF + "type"), ctx.resolve(val, base))
+        else:
+            ctx.emit(subj, IRI(aname), Literal(val, lang=lang))
+
+    li_counter = itertools.count(1)
+    for child in el:
+        _property_element(ctx, subj, child, base, lang, li_counter)
+    return subj
+
+
+def _xml_literal(el: ET.Element) -> str:
+    """Serialize element CONTENT (text + children) for parseType=Literal."""
+    parts = [el.text or ""]
+    for c in el:
+        parts.append(ET.tostring(c, encoding="unicode"))
+    return "".join(parts)
+
+
+def _property_element(ctx: _Ctx, subj, el: ET.Element, base: str | None,
+                      lang: str | None, li_counter) -> None:
+    base = _elem_base(el, base)
+    lang = _elem_lang(el, lang)
+    ns, local = _q(el.tag)
+    if ns + local == _RDF_NS + "li":
+        pred = IRI(f"{RDF}_{next(li_counter)}")
+    else:
+        pred = IRI(ns + local)
+
+    reify_id = el.get("{" + _RDF_NS + "}" + "ID")
+    parse_type = el.get("{" + _RDF_NS + "}" + "parseType")
+    resource = el.get("{" + _RDF_NS + "}" + "resource")
+    nid = el.get("{" + _RDF_NS + "}" + "nodeID")
+    datatype = el.get("{" + _RDF_NS + "}" + "datatype")
+
+    prop_attrs = [
+        (ans + alocal, val)
+        for attr, val in el.attrib.items()
+        for ans, alocal in [_q(attr)]
+        if ans != _XML_NS and (ans + alocal) not in _SYNTAX_ATTRS
+        and not attr.startswith("xmlns")
+    ]
+
+    children = list(el)
+    obj = None
+
+    if parse_type == "Resource":
+        obj = ctx.bnode()
+        inner_li = itertools.count(1)
+        for child in children:
+            _property_element(ctx, obj, child, base, lang, inner_li)
+    elif parse_type == "Literal":
+        obj = Literal(_xml_literal(el), datatype=_RDF_NS + "XMLLiteral")
+    elif parse_type == "Collection":
+        items = [_node_element(ctx, c, base, lang) for c in children]
+        obj = IRI(RDF + "nil") if not items else ctx.bnode()
+        cur = obj
+        for i, item in enumerate(items):
+            ctx.emit(cur, IRI(RDF + "first"), item)
+            nxt = IRI(RDF + "nil") if i == len(items) - 1 else ctx.bnode()
+            ctx.emit(cur, IRI(RDF + "rest"), nxt)
+            cur = nxt
+    elif parse_type is not None:
+        # spec: unknown parseType behaves as Literal
+        obj = Literal(_xml_literal(el), datatype=_RDF_NS + "XMLLiteral")
+    elif resource is not None:
+        obj = ctx.resolve(resource, base)
+    elif nid is not None:
+        obj = ctx.bnode(nid)
+    elif children:
+        if len(children) != 1:
+            raise SparkdonError(
+                f"property element <{local}> with multiple node children "
+                "(missing rdf:parseType='Resource'?)")
+        obj = _node_element(ctx, children[0], base, lang)
+    elif prop_attrs:
+        # empty property element with property attributes → bnode object
+        obj = ctx.bnode()
+        for aname, val in prop_attrs:
+            if aname == _RDF_NS + "type":
+                ctx.emit(obj, IRI(RDF + "type"), ctx.resolve(val, base))
+            else:
+                ctx.emit(obj, IRI(aname), Literal(val, lang=lang))
+        prop_attrs = []
+    else:
+        text = el.text or ""
+        if datatype is not None:
+            obj = Literal(text, datatype=datatype)
+        else:
+            obj = Literal(text, lang=lang)
+
+    if prop_attrs and parse_type is None and (resource is not None or nid is not None):
+        # rdf:resource/rdf:nodeID object plus property attributes:
+        # the attributes describe the OBJECT node (spec §2.12)
+        for aname, val in prop_attrs:
+            if aname == _RDF_NS + "type":
+                ctx.emit(obj, IRI(RDF + "type"), ctx.resolve(val, base))
+            else:
+                ctx.emit(obj, IRI(aname), Literal(val, lang=lang))
+
+    ctx.emit(subj, pred, obj)
+    if reify_id is not None:
+        st = ctx.resolve("#" + reify_id, base)
+        ctx.emit(st, IRI(RDF + "type"), IRI(RDF + "Statement"))
+        ctx.emit(st, IRI(RDF + "subject"), subj)
+        ctx.emit(st, IRI(RDF + "predicate"), pred)
+        ctx.emit(st, IRI(RDF + "object"), obj)
+
+
+def parse_rdfxml(text: str | bytes, base: str | None = None) -> list[tuple]:
+    """RDF/XML text → encoded triple rows (io.triples_df input)."""
+    root = ET.fromstring(text)
+    ctx = _Ctx(base)
+    base = _elem_base(root, base)
+    lang = _elem_lang(root, None)
+    if _q(root.tag) == (_RDF_NS, "RDF"):
+        for child in root:
+            _node_element(ctx, child, base, lang)
+    else:
+        # a single node element is a legal document (spec §2.11)
+        _node_element(ctx, root, base, lang)
+    return [_encode_triple(s, p, o) for s, p, o in ctx.triples]
+
+
+def read_rdfxml(spark: SparkSession, path: str,
+                base: str | None = None) -> DataFrame:
+    """Distributed RDF/XML scan: ``binaryFile`` over the path (glob/dir
+    ok), one parse task per file via Arrow-batched ``mapInPandas`` —
+    RDF/XML is not line-splittable, so the file is the parallel unit.
+    Blank-node labels are prefixed with a per-file hash so labels from
+    different files can never collide."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fp, content in zip(pdf["path"], pdf["content"]):
+                tag = hashlib.md5(fp.encode()).hexdigest()[:8]
+                for r in parse_rdfxml(bytes(content), base):
+                    r = list(r)
+                    if r[0] == KIND_BNODE:
+                        r[1] = f"{tag}.{r[1]}"
+                    if r[3] == KIND_BNODE:
+                        r[4] = f"{tag}.{r[4]}"
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRIPLE_SCHEMA.fields])
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(gen, TRIPLE_SCHEMA).dropDuplicates()
