@@ -232,12 +232,27 @@ class SparqlProtocolServer:
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
         try:
+            # §2.1.4 specifying an RDF dataset: default-graph-uri /
+            # named-graph-uri request parameters (each repeatable) take
+            # precedence over the query's own FROM/FROM NAMED clauses
+            ds_default = params.get("default-graph-uri", [])
+            ds_named = params.get("named-graph-uri", [])
+            dataset = ((tuple(ds_default), tuple(ds_named))
+                       if (ds_default or ds_named) else None)
             if "update" in params:
                 if method != "POST":
                     # SPARQL 1.1 protocol §2.2: update only via POST; a
                     # state-mutating GET is also a CSRF/crawler hazard
                     self._plain(h, 405, "update is only accepted via POST",
                                 allow="POST")
+                    return
+                if ("using-graph-uri" in params or
+                        "using-named-graph-uri" in params):
+                    # honest refusal beats silently running the update
+                    # against the wrong dataset (§2.2.3)
+                    self._plain(h, 400, "using-graph-uri/"
+                                "using-named-graph-uri are not supported; "
+                                "scope the update with USING/WITH clauses")
                     return
                 sparql = params["update"][0]
                 self.queries.append(sparql)
@@ -256,9 +271,9 @@ class SparqlProtocolServer:
                     self._plain(h, 406, "graph results are produced as "
                                         "application/n-triples")
                     return
-                result = (self.endpoint.construct(sparql)
+                result = (self.endpoint.construct(sparql, dataset=dataset)
                           if form == "CONSTRUCT"
-                          else self.endpoint.describe(sparql))
+                          else self.endpoint.describe(sparql, dataset=dataset))
                 body = nt_string(result.graph).encode()
                 h.send_response(200)
                 h.send_header("Content-Type", "application/n-triples")
@@ -274,7 +289,7 @@ class SparqlProtocolServer:
                                     "text/csv, or text/tab-separated-values")
                 return
             if form == "ASK":
-                result = bool(self.endpoint.ask(sparql))
+                result = bool(self.endpoint.ask(sparql, dataset=dataset))
                 if fmt == "json":
                     body = json.dumps({"head": {}, "boolean": result}).encode()
                 elif fmt == "xml":
@@ -292,13 +307,14 @@ class SparqlProtocolServer:
                             f"{sep_name}\n{str(result).lower()}\n").encode()
             elif form == "SELECT":
                 if fmt == "json":
-                    body = json.dumps(self._select_document(sparql)).encode()
+                    body = json.dumps(
+                        self._select_document(sparql, dataset)).encode()
                 elif fmt == "xml":
-                    body = self._select_xml(sparql).encode()
+                    body = self._select_xml(sparql, dataset).encode()
                 elif fmt == "csv":
-                    body = self._select_csv(sparql).encode()
+                    body = self._select_csv(sparql, dataset).encode()
                 else:
-                    body = self._select_tsv(sparql).encode()
+                    body = self._select_tsv(sparql, dataset).encode()
             else:
                 raise ValueError(
                     f"unsupported query form {form or 'EMPTY'!r}; this "
@@ -319,16 +335,17 @@ class SparqlProtocolServer:
         h.end_headers()
         h.wfile.write(body)
 
-    def _select_rows(self, sparql: str):
+    def _select_rows(self, sparql: str, dataset: tuple | None = None):
         """(variable names, rows of term structs) for a SELECT — shared
         by the three result serializers."""
-        pdf = self.endpoint.select_raw(sparql).toPandas()
+        pdf = self.endpoint.select_raw(sparql, dataset=dataset).toPandas()
         names = [c[2:] for c in pdf.columns if c.startswith("v_")]
         rows = [[row["v_" + n] for n in names] for _, row in pdf.iterrows()]
         return names, rows
 
-    def _select_document(self, sparql: str) -> dict:
-        names, rows = self._select_rows(sparql)
+    def _select_document(self, sparql: str,
+                         dataset: tuple | None = None) -> dict:
+        names, rows = self._select_rows(sparql, dataset)
         bindings = []
         for row in rows:
             b = {}
@@ -339,14 +356,14 @@ class SparqlProtocolServer:
             bindings.append(b)
         return {"head": {"vars": names}, "results": {"bindings": bindings}}
 
-    def _select_xml(self, sparql: str) -> str:
+    def _select_xml(self, sparql: str, dataset: tuple | None = None) -> str:
         """SPARQL 1.1 Query Results XML Format: ``<sparql><head>`` with
         the variable list, one ``<result>`` of ``<binding>`` elements
         per solution; terms as ``<uri>``, ``<bnode>``, or ``<literal>``
         (with ``xml:lang`` / ``datatype``); unbound vars omitted."""
         from xml.sax.saxutils import escape, quoteattr
 
-        names, rows = self._select_rows(sparql)
+        names, rows = self._select_rows(sparql, dataset)
         parts = ['<?xml version="1.0"?>',
                  '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
                  "<head>"]
@@ -374,14 +391,14 @@ class SparqlProtocolServer:
         parts.append("</results></sparql>")
         return "".join(parts)
 
-    def _select_csv(self, sparql: str) -> str:
+    def _select_csv(self, sparql: str, dataset: tuple | None = None) -> str:
         """SPARQL 1.1 Query Results CSV: header = bare variable names,
         terms in plain lexical form (IRIs bare, bnodes ``_:label``,
         literals bare), unbound = empty field, RFC 4180 quoting."""
         import csv
         import io
 
-        names, rows = self._select_rows(sparql)
+        names, rows = self._select_rows(sparql, dataset)
         out = io.StringIO()
         w = csv.writer(out, lineterminator="\r\n")
         w.writerow(names)
@@ -413,10 +430,10 @@ class SparqlProtocolServer:
             return term + f"^^<{v['dt']}>"
         return term
 
-    def _select_tsv(self, sparql: str) -> str:
+    def _select_tsv(self, sparql: str, dataset: tuple | None = None) -> str:
         """SPARQL 1.1 Query Results TSV: header = ``?var`` names, terms
         in Turtle syntax, one tab-separated line per solution."""
-        names, rows = self._select_rows(sparql)
+        names, rows = self._select_rows(sparql, dataset)
         lines = ["\t".join("?" + n for n in names)]
         lines += ["\t".join(self._tsv_term(v) for v in row) for row in rows]
         return "\n".join(lines) + "\n"

@@ -171,14 +171,22 @@ class Endpoint:
     # -- the select pipeline (Q1, Q2, Q7) ------------------------------
 
     def select_raw(self, sparql: str, bindings: dict | None = None,
-                   _depth: int = 3) -> DataFrame:
+                   _depth: int = 3, dataset: tuple | None = None) -> DataFrame:
         """Compile and return the raw Spark bindings DataFrame (one
         term-struct column ``v_<name>`` per variable) — the Spark-native
-        analogue of ``select_raw`` (gastrodon/__init__.py:513-523)."""
+        analogue of ``select_raw`` (gastrodon/__init__.py:513-523).
+
+        ``dataset`` is a protocol-level RDF-dataset override,
+        ``(default_graph_iris, named_graph_iris)``: per SPARQL 1.1
+        Protocol §2.1.4 it takes precedence over the query's own
+        FROM/FROM NAMED clauses (used by the protocol server for
+        ``default-graph-uri``/``named-graph-uri`` request params)."""
         sparql = self._prepare(sparql, bindings, depth=_depth)
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, SelectQuery):
             raise SparkdonError("select() requires a SELECT query")
+        if dataset is not None:
+            q = _with_dataset(q, dataset)
         return self._compiler(q).compile_select(q).df
 
     def explain(self, sparql: str, bindings: dict | None = None,
@@ -195,13 +203,17 @@ class Endpoint:
         return sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode)
 
-    def select(self, sparql: str, bindings: dict | None = None) -> pd.DataFrame:
+    def select(self, sparql: str, bindings: dict | None = None,
+               dataset: tuple | None = None) -> pd.DataFrame:
         """SELECT → pandas DataFrame with GROUP-BY index
-        (gastrodon/__init__.py:487-511)."""
+        (gastrodon/__init__.py:487-511).  ``dataset`` as in
+        :meth:`select_raw`."""
         prepared = self._prepare(sparql, bindings, depth=3)
         q = _parse_query_cached(prepared, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, SelectQuery):
             raise SparkdonError("select() requires a SELECT query")
+        if dataset is not None:
+            q = _with_dataset(q, dataset)
         sdf = self._compiler(q).compile_select(q)
         pdf_raw = sdf.df.toPandas()
         out: dict[str, pd.Series] = {}
@@ -285,23 +297,42 @@ class Endpoint:
 
     # -- CONSTRUCT (Q3) / ASK ------------------------------------------
 
-    def construct(self, sparql: str, bindings: dict | None = None) -> "LocalEndpoint":
+    def construct(self, sparql: str, bindings: dict | None = None,
+                  dataset: tuple | None = None) -> "LocalEndpoint":
         """CONSTRUCT → a new LocalEndpoint over the constructed graph
         (gastrodon/__init__.py:525-534 returns a Graph; our graph type IS
-        the triple DataFrame)."""
+        the triple DataFrame).  ``dataset`` as in :meth:`select_raw`."""
         sparql = self._prepare(sparql, bindings)
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, ConstructQuery):
             raise SparkdonError("construct() requires a CONSTRUCT query")
+        if dataset is not None:
+            q = _with_dataset(q, dataset)
         out = self._compiler(q).compile_construct(q)
         return LocalEndpoint(self.spark, out, prefixes=self.prefixes, base_uri=self.base_uri)
 
-    def ask(self, sparql: str, bindings: dict | None = None) -> bool:
+    def ask(self, sparql: str, bindings: dict | None = None,
+            dataset: tuple | None = None) -> bool:
         sparql = self._prepare(sparql, bindings)
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, AskQuery):
             raise SparkdonError("ask() requires an ASK query")
+        if dataset is not None:
+            q = _with_dataset(q, dataset)
         return self._compiler(q).compile_ask(q)
+
+
+def _with_dataset(q, dataset: tuple):
+    """Rebind a parsed query's RDF dataset (SPARQL 1.1 Protocol §2.1.4:
+    ``default-graph-uri``/``named-graph-uri`` request parameters take
+    precedence over the query's own FROM/FROM NAMED clauses).  The
+    parsed object may come from the parse cache shared across calls, so
+    rebind on a shallow copy instead of mutating in place."""
+    import copy
+
+    q2 = copy.copy(q)
+    q2.dataset = (tuple(dataset[0]), tuple(dataset[1]))
+    return q2
 
 
 def _int_or_keep(lex: str):
@@ -539,21 +570,24 @@ class LocalEndpoint(Endpoint):
         return LocalEndpoint(self.spark, self._cbd(nodes),
                              prefixes=self.prefixes, base_uri=self.base_uri)
 
-    def _cbd(self, nodes: DataFrame) -> DataFrame:
+    def _cbd(self, nodes: DataFrame, graph: DataFrame | None = None) -> DataFrame:
         """Concise Bounded Description of a node *relation* ``(f_kind,
         f)``: all triples whose subject is in the set, recursing through
         blank-node objects.  Each BFS level is one distributed join over
         the whole node set (not per-node loops), so a DESCRIBE of a
-        million resources is the same number of Spark jobs as one."""
+        million resources is the same number of Spark jobs as one.
+        ``graph`` overrides the traversed triple frame (a dataset-scoped
+        DESCRIBE passes its FROM-merged default graph)."""
         from pyspark.sql import functions as F
 
+        g = self.graph if graph is None else graph
         frontier = nodes.localCheckpoint(eager=True)
         seen = frontier
         parts = []
         for _ in range(1000):
-            hit = self.graph.join(
+            hit = g.join(
                 frontier,
-                (self.graph["s_kind"] == frontier["f_kind"]) & (self.graph["s"] == frontier["f"]),
+                (g["s_kind"] == frontier["f_kind"]) & (g["s"] == frontier["f"]),
             ).select("s_kind", "s", "p", "o_kind", "o", "o_dt", "o_lang")
             hit = hit.localCheckpoint(eager=True)
             parts.append(hit)
@@ -573,7 +607,8 @@ class LocalEndpoint(Endpoint):
             out = out.unionByName(p)
         return out.dropDuplicates()
 
-    def describe(self, sparql: str, bindings: dict | None = None) -> "LocalEndpoint":
+    def describe(self, sparql: str, bindings: dict | None = None,
+                 dataset: tuple | None = None) -> "LocalEndpoint":
         """DESCRIBE → a new LocalEndpoint over the description graph.
 
         The description form is the Concise Bounded Description (the
@@ -592,6 +627,12 @@ class LocalEndpoint(Endpoint):
         q = _parse_query_cached(sparql, tuple(sorted(self.prefixes.items())), self.base_uri)
         if not isinstance(q, DescribeQuery):
             raise SparkdonError("describe() requires a DESCRIBE query")
+        if dataset is not None:
+            q = _with_dataset(q, dataset)
+        # dataset-aware compiler: FROM/FROM NAMED (or the protocol
+        # override) scope both the WHERE resolution AND the CBD
+        # traversal to the dataset's default graph
+        comp = self._compiler(q)
         consts = [] if q.resources == "*" else [
             r for r in q.resources if not isinstance(r, Var)]
         frames = []
@@ -599,7 +640,7 @@ class LocalEndpoint(Endpoint):
             frames.append(self.spark.createDataFrame(
                 [(KIND_IRI, str(c)) for c in consts], "f_kind string, f string"))
         if q.where is not None:
-            b = self._compiler().compile_group(q.where)
+            b = comp.compile_group(q.where)
             if q.resources == "*":
                 names = list(b.variables)
             else:
@@ -616,7 +657,8 @@ class LocalEndpoint(Endpoint):
         nodes = frames[0]
         for fdf in frames[1:]:
             nodes = nodes.unionByName(fdf)
-        return LocalEndpoint(self.spark, self._cbd(nodes.distinct()),
+        return LocalEndpoint(self.spark, self._cbd(nodes.distinct(),
+                                                   graph=comp.triples),
                              prefixes=self.prefixes, base_uri=self.base_uri)
 
     def decollect(self, node):

@@ -214,3 +214,15 @@ def test_graph_inside_exists_filter(ep):
         "SELECT ?p WHERE { :alice :knows ?p "
         "FILTER EXISTS { GRAPH ?g { ?p :age ?a } } }")
     assert rows(pdf) == [(":bob",)]
+
+
+def test_describe_honors_from_dataset(ep):
+    # round-10 fix: DESCRIBE used a dataset-blind compiler for its WHERE
+    # clause and CBD'd over the store default graph; FROM must scope both
+    desc = ep.describe(
+        "DESCRIBE ?s FROM <http://ex.com/g1> WHERE { ?s :age ?a }")
+    got = sorted((r["s"], r["p"], r["o"]) for r in desc.graph.collect())
+    assert got == [
+        ("http://ex.com/bob", "http://ex.com/age", "42"),
+        ("http://ex.com/bob", "http://ex.com/knows", "http://ex.com/carol"),
+    ]

@@ -308,3 +308,113 @@ def test_ask_xml_and_escaping(served, spark):
         assert b["v"].text == 'a <b> & "c"'
         assert b["t"].get(
             "{http://www.w3.org/XML/1998/namespace}lang") == "fr"
+
+
+# -- §2.1.4 protocol dataset parameters (round 10) ---------------------
+
+DS_TRIG = """
+@prefix : <http://ex.com/> .
+:alice :age 19 .
+GRAPH :g1 { :bob :age 42 . :bob :likes :carol . }
+GRAPH :g2 { :carol :age 30 . }
+"""
+
+DSQ = "PREFIX : <http://ex.com/>\n"
+
+
+@pytest.fixture(scope="module")
+def ds_served(spark):
+    from sparkdon.session import inline_trig
+
+    srv = SparqlProtocolServer(inline_trig(DS_TRIG, spark)).start()
+    yield srv
+    srv.stop()
+
+
+def get_json(url, query, **extra):
+    params = [("query", query)] + [
+        (k, v) for k, vs in extra.items() for v in vs]
+    resp = urllib.request.urlopen(url + "?" + urllib.parse.urlencode(params))
+    return resp, json.loads(resp.read())
+
+
+def test_default_graph_uri_selects_one_graph(ds_served):
+    q = DSQ + "SELECT ?s WHERE { ?s :age ?a } ORDER BY ?s"
+    _, doc = get_json(ds_served.url, q)
+    # no dataset params: the store's default graph (alice only)
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == [
+        "http://ex.com/alice"]
+    _, doc = get_json(ds_served.url, q,
+                      **{"default-graph-uri": ["http://ex.com/g1"]})
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == [
+        "http://ex.com/bob"]
+
+
+def test_default_graph_uri_repeats_merge(ds_served):
+    q = DSQ + "SELECT ?s WHERE { ?s :age ?a } ORDER BY ?s"
+    _, doc = get_json(ds_served.url, q, **{
+        "default-graph-uri": ["http://ex.com/g1", "http://ex.com/g2"]})
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == [
+        "http://ex.com/bob", "http://ex.com/carol"]
+
+
+def test_named_graph_uri_scopes_graph_iteration(ds_served):
+    q = DSQ + "SELECT ?g ?s WHERE { GRAPH ?g { ?s :age ?a } } ORDER BY ?g"
+    _, doc = get_json(ds_served.url, q,
+                      **{"named-graph-uri": ["http://ex.com/g2"]})
+    got = [(b["g"]["value"], b["s"]["value"])
+           for b in doc["results"]["bindings"]]
+    assert got == [("http://ex.com/g2", "http://ex.com/carol")]
+    # named-graph-uri only => protocol dataset has an EMPTY default graph
+    q2 = DSQ + "SELECT ?s WHERE { ?s :age ?a }"
+    _, doc = get_json(ds_served.url, q2,
+                      **{"named-graph-uri": ["http://ex.com/g1"]})
+    assert doc["results"]["bindings"] == []
+
+
+def test_protocol_dataset_overrides_query_from(ds_served):
+    # §2.1.4: the protocol dataset takes precedence over FROM in the text
+    q = DSQ + "SELECT ?s FROM <http://ex.com/g2> WHERE { ?s :age ?a }"
+    _, doc = get_json(ds_served.url, q,
+                      **{"default-graph-uri": ["http://ex.com/g1"]})
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == [
+        "http://ex.com/bob"]
+
+
+def test_ask_and_construct_with_dataset(ds_served):
+    ask = DSQ + "ASK { :bob :age 42 }"
+    _, doc = get_json(ds_served.url, ask)
+    assert doc["boolean"] is False
+    _, doc = get_json(ds_served.url, ask,
+                      **{"default-graph-uri": ["http://ex.com/g1"]})
+    assert doc["boolean"] is True
+    con = DSQ + "CONSTRUCT { ?s :aged ?a } WHERE { ?s :age ?a }"
+    params = [("query", con), ("default-graph-uri", "http://ex.com/g2")]
+    resp = urllib.request.urlopen(
+        ds_served.url + "?" + urllib.parse.urlencode(params))
+    body = resp.read().decode()
+    assert "http://ex.com/carol" in body and "http://ex.com/bob" not in body
+
+
+def test_describe_with_dataset_param(ds_served):
+    q = DSQ + "DESCRIBE :bob"
+    params = [("query", q), ("default-graph-uri", "http://ex.com/g1")]
+    body = urllib.request.urlopen(
+        ds_served.url + "?" + urllib.parse.urlencode(params)).read().decode()
+    assert "http://ex.com/likes" in body
+    # without the param, :bob has no triples in the store default graph
+    params = [("query", q)]
+    body = urllib.request.urlopen(
+        ds_served.url + "?" + urllib.parse.urlencode(params)).read().decode()
+    assert body.strip() == ""
+
+
+def test_update_with_using_graph_uri_is_400(ds_served):
+    body = urllib.parse.urlencode([
+        ("update", DSQ + "INSERT { :x :y :z } WHERE {}"),
+        ("using-graph-uri", "http://ex.com/g1")]).encode()
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(urllib.request.Request(
+            ds_served.url, data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"}))
+    assert exc.value.code == 400
