@@ -504,13 +504,7 @@ class Compiler:
                              anchor_sets: dict | None = None,
                              prior: Bindings | None = None) -> Bindings:
         if self.graph_var is not None:
-            # honest boundary: the closure machinery evaluates one graph
-            # at a time (GRAPH <iri> { p* } works — the store is
-            # pre-sliced); a per-named-graph closure under a graph
-            # VARIABLE would need graph-keyed fixpoint state
-            raise QueryExecutionError(
-                "property paths inside GRAPH ?var are not supported; "
-                "use a constant graph IRI")
+            return self._compile_path_in_graph_var(tp)
         start_const = None if isinstance(tp.s, Var) else tp.s
         end_const = None if isinstance(tp.o, Var) else tp.o
         # VALUES-driven anchor sets: a closure path whose endpoint var is
@@ -564,6 +558,96 @@ class Compiler:
             proj[tp.s.name] = df["start"]
         if isinstance(tp.o, Var):
             if isinstance(tp.s, Var) and tp.o.name == tp.s.name:
+                df = df.filter(df["start"].eqNullSafe(df["end"]))
+            else:
+                proj[tp.o.name] = df["end"]
+        out = df.select(*[c.alias(vcol(n)) for n, c in proj.items()])
+        names = list(proj.keys())
+        return Bindings(out, names, set(names))
+
+    def _compile_path_in_graph_var(self, tp: TriplePattern) -> Bindings:
+        """Property path under ``GRAPH ?var`` (§13.3 × §18.4; round 10 —
+        closes the former honest-raise boundary): evaluate the path
+        against EVERY named graph in ONE distributed plan — no per-graph
+        driver loop, which graph-per-document layouts forbid at scale.
+
+        Graph-keying rides inside the node lexicals: each quad's s/o lex
+        is rewritten to ``<g> <lex>`` (a graph IRI cannot contain a
+        space, so splitting on the FIRST space is unambiguous even when
+        a literal lexical itself contains spaces) and the UNCHANGED path
+        machinery — anchored BFS, semi-naive closure, the id-encoded
+        loop above ``CLOSURE_IDS_MIN_STEP`` — runs over the tagged
+        store.  Path composition joins require exact term equality, so
+        every derived pair provably stays within one graph: both
+        endpoints of an edge carry that edge's tag, and each join
+        equates tags transitively; the graph variable then decodes from
+        the tag.  Constant endpoints become per-graph tagged anchor
+        relations (graphs × const), so anchored closures keep the BFS
+        fast path with per-anchor provenance separating the per-graph
+        cones.  The VALUES/SIP anchor harvests are restriction-pushing
+        optimizations that arrive untagged; they are simply not applied
+        here (correctness is unaffected)."""
+        import copy as _copy
+
+        quads = self.triples  # graph-var mode: the named quad store
+        sub = _copy.copy(self)
+        sub.graph_var = None
+        sub.triples = quads.select(
+            F.col("s_kind"),
+            F.concat(F.col("g"), F.lit(" "), F.col("s")).alias("s"),
+            F.col("p"), F.col("o_kind"),
+            F.concat(F.col("g"), F.lit(" "), F.col("o")).alias("o"),
+            F.col("o_dt"), F.col("o_lang"))
+        graphs = quads.select("g").distinct()
+
+        def const_anchor(term):
+            kind, lex, dt, lang = path_mod._const_struct_row(term)
+            return graphs.select(F.struct(
+                F.lit(kind).alias("kind"),
+                F.concat(F.col("g"), F.lit(" "), F.lit(lex)).alias("lex"),
+                F.lit(dt).cast("string").alias("dt"),
+                F.lit(lang).cast("string").alias("lang")).alias("node"))
+
+        start_const = None if isinstance(tp.s, Var) else tp.s
+        end_const = None if isinstance(tp.o, Var) else tp.o
+        pairs = path_mod.eval_path(
+            sub, tp.p, None, None,
+            start_anchors=(const_anchor(start_const)
+                           if start_const is not None else None),
+            end_anchors=(const_anchor(end_const)
+                         if end_const is not None and start_const is None
+                         else None))
+
+        def untag(c: str):
+            s = F.col(c)
+            return F.struct(
+                s["kind"].alias("kind"),
+                F.expr(f"substring({c}.lex, instr({c}.lex, ' ') + 1)")
+                .alias("lex"),
+                s["dt"].alias("dt"), s["lang"].alias("lang"))
+
+        df = pairs.select(
+            iri_term(F.substring_index(F.col("start")["lex"], " ", 1))
+            .alias("__g"),
+            untag("start").alias("start"), untag("end").alias("end"))
+        # constant endpoints re-filter on the untagged structs (for the
+        # anchored closures this is a no-op restriction; plain composite
+        # paths rely on it, same post-filter as the non-GRAPH branch)
+        if start_const is not None:
+            df = df.filter(df["start"].eqNullSafe(term_to_struct(start_const)))
+        if end_const is not None:
+            df = df.filter(df["end"].eqNullSafe(term_to_struct(end_const)))
+        gname = self.graph_var
+        proj = {gname: df["__g"]}
+        if isinstance(tp.s, Var):
+            if tp.s.name == gname:
+                df = df.filter(df["__g"].eqNullSafe(df["start"]))
+            else:
+                proj[tp.s.name] = df["start"]
+        if isinstance(tp.o, Var):
+            if tp.o.name == gname:
+                df = df.filter(df["__g"].eqNullSafe(df["end"]))
+            elif isinstance(tp.s, Var) and tp.o.name == tp.s.name:
                 df = df.filter(df["start"].eqNullSafe(df["end"]))
             else:
                 proj[tp.o.name] = df["end"]

@@ -118,9 +118,63 @@ def test_path_inside_constant_graph(ep):
     assert rows(pdf) == [(":carol",)]
 
 
-def test_path_inside_variable_graph_raises(ep):
-    with pytest.raises(Exception, match="GRAPH .var"):
-        ep.select("SELECT ?y WHERE { GRAPH ?g { :bob :knows+ ?y } }")
+def test_path_plus_inside_variable_graph(ep):
+    # round 10: graph-tagged closure — the anchored BFS runs once over
+    # every named graph, binding ?g from the tag
+    pdf = ep.select(
+        "SELECT ?g ?y WHERE { GRAPH ?g { :bob :knows+ ?y } }")
+    assert rows(pdf) == [(":g1", ":carol")]
+
+
+def test_path_star_unanchored_inside_variable_graph(ep):
+    # zero-length arm enumerates each graph's own node domain; the
+    # one-step arm stays within its graph
+    pdf = ep.select(
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x :knows* ?y } "
+        "FILTER(?x != ?y) }")
+    assert rows(pdf) == [(":g1", ":bob", ":carol")]
+
+
+def test_path_seq_with_consts_inside_variable_graph(ep):
+    # composite (non-closure) path + constant endpoints: post-untag
+    # filters; :bob :knows/:age? — build an explicit two-step chain
+    pdf = ep.select(
+        "SELECT ?g ?a WHERE { GRAPH ?g { :bob :knows/^:level ?c . "
+        "?c :age ?a } }")
+    assert rows(pdf) == []
+    pdf = ep.select(
+        "SELECT ?g ?v WHERE { GRAPH ?g { :carol ^:knows/:age ?v } }")
+    assert rows(pdf) == [(":g1", 42)]
+
+
+def test_path_in_graph_var_joins_with_graph_name(ep):
+    # the decoded ?g joins like any shared variable across patterns —
+    # the plain pattern must land in the SAME graph as the closure
+    pdf = ep.select(
+        "SELECT ?g ?s ?y WHERE { GRAPH ?g { :bob :knows+ ?y . ?s ?p ?y } }")
+    assert rows(pdf) == [(":g1", ":bob", ":carol")]
+    # cross-graph: ?y's own triples are in :g2, not :g1 => empty
+    pdf = ep.select(
+        "SELECT ?g ?y WHERE { GRAPH ?g { :bob :knows+ ?y . ?y ?p ?o } }")
+    assert rows(pdf) == []
+
+
+def test_path_in_graph_var_literal_lex_with_spaces(spark):
+    from sparkdon.session import inline_trig
+
+    ep2 = inline_trig("""
+@prefix : <http://ex.com/> .
+GRAPH :ga { :n1 :next :n2 . :n2 :label "two words here" . }
+GRAPH :gb { :n1 :next :n3 . }
+""", spark)
+    # closure whose endpoints include a literal containing spaces: the
+    # first-space untag must recover the full lexical
+    pdf = ep2.select(
+        "SELECT ?g ?v WHERE { GRAPH ?g { :n1 (:next|:label)+ ?v } }")
+    got = rows(pdf)
+    assert (":ga", "two words here") in got
+    assert (":ga", ":n2") in got and (":gb", ":n3") in got
+    assert len(got) == 3
 
 
 def test_from_builds_default_from_named_graphs(ep):
