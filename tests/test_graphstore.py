@@ -1,0 +1,133 @@
+"""SPARQL 1.1 Graph Store HTTP Protocol (round 10): GET/HEAD/PUT/POST/
+DELETE against ?default / ?graph=<iri>, backed by the named quad store;
+mutations visible to SPARQL GRAPH queries on the same endpoint."""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from sparkdon.graphstore import GraphStoreServer
+from sparkdon.session import inline
+
+BASE_TTL = """
+@prefix : <http://example.com/> .
+:a :p :b .
+"""
+
+G1 = "http://example.com/g1"
+TTL1 = "@prefix : <http://example.com/> .\n:x :q 1 .\n"
+TTL2 = "@prefix : <http://example.com/> .\n:y :q 2 .\n"
+
+
+@pytest.fixture()
+def srv(spark):
+    s = GraphStoreServer(inline(BASE_TTL, spark)).start()
+    yield s
+    s.stop()
+
+
+def req(url, method="GET", body=None, ctype="text/turtle", accept=None):
+    headers = {}
+    if body is not None:
+        headers["Content-Type"] = ctype
+    if accept:
+        headers["Accept"] = accept
+    r = urllib.request.Request(
+        url, data=body.encode() if body is not None else None,
+        headers=headers, method=method)
+    return urllib.request.urlopen(r)
+
+
+def gurl(srv, iri=None):
+    if iri is None:
+        return srv.url + "?default"
+    return srv.url + "?" + urllib.parse.urlencode({"graph": iri})
+
+
+def test_put_creates_then_replaces_named_graph(srv):
+    resp = req(gurl(srv, G1), "PUT", TTL1)
+    assert resp.status == 201
+    body = req(gurl(srv, G1)).read().decode()
+    assert "http://example.com/x" in body
+    resp = req(gurl(srv, G1), "PUT", TTL2)
+    assert resp.status == 204
+    body = req(gurl(srv, G1)).read().decode()
+    assert "http://example.com/y" in body
+    assert "http://example.com/x" not in body
+
+
+def test_post_merges_into_named_graph(srv):
+    req(gurl(srv, G1), "PUT", TTL1)
+    resp = req(gurl(srv, G1), "POST", TTL2)
+    assert resp.status == 204
+    body = req(gurl(srv, G1)).read().decode()
+    assert "http://example.com/x" in body and "http://example.com/y" in body
+
+
+def test_delete_named_graph_then_404(srv):
+    req(gurl(srv, G1), "PUT", TTL1)
+    assert req(gurl(srv, G1), "DELETE").status == 204
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(gurl(srv, G1))
+    assert exc.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(gurl(srv, G1), "DELETE")
+    assert exc.value.code == 404
+
+
+def test_default_graph_get_put_delete(srv):
+    body = req(gurl(srv)).read().decode()
+    assert "http://example.com/a" in body
+    assert req(gurl(srv), "PUT", TTL1).status == 204
+    body = req(gurl(srv)).read().decode()
+    assert "http://example.com/x" in body
+    assert "http://example.com/a" not in body
+    # the default graph always exists: DELETE empties, GET stays 200
+    assert req(gurl(srv), "DELETE").status == 204
+    assert req(gurl(srv)).read().decode().strip() == ""
+
+
+def test_post_default_merges(srv):
+    req(gurl(srv), "POST", TTL1)
+    body = req(gurl(srv)).read().decode()
+    assert "http://example.com/a" in body and "http://example.com/x" in body
+
+
+def test_gsp_graph_visible_to_sparql(srv):
+    req(gurl(srv, G1), "PUT", TTL1)
+    pdf = srv.endpoint.select(
+        "SELECT ?s WHERE { GRAPH <http://example.com/g1> { ?s ?p ?o } }")
+    assert list(pdf["s"]) == [":x"]
+
+
+def test_indirect_identification_required(srv):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(srv.url)  # neither ?default nor ?graph=
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(srv.url + "?default&graph=" + G1)
+    assert exc.value.code == 400
+
+
+def test_unsupported_payload_415_and_parse_400(srv):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(gurl(srv, G1), "PUT", "<x>", ctype="application/rdf+json")
+    assert exc.value.code == 415
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(gurl(srv, G1), "PUT", "this is not turtle @@")
+    assert exc.value.code == 400
+
+
+def test_head_and_accept_negotiation(srv):
+    resp = req(gurl(srv), "HEAD")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/n-triples"
+    assert resp.read() == b""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        req(gurl(srv), accept="application/rdf+xml")
+    assert exc.value.code == 406
+    assert req(gurl(srv), accept="text/*").status == 200
