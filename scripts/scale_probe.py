@@ -107,6 +107,7 @@ def main() -> None:
         x_pq_trained,
         x_rank_normalize,
         x_sim_lsh_refined,
+        x_sim_ivf,
         x_sim_ivfpq,
         x_sim_pq,
         x_split_by_cluster,
@@ -149,6 +150,11 @@ def main() -> None:
         # (nprobe/K)·corpus per query, so the ADC join should track the
         # corpus linearly with a constant 10-query broadcast side
         "x_sim_ivfpq": x_sim_ivfpq,
+        # round 10 (post-ivfpq): the coarse-only IVF gate after its
+        # salted two-stage refine rewrite — candidate volume is
+        # (nprobe/K)·corpus like ivfpq, so the refine window was the
+        # same single-task-per-qid bottleneck at 100×
+        "x_sim_ivf": x_sim_ivf,
         "x_pack_sequences": x_pack_sequences,
         # round 10 (late): grouped two-pass prefix-sum rank + value-key
         # join-back — the grouped relation is value-domain-sized, so the
@@ -203,8 +209,14 @@ def main() -> None:
         "sparql_path_plus": sparql_path_plus,
     }
 
-    def best_of_2(fn, d):
+    def best_of_2(fn, d, warm=False):
         best = None
+        # one untimed warmup before the first timed measurement of a
+        # probe: the session's first job pays JVM + codegen warmup
+        # (~10 s), which would inflate t1 and UNDERSTATE tk/t1 — the
+        # anti-conservative direction for a super-linearity probe
+        if warm:
+            fn(spark, d).count()
         for _ in range(2):
             # same reset as bench.py pre_run: without it min-of-2 would
             # record the component-memo READ (~0.1 s) for
@@ -225,8 +237,8 @@ def main() -> None:
         probes = {n: f for n, f in probes.items() if n in only}
 
     results = {}
-    for name, fn in probes.items():
-        t1 = best_of_2(fn, sf_dir)
+    for i, (name, fn) in enumerate(probes.items()):
+        t1 = best_of_2(fn, sf_dir, warm=(i == 0))
         tk = best_of_2(fn, out_dir)
         results[name] = {"t1": t1, "tk": tk, "ratio": round(tk / t1, 2)}
 
