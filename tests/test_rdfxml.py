@@ -215,3 +215,65 @@ def test_inline_rdfxml_endpoint(spark):
     e = inline_rdfxml(xml, spark, prefixes={"ex": EX})
     pdf = e.select("SELECT ?a WHERE { ?s ex:age ?a }")
     assert list(pdf["a"]) == [19]
+
+
+# -- writer (round 10) --------------------------------------------------
+
+def test_serialize_roundtrip_all_term_shapes():
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    rows = [
+        ("iri", "http://ex.com/a", "http://ex.com/p", "lit",
+         'quotes " and <tags> & amps', None, None),
+        ("iri", "http://ex.com/a", "http://ex.com/p", "lit",
+         "bonjour", None, "fr"),
+        ("iri", "http://ex.com/a", "http://ex.com/n", "lit",
+         "7", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("iri", "http://ex.com/a", "http://other.org/q", "iri",
+         "http://ex.com/b", None, None),
+        ("bnode", "b0", "http://ex.com/p", "bnode", "b1", None, None),
+        ("iri", "http://ex.com/u", "http://ex.com/p", "lit",
+         "multi\nline\ttext", None, None),
+    ]
+    doc = serialize_rdfxml(rows, {"ex": "http://ex.com/"})
+    assert 'xmlns:ex="http://ex.com/"' in doc  # seeded prefix used
+    assert sorted(parse_rdfxml(doc)) == sorted(rows)
+
+
+def test_serialize_unserializable_predicate_raises():
+    from sparkdon.errors import SparkdonError
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    rows = [("iri", "http://ex.com/a", "http://ex.com/p/", "iri",
+             "http://ex.com/b", None, None)]  # empty local part
+    with pytest.raises(SparkdonError, match="NCName"):
+        serialize_rdfxml(rows)
+
+
+def test_serialize_control_char_literal_raises():
+    from sparkdon.errors import SparkdonError
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    rows = [("iri", "http://ex.com/a", "http://ex.com/p", "lit",
+             "bad\x01char", None, None)]
+    with pytest.raises(SparkdonError, match="control"):
+        serialize_rdfxml(rows)
+
+
+def test_rdfxml_string_and_write_roundtrip(spark, tmp_path):
+    from sparkdon.rdfxml import rdfxml_string, read_rdfxml, write_rdfxml
+    from sparkdon.session import inline
+
+    ep = inline("""
+@prefix : <http://ex.com/> .
+:a :p :b ; :q "lit with spaces" ; :n 41 .
+:b :p :c .
+""", spark)
+    doc = rdfxml_string(ep.graph, {"": "http://ex.com/"})
+    assert sorted(parse_rdfxml(doc)) == sorted(
+        map(tuple, ep.graph.collect()))
+    path = str(tmp_path / "out_rdfxml")
+    write_rdfxml(ep.graph.repartition(3), path)
+    back = read_rdfxml(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ep.graph.collect()))
