@@ -49,26 +49,39 @@ def _decode_json_term(node: dict | None) -> Any:
     return to_python("lit", node["value"], node.get("datatype"), node.get("xml:lang"))
 
 
-def fetch_bindings(url: str, sparql: str, default_graph: str | None = None,
+def _dataset_params(default_graph, named_graphs) -> list:
+    """Protocol dataset parameters (SPARQL 1.1 Protocol §2.1.4) as
+    repeatable (name, value) pairs.  ``default_graph`` accepts a single
+    IRI (reference parity: gastrodon's RemoteEndpoint default_graph) or
+    a list; ``named_graphs`` a list."""
+    if default_graph is None:
+        dgs = []
+    elif isinstance(default_graph, (list, tuple)):
+        dgs = list(default_graph)
+    else:
+        dgs = [default_graph]
+    return ([("default-graph-uri", str(g)) for g in dgs]
+            + [("named-graph-uri", str(g)) for g in (named_graphs or [])])
+
+
+def fetch_bindings(url: str, sparql: str, default_graph=None,
                    user: str | None = None, passwd: str | None = None,
-                   timeout: int = 60, raw_post: bool = False) -> dict:
+                   timeout: int = 60, raw_post: bool = False,
+                   named_graphs=None) -> dict:
     """One SPARQL-protocol request → parsed JSON results document.
 
     ``raw_post=True`` uses the §2.1.3 direct-POST form (body is the bare
     query, ``Content-Type: application/sparql-query``, protocol params on
     the URL) instead of form encoding — the right choice for very large
     queries, where percent-encoding inflates the body."""
+    ds = _dataset_params(default_graph, named_graphs)
     if raw_post:
-        if default_graph:
-            url += ("&" if "?" in url else "?") + urllib.parse.urlencode(
-                {"default-graph-uri": default_graph})
+        if ds:
+            url += ("&" if "?" in url else "?") + urllib.parse.urlencode(ds)
         data = sparql.encode()
         ctype = "application/sparql-query; charset=UTF-8"
     else:
-        params = {"query": sparql}
-        if default_graph:
-            params["default-graph-uri"] = default_graph
-        data = urllib.parse.urlencode(params).encode()
+        data = urllib.parse.urlencode([("query", sparql)] + ds).encode()
         ctype = "application/x-www-form-urlencoded"
     req = urllib.request.Request(
         url,
@@ -102,14 +115,17 @@ class RemoteEndpoint(Endpoint):
 
     def __init__(self, url: str, spark: SparkSession | None = None,
                  prefixes: dict[str, str] | None = None, user: str | None = None,
-                 passwd: str | None = None, default_graph: str | None = None,
-                 base_uri: str | None = None):
+                 passwd: str | None = None, default_graph=None,
+                 base_uri: str | None = None, named_graphs=None):
         if spark is None:
             spark = SparkSession.getActiveSession()
         self.url = url
         self.user = user
         self.passwd = passwd
         self.default_graph = default_graph
+        #: protocol named-graph-uri list (beyond reference parity — the
+        #: server half landed this round; §2.1.4 dataset override)
+        self.named_graphs = list(named_graphs) if named_graphs else None
         # Endpoint.__init__ touches spark conf; tolerate spark=None for
         # pure-driver use (pandas only)
         self.spark = spark
@@ -123,7 +139,9 @@ class RemoteEndpoint(Endpoint):
     def select(self, sparql: str, bindings: dict | None = None) -> pd.DataFrame:
         sparql = self._prepare(sparql, bindings, depth=3)
         sparql = self._inject_prefixes(sparql)
-        doc = fetch_bindings(self.url, sparql, self.default_graph, self.user, self.passwd)
+        doc = fetch_bindings(self.url, sparql, self.default_graph,
+                             self.user, self.passwd,
+                             named_graphs=self.named_graphs)
         variables = doc["head"]["vars"]
         cols: dict[str, list] = {v: [] for v in variables}
         for row in doc["results"]["bindings"]:
@@ -166,8 +184,10 @@ class RemoteEndpoint(Endpoint):
             raise QueryExecutionError("to_spark requires a SparkSession")
         sparql = self._inject_prefixes(sparql)
         url, dg, user, passwd = self.url, self.default_graph, self.user, self.passwd
+        ds_pairs = _dataset_params(dg, self.named_graphs)
 
-        probe = fetch_bindings(url, sparql + " LIMIT 1", dg, user, passwd)
+        probe = fetch_bindings(url, sparql + " LIMIT 1", dg, user, passwd,
+                               named_graphs=self.named_graphs)
         variables = probe["head"]["vars"]
         if not variables:
             raise QueryExecutionError("query projects no variables", sparql)
@@ -185,9 +205,7 @@ class RemoteEndpoint(Endpoint):
             import pandas as _pd
 
             def _fetch(q):
-                params = {"query": q}
-                if dg:
-                    params["default-graph-uri"] = dg
+                params = [("query", q)] + list(ds_pairs)
                 req = _ur.Request(
                     url,
                     data=_up.urlencode(params).encode(),
@@ -237,7 +255,9 @@ class RemoteEndpoint(Endpoint):
             raise QueryExecutionError("remote construct requires a SparkSession")
         sparql = self._prepare(sparql, bindings, depth=3)
         sparql = self._inject_prefixes(sparql)
-        doc = fetch_bindings(self.url, sparql, self.default_graph, self.user, self.passwd)
+        doc = fetch_bindings(self.url, sparql, self.default_graph,
+                             self.user, self.passwd,
+                             named_graphs=self.named_graphs)
         variables = doc["head"]["vars"]
         missing = [v for v in ("s", "p", "o") if v not in variables]
         if missing:

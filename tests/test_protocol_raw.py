@@ -418,3 +418,28 @@ def test_update_with_using_graph_uri_is_400(ds_served):
             ds_served.url, data=body,
             headers={"Content-Type": "application/x-www-form-urlencoded"}))
     assert exc.value.code == 400
+
+
+def test_remote_client_dataset_params_loop(spark, ds_served):
+    # client half of §2.1.4 against our own server: default_graph (str
+    # parity with the reference) + named_graphs list
+    from sparkdon.remote import RemoteEndpoint
+
+    ep = RemoteEndpoint(ds_served.url, spark,
+                        prefixes={"": "http://ex.com/"},
+                        default_graph="http://ex.com/g1")
+    pdf = ep.select("SELECT ?s WHERE { ?s :age ?a }")
+    assert [str(v) for v in pdf["s"]] == [":bob"]
+    ep2 = RemoteEndpoint(ds_served.url, spark,
+                         prefixes={"": "http://ex.com/"},
+                         default_graph=["http://ex.com/g1",
+                                        "http://ex.com/g2"],
+                         named_graphs=["http://ex.com/g2"])
+    pdf = ep2.select("SELECT ?s WHERE { ?s :age ?a } ORDER BY ?s")
+    assert [str(v) for v in pdf["s"]] == [":bob", ":carol"]
+    pdf = ep2.select("SELECT ?g WHERE { GRAPH ?g { ?s :age ?a } }")
+    assert [str(v) for v in pdf["g"]] == [":g2"]
+    # distributed stripe fetch threads the same dataset pairs
+    sdf = ep2.to_spark("SELECT ?s WHERE { ?s :age ?a }", partitions=2)
+    assert sorted(r["s"] for r in sdf.collect()) == [
+        "http://ex.com/bob", "http://ex.com/carol"]
