@@ -237,6 +237,12 @@ class UpdateRequest:
     #: DELETE DATA: list of (IRI, TriplePattern)
     insert_quads: list | None = None
     delete_quads: list | None = None
+    #: ``WITH <g>`` (§3.1.3): the named graph the templates modify AND the
+    #: WHERE clause's default graph (unless USING overrides the matching)
+    with_graph: IRI | None = None
+    #: ``USING`` / ``USING NAMED`` clauses: same shape as a query's
+    #: FROM/FROM NAMED dataset — ``(using_iris, using_named_iris)``
+    using: tuple | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -480,6 +486,12 @@ class Parser:
 
     def _parse_update_op(self) -> UpdateRequest:
         delete_t = insert_t = None
+        with_graph = None
+        if self.at_keyword("WITH"):
+            # §3.1.3 Modify: WITH names the graph the operation modifies
+            # and matches against; only the template-update form takes it
+            self.next()
+            with_graph = self.parse_iri()
         if self.at_keyword("CLEAR"):
             self.next()
             silent = False
@@ -509,6 +521,11 @@ class Parser:
             self.next()
             if self.at_keyword("DATA"):
                 self.next()
+                if with_graph is not None:
+                    raise SparqlSyntaxError(
+                        self.text, self.peek().pos,
+                        "WITH applies to template updates, not INSERT DATA "
+                        "(use GRAPH <g> { ... } blocks)")
                 tpl, quads = self.parse_quad_data()
                 return UpdateRequest(None, tpl, None, insert_quads=quads)
             self.expect("{")
@@ -519,6 +536,11 @@ class Parser:
             if self.at_keyword("DATA"):
                 self.next()
                 pos = self.peek().pos
+                if with_graph is not None:
+                    raise SparqlSyntaxError(
+                        self.text, pos,
+                        "WITH applies to template updates, not DELETE DATA "
+                        "(use GRAPH <g> { ... } blocks)")
                 tpl, quads = self.parse_quad_data()
                 # §3.1.2: blank nodes are not permitted in DELETE DATA
                 # (they are fine in INSERT DATA, where they mint nodes)
@@ -541,6 +563,12 @@ class Parser:
                 self._reject_bnodes(tpl, brace_pos, "DELETE WHERE")
                 self.i = save
                 where = self.parse_group()
+                # grammar rule 40: DELETE WHERE takes no WITH
+                if with_graph is not None:
+                    raise SparqlSyntaxError(
+                        self.text, brace_pos,
+                        "WITH is not allowed on DELETE WHERE; use "
+                        "WITH ... DELETE { P } WHERE { P }")
                 return UpdateRequest(tpl, None, where)
             self.expect("{")
             pos = self.peek().pos
@@ -556,11 +584,26 @@ class Parser:
         else:
             t = self.peek()
             raise SparqlSyntaxError(self.text, t.pos, f"expected INSERT/DELETE, got {t.text!r}")
+        using_d: list = []
+        using_n: list = []
+        while self.at_keyword("USING"):
+            # §3.1.5.2: USING/USING NAMED build the WHERE clause's
+            # dataset exactly like FROM/FROM NAMED, overriding WITH for
+            # the matching (the templates still target the WITH graph)
+            self.next()
+            if self.at_keyword("NAMED"):
+                self.next()
+                using_n.append(self.parse_iri())
+            else:
+                using_d.append(self.parse_iri())
+        using = ((tuple(using_d), tuple(using_n))
+                 if (using_d or using_n) else None)
         where = None
         if self.at_keyword("WHERE"):
             self.next()
             where = self.parse_group()
-        return UpdateRequest(delete_t, insert_t, where)
+        return UpdateRequest(delete_t, insert_t, where,
+                             with_graph=with_graph, using=using)
 
     # --- SELECT ---
     def parse_select(self) -> SelectQuery:

@@ -459,9 +459,17 @@ class LocalEndpoint(Endpoint):
             self._apply_update(u)
 
     def _apply_update(self, u) -> None:
+        from types import SimpleNamespace
+
         from pyspark.sql import functions as F
 
-        compiler = self._compiler()
+        # §3.1.3/§3.1.5.2: the WHERE clause's dataset — USING/USING NAMED
+        # win; a bare WITH matches against its graph as the default (the
+        # USING-equivalent reading; GRAPH patterns then see no named
+        # graphs, per the same replace semantics as FROM)
+        ds = u.using if getattr(u, "using", None) is not None else (
+            ((u.with_graph,), ()) if getattr(u, "with_graph", None) else None)
+        compiler = self._compiler(SimpleNamespace(dataset=ds))
         new = self.graph
         if u.clear:
             # SPARQL 1.1 Update §3.2.3: DEFAULT empties the default
@@ -486,22 +494,45 @@ class LocalEndpoint(Endpoint):
         if u.insert_quads or u.delete_quads:
             self._apply_quad_data(u.insert_quads, u.delete_quads)
         if u.where is None:
-            if u.insert_template:
-                rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.insert_template]
-                new = new.unionByName(io_mod.triples_df(self.spark, rows)).dropDuplicates()
-            if u.delete_template:
-                rows = [io_mod._encode_triple(t.s, t.p, t.o) for t in u.delete_template]
-                new = new.subtract(io_mod.triples_df(self.spark, rows))
+            ins_df = (io_mod.triples_df(self.spark, [
+                io_mod._encode_triple(t.s, t.p, t.o)
+                for t in u.insert_template]) if u.insert_template else None)
+            del_df = (io_mod.triples_df(self.spark, [
+                io_mod._encode_triple(t.s, t.p, t.o)
+                for t in u.delete_template]) if u.delete_template else None)
         else:
-            if u.delete_template:
-                del_df = compiler.compile_construct(
-                    ConstructQuery(template=u.delete_template, where=u.where))
-                new = new.subtract(del_df)
-            if u.insert_template:
-                ins_df = compiler.compile_construct(
-                    ConstructQuery(template=u.insert_template, where=u.where))
-                new = new.unionByName(ins_df).dropDuplicates()
+            del_df = (compiler.compile_construct(
+                ConstructQuery(template=u.delete_template, where=u.where))
+                if u.delete_template else None)
+            ins_df = (compiler.compile_construct(
+                ConstructQuery(template=u.insert_template, where=u.where))
+                if u.insert_template else None)
+        if getattr(u, "with_graph", None):
+            # WITH <g>: templates modify the named graph, not the default
+            self._modify_named_graph(str(u.with_graph), ins_df, del_df)
+            return
+        if del_df is not None:
+            new = new.subtract(del_df)
+        if ins_df is not None:
+            new = new.unionByName(ins_df).dropDuplicates()
         self.graph = new.localCheckpoint(eager=True)
+
+    def _modify_named_graph(self, g: str, ins_df, del_df) -> None:
+        """Apply computed insert/delete triple frames to one named graph
+        (the WITH target), immutable-snapshot swap like every mutation."""
+        from pyspark.sql import functions as F
+
+        from sparkdon.terms import QUAD_SCHEMA
+
+        named = self.named
+        if named is None:
+            named = self.spark.createDataFrame([], QUAD_SCHEMA)
+        if del_df is not None:
+            named = named.subtract(del_df.withColumn("g", F.lit(g)))
+        if ins_df is not None:
+            named = named.unionByName(
+                ins_df.withColumn("g", F.lit(g))).dropDuplicates()
+        self.named = named.localCheckpoint(eager=True)
 
     def _apply_quad_data(self, insert_quads, delete_quads) -> None:
         """Ground ``GRAPH <g> { … }`` blocks from INSERT DATA / DELETE

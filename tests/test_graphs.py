@@ -280,3 +280,47 @@ def test_describe_honors_from_dataset(ep):
         ("http://ex.com/bob", "http://ex.com/age", "42"),
         ("http://ex.com/bob", "http://ex.com/knows", "http://ex.com/carol"),
     ]
+
+
+def test_update_with_graph_modifies_named(ep):
+    # WITH <g>: WHERE matches against g as default graph AND the
+    # templates modify g (§3.1.3)
+    ep.update("WITH :g1 INSERT { ?s :flag ?s } WHERE { ?s :age ?a }")
+    pdf = ep.select("SELECT ?s WHERE { GRAPH :g1 { ?s :flag ?s } }")
+    assert rows(pdf) == [(":bob",)]
+    # the default graph is untouched
+    assert rows(ep.select("SELECT ?s WHERE { ?s :flag ?s }")) == []
+    ep.update("WITH :g1 DELETE { ?s :flag ?s } WHERE { ?s :flag ?s }")
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g1 { ?s :flag ?s } }")) == []
+
+
+def test_update_using_matches_other_graph(ep):
+    # USING :g2 scopes the WHERE; templates (no WITH) hit the default
+    ep.update("INSERT { ?s :copied ?a } USING :g2 WHERE { ?s :age ?a }")
+    pdf = ep.select("SELECT ?s ?a WHERE { ?s :copied ?a }")
+    assert rows(pdf) == [(":carol", 30)]
+
+
+def test_update_using_overrides_with_for_matching(ep):
+    # match in g2 (USING wins), modify g1 (WITH names the target)
+    ep.update("WITH :g1 INSERT { ?s :mirrored ?a } USING :g2 "
+              "WHERE { ?s :age ?a }")
+    pdf = ep.select("SELECT ?g ?s WHERE { GRAPH ?g { ?s :mirrored ?a } }")
+    assert rows(pdf) == [(":g1", ":carol")]
+
+
+def test_update_using_named_scopes_graph_patterns(ep):
+    ep.update("INSERT { ?s :seen ?g } USING NAMED :g2 "
+              "WHERE { GRAPH ?g { ?s :age ?a } }")
+    pdf = ep.select("SELECT ?s ?g WHERE { ?s :seen ?g }")
+    assert rows(pdf) == [(":carol", ":g2")]
+
+
+def test_with_rejected_on_data_and_delete_where(ep):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="WITH"):
+        ep.update("WITH :g1 INSERT DATA { :x :y :z }")
+    with _pytest.raises(Exception, match="WITH"):
+        ep.update("WITH :g1 DELETE WHERE { ?s :age ?a }")
