@@ -247,3 +247,80 @@ class _HttpError(Exception):
         super().__init__(msg)
         self.code = code
         self.msg = msg
+
+
+class RemoteGraphStore:
+    """Graph Store Protocol *client* — the loop-closing twin of
+    :class:`GraphStoreServer`, same pairing as RemoteEndpoint ↔
+    SparqlProtocolServer.
+
+    ``get`` returns a triple DataFrame (N-Triples response parsed with
+    the Turtle parser — N-Triples is a subset); ``put``/``post`` send a
+    bounded driver-side serialization (io.nt_string's limit discipline —
+    whole-graph HTTP transfer is inherently driver-bound; move unbounded
+    graphs as parquet).  ``graph=None`` addresses the default graph."""
+
+    def __init__(self, url: str, spark=None, user: str | None = None,
+                 passwd: str | None = None, timeout: int = 60):
+        self.url = url
+        self.spark = spark
+        self.user = user
+        self.passwd = passwd
+        self.timeout = timeout
+
+    def _gurl(self, graph) -> str:
+        if graph is None:
+            return self.url + "?default"
+        return self.url + "?" + urllib.parse.urlencode({"graph": str(graph)})
+
+    def _request(self, method: str, graph, body: bytes | None = None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._gurl(graph), data=body, method=method,
+            headers={"Accept": "application/n-triples", **(
+                {"Content-Type": "application/n-triples"} if body is not None
+                else {})})
+        if self.user is not None:
+            import base64
+
+            cred = base64.b64encode(
+                f"{self.user}:{self.passwd or ''}".encode()).decode()
+            req.add_header("Authorization", f"Basic {cred}")
+        return urllib.request.urlopen(req, timeout=self.timeout)
+
+    def get(self, graph=None):
+        """GET → triple DataFrame (requires ``spark``)."""
+        if self.spark is None:
+            raise ValueError("get() requires a SparkSession; pass spark=")
+        text = self._request("GET", graph).read().decode()
+        return io_mod.triples_df(self.spark, io_mod.parse_turtle(text))
+
+    def exists(self, graph) -> bool:
+        """HEAD → does the named graph exist."""
+        import urllib.error
+
+        try:
+            self._request("HEAD", graph)
+            return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def put(self, triples, graph=None) -> int:
+        """PUT (replace); returns the HTTP status (201 created / 204
+        replaced).  ``triples``: a triple DataFrame or N-Triples text."""
+        return self._send("PUT", triples, graph)
+
+    def post(self, triples, graph=None) -> int:
+        """POST (merge); returns the HTTP status."""
+        return self._send("POST", triples, graph)
+
+    def _send(self, method: str, triples, graph) -> int:
+        body = (triples if isinstance(triples, str)
+                else io_mod.nt_string(triples))
+        return self._request(method, graph, body.encode()).status
+
+    def delete(self, graph=None) -> None:
+        self._request("DELETE", graph)

@@ -131,3 +131,24 @@ def test_head_and_accept_negotiation(srv):
         req(gurl(srv), accept="application/rdf+xml")
     assert exc.value.code == 406
     assert req(gurl(srv), accept="text/*").status == 200
+
+
+def test_remote_graphstore_client_loop(spark, srv):
+    from sparkdon.graphstore import RemoteGraphStore
+    from sparkdon.session import inline
+
+    client = RemoteGraphStore(srv.url, spark)
+    assert not client.exists(G1)
+    src = inline(TTL1, spark).graph
+    assert client.put(src, G1) == 201
+    assert client.exists(G1)
+    back = client.get(G1)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect()))
+    assert client.post(inline(TTL2, spark).graph, G1) == 204
+    assert back.count() + 1 == client.get(G1).count()
+    # default graph round-trip + delete
+    base = client.get()
+    assert base.count() == 1
+    client.delete(G1)
+    assert not client.exists(G1)
