@@ -243,6 +243,12 @@ class UpdateRequest:
     #: ``USING`` / ``USING NAMED`` clauses: same shape as a query's
     #: FROM/FROM NAMED dataset — ``(using_iris, using_named_iris)``
     using: tuple | None = None
+    #: graph management (§3.2.2/3.2.5-7): "DROP" | "CREATE" | "ADD" |
+    #: "COPY" | "MOVE"; src/dst are IRIs or None for DEFAULT (DROP also
+    #: reuses clear/clear_graph via the shared CLEAR target parse)
+    manage: str | None = None
+    mg_src: IRI | None = None
+    mg_dst: IRI | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +461,16 @@ class Parser:
                     self.text, pos,
                     f"blank nodes are not allowed in {where}")
 
+    def _parse_graph_or_default(self):
+        """GraphOrDefault (§19.8 rule 46): ``DEFAULT`` or ``[GRAPH] iri``;
+        None encodes the default graph."""
+        if self.at_keyword("DEFAULT"):
+            self.next()
+            return None
+        if self.at_keyword("GRAPH"):
+            self.next()
+        return self.parse_iri()
+
     def parse_quad_data(self) -> tuple[list, list | None]:
         """QuadData (SPARQL 1.1 Update §19.8): ``{ triples (GRAPH <g> {
         triples })* triples … }`` — returns ``(default_graph_triples,
@@ -492,7 +508,10 @@ class Parser:
             # and matches against; only the template-update form takes it
             self.next()
             with_graph = self.parse_iri()
-        if self.at_keyword("CLEAR"):
+        if self.at_keyword("CLEAR") or self.at_keyword("DROP"):
+            # §3.2.2 DROP: on a store that does not record empty graphs
+            # (ours — a named graph exists iff it has quads) DROP and
+            # CLEAR coincide; both share the target grammar
             self.next()
             silent = False
             if self.at_keyword("SILENT"):
@@ -517,6 +536,43 @@ class Parser:
                 self.text, t.pos,
                 "CLEAR supports DEFAULT, NAMED, ALL, or GRAPH <iri> "
                 f"(got {t.text!r}; add SILENT for a no-op)")
+        if self.at_keyword("LOAD"):
+            # §3.1.4: LOAD [SILENT] <docIRI> [INTO GRAPH <g>]
+            self.next()
+            silent = False
+            if self.at_keyword("SILENT"):
+                self.next()
+                silent = True
+            doc = self.parse_iri()
+            dst = None
+            if self.at_keyword("INTO"):
+                self.next()
+                self.expect_keyword("GRAPH")
+                dst = self.parse_iri()
+            return UpdateRequest(None, None, None, manage="LOAD",
+                                 mg_src=doc, mg_dst=dst, silent=silent)
+        if self.at_keyword("CREATE"):
+            # §3.2.1: we do not record empty graphs, so CREATE is the
+            # spec-sanctioned no-op (SILENT accepted and irrelevant)
+            self.next()
+            if self.at_keyword("SILENT"):
+                self.next()
+            self.expect_keyword("GRAPH")
+            self.parse_iri()
+            return UpdateRequest(None, None, None)
+        for op in ("ADD", "COPY", "MOVE"):
+            if self.at_keyword(op):
+                self.next()
+                silent = False
+                if self.at_keyword("SILENT"):
+                    self.next()
+                    silent = True
+                src_g = self._parse_graph_or_default()
+                self.expect_keyword("TO")
+                dst_g = self._parse_graph_or_default()
+                return UpdateRequest(None, None, None, manage=op,
+                                     mg_src=src_g, mg_dst=dst_g,
+                                     silent=silent)
         if self.at_keyword("INSERT"):
             self.next()
             if self.at_keyword("DATA"):

@@ -491,8 +491,14 @@ class LocalEndpoint(Endpoint):
                     self.named = (self.named.filter(F.col("g") != target)
                                   .localCheckpoint(eager=True))
             return
+        if getattr(u, "manage", None):
+            self._apply_graph_management(u)
+            return
         if u.insert_quads or u.delete_quads:
             self._apply_quad_data(u.insert_quads, u.delete_quads)
+        if (u.where is None and not u.insert_template
+                and not u.delete_template):
+            return  # pure no-op request (CREATE, quad-data-only, …)
         if u.where is None:
             ins_df = (io_mod.triples_df(self.spark, [
                 io_mod._encode_triple(t.s, t.p, t.o)
@@ -516,6 +522,101 @@ class LocalEndpoint(Endpoint):
         if ins_df is not None:
             new = new.unionByName(ins_df).dropDuplicates()
         self.graph = new.localCheckpoint(eager=True)
+
+    def _apply_graph_management(self, u) -> None:
+        """ADD / COPY / MOVE (SPARQL 1.1 Update §3.2.5-3.2.7): dataset
+        ops over the quad store; ``DEFAULT`` is the triple frame.  Same
+        source and destination is the spec's no-op; an absent named
+        source fails unless SILENT (we don't record empty graphs)."""
+        from pyspark.sql import functions as F
+
+        from sparkdon.terms import QUAD_SCHEMA
+
+        if u.manage == "LOAD":
+            return self._apply_load(u)
+        src_iri = str(u.mg_src) if u.mg_src else None
+        dst_iri = str(u.mg_dst) if u.mg_dst else None
+        if src_iri == dst_iri:
+            return
+        if src_iri is None:
+            src_df = self.graph
+        else:
+            src_df = (self.named.filter(F.col("g") == src_iri).drop("g")
+                      if self.named is not None else None)
+            if src_df is None or src_df.isEmpty():
+                if u.silent:
+                    return
+                raise SparkdonError(
+                    f"{u.manage} <{src_iri}>: no such named graph "
+                    "(add SILENT to make this a no-op)")
+        replace = u.manage in ("COPY", "MOVE")
+        if dst_iri is None:
+            new = (src_df if replace
+                   else self.graph.unionByName(src_df).dropDuplicates())
+            self.graph = new.localCheckpoint(eager=True)
+        else:
+            named = self.named
+            if named is None:
+                named = self.spark.createDataFrame([], QUAD_SCHEMA)
+            if replace:
+                named = named.filter(F.col("g") != dst_iri)
+            named = named.unionByName(
+                src_df.withColumn("g", F.lit(dst_iri))).dropDuplicates()
+            self.named = named.localCheckpoint(eager=True)
+        if u.manage == "MOVE":
+            if src_iri is None:
+                self.graph = self.graph.limit(0).localCheckpoint(eager=True)
+            else:
+                self.named = (self.named.filter(F.col("g") != src_iri)
+                              .localCheckpoint(eager=True))
+
+    def _apply_load(self, u) -> None:
+        """``LOAD [SILENT] <doc> [INTO GRAPH <g>]`` (§3.1.4): fetch one
+        RDF document over http(s)/file and merge it into the target
+        graph.  Format from the response Content-Type, falling back to
+        the IRI's extension — Turtle / N-Triples (one parser; N-Triples
+        is a Turtle subset) or RDF/XML.  Driver-side fetch by design:
+        LOAD is the spec's single-document convenience; bulk ingestion
+        goes through the file-parallel read_ntriples/read_rdfxml scans."""
+        import urllib.request
+
+        doc = str(u.mg_src)
+        try:
+            if doc.startswith("file://"):
+                from urllib.parse import urlparse
+
+                p = urllib.request.url2pathname(urlparse(doc).path)
+                with open(p, "rb") as f:
+                    data = f.read()
+                ctype = None
+            elif doc.startswith(("http://", "https://")):
+                with urllib.request.urlopen(doc, timeout=60) as resp:
+                    data = resp.read()
+                    ctype = (resp.headers.get("Content-Type") or "") \
+                        .split(";", 1)[0].strip().lower() or None
+            else:
+                raise SparkdonError(
+                    f"unsupported LOAD scheme in <{doc}>; use http(s) or file")
+            is_xml = (ctype in ("application/rdf+xml", "application/xml",
+                                "text/xml")
+                      or (ctype is None and doc.rsplit("?", 1)[0]
+                          .lower().endswith((".rdf", ".owl", ".xml"))))
+            if is_xml:
+                from sparkdon.rdfxml import parse_rdfxml
+
+                rows = parse_rdfxml(data)
+            else:
+                rows = io_mod.parse_turtle(data.decode())
+        except Exception as e:
+            if u.silent:
+                return
+            raise SparkdonError(f"LOAD <{doc}> failed: {e}") from e
+        add = io_mod.triples_df(self.spark, rows)
+        if u.mg_dst is None:
+            self.graph = (self.graph.unionByName(add).dropDuplicates()
+                          .localCheckpoint(eager=True))
+        else:
+            self._modify_named_graph(str(u.mg_dst), add, None)
 
     def _modify_named_graph(self, g: str, ins_df, del_df) -> None:
         """Apply computed insert/delete triple frames to one named graph

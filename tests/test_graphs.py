@@ -324,3 +324,67 @@ def test_with_rejected_on_data_and_delete_where(ep):
         ep.update("WITH :g1 INSERT DATA { :x :y :z }")
     with _pytest.raises(Exception, match="WITH"):
         ep.update("WITH :g1 DELETE WHERE { ?s :age ?a }")
+
+
+def test_copy_add_move_drop_create(ep):
+    # COPY replaces the destination entirely
+    ep.update("COPY :g2 TO :g1")
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g1 { ?s :age ?a } }")) == [(":carol",)]
+    # ADD merges (default graph into a named one)
+    ep.update("ADD DEFAULT TO :g1")
+    pdf = ep.select("SELECT ?s WHERE { GRAPH :g1 { ?s ?p ?o } } ")
+    assert (":alice",) in rows(pdf) and (":carol",) in rows(pdf)
+    # MOVE empties the source
+    ep.update("MOVE :g1 TO :g3")
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g1 { ?s ?p ?o } }")) == []
+    assert (":carol",) in rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g3 { ?s ?p ?o } }"))
+    # MOVE a named graph onto the default graph
+    ep.update("MOVE :g3 TO DEFAULT")
+    assert (":carol",) in rows(ep.select("SELECT ?s WHERE { ?s :age ?a }"))
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g3 { ?s ?p ?o } }")) == []
+    # DROP == CLEAR on a store without empty graphs; CREATE is a no-op
+    ep.update("DROP SILENT GRAPH :g3 ; CREATE GRAPH :gnew ; DROP SILENT GRAPH :gnew")
+    # absent source fails without SILENT, no-ops with it
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no such named graph"):
+        ep.update("COPY :gmissing TO :g1")
+    before = ep.graph.count()
+    ep.update("ADD SILENT :gmissing TO DEFAULT")
+    assert ep.graph.count() == before
+    # same source and destination is the spec no-op
+    ep.update("COPY :g2 TO :g2")
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :g2 { ?s :age ?a } }")) == [(":carol",)]
+
+
+def test_load_file_and_http(ep, spark, tmp_path):
+    # file:// Turtle into a named graph
+    ttl = tmp_path / "doc.ttl"
+    ttl.write_text("@prefix : <http://ex.com/> .\n:dave :age 55 .\n")
+    ep.update(f"LOAD <file://{ttl}> INTO GRAPH :gload")
+    assert rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :gload { ?s :age 55 } }")) == [(":dave",)]
+    # file:// RDF/XML into the default graph (format from extension)
+    from sparkdon.rdfxml import serialize_rdfxml
+    xml = tmp_path / "doc.rdf"
+    xml.write_text(serialize_rdfxml(
+        [("iri", "http://ex.com/erin", "http://ex.com/age", "lit", "61",
+          "http://www.w3.org/2001/XMLSchema#integer", None)]))
+    before = ep.graph.count()
+    ep.update(f"LOAD <file://{xml}>")
+    assert ep.graph.count() == before + 1
+    # http:// — our own Graph Store server serves application/n-triples
+    from sparkdon.graphstore import GraphStoreServer
+    with GraphStoreServer(ep) as srv:
+        ep.update(f"LOAD <{srv.url}?default> INTO GRAPH :ghttp")
+    assert (":erin",) in rows(ep.select(
+        "SELECT ?s WHERE { GRAPH :ghttp { ?s :age ?a } }"))
+    # failures: 404 raises, SILENT no-ops
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="LOAD"):
+        ep.update(f"LOAD <file://{tmp_path}/missing.ttl>")
+    ep.update(f"LOAD SILENT <file://{tmp_path}/missing.ttl>")
