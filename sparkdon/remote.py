@@ -64,6 +64,46 @@ def _dataset_params(default_graph, named_graphs) -> list:
             + [("named-graph-uri", str(g)) for g in (named_graphs or [])])
 
 
+_XRNS = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def _parse_xml_results(text: str | bytes) -> dict:
+    """SPARQL Query Results XML Format → the JSON-results dict shape
+    (fetch_bindings' output contract) — the fallback for endpoints that
+    serve only ``application/sparql-results+xml``."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    boolean = root.find(_XRNS + "boolean")
+    if boolean is not None:
+        return {"head": {}, "boolean": (boolean.text or "").strip() == "true"}
+    head = [v.get("name")
+            for v in root.findall(f"{_XRNS}head/{_XRNS}variable")]
+    bindings = []
+    for res in root.findall(f"{_XRNS}results/{_XRNS}result"):
+        b = {}
+        for bind in res.findall(_XRNS + "binding"):
+            for child in bind:
+                tag = child.tag[len(_XRNS):]
+                if tag == "uri":
+                    node = {"type": "uri", "value": child.text or ""}
+                elif tag == "bnode":
+                    node = {"type": "bnode", "value": child.text or ""}
+                else:
+                    node = {"type": "literal",
+                            "value": "".join(child.itertext())}
+                    lang = child.get(
+                        "{http://www.w3.org/XML/1998/namespace}lang")
+                    dt = child.get("datatype")
+                    if lang:
+                        node["xml:lang"] = lang
+                    elif dt:
+                        node["datatype"] = dt
+                b[bind.get("name")] = node
+        bindings.append(b)
+    return {"head": {"vars": head}, "results": {"bindings": bindings}}
+
+
 def fetch_bindings(url: str, sparql: str, default_graph=None,
                    user: str | None = None, passwd: str | None = None,
                    timeout: int = 60, raw_post: bool = False,
@@ -87,7 +127,10 @@ def fetch_bindings(url: str, sparql: str, default_graph=None,
         url,
         data=data,
         headers={
-            "Accept": "application/sparql-results+json",
+            # JSON preferred; XML accepted for endpoints that only
+            # serve the XML results format (parsed to the same shape)
+            "Accept": "application/sparql-results+json, "
+                      "application/sparql-results+xml;q=0.9",
             "Content-Type": ctype,
         },
     )
@@ -98,7 +141,13 @@ def fetch_bindings(url: str, sparql: str, default_graph=None,
         req.add_header("Authorization", f"Basic {cred}")
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return json.loads(resp.read().decode())
+            body = resp.read()
+            rtype = (resp.headers.get("Content-Type") or "") \
+                .split(";", 1)[0].strip().lower()
+            if rtype in ("application/sparql-results+xml",
+                         "application/xml", "text/xml"):
+                return _parse_xml_results(body)
+            return json.loads(body.decode())
     except urllib.error.HTTPError as e:  # friendly error (gastrodon:570-579)
         body = e.read().decode(errors="replace")[:2000]
         raise QueryExecutionError(

@@ -528,3 +528,80 @@ def test_remote_peel_bnode_root_path_strategy_rejected(spark):
     remote = RemoteEndpoint("http://unused.invalid/sparql", spark)
     with _pytest.raises(QueryExecutionError, match="virtuoso"):
         remote.peel(BNode("b7"))
+
+
+# -- XML results fallback (round 10) ------------------------------------
+
+def test_parse_xml_results_roundtrip(spark):
+    # the protocol server's own XML serializer feeds the client parser:
+    # both halves in-repo, cross-checked against the JSON path
+    from sparkdon.protocol import SparqlProtocolServer
+    from sparkdon.remote import _parse_xml_results
+    from sparkdon.session import inline
+
+    ep = inline("""
+@prefix : <http://ex.com/> .
+:a :p "plain" , "tagged"@fr , 7 ; :q :b ; :r _:bn .
+""", spark)
+    srv = SparqlProtocolServer(ep)
+    q = "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
+    doc = _parse_xml_results(srv._select_xml(q))
+    jdoc = srv._select_document(q)
+    assert doc["head"]["vars"] == jdoc["head"]["vars"]
+    key = lambda b: sorted((k, tuple(sorted(v.items())))
+                           for k, v in b.items())
+    assert sorted(map(key, doc["results"]["bindings"])) == sorted(
+        map(key, jdoc["results"]["bindings"]))
+
+
+def test_fetch_bindings_from_xml_only_endpoint(spark):
+    # an endpoint that ignores Accept and serves only XML results
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from sparkdon.remote import fetch_bindings
+
+    XML = ('<?xml version="1.0"?>'
+           '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+           '<head><variable name="x"/></head><results>'
+           '<result><binding name="x">'
+           '<literal datatype="http://www.w3.org/2001/XMLSchema#integer">'
+           '42</literal></binding></result>'
+           '</results></sparql>')
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            body = XML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/sparql-results+xml")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+        doc = fetch_bindings(url, "SELECT ?x WHERE {}")
+        assert doc["head"]["vars"] == ["x"]
+        b = doc["results"]["bindings"][0]["x"]
+        assert b == {"type": "literal", "value": "42",
+                     "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_parse_xml_ask_result():
+    from sparkdon.remote import _parse_xml_results
+
+    doc = _parse_xml_results(
+        '<?xml version="1.0"?><sparql xmlns='
+        '"http://www.w3.org/2005/sparql-results#">'
+        "<head/><boolean>true</boolean></sparql>")
+    assert doc == {"head": {}, "boolean": True}
