@@ -229,9 +229,49 @@ class SparqlProtocolServer:
                 return fmt
         return None
 
+    #: namespaces for the service description document
+    _SD = "http://www.w3.org/ns/sparql-service-description#"
+    _FMT = "http://www.w3.org/ns/formats/"
+
+    def _service_description(self, h: BaseHTTPRequestHandler) -> None:
+        """W3C SPARQL 1.1 Service Description: a GET on the endpoint
+        with no ``query``/``update`` parameter returns RDF describing
+        the service (languages, result formats, dataset features)."""
+        if not self._accepts(h, self._NT_TYPES):
+            self._plain(h, 406, "the service description is produced as "
+                                "application/n-triples")
+            return
+        sd, fmt, url = self._SD, self._FMT, self.url
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        lines = [
+            f"_:service <{rdf_type}> <{sd}Service> .",
+            f"_:service <{sd}endpoint> <{url}> .",
+            f"_:service <{sd}supportedLanguage> <{sd}SPARQL11Query> .",
+            f"_:service <{sd}supportedLanguage> <{sd}SPARQL11Update> .",
+            f"_:service <{sd}feature> <{sd}BasicFederatedQuery> .",
+            f"_:service <{sd}resultFormat> <{fmt}SPARQL_Results_JSON> .",
+            f"_:service <{sd}resultFormat> <{fmt}SPARQL_Results_XML> .",
+            f"_:service <{sd}resultFormat> <{fmt}SPARQL_Results_CSV> .",
+            f"_:service <{sd}resultFormat> <{fmt}SPARQL_Results_TSV> .",
+            f"_:service <{sd}resultFormat> <{fmt}N-Triples> .",
+        ]
+        if getattr(self.endpoint, "union_default", False):
+            lines.append(f"_:service <{sd}feature> "
+                         f"<{sd}UnionDefaultGraph> .")
+        body = ("\n".join(lines) + "\n").encode()
+        h.send_response(200)
+        h.send_header("Content-Type", "application/n-triples")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
         try:
+            if method == "GET" and "query" not in params \
+                    and "update" not in params:
+                self._service_description(h)
+                return
             # §2.1.4 specifying an RDF dataset: default-graph-uri /
             # named-graph-uri request parameters (each repeatable) take
             # precedence over the query's own FROM/FROM NAMED clauses

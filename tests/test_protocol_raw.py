@@ -443,3 +443,22 @@ def test_remote_client_dataset_params_loop(spark, ds_served):
     sdf = ep2.to_spark("SELECT ?s WHERE { ?s :age ?a }", partitions=2)
     assert sorted(r["s"] for r in sdf.collect()) == [
         "http://ex.com/bob", "http://ex.com/carol"]
+
+
+def test_service_description_on_bare_get(served):
+    resp = urllib.request.urlopen(served.url)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/n-triples"
+    body = resp.read().decode()
+    sd = "http://www.w3.org/ns/sparql-service-description#"
+    assert f"<{sd}Service>" in body
+    assert f"<{sd}endpoint> <{served.url}>" in body
+    assert f"<{sd}SPARQL11Update>" in body
+    # it parses as RDF (our own N-Triples-compatible parser)
+    from sparkdon.io import parse_turtle
+
+    assert len(parse_turtle(body)) == len(body.strip().splitlines())
+    # POST with no query/update stays a 400, and GET ?query= still works
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(served.url, "", "application/x-www-form-urlencoded")
+    assert exc.value.code == 400
