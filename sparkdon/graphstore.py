@@ -40,7 +40,8 @@ from sparkdon import io as io_mod
 from sparkdon.terms import QUAD_SCHEMA
 
 #: payload media types accepted for PUT/POST bodies
-_PARSE_TYPES = ("text/turtle", "application/n-triples", "text/plain")
+_PARSE_TYPES = ("text/turtle", "application/n-triples", "text/plain",
+                "application/rdf+xml")
 
 
 class GraphStoreServer:
@@ -142,11 +143,16 @@ class GraphStoreServer:
         ctype = ctype.split(";", 1)[0].strip().lower()
         if ctype not in _PARSE_TYPES:
             raise _HttpError(415, f"unsupported payload type {ctype!r}; "
-                             "use text/turtle or application/n-triples")
+                             "use text/turtle, application/n-triples, or "
+                             "application/rdf+xml")
         length = int(h.headers.get("Content-Length", 0))
-        text = h.rfile.read(length).decode()
+        data = h.rfile.read(length)
         try:
-            return io_mod.parse_turtle(text)
+            if ctype == "application/rdf+xml":
+                from sparkdon.rdfxml import parse_rdfxml
+
+                return parse_rdfxml(data)
+            return io_mod.parse_turtle(data.decode())
         except Exception as e:
             raise _HttpError(400, f"payload parse error: {e}")
 

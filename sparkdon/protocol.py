@@ -265,6 +265,34 @@ class SparqlProtocolServer:
         h.end_headers()
         h.wfile.write(body)
 
+    #: graph (CONSTRUCT/DESCRIBE) serializations by Accept media type;
+    #: wildcards resolve to N-Triples (the historical default)
+    _GRAPH_TYPES = {
+        "application/n-triples": "application/n-triples",
+        "text/plain": "application/n-triples",
+        "text/*": "application/n-triples",
+        "application/*": "application/n-triples",
+        "text/turtle": "text/turtle",
+        "application/rdf+xml": "application/rdf+xml",
+        "application/xml": "application/rdf+xml",
+    }
+
+    def _negotiate_graph(self, h: BaseHTTPRequestHandler) -> str | None:
+        """Pick the CONSTRUCT/DESCRIBE serialization: first acceptable
+        media type in the client's listed order (same minimal policy as
+        :meth:`_negotiate_select`); no header or ``*/*`` → N-Triples."""
+        accept = h.headers.get("Accept")
+        if not accept:
+            return "application/n-triples"
+        for part in accept.split(","):
+            mt = part.split(";", 1)[0].strip().lower()
+            if mt == "*/*":
+                return "application/n-triples"
+            got = self._GRAPH_TYPES.get(mt)
+            if got is not None:
+                return got
+        return None
+
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:
         try:
@@ -304,19 +332,32 @@ class SparqlProtocolServer:
             self.queries.append(sparql)
             form = _query_form(sparql)
             if form in ("CONSTRUCT", "DESCRIBE"):
-                # graph results serialize as N-Triples
-                from sparkdon.io import nt_string
-
-                if not self._accepts(h, self._NT_TYPES):
+                gfmt = self._negotiate_graph(h)
+                if gfmt is None:
                     self._plain(h, 406, "graph results are produced as "
-                                        "application/n-triples")
+                                        "application/n-triples, "
+                                        "text/turtle, or "
+                                        "application/rdf+xml")
                     return
                 result = (self.endpoint.construct(sparql, dataset=dataset)
                           if form == "CONSTRUCT"
                           else self.endpoint.describe(sparql, dataset=dataset))
-                body = nt_string(result.graph).encode()
+                if gfmt == "text/turtle":
+                    from sparkdon.io import ttl_string
+
+                    body = ttl_string(result.graph,
+                                      result.prefixes).encode()
+                elif gfmt == "application/rdf+xml":
+                    from sparkdon.rdfxml import rdfxml_string
+
+                    body = rdfxml_string(result.graph,
+                                         result.prefixes).encode()
+                else:
+                    from sparkdon.io import nt_string
+
+                    body = nt_string(result.graph).encode()
                 h.send_response(200)
-                h.send_header("Content-Type", "application/n-triples")
+                h.send_header("Content-Type", gfmt)
                 h.send_header("Content-Length", str(len(body)))
                 h.end_headers()
                 h.wfile.write(body)

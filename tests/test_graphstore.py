@@ -152,3 +152,15 @@ def test_remote_graphstore_client_loop(spark, srv):
     assert base.count() == 1
     client.delete(G1)
     assert not client.exists(G1)
+
+
+def test_put_rdfxml_payload(srv):
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    xml = serialize_rdfxml(
+        [("iri", "http://example.com/z", "http://example.com/q", "lit",
+          "3", "http://www.w3.org/2001/XMLSchema#integer", None)])
+    assert req(gurl(srv, G1), "PUT", xml,
+               ctype="application/rdf+xml").status == 201
+    body = req(gurl(srv, G1)).read().decode()
+    assert "http://example.com/z" in body

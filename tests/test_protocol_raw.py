@@ -462,3 +462,22 @@ def test_service_description_on_bare_get(served):
     with pytest.raises(urllib.error.HTTPError) as exc:
         post(served.url, "", "application/x-www-form-urlencoded")
     assert exc.value.code == 400
+
+
+def test_construct_turtle_and_rdfxml_negotiation(served):
+    q = EX + "CONSTRUCT { ?s :pop ?pop } WHERE { ?s :pop ?pop }"
+    resp = post(served.url, q, "application/sparql-query",
+                accept="text/turtle")
+    assert resp.headers["Content-Type"] == "text/turtle"
+    ttl = resp.read().decode()
+    assert "@prefix" in ttl and "1694251" in ttl
+    resp = post(served.url, q, "application/sparql-query",
+                accept="application/rdf+xml")
+    assert resp.headers["Content-Type"] == "application/rdf+xml"
+    from sparkdon.rdfxml import parse_rdfxml
+
+    rows = parse_rdfxml(resp.read())
+    assert len(rows) == 2
+    # default (no Accept) stays N-Triples
+    resp = post(served.url, q, "application/sparql-query")
+    assert resp.headers["Content-Type"] == "application/n-triples"
