@@ -508,6 +508,15 @@ class Parser:
             # and matches against; only the template-update form takes it
             self.next()
             with_graph = self.parse_iri()
+            if not (self.at_keyword("INSERT") or self.at_keyword("DELETE")):
+                # grammar rule 41: WITH belongs to the Modify form only —
+                # silently dropping it before CLEAR/DROP/LOAD/ADD/… would
+                # run the operation unscoped
+                t = self.peek()
+                raise SparqlSyntaxError(
+                    self.text, t.pos,
+                    "WITH applies only to INSERT/DELETE template updates, "
+                    f"not {t.text!r}")
         if self.at_keyword("CLEAR") or self.at_keyword("DROP"):
             # §3.2.2 DROP: on a store that does not record empty graphs
             # (ours — a named graph exists iff it has quads) DROP and

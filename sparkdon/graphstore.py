@@ -62,8 +62,12 @@ class GraphStoreServer:
                     _, _, qs = self.path.partition("?")
                     params = urllib.parse.parse_qs(qs, keep_blank_values=True)
                     outer._handle(self, method, params)
-                except Exception as e:  # malformed → 400, never thread death
-                    outer._plain(self, 400, str(e))
+                except _HttpError as e:
+                    outer._plain(self, e.code, e.msg)
+                except Exception as e:
+                    # a server-side fault is a 500, not a client error —
+                    # and must never kill the handler thread
+                    outer._plain(self, 500, str(e))
 
             def do_GET(self):
                 self._dispatch("GET")
@@ -137,8 +141,11 @@ class GraphStoreServer:
         sl = self._named_slice(iri)
         return sl is not None and not sl.isEmpty()
 
-    def _parse_body(self, h: BaseHTTPRequestHandler):
-        """Request body → triple rows, or raise ValueError(code, msg)."""
+    def _parse_body(self, h: BaseHTTPRequestHandler,
+                    base: str | None = None):
+        """Request body → triple rows (relative IRIs resolve against
+        ``base`` — the target graph IRI, per GSP §5.1's direct-graph
+        reading), or raise :class:`_HttpError`."""
         ctype = (h.headers.get("Content-Type") or "text/turtle")
         ctype = ctype.split(";", 1)[0].strip().lower()
         if ctype not in _PARSE_TYPES:
@@ -151,25 +158,23 @@ class GraphStoreServer:
             if ctype == "application/rdf+xml":
                 from sparkdon.rdfxml import parse_rdfxml
 
-                return parse_rdfxml(data)
-            return io_mod.parse_turtle(data.decode())
+                return parse_rdfxml(data, base=base)
+            return io_mod.parse_turtle(data.decode(), base=base)
+        except _HttpError:
+            raise
         except Exception as e:
             raise _HttpError(400, f"payload parse error: {e}")
 
     def _swap_named(self, iri: str, rows, replace: bool) -> None:
-        """Replace or merge one named graph; immutable-snapshot swap."""
+        """Replace or merge one named graph via the endpoint's own
+        snapshot-swap primitive (session._modify_named_graph)."""
         ep = self.endpoint
-        spark = ep.spark
-        named = ep.named
-        if named is None:
-            named = spark.createDataFrame([], QUAD_SCHEMA)
-        if replace:
-            named = named.filter(F.col("g") != iri)
+        if replace and ep.named is not None:
+            ep.named = (ep.named.filter(F.col("g") != iri)
+                        .localCheckpoint(eager=True))
         if rows:
-            add = (io_mod.triples_df(spark, rows)
-                   .withColumn("g", F.lit(iri)))
-            named = named.unionByName(add).dropDuplicates()
-        ep.named = named.localCheckpoint(eager=True)
+            ep._modify_named_graph(iri, io_mod.triples_df(ep.spark, rows),
+                                   None)
 
     # -- request handling -------------------------------------------------
 
@@ -186,14 +191,22 @@ class GraphStoreServer:
 
         if method in ("GET", "HEAD"):
             accept = h.headers.get("Accept")
-            if accept and not any(
-                    p.split(";", 1)[0].strip().lower() in (
-                        "application/n-triples", "text/plain", "text/*",
-                        "application/*", "*/*")
-                    for p in accept.split(",")):
-                self._plain(h, 406,
-                            "graphs are produced as application/n-triples")
-                return
+            out_type = "application/n-triples"
+            if accept:
+                for p in accept.split(","):
+                    mt = p.split(";", 1)[0].strip().lower()
+                    if mt in ("application/n-triples", "text/plain",
+                              "text/*", "application/*", "*/*"):
+                        break
+                    if mt == "text/turtle":
+                        # every N-Triples document is valid Turtle —
+                        # serve the same body under the asked-for type
+                        out_type = "text/turtle"
+                        break
+                else:
+                    self._plain(h, 406, "graphs are produced as "
+                                "application/n-triples or text/turtle")
+                    return
             if iri is None:
                 df = ep.graph
             else:
@@ -203,7 +216,7 @@ class GraphStoreServer:
                     return
             body = io_mod.nt_string(df).encode()
             h.send_response(200)
-            h.send_header("Content-Type", "application/n-triples")
+            h.send_header("Content-Type", out_type)
             h.send_header("Content-Length", str(len(body)))
             h.end_headers()
             if method == "GET":
@@ -226,7 +239,7 @@ class GraphStoreServer:
 
         if method in ("PUT", "POST"):
             try:
-                rows = self._parse_body(h)
+                rows = self._parse_body(h, base=iri or self.url)
             except _HttpError as e:
                 self._plain(h, e.code, e.msg)
                 return

@@ -207,8 +207,9 @@ def _encode_triple(s, p, o) -> tuple:
     raise SparkdonError(f"invalid object {o!r}")
 
 
-def parse_turtle(text: str, prefixes: dict | None = None) -> list[tuple]:
-    return TurtleParser(text, prefixes).parse_document()
+def parse_turtle(text: str, prefixes: dict | None = None,
+                 base: str | None = None) -> list[tuple]:
+    return TurtleParser(text, prefixes, base).parse_document()
 
 
 class TriGParser(TurtleParser):

@@ -264,6 +264,10 @@ def read_rdfxml(spark: SparkSession, path: str,
         for pdf in batches:
             rows = []
             for fp, content in zip(pdf["path"], pdf["content"]):
+                if not len(content):
+                    # write_rdfxml's text sink leaves 0-byte part files
+                    # for empty partitions; they carry no document
+                    continue
                 tag = hashlib.md5(fp.encode()).hexdigest()[:8]
                 for r in parse_rdfxml(bytes(content), base):
                     r = list(r)
@@ -321,6 +325,11 @@ def _check_xml_text(lex: str) -> str:
     return lex
 
 
+def _is_ncname(label: str) -> bool:
+    return bool(label) and bool(_NCNAME_START.match(label[0])) and all(
+        _NCNAME_CHAR.match(c) for c in label)
+
+
 def serialize_rdfxml(rows, prefixes: dict[str, str] | None = None) -> str:
     """Encoded triple rows → one complete RDF/XML document (spec-form
     ``rdf:Description`` node elements grouped by subject, deterministic
@@ -352,6 +361,32 @@ def serialize_rdfxml(rows, prefixes: dict[str, str] | None = None) -> str:
             ns_table[ns] = got
         return got
 
+    # rdf:nodeID must be an NCName; labels that aren't (read_rdfxml's
+    # per-file md5 tags lead with a digit) map to minted b1, b2, … —
+    # deterministic within the document, avoiding every valid label
+    valid_labels = {r[1] for r in rows if r[0] == KIND_BNODE
+                    and _is_ncname(r[1])}
+    valid_labels |= {r[4] for r in rows if r[3] == KIND_BNODE
+                     and _is_ncname(r[4])}
+    bmap: dict[str, str] = {}
+
+    def node_id(label: str) -> str:
+        if _is_ncname(label):
+            return label
+        got = bmap.get(label)
+        if got is None:
+            n = len(bmap) + 1
+            while f"b{n}" in valid_labels:
+                n += 1000000
+            got = bmap.setdefault(label, f"b{n}")
+        return got
+
+    def text_of(lex: str) -> str:
+        # escape() leaves \r alone, but XML 1.0 §2.11 end-of-line
+        # normalization would turn it into \n on ANY parse — emit the
+        # character reference so literals round-trip exactly
+        return escape(_check_xml_text(lex)).replace("\r", "&#13;")
+
     body: list[str] = []
     prev_subj = None
     for s_kind, s, p, o_kind, o, o_dt, o_lang in rows:
@@ -362,7 +397,7 @@ def serialize_rdfxml(rows, prefixes: dict[str, str] | None = None) -> str:
             if prev_subj is not None:
                 body.append("  </rdf:Description>")
             ident = ("rdf:about=" + quoteattr(s) if s_kind == _IRI
-                     else "rdf:nodeID=" + quoteattr(s))
+                     else "rdf:nodeID=" + quoteattr(node_id(s)))
             body.append(f"  <rdf:Description {ident}>")
             prev_subj = subj
         if o_kind == _IRI:
@@ -374,9 +409,9 @@ def serialize_rdfxml(rows, prefixes: dict[str, str] | None = None) -> str:
             elif o_dt:
                 attrs = " rdf:datatype=" + quoteattr(o_dt)
             body.append(
-                f"    <{tag}{attrs}>{escape(_check_xml_text(o))}</{tag}>")
+                f"    <{tag}{attrs}>{text_of(o)}</{tag}>")
         else:
-            body.append(f"    <{tag} rdf:nodeID={quoteattr(o)}/>")
+            body.append(f"    <{tag} rdf:nodeID={quoteattr(node_id(o))}/>")
     if prev_subj is not None:
         body.append("  </rdf:Description>")
     decls = [f'xmlns:rdf="{_RDF_NS}"'] + [

@@ -401,7 +401,8 @@ class RemoteEndpoint(Endpoint):
 
         def fetch(sparql: str) -> list[dict]:
             doc = fetch_bindings(self.url, sparql, self.default_graph,
-                                 self.user, self.passwd)
+                                 self.user, self.passwd,
+                                 named_graphs=self.named_graphs)
             return doc["results"]["bindings"]
 
         if strategy == "virtuoso":
@@ -488,7 +489,8 @@ class RemoteEndpoint(Endpoint):
             else f"<{node}>"
         doc = fetch_bindings(
             self.url, f"SELECT ?p ?o {{ {ref} ?p ?o }}",
-            self.default_graph, self.user, self.passwd)
+            self.default_graph, self.user, self.passwd,
+            named_graphs=self.named_graphs)
         types: set[str] = set()
         members: list[tuple[int, Any]] = []
         for b in doc["results"]["bindings"]:

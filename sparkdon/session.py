@@ -464,12 +464,24 @@ class LocalEndpoint(Endpoint):
         from pyspark.sql import functions as F
 
         # §3.1.3/§3.1.5.2: the WHERE clause's dataset — USING/USING NAMED
-        # win; a bare WITH matches against its graph as the default (the
-        # USING-equivalent reading; GRAPH patterns then see no named
-        # graphs, per the same replace semantics as FROM)
-        ds = u.using if getattr(u, "using", None) is not None else (
-            ((u.with_graph,), ()) if getattr(u, "with_graph", None) else None)
-        compiler = self._compiler(SimpleNamespace(dataset=ds))
+        # win with FROM-style replace semantics; a bare WITH only swaps
+        # the DEFAULT graph for matching (GRAPH patterns still see the
+        # full named store — WITH supplies a graph for the parts that
+        # don't name one, it does not erase the dataset like USING does)
+        if getattr(u, "using", None) is not None:
+            compiler = self._compiler(SimpleNamespace(dataset=u.using))
+        elif getattr(u, "with_graph", None):
+            from sparkdon.terms import QUAD_SCHEMA
+
+            src = self.named
+            if src is None:
+                src = self.spark.createDataFrame([], QUAD_SCHEMA)
+            compiler = Compiler(
+                self.spark,
+                src.filter(F.col("g") == str(u.with_graph)).drop("g"),
+                use_ids=self.use_ids, named=self.named)
+        else:
+            compiler = self._compiler()
         new = self.graph
         if u.clear:
             # SPARQL 1.1 Update §3.2.3: DEFAULT empties the default
@@ -601,12 +613,14 @@ class LocalEndpoint(Endpoint):
                                 "text/xml")
                       or (ctype is None and doc.rsplit("?", 1)[0]
                           .lower().endswith((".rdf", ".owl", ".xml"))))
+            # §3.1.4: relative IRIs in the document resolve against
+            # the document IRI
             if is_xml:
                 from sparkdon.rdfxml import parse_rdfxml
 
-                rows = parse_rdfxml(data)
+                rows = parse_rdfxml(data, base=doc)
             else:
-                rows = io_mod.parse_turtle(data.decode())
+                rows = io_mod.parse_turtle(data.decode(), base=doc)
         except Exception as e:
             if u.silent:
                 return

@@ -388,3 +388,30 @@ def test_load_file_and_http(ep, spark, tmp_path):
     with _pytest.raises(Exception, match="LOAD"):
         ep.update(f"LOAD <file://{tmp_path}/missing.ttl>")
     ep.update(f"LOAD SILENT <file://{tmp_path}/missing.ttl>")
+
+
+def test_bare_with_keeps_named_graphs_visible(ep):
+    # review fix: WITH swaps only the DEFAULT graph for matching; a
+    # GRAPH clause inside the WHERE still sees the named store
+    ep.update("WITH :g1 INSERT { ?s :from2 ?a } "
+              "WHERE { GRAPH :g2 { ?s :age ?a } }")
+    pdf = ep.select("SELECT ?g ?s WHERE { GRAPH ?g { ?s :from2 ?a } }")
+    assert rows(pdf) == [(":g1", ":carol")]
+
+
+def test_with_before_management_op_is_syntax_error(ep):
+    import pytest as _pytest
+
+    for bad in ("WITH :g1 DROP ALL", "WITH :g1 CLEAR DEFAULT",
+                "WITH :g1 COPY :g2 TO :g3", "WITH :g1 LOAD <urn:doc>"):
+        with _pytest.raises(Exception, match="WITH applies only"):
+            ep.update(bad)
+
+
+def test_load_resolves_relative_iris(ep, tmp_path):
+    doc = tmp_path / "rel.ttl"
+    doc.write_text("@prefix : <http://ex.com/> .\n<thing> :age 9 .\n")
+    ep.update(f"LOAD <file://{doc}> INTO GRAPH :grel")
+    pdf = ep.select("SELECT ?s WHERE { GRAPH :grel { ?s :age 9 } }")
+    got = rows(pdf)
+    assert len(got) == 1 and got[0][0].startswith(f"file://{tmp_path}")

@@ -164,3 +164,16 @@ def test_put_rdfxml_payload(srv):
                ctype="application/rdf+xml").status == 201
     body = req(gurl(srv, G1)).read().decode()
     assert "http://example.com/z" in body
+
+
+def test_get_turtle_accept_and_put_relative_iris(srv):
+    # review fixes: text/turtle GET (N-Triples is valid Turtle) and
+    # payload-relative IRIs resolving against the target graph IRI
+    resp = req(gurl(srv), accept="text/turtle")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "text/turtle"
+    body = ("@prefix : <http://example.com/> .\n"
+            "<item> :q 5 .\n")
+    req(gurl(srv, G1), "PUT", body)
+    got = req(gurl(srv, G1)).read().decode()
+    assert f"<{G1}item>" in got or "<item>" not in got

@@ -277,3 +277,40 @@ def test_rdfxml_string_and_write_roundtrip(spark, tmp_path):
     back = read_rdfxml(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, ep.graph.collect()))
+
+
+def test_serialize_cr_literal_roundtrips():
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    rows = [("iri", "http://ex.com/a", "http://ex.com/p", "lit",
+             "line\rreturn\r\nmix", None, None)]
+    assert sorted(parse_rdfxml(serialize_rdfxml(rows))) == sorted(rows)
+
+
+def test_serialize_non_ncname_bnode_labels():
+    from sparkdon.rdfxml import serialize_rdfxml
+
+    rows = [("bnode", "3fa2c1d9.b0", "http://ex.com/p", "bnode",
+             "3fa2c1d9.b1", None, None),
+            ("bnode", "b7", "http://ex.com/p", "lit", "x", None, None)]
+    back = parse_rdfxml(serialize_rdfxml(rows))
+    assert len(back) == 2
+    # valid labels survive; invalid ones mint fresh NCNames consistently
+    assert ("bnode", "b7", "http://ex.com/p", "lit", "x", None, None) in back
+    pair = [r for r in back if r[3] == "bnode"][0]
+    assert pair[1] != pair[4]
+
+
+def test_write_rdfxml_with_empty_partitions(spark, tmp_path):
+    from sparkdon.rdfxml import read_rdfxml, write_rdfxml
+    from sparkdon.session import inline
+
+    ep = inline("""
+@prefix : <http://ex.com/> .
+:a :p :b . :b :p :c .
+""", spark)
+    path = str(tmp_path / "sparse")
+    write_rdfxml(ep.graph.repartition(16), path)  # most partitions empty
+    back = read_rdfxml(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ep.graph.collect()))
