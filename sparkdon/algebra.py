@@ -1164,7 +1164,13 @@ class Parser:
         if t.kind == "IRIREF":
             iri = t.text[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-                return IRI(self.base + iri)
+                # RFC 3986 resolution (SPARQL §4.1.1 / Turtle §6.3 both
+                # defer to it; rdflib does the same) — NOT plain concat:
+                # BASE <http://e/a/b> + <x> is http://e/a/x, and a
+                # fragment-bearing base drops its fragment
+                from urllib.parse import urljoin
+
+                return IRI(urljoin(self.base, iri))
             return IRI(iri)
         if t.kind == "PNAME":
             pfx, _, local = t.text.partition(":")

@@ -413,5 +413,5 @@ def test_load_resolves_relative_iris(ep, tmp_path):
     doc.write_text("@prefix : <http://ex.com/> .\n<thing> :age 9 .\n")
     ep.update(f"LOAD <file://{doc}> INTO GRAPH :grel")
     pdf = ep.select("SELECT ?s WHERE { GRAPH :grel { ?s :age 9 } }")
-    got = rows(pdf)
-    assert len(got) == 1 and got[0][0].startswith(f"file://{tmp_path}")
+    # RFC 3986: <thing> resolves as a SIBLING of rel.ttl
+    assert rows(pdf) == [(f"file://{tmp_path}/thing",)]

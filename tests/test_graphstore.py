@@ -176,4 +176,5 @@ def test_get_turtle_accept_and_put_relative_iris(srv):
             "<item> :q 5 .\n")
     req(gurl(srv, G1), "PUT", body)
     got = req(gurl(srv, G1)).read().decode()
-    assert f"<{G1}item>" in got or "<item>" not in got
+    # RFC 3986 against base http://example.com/g1: sibling resolution
+    assert "<http://example.com/item>" in got
