@@ -452,24 +452,69 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     return out
 
 
-def _decode_gif(payload: bytes):
-    """GIF87a/89a → HxWx3 uint8 numpy (first image frame): logical
-    screen + color tables via struct, pixel indices via
-    :func:`_gif_lzw_decode`.  Interlaced images decode too (r9): the
-    stored row order is the 4-pass 0::8/4::8/2::4/1::2 permutation,
-    undone after the LZW stage."""
+def _gif_image_block(payload: bytes, pos: int, gct):
+    """Parse one image-descriptor block starting at ``pos`` (which must
+    point at the 0x2C byte).  Returns ``(x, y, indices, color_table,
+    new_pos)`` where ``indices`` is the (h, w) int32 palette-index array
+    in DISPLAY row order (interlace permutation already undone)."""
     import struct
 
     import numpy as np
 
-    w_screen, h_screen, flags, _bg, _ar = struct.unpack_from(
-        "<HHBBB", payload, 6)
+    def _byte(p: int) -> int:
+        if p >= len(payload):
+            raise ValueError("truncated GIF")
+        return payload[p]
+
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF")
+    x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    ct = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        ct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF image has no color table")
+    min_code = _byte(pos)
+    pos += 1
+    data = bytearray()
+    while _byte(pos):
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    idx = _gif_lzw_decode(min_code, bytes(data))[: w * h]
+    if len(idx) < w * h:
+        raise ValueError("truncated GIF pixel stream")
+    indices = np.array(idx, dtype=np.int32).reshape(h, w)
+    if iflags & 0x40:
+        # interlaced: rows are STORED pass-by-pass (0::8, 4::8, 2::4,
+        # 1::2); permute the stored rows back to display order (round 9
+        # — a pure row permutation over the same LZW core)
+        order = np.concatenate([np.arange(s, h, t)
+                                for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))])
+        out = np.empty_like(indices)
+        out[order] = indices
+        indices = out
+    return x, y, indices, ct, pos
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a → HxWx3 uint8 numpy (first image frame): logical
+    screen + color tables via struct, pixel indices via
+    :func:`_gif_lzw_decode`.  Interlaced images decode too (r9)."""
+    import numpy as np
+
     pos = 13
+    flags = payload[10]
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = payload[pos:pos + 3 * n]
         pos += 3 * n
+
     def _byte(p: int) -> int:
         if p >= len(payload):
             raise ValueError("truncated GIF")
@@ -483,47 +528,98 @@ def _decode_gif(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            if pos + 10 > len(payload):
-                raise ValueError("truncated GIF")
-            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
-            pos += 10
-            ct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                ct = payload[pos:pos + 3 * n]
-                pos += 3 * n
-            if ct is None:
-                raise ValueError("GIF image has no color table")
-            min_code = _byte(pos)
-            pos += 1
-            data = bytearray()
-            while _byte(pos):
-                ln = payload[pos]
-                data += payload[pos + 1:pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = _gif_lzw_decode(min_code, bytes(data))[: w * h]
-            if len(idx) < w * h:
-                raise ValueError("truncated GIF pixel stream")
+            _x, _y, indices, ct, pos = _gif_image_block(payload, pos, gct)
             pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
-            img = pal[np.array(idx, dtype=np.int32)].reshape(h, w, 3)
-            if iflags & 0x40:
-                # interlaced: rows are STORED pass-by-pass (0::8, 4::8,
-                # 2::4, 1::2); permute the stored rows back to display
-                # order (round 9 — a pure row permutation over the same
-                # LZW core)
-                order = np.concatenate([np.arange(s, h, t)
-                                        for s, t in ((0, 8), (4, 8),
-                                                     (2, 4), (1, 2))])
-                out = np.empty_like(img)
-                out[order] = img
-                return out
-            return img
+            return pal[indices]
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(payload: bytes):
+    """Animated GIF89a → list of ``(HxWx3 uint8 canvas, delay_ms)``.
+
+    Full animation semantics over the same LZW core as the single-frame
+    decoder (round 10): Graphic Control Extension (frame delay,
+    disposal method, transparency index), per-frame local color tables,
+    and sub-rectangle compositing onto the logical screen — disposal 2
+    restores the background color over the frame's rectangle, disposal
+    3 restores the pre-draw canvas.  Each returned frame is the
+    composited full-canvas snapshot, which is what frame sampling wants
+    (GIF is the one video-like format decodable with stdlib + numpy
+    alone, so :func:`sample_frames`-style pipelines get a REAL decode
+    path here)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w_screen, h_screen, flags, bg_index, _ar = struct.unpack_from(
+        "<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (np.frombuffer(gct, np.uint8).reshape(-1, 3)[bg_index]
+              if gct is not None and bg_index < len(gct) // 3
+              else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (h_screen, w_screen, 3)).copy()
+
+    def _byte(p: int) -> int:
+        if p >= len(payload):
+            raise ValueError("truncated GIF")
+        return payload[p]
+
+    frames: list = []
+    gce = None  # (disposal, delay_ms, transparent_index)
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21 and _byte(pos + 1) == 0xF9:  # Graphic Control Ext
+            ln = _byte(pos + 2)
+            gflags, delay, tidx = struct.unpack_from(
+                "<BHB", payload, pos + 3)
+            gce = ((gflags >> 2) & 0x7, delay * 10,
+                   tidx if gflags & 0x1 else None)
+            pos += 3 + ln
+            while _byte(pos):
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x21:  # other extension: skip
+            pos += 2
+            while _byte(pos):
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            x, y, indices, ct, pos = _gif_image_block(payload, pos, gct)
+            disposal, delay_ms, tidx = gce if gce is not None else (0, 0, None)
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            h, w = indices.shape
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[y:y + h, x:x + w]
+            rgb = pal[indices]
+            if tidx is not None:
+                mask = indices != tidx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append((canvas.copy(), delay_ms))
+            if disposal == 2:
+                canvas[y:y + h, x:x + w] = bg_rgb
+            elif disposal == 3:
+                canvas = before
+            gce = None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
 def encode_ppm(arr) -> bytes:
@@ -1085,24 +1181,59 @@ def resize_images(media: DataFrame, width: int, height: int,
     return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video rows: explodes deterministic
-    frame timestamps from metadata (decode itself is stubbed).  Real
-    implementation would emit one payload slice per frame inside the
-    extractor UDF."""
-    return (
-        media.filter(F.col("modality") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
-                    F.lit(every_ms).cast("long"),
-                )
-            ).alias("frame_ts_ms"),
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  decode_real: bool = False) -> DataFrame:
+    """Frame sampling for video rows.
+
+    ``decode_real=False``: plumbing mode — explodes deterministic frame
+    timestamps from metadata (one row per timestamp, decode stubbed).
+
+    ``decode_real=True`` (round 10): REAL decode on animated GIF
+    payloads — :func:`decode_gif_frames` composites every frame
+    (delays, disposal, transparency), the frame timeline accumulates
+    the per-frame delays, and one frame per ``every_ms`` bucket is kept
+    and re-encoded as binary PPM.  Arrow-batched ``mapInPandas``, narrow
+    (no shuffle) — the scale shape of any per-document decode stage.
+    Non-GIF payloads (true video codecs aren't decodable in this
+    container) raise inside the task, same honesty contract as the
+    other decoders."""
+    if not decode_real:
+        return (
+            media.filter(F.col("modality") == "video")
+            .select(
+                "media_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                        F.lit(every_ms).cast("long"),
+                    )
+                ).alias("frame_ts_ms"),
+            )
         )
-    )
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_ts_ms": [],
+                                    "frame_ppm": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                ts = 0
+                next_keep = 0
+                for arr, delay in frames:
+                    if ts >= next_keep:
+                        out["media_id"].append(mid)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame_ppm"].append(encode_ppm(arr))
+                        next_keep += every_ms
+                    ts += delay
+            yield pd.DataFrame(out)
+
+    return (media.filter(F.col("modality") == "video")
+            .mapInPandas(run, "media_id long, frame_ts_ms long, "
+                              "frame_ppm binary"))
 
 
 def show_image(filename: str):

@@ -1377,3 +1377,139 @@ def test_jpeg_12bit_baseline_rejected():
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="quality_div"):
         encode_jpeg(a12, quality_div=32, bits=12)
+
+
+# --- animated GIF (round 10: multi-frame decode + compositing) ------------
+
+def _gif_animated(w_screen, h_screen, palette, frames, bg=0):
+    """Assemble a GIF89a animation: frames are (x, y, w, h, indices,
+    disposal, delay_cs, tidx) tuples; LZW via the real encoder."""
+    import struct
+
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    min_code = max(2, depth)
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        (1 << depth) - n)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w_screen, h_screen, 0x80 | (depth - 1),
+                       bg, 0)
+    out += gct
+    for x, y, w, h, idx, disposal, delay_cs, tidx in frames:
+        gflags = (disposal << 2) | (1 if tidx is not None else 0)
+        out += b"\x21\xF9\x04" + struct.pack(
+            "<BHB", gflags, delay_cs, tidx if tidx is not None else 0)
+        out += b"\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", x, y, w, h, 0)
+        out += bytes([min_code])
+        data = _gif_pack(_gif_encode_lzw(idx, min_code), None)
+        i = 0
+        while i < len(data):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+            i += 255
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_animation_frames_and_delays():
+    import numpy as np
+
+    from sparkdon.multimodal import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # frame 1: full 4x2 screen of red; frame 2: 2x1 green patch at (1,1)
+    f1 = [1] * 8
+    f2 = [2, 2]
+    gif = _gif_animated(4, 2, pal, [
+        (0, 0, 4, 2, f1, 0, 5, None),
+        (1, 1, 2, 1, f2, 0, 10, None),
+    ])
+    frames = decode_gif_frames(gif)
+    assert [d for _, d in frames] == [50, 100]
+    a, b = frames[0][0], frames[1][0]
+    assert (a == (255, 0, 0)).all()
+    assert tuple(b[1, 1]) == (0, 255, 0) and tuple(b[1, 2]) == (0, 255, 0)
+    assert tuple(b[0, 0]) == (255, 0, 0)  # untouched canvas persists
+
+
+def test_gif_animation_transparency_and_disposal():
+    import numpy as np
+
+    from sparkdon.multimodal import decode_gif_frames
+
+    pal = [(9, 9, 9), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    f1 = [1, 2, 1, 2]  # 2x2 checkerboard red/green
+    # frame 2 overlays blue with index-2 transparent: only where f1 had
+    # red does blue land; disposal 2 then restores bg over its rect
+    f2 = [3, 2, 2, 3]
+    f3 = [2, 2, 2, 2]  # full green after bg-restore
+    gif = _gif_animated(2, 2, pal, [
+        (0, 0, 2, 2, f1, 0, 1, None),
+        (0, 0, 2, 2, f2, 2, 1, 2),
+        (0, 0, 2, 2, f3, 0, 1, None),
+    ], bg=0)
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 3
+    m2 = frames[1][0]
+    assert tuple(m2[0, 0]) == (0, 0, 255)   # blue drew
+    assert tuple(m2[0, 1]) == (0, 255, 0)   # transparent kept green
+    assert tuple(m2[1, 1]) == (0, 0, 255)
+    m3 = frames[2][0]
+    assert (m3 == (0, 255, 0)).all()
+
+
+def test_gif_animation_disposal_previous():
+    import numpy as np
+
+    from sparkdon.multimodal import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    gif = _gif_animated(2, 1, pal, [
+        (0, 0, 2, 1, [1, 1], 0, 1, None),   # red
+        (0, 0, 1, 1, [2], 3, 1, None),      # green patch, restore-prev
+        (1, 0, 1, 1, [3], 0, 1, None),      # blue right pixel
+    ])
+    frames = decode_gif_frames(gif)
+    m2 = frames[1][0]
+    assert tuple(m2[0, 0]) == (0, 255, 0)
+    m3 = frames[2][0]
+    # disposal 3 restored the all-red canvas before frame 3 drew
+    assert tuple(m3[0, 0]) == (255, 0, 0)
+    assert tuple(m3[0, 1]) == (0, 0, 255)
+
+
+def test_gif_single_frame_still_decodes_via_frames_api():
+    from sparkdon.multimodal import decode_gif_frames
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    gif = _gif_bytes(idx, 4, 2, palette, 2, _gif_encode_lzw(idx, 2))
+    # GIF87a (no GCE): one frame, delay 0
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 1 and frames[0][1] == 0
+    assert frames[0][0].shape == (2, 4, 3)
+
+
+def test_sample_frames_real_gif_decode(spark):
+    from sparkdon.multimodal import decode_image, sample_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # 3 frames, 60 ms apart -> ts 0, 60, 120; every_ms=100 keeps 0 and 120
+    gif = _gif_animated(2, 1, pal, [
+        (0, 0, 2, 1, [1, 1], 0, 6, None),
+        (0, 0, 2, 1, [2, 2], 0, 6, None),
+        (0, 0, 2, 1, [3, 3], 0, 6, None),
+    ])
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(gif), ("image/gif", 2, 1, 180))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    rows = sample_frames(media, every_ms=100, decode_real=True).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in rows] == [
+        (7, 0), (7, 120)]
+    first = decode_image(bytes(rows[0]["frame_ppm"]))
+    assert tuple(first[0, 0]) == (255, 0, 0)
+    last = decode_image(bytes(rows[1]["frame_ppm"]))
+    assert tuple(last[0, 0]) == (0, 0, 255)
