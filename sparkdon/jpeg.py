@@ -3,7 +3,8 @@ library (reference exposure is ``show_image``,
 gastrodon/__init__.py:836-846; everything here is built from the public
 JPEG spec).
 
-Supported: SOF0/SOF1 (baseline + extended sequential, Huffman) and
+Supported: SOF0/SOF1 (baseline + extended sequential, Huffman), SOF3
+(lossless, Annex H prediction — round 10) and
 SOF2 (progressive: spectral selection + successive approximation,
 annex G — the majority layout of real web JPEGs, round 10), 1-, 3- or
 4-component scans (4 = Adobe CMYK/YCCK via the APP14 transform marker,
@@ -227,11 +228,22 @@ def decode_jpeg(payload: bytes):
                               "tq": tq})
             sof = {"h": h, "w": w, "comps": comps, "prec": prec,
                    "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:  # SOF3: lossless (T.81 Annex H, round 10)
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = {"h": h, "w": w, "comps": comps, "prec": prec,
+                   "progressive": False, "lossless": True}
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "lossless/arithmetic/hierarchical)")
+                "arithmetic/hierarchical)")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -250,6 +262,17 @@ def decode_jpeg(payload: bytes):
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if sof.get("lossless"):
+                scan = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(x for x in sof["comps"] if x["id"] == cs)
+                    scan.append({**comp, "dc": huff_dc[tdta >> 4]})
+                predictor = seg[1 + 2 * ns]          # Ss
+                pt = seg[3 + 2 * ns] & 0x0F          # Al
+                return _decode_lossless_scan(payload, pos + seglen, sof,
+                                             scan, predictor, pt,
+                                             restart_interval)
             if not sof["progressive"]:
                 scan = []
                 for c in range(ns):
@@ -368,6 +391,128 @@ def _decode_scan(payload, pos, sof, scan, qt, restart_interval, adobe=None):
                       hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     return _planes_to_rgb(full, adobe)
+
+
+def _predict(plane, x: int, y: int, sel: int, default: int) -> int:
+    """T.81 H.1.2.1 sample prediction: first sample → default, rest of
+    the first line → left, first column → above, otherwise the selected
+    predictor over (a=left, b=above, c=above-left)."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _decode_lossless_scan(payload, pos, sof, scan, predictor: int,
+                          pt: int, restart_interval: int):
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    residuals, no DCT/quantization.  Interleaved 1×1-sampled components
+    — the layout essentially all lossless JPEGs use.  Per-sample Python
+    loop: this is the correctness path for an archival format, not a
+    throughput path (bulk image decode at scale stays on the DCT modes).
+    3-component lossless carries the components as stored (RGB — the
+    JFIF YCbCr convention applies to the DCT processes)."""
+    import numpy as np
+
+    if any(c["h"] != 1 or c["v"] != 1 for c in scan):
+        raise NotImplementedError("lossless JPEG with subsampling")
+    if restart_interval:
+        raise NotImplementedError("lossless JPEG with restart intervals")
+    h, w, prec = sof["h"], sof["w"], sof["prec"]
+    n = len(scan)
+    br = _BitReader(payload, pos)
+    planes = [np.zeros((h, w), np.int32) for _ in range(n)]
+    default = 1 << (prec - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(n):
+                t = _decode_symbol(br, scan[ci]["dc"])
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(br.read_bits(t), t)
+                else:
+                    diff = 0
+                pred = _predict(planes[ci], x, y, predictor, default)
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+    shift = prec - 8  # reduce to the uint8 contract after point transform
+    out = []
+    for p in planes:
+        v = p << pt
+        v = (v >> shift) if shift >= 0 else (v << -shift)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if n == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    if n == 3:
+        return np.dstack(out)
+    raise NotImplementedError(f"{n}-component lossless JPEG")
+
+
+def encode_jpeg_lossless(arr, predictor: int = 1,
+                         point_transform: int = 0) -> bytes:
+    """Lossless JPEG (SOF3) encoder twin — byte-exact round-trip with
+    :func:`decode_jpeg` for every predictor 1-7.  Grayscale (HxW) or
+    RGB (HxWx3), 8-bit; the K.3 DC luma table covers every residual
+    category an 8-bit difference can produce (≤ 10)."""
+    import struct
+
+    import numpy as np
+
+    a2 = arr if arr.ndim == 3 else arr[:, :, None]
+    h, w, ncomp = a2.shape
+    pt = point_transform
+    planes = a2.astype(np.int32) >> pt
+    table = _encode_table(*_K_DC_LUMA)
+    bw = _BitWriter()
+    default = 1 << (8 - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                plane = planes[:, :, ci]
+                diff = int(plane[y, x]) - _predict(plane, x, y, predictor,
+                                                   default)
+                t = abs(diff).bit_length()
+                code, ln = table[t]
+                bw.write(code, ln)
+                if t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    bw.write(v & ((1 << t) - 1), t)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC3, struct.pack(">BHHB", 8, h, w, ncomp)
+               + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp)))
+    counts, symbols = _K_DC_LUMA
+    out += seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
+    out += seg(0xDA, bytes([ncomp])
+               + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+               + bytes([predictor, 0, pt]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _planes_to_rgb(full, adobe):

@@ -1513,3 +1513,61 @@ def test_sample_frames_real_gif_decode(spark):
     assert tuple(first[0, 0]) == (255, 0, 0)
     last = decode_image(bytes(rows[1]["frame_ppm"]))
     assert tuple(last[0, 0]) == (0, 0, 255)
+
+
+# --- lossless JPEG (round 10: SOF3, T.81 Annex H) --------------------------
+
+def test_jpeg_lossless_all_predictors_exact():
+    import numpy as np
+
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(1234)
+    for pred in range(1, 8):
+        arr = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg_lossless(arr, predictor=pred))
+                == arr).all(), pred
+    gray = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_lossless(gray, predictor=7))
+    assert (got == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+
+def test_jpeg_lossless_point_transform():
+    import numpy as np
+
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_lossless(arr, point_transform=2))
+    assert (got[:, :, 0] == (arr >> 2) << 2).all()
+
+
+def test_jpeg_lossless_flat_and_gradient():
+    import numpy as np
+
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_lossless(flat, predictor=4))
+            == flat).all()
+    grad = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    got = decode_jpeg(encode_jpeg_lossless(grad, predictor=1))
+    assert (got[:, :, 0] == grad).all()
+
+
+def test_jpeg_lossless_boundaries():
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkdon.jpeg import encode_jpeg_lossless
+
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    body = bytearray(encode_jpeg_lossless(arr))
+    # patch DRI in front of SOS to hit the restart boundary
+    sos = body.find(b"\xff\xda")
+    body[sos:sos] = b"\xff\xdd\x00\x04\x00\x02"
+    from sparkdon.jpeg import decode_jpeg
+
+    with _pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(body))
