@@ -229,6 +229,8 @@ def decode_jpeg(payload: bytes):
             sof = {"h": h, "w": w, "comps": comps, "prec": prec,
                    "progressive": marker == 0xC2}
         elif marker == 0xC3:  # SOF3: lossless (T.81 Annex H, round 10)
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF3 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if not 2 <= prec <= 16:
                 raise ValueError(f"invalid lossless precision {prec}")

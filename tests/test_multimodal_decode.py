@@ -719,8 +719,11 @@ def test_jpeg_unsupported_and_corrupt_raise():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # lossless SOF3 (progressive SOF2 decodes as of r10)
+    # arithmetic SOF9 (progressive SOF2 and lossless SOF3 decode, r10)
     with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
+    # truncated SOF3 header must be a clean ValueError
+    with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x00\x00")
     # truncated segment
     with pytest.raises(ValueError, match="truncated"):
