@@ -470,29 +470,50 @@ def _decode_lossless_scan(payload, pos, sof, scan, predictor: int,
     raise NotImplementedError(f"{n}-component lossless JPEG")
 
 
+#: uniform 5-bit table over every lossless residual category 0-16 —
+#: the K.3 DC table stops at 11, which 16-bit differences exceed
+_LOSSLESS16_TABLE = ([0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                     bytes(range(17)))
+
+
 def encode_jpeg_lossless(arr, predictor: int = 1,
-                         point_transform: int = 0) -> bytes:
+                         point_transform: int = 0,
+                         precision: int = 8) -> bytes:
     """Lossless JPEG (SOF3) encoder twin — byte-exact round-trip with
     :func:`decode_jpeg` for every predictor 1-7.  Grayscale (HxW) or
-    RGB (HxWx3), 8-bit; the K.3 DC luma table covers every residual
-    category an 8-bit difference can produce (≤ 10)."""
+    RGB (HxWx3).  ``precision`` 8 uses the K.3 DC luma table (covers
+    every 8-bit residual category); 16 uses a uniform 5-bit table over
+    categories 0-16 and encodes differences modulo 2^16 per H.1.2.1,
+    including the special all-16-bit category (decode then reduces to
+    the uint8 contract by taking the high byte)."""
     import struct
 
     import numpy as np
 
+    if precision not in (8, 16):
+        raise ValueError("precision must be 8 or 16")
     a2 = arr if arr.ndim == 3 else arr[:, :, None]
     h, w, ncomp = a2.shape
     pt = point_transform
-    planes = a2.astype(np.int32) >> pt
-    table = _encode_table(*_K_DC_LUMA)
+    planes = a2.astype(np.int64) >> pt
+    counts, symbols = (_K_DC_LUMA if precision == 8
+                       else _LOSSLESS16_TABLE)
+    table = _encode_table(counts, symbols)
     bw = _BitWriter()
-    default = 1 << (8 - pt - 1)
+    default = 1 << (precision - pt - 1)
     for y in range(h):
         for x in range(w):
             for ci in range(ncomp):
                 plane = planes[:, :, ci]
                 diff = int(plane[y, x]) - _predict(plane, x, y, predictor,
                                                    default)
+                # H.1.2.1: differences are taken modulo 2^16; pick the
+                # representative in [-32768, 32767]
+                diff = ((diff + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    code, ln = table[16]
+                    bw.write(code, ln)  # category 16: no extra bits
+                    continue
                 t = abs(diff).bit_length()
                 code, ln = table[t]
                 bw.write(code, ln)
@@ -505,9 +526,8 @@ def encode_jpeg_lossless(arr, predictor: int = 1,
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xC3, struct.pack(">BHHB", 8, h, w, ncomp)
+    out += seg(0xC3, struct.pack(">BHHB", precision, h, w, ncomp)
                + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp)))
-    counts, symbols = _K_DC_LUMA
     out += seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
     out += seg(0xDA, bytes([ncomp])
                + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))

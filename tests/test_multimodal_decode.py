@@ -1574,3 +1574,21 @@ def test_jpeg_lossless_boundaries():
 
     with _pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg(bytes(body))
+
+
+def test_jpeg_lossless_16bit_and_category16():
+    import numpy as np
+
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(11)
+    arr16 = rng.integers(0, 65536, (7, 5), dtype=np.uint16)
+    for pred in (1, 4, 7):
+        got = decode_jpeg(
+            encode_jpeg_lossless(arr16, predictor=pred, precision=16))
+        assert (got[:, :, 0] == (arr16 >> 8).astype(np.uint8)).all()
+    # alternating 0/32768 under predictor 1 forces the special
+    # all-16-bit residual category (no extra bits)
+    arr = np.array([[0, 32768, 0, 32768]], dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg_lossless(arr, predictor=1, precision=16))
+    assert (got[:, :, 0] == (arr >> 8).astype(np.uint8)).all()
