@@ -4,12 +4,14 @@ DECODE is real — binary/ASCII PPM (P6/P3), uncompressed 24-bit BMP,
 WAV (8/16/24/32-bit PCM, IEEE float, G.711 A-law/µ-law, extensible
 — r10), 8-bit PNG both sequential and Adam7-interlaced (stdlib
 ``zlib`` inflate + the five scanline filters in numpy, r9 interlace),
-GIF87a/89a both sequential and interlaced (pure-Python variable-width
-LZW, r8/r9), and baseline + progressive JPEG (pure-Python Huffman + numpy
-IDCT, :mod:`sparkdon.jpeg`, r9/r10) — no codec library needed
-anywhere.  Remaining formats (arithmetic/12-bit/lossless JPEG,
-16-bit palette PNG — spec-invalid anyway — and MP3-class audio
-codecs) raise ``NotImplementedError``; the
+GIF87a/89a both sequential and interlaced, with full 89a animation
+compositing (pure-Python variable-width LZW, r8/r9/r10), FLAC
+(:mod:`sparkdon.flac`, r10), and baseline + progressive + 12-bit +
+lossless JPEG (pure-Python Huffman + numpy IDCT, :mod:`sparkdon.jpeg`,
+r9/r10) — no codec library needed anywhere.  Remaining formats
+(arithmetic/hierarchical JPEG, 16-bit palette PNG — spec-invalid
+anyway — and MP3-class lossy audio codecs)
+raise ``NotImplementedError``; the
 deterministic fakes remain available for exercising the plumbing with
 arbitrary payload bytes.  Everything Spark-side is real and tested
 either way: the schema, the Arrow batch shape, the ``mapInPandas``
@@ -629,6 +631,17 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+def decode_audio(payload: bytes):
+    """Audio container dispatch: RIFF/WAVE → :func:`decode_wav`,
+    fLaC → :func:`sparkdon.flac.decode_flac` (round 10).  Same
+    contract from both: (int16 samples [n, channels], rate)."""
+    if payload[:4] == b"fLaC":
+        from sparkdon.flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def decode_wav(payload: bytes):
     """WAV decode → (samples int16 ndarray [n, channels], rate).
 
@@ -1104,7 +1117,7 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
                 elif modality == "image":
                     feats.append(image_feature(decode_image(raw)))
                 elif modality == "audio":
-                    feats.append(audio_feature(*decode_wav(raw)))
+                    feats.append(audio_feature(*decode_audio(raw)))
                 else:
                     raise NotImplementedError(
                         f"no codec-free decoder for modality {modality!r}")

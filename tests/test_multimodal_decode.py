@@ -1592,3 +1592,65 @@ def test_jpeg_lossless_16bit_and_category16():
     arr = np.array([[0, 32768, 0, 32768]], dtype=np.uint16)
     got = decode_jpeg(encode_jpeg_lossless(arr, predictor=1, precision=16))
     assert (got[:, :, 0] == (arr >> 8).astype(np.uint8)).all()
+
+
+# --- FLAC (round 10: lossless audio decode + encoder twin) -----------------
+
+def test_flac_roundtrip_shapes_and_modes():
+    import numpy as np
+
+    from sparkdon.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    t = np.arange(3000)
+    sine = (3000 * np.sin(t / 20.0)).astype(np.int16)
+    noise = rng.integers(-32768, 32768, 3000).astype(np.int16)
+    stereo = np.stack([sine, (sine // 2 + 17).astype(np.int16)], axis=1)
+    cases = [
+        (sine, {}), (noise, {"order": 0}), (noise, {"order": -1}),
+        (sine, {"order": 4}), (sine, {"block_size": 192}),
+        (stereo, {}), (stereo, {"stereo": "left_side"}),
+        (stereo, {"stereo": "mid_side"}),
+        (np.full(500, -123, np.int16), {}),
+    ]
+    for data, kw in cases:
+        got, rate = decode_flac(encode_flac(data, 22050, **kw))
+        want = data if data.ndim == 2 else data[:, None]
+        assert rate == 22050 and (got == want).all(), kw
+
+
+def test_flac_compresses_smooth_signals():
+    import numpy as np
+
+    from sparkdon.flac import encode_flac
+
+    t = np.arange(8000)
+    sine = (3000 * np.sin(t / 30.0)).astype(np.int16)
+    fixed = encode_flac(sine, 44100, order=4)
+    verbatim = encode_flac(sine, 44100, order=-1)
+    assert len(fixed) < len(verbatim) / 3
+
+
+def test_flac_in_audio_feature_dispatch(spark):
+    import numpy as np
+
+    from sparkdon.flac import encode_flac
+    from sparkdon.multimodal import extract_features
+
+    sine = (2000 * np.sin(np.arange(2000) / 9.0)).astype(np.int16)
+    payload = encode_flac(sine, 16000)
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(payload), ("audio/flac", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    rows = extract_features(media, decode_real=True).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) > 0
+
+
+def test_flac_rejects_garbage():
+    import pytest as _pytest
+
+    from sparkdon.flac import decode_flac
+
+    with _pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"RIFFnotflac")
