@@ -312,10 +312,20 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_encode(n: int) -> bytes:
+    """UTF-8-style coded number, general form (up to 36 bits / 7 bytes
+    per the FLAC spec; the 2-byte-only shortcut desynced the stream at
+    frame 2048)."""
     if n < 0x80:
         return bytes([n])
-    # 2-byte form suffices for any test-scale frame count
-    return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    cont: list = []
+    while True:
+        cont.insert(0, 0x80 | (n & 0x3F))
+        n >>= 6
+        nbytes = len(cont) + 1
+        lead_bits = 7 - nbytes
+        if n < (1 << lead_bits):
+            lead = ((0xFF << (8 - nbytes)) & 0xFF) | n
+            return bytes([lead] + cont)
 
 
 def _write_rice(bw: _BitW, res: list, pbits: int = 4) -> None:
@@ -325,11 +335,14 @@ def _write_rice(bw: _BitW, res: list, pbits: int = 4) -> None:
               for r in (int(x) for x in res)]
     best_p, best_cost = 0, None
     for p in range(escape):
-        cost = sum((v >> p) + 1 + p for v in folded)
-        if best_cost is None or cost < best_cost:
-            best_p, best_cost = p, cost
-        if cost > 1 << 24:
-            break
+        cost = 0
+        for v in folded:
+            cost += (v >> p) + 1 + p
+            if best_cost is not None and cost >= best_cost:
+                break
+        else:
+            if best_cost is None or cost < best_cost:
+                best_p, best_cost = p, cost
     raw = max((abs(int(r)).bit_length() + 1 for r in res), default=1)
     if best_cost is None or best_cost > raw * len(res) + 5:
         bw.write(escape, pbits)
@@ -357,7 +370,9 @@ def _encode_subframe(bw: _BitW, samples, bps: int, order: int) -> None:
         bw.write(0, 1)
         bw.write_signed(vals[0], bps)
         return
-    if order < 0:
+    if order < 0 or len(vals) <= order:
+        # a tail block shorter than the predictor order cannot carry
+        # `order` warm-up samples — VERBATIM is always legal
         bw.write(1, 6)
         bw.write(0, 1)
         for v in vals:

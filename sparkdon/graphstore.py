@@ -166,15 +166,22 @@ class GraphStoreServer:
             raise _HttpError(400, f"payload parse error: {e}")
 
     def _swap_named(self, iri: str, rows, replace: bool) -> None:
-        """Replace or merge one named graph via the endpoint's own
-        snapshot-swap primitive (session._modify_named_graph)."""
+        """Replace or merge one named graph.  The complete new quad
+        frame is built first and assigned ONCE: GETs read ep.named
+        without the write lock, so a two-step swap would expose a
+        deleted-but-not-yet-reinserted intermediate state to them —
+        old-or-new, never in-between."""
         ep = self.endpoint
-        if replace and ep.named is not None:
-            ep.named = (ep.named.filter(F.col("g") != iri)
-                        .localCheckpoint(eager=True))
+        named = ep.named
+        if named is None:
+            named = ep.spark.createDataFrame([], QUAD_SCHEMA)
+        if replace:
+            named = named.filter(F.col("g") != iri)
         if rows:
-            ep._modify_named_graph(iri, io_mod.triples_df(ep.spark, rows),
-                                   None)
+            add = (io_mod.triples_df(ep.spark, rows)
+                   .withColumn("g", F.lit(iri)))
+            named = named.unionByName(add).dropDuplicates()
+        ep.named = named.localCheckpoint(eager=True)
 
     # -- request handling -------------------------------------------------
 
@@ -190,23 +197,14 @@ class GraphStoreServer:
         iri = None if is_default else graph_iris[0]
 
         if method in ("GET", "HEAD"):
-            accept = h.headers.get("Accept")
-            out_type = "application/n-triples"
-            if accept:
-                for p in accept.split(","):
-                    mt = p.split(";", 1)[0].strip().lower()
-                    if mt in ("application/n-triples", "text/plain",
-                              "text/*", "application/*", "*/*"):
-                        break
-                    if mt == "text/turtle":
-                        # every N-Triples document is valid Turtle —
-                        # serve the same body under the asked-for type
-                        out_type = "text/turtle"
-                        break
-                else:
-                    self._plain(h, 406, "graphs are produced as "
-                                "application/n-triples or text/turtle")
-                    return
+            from sparkdon.protocol import negotiate_graph_type
+
+            out_type = negotiate_graph_type(h.headers.get("Accept"))
+            if out_type is None:
+                self._plain(h, 406, "graphs are produced as "
+                            "application/n-triples, text/turtle, or "
+                            "application/rdf+xml")
+                return
             if iri is None:
                 df = ep.graph
             else:
@@ -214,7 +212,15 @@ class GraphStoreServer:
                 if df is None or df.isEmpty():
                     self._plain(h, 404, f"no such graph <{iri}>")
                     return
-            body = io_mod.nt_string(df).encode()
+            prefixes = getattr(ep, "prefixes", None) or {}
+            if out_type == "text/turtle":
+                body = io_mod.ttl_string(df, prefixes).encode()
+            elif out_type == "application/rdf+xml":
+                from sparkdon.rdfxml import rdfxml_string
+
+                body = rdfxml_string(df, prefixes).encode()
+            else:
+                body = io_mod.nt_string(df).encode()
             h.send_response(200)
             h.send_header("Content-Type", out_type)
             h.send_header("Content-Length", str(len(body)))

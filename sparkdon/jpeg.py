@@ -265,6 +265,11 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             if sof.get("lossless"):
+                if ns != len(sof["comps"]):
+                    # a partial (non-interleaved) lossless scan would
+                    # silently drop components — honesty beats wrong pixels
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) lossless JPEG")
                 scan = []
                 for c in range(ns):
                     cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]

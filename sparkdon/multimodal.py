@@ -601,6 +601,16 @@ def decode_gif_frames(payload: bytes):
             disposal, delay_ms, tidx = gce if gce is not None else (0, 0, None)
             pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
             h, w = indices.shape
+            # clip a frame rectangle that runs past the logical screen
+            # (real-world GIFs do this; browsers clip the same way)
+            h = min(h, h_screen - y)
+            w = min(w, w_screen - x)
+            if h <= 0 or w <= 0:
+                frames.append((canvas.copy(),
+                               gce[1] if gce is not None else 0))
+                gce = None
+                continue
+            indices = indices[:h, :w]
             before = canvas.copy() if disposal == 3 else None
             region = canvas[y:y + h, x:x + w]
             rgb = pal[indices]
@@ -1240,7 +1250,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                         out["media_id"].append(mid)
                         out["frame_ts_ms"].append(ts)
                         out["frame_ppm"].append(encode_ppm(arr))
-                        next_keep += every_ms
+                        # jump PAST this frame: a gap longer than the
+                        # bucket must not make the following frames all
+                        # "due" at once
+                        next_keep = ts + every_ms
                     ts += delay
             yield pd.DataFrame(out)
 

@@ -79,6 +79,36 @@ def _struct_to_json(v) -> dict | None:
     return node
 
 
+#: graph serializations by Accept media type; wildcards resolve to
+#: N-Triples (the historical default).  Shared by the protocol server's
+#: CONSTRUCT/DESCRIBE results and the graph store's GET/HEAD.
+_GRAPH_TYPES = {
+    "application/n-triples": "application/n-triples",
+    "text/plain": "application/n-triples",
+    "text/*": "application/n-triples",
+    "application/*": "application/n-triples",
+    "text/turtle": "text/turtle",
+    "application/rdf+xml": "application/rdf+xml",
+    "application/xml": "application/rdf+xml",
+}
+
+
+def negotiate_graph_type(accept: str | None) -> str | None:
+    """Pick a graph serialization: first acceptable media type in the
+    client's listed order (minimal negotiation, no q-value sorting);
+    no header or ``*/*`` → N-Triples; nothing acceptable → None."""
+    if not accept:
+        return "application/n-triples"
+    for part in accept.split(","):
+        mt = part.split(";", 1)[0].strip().lower()
+        if mt == "*/*":
+            return "application/n-triples"
+        got = _GRAPH_TYPES.get(mt)
+        if got is not None:
+            return got
+    return None
+
+
 class SparqlProtocolServer:
     """Publish an Endpoint at ``http://host:port/sparql``.
 
@@ -265,33 +295,8 @@ class SparqlProtocolServer:
         h.end_headers()
         h.wfile.write(body)
 
-    #: graph (CONSTRUCT/DESCRIBE) serializations by Accept media type;
-    #: wildcards resolve to N-Triples (the historical default)
-    _GRAPH_TYPES = {
-        "application/n-triples": "application/n-triples",
-        "text/plain": "application/n-triples",
-        "text/*": "application/n-triples",
-        "application/*": "application/n-triples",
-        "text/turtle": "text/turtle",
-        "application/rdf+xml": "application/rdf+xml",
-        "application/xml": "application/rdf+xml",
-    }
-
     def _negotiate_graph(self, h: BaseHTTPRequestHandler) -> str | None:
-        """Pick the CONSTRUCT/DESCRIBE serialization: first acceptable
-        media type in the client's listed order (same minimal policy as
-        :meth:`_negotiate_select`); no header or ``*/*`` → N-Triples."""
-        accept = h.headers.get("Accept")
-        if not accept:
-            return "application/n-triples"
-        for part in accept.split(","):
-            mt = part.split(";", 1)[0].strip().lower()
-            if mt == "*/*":
-                return "application/n-triples"
-            got = self._GRAPH_TYPES.get(mt)
-            if got is not None:
-                return got
-        return None
+        return negotiate_graph_type(h.headers.get("Accept"))
 
     def _handle(self, h: BaseHTTPRequestHandler, params: dict,
                 method: str = "POST") -> None:

@@ -128,7 +128,7 @@ def test_head_and_accept_negotiation(srv):
     assert resp.headers["Content-Type"] == "application/n-triples"
     assert resp.read() == b""
     with pytest.raises(urllib.error.HTTPError) as exc:
-        req(gurl(srv), accept="application/rdf+xml")
+        req(gurl(srv), accept="application/json")
     assert exc.value.code == 406
     assert req(gurl(srv), accept="text/*").status == 200
 
@@ -178,3 +178,14 @@ def test_get_turtle_accept_and_put_relative_iris(srv):
     got = req(gurl(srv, G1)).read().decode()
     # RFC 3986 against base http://example.com/g1: sibling resolution
     assert "<http://example.com/item>" in got
+
+
+def test_get_rdfxml_and_real_turtle(srv):
+    resp = req(gurl(srv), accept="application/rdf+xml")
+    assert resp.headers["Content-Type"] == "application/rdf+xml"
+    from sparkdon.rdfxml import parse_rdfxml
+
+    assert len(parse_rdfxml(resp.read())) == 1
+    resp = req(gurl(srv), accept="text/turtle")
+    body = resp.read().decode()
+    assert "@prefix" in body  # real prefixed Turtle now, not bare NT

@@ -1654,3 +1654,76 @@ def test_flac_rejects_garbage():
 
     with _pytest.raises(ValueError, match="fLaC"):
         decode_flac(b"RIFFnotflac")
+
+
+def test_sample_frames_gap_does_not_burst(spark):
+    from sparkdon.multimodal import sample_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # 5 s gap then rapid 100 ms frames: the bucket must not burst-keep
+    gif = _gif_animated(2, 1, pal, [
+        (0, 0, 2, 1, [1, 1], 0, 500, None),   # ts 0, next at 5000
+        (0, 0, 2, 1, [2, 2], 0, 10, None),    # ts 5000 (kept)
+        (0, 0, 2, 1, [3, 3], 0, 10, None),    # ts 5100 (< 5000+1000)
+        (0, 0, 2, 1, [1, 1], 0, 10, None),    # ts 5200
+    ])
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(gif), ("image/gif", 2, 1, 5300))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    rows = sample_frames(media, every_ms=1000, decode_real=True).collect()
+    assert [r["frame_ts_ms"] for r in rows] == [0, 5000]
+
+
+def test_gif_frame_rect_clips_to_screen():
+    from sparkdon.multimodal import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # second frame's 2x2 rect at (1, 0) runs past the 2x1 screen
+    gif = _gif_animated(2, 1, pal, [
+        (0, 0, 2, 1, [1, 1], 0, 1, None),
+        (1, 0, 2, 2, [2, 3, 2, 3], 0, 1, None),
+    ])
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 2
+    m = frames[1][0]
+    assert m.shape == (1, 2, 3)
+    assert tuple(m[0, 0]) == (255, 0, 0)  # untouched
+    assert tuple(m[0, 1]) == (0, 255, 0)  # clipped draw kept in-screen
+
+
+def test_jpeg_lossless_multiscan_raises():
+    import struct
+
+    import pytest as _pytest
+
+    from sparkdon.jpeg import decode_jpeg, encode_jpeg_lossless
+    import numpy as np
+
+    body = bytearray(encode_jpeg_lossless(
+        np.zeros((2, 2, 3), dtype=np.uint8)))
+    # shrink the SOS to a single component (ns=1): legal multi-scan
+    # layout the decoder does not support — must raise, not mis-decode
+    sos = body.find(b"\xff\xda")
+    ns = 1
+    new_sos = (b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 * ns + 3)
+               + bytes([ns, 1, 0x00, 1, 0, 0]))
+    old_len = struct.unpack(">H", body[sos + 2:sos + 4])[0]
+    body[sos:sos + 2 + old_len] = new_sos
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(body))
+
+
+def test_flac_many_frames_and_short_tail():
+    import numpy as np
+
+    from sparkdon.flac import decode_flac, encode_flac
+
+    # >2048 frames exercises the general UTF-8 frame-number form
+    sine = (1000 * np.sin(np.arange(33600) / 7.0)).astype(np.int16)
+    got, _ = decode_flac(encode_flac(sine, 8000, block_size=16))
+    assert (got[:, 0] == sine).all()
+    # tail block shorter than the predictor order
+    x = np.concatenate([np.arange(4096), [5, 900]]).astype(np.int16)
+    got, _ = decode_flac(encode_flac(x, 8000, block_size=4096, order=4))
+    assert (got[:, 0] == x).all()
