@@ -460,3 +460,35 @@ def encode_flac(samples, rate: int, block_size: int = 4096,
         out += body + struct.pack(">H", _crc16(body))
         frame_no += 1
     return bytes(out)
+
+
+def flac_tags(payload: bytes) -> dict:
+    """VORBIS_COMMENT metadata (block type 4) → dict of upper-cased
+    ``KEY`` → value (first occurrence wins; the spec allows repeats).
+    Returns ``{}`` when the stream carries no comment block."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC marker)")
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + ln]
+        if btype == 4:
+            out: dict = {}
+            vlen = int.from_bytes(body[0:4], "little")
+            p = 4 + vlen
+            n = int.from_bytes(body[p:p + 4], "little")
+            p += 4
+            for _ in range(n):
+                clen = int.from_bytes(body[p:p + 4], "little")
+                p += 4
+                item = body[p:p + clen].decode("utf-8", "replace")
+                p += clen
+                k, _, v = item.partition("=")
+                out.setdefault(k.upper(), v)
+            return out
+        pos += 4 + ln
+        if last:
+            break
+    return {}

@@ -1285,3 +1285,137 @@ def show_image(filename: str):
             return image
     display_png(image, raw=True)
     return None
+
+
+# ---------------------------------------------------------------------------
+# metadata extraction (round 10) — EXIF / tags as a typed pipeline stage
+# ---------------------------------------------------------------------------
+
+#: EXIF tag ids → friendly keys (IFD0 + Exif sub-IFD; the filtering
+#: tags a curation pipeline actually uses)
+_EXIF_TAGS = {
+    0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+    0x0132: "datetime", 0x0131: "software",
+    0x9003: "datetime_original", 0x8827: "iso",
+    0x829A: "exposure_time", 0x829D: "f_number",
+    0x920A: "focal_length", 0xA002: "pixel_x_dimension",
+    0xA003: "pixel_y_dimension", 0xA001: "color_space",
+}
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _exif_ifd(tiff: bytes, offset: int, bo: str, out: dict) -> None:
+    import struct
+
+    if offset + 2 > len(tiff):
+        raise ValueError("truncated EXIF IFD")
+    n = struct.unpack_from(bo + "H", tiff, offset)[0]
+    for i in range(n):
+        base = offset + 2 + 12 * i
+        if base + 12 > len(tiff):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, base)
+        size = _EXIF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            vpos = base + 8
+        else:
+            vpos = struct.unpack_from(bo + "I", tiff, base + 8)[0]
+            if vpos + total > len(tiff):
+                continue
+        if tag == 0x8769:  # Exif sub-IFD pointer
+            sub = struct.unpack_from(bo + "I", tiff, base + 8)[0]
+            _exif_ifd(tiff, sub, bo, out)
+            continue
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 2:  # ASCII
+            val = tiff[vpos:vpos + cnt].split(b"\x00", 1)[0] \
+                .decode("ascii", "replace")
+        elif typ in (3, 4, 9):
+            fmt = {3: "H", 4: "I", 9: "i"}[typ]
+            val = struct.unpack_from(bo + fmt, tiff, vpos)[0]
+        elif typ in (5, 10):
+            fmt = "II" if typ == 5 else "ii"
+            num, den = struct.unpack_from(bo + fmt, tiff, vpos)
+            val = f"{num}/{den}"
+        else:  # BYTE / UNDEFINED
+            val = tiff[vpos:vpos + min(cnt, 16)].hex()
+        out[name] = val
+
+
+def jpeg_exif(payload: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment → dict of friendly keys
+    (make/model/orientation/datetime/ISO/…).  TIFF IFD walk from the
+    public EXIF 2.x spec, both byte orders, inline and offset values,
+    RATIONALs as ``num/den`` strings.  ``{}`` when there's no EXIF."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            if tiff[:2] == b"II":
+                bo = "<"
+            elif tiff[:2] == b"MM":
+                bo = ">"
+            else:
+                raise ValueError("bad EXIF TIFF byte order")
+            ifd0 = struct.unpack_from(bo + "I", tiff, 4)[0]
+            out: dict = {}
+            _exif_ifd(tiff, ifd0, bo, out)
+            return out
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    return {}
+
+
+METADATA_SCHEMA = "media_id long, metadata map<string,string>"
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Typed-metadata extraction stage: JPEG EXIF and FLAC Vorbis
+    comments → one ``map<string,string>`` per media row.  Narrow
+    Arrow-batched ``mapInPandas`` (no shuffle) — the scale shape of a
+    per-document metadata pass; payloads without recognizable metadata
+    (or without any metadata block) yield an empty map, because absence
+    of metadata is data, not an error."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from sparkdon.flac import flac_tags
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw[:2] == b"\xff\xd8":
+                        md = jpeg_exif(raw)
+                    elif raw[:4] == b"fLaC":
+                        md = flac_tags(raw)
+                    else:
+                        md = {}
+                except ValueError:
+                    md = {}
+                metas.append({str(k): str(v) for k, v in md.items()})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "metadata": metas})
+
+    return media.mapInPandas(run, METADATA_SCHEMA)

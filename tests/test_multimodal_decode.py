@@ -1727,3 +1727,91 @@ def test_flac_many_frames_and_short_tail():
     x = np.concatenate([np.arange(4096), [5, 900]]).astype(np.int16)
     got, _ = decode_flac(encode_flac(x, 8000, block_size=4096, order=4))
     assert (got[:, 0] == x).all()
+
+
+# --- metadata extraction (round 10: EXIF + FLAC tags) ----------------------
+
+def _exif_jpeg():
+    import struct
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    make = b"ACME Corp\x00"
+    tiff = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    n = 4
+    ifd0 = struct.pack("<H", n)
+    data_off = 8 + 2 + 12 * n + 4
+    sub_off = data_off + len(make) + 8
+    ifd0 += entry(0x010F, 2, len(make), struct.pack("<I", data_off))
+    ifd0 += entry(0x0112, 3, 1, struct.pack("<HH", 6, 0))
+    ifd0 += entry(0x829A, 5, 1, struct.pack("<I", data_off + len(make)))
+    ifd0 += entry(0x8769, 4, 1, struct.pack("<I", sub_off))
+    ifd0 += struct.pack("<I", 0)
+    tiff += ifd0 + make + struct.pack("<II", 1, 250)
+    tiff += (struct.pack("<H", 1)
+             + entry(0xA002, 4, 1, struct.pack("<I", 4032))
+             + struct.pack("<I", 0))
+    app1 = b"Exif\x00\x00" + bytes(tiff)
+    import struct as _s
+
+    return (b"\xff\xd8\xff\xe1" + _s.pack(">H", len(app1) + 2) + app1
+            + b"\xff\xd9")
+
+
+def _tagged_flac():
+    import struct
+
+    import numpy as np
+
+    from sparkdon.flac import encode_flac
+
+    enc = bytearray(encode_flac(np.zeros(10, np.int16), 8000))
+    vendor = b"sparkdon"
+    comments = [b"TITLE=Test Song", b"ARTIST=Somebody"]
+    body = struct.pack("<I", len(vendor)) + vendor
+    body += struct.pack("<I", len(comments))
+    for c in comments:
+        body += struct.pack("<I", len(c)) + c
+    enc[4] &= 0x7F  # STREAMINFO no longer last
+    block = bytes([0x84]) + len(body).to_bytes(3, "big") + body
+    si_len = int.from_bytes(enc[5:8], "big")
+    enc[8 + si_len:8 + si_len] = block
+    return bytes(enc)
+
+
+def test_jpeg_exif_walk():
+    from sparkdon.multimodal import jpeg_exif
+
+    got = jpeg_exif(_exif_jpeg())
+    assert got == {"make": "ACME Corp", "orientation": 6,
+                   "exposure_time": "1/250", "pixel_x_dimension": 4032}
+    assert jpeg_exif(b"\xff\xd8\xff\xd9") == {}
+
+
+def test_flac_vorbis_comments():
+    from sparkdon.flac import decode_flac, flac_tags
+
+    payload = _tagged_flac()
+    assert flac_tags(payload) == {"TITLE": "Test Song",
+                                  "ARTIST": "Somebody"}
+    got, _ = decode_flac(payload)  # extra metadata block doesn't break decode
+    assert got.shape == (10, 1)
+
+
+def test_extract_metadata_stage(spark):
+    from sparkdon.multimodal import extract_metadata
+
+    rows = [
+        (1, "image", bytearray(_exif_jpeg()), ("image/jpeg", None, None, None)),
+        (2, "audio", bytearray(_tagged_flac()), ("audio/flac", None, None, None)),
+        (3, "image", bytearray(b"not media"), ("application/x", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    got = {r["media_id"]: r["metadata"]
+           for r in extract_metadata(media).collect()}
+    assert got[1]["make"] == "ACME Corp" and got[1]["orientation"] == "6"
+    assert got[2] == {"TITLE": "Test Song", "ARTIST": "Somebody"}
+    assert got[3] == {}
