@@ -1389,8 +1389,9 @@ METADATA_SCHEMA = "media_id long, metadata map<string,string>"
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:
-    """Typed-metadata extraction stage: JPEG EXIF and FLAC Vorbis
-    comments → one ``map<string,string>`` per media row.  Narrow
+    """Typed-metadata extraction stage: JPEG EXIF, FLAC Vorbis
+    comments, PNG tEXt/iTXt/pHYs + geometry, and WAV LIST/INFO tags →
+    one ``map<string,string>`` per media row.  Narrow
     Arrow-batched ``mapInPandas`` (no shuffle) — the scale shape of a
     per-document metadata pass; payloads without recognizable metadata
     (or without any metadata block) yield an empty map, because absence
@@ -1410,6 +1411,10 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                         md = jpeg_exif(raw)
                     elif raw[:4] == b"fLaC":
                         md = flac_tags(raw)
+                    elif raw[:8] == _PNG_SIG:
+                        md = png_metadata(raw)
+                    elif raw[:4] == b"RIFF":
+                        md = wav_info_tags(raw)
                     else:
                         md = {}
                 except ValueError:
@@ -1419,3 +1424,72 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                                 "metadata": metas})
 
     return media.mapInPandas(run, METADATA_SCHEMA)
+
+
+#: WAV LIST/INFO ids → friendly keys
+_WAV_INFO = {b"INAM": "title", b"IART": "artist", b"ICRD": "date",
+             b"ISFT": "software", b"ICMT": "comment", b"IGNR": "genre",
+             b"IPRD": "album", b"ICOP": "copyright"}
+
+
+def wav_info_tags(payload: bytes) -> dict:
+    """RIFF LIST/INFO tags (the WAV tagging convention) → dict."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"LIST" and payload[pos + 8:pos + 12] == b"INFO":
+            p = pos + 12
+            end = pos + 8 + ln
+            while p + 8 <= end:
+                sid = payload[p:p + 4]
+                sln = struct.unpack_from("<I", payload, p + 4)[0]
+                val = payload[p + 8:p + 8 + sln].split(b"\x00", 1)[0] \
+                    .decode("utf-8", "replace")
+                key = _WAV_INFO.get(sid)
+                if key:
+                    out[key] = val
+                p += 8 + sln + (sln & 1)
+        pos += 8 + ln + (ln & 1)
+    return out
+
+
+def png_metadata(payload: bytes) -> dict:
+    """PNG header + textual metadata: IHDR geometry/depth, ``tEXt`` and
+    uncompressed ``iTXt`` key/value pairs, ``pHYs`` pixel density."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    out: dict = {}
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack_from(">IIBB", body)
+            out.update(width=w, height=h, bit_depth=depth,
+                       color_type=color)
+        elif ctype == b"tEXt":
+            k, _, v = body.partition(b"\x00")
+            out[k.decode("latin-1")] = v.decode("latin-1", "replace")
+        elif ctype == b"iTXt":
+            k, _, rest = body.partition(b"\x00")
+            if rest[:1] == b"\x00":  # uncompressed only
+                parts = rest[2:].split(b"\x00", 2)
+                if len(parts) == 3:
+                    out[k.decode("latin-1")] = parts[2] \
+                        .decode("utf-8", "replace")
+        elif ctype == b"pHYs":
+            x, y, unit = struct.unpack_from(">IIB", body)
+            out["pixels_per_unit_x"] = x
+            out["pixels_per_unit_y"] = y
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    return out

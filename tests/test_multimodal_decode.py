@@ -1815,3 +1815,66 @@ def test_extract_metadata_stage(spark):
     assert got[1]["make"] == "ACME Corp" and got[1]["orientation"] == "6"
     assert got[2] == {"TITLE": "Test Song", "ARTIST": "Somebody"}
     assert got[3] == {}
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    channels=st.integers(1, 2),
+    order=st.integers(-1, 4),
+    block=st.sampled_from([16, 192, 256, 4096]),
+    mode=st.sampled_from(["independent", "left_side", "mid_side"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_roundtrip_property(n, channels, order, block, mode, seed):
+    import numpy as np
+
+    from sparkdon.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    kind = seed % 3
+    if kind == 0:      # white noise, full range
+        data = rng.integers(-32768, 32768, (n, channels)).astype(np.int16)
+    elif kind == 1:    # smooth ramp + noise
+        base = (np.linspace(-3000, 3000, n)[:, None]
+                + rng.normal(0, 40, (n, channels)))
+        data = np.clip(base, -32768, 32767).astype(np.int16)
+    else:              # mostly-constant with spikes
+        data = np.full((n, channels), 7, np.int16)
+        idx = rng.integers(0, n, max(1, n // 20))
+        data[idx] = rng.integers(-32768, 32768, (len(idx), channels))
+    kw = {"stereo": mode} if channels == 2 else {}
+    got, rate = decode_flac(
+        encode_flac(data, 48000, block_size=block, order=order, **kw))
+    assert rate == 48000
+    assert got.shape == data.shape and (got == data).all()
+
+
+def test_png_and_wav_metadata():
+    import struct
+    import zlib
+
+    from sparkdon.multimodal import png_metadata, wav_info_tags
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 7, 8, 2, 0, 0, 0))
+           + chunk(b"tEXt", b"Author\x00somebody")
+           + chunk(b"iTXt", b"Comment\x00\x00\x00\x00\x00hello utf8")
+           + chunk(b"pHYs", struct.pack(">IIB", 2835, 2835, 1))
+           + chunk(b"IEND", b""))
+    got = png_metadata(png)
+    assert got["width"] == 12 and got["height"] == 7
+    assert got["Author"] == "somebody" and got["Comment"] == "hello utf8"
+    assert got["pixels_per_unit_x"] == 2835
+
+    info = (b"INFO"
+            + b"INAM" + struct.pack("<I", 5) + b"Song\x00\x00"
+            + b"IART" + struct.pack("<I", 2) + b"Me")
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(info)) + b"WAVE"
+           + b"LIST" + struct.pack("<I", len(info)) + info)
+    got = wav_info_tags(wav)
+    assert got == {"title": "Song", "artist": "Me"}
