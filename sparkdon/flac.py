@@ -492,3 +492,80 @@ def flac_tags(payload: bytes) -> dict:
         if last:
             break
     return {}
+
+
+def decode_ogg_flac(payload: bytes):
+    """FLAC-in-Ogg (.oga / .ogg lossless, per the public Ogg mapping):
+    reassemble the logical FLAC stream from Ogg page segments and hand
+    it to :func:`decode_flac`.
+
+    The first packet is ``0x7F 'FLAC' major minor nheaders`` followed by
+    the native ``fLaC`` signature and STREAMINFO; every later packet is
+    a native metadata block or frame, so stripping the Ogg framing and
+    the 9-byte mapping preamble yields a byte-exact native stream.
+    CRCs and page sequence numbers are not verified (same contract as
+    the native decoder)."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg container (missing OggS)")
+    stream = bytearray()
+    pos = 0
+    while pos + 27 <= len(payload):
+        if payload[pos:pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg page boundary at byte {pos}")
+        nsegs = payload[pos + 26]
+        table = payload[pos + 27:pos + 27 + nsegs]
+        body = pos + 27 + nsegs
+        size = sum(table)
+        stream += payload[body:body + size]
+        pos = body + size
+    if stream[:5] != b"\x7fFLAC":
+        raise ValueError("Ogg stream is not FLAC-mapped")
+    # 0x7F 'FLAC' major(1) minor(1) nheaders(2be) then native fLaC...
+    return decode_flac(bytes(stream[9:]))
+
+
+def encode_ogg_flac(samples, rate: int, **kw) -> bytes:
+    """Ogg-FLAC twin: wrap :func:`encode_flac` output in Ogg pages (one
+    page per ≤255·255-byte span, fresh serial, correct lacing; page
+    CRCs left zero — the decoder contract skips them)."""
+    import struct
+
+    native = encode_flac(samples, rate, **kw)
+    # split: first packet = mapping preamble + fLaC + STREAMINFO
+    si_len = int.from_bytes(native[5:8], "big")
+    first = (b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
+             + native[:8 + si_len])
+    rest = native[8 + si_len:]
+    out = bytearray()
+    seq = 0
+
+    def page(data: bytes, header_type: int, granule: int) -> bytes:
+        nonlocal seq
+        segs = []
+        i = 0
+        while True:
+            seg = min(255, len(data) - i)
+            segs.append(seg)
+            i += seg
+            if seg < 255:
+                break
+        hdr = (b"OggS\x00" + bytes([header_type])
+               + struct.pack("<qIIi", granule, 0x5350, seq, 0)
+               + bytes([len(segs)]) + bytes(segs))
+        seq += 1
+        return hdr + data
+
+    out += page(first, 0x02, 0)           # beginning-of-stream
+    # a packet longer than one page's 255*255-byte capacity continues
+    # across pages (header type 0x01 on the continuations)
+    # 254 full segments + the short/zero terminator stays within the
+    # 255-entry lacing table (an exact 255*255 span would need 256)
+    max_span = 255 * 254
+    spans = [rest[i:i + max_span] for i in range(0, len(rest), max_span)] \
+        or [b""]
+    for k, span in enumerate(spans):
+        htype = (0x01 if k else 0x00) | (0x04 if k == len(spans) - 1 else 0)
+        out += page(span, htype, len(samples))
+    return bytes(out)

@@ -649,6 +649,10 @@ def decode_audio(payload: bytes):
         from sparkdon.flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"OggS":
+        from sparkdon.flac import decode_ogg_flac
+
+        return decode_ogg_flac(payload)
     return decode_wav(payload)
 
 

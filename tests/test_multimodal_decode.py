@@ -1878,3 +1878,23 @@ def test_png_and_wav_metadata():
            + b"LIST" + struct.pack("<I", len(info)) + info)
     got = wav_info_tags(wav)
     assert got == {"title": "Song", "artist": "Me"}
+
+
+def test_ogg_flac_roundtrip_and_long_packet():
+    import numpy as np
+
+    from sparkdon.flac import decode_ogg_flac, encode_ogg_flac
+
+    sine = (2000 * np.sin(np.arange(9000) / 11.0)).astype(np.int16)
+    got, rate = decode_ogg_flac(encode_ogg_flac(sine, 44100,
+                                                block_size=1024))
+    assert rate == 44100 and (got[:, 0] == sine).all()
+    # verbatim noise makes the frame packet exceed one page (65 KB)
+    rng = np.random.default_rng(1)
+    noise = rng.integers(-32768, 32768, 40000).astype(np.int16)
+    got, _ = decode_ogg_flac(encode_ogg_flac(noise, 16000, order=-1))
+    assert (got[:, 0] == noise).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OggS"):
+        decode_ogg_flac(b"fLaCnotogg")
