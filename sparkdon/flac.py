@@ -507,6 +507,11 @@ def decode_ogg_flac(payload: bytes):
     the native decoder)."""
     import struct
 
+    return decode_flac(ogg_to_native(payload))
+
+
+def ogg_to_native(payload: bytes) -> bytes:
+    """Ogg-FLAC → byte-exact native FLAC stream (page reassembly)."""
     if payload[:4] != b"OggS":
         raise ValueError("not an Ogg container (missing OggS)")
     stream = bytearray()
@@ -523,7 +528,7 @@ def decode_ogg_flac(payload: bytes):
     if stream[:5] != b"\x7fFLAC":
         raise ValueError("Ogg stream is not FLAC-mapped")
     # 0x7F 'FLAC' major(1) minor(1) nheaders(2be) then native fLaC...
-    return decode_flac(bytes(stream[9:]))
+    return bytes(stream[9:])
 
 
 def encode_ogg_flac(samples, rate: int, **kw) -> bytes:

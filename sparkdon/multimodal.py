@@ -1415,6 +1415,10 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                         md = jpeg_exif(raw)
                     elif raw[:4] == b"fLaC":
                         md = flac_tags(raw)
+                    elif raw[:4] == b"OggS":
+                        from sparkdon.flac import ogg_to_native
+
+                        md = flac_tags(ogg_to_native(raw))
                     elif raw[:8] == _PNG_SIG:
                         md = png_metadata(raw)
                     elif raw[:4] == b"RIFF":
