@@ -158,20 +158,31 @@ def _subframe(br: _Bits, n: int, bps: int) -> list:
     return out
 
 
+def _walk_metadata(payload: bytes):
+    """(blocks list, first-frame offset)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC marker)")
+    pos = 4
+    blocks = []
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        blocks.append((btype, payload[pos + 4:pos + 4 + ln]))
+        pos += 4 + ln
+        if last:
+            break
+    return blocks, pos
+
+
 def decode_flac(payload: bytes):
     """FLAC bytes → ``(int16 samples [n, channels], rate)`` — the
     decode_wav contract; samples at other bit depths scale to 16."""
     import numpy as np
 
-    if payload[:4] != b"fLaC":
-        raise ValueError("not a FLAC payload (missing fLaC marker)")
-    pos = 4
     info = None
-    while True:
-        hdr = payload[pos]
-        last, btype = hdr >> 7, hdr & 0x7F
-        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
-        body = payload[pos + 4:pos + 4 + ln]
+    blocks, pos = _walk_metadata(payload)
+    for btype, body in blocks:
         if btype == 0:  # STREAMINFO
             br = _Bits(body)
             br.read(16 + 16 + 24 + 24)
@@ -180,9 +191,6 @@ def decode_flac(payload: bytes):
             bps = br.read(5) + 1
             total = br.read(36)
             info = (rate, channels, bps, total)
-        pos += 4 + ln
-        if last:
-            break
     if info is None:
         raise ValueError("FLAC stream has no STREAMINFO")
     rate, channels, bps, total = info
@@ -396,6 +404,15 @@ def encode_flac(samples, rate: int, block_size: int = 4096,
     :func:`decode_flac` recovers exactly.  ``order`` picks the FIXED
     predictor (−1 = VERBATIM subframes); ``stereo`` one of
     ``independent`` | ``left_side`` | ``mid_side`` (2-channel input)."""
+    header, frames = _encode_flac_parts(samples, rate, block_size, order,
+                                        stereo)
+    return header + b"".join(f for f, _ in frames)
+
+
+def _encode_flac_parts(samples, rate: int, block_size: int,
+                       order: int, stereo: str):
+    """(header bytes, [(frame bytes, last-sample position)]) — the
+    frame boundaries feed the Ogg mapping's one-frame-per-packet rule."""
     import struct
 
     import numpy as np
@@ -419,6 +436,7 @@ def encode_flac(samples, rate: int, block_size: int = 4096,
     si_bytes = bytes(si.out) + b"\x00" * 16  # md5 unset
     out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
 
+    frames: list = []
     frame_no = 0
     for start in range(0, n, block_size):
         blk = a[start:start + block_size]
@@ -457,40 +475,37 @@ def encode_flac(samples, rate: int, block_size: int = 4096,
                 _encode_subframe(bw, blk[:, c], bps, order)
         bw.align()
         body = bytes(bw.out)
-        out += body + struct.pack(">H", _crc16(body))
+        frames.append((body + struct.pack(">H", _crc16(body)),
+                       start + bn))
         frame_no += 1
-    return bytes(out)
+    return bytes(out), frames
 
 
 def flac_tags(payload: bytes) -> dict:
     """VORBIS_COMMENT metadata (block type 4) → dict of upper-cased
     ``KEY`` → value (first occurrence wins; the spec allows repeats).
-    Returns ``{}`` when the stream carries no comment block."""
-    if payload[:4] != b"fLaC":
-        raise ValueError("not a FLAC payload (missing fLaC marker)")
-    pos = 4
-    while pos + 4 <= len(payload):
-        hdr = payload[pos]
-        last, btype = hdr >> 7, hdr & 0x7F
-        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
-        body = payload[pos + 4:pos + 4 + ln]
-        if btype == 4:
-            out: dict = {}
-            vlen = int.from_bytes(body[0:4], "little")
-            p = 4 + vlen
-            n = int.from_bytes(body[p:p + 4], "little")
+    Returns ``{}`` when the stream carries no comment block.  The
+    comment count is untrusted input: the loop is bounded by the block
+    body, so a corrupt count cannot hang the metadata pass."""
+    blocks, _ = _walk_metadata(payload)
+    for btype, body in blocks:
+        if btype != 4:
+            continue
+        out: dict = {}
+        vlen = int.from_bytes(body[0:4], "little")
+        p = 4 + vlen
+        n = int.from_bytes(body[p:p + 4], "little")
+        p += 4
+        for _ in range(n):
+            if p + 4 > len(body):
+                break  # corrupt count — stop at the block boundary
+            clen = int.from_bytes(body[p:p + 4], "little")
             p += 4
-            for _ in range(n):
-                clen = int.from_bytes(body[p:p + 4], "little")
-                p += 4
-                item = body[p:p + clen].decode("utf-8", "replace")
-                p += clen
-                k, _, v = item.partition("=")
-                out.setdefault(k.upper(), v)
-            return out
-        pos += 4 + ln
-        if last:
-            break
+            item = body[p:p + clen].decode("utf-8", "replace")
+            p += clen
+            k, _, v = item.partition("=")
+            out.setdefault(k.upper(), v)
+        return out
     return {}
 
 
@@ -505,8 +520,6 @@ def decode_ogg_flac(payload: bytes):
     the 9-byte mapping preamble yields a byte-exact native stream.
     CRCs and page sequence numbers are not verified (same contract as
     the native decoder)."""
-    import struct
-
     return decode_flac(ogg_to_native(payload))
 
 
@@ -532,45 +545,59 @@ def ogg_to_native(payload: bytes) -> bytes:
 
 
 def encode_ogg_flac(samples, rate: int, **kw) -> bytes:
-    """Ogg-FLAC twin: wrap :func:`encode_flac` output in Ogg pages (one
-    page per ≤255·255-byte span, fresh serial, correct lacing; page
-    CRCs left zero — the decoder contract skips them)."""
+    """Ogg-FLAC twin, per the public Ogg mapping + RFC 3533 framing:
+    the first page carries ONLY the mapping packet (preamble + fLaC +
+    STREAMINFO, BOS flag, zero following header packets); each FLAC
+    frame is its own packet; packets pack into pages up to the
+    255-entry lacing capacity, spilling across pages with the
+    continued-packet flag when a single frame exceeds a page; each
+    audio page's granule position is the last sample completed on that
+    page.  Page CRCs are left zero (the in-repo decoder skips them)."""
     import struct
 
-    native = encode_flac(samples, rate, **kw)
-    # split: first packet = mapping preamble + fLaC + STREAMINFO
-    si_len = int.from_bytes(native[5:8], "big")
-    first = (b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
-             + native[:8 + si_len])
-    rest = native[8 + si_len:]
+    header, frames = _encode_flac_parts(
+        samples, rate, kw.pop("block_size", 4096), kw.pop("order", 2),
+        kw.pop("stereo", "independent"))
+    if kw:
+        raise TypeError(f"unknown encode_ogg_flac options {sorted(kw)}")
+    first = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + header
+
     out = bytearray()
     seq = 0
 
-    def page(data: bytes, header_type: int, granule: int) -> bytes:
+    def emit(header_type: int, granule: int, segs: list, data: bytes):
         nonlocal seq
-        segs = []
-        i = 0
-        while True:
-            seg = min(255, len(data) - i)
-            segs.append(seg)
-            i += seg
-            if seg < 255:
-                break
-        hdr = (b"OggS\x00" + bytes([header_type])
-               + struct.pack("<qIIi", granule, 0x5350, seq, 0)
-               + bytes([len(segs)]) + bytes(segs))
+        out.extend(b"OggS\x00" + bytes([header_type])
+                   + struct.pack("<qIIi", granule, 0x5350, seq, 0)
+                   + bytes([len(segs)]) + bytes(segs) + data)
         seq += 1
-        return hdr + data
 
-    out += page(first, 0x02, 0)           # beginning-of-stream
-    # a packet longer than one page's 255*255-byte capacity continues
-    # across pages (header type 0x01 on the continuations)
-    # 254 full segments + the short/zero terminator stays within the
-    # 255-entry lacing table (an exact 255*255 span would need 256)
-    max_span = 255 * 254
-    spans = [rest[i:i + max_span] for i in range(0, len(rest), max_span)] \
-        or [b""]
-    for k, span in enumerate(spans):
-        htype = (0x01 if k else 0x00) | (0x04 if k == len(spans) - 1 else 0)
-        out += page(span, htype, len(samples))
+    # BOS page: the lone mapping/header packet
+    segs = [255] * (len(first) // 255) + [len(first) % 255]
+    emit(0x02, 0, segs, first)
+
+    # audio pages: greedy packet packing, spec-correct continuation
+    segs, data = [], bytearray()
+    granule = 0
+    continued = False
+    for i, (frame, last_pos) in enumerate(frames):
+        fsegs = [255] * (len(frame) // 255) + [len(frame) % 255]
+        fpos = 0
+        for si, s in enumerate(fsegs):
+            if len(segs) == 255:
+                # page full mid-packet: flush WITHOUT a terminator —
+                # per RFC 3533 a lacing table ending at 255 continues
+                # the packet on the next page
+                emit(0x01 if continued else 0x00, granule, segs,
+                     bytes(data))
+                segs, data = [], bytearray()
+                continued = True
+            segs.append(s)
+            data += frame[fpos:fpos + s]
+            fpos += s
+        granule = last_pos
+        if i == len(frames) - 1:
+            emit((0x01 if continued else 0x00) | 0x04, granule, segs,
+                 bytes(data))
+        continued = False
     return bytes(out)

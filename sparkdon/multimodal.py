@@ -1309,9 +1309,17 @@ _EXIF_TAGS = {
 _EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 
 
-def _exif_ifd(tiff: bytes, offset: int, bo: str, out: dict) -> None:
+def _exif_ifd(tiff: bytes, offset: int, bo: str, out: dict,
+              _seen: set | None = None) -> None:
     import struct
 
+    # offsets are untrusted: a self-referencing sub-IFD pointer must
+    # not recurse forever, and a truncated sub-IFD must not discard the
+    # tags already collected
+    seen = _seen if _seen is not None else set()
+    if offset in seen or len(seen) > 8:
+        return
+    seen.add(offset)
     if offset + 2 > len(tiff):
         raise ValueError("truncated EXIF IFD")
     n = struct.unpack_from(bo + "H", tiff, offset)[0]
@@ -1332,7 +1340,10 @@ def _exif_ifd(tiff: bytes, offset: int, bo: str, out: dict) -> None:
                 continue
         if tag == 0x8769:  # Exif sub-IFD pointer
             sub = struct.unpack_from(bo + "I", tiff, base + 8)[0]
-            _exif_ifd(tiff, sub, bo, out)
+            try:
+                _exif_ifd(tiff, sub, bo, out, seen)
+            except (ValueError, IndexError):
+                pass  # keep the IFD0 tags already collected (6)
             continue
         name = _EXIF_TAGS.get(tag)
         if name is None:
@@ -1366,8 +1377,11 @@ def jpeg_exif(payload: bytes) -> dict:
         if payload[pos] != 0xFF:
             break
         marker = payload[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            pos += 2
+        if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before markers
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers (TEM, SOI/EOI, RSTn)
             continue
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         seg = payload[pos + 4:pos + 2 + seglen]
@@ -1381,7 +1395,10 @@ def jpeg_exif(payload: bytes) -> dict:
                 raise ValueError("bad EXIF TIFF byte order")
             ifd0 = struct.unpack_from(bo + "I", tiff, 4)[0]
             out: dict = {}
-            _exif_ifd(tiff, ifd0, bo, out)
+            try:
+                _exif_ifd(tiff, ifd0, bo, out)
+            except (ValueError, IndexError):
+                pass  # partial metadata beats none on a truncated IFD
             return out
         if marker == 0xDA:
             break
@@ -1425,7 +1442,11 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                         md = wav_info_tags(raw)
                     else:
                         md = {}
-                except ValueError:
+                except Exception:
+                    # metadata is best-effort BY CONTRACT: corpora carry
+                    # corrupt files, and struct.error / unicode errors /
+                    # anything a malformed header can throw must yield
+                    # an empty map, never a dead Spark task
                     md = {}
                 metas.append({str(k): str(v) for k, v in md.items()})
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -1453,7 +1474,7 @@ def wav_info_tags(payload: bytes) -> dict:
         ln = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"LIST" and payload[pos + 8:pos + 12] == b"INFO":
             p = pos + 12
-            end = pos + 8 + ln
+            end = min(pos + 8 + ln, len(payload))
             while p + 8 <= end:
                 sid = payload[p:p + 4]
                 sln = struct.unpack_from("<I", payload, p + 4)[0]

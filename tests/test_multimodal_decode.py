@@ -1898,3 +1898,43 @@ def test_ogg_flac_roundtrip_and_long_packet():
 
     with _pytest.raises(ValueError, match="OggS"):
         decode_ogg_flac(b"fLaCnotogg")
+
+
+def test_metadata_corrupt_inputs_never_crash(spark):
+    import struct
+
+    from sparkdon.multimodal import extract_metadata, jpeg_exif
+
+    # cyclic sub-IFD pointer, truncated TIFF, corrupt FLAC comment count
+    tiff = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    tiff += (struct.pack("<H", 1)
+             + struct.pack("<HHI", 0x8769, 4, 1) + struct.pack("<I", 8)
+             + struct.pack("<I", 0))
+    app1 = b"Exif\x00\x00" + bytes(tiff)
+    cyclic = (b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2)
+              + app1 + b"\xff\xd9")
+    assert jpeg_exif(cyclic) == {}
+    truncated = b"\xff\xd8\xff\xe1\x00\x0bExif\x00\x00II*"
+    bad = [
+        (1, "image", bytearray(cyclic), ("image/jpeg", None, None, None)),
+        (2, "image", bytearray(truncated), ("image/jpeg", None, None, None)),
+        (3, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x02"
+                               + b"pHYs" + b"\x01\x02"),
+         ("image/png", None, None, None)),
+        (4, "audio", bytearray(b"RIFF\xff\xff\xff\xffWAVELIST\xff\xff\xff\xffINFO"),
+         ("audio/wav", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        bad, "media_id long, modality string, payload binary, "
+             "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    got = {r["media_id"]: r["metadata"]
+           for r in extract_metadata(media).collect()}
+    assert all(v == {} for v in got.values())
+
+
+def test_exif_survives_fill_bytes():
+    from sparkdon.multimodal import jpeg_exif
+
+    good = _exif_jpeg()
+    filled = good[:2] + b"\xff\xff" + good[2:]
+    assert jpeg_exif(filled)["make"] == "ACME Corp"
