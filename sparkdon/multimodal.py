@@ -335,16 +335,24 @@ def decode_image(payload: bytes):
     uncompressed 24-bit BMP (``BM`` + BI_RGB), 8-bit PNG sequential and
     Adam7 (stdlib ``zlib`` + the five scanline filters — gray / RGB /
     palette / alpha variants; the reference's own ``art/*.png`` corpus
-    is 8-bit palette and decodes here), GIF, and baseline/progressive
-    JPEG (:mod:`sparkdon.jpeg`) — pure struct/numpy work, no codec
-    library.  8/16-bit depths both decode (16-bit via the standard
-    high-byte reduction); remaining formats (arithmetic/lossless JPEG)
-    raise ``NotImplementedError`` (the honest boundary).
+    is 8-bit palette and decodes here), GIF, baseline TIFF
+    (:mod:`sparkdon.tiff` — none/PackBits/LZW strips, r10), and
+    baseline/progressive/lossless JPEG (:mod:`sparkdon.jpeg`) — pure
+    struct/numpy work, no codec library.  8/16-bit depths both decode
+    (16-bit via the standard high-byte reduction); remaining formats
+    (arithmetic JPEG, exotic TIFF layouts) raise
+    ``NotImplementedError`` (the honest boundary).
     """
     import numpy as np
 
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+
+    if payload[:2] in (b"II", b"MM") and len(payload) > 4 \
+            and payload[2:4] in (b"*\x00", b"\x00*"):
+        from sparkdon.tiff import decode_tiff
+
+        return decode_tiff(payload)
 
     if payload[:2] in (b"P6", b"P3"):
         (w, h, maxval), off = _ppm_tokens(payload[2:], 3)
@@ -1208,6 +1216,21 @@ def resize_images(media: DataFrame, width: int, height: int,
     return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
 
 
+def decode_video_frames(payload: bytes):
+    """Container dispatch for video payloads → list of ``(HxWx3 uint8,
+    delay_ms)``: animated GIF (:func:`decode_gif_frames`) and MJPEG /
+    raw-DIB AVI (:func:`sparkdon.avi.decode_avi_frames`, round 10).
+    Inter-frame codecs raise ``NotImplementedError`` inside the AVI
+    module — the honest boundary."""
+    if payload[:4] == b"GIF8":
+        return decode_gif_frames(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from sparkdon.avi import decode_avi_frames
+
+        return decode_avi_frames(payload)
+    raise ValueError("not a decodable video container (GIF / AVI)")
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   decode_real: bool = False) -> DataFrame:
     """Frame sampling for video rows.
@@ -1215,13 +1238,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     ``decode_real=False``: plumbing mode — explodes deterministic frame
     timestamps from metadata (one row per timestamp, decode stubbed).
 
-    ``decode_real=True`` (round 10): REAL decode on animated GIF
-    payloads — :func:`decode_gif_frames` composites every frame
-    (delays, disposal, transparency), the frame timeline accumulates
+    ``decode_real=True`` (round 10): REAL decode on animated GIF and
+    MJPEG-AVI payloads — :func:`decode_video_frames` yields every
+    composited frame with its delay, the frame timeline accumulates
     the per-frame delays, and one frame per ``every_ms`` bucket is kept
     and re-encoded as binary PPM.  Arrow-batched ``mapInPandas``, narrow
     (no shuffle) — the scale shape of any per-document decode stage.
-    Non-GIF payloads (true video codecs aren't decodable in this
+    Other containers (true inter-frame codecs aren't decodable in this
     container) raise inside the task, same honesty contract as the
     other decoders."""
     if not decode_real:
@@ -1246,13 +1269,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             out: dict[str, list] = {"media_id": [], "frame_ts_ms": [],
                                     "frame_ppm": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_gif_frames(bytes(payload))
+                frames = decode_video_frames(bytes(payload))
                 ts = 0
                 next_keep = 0
                 for arr, delay in frames:
                     if ts >= next_keep:
                         out["media_id"].append(mid)
-                        out["frame_ts_ms"].append(ts)
+                        # AVI delays can be fractional (1e6/fps µs);
+                        # the timeline column is integral ms
+                        out["frame_ts_ms"].append(int(ts))
                         out["frame_ppm"].append(encode_ppm(arr))
                         # jump PAST this frame: a gap longer than the
                         # bucket must not make the following frames all
@@ -1439,7 +1464,14 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     elif raw[:8] == _PNG_SIG:
                         md = png_metadata(raw)
                     elif raw[:4] == b"RIFF":
-                        md = wav_info_tags(raw)
+                        if raw[8:12] == b"AVI ":
+                            from sparkdon.avi import avi_info
+
+                            md = avi_info(raw)
+                        else:
+                            md = wav_info_tags(raw)
+                    elif raw[:3] == b"ID3":
+                        md = id3_tags(raw)
                     else:
                         md = {}
                 except Exception:
@@ -1521,4 +1553,54 @@ def png_metadata(payload: bytes) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + ln  # length + type + crc
+    return out
+
+
+#: ID3v2 text-frame ids → friendly keys (v2.3/v2.4 four-char ids)
+_ID3_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+               b"TDRC": "date", b"TYER": "year", b"TCON": "genre",
+               b"TRCK": "track", b"TPE2": "album_artist",
+               b"TCOM": "composer"}
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3_tags(payload: bytes) -> dict:
+    """ID3v2.3/2.4 text frames → dict of friendly keys.  MP3-class
+    audio itself remains an honest decode boundary — but curation
+    pipelines filter on the TAGS, and those are plain structured bytes.
+    Returns ``{}`` for files without an ID3v2 header."""
+    if payload[:3] != b"ID3":
+        return {}
+    major = payload[3]
+    flags = payload[5]
+    # syncsafe 28-bit size
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    pos = 10
+    end = min(10 + size, len(payload))
+    if flags & 0x40:  # extended header: skip by its own (syncsafe) size
+        ext = 0
+        for b in payload[10:14]:
+            ext = (ext << 7) | (b & 0x7F)
+        pos += ext if major >= 4 else ext + 4
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if major >= 4:  # v2.4: syncsafe frame sizes
+            fsize = 0
+            for b in payload[pos + 4:pos + 8]:
+                fsize = (fsize << 7) | (b & 0x7F)
+        else:
+            fsize = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        body = payload[pos + 10:pos + 10 + fsize]
+        key = _ID3_FRAMES.get(fid)
+        if key and body:
+            enc = _ID3_ENCODINGS.get(body[0], "latin-1")
+            text = body[1:].decode(enc, "replace").strip("\x00")
+            out.setdefault(key, text)
+        pos += 10 + fsize
     return out

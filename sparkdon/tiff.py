@@ -1,0 +1,331 @@
+"""Baseline TIFF decode (+ encoder twins) — pure stdlib/numpy from the
+public TIFF 6.0 spec.
+
+Scanned-document corpora ship TIFF; this covers the baseline shapes:
+both byte orders, chunky planar config, 8-bit grayscale (both
+photometric polarities) and RGB, strip layout with any RowsPerStrip,
+and compressions 1 (none), 32773 (PackBits) and 5 (LZW — the TIFF
+variant: MSB-first codes, EarlyChange).  Tiled, planar, palette,
+CCITT/JPEG-in-TIFF and >8-bit layouts raise ``NotImplementedError`` —
+honest boundaries, same policy as the other decoders.
+
+Output contract matches decode_image: HxWx3 uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, bo: str, offset: int) -> dict:
+    n = struct.unpack_from(bo + "H", data, offset)[0]
+    tags: dict = {}
+    for i in range(n):
+        base = offset + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        vpos = base + 8 if total <= 4 else \
+            struct.unpack_from(bo + "I", data, base + 8)[0]
+        if typ in (3, 4):
+            fmt = "H" if typ == 3 else "I"
+            vals = list(struct.unpack_from(bo + fmt * cnt, data, vpos))
+        else:
+            vals = [data[vpos:vpos + total]]
+        tags[tag] = vals
+    return tags
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple PackBits: runs of ≥3 as replicate, else literal spans."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while run < 128 and i + run < n and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while (j < n and j - i < 128
+               and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF LZW (spec §13): MSB-first variable-width codes, CLEAR=256,
+    EOI=257, EarlyChange (width grows one code early)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:expect])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            # EarlyChange: grow when the NEXT code would not fit
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expect:
+                return bytes(out[:expect])
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder twin (MSB-first, EarlyChange)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    run = b""
+    for b in bytes(data):
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # EarlyChange: the DECODER grows when len(table)+1 hits 2^width,
+        # which is one code earlier than the encoder's next_code needs
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        put(table[run], width)
+    put(EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """TIFF bytes → HxWx3 uint8 (baseline strip-organized images)."""
+    import numpy as np
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if struct.unpack_from(bo + "H", payload, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0 = struct.unpack_from(bo + "I", payload, 4)[0]
+    tags = _read_ifd(payload, bo, ifd0)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing geometry tags")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits if isinstance(b, int)):
+        raise NotImplementedError("non-8-bit TIFF samples")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF layout")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip tags")
+    rows_per_strip = one(278, h)
+
+    raster = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        rows = min(rows_per_strip, remaining_rows)
+        expect = rows * w * spp
+        chunk = payload[off:off + cnt]
+        if comp == 1:
+            raster += chunk[:expect]
+        elif comp == 32773:
+            raster += _packbits_decode(chunk, expect)
+        elif comp == 5:
+            raster += _tiff_lzw_decode(chunk, expect)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        remaining_rows -= rows
+    if len(raster) < h * w * spp:
+        raise ValueError("truncated TIFF raster")
+    arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
+        .reshape(h, w, spp)
+    if spp == 1:
+        if photo == 0:  # WhiteIsZero
+            arr = 255 - arr
+        return np.repeat(arr, 3, axis=2)
+    if spp >= 3:
+        return np.ascontiguousarray(arr[:, :, :3])
+    raise NotImplementedError(f"{spp}-sample TIFF")
+
+
+def encode_tiff(arr, compression: str = "none",
+                byte_order: str = "<", rows_per_strip: int = 64) -> bytes:
+    """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
+    ``compression`` ∈ none | packbits | lzw."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    bo = byte_order
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = a[y0:y0 + rows_per_strip].tobytes()
+        if compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
+
+    nstrips = len(strips)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp_id),
+        (262, 3, 1, 1 if gray else 2), (277, 3, 1, spp),
+        (278, 4, 1, rows_per_strip),
+    ]
+    # BitsPerSample: inline for ≤2 samples, else external array
+    ext = bytearray()
+    header_size = 8
+    # compute layout: header, IFD, external arrays, strip data
+    n_entries = len(entries) + 3  # + bits + offsets + counts
+    ifd_size = 2 + 12 * n_entries + 4
+    ext_base = header_size + ifd_size
+
+    def ext_put(fmt: str, vals) -> int:
+        off = ext_base + len(ext)
+        for v in vals:
+            ext.extend(struct.pack(bo + fmt, v))
+        return off
+
+    if spp <= 2:
+        bits_entry = (258, 3, spp, None)  # inline below
+        bits_inline = True
+    else:
+        bits_entry = (258, 3, spp, ext_put("H", [8] * spp))
+        bits_inline = False
+    if nstrips == 1:
+        off_entry = (273, 4, 1, None)  # patched after layout
+        cnt_entry = (279, 4, 1, len(strips[0]))
+        off_ext = cnt_ext = None
+    else:
+        off_ext = ext_put("I", [0] * nstrips)  # patched later
+        cnt_ext = ext_put("I", [len(s) for s in strips])
+        off_entry = (273, 4, nstrips, off_ext)
+        cnt_entry = (279, 4, nstrips, cnt_ext)
+
+    data_base = ext_base + len(ext)
+    strip_offsets = []
+    p = data_base
+    for s in strips:
+        strip_offsets.append(p)
+        p += len(s)
+    if nstrips > 1:
+        for i, so in enumerate(strip_offsets):
+            struct.pack_into(bo + "I", ext, off_ext - ext_base + 4 * i, so)
+
+    all_entries = sorted(
+        entries + [bits_entry, off_entry, cnt_entry], key=lambda e: e[0])
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, val in all_entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if tag == 258 and bits_inline:
+            out += struct.pack(bo + "HH", 8, 8 if spp == 2 else 0)
+        elif tag == 273 and nstrips == 1:
+            out += struct.pack(bo + "I", strip_offsets[0])
+        elif typ == 3 and cnt == 1:
+            out += struct.pack(bo + "HH", val, 0)
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -1938,3 +1938,170 @@ def test_exif_survives_fill_bytes():
     good = _exif_jpeg()
     filled = good[:2] + b"\xff\xff" + good[2:]
     assert jpeg_exif(filled)["make"] == "ACME Corp"
+
+
+# --- TIFF (round 10: baseline strips, none/PackBits/LZW) -------------------
+
+def test_tiff_roundtrip_matrix():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (19, 41), dtype=np.uint8)
+    for arr in (rgb, gray):
+        want = (np.repeat(arr[:, :, None], 3, 2)
+                if arr.ndim == 2 else arr)
+        for comp in ("none", "packbits", "lzw"):
+            for bo in ("<", ">"):
+                got = decode_tiff(encode_tiff(
+                    arr, compression=comp, byte_order=bo,
+                    rows_per_strip=8))
+                assert (got == want).all(), (comp, bo)
+
+
+def test_tiff_lzw_compresses_smooth():
+    import numpy as np
+
+    from sparkdon.tiff import encode_tiff
+
+    smooth = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+    assert len(encode_tiff(smooth, compression="lzw")) < \
+        len(encode_tiff(smooth)) / 2
+
+
+def test_tiff_via_decode_image_dispatch():
+    import numpy as np
+
+    from sparkdon.multimodal import decode_image
+    from sparkdon.tiff import encode_tiff
+
+    arr = np.full((5, 4, 3), 9, dtype=np.uint8)
+    got = decode_image(encode_tiff(arr))
+    assert (got == arr).all()
+
+
+def test_tiff_boundaries():
+    import pytest as _pytest
+
+    from sparkdon.tiff import decode_tiff
+
+    with _pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"PK\x03\x04zipfile")
+
+
+def test_id3_tags_and_dispatch(spark):
+    from sparkdon.multimodal import extract_metadata, id3_tags
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    frames = b""
+    for fid, val in [(b"TIT2", b"\x03My Song"), (b"TPE1", b"\x00Artist"),
+                     (b"TDRC", b"\x032024")]:
+        frames += fid + len(val).to_bytes(4, "big") + b"\x00\x00" + val
+    payload = (b"ID3\x03\x00\x00" + syncsafe(len(frames) + 20) + frames
+               + b"\x00" * 20 + b"\xff\xfbAUDIO")
+    assert id3_tags(payload) == {"title": "My Song", "artist": "Artist",
+                                 "date": "2024"}
+    media = spark.createDataFrame(
+        [(9, "audio", bytearray(payload), ("audio/mpeg", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    got = extract_metadata(media).collect()[0]["metadata"]
+    assert got["title"] == "My Song"
+
+
+# --- AVI (round 10: MJPEG + raw-DIB video container) ------------------------
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    from sparkdon.avi import decode_avi_frames, encode_avi_mjpeg
+
+    frames = [np.full((16, 16, 3), c, dtype=np.uint8)
+              for c in (10, 120, 240)]
+    got = decode_avi_frames(encode_avi_mjpeg(frames, fps=10))
+    assert len(got) == 3
+    for (arr, delay), want in zip(got, frames):
+        assert delay == 100.0
+        assert arr.shape == (16, 16, 3)
+        # flat frames through the JPEG twin: DC-only, near-exact
+        assert int(np.abs(arr.astype(int) - want.astype(int)).max()) <= 2
+
+
+def test_avi_dib_roundtrip_exact():
+    import numpy as np
+
+    from sparkdon.avi import decode_avi_frames, encode_avi_dib
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+              for _ in range(2)]
+    got = decode_avi_frames(encode_avi_dib(frames, fps=25))
+    assert len(got) == 2
+    for (arr, delay), want in zip(got, frames):
+        assert delay == 40.0
+        assert (arr == want).all()
+
+
+def test_avi_info_and_metadata_dispatch(spark):
+    import numpy as np
+
+    from sparkdon.avi import avi_info, encode_avi_mjpeg
+    from sparkdon.multimodal import extract_metadata
+
+    avi = encode_avi_mjpeg(
+        [np.zeros((8, 12, 3), np.uint8)] * 4, fps=20)
+    info = avi_info(avi)
+    assert info == {"width": 12, "height": 8, "frames": 4, "fps": 20.0,
+                    "duration_ms": 200, "codec": "MJPG"}
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(avi), ("video/x-msvideo", 12, 8, 200))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = extract_metadata(media).collect()[0]["metadata"]
+    assert md["codec"] == "MJPG" and md["frames"] == "4"
+
+
+def test_sample_frames_real_avi_decode(spark):
+    import numpy as np
+
+    from sparkdon.avi import encode_avi_mjpeg
+    from sparkdon.multimodal import decode_image, sample_frames
+
+    # 4 frames at 10 fps -> ts 0,100,200,300; every_ms=150 keeps 0,200
+    frames = [np.full((4, 4, 3), c, dtype=np.uint8)
+              for c in (20, 80, 160, 220)]
+    media = spark.createDataFrame(
+        [(5, "video", bytearray(encode_avi_mjpeg(frames, fps=10)),
+          ("video/x-msvideo", 4, 4, 400))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    rows = sample_frames(media, every_ms=150, decode_real=True).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in rows] == [
+        (5, 0), (5, 200)]
+    first = decode_image(bytes(rows[0]["frame_ppm"]))
+    assert abs(int(first[0, 0, 0]) - 20) <= 2
+    third = decode_image(bytes(rows[1]["frame_ppm"]))
+    assert abs(int(third[0, 0, 0]) - 160) <= 2
+
+
+def test_avi_boundaries():
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkdon.avi import decode_avi_frames, encode_avi_mjpeg
+    from sparkdon.multimodal import decode_video_frames
+
+    with _pytest.raises(ValueError, match="video container"):
+        decode_video_frames(b"\x00\x01\x02\x03junk....")
+    with _pytest.raises(ValueError, match="AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # an inter-frame codec: same container, handler is not MJPEG-family
+    h264 = encode_avi_mjpeg([np.zeros((4, 4, 3), np.uint8)]) \
+        .replace(b"MJPG", b"H264")
+    with _pytest.raises(NotImplementedError, match="codec"):
+        decode_avi_frames(h264)
