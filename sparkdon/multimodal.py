@@ -1388,6 +1388,108 @@ def _exif_ifd(tiff: bytes, offset: int, bo: str, out: dict,
         out[name] = val
 
 
+#: MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables from
+#: the public ISO/IEC 11172-3 / 13818-3 header layout
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG-1
+              2: (22050, 24000, 16000),   # MPEG-2
+              0: (11025, 12000, 8000)}    # MPEG-2.5
+
+
+def mpeg_audio_info(payload: bytes) -> dict:
+    """MP3 stream info from the first MPEG audio frame header —
+    bitrate, sample rate, channel mode, and a duration estimate
+    (exact when a Xing/Info VBR header carries the frame count, else
+    the CBR length/bitrate estimate).  Decode of the audio itself
+    stays an honest boundary; curation pipelines filter on THESE
+    fields.  Skips a leading ID3v2 envelope.  ``{}`` when no frame
+    sync is found in the first 64 KiB."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = min(len(payload) - 4, pos + 65536)
+    while pos <= end:
+        if payload[pos] == 0xFF and payload[pos + 1] & 0xE0 == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3   # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3     # 1 = Layer III
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if (version != 1 and layer == 1 and br_idx not in (0, 15)
+                    and sr_idx != 3):
+                break
+        pos += 1
+    else:
+        return {}
+    v1 = version == 3
+    bitrate = (_MP3_BITRATE_V1 if v1 else _MP3_BITRATE_V2)[br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    mode = (b3 >> 6) & 0x3
+    mono = mode == 3
+    spf = 1152 if v1 else 576  # Layer III samples per frame
+    out = {"codec": "mp3", "bitrate_kbps": bitrate,
+           "sample_rate": rate, "channels": 1 if mono else 2}
+    # Xing/Info VBR header sits after the side info block (and the
+    # 2-byte CRC when the protection bit — 0 = protected — is clear)
+    side = (17 if mono else 32) if v1 else (9 if mono else 17)
+    if not b1 & 0x1:
+        side += 2
+    tag_pos = pos + 4 + side
+    tag = payload[tag_pos:tag_pos + 4]
+    if tag in (b"Xing", b"Info") and payload[tag_pos + 7:tag_pos + 8]:
+        flags = int.from_bytes(payload[tag_pos + 4:tag_pos + 8], "big")
+        if flags & 0x1:
+            nframes = int.from_bytes(payload[tag_pos + 8:tag_pos + 12],
+                                     "big")
+            out["frames"] = nframes
+            out["duration_ms"] = nframes * spf * 1000 // rate
+            if tag == b"Xing":
+                out["vbr"] = True
+            return out
+    if bitrate:
+        out["duration_ms"] = (len(payload) - pos) * 8 // bitrate
+    return out
+
+
+def tiff_metadata(payload: bytes) -> dict:
+    """Bare-TIFF metadata: EXIF's tag space IS the TIFF tag space
+    (EXIF 2.x embeds a TIFF IFD), so the same walker runs on the file
+    itself — make/model/datetime/software where present — plus the
+    baseline geometry/compression tags."""
+    import struct
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    ifd0 = struct.unpack_from(bo + "I", payload, 4)[0]
+    out: dict = {}
+    try:
+        _exif_ifd(payload, ifd0, bo, out)
+    except (ValueError, IndexError):
+        pass  # partial metadata beats none on a truncated IFD
+    from sparkdon.tiff import _read_ifd
+
+    try:
+        tags = _read_ifd(payload, bo, ifd0)
+    except (struct.error, IndexError):
+        return out
+    for tid, key in ((256, "width"), (257, "height"),
+                     (259, "compression")):
+        vals = tags.get(tid)
+        if vals and isinstance(vals[0], int):
+            out[key] = vals[0]
+    return out
+
+
 def jpeg_exif(payload: bytes) -> dict:
     """EXIF metadata from a JPEG's APP1 segment → dict of friendly keys
     (make/model/orientation/datetime/ISO/…).  TIFF IFD walk from the
@@ -1471,7 +1573,14 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                         else:
                             md = wav_info_tags(raw)
                     elif raw[:3] == b"ID3":
-                        md = id3_tags(raw)
+                        # tags win over stream-derived fields on clash
+                        md = {**mpeg_audio_info(raw), **id3_tags(raw)}
+                    elif len(raw) > 1 and raw[0] == 0xFF \
+                            and raw[1] & 0xE0 == 0xE0:
+                        md = mpeg_audio_info(raw)
+                    elif raw[:2] in (b"II", b"MM") \
+                            and raw[2:4] in (b"*\x00", b"\x00*"):
+                        md = tiff_metadata(raw)
                     else:
                         md = {}
                 except Exception:

@@ -2105,3 +2105,108 @@ def test_avi_boundaries():
         .replace(b"MJPG", b"H264")
     with _pytest.raises(NotImplementedError, match="codec"):
         decode_avi_frames(h264)
+
+
+def test_tiff_metadata_walker():
+    import struct
+
+    import numpy as np
+
+    from sparkdon.multimodal import tiff_metadata
+    from sparkdon.tiff import encode_tiff
+
+    # encoder output: geometry + compression from the baseline tags
+    md = tiff_metadata(encode_tiff(np.zeros((7, 9, 3), np.uint8),
+                                   compression="lzw"))
+    assert (md["width"], md["height"], md["compression"]) == (9, 7, 5)
+
+    # hand-built IFD with an ASCII Make tag, big-endian: the EXIF
+    # walker reads it straight off the file
+    make = b"ACME Scan\x00"
+    entries = [
+        struct.pack(">HHI", 256, 3, 1) + struct.pack(">HH", 40, 0),
+        struct.pack(">HHI", 257, 3, 1) + struct.pack(">HH", 30, 0),
+        struct.pack(">HHII", 271, 2, len(make), 8 + 2 + 3 * 12 + 4),
+    ]
+    tif = (b"MM\x00*" + struct.pack(">I", 8)
+           + struct.pack(">H", 3) + b"".join(entries)
+           + struct.pack(">I", 0) + make)
+    md = tiff_metadata(tif)
+    assert md["make"] == "ACME Scan"
+    assert (md["width"], md["height"]) == (40, 30)
+
+
+def _mp3_frame_header(version=3, br_idx=9, sr_idx=0, mode=3):
+    # sync(11) version(2) layer=01(2) noprot(1) | br(4) sr(2) pad(1)
+    # priv(1) | mode(2) ...
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = mode << 6
+    return bytes([0xFF, b1, b2, b3])
+
+
+def test_mpeg_audio_info_cbr_and_xing():
+    from sparkdon.multimodal import mpeg_audio_info
+
+    # MPEG-1 Layer III mono, 128 kbps, 44100 Hz, 16000 bytes ≈ 1000 ms
+    cbr = _mp3_frame_header() + b"\x00" * 15996
+    got = mpeg_audio_info(cbr)
+    assert got["codec"] == "mp3" and got["bitrate_kbps"] == 128
+    assert got["sample_rate"] == 44100 and got["channels"] == 1
+    assert got["duration_ms"] == 1000
+
+    # Xing VBR header: mono MPEG-1 side info is 17 bytes
+    xing = (_mp3_frame_header() + b"\x00" * 17 + b"Xing"
+            + (1).to_bytes(4, "big") + (383).to_bytes(4, "big")
+            + b"\x00" * 200)
+    got = mpeg_audio_info(xing)
+    assert got["frames"] == 383 and got["vbr"] is True
+    assert got["duration_ms"] == 383 * 1152 * 1000 // 44100
+
+    assert mpeg_audio_info(b"\x00" * 100) == {}
+
+
+def test_mp3_metadata_dispatch_merges_id3(spark):
+    from sparkdon.multimodal import extract_metadata
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    frame = b"TIT2" + len(b"\x03Song").to_bytes(4, "big") + b"\x00\x00" \
+        + b"\x03Song"
+    payload = (b"ID3\x03\x00\x00" + syncsafe(len(frame)) + frame
+               + _mp3_frame_header(sr_idx=1) + b"\x00" * 6000)
+    media = spark.createDataFrame(
+        [(2, "audio", bytearray(payload), ("audio/mpeg", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = extract_metadata(media).collect()[0]["metadata"]
+    assert md["title"] == "Song" and md["sample_rate"] == "48000"
+    assert md["bitrate_kbps"] == "128"
+
+
+def test_tiff_lzw_table_reset_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    # 60000 random bytes in one strip force the 4094-entry LZW table
+    # reset mid-stream — encoder CLEAR and decoder re-init must agree
+    rng = np.random.default_rng(99)
+    arr = rng.integers(0, 256, (100, 200, 3), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(arr, compression="lzw",
+                                  rows_per_strip=100))
+    assert (got == arr).all()
+
+
+def test_mpeg_audio_xing_behind_crc():
+    from sparkdon.multimodal import mpeg_audio_info
+
+    hdr = bytearray(_mp3_frame_header())
+    hdr[1] &= 0xFE  # protection bit clear = CRC present
+    payload = (bytes(hdr) + b"\xBE\xEF" + b"\x00" * 17 + b"Xing"
+               + (1).to_bytes(4, "big") + (77).to_bytes(4, "big")
+               + b"\x00" * 100)
+    got = mpeg_audio_info(payload)
+    assert got["frames"] == 77
