@@ -1,0 +1,278 @@
+"""WARC (ISO 28500) ingestion — the Common Crawl / web-archive format
+every large-scale training-data pipeline starts from.
+
+Beyond-reference source (the reference reads RDF files and SPARQL
+endpoints; a 100 TB text corpus arrives as ``*.warc.gz``).  Built from
+the public ISO 28500 / WARC 1.1 record grammar and the Common Crawl
+layout: a WARC file is a sequence of records, each
+
+    WARC/1.0\\r\\n
+    <headers: Name: value, continuation lines start with SP/TAB>\\r\\n
+    \\r\\n
+    <Content-Length bytes of block>\\r\\n\\r\\n
+
+and a ``.warc.gz`` is per-record gzip members concatenated — which is
+why the format is NOT block-splittable: the unit of parallelism is the
+FILE.  That matches Common Crawl's shape exactly (a crawl is ~64k-90k
+files of ~1 GB each), so :func:`read_warc` scans with ``binaryFile``
+(one task per file, Arrow-batched parse, narrow — no shuffle) and a
+1000-executor cluster eats a full crawl with perfect parallelism.
+Filters on the OUTPUT frame (warc_type, http_status, content type)
+run JVM-side after the parse stage; column pruning cannot reach inside
+a gzip member, so the parse always pays one pass per file — the same
+cost every WARC reader pays.
+
+HTTP ``response`` records additionally get their HTTP envelope split:
+status code, response Content-Type, and the body as ``payload`` (the
+raw block is never duplicated).  :func:`html_to_text` then turns HTML
+payloads into text entirely with JVM-side ``regexp_replace`` chains —
+no Python in the hot path — and :func:`warc_documents` composes the
+two into the ``documents``-table shape the pipeline operators consume.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: output schema of read_warc
+WARC_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "http_status int, http_content_type string, payload binary, "
+    "payload_length long"
+)
+
+
+def parse_warc_records(data: bytes) -> Iterator[dict]:
+    """Parse one WARC file's bytes (plain or multi-member gzip) into
+    record dicts.  Tolerant of trailing garbage and truncated tails —
+    a crawl file with a bad last record yields its good prefix."""
+    if data[:2] == b"\x1f\x8b":
+        # gzip.decompress handles concatenated members (per-record gz)
+        data = gzip.decompress(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not data[pos:pos + 5] == b"WARC/":
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        last_key = None
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            if line[:1] in (b" ", b"\t") and last_key:  # continuation
+                headers[last_key] += " " + line.strip().decode(
+                    "utf-8", "replace")
+                continue
+            name, sep, value = line.partition(b":")
+            if not sep:
+                continue
+            last_key = name.strip().decode("ascii", "replace").lower()
+            headers[last_key] = value.strip().decode("utf-8", "replace")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        block = data[hdr_end + 4:hdr_end + 4 + length]
+        if len(block) < length:
+            break  # truncated tail
+        rec = {
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "http_status": None,
+            "http_content_type": None,
+            "payload": block,
+        }
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            http_end = block.find(b"\r\n\r\n")
+            if http_end >= 0:
+                status_line, *hlines = block[:http_end].split(b"\r\n")
+                parts = status_line.split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    rec["http_status"] = int(parts[1])
+                for hl in hlines:
+                    hname, hsep, hval = hl.partition(b":")
+                    if hsep and hname.strip().lower() == b"content-type":
+                        rec["http_content_type"] = hval.strip().decode(
+                            "latin-1", "replace")
+                        break
+                rec["payload"] = block[http_end + 4:]
+        yield rec
+        pos = hdr_end + 4 + length
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan: ``binaryFile`` over ``path`` (dir, glob,
+    or single file; ``.warc`` and ``.warc.gz`` both work) → one row per
+    WARC record.  One file = one task (gzip WARC is not splittable);
+    parsing runs in an Arrow-batched ``mapInPandas`` stage, narrow."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_records(bytes(content)):
+                    rec["warc_file"] = fname
+                    rec["payload_length"] = len(rec["payload"])
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[
+                    "warc_file", "record_id", "warc_type", "target_uri",
+                    "warc_date", "content_type", "http_status",
+                    "http_content_type", "payload", "payload_length"])
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(run, WARC_SCHEMA)
+
+
+def warc_bytes(records: list[dict], gzip_per_record: bool = False) -> bytes:
+    """Writer twin: record dicts (``warc_type``, ``payload``, optional
+    ``target_uri`` / ``record_id`` / ``warc_date`` / ``content_type`` /
+    ``http_headers``) → WARC file bytes, optionally as per-record gzip
+    members like the real crawl files."""
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        block = rec.get("payload", b"")
+        if isinstance(block, str):
+            block = block.encode("utf-8")
+        if rec.get("http_headers"):
+            block = rec["http_headers"].encode("latin-1") + b"\r\n\r\n" \
+                + block
+        headers = [
+            ("WARC-Type", rec.get("warc_type", "resource")),
+            ("WARC-Record-ID",
+             rec.get("record_id", f"<urn:uuid:rec-{i}>")),
+            ("WARC-Date", rec.get("warc_date", "2024-01-01T00:00:00Z")),
+            ("Content-Length", str(len(block))),
+        ]
+        if rec.get("target_uri"):
+            headers.append(("WARC-Target-URI", rec["target_uri"]))
+        if rec.get("content_type"):
+            headers.append(("Content-Type", rec["content_type"]))
+        member = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("utf-8") for k, v in headers) \
+            + b"\r\n" + block + b"\r\n\r\n"
+        out.write(gzip.compress(member) if gzip_per_record else member)
+    return out.getvalue()
+
+
+#: HTML named entities worth decoding without a parser (the numeric
+#: forms are handled generically)
+_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+             ("&apos;", "'")]
+
+
+def html_to_text(col) -> F.Column:
+    """HTML → visible text as a pure JVM-side expression chain (WET-style
+    extraction): drops ``<script>``/``<style>``/comments, turns
+    block-level closers into newlines, strips the remaining tags,
+    decodes the common entities, and collapses runs of whitespace.
+    No Python UDF — this runs inside whole-stage codegen, which is the
+    difference between a WET pass over a crawl finishing or not."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot matches newline
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>",
+        "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"&#(\d+);", " ")  # numeric entities → space
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
+    return F.trim(c)
+
+
+def canonical_url(col) -> F.Column:
+    """Crawl-grade URL canonicalization as a JVM-side expression chain:
+    lowercase scheme+host, strip the fragment, default ports, a
+    ``www.`` prefix, common tracking parameters (``utm_*`` &c.), any
+    trailing ``?``/``&``, and a trailing slash on non-root paths.  The
+    standard key for exact URL dedup across a crawl — at 100 TB this
+    runs in whole-stage codegen next to the hash-agg, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme://host (keep path case — it is significant)
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1))
+    c = F.regexp_replace(c, r"#.*$", "")                    # fragment
+    c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")    # www.
+    c = F.regexp_replace(c, r"^(http://[^/?#]*):80(/|$|\?)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#]*):443(/|$|\?)", r"$1$2")
+    # tracking params: lookbehind keeps the ?/& delimiter for whatever
+    # param follows; the removed param eats ITS trailing &
+    c = F.regexp_replace(
+        c, r"(?<=[?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
+    # trailing slash on a non-root path (before the query or the end)
+    c = F.regexp_replace(c, r"(://[^/?#]+/[^?#]*[^/])/(\?|$)", r"$1$2")
+    c = F.regexp_replace(c, r"[?&]+$", "")                  # dangling
+    return c
+
+
+def url_host(col) -> F.Column:
+    """Lowercased host (no port/userinfo) — the per-site grouping key
+    for domain-level quality filters and per-host rate caps."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?"
+                               r"([^/?#:]*)", 1)
+    return F.lower(host)
+
+
+def dedup_latest_by_url(docs: DataFrame) -> DataFrame:
+    """Exact URL dedup, keeping the NEWEST fetch per canonical URL —
+    aggregate+join-free: ``max_by`` under a hash aggregate (one shuffle
+    on the canonical key, map-side partial agg, AQE-splittable — no
+    window, so a hot URL cannot pin a partition; the same skew logic as
+    pipeline/dedup.py's agg rewrite)."""
+    keyed = docs.withColumn("_curl", canonical_url("url"))
+    best = keyed.groupBy("_curl").agg(
+        F.max_by(F.struct(*[F.col(c) for c in docs.columns]),
+                 F.col("fetch_date")).alias("_doc"))
+    return best.select("_doc.*")
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """WET (``conversion``) records → the same documents shape.  A WET
+    crawl already carries extracted plain text, so this is a filter +
+    cast — no HTML pass."""
+    return records.filter(F.col("warc_type") == "conversion").select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """HTTP 200 HTML ``response`` records → the ``documents``-table
+    shape (doc_id, url, fetch_date, text).  Everything after the parse
+    stage is JVM-side: the filters, the UTF-8 cast, and the
+    :func:`html_to_text` chain."""
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.coalesce(F.col("http_content_type"), F.lit(""))
+        .contains("html"))
+    return html.select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        html_to_text(F.col("payload").cast("string")).alias("text"),
+    )

@@ -1,0 +1,154 @@
+"""WARC ingestion tests (sparkdon/sources/warc.py): parser ↔ writer
+round-trips (plain + per-record gzip), the distributed binaryFile scan,
+JVM-side HTML text extraction, and the documents-shape composition."""
+
+import pytest
+
+from sparkdon.sources.warc import (html_to_text, parse_warc_records,
+                                   read_warc, warc_bytes, warc_documents)
+
+HTML = (b"<html><head><title>T</title><style>p{color:red}</style></head>"
+        b"<body><h1>Head&amp;line</h1><!-- hidden -->"
+        b"<p>First   para</p><p>Second &lt;para&gt;</p>"
+        b"<script>alert('no')</script></body></html>")
+
+RECORDS = [
+    {"warc_type": "warcinfo", "content_type": "application/warc-fields",
+     "payload": b"software: sparkdon-test\r\n"},
+    {"warc_type": "response", "target_uri": "http://example.com/a",
+     "record_id": "<urn:uuid:aaa>",
+     "content_type": "application/http; msgtype=response",
+     "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                     "charset=utf-8\r\nServer: x",
+     "payload": HTML},
+    {"warc_type": "response", "target_uri": "http://example.com/b",
+     "record_id": "<urn:uuid:bbb>",
+     "content_type": "application/http; msgtype=response",
+     "http_headers": "HTTP/1.1 404 Not Found\r\nContent-Type: text/html",
+     "payload": b"<html>gone</html>"},
+    {"warc_type": "conversion", "target_uri": "http://example.com/a",
+     "content_type": "text/plain", "payload": b"already text"},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    recs = list(parse_warc_records(warc_bytes(RECORDS, gzip_per_record=gz)))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "response", "conversion"]
+    resp = recs[1]
+    assert resp["target_uri"] == "http://example.com/a"
+    assert resp["record_id"] == "<urn:uuid:aaa>"
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"] == "text/html; charset=utf-8"
+    assert resp["payload"] == HTML  # HTTP envelope split off
+    assert recs[2]["http_status"] == 404
+    assert recs[3]["payload"] == b"already text"
+
+
+def test_warc_header_continuation_and_truncated_tail():
+    data = warc_bytes(RECORDS[:1])
+    # fold the software line as a continuation header
+    folded = data.replace(
+        b"Content-Length:", b"X-Folded: a\r\n\tb c\r\nContent-Length:")
+    recs = list(parse_warc_records(folded))
+    assert len(recs) == 1
+
+    # a truncated final record yields the good prefix
+    two = warc_bytes(RECORDS[:2])
+    recs = list(parse_warc_records(two[:len(two) - 40]))
+    assert len(recs) == 1 and recs[0]["warc_type"] == "warcinfo"
+
+
+def test_read_warc_scan(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc_bytes(RECORDS, gzip_per_record=True))
+    (tmp_path / "b.warc").write_bytes(warc_bytes(RECORDS[1:2]))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 5
+    ok = df.filter("warc_type = 'response' AND http_status = 200")
+    assert ok.count() == 2  # one per file
+    got = {(r["target_uri"], r["http_status"]) for r in rows
+           if r["warc_type"] == "response"}
+    assert got == {("http://example.com/a", 200),
+                   ("http://example.com/b", 404)}
+
+
+def test_html_to_text_jvm_side(spark):
+    df = spark.createDataFrame([(HTML.decode("utf-8"),)], "html string")
+    text = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+    assert "alert" not in text and "color:red" not in text
+    assert "hidden" not in text
+    assert "Head&line" in text
+    assert "First para" in text and "Second <para>" in text
+    # no Python UDF in the plan
+    plan = df.select(html_to_text("html")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_warc_documents_shape(spark, tmp_path):
+    (tmp_path / "c.warc").write_bytes(warc_bytes(RECORDS))
+    docs = warc_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 1  # the 404 and non-response records filtered
+    row = rows[0]
+    assert row["doc_id"] == "<urn:uuid:aaa>"
+    assert row["url"] == "http://example.com/a"
+    assert "Head&line" in row["text"] and "script" not in row["text"]
+
+
+def test_wet_documents_shape(spark, tmp_path):
+    from sparkdon.sources.warc import wet_documents
+
+    (tmp_path / "d.warc.gz").write_bytes(
+        warc_bytes(RECORDS, gzip_per_record=True))
+    rows = wet_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "already text"
+    assert rows[0]["url"] == "http://example.com/a"
+
+
+def test_canonical_url_and_host(spark):
+    from sparkdon.sources.warc import canonical_url, url_host
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&q=1#frag",
+         "http://example.com/Path?q=1"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+        ("http://example.com/?fbclid=abc", "http://example.com/"),
+        ("http://user:pw@sub.Example.com:8080/x", None),  # host only below
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    for (inp, want), out in zip(cases, got):
+        if want is not None:
+            assert out == want, (inp, out)
+    hosts = [r["h"] for r in
+             df.select(url_host("url").alias("h")).collect()]
+    assert hosts[0] == "www.example.com"
+    assert hosts[-1] == "sub.example.com"
+
+    # JVM-side: no Python stage in the plan
+    plan = df.select(canonical_url("url"), url_host("url")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_dedup_latest_by_url(spark):
+    from sparkdon.sources.warc import dedup_latest_by_url
+
+    docs = spark.createDataFrame(
+        [("a", "http://www.ex.com/p?utm_source=t", "2024-01-01T00:00:00Z",
+          "old"),
+         ("b", "http://ex.com/p", "2024-03-01T00:00:00Z", "new"),
+         ("c", "http://ex.com/other", "2024-02-01T00:00:00Z", "only")],
+        "doc_id string, url string, fetch_date string, text string")
+    rows = {r["doc_id"]: r for r in dedup_latest_by_url(docs).collect()}
+    assert set(rows) == {"b", "c"}  # a and b canonicalize identically
+    assert rows["b"]["text"] == "new"
+    assert set(rows["b"].asDict()) == {"doc_id", "url", "fetch_date",
+                                       "text"}
