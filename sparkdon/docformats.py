@@ -1,0 +1,174 @@
+"""Office/ebook document text extraction — DOCX (ECMA-376) and EPUB
+(IDPF OCF/OPF), both plain ZIP containers readable with stdlib
+``zipfile`` + XML/HTML regex work.  Same role as :mod:`sparkdon.pdf`:
+real extraction for the common shapes of a document corpus, honest
+failure for the rest, all behind the narrow
+:func:`sparkdon.multimodal.extract_text` stage.
+
+- DOCX: ``word/document.xml`` paragraphs — ``<w:t>`` runs joined per
+  ``<w:p>``, ``<w:tab/>`` → tab, ``<w:br/>`` → newline, XML entities
+  decoded.  Headers/footers/footnotes are out of scope (they live in
+  other part files and are usually noise for a training corpus).
+- EPUB: the OPF manifest/spine is honored, so chapters come out in
+  reading order, each XHTML document stripped to visible text with the
+  same rules as the JVM-side ``html_to_text`` (script/style/comment
+  removal, block tags → newlines, entities, whitespace collapse).
+"""
+
+from __future__ import annotations
+
+import html
+import io
+import posixpath
+import re
+import zipfile
+
+_BLOCK_TAGS = r"p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section|article"
+
+
+def strip_html(s: str) -> str:
+    """Python-side twin of :func:`sparkdon.sources.warc.html_to_text`
+    (same rule set) for per-payload use inside zip containers."""
+    s = re.sub(r"(?is)<(script|style)\b.*?</\1\s*>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>", "\n", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    s = html.unescape(s)
+    s = re.sub(r"[ \t\x0b\f\r]+", " ", s)
+    s = re.sub(r" ?\n[ \n]*", "\n", s)
+    return s.strip()
+
+
+def docx_to_text(payload: bytes) -> str:
+    """DOCX bytes → text, one line per ``<w:p>`` paragraph."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        xml = zf.read("word/document.xml").decode("utf-8", "replace")
+    paras: list[str] = []
+    for p in re.findall(r"(?s)<w:p[ >].*?</w:p>|<w:p/>", xml):
+        parts: list[str] = []
+        for m in re.finditer(
+                r"(?s)<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab/>|<w:br/>", p):
+            if m.group(0) == "<w:tab/>":
+                parts.append("\t")
+            elif m.group(0) == "<w:br/>":
+                parts.append("\n")
+            else:
+                parts.append(html.unescape(m.group(1)))
+        paras.append("".join(parts))
+    return "\n".join(paras).strip()
+
+
+def epub_to_text(payload: bytes) -> str:
+    """EPUB bytes → text, chapters in OPF spine (reading) order."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = set(zf.namelist())
+        opf_path = None
+        if "META-INF/container.xml" in names:
+            container = zf.read("META-INF/container.xml") \
+                .decode("utf-8", "replace")
+            m = re.search(r'full-path="([^"]+)"', container)
+            if m:
+                opf_path = m.group(1)
+        docs: list[str] = []
+        if opf_path and opf_path in names:
+            opf = zf.read(opf_path).decode("utf-8", "replace")
+            base = posixpath.dirname(opf_path)
+            hrefs = {m.group("id"): m.group("href") for m in re.finditer(
+                r'<item\b[^>]*\bid="(?P<id>[^"]+)"[^>]*\bhref='
+                r'"(?P<href>[^"]+)"[^>]*/?>', opf)}
+            # items may list href before id — sweep the other order too
+            for m in re.finditer(
+                    r'<item\b[^>]*\bhref="(?P<href>[^"]+)"[^>]*\bid='
+                    r'"(?P<id>[^"]+)"[^>]*/?>', opf):
+                hrefs.setdefault(m.group("id"), m.group("href"))
+            for idref in re.findall(r'<itemref\b[^>]*\bidref="([^"]+)"',
+                                    opf):
+                href = hrefs.get(idref)
+                if not href:
+                    continue
+                path = posixpath.normpath(posixpath.join(base, href))
+                if path in names:
+                    docs.append(path)
+        if not docs:  # no/odd OPF: fall back to archive-order XHTML
+            docs = [n for n in zf.namelist()
+                    if n.lower().endswith((".xhtml", ".html", ".htm"))]
+        chapters = [strip_html(zf.read(d).decode("utf-8", "replace"))
+                    for d in docs]
+    return "\n\n".join(c for c in chapters if c).strip()
+
+
+def zip_document_text(payload: bytes) -> str:
+    """Dispatch a ZIP-container document by its members: DOCX or EPUB;
+    anything else raises (an arbitrary archive is not a document)."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = set(zf.namelist())
+    if "word/document.xml" in names:
+        return docx_to_text(payload)
+    if "META-INF/container.xml" in names or "mimetype" in names:
+        return epub_to_text(payload)
+    raise ValueError("ZIP payload is neither DOCX nor EPUB")
+
+
+# --- writer twins for round-trip tests -------------------------------------
+
+def text_to_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid DOCX: [Content_Types], rels, and a document.xml
+    with one ``<w:p>``/``<w:t>`` per paragraph."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">"
+        f"{html.escape(p)}</w:t></w:r></w:p>" for p in paragraphs)
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{w}"><w:body>{body}</w:body>'
+           f'</w:document>')
+    ctypes = ('<?xml version="1.0"?><Types xmlns="http://schemas.'
+              'openxmlformats.org/package/2006/content-types">'
+              '<Default Extension="xml" ContentType="application/xml"/>'
+              '<Override PartName="/word/document.xml" ContentType='
+              '"application/vnd.openxmlformats-officedocument.'
+              'wordprocessingml.document.main+xml"/></Types>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/officeDocument" '
+            'Target="word/document.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ctypes)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def chapters_to_epub(chapters: list[tuple[str, str]]) -> bytes:
+    """Minimal valid EPUB from ``(title, body_text)`` chapters —
+    container.xml → OPF with manifest + spine → one XHTML per chapter
+    (spine deliberately references them in the given order)."""
+    items, spine, files = [], [], []
+    for i, (title, text) in enumerate(chapters):
+        name = f"ch{i}.xhtml"
+        body = "".join(f"<p>{html.escape(line)}</p>"
+                       for line in text.split("\n"))
+        files.append((f"OEBPS/{name}",
+                      f"<html><head><title>{html.escape(title)}</title>"
+                      f"</head><body><h1>{html.escape(title)}</h1>"
+                      f"{body}</body></html>"))
+        items.append(f'<item id="c{i}" href="{name}" '
+                     f'media-type="application/xhtml+xml"/>')
+        spine.append(f'<itemref idref="c{i}"/>')
+    opf = (f'<?xml version="1.0"?><package xmlns="http://www.idpf.org/'
+           f'2007/opf" version="3.0"><manifest>{"".join(items)}'
+           f'</manifest><spine>{"".join(spine)}</spine></package>')
+    container = ('<?xml version="1.0"?><container version="1.0" xmlns='
+                 '"urn:oasis:names:tc:opendocument:xmlns:container">'
+                 '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+                 'media-type="application/oebps-package+xml"/>'
+                 '</rootfiles></container>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for path, content in files:
+            zf.writestr(path, content)
+    return buf.getvalue()

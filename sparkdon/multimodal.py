@@ -1291,6 +1291,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                               "frame_ppm binary"))
 
 
+def extract_text(media: DataFrame) -> DataFrame:
+    """Document-text extraction stage: payload bytes → extracted text,
+    routed by magic — PDF via :func:`sparkdon.pdf.pdf_to_text`,
+    DOCX/EPUB via :mod:`sparkdon.docformats`, plain bytes as UTF-8
+    (lossy-replace).  Same scale shape as the decode stages: narrow
+    Arrow-batched ``mapInPandas``, one row per document, undecodable
+    payloads yield null text rather than a dead task (corrupt files
+    are a fact of crawls)."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from sparkdon.docformats import zip_document_text
+        from sparkdon.pdf import pdf_to_text
+
+        for pdf_batch in batches:
+            texts = []
+            for payload in pdf_batch["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw[:5] == b"%PDF-":
+                        texts.append(pdf_to_text(raw))
+                    elif raw[:4] == b"PK\x03\x04":
+                        texts.append(zip_document_text(raw))
+                    else:
+                        texts.append(raw.decode("utf-8", "replace"))
+                except Exception:
+                    texts.append(None)
+            yield pd.DataFrame({"media_id": pdf_batch["media_id"],
+                                "text": texts})
+
+    return media.mapInPandas(run, "media_id long, text string")
+
+
 def show_image(filename: str):
     """Embed an image file into an IPython/Jupyter notebook (reference S7,
     gastrodon/__init__.py:836-846 ``show_image`` — reads the file, hands
@@ -1581,6 +1615,10 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     elif raw[:2] in (b"II", b"MM") \
                             and raw[2:4] in (b"*\x00", b"\x00*"):
                         md = tiff_metadata(raw)
+                    elif raw[:5] == b"%PDF-":
+                        from sparkdon.pdf import pdf_info
+
+                        md = pdf_info(raw)
                     else:
                         md = {}
                 except Exception:
