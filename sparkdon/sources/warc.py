@@ -197,6 +197,8 @@ def html_to_text(col) -> F.Column:
     c = F.regexp_replace(c, r"&#(\d+);", " ")  # numeric entities → space
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
     c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
+    # Spark's trim strips only spaces — boundary newlines need the regex
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
     return F.trim(c)
 
 

@@ -3,11 +3,12 @@ public TIFF 6.0 spec.
 
 Scanned-document corpora ship TIFF; this covers the baseline shapes:
 both byte orders, chunky planar config, 8-bit grayscale (both
-photometric polarities) and RGB, strip layout with any RowsPerStrip,
-and compressions 1 (none), 32773 (PackBits) and 5 (LZW — the TIFF
-variant: MSB-first codes, EarlyChange).  Tiled, planar, palette,
-CCITT/JPEG-in-TIFF and >8-bit layouts raise ``NotImplementedError`` —
-honest boundaries, same policy as the other decoders.
+photometric polarities), RGB and palette-color (ColorMap), strip
+layout with any RowsPerStrip, and compressions 1 (none), 32773
+(PackBits) and 5 (LZW — the TIFF variant: MSB-first codes,
+EarlyChange).  Tiled, planar, CCITT/JPEG-in-TIFF and >8-bit layouts
+raise ``NotImplementedError`` — honest boundaries, same policy as the
+other decoders.
 
 Output contract matches decode_image: HxWx3 uint8.
 """
@@ -201,8 +202,19 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError("non-8-bit TIFF samples")
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF layout")
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo}")
+    palette = None
+    if photo == 3:  # palette-color: ColorMap is 3×2^bits 16-bit ramps
+        cmap = tags.get(320)  # _read_ifd unpacks SHORTs to an int list
+        if not cmap or spp != 1:
+            raise ValueError("palette TIFF missing/invalid ColorMap")
+        if len(cmap) != 3 * 256:
+            raise NotImplementedError(
+                f"ColorMap with {len(cmap)} entries (want 768)")
+        # 16-bit color ramps → 8-bit channels (high byte)
+        palette = (np.array(cmap, np.uint16).reshape(3, 256).T
+                   >> 8).astype(np.uint8)
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF layout")
     offsets = tags.get(273)
@@ -231,6 +243,8 @@ def decode_tiff(payload: bytes):
     arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
         .reshape(h, w, spp)
     if spp == 1:
+        if palette is not None:
+            return palette[arr[:, :, 0]]
         if photo == 0:  # WhiteIsZero
             arr = 255 - arr
         return np.repeat(arr, 3, axis=2)
@@ -240,13 +254,18 @@ def decode_tiff(payload: bytes):
 
 
 def encode_tiff(arr, compression: str = "none",
-                byte_order: str = "<", rows_per_strip: int = 64) -> bytes:
+                byte_order: str = "<", rows_per_strip: int = 64,
+                palette=None) -> bytes:
     """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
-    ``compression`` ∈ none | packbits | lzw."""
+    ``compression`` ∈ none | packbits | lzw.  ``palette`` (256×3
+    uint8, requires 2-D index input) emits a photometric-3
+    palette-color file with a 16-bit ColorMap."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
+    if palette is not None and not gray:
+        raise ValueError("palette TIFF needs a 2-D index array")
     if gray:
         a = a[:, :, None]
     h, w, spp = a.shape
@@ -264,9 +283,10 @@ def encode_tiff(arr, compression: str = "none",
             strips.append(raw)
 
     nstrips = len(strips)
+    photo = 3 if palette is not None else (1 if gray else 2)
     entries = [
         (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp_id),
-        (262, 3, 1, 1 if gray else 2), (277, 3, 1, spp),
+        (262, 3, 1, photo), (277, 3, 1, spp),
         (278, 4, 1, rows_per_strip),
     ]
     # BitsPerSample: inline for ≤2 samples, else external array
@@ -274,6 +294,8 @@ def encode_tiff(arr, compression: str = "none",
     header_size = 8
     # compute layout: header, IFD, external arrays, strip data
     n_entries = len(entries) + 3  # + bits + offsets + counts
+    if palette is not None:
+        n_entries += 1  # + ColorMap
     ifd_size = 2 + 12 * n_entries + 4
     ext_base = header_size + ifd_size
 
@@ -289,6 +311,14 @@ def encode_tiff(arr, compression: str = "none",
     else:
         bits_entry = (258, 3, spp, ext_put("H", [8] * spp))
         bits_inline = False
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        if pal.shape != (256, 3):
+            raise ValueError("palette must be 256x3 uint8")
+        # ColorMap: all red, all green, all blue — 16-bit ramps whose
+        # high byte is the 8-bit channel (exact round-trip)
+        ramp = (pal.T.astype(np.uint16) << 8).ravel()
+        entries.append((320, 3, 768, ext_put("H", [int(v) for v in ramp])))
     if nstrips == 1:
         off_entry = (273, 4, 1, None)  # patched after layout
         cnt_entry = (279, 4, 1, len(strips[0]))

@@ -2210,3 +2210,16 @@ def test_mpeg_audio_xing_behind_crc():
                + b"\x00" * 100)
     got = mpeg_audio_info(payload)
     assert got["frames"] == 77
+
+
+def test_tiff_palette_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    for comp in ("none", "lzw"):
+        got = decode_tiff(encode_tiff(idx, compression=comp, palette=pal))
+        assert (got == pal[idx]).all(), comp
