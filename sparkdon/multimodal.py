@@ -1491,6 +1491,146 @@ def mpeg_audio_info(payload: bytes) -> dict:
     return out
 
 
+def mp4_info(payload: bytes) -> dict:
+    """MP4 / ISO-BMFF (14496-12) header metadata: brand, movie duration
+    from ``mvhd``, per-track geometry from ``tkhd``, and the sample
+    codec fourccs from ``stsd`` — a straight box-tree walk over the
+    public structure.  Codec DECODE is out of scope (inter-frame);
+    curation filters on these fields.  Headers only, no sample data."""
+    import struct
+
+    out: dict = {}
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        while pos + 8 <= end and depth < 8:
+            size, box = struct.unpack_from(">I4s", payload, pos)
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size == 0:  # to end of file
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return
+            if box == b"ftyp":
+                out["brand"] = payload[body:body + 4] \
+                    .decode("latin-1").strip()
+            elif box == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    scale, dur = struct.unpack_from(
+                        ">IQ", payload, body + 20)
+                else:
+                    scale, dur = struct.unpack_from(
+                        ">II", payload, body + 12)
+                if scale:
+                    out["duration_ms"] = dur * 1000 // scale
+            elif box == b"tkhd":
+                ver = payload[body]
+                geo = body + (88 if ver == 1 else 76)
+                if geo + 8 <= pos + size:
+                    w16, h16 = struct.unpack_from(">II", payload, geo)
+                    if w16 and h16 and "width" not in out:
+                        out["width"] = w16 >> 16   # 16.16 fixed point
+                        out["height"] = h16 >> 16
+            elif box == b"stsd":
+                n = struct.unpack_from(">I", payload, body + 4)[0]
+                if n and body + 16 <= pos + size:
+                    fourcc = payload[body + 12:body + 16] \
+                        .decode("latin-1").strip()
+                    out.setdefault("codecs", []).append(fourcc)
+            elif box in containers:
+                walk(body, pos + size, depth + 1)
+            pos += size
+
+    walk(0, len(payload))
+    if "codecs" in out:
+        out["codecs"] = ",".join(out["codecs"])
+    return out
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """One EBML variable-length integer → (value, next_pos)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML")
+    first = data[pos]
+    for ln in range(1, 9):
+        if first & (0x100 >> ln):
+            raw = int.from_bytes(data[pos:pos + ln], "big")
+            if not keep_marker:
+                raw &= (1 << (7 * ln)) - 1
+            return raw, pos + ln
+    raise ValueError("bad EBML vint")
+
+
+def mkv_info(payload: bytes) -> dict:
+    """Matroska / WebM metadata via an EBML element walk (public RFC
+    8794 + Matroska spec): Segment→Info (TimestampScale, Duration) and
+    Segment→Tracks (CodecIDs, video PixelWidth/Height).  Headers only;
+    cluster/codec data is never touched."""
+    out: dict = {}
+    # containers we descend into, by element id
+    containers = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+    state = {"scale": 1_000_000, "dur": None}
+
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        while pos < end and depth < 8:
+            try:
+                eid, p = _ebml_vint(payload, pos, keep_marker=True)
+                size, body = _ebml_vint(payload, p, keep_marker=False)
+            except ValueError:
+                return
+            if size == (1 << (7 * (body - p))) - 1:  # unknown size
+                size = end - body
+            if body + size > end:
+                size = end - body
+            if eid in containers:
+                walk(body, body + size, depth + 1)
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                state["scale"] = int.from_bytes(
+                    payload[body:body + size], "big")
+            elif eid == 0x4489:  # Duration (float ticks)
+                import struct
+
+                fmt = ">f" if size == 4 else ">d"
+                state["dur"] = struct.unpack_from(fmt, payload, body)[0]
+            elif eid == 0x86:  # CodecID
+                cid = payload[body:body + size].decode("latin-1") \
+                    .strip("\x00")
+                out["codecs"] = (out["codecs"] + "," + cid
+                                 if "codecs" in out else cid)
+            elif eid == 0xB0:
+                out.setdefault(
+                    "width", int.from_bytes(payload[body:body + size],
+                                            "big"))
+            elif eid == 0xBA:
+                out.setdefault(
+                    "height", int.from_bytes(payload[body:body + size],
+                                             "big"))
+            elif eid == 0x4282:  # DocType (matroska | webm)
+                out["doctype"] = payload[body:body + size] \
+                    .decode("latin-1").strip("\x00")
+            pos = body + size
+
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/Matroska payload")
+    # the EBML header itself carries DocType — walk it plus the Segment
+    try:
+        _, p = _ebml_vint(payload, 0, keep_marker=True)
+        size, body = _ebml_vint(payload, p, keep_marker=False)
+        walk(body, body + size)
+        walk(body + size, len(payload))
+    except ValueError:
+        pass
+    if state["dur"] is not None:
+        out["duration_ms"] = int(state["dur"] * state["scale"] / 1e6)
+    return out
+
+
 def tiff_metadata(payload: bytes) -> dict:
     """Bare-TIFF metadata: EXIF's tag space IS the TIFF tag space
     (EXIF 2.x embeds a TIFF IFD), so the same walker runs on the file
@@ -1619,6 +1759,10 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                         from sparkdon.pdf import pdf_info
 
                         md = pdf_info(raw)
+                    elif raw[4:8] == b"ftyp":
+                        md = mp4_info(raw)
+                    elif raw[:4] == b"\x1aE\xdf\xa3":
+                        md = mkv_info(raw)
                     else:
                         md = {}
                 except Exception:

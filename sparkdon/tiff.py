@@ -4,11 +4,11 @@ public TIFF 6.0 spec.
 Scanned-document corpora ship TIFF; this covers the baseline shapes:
 both byte orders, chunky planar config, 8-bit grayscale (both
 photometric polarities), RGB and palette-color (ColorMap), strip
-layout with any RowsPerStrip, and compressions 1 (none), 32773
-(PackBits) and 5 (LZW — the TIFF variant: MSB-first codes,
-EarlyChange).  Tiled, planar, CCITT/JPEG-in-TIFF and >8-bit layouts
-raise ``NotImplementedError`` — honest boundaries, same policy as the
-other decoders.
+layout with any RowsPerStrip or the tiled layout (§15), and
+compressions 1 (none), 32773 (PackBits) and 5 (LZW — the TIFF
+variant: MSB-first codes, EarlyChange).  Planar, CCITT/JPEG-in-TIFF
+and >8-bit layouts raise ``NotImplementedError`` — honest boundaries,
+same policy as the other decoders.
 
 Output contract matches decode_image: HxWx3 uint8.
 """
@@ -173,7 +173,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def decode_tiff(payload: bytes):
-    """TIFF bytes → HxWx3 uint8 (baseline strip-organized images)."""
+    """TIFF bytes → HxWx3 uint8 (baseline strip- or tile-organized)."""
     import numpy as np
 
     if payload[:2] == b"II":
@@ -215,33 +215,52 @@ def decode_tiff(payload: bytes):
         # 16-bit color ramps → 8-bit channels (high byte)
         palette = (np.array(cmap, np.uint16).reshape(3, 256).T
                    >> 8).astype(np.uint8)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF layout")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts:
-        raise ValueError("TIFF missing strip tags")
-    rows_per_strip = one(278, h)
 
-    raster = bytearray()
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        rows = min(rows_per_strip, remaining_rows)
-        expect = rows * w * spp
-        chunk = payload[off:off + cnt]
+    def _decompress(chunk: bytes, expect: int) -> bytes:
         if comp == 1:
-            raster += chunk[:expect]
-        elif comp == 32773:
-            raster += _packbits_decode(chunk, expect)
-        elif comp == 5:
-            raster += _tiff_lzw_decode(chunk, expect)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp}")
-        remaining_rows -= rows
-    if len(raster) < h * w * spp:
-        raise ValueError("truncated TIFF raster")
-    arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
-        .reshape(h, w, spp)
+            return chunk[:expect]
+        if comp == 32773:
+            return _packbits_decode(chunk, expect)
+        if comp == 5:
+            return _tiff_lzw_decode(chunk, expect)
+        raise NotImplementedError(f"TIFF compression {comp}")
+
+    if 322 in tags or 323 in tags:  # tiled layout (TIFF 6.0 §15)
+        tw, th = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not th or not offsets or not counts:
+            raise ValueError("tiled TIFF missing tile tags")
+        cols = (w + tw - 1) // tw
+        arr = np.zeros((h, w, spp), np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = (i // cols) * th, (i % cols) * tw
+            # every tile is padded to full tw×th in the file
+            tile = np.frombuffer(
+                _decompress(payload[off:off + cnt], tw * th * spp),
+                np.uint8)
+            if len(tile) < tw * th * spp:
+                raise ValueError("truncated TIFF tile")
+            tile = tile.reshape(th, tw, spp)
+            ch, cw = min(th, h - ty), min(tw, w - tx)
+            arr[ty:ty + ch, tx:tx + cw] = tile[:ch, :cw]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts:
+            raise ValueError("TIFF missing strip tags")
+        rows_per_strip = one(278, h)
+
+        raster = bytearray()
+        remaining_rows = h
+        for off, cnt in zip(offsets, counts):
+            rows = min(rows_per_strip, remaining_rows)
+            raster += _decompress(payload[off:off + cnt], rows * w * spp)
+            remaining_rows -= rows
+        if len(raster) < h * w * spp:
+            raise ValueError("truncated TIFF raster")
+        arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
+            .reshape(h, w, spp)
     if spp == 1:
         if palette is not None:
             return palette[arr[:, :, 0]]
@@ -255,11 +274,13 @@ def decode_tiff(payload: bytes):
 
 def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int = 64,
-                palette=None) -> bytes:
+                palette=None, tile=None) -> bytes:
     """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
     ``compression`` ∈ none | packbits | lzw.  ``palette`` (256×3
     uint8, requires 2-D index input) emits a photometric-3
-    palette-color file with a 16-bit ColorMap."""
+    palette-color file with a 16-bit ColorMap.  ``tile=(tw, th)``
+    emits the tiled layout (TIFF 6.0 §15: every tile padded to full
+    size) instead of strips."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -272,23 +293,38 @@ def encode_tiff(arr, compression: str = "none",
     bo = byte_order
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
 
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        raw = a[y0:y0 + rows_per_strip].tobytes()
+    def _compress(raw: bytes) -> bytes:
         if compression == "packbits":
-            strips.append(_packbits_encode(raw))
-        elif compression == "lzw":
-            strips.append(_tiff_lzw_encode(raw))
-        else:
-            strips.append(raw)
+            return _packbits_encode(raw)
+        if compression == "lzw":
+            return _tiff_lzw_encode(raw)
+        return raw
+
+    strips = []
+    if tile is not None:
+        tw_, th_ = tile
+        for ty in range(0, h, th_):
+            for tx in range(0, w, tw_):
+                block = np.zeros((th_, tw_, spp), np.uint8)
+                sub = a[ty:ty + th_, tx:tx + tw_]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                strips.append(_compress(block.tobytes()))
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(_compress(a[y0:y0 + rows_per_strip].tobytes()))
 
     nstrips = len(strips)
     photo = 3 if palette is not None else (1 if gray else 2)
     entries = [
         (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp_id),
         (262, 3, 1, photo), (277, 3, 1, spp),
-        (278, 4, 1, rows_per_strip),
     ]
+    if tile is not None:
+        off_tag, cnt_tag = 324, 325
+        entries += [(322, 4, 1, tile[0]), (323, 4, 1, tile[1])]
+    else:
+        off_tag, cnt_tag = 273, 279
+        entries.append((278, 4, 1, rows_per_strip))
     # BitsPerSample: inline for ≤2 samples, else external array
     ext = bytearray()
     header_size = 8
@@ -320,14 +356,14 @@ def encode_tiff(arr, compression: str = "none",
         ramp = (pal.T.astype(np.uint16) << 8).ravel()
         entries.append((320, 3, 768, ext_put("H", [int(v) for v in ramp])))
     if nstrips == 1:
-        off_entry = (273, 4, 1, None)  # patched after layout
-        cnt_entry = (279, 4, 1, len(strips[0]))
+        off_entry = (off_tag, 4, 1, None)  # patched after layout
+        cnt_entry = (cnt_tag, 4, 1, len(strips[0]))
         off_ext = cnt_ext = None
     else:
         off_ext = ext_put("I", [0] * nstrips)  # patched later
         cnt_ext = ext_put("I", [len(s) for s in strips])
-        off_entry = (273, 4, nstrips, off_ext)
-        cnt_entry = (279, 4, nstrips, cnt_ext)
+        off_entry = (off_tag, 4, nstrips, off_ext)
+        cnt_entry = (cnt_tag, 4, nstrips, cnt_ext)
 
     data_base = ext_base + len(ext)
     strip_offsets = []
@@ -348,7 +384,7 @@ def encode_tiff(arr, compression: str = "none",
         out += struct.pack(bo + "HHI", tag, typ, cnt)
         if tag == 258 and bits_inline:
             out += struct.pack(bo + "HH", 8, 8 if spp == 2 else 0)
-        elif tag == 273 and nstrips == 1:
+        elif tag == off_tag and nstrips == 1:
             out += struct.pack(bo + "I", strip_offsets[0])
         elif typ == 3 and cnt == 1:
             out += struct.pack(bo + "HH", val, 0)

@@ -2223,3 +2223,90 @@ def test_tiff_palette_roundtrip():
     for comp in ("none", "lzw"):
         got = decode_tiff(encode_tiff(idx, compression=comp, palette=pal))
         assert (got == pal[idx]).all(), comp
+
+
+def test_tiff_tiled_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(31)
+    # 37x50 with 16x16 tiles: partial tiles on both edges
+    arr = rng.integers(0, 256, (37, 50, 3), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        got = decode_tiff(encode_tiff(arr, compression=comp,
+                                      tile=(16, 16)))
+        assert (got == arr).all(), comp
+    gray = rng.integers(0, 256, (20, 33), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(gray, compression="lzw", tile=(8, 32),
+                                  byte_order=">"))
+    assert (got == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+
+def _box(fourcc, body):
+    import struct
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def test_mp4_info(spark):
+    import struct
+
+    from sparkdon.multimodal import extract_metadata, mp4_info
+
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", 1000, 5432) + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + struct.pack(">II", 640 << 16, 360 << 16))
+    stsd = (b"\x00" * 4 + struct.pack(">I", 1)
+            + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8)
+    stbl = _box(b"stsd", stsd)
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    mp4 = (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+           + _box(b"moov", moov) + _box(b"mdat", b"\x00" * 32))
+    info = mp4_info(mp4)
+    assert info == {"brand": "isom", "duration_ms": 5432,
+                    "width": 640, "height": 360, "codecs": "avc1"}
+
+    media = spark.createDataFrame(
+        [(8, "video", bytearray(mp4), ("video/mp4", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = extract_metadata(media).collect()[0]["metadata"]
+    assert md["codecs"] == "avc1" and md["duration_ms"] == "5432"
+
+    assert mp4_info(b"\x00\x00\x00\x08free") == {}
+
+
+def test_mkv_info(spark):
+    import struct
+
+    from sparkdon.multimodal import extract_metadata, mkv_info
+
+    def el(eid_bytes, body):
+        # size as a 2-byte vint (0x40xx form handles our sizes)
+        assert len(body) < 0x3FFF
+        return eid_bytes + struct.pack(">H", 0x4000 | len(body)) + body
+
+    header = el(b"\x1aE\xdf\xa3", el(b"\x42\x82", b"webm"))
+    info = el(b"\x15\x49\xa9\x66",
+              el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+              + el(b"\x44\x89", struct.pack(">d", 7500.0)))
+    video = el(b"\xe0", el(b"\xb0", (1280).to_bytes(2, "big"))
+               + el(b"\xba", (720).to_bytes(2, "big")))
+    track = el(b"\xae", el(b"\x86", b"V_VP9") + video)
+    tracks = el(b"\x16\x54\xae\x6b", track)
+    mkv = header + el(b"\x18\x53\x80\x67", info + tracks)
+
+    got = mkv_info(mkv)
+    assert got == {"doctype": "webm", "duration_ms": 7500,
+                   "codecs": "V_VP9", "width": 1280, "height": 720}
+
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(mkv), ("video/webm", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = extract_metadata(media).collect()[0]["metadata"]
+    assert md["codecs"] == "V_VP9" and md["width"] == "1280"
