@@ -150,11 +150,10 @@ def _decode_one(payload, cid, body, ln, frames, mjpeg, raw_dib, w, h,
     chunk = payload[body:body + ln]
     if not chunk:
         return  # dropped frame (zero-length chunks are legal padding)
+    stride = (w * 3 + 3) & ~3  # bottom-up BGR rows padded to 4 bytes
     if chunk[:2] == b"\xff\xd8" and mjpeg:
         frames.append(decode_jpeg(chunk))
-    elif raw_dib and ln >= w * h * 3:
-        # bottom-up BGR rows padded to 4 bytes
-        stride = (w * 3 + 3) & ~3
+    elif raw_dib and ln >= stride * h:
         arr = np.frombuffer(chunk[:stride * h], np.uint8) \
             .reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
         frames.append(np.ascontiguousarray(arr[::-1, :, ::-1]))

@@ -42,7 +42,11 @@ def strip_html(s: str) -> str:
 def docx_to_text(payload: bytes) -> str:
     """DOCX bytes → text, one line per ``<w:p>`` paragraph."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-        xml = zf.read("word/document.xml").decode("utf-8", "replace")
+        return _docx_from_zip(zf)
+
+
+def _docx_from_zip(zf: "zipfile.ZipFile") -> str:
+    xml = zf.read("word/document.xml").decode("utf-8", "replace")
     paras: list[str] = []
     for p in re.findall(r"(?s)<w:p[ >].*?</w:p>|<w:p/>", xml):
         parts: list[str] = []
@@ -61,51 +65,57 @@ def docx_to_text(payload: bytes) -> str:
 def epub_to_text(payload: bytes) -> str:
     """EPUB bytes → text, chapters in OPF spine (reading) order."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-        names = set(zf.namelist())
-        opf_path = None
-        if "META-INF/container.xml" in names:
-            container = zf.read("META-INF/container.xml") \
-                .decode("utf-8", "replace")
-            m = re.search(r'full-path="([^"]+)"', container)
-            if m:
-                opf_path = m.group(1)
-        docs: list[str] = []
-        if opf_path and opf_path in names:
-            opf = zf.read(opf_path).decode("utf-8", "replace")
-            base = posixpath.dirname(opf_path)
-            hrefs = {m.group("id"): m.group("href") for m in re.finditer(
-                r'<item\b[^>]*\bid="(?P<id>[^"]+)"[^>]*\bhref='
-                r'"(?P<href>[^"]+)"[^>]*/?>', opf)}
-            # items may list href before id — sweep the other order too
-            for m in re.finditer(
-                    r'<item\b[^>]*\bhref="(?P<href>[^"]+)"[^>]*\bid='
-                    r'"(?P<id>[^"]+)"[^>]*/?>', opf):
-                hrefs.setdefault(m.group("id"), m.group("href"))
-            for idref in re.findall(r'<itemref\b[^>]*\bidref="([^"]+)"',
-                                    opf):
-                href = hrefs.get(idref)
-                if not href:
-                    continue
-                path = posixpath.normpath(posixpath.join(base, href))
-                if path in names:
-                    docs.append(path)
-        if not docs:  # no/odd OPF: fall back to archive-order XHTML
-            docs = [n for n in zf.namelist()
-                    if n.lower().endswith((".xhtml", ".html", ".htm"))]
-        chapters = [strip_html(zf.read(d).decode("utf-8", "replace"))
-                    for d in docs]
+        return _epub_from_zip(zf)
+
+
+def _epub_from_zip(zf: "zipfile.ZipFile") -> str:
+    names = set(zf.namelist())
+    opf_path = None
+    if "META-INF/container.xml" in names:
+        container = zf.read("META-INF/container.xml") \
+            .decode("utf-8", "replace")
+        m = re.search(r'full-path="([^"]+)"', container)
+        if m:
+            opf_path = m.group(1)
+    docs: list[str] = []
+    if opf_path and opf_path in names:
+        opf = zf.read(opf_path).decode("utf-8", "replace")
+        base = posixpath.dirname(opf_path)
+        hrefs = {m.group("id"): m.group("href") for m in re.finditer(
+            r'<item\b[^>]*\bid="(?P<id>[^"]+)"[^>]*\bhref='
+            r'"(?P<href>[^"]+)"[^>]*/?>', opf)}
+        # items may list href before id — sweep the other order too
+        for m in re.finditer(
+                r'<item\b[^>]*\bhref="(?P<href>[^"]+)"[^>]*\bid='
+                r'"(?P<id>[^"]+)"[^>]*/?>', opf):
+            hrefs.setdefault(m.group("id"), m.group("href"))
+        for idref in re.findall(r'<itemref\b[^>]*\bidref="([^"]+)"',
+                                opf):
+            href = hrefs.get(idref)
+            if not href:
+                continue
+            path = posixpath.normpath(posixpath.join(base, href))
+            if path in names:
+                docs.append(path)
+    if not docs:  # no/odd OPF: fall back to archive-order XHTML
+        docs = [n for n in zf.namelist()
+                if n.lower().endswith((".xhtml", ".html", ".htm"))]
+    chapters = [strip_html(zf.read(d).decode("utf-8", "replace"))
+                for d in docs]
     return "\n\n".join(c for c in chapters if c).strip()
 
 
 def zip_document_text(payload: bytes) -> str:
     """Dispatch a ZIP-container document by its members: DOCX or EPUB;
-    anything else raises (an arbitrary archive is not a document)."""
+    anything else raises (an arbitrary archive is not a document).
+    The ZipFile is opened ONCE and shared with the format extractor —
+    this runs per document in the extract_text hot path."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         names = set(zf.namelist())
-    if "word/document.xml" in names:
-        return docx_to_text(payload)
-    if "META-INF/container.xml" in names or "mimetype" in names:
-        return epub_to_text(payload)
+        if "word/document.xml" in names:
+            return _docx_from_zip(zf)
+        if "META-INF/container.xml" in names or "mimetype" in names:
+            return _epub_from_zip(zf)
     raise ValueError("ZIP payload is neither DOCX nor EPUB")
 
 

@@ -1322,7 +1322,10 @@ def extract_text(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf_batch["media_id"],
                                 "text": texts})
 
-    return media.mapInPandas(run, "media_id long, text string")
+    # only document rows: running the UTF-8 fallback over image/audio/
+    # video payloads would emit megabytes of U+FFFD garbage as "text"
+    return (media.filter(F.col("modality") == "document")
+            .mapInPandas(run, "media_id long, text string"))
 
 
 def show_image(filename: str):
@@ -1596,8 +1599,10 @@ def mkv_info(payload: bytes) -> dict:
             elif eid == 0x4489:  # Duration (float ticks)
                 import struct
 
-                fmt = ">f" if size == 4 else ">d"
-                state["dur"] = struct.unpack_from(fmt, payload, body)[0]
+                if size in (4, 8):  # other sizes: corrupt — skip, do
+                    fmt = ">f" if size == 4 else ">d"  # not over-read
+                    state["dur"] = struct.unpack_from(
+                        fmt, payload, body)[0]
             elif eid == 0x86:  # CodecID
                 cid = payload[body:body + size].decode("latin-1") \
                     .strip("\x00")
@@ -1853,17 +1858,27 @@ _ID3_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
                b"TRCK": "track", b"TPE2": "album_artist",
                b"TCOM": "composer"}
 
+#: ID3v2.2 three-char frame ids (6-byte frame headers)
+_ID3V22_FRAMES = {b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+                  b"TYE": "year", b"TCO": "genre", b"TRK": "track",
+                  b"TCM": "composer"}
+
 _ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 
 
 def id3_tags(payload: bytes) -> dict:
-    """ID3v2.3/2.4 text frames → dict of friendly keys.  MP3-class
+    """ID3v2.2/2.3/2.4 text frames → dict of friendly keys.  MP3-class
     audio itself remains an honest decode boundary — but curation
     pipelines filter on the TAGS, and those are plain structured bytes.
-    Returns ``{}`` for files without an ID3v2 header."""
+    v2.2 uses 6-byte frame headers (3-char id + 3-byte size); parsing
+    it with the v2.3 layout would misalign, so it gets its own branch.
+    Returns ``{}`` for files without an ID3v2 header (or an unknown
+    major version)."""
     if payload[:3] != b"ID3":
         return {}
     major = payload[3]
+    if major not in (2, 3, 4):
+        return {}
     flags = payload[5]
     # syncsafe 28-bit size
     size = 0
@@ -1871,27 +1886,39 @@ def id3_tags(payload: bytes) -> dict:
         size = (size << 7) | (b & 0x7F)
     pos = 10
     end = min(10 + size, len(payload))
-    if flags & 0x40:  # extended header: skip by its own (syncsafe) size
+    if major == 2 and flags & 0x40:
+        # v2.2 bit 6 is COMPRESSION (no scheme was ever defined) — the
+        # spec declares such a tag unreadable
+        return {}
+    if major >= 3 and flags & 0x40:  # ext header: skip by its own size
         ext = 0
         for b in payload[10:14]:
             ext = (ext << 7) | (b & 0x7F)
         pos += ext if major >= 4 else ext + 4
     out: dict = {}
-    while pos + 10 <= end:
-        fid = payload[pos:pos + 4]
-        if fid == b"\x00\x00\x00\x00":
-            break  # padding
-        if major >= 4:  # v2.4: syncsafe frame sizes
-            fsize = 0
-            for b in payload[pos + 4:pos + 8]:
-                fsize = (fsize << 7) | (b & 0x7F)
+    hlen = 6 if major == 2 else 10
+    while pos + hlen <= end:
+        if major == 2:
+            fid = payload[pos:pos + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            fsize = int.from_bytes(payload[pos + 3:pos + 6], "big")
+            key = _ID3V22_FRAMES.get(fid)
         else:
-            fsize = int.from_bytes(payload[pos + 4:pos + 8], "big")
-        body = payload[pos + 10:pos + 10 + fsize]
-        key = _ID3_FRAMES.get(fid)
+            fid = payload[pos:pos + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break  # padding
+            if major >= 4:  # v2.4: syncsafe frame sizes
+                fsize = 0
+                for b in payload[pos + 4:pos + 8]:
+                    fsize = (fsize << 7) | (b & 0x7F)
+            else:
+                fsize = int.from_bytes(payload[pos + 4:pos + 8], "big")
+            key = _ID3_FRAMES.get(fid)
+        body = payload[pos + hlen:pos + hlen + fsize]
         if key and body:
             enc = _ID3_ENCODINGS.get(body[0], "latin-1")
             text = body[1:].decode(enc, "replace").strip("\x00")
             out.setdefault(key, text)
-        pos += 10 + fsize
+        pos += hlen + fsize
     return out

@@ -165,6 +165,10 @@ def pdf_to_text(payload: bytes) -> str:
             continue
         if b"/Image" in d or b"/XObject" in d and b"/Form" not in d:
             continue
+        # embedded font programs and XMP metadata inflate to binary
+        # that can contain a stray "BT" — never page content
+        if b"/FontFile" in d or b"/Metadata" in d or b"/Type1C" in d:
+            continue
         if b"BT" in data:  # begin-text marker: a content stream
             t = _content_text(data)
             if t.strip():

@@ -171,8 +171,10 @@ def warc_bytes(records: list[dict], gzip_per_record: bool = False) -> bytes:
 
 
 #: HTML named entities worth decoding without a parser (the numeric
-#: forms are handled generically)
-_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+#: forms are handled generically).  ``&amp;`` is NOT here — it must be
+#: decoded LAST, after every other entity pass, or double-escaped
+#: entities (``&amp;lt;``) decode twice and corrupt extracted text.
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"),
              ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
              ("&apos;", "'")]
 
@@ -195,6 +197,7 @@ def html_to_text(col) -> F.Column:
     for ent, rep in _ENTITIES:
         c = F.regexp_replace(c, ent, rep)
     c = F.regexp_replace(c, r"&#(\d+);", " ")  # numeric entities → space
+    c = F.regexp_replace(c, "&amp;", "&")      # ampersand LAST (one pass)
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
     c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
     # Spark's trim strips only spaces — boundary newlines need the regex
@@ -209,11 +212,13 @@ def canonical_url(col) -> F.Column:
     trailing ``?``/``&``, and a trailing slash on non-root paths.  The
     standard key for exact URL dedup across a crawl — at 100 TB this
     runs in whole-stage codegen next to the hash-agg, no Python."""
-    c = F.col(col) if isinstance(col, str) else col
+    orig = F.col(col) if isinstance(col, str) else col
     # lowercase scheme://host (keep path case — it is significant)
     c = F.concat(
-        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1))
+        F.lower(F.regexp_extract(orig,
+                                 r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_extract(orig,
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1))
     c = F.regexp_replace(c, r"#.*$", "")                    # fragment
     c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")    # www.
     c = F.regexp_replace(c, r"^(http://[^/?#]*):80(/|$|\?)", r"$1$2")
@@ -225,7 +230,10 @@ def canonical_url(col) -> F.Column:
     # trailing slash on a non-root path (before the query or the end)
     c = F.regexp_replace(c, r"(://[^/?#]+/[^?#]*[^/])/(\?|$)", r"$1$2")
     c = F.regexp_replace(c, r"[?&]+$", "")                  # dangling
-    return c
+    # schemeless/relative URIs don't match the extracts above (which
+    # would collapse them ALL to "" — one dedup key): pass them through
+    return F.when(
+        orig.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), c).otherwise(orig)
 
 
 def url_host(col) -> F.Column:

@@ -2310,3 +2310,63 @@ def test_mkv_info(spark):
         "meta struct<mime:string,width:int,height:int,duration_ms:long>")
     md = extract_metadata(media).collect()[0]["metadata"]
     assert md["codecs"] == "V_VP9" and md["width"] == "1280"
+
+
+def test_extract_text_skips_non_document_rows(spark):
+    from sparkdon.multimodal import extract_text
+
+    jpegish = b"\xff\xd8\xff\xe0" + bytes(range(256)) * 20
+    rows = [(1, "document", bytearray(b"plain"), (None, None, None, None)),
+            (2, "image", bytearray(jpegish), (None, None, None, None))]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    got = extract_text(media).collect()
+    # the image row must not surface as U+FFFD garbage text
+    assert [(r["media_id"], r["text"]) for r in got] == [(1, "plain")]
+
+
+def test_avi_dib_short_chunk_controlled_error():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkdon.avi import decode_avi_frames, encode_avi_dib
+
+    # w=5 → stride 16 > w*3=15; truncate the frame to unpadded size
+    avi = bytearray(encode_avi_dib([np.zeros((2, 5, 3), np.uint8)]))
+    pos = bytes(avi).find(b"00db")
+    struct.pack_into("<I", avi, pos + 4, 30)  # claim only 30 bytes
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(avi))
+
+
+def test_id3v22_frames():
+    from sparkdon.multimodal import id3_tags
+
+    frames = (b"TT2" + (7).to_bytes(3, "big") + b"\x00Song22"
+              + b"TP1" + (4).to_bytes(3, "big") + b"\x00Art")
+    size = len(frames) + 10
+    payload = (b"ID3\x02\x00\x00"
+               + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F])
+               + frames + b"\x00" * 10)
+    assert id3_tags(payload) == {"title": "Song22", "artist": "Art"}
+    # compressed v2.2 tags are unreadable by spec
+    assert id3_tags(b"ID3\x02\x00\x40" + b"\x00" * 20) == {}
+
+
+def test_mkv_duration_bad_size_skipped():
+    import struct
+
+    from sparkdon.multimodal import mkv_info
+
+    def el(eid_bytes, body):
+        return eid_bytes + struct.pack(">H", 0x4000 | len(body)) + body
+
+    header = el(b"\x1aE\xdf\xa3", el(b"\x42\x82", b"webm"))
+    info = el(b"\x15\x49\xa9\x66", el(b"\x44\x89", b"\x01\x02"))  # size 2
+    mkv = header + el(b"\x18\x53\x80\x67", info)
+    got = mkv_info(mkv)
+    assert "duration_ms" not in got and got["doctype"] == "webm"

@@ -93,3 +93,14 @@ def test_extract_text_stage(spark):
     md = {r["media_id"]: r["metadata"]
           for r in extract_metadata(media).collect()}
     assert md[1]["title"] == "T1" and md[1]["pages"] == "1"
+
+
+def test_pdf_font_and_metadata_streams_excluded():
+    import zlib
+
+    # a font program whose inflated bytes happen to contain BT ... Tj
+    fontish = zlib.compress(b"\x01\x02 BT (garbage) Tj ET \x03")
+    pdf = (b"%PDF-1.4\n5 0 obj\n<< /FontFile2 6 0 R /Filter /FlateDecode"
+           b" /Length " + str(len(fontish)).encode()
+           + b" >>\nstream\n" + fontish + b"\nendstream\nendobj\n")
+    assert pdf_to_text(pdf) == ""

@@ -152,3 +152,24 @@ def test_dedup_latest_by_url(spark):
     assert rows["b"]["text"] == "new"
     assert set(rows["b"].asDict()) == {"doc_id", "url", "fetch_date",
                                        "text"}
+
+
+def test_html_entities_single_pass_and_schemeless_urls(spark):
+    from sparkdon.sources.warc import canonical_url, html_to_text
+
+    # double-escaped entities must decode exactly ONCE
+    df = spark.createDataFrame(
+        [("<p>Use &amp;lt;b&amp;gt; for bold &amp; more</p>",)],
+        "html string")
+    text = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+    assert text == "Use &lt;b&gt; for bold & more"
+
+    # schemeless/relative URIs pass through unchanged — NOT collapsed
+    # to one empty dedup key
+    urls = ["example.com/a", "dns:example.com", "", "/rel/path",
+            "http://Real.com/x/"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got[:4] == urls[:4]
+    assert got[4] == "http://real.com/x"
