@@ -119,6 +119,56 @@ def zip_document_text(payload: bytes) -> str:
     raise ValueError("ZIP payload is neither DOCX nor EPUB")
 
 
+_SRT_INDEX = re.compile(r"^\d+$")
+_SRT_TIME = re.compile(
+    r"^\d{2}:\d{2}:\d{2}[,.]\d{3}\s*-->\s*\d{2}:\d{2}:\d{2}[,.]\d{3}")
+_VTT_TIME = re.compile(r"^\S*\s*\d{2}:\d{2}(:\d{2})?\.\d{3}\s*-->")
+
+
+def subtitle_to_text(payload: bytes) -> str:
+    """SRT / WebVTT → caption text only: cue indices, timestamp lines,
+    WEBVTT headers, NOTE/STYLE blocks and inline markup tags are
+    dropped; consecutive cue lines join with newlines.  Subtitle files
+    are a common video-adjacent text source in crawled corpora."""
+    lines = [ln.strip() for ln in
+             payload.decode("utf-8-sig", "replace").splitlines()]
+    out: list[str] = []
+    skipping_block = False
+    for i, stripped in enumerate(lines):
+        if not stripped:
+            skipping_block = False
+            continue
+        if skipping_block:
+            continue
+        if stripped == "WEBVTT" or stripped.startswith("WEBVTT "):
+            continue
+        if stripped.startswith(("NOTE", "STYLE", "REGION")):
+            skipping_block = True
+            continue
+        if _SRT_INDEX.match(stripped) or _SRT_TIME.match(stripped) \
+                or _VTT_TIME.match(stripped):
+            continue
+        # a VTT cue IDENTIFIER is the line right before a timestamp line
+        if i + 1 < len(lines) and (_VTT_TIME.match(lines[i + 1])
+                                   or _SRT_TIME.match(lines[i + 1])):
+            continue
+        # inline cue markup: <i>, <b>, <c.class>, <00:00:01.000>
+        stripped = re.sub(r"<[^>]*>", "", stripped)
+        if stripped:
+            out.append(stripped)
+    return "\n".join(out)
+
+
+def looks_like_subtitles(raw: bytes) -> bool:
+    """Cheap magic check for the extract_text dispatcher."""
+    head = raw[:256].decode("utf-8-sig", "replace")
+    if head.lstrip().startswith("WEBVTT"):
+        return True
+    lines = [ln.strip() for ln in head.splitlines() if ln.strip()][:2]
+    return (len(lines) == 2 and _SRT_INDEX.match(lines[0]) is not None
+            and _SRT_TIME.match(lines[1]) is not None)
+
+
 # --- writer twins for round-trip tests -------------------------------------
 
 def text_to_docx(paragraphs: list[str]) -> bytes:

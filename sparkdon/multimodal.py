@@ -1303,7 +1303,9 @@ def extract_text(media: DataFrame) -> DataFrame:
     def run(batches) -> Iterator:
         import pandas as pd
 
-        from sparkdon.docformats import zip_document_text
+        from sparkdon.docformats import (looks_like_subtitles,
+                                         subtitle_to_text,
+                                         zip_document_text)
         from sparkdon.pdf import pdf_to_text
 
         for pdf_batch in batches:
@@ -1311,10 +1313,16 @@ def extract_text(media: DataFrame) -> DataFrame:
             for payload in pdf_batch["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 try:
+                    if raw[:2] == b"\x1f\x8b":  # gzipped document
+                        import gzip
+
+                        raw = gzip.decompress(raw)
                     if raw[:5] == b"%PDF-":
                         texts.append(pdf_to_text(raw))
                     elif raw[:4] == b"PK\x03\x04":
                         texts.append(zip_document_text(raw))
+                    elif looks_like_subtitles(raw):
+                        texts.append(subtitle_to_text(raw))
                     else:
                         texts.append(raw.decode("utf-8", "replace"))
                 except Exception:

@@ -75,3 +75,42 @@ def test_extract_text_routes_zip(spark):
     assert got[10] == "docx body"
     assert "epub body" in got[11]
     assert got[12] is None  # corrupt zip → null, not a dead task
+
+
+def test_subtitle_extraction():
+    from sparkdon.docformats import looks_like_subtitles, subtitle_to_text
+
+    srt = (b"1\n00:00:01,000 --> 00:00:03,000\nHello there.\n\n"
+           b"2\n00:00:04,000 --> 00:00:06,500\n<i>Emphasis</i> line\n"
+           b"second line\n")
+    assert looks_like_subtitles(srt)
+    assert subtitle_to_text(srt) == "Hello there.\nEmphasis line\nsecond line"
+
+    vtt = (b"\xef\xbb\xbfWEBVTT\n\nNOTE\nthis is a comment\nmore note\n\n"
+           b"cue-1\n00:01.000 --> 00:03.000 align:start\n"
+           b"<c.yellow>Caption one</c>\n\n"
+           b"00:00:04.000 --> 00:00:06.000\nCaption two\n")
+    assert looks_like_subtitles(vtt)
+    assert subtitle_to_text(vtt) == "Caption one\nCaption two"
+
+    assert not looks_like_subtitles(b"just ordinary text\nwith lines\n")
+
+
+def test_extract_text_gzip_and_subtitles(spark):
+    import gzip
+
+    from sparkdon.multimodal import extract_text
+
+    srt = b"1\n00:00:01,000 --> 00:00:02,000\nGzipped caption\n"
+    rows = [(20, "document", bytearray(gzip.compress(b"plain gz text")),
+             (None, None, None, None)),
+            (21, "document", bytearray(srt), (None, None, None, None)),
+            (22, "document", bytearray(gzip.compress(srt)),
+             (None, None, None, None))]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    got = {r["media_id"]: r["text"] for r in extract_text(media).collect()}
+    assert got[20] == "plain gz text"
+    assert got[21] == "Gzipped caption"
+    assert got[22] == "Gzipped caption"
