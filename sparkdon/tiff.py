@@ -5,8 +5,10 @@ Scanned-document corpora ship TIFF; this covers the baseline shapes:
 both byte orders, chunky planar config, 8-bit grayscale (both
 photometric polarities), RGB and palette-color (ColorMap), strip
 layout with any RowsPerStrip or the tiled layout (§15), and
-compressions 1 (none), 32773 (PackBits) and 5 (LZW — the TIFF
-variant: MSB-first codes, EarlyChange).  Planar, CCITT/JPEG-in-TIFF
+compressions 1 (none), 32773 (PackBits), 5 (LZW — the TIFF
+variant: MSB-first codes, EarlyChange) and 8/32946 (Deflate), each
+with or without the horizontal-differencing predictor (317=2).
+Planar, CCITT/JPEG-in-TIFF
 and >8-bit layouts raise ``NotImplementedError`` — honest boundaries,
 same policy as the other decoders.
 
@@ -202,6 +204,9 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError("non-8-bit TIFF samples")
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF layout")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo}")
     palette = None
@@ -223,6 +228,10 @@ def decode_tiff(payload: bytes):
             return _packbits_decode(chunk, expect)
         if comp == 5:
             return _tiff_lzw_decode(chunk, expect)
+        if comp in (8, 32946):  # Deflate (official + legacy code)
+            import zlib
+
+            return zlib.decompress(chunk)[:expect]
         raise NotImplementedError(f"TIFF compression {comp}")
 
     if 322 in tags or 323 in tags:  # tiled layout (TIFF 6.0 §15)
@@ -242,6 +251,8 @@ def decode_tiff(payload: bytes):
             if len(tile) < tw * th * spp:
                 raise ValueError("truncated TIFF tile")
             tile = tile.reshape(th, tw, spp)
+            if predictor == 2:  # horizontal differencing, per TILE row
+                tile = np.cumsum(tile, axis=1, dtype=np.uint8)
             ch, cw = min(th, h - ty), min(tw, w - tx)
             arr[ty:ty + ch, tx:tx + cw] = tile[:ch, :cw]
     else:
@@ -261,6 +272,8 @@ def decode_tiff(payload: bytes):
             raise ValueError("truncated TIFF raster")
         arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
             .reshape(h, w, spp)
+        if predictor == 2:  # strip rows span the image width
+            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
     if spp == 1:
         if palette is not None:
             return palette[arr[:, :, 0]]
@@ -274,9 +287,10 @@ def decode_tiff(payload: bytes):
 
 def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int = 64,
-                palette=None, tile=None) -> bytes:
+                palette=None, tile=None, predictor: int = 1) -> bytes:
     """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
-    ``compression`` ∈ none | packbits | lzw.  ``palette`` (256×3
+    ``compression`` ∈ none | packbits | lzw | deflate;
+    ``predictor=2`` applies horizontal differencing per segment row.  ``palette`` (256×3
     uint8, requires 2-D index input) emits a photometric-3
     palette-color file with a 16-bit ColorMap.  ``tile=(tw, th)``
     emits the tiled layout (TIFF 6.0 §15: every tile padded to full
@@ -291,13 +305,23 @@ def encode_tiff(arr, compression: str = "none",
         a = a[:, :, None]
     h, w, spp = a.shape
     bo = byte_order
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5,
+               "deflate": 8}[compression]
+
+    def _hdiff(block):
+        out = block.copy()
+        out[:, 1:] = block[:, 1:] - block[:, :-1]  # uint8 wraps mod 256
+        return out
 
     def _compress(raw: bytes) -> bytes:
         if compression == "packbits":
             return _packbits_encode(raw)
         if compression == "lzw":
             return _tiff_lzw_encode(raw)
+        if compression == "deflate":
+            import zlib
+
+            return zlib.compress(raw)
         return raw
 
     strips = []
@@ -308,10 +332,15 @@ def encode_tiff(arr, compression: str = "none",
                 block = np.zeros((th_, tw_, spp), np.uint8)
                 sub = a[ty:ty + th_, tx:tx + tw_]
                 block[:sub.shape[0], :sub.shape[1]] = sub
+                if predictor == 2:
+                    block = _hdiff(block)
                 strips.append(_compress(block.tobytes()))
     else:
         for y0 in range(0, h, rows_per_strip):
-            strips.append(_compress(a[y0:y0 + rows_per_strip].tobytes()))
+            seg = a[y0:y0 + rows_per_strip]
+            if predictor == 2:
+                seg = _hdiff(seg)
+            strips.append(_compress(seg.tobytes()))
 
     nstrips = len(strips)
     photo = 3 if palette is not None else (1 if gray else 2)
@@ -319,6 +348,8 @@ def encode_tiff(arr, compression: str = "none",
         (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp_id),
         (262, 3, 1, photo), (277, 3, 1, spp),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
     if tile is not None:
         off_tag, cnt_tag = 324, 325
         entries += [(322, 4, 1, tile[0]), (323, 4, 1, tile[1])]

@@ -2370,3 +2370,38 @@ def test_mkv_duration_bad_size_skipped():
     mkv = header + el(b"\x18\x53\x80\x67", info)
     got = mkv_info(mkv)
     assert "duration_ms" not in got and got["doctype"] == "webm"
+
+
+def test_tiff_predictor2_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(41)
+    # smooth gradient: predictor 2 should also shrink the LZW output
+    grad = (np.arange(64)[None, :] * 3 % 256).astype(np.uint8) \
+        + np.arange(48)[:, None].astype(np.uint8)
+    rgb = np.repeat(grad[:, :, None], 3, axis=2)
+    noisy = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    for arr in (rgb, noisy):
+        got = decode_tiff(encode_tiff(arr, compression="lzw", predictor=2))
+        assert (got == arr).all()
+        got = decode_tiff(encode_tiff(arr, compression="lzw", predictor=2,
+                                      tile=(16, 16)))
+        assert (got == arr).all()
+    assert len(encode_tiff(rgb, compression="lzw", predictor=2)) < \
+        len(encode_tiff(rgb, compression="lzw"))
+
+
+def test_tiff_deflate_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(51)
+    arr = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    for pred in (1, 2):
+        for tile in (None, (16, 16)):
+            got = decode_tiff(encode_tiff(arr, compression="deflate",
+                                          predictor=pred, tile=tile))
+            assert (got == arr).all(), (pred, tile)
