@@ -142,13 +142,22 @@ def subtitle_to_text(payload: bytes) -> str:
             continue
         if stripped == "WEBVTT" or stripped.startswith("WEBVTT "):
             continue
-        if stripped.startswith(("NOTE", "STYLE", "REGION")):
+        if stripped.startswith("X-TIMESTAMP-MAP"):  # HLS VTT segments
+            continue
+        # NOTE/STYLE/REGION start a comment block ONLY at a block
+        # boundary and as a whole token — caption text may legitimately
+        # begin with the words NOTE or NOTEBOOKS
+        at_boundary = i == 0 or not lines[i - 1]
+        if at_boundary and (stripped in ("NOTE", "STYLE", "REGION")
+                            or stripped.startswith(("NOTE ", "STYLE ",
+                                                    "REGION "))):
             skipping_block = True
             continue
-        if _SRT_INDEX.match(stripped) or _SRT_TIME.match(stripped) \
-                or _VTT_TIME.match(stripped):
+        if _SRT_TIME.match(stripped) or _VTT_TIME.match(stripped):
             continue
-        # a VTT cue IDENTIFIER is the line right before a timestamp line
+        # a VTT cue IDENTIFIER (or an SRT index — all-digit caption
+        # lines elsewhere are REAL text) is the line right before a
+        # timestamp line
         if i + 1 < len(lines) and (_VTT_TIME.match(lines[i + 1])
                                    or _SRT_TIME.match(lines[i + 1])):
             continue

@@ -1598,7 +1598,10 @@ def mkv_info(payload: bytes) -> dict:
             if size == (1 << (7 * (body - p))) - 1:  # unknown size
                 size = end - body
             if body + size > end:
-                size = end - body
+                # element overruns its container: the file is truncated
+                # or corrupt here — parsing a clamped body would yield
+                # garbage values (half a float64 reads as a float32)
+                return
             if eid in containers:
                 walk(body, body + size, depth + 1)
             elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
@@ -1898,6 +1901,16 @@ def id3_tags(payload: bytes) -> dict:
         # v2.2 bit 6 is COMPRESSION (no scheme was ever defined) — the
         # spec declares such a tag unreadable
         return {}
+    if major in (2, 3) and flags & 0x80:
+        # tag-level unsynchronisation: 0x00 was inserted after every
+        # 0xFF across the WHOLE tag (frame headers included), so
+        # de-unsync the frames region before walking it.  v2.4 moved
+        # unsync per-frame with syncsafe sizes counting the inserted
+        # bytes — a global replace would misalign it, so v2.4 bodies
+        # are parsed as stored.
+        payload = payload[:10] + payload[10:end].replace(b"\xff\x00",
+                                                         b"\xff")
+        end = len(payload)
     if major >= 3 and flags & 0x40:  # ext header: skip by its own size
         ext = 0
         for b in payload[10:14]:

@@ -166,8 +166,12 @@ def pdf_to_text(payload: bytes) -> str:
         if b"/Image" in d or b"/XObject" in d and b"/Form" not in d:
             continue
         # embedded font programs and XMP metadata inflate to binary
-        # that can contain a stray "BT" — never page content
-        if b"/FontFile" in d or b"/Metadata" in d or b"/Type1C" in d:
+        # that can contain a stray "BT" — never page content.  A real
+        # font PROGRAM stream carries /Length1 (and /Subtype /OpenType
+        # or /Type1C); /FontFile* keys live in the FontDescriptor, so
+        # they are matched only for unusual inlined layouts
+        if (b"/Length1" in d or b"/FontFile" in d or b"/Metadata" in d
+                or b"/Type1C" in d or b"/OpenType" in d):
             continue
         if b"BT" in data:  # begin-text marker: a content stream
             t = _content_text(data)

@@ -55,7 +55,7 @@ def _gunzip_members(data: bytes) -> bytes:
     measured 14 s for a 5 MB / 20k-member file, where real Common
     Crawl files are per-RECORD members.  Feeding a fresh
     ``decompressobj`` in bounded blocks caps the per-member copy at one
-    block (measured ~90× faster on the same file)."""
+    block (measured ~40× faster on the same file — PERF.md r10-late)."""
     import zlib
 
     out: list[bytes] = []

@@ -301,6 +301,10 @@ def encode_tiff(arr, compression: str = "none",
     gray = a.ndim == 2
     if palette is not None and not gray:
         raise ValueError("palette TIFF needs a 2-D index array")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if compression not in ("none", "packbits", "lzw", "deflate"):
+        raise ValueError(f"unknown compression {compression!r}")
     if gray:
         a = a[:, :, None]
     h, w, spp = a.shape

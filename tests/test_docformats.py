@@ -114,3 +114,18 @@ def test_extract_text_gzip_and_subtitles(spark):
     assert got[20] == "plain gz text"
     assert got[21] == "Gzipped caption"
     assert got[22] == "Gzipped caption"
+
+
+def test_subtitles_keep_note_like_and_numeric_captions():
+    from sparkdon.docformats import subtitle_to_text
+
+    srt = (b"1\n00:00:01,000 --> 00:00:03,000\nNOTE: he is lying.\n"
+           b"second line\n\n2\n00:00:04,000 --> 00:00:05,000\n"
+           b"The year was\n1984\nexactly\n")
+    assert subtitle_to_text(srt) == \
+        "NOTE: he is lying.\nsecond line\nThe year was\n1984\nexactly"
+
+    vtt = (b"WEBVTT\nX-TIMESTAMP-MAP=LOCAL:00:00:00.000,MPEGTS:900000\n\n"
+           b"NOTE real comment\nstill comment\n\n"
+           b"00:01.000 --> 00:02.000\nNOTEBOOKS are great\nand cheap\n")
+    assert subtitle_to_text(vtt) == "NOTEBOOKS are great\nand cheap"

@@ -2405,3 +2405,32 @@ def test_tiff_deflate_roundtrip():
             got = decode_tiff(encode_tiff(arr, compression="deflate",
                                           predictor=pred, tile=tile))
             assert (got == arr).all(), (pred, tile)
+
+
+def test_id3_v23_tag_level_unsync():
+    from sparkdon.multimodal import id3_tags
+
+    frame = b"TIT2" + (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00Hi\xff!"
+    body = frame.replace(b"\xff", b"\xff\x00")  # tag-level unsync
+    size = len(body)
+    payload = (b"ID3\x03\x00\x80"
+               + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F]) + body)
+    assert id3_tags(payload) == {"title": "Hi\xff!"}
+
+
+def test_mkv_truncated_element_stops_cleanly():
+    import struct
+
+    from sparkdon.multimodal import mkv_info
+
+    def el(eid_bytes, body):
+        return eid_bytes + struct.pack(">H", 0x4000 | len(body)) + body
+
+    header = el(b"\x1aE\xdf\xa3", el(b"\x42\x82", b"webm"))
+    dur = b"\x44\x89" + struct.pack(">H", 0x4000 | 8) + b"\x01" * 4
+    info = el(b"\x15\x49\xa9\x66", dur)  # Duration claims 8, has 4
+    mkv = header + el(b"\x18\x53\x80\x67", info)
+    # truncation inside Info: walk stops, no garbage duration
+    got = mkv_info(mkv[:len(mkv) - 1])
+    assert "duration_ms" not in got and got["doctype"] == "webm"
