@@ -298,10 +298,39 @@ def wet_documents(records: DataFrame) -> DataFrame:
     )
 
 
+#: charsets Spark's ``decode`` supports, keyed by the (lowercased)
+#: names crawled Content-Type headers actually use
+_CHARSETS = {"utf-8": "UTF-8", "utf8": "UTF-8",
+             "iso-8859-1": "ISO-8859-1", "latin-1": "ISO-8859-1",
+             "latin1": "ISO-8859-1", "us-ascii": "US-ASCII",
+             "ascii": "US-ASCII", "utf-16": "UTF-16",
+             "utf-16be": "UTF-16BE", "utf-16le": "UTF-16LE"}
+
+
+def decode_payload_text(payload_col, content_type_col) -> F.Column:
+    """Binary payload → string honoring the HTTP header's
+    ``charset=`` parameter (JVM-side ``decode``; the charsets Spark
+    supports cover the overwhelming share of crawled pages — anything
+    else falls back to UTF-8 with replacement, the same behavior a
+    bare cast gives)."""
+    cs = F.lower(F.regexp_extract(
+        F.coalesce(content_type_col, F.lit("")),
+        r"(?i)charset\s*=\s*\"?([A-Za-z0-9_-]+)", 1))
+    expr = None
+    for name, java in _CHARSETS.items():
+        if java == "UTF-8":
+            continue  # the fallback
+        cond = cs == name
+        branch = F.decode(payload_col, java)
+        expr = F.when(cond, branch) if expr is None \
+            else expr.when(cond, branch)
+    return expr.otherwise(F.decode(payload_col, "UTF-8"))
+
+
 def warc_documents(records: DataFrame) -> DataFrame:
     """HTTP 200 HTML ``response`` records → the ``documents``-table
     shape (doc_id, url, fetch_date, text).  Everything after the parse
-    stage is JVM-side: the filters, the UTF-8 cast, and the
+    stage is JVM-side: the filters, the charset-aware decode, and the
     :func:`html_to_text` chain."""
     html = records.filter(
         (F.col("warc_type") == "response")
@@ -312,5 +341,18 @@ def warc_documents(records: DataFrame) -> DataFrame:
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetch_date"),
-        html_to_text(F.col("payload").cast("string")).alias("text"),
+        html_to_text(decode_payload_text(
+            F.col("payload"), F.col("http_content_type"))).alias("text"),
     )
+
+
+def filter_blocked_hosts(docs: DataFrame, blocked: DataFrame) -> DataFrame:
+    """Drop documents whose URL host appears in a blocklist frame
+    (column ``host``, e.g. a UT1-style category list).  Broadcast
+    left-anti join — the blocklist (≤ a few M rows) ships to every
+    executor, no shuffle of the corpus side; at 100 TB this is the
+    only join shape that works for a curation filter."""
+    keyed = docs.withColumn("_host", url_host("url"))
+    small = F.broadcast(blocked.select(F.lower("host").alias("_host"))
+                        .distinct())
+    return keyed.join(small, "_host", "left_anti").drop("_host")

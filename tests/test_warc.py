@@ -173,3 +173,40 @@ def test_html_entities_single_pass_and_schemeless_urls(spark):
            df.select(canonical_url("url").alias("c")).collect()]
     assert got[:4] == urls[:4]
     assert got[4] == "http://real.com/x"
+
+
+def test_charset_aware_document_decode(spark, tmp_path):
+    latin = "<html><p>café français</p></html>".encode("latin-1")
+    recs = [
+        {"warc_type": "response", "target_uri": "http://l1.com/",
+         "record_id": "<urn:uuid:l1>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                         "charset=ISO-8859-1",
+         "payload": latin},
+        {"warc_type": "response", "target_uri": "http://u8.com/",
+         "record_id": "<urn:uuid:u8>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+         "payload": "<html><p>café utf8</p></html>".encode()},
+    ]
+    (tmp_path / "c.warc").write_bytes(warc_bytes(recs))
+    docs = {r["doc_id"]: r["text"] for r in
+            warc_documents(read_warc(spark, str(tmp_path))).collect()}
+    assert docs["<urn:uuid:l1>"] == "café français"
+    assert docs["<urn:uuid:u8>"] == "café utf8"
+
+
+def test_filter_blocked_hosts(spark):
+    from sparkdon.sources.warc import filter_blocked_hosts
+
+    docs = spark.createDataFrame(
+        [("a", "http://Bad.com/x", "d", "t"),
+         ("b", "http://good.com/y", "d", "t"),
+         ("c", "https://sub.bad.com/z", "d", "t")],
+        "doc_id string, url string, fetch_date string, text string")
+    blocked = spark.createDataFrame([("BAD.com",)], "host string")
+    kept = filter_blocked_hosts(docs, blocked)
+    assert {r["doc_id"] for r in kept.collect()} == {"b", "c"}
+    assert kept.columns == docs.columns
+    # broadcast side asserted in the plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
