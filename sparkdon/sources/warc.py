@@ -198,6 +198,48 @@ def warc_bytes(records: list[dict], gzip_per_record: bool = False) -> bytes:
     return out.getvalue()
 
 
+def write_warc(records: DataFrame, path: str,
+               gzip_per_record: bool = True) -> None:
+    """Distributed WARC sink: each partition writes ONE
+    ``part-NNNNN.warc[.gz]`` file — the same file-parallel unit
+    :func:`read_warc` scans back (and Common Crawl's own layout).
+    ``response`` rows get a minimal HTTP envelope re-synthesized from
+    ``http_status`` / ``http_content_type``, so logical fields
+    round-trip.  Executors write directly to ``path``, which must be
+    a filesystem every executor can reach (local dir in local mode,
+    NFS/fuse mount on a cluster) — for engine-native storage use
+    parquet; this sink exists for interop with WARC tooling."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if gzip_per_record else ".warc"
+
+    def run(rows) -> None:
+        from pyspark import TaskContext
+
+        recs = []
+        for r in rows:
+            rec = {"warc_type": r["warc_type"],
+                   "record_id": r["record_id"],
+                   "warc_date": r["warc_date"],
+                   "target_uri": r["target_uri"],
+                   "content_type": r["content_type"],
+                   "payload": bytes(r["payload"] or b"")}
+            if r["warc_type"] == "response" and r["http_status"]:
+                ct = r["http_content_type"] or "application/octet-stream"
+                rec["http_headers"] = (f"HTTP/1.1 {r['http_status']} "
+                                       f"Response\r\nContent-Type: {ct}")
+            recs.append(rec)
+        if not recs:
+            return
+        part = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{part:05d}{suffix}")
+        with open(out, "wb") as f:
+            f.write(warc_bytes(recs, gzip_per_record=gzip_per_record))
+
+    records.foreachPartition(run)
+
+
 #: HTML named entities worth decoding without a parser (the numeric
 #: forms are handled generically).  ``&amp;`` is NOT here — it must be
 #: decoded LAST, after every other entity pass, or double-escaped

@@ -210,3 +210,25 @@ def test_filter_blocked_hosts(spark):
     # broadcast side asserted in the plan
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    from sparkdon.sources.warc import write_warc
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc.gz").write_bytes(
+        warc_bytes(RECORDS, gzip_per_record=True))
+    records = read_warc(spark, str(tmp_path / "in")).repartition(2)
+    out = str(tmp_path / "out")
+    write_warc(records, out)
+
+    again = read_warc(spark, out)
+    want = read_warc(spark, str(tmp_path / "in"))
+    cols = ["record_id", "warc_type", "target_uri", "http_status",
+            "http_content_type", "payload_length"]
+    assert sorted(map(tuple, again.select(cols).collect())) == \
+        sorted(map(tuple, want.select(cols).collect()))
+    # payload bytes survive exactly (HTTP envelope re-synthesized)
+    a = {r["record_id"]: bytes(r["payload"]) for r in again.collect()}
+    w = {r["record_id"]: bytes(r["payload"]) for r in want.collect()}
+    assert a == w
