@@ -388,6 +388,35 @@ def warc_documents(records: DataFrame) -> DataFrame:
     )
 
 
+def extract_links(records: DataFrame) -> DataFrame:
+    """HTTP 200 HTML ``response`` records → the web-graph edge list
+    ``(src, dst, dst_host)``: every absolute http(s) ``href`` in each
+    page, extracted JVM-side (``regexp_extract_all`` + explode — whole
+    pipeline stays in codegen).  This is the input a PageRank-style
+    authority scorer (pipeline/clusters.py ``x_pagerank``'s Pregel
+    loop) consumes for CCNet/RefinedWeb-style quality weighting.
+    Relative links are skipped — resolving them needs the RFC 3986
+    merge, which belongs Python-side if ever needed."""
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.coalesce(F.col("http_content_type"), F.lit(""))
+        .contains("html"))
+    text = decode_payload_text(F.col("payload"),
+                               F.col("http_content_type"))
+    hrefs = F.expr(
+        r"""regexp_extract_all(_page, 'href\\s*=\\s*["\']([^"\'#\\s>]+)',"""
+        " 1)")
+    edges = (html
+             .select(F.col("target_uri").alias("src"),
+                     text.alias("_page"))
+             .select("src", F.explode(hrefs).alias("dst"))
+             .filter(F.col("dst").rlike(r"^https?://")))
+    return edges.select(
+        "src", canonical_url("dst").alias("dst"),
+        url_host("dst").alias("dst_host"))
+
+
 def filter_blocked_hosts(docs: DataFrame, blocked: DataFrame) -> DataFrame:
     """Drop documents whose URL host appears in a blocklist frame
     (column ``host``, e.g. a UT1-style category list).  Broadcast

@@ -232,3 +232,27 @@ def test_write_warc_roundtrip(spark, tmp_path):
     a = {r["record_id"]: bytes(r["payload"]) for r in again.collect()}
     w = {r["record_id"]: bytes(r["payload"]) for r in want.collect()}
     assert a == w
+
+
+def test_extract_links_edge_list(spark, tmp_path):
+    from sparkdon.sources.warc import extract_links
+
+    page = (b"<html><body>"
+            b'<a href="http://Other.com/x?utm_source=t">one</a>'
+            b"<a href='https://second.com/y#frag'>two</a>"
+            b'<a href="/relative/skipped">three</a>'
+            b'<a href="mailto:a@b.c">four</a>'
+            b"</body></html>")
+    recs = [{"warc_type": "response", "target_uri": "http://src.com/p",
+             "record_id": "<urn:uuid:s>",
+             "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+             "payload": page}]
+    (tmp_path / "l.warc").write_bytes(warc_bytes(recs))
+    edges = extract_links(read_warc(spark, str(tmp_path)))
+    got = {(r["src"], r["dst"], r["dst_host"]) for r in edges.collect()}
+    assert got == {
+        ("http://src.com/p", "http://other.com/x", "other.com"),
+        ("http://src.com/p", "https://second.com/y", "second.com"),
+    }
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # whole chain stays JVM-side
