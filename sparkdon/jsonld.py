@@ -56,11 +56,14 @@ class _Ctx:
         self.base = base
         self.language: str | None = None
         self.triples: list[tuple] = []
-        self._bn = 0
+        #: single shared counter box: every context derived from this
+        #: one allocates from the SAME sequence, so distinct anonymous
+        #: nodes can never collide across nested/sibling contexts
+        self._bn_box = [0]
 
     def bnode(self) -> BNode:
-        self._bn += 1
-        return BNode(f"jb{self._bn}")
+        self._bn_box[0] += 1
+        return BNode(f"jb{self._bn_box[0]}")
 
     def child(self) -> "_Ctx":
         c = _Ctx(self.base)
@@ -68,7 +71,7 @@ class _Ctx:
         c.vocab = self.vocab
         c.language = self.language
         c.triples = self.triples  # shared sink
-        c._bn = 0
+        c._bn_box = self._bn_box  # shared counter
         return c
 
     # -- context processing ------------------------------------------------
@@ -77,7 +80,6 @@ class _Ctx:
         if ctx is None:
             return self
         out = self.child()
-        out._bn = self._bn  # keep the bnode counter global
         for one in (ctx if isinstance(ctx, list) else [ctx]):
             if one is None:
                 out.terms, out.vocab, out.language = {}, None, None
@@ -104,31 +106,37 @@ class _Ctx:
                     out.terms[term] = defn
                 else:
                     raise ValueError(f"bad term definition {term!r}")
-        # terms may reference each other (compact IRIs) — resolve after
-        self._bn = out._bn
         return out
 
     # -- IRI expansion -----------------------------------------------------
 
-    def expand_iri(self, value: str, vocab: bool = False):
+    def expand_iri(self, value: str, vocab: bool = False,
+                   _seen: frozenset = frozenset()):
         """Expand a string in IRI position: keyword, bnode, term,
-        compact IRI, absolute, then @vocab (property position) or
-        @base (reference position)."""
+        compact IRI (prefixes expanded recursively, cycle-guarded),
+        absolute, then @vocab (property position) or @base (reference
+        position).  Keyword ALIASES ("type": "@type") return the
+        keyword string for the caller to handle."""
         if value.startswith("@"):
             return value
         if value.startswith("_:"):
             return BNode("u." + value[2:])
-        if value in self.terms:
+        if value in self.terms and value not in _seen:
             mapped = self.terms[value].get("@id", value)
+            if mapped.startswith("@"):
+                return mapped  # keyword alias
             if mapped != value:
-                expanded = self.expand_iri(mapped, vocab)
+                expanded = self.expand_iri(mapped, vocab,
+                                           _seen | {value})
                 if isinstance(expanded, (IRI, BNode)):
                     return expanded
         pfx, sep, local = value.partition(":")
         if sep:
-            if pfx in self.terms and not local.startswith("//"):
-                ns = self.terms[pfx].get("@id", "")
-                return IRI(ns + local)
+            if pfx in self.terms and pfx not in _seen \
+                    and not local.startswith("//"):
+                ns = self.expand_iri(self.terms[pfx].get("@id", ""),
+                                     True, _seen | {pfx})
+                return IRI(str(ns) + local)
             if _ABSOLUTE.match(value) or pfx in ("urn", "mailto", "tag"):
                 return IRI(value)
         if vocab and self.vocab is not None:
@@ -146,6 +154,12 @@ def _scalar_literal(ctx: _Ctx, v) -> Literal:
     if isinstance(v, int):
         return Literal(str(v), XSD + "integer")
     if isinstance(v, float):
+        import math
+
+        if math.isinf(v):
+            return Literal("INF" if v > 0 else "-INF", XSD + "double")
+        if math.isnan(v):
+            return Literal("NaN", XSD + "double")
         # canonical xsd:double lexical form (JSON-LD 1.0 §data-round-
         # tripping): minimal mantissa with a '.', exponent without
         # leading zeros — 2.5 → "2.5E0"
@@ -226,23 +240,51 @@ def _node_object(ctx: _Ctx, node: dict):
     if "@reverse" in node:
         raise NotImplementedError("@reverse")
     ctx = ctx.push_context(node.get("@context"))
-    subj = ctx.expand_iri(node["@id"]) if "@id" in node else ctx.bnode()
+    # keyword aliases ("id": "@id", "type": "@type") are valid 1.0 and
+    # ubiquitous in schema.org-style data — resolve key meanings first
+    aliased_id = None
+    handled: set[str] = set()
+    for key in node:
+        if key in _KEYWORDS:
+            continue
+        if ctx.terms.get(key, {}).get("@id") == "@id":
+            aliased_id = node[key]
+            handled.add(key)
+    if "@id" in node:
+        subj = ctx.expand_iri(node["@id"])
+    elif aliased_id is not None:
+        subj = ctx.expand_iri(aliased_id)
+    else:
+        subj = ctx.bnode()
     if isinstance(subj, str) and not isinstance(subj, (IRI, BNode)):
         subj = IRI(subj)
     for t in _as_list(node.get("@type")):
         ctx.triples.append((subj, RDF_TYPE, ctx.expand_iri(t, vocab=True)))
     for key, value in node.items():
-        if key in _KEYWORDS:
+        if key in _KEYWORDS or key in handled:
             continue
         term_def = ctx.terms.get(key, {})
         pred = ctx.expand_iri(key, vocab=True)
-        if isinstance(pred, str) and pred.startswith("@"):
+        if pred == "@type":  # aliased @type
+            for t in _as_list(value):
+                ctx.triples.append(
+                    (subj, RDF_TYPE, ctx.expand_iri(t, vocab=True)))
             continue
+        if isinstance(pred, str) and pred.startswith("@"):
+            continue  # other aliased keywords carry no triples here
+        if ":" not in str(pred):
+            continue  # expands to a relative IRI: dropped (JSON-LD 1.0
+            # drops keys that do not expand to an absolute IRI)
         if not isinstance(pred, IRI):
-            if ":" not in str(pred):
-                continue  # unmapped term with no @vocab: dropped (spec)
             pred = IRI(str(pred))
-        values = _as_list(value)
+        values = []
+        for v in _as_list(value):
+            # inline {"@set": [...]} is transparent (spec: @set
+            # disappears on expansion)
+            if isinstance(v, dict) and "@set" in v:
+                values.extend(_as_list(v["@set"]))
+            else:
+                values.append(v)
         if term_def.get("@container") == "@list" \
                 and not (len(values) == 1 and isinstance(values[0], dict)
                          and "@list" in values[0]):
@@ -283,7 +325,6 @@ def parse_jsonld(document, base: str | None = None) -> list[tuple]:
                                      if k != "@graph"})
         else:
             _node_object(local, item)
-        ctx._bn = local._bn
     return [_encode_triple(s, p, o) for s, p, o in ctx.triples]
 
 

@@ -209,33 +209,46 @@ def write_warc(records: DataFrame, path: str,
     a filesystem every executor can reach (local dir in local mode,
     NFS/fuse mount on a cluster) — for engine-native storage use
     parquet; this sink exists for interop with WARC tooling."""
+    import glob
     import os
 
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: stale part files from a previous (wider)
+    # write would otherwise be silently mixed back in by read_warc
+    for old_part in glob.glob(os.path.join(path, "part-*.warc*")):
+        os.remove(old_part)
     suffix = ".warc.gz" if gzip_per_record else ".warc"
 
     def run(rows) -> None:
         from pyspark import TaskContext
 
-        recs = []
-        for r in rows:
-            rec = {"warc_type": r["warc_type"],
-                   "record_id": r["record_id"],
-                   "warc_date": r["warc_date"],
-                   "target_uri": r["target_uri"],
-                   "content_type": r["content_type"],
-                   "payload": bytes(r["payload"] or b"")}
-            if r["warc_type"] == "response" and r["http_status"]:
-                ct = r["http_content_type"] or "application/octet-stream"
-                rec["http_headers"] = (f"HTTP/1.1 {r['http_status']} "
-                                       f"Response\r\nContent-Type: {ct}")
-            recs.append(rec)
-        if not recs:
-            return
-        part = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{part:05d}{suffix}")
-        with open(out, "wb") as f:
-            f.write(warc_bytes(recs, gzip_per_record=gzip_per_record))
+        f = None
+        try:
+            for r in rows:
+                rec = {"warc_type": r["warc_type"],
+                       "record_id": r["record_id"],
+                       "warc_date": r["warc_date"],
+                       "target_uri": r["target_uri"],
+                       "content_type": r["content_type"],
+                       "payload": bytes(r["payload"] or b"")}
+                if r["warc_type"] == "response" and r["http_status"]:
+                    ct = (r["http_content_type"]
+                          or "application/octet-stream")
+                    rec["http_headers"] = (
+                        f"HTTP/1.1 {r['http_status']} "
+                        f"Response\r\nContent-Type: {ct}")
+                if f is None:  # lazily: empty partitions write nothing
+                    part = TaskContext.get().partitionId()
+                    f = open(os.path.join(
+                        path, f"part-{part:05d}{suffix}"), "wb")
+                # one record at a time: a ~1 GB partition never
+                # materializes in executor memory (each record is its
+                # own gzip member, so per-record framing is identical)
+                f.write(warc_bytes([rec],
+                                   gzip_per_record=gzip_per_record))
+        finally:
+            if f is not None:
+                f.close()
 
     records.foreachPartition(run)
 
@@ -369,16 +382,22 @@ def decode_payload_text(payload_col, content_type_col) -> F.Column:
     return expr.otherwise(F.decode(payload_col, "UTF-8"))
 
 
+def _html_responses(records: DataFrame) -> DataFrame:
+    """The shared successful-HTML-response predicate — the SAME rows
+    must feed the documents table and the link graph."""
+    return records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.coalesce(F.col("http_content_type"), F.lit(""))
+        .contains("html"))
+
+
 def warc_documents(records: DataFrame) -> DataFrame:
     """HTTP 200 HTML ``response`` records → the ``documents``-table
     shape (doc_id, url, fetch_date, text).  Everything after the parse
     stage is JVM-side: the filters, the charset-aware decode, and the
     :func:`html_to_text` chain."""
-    html = records.filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.coalesce(F.col("http_content_type"), F.lit(""))
-        .contains("html"))
+    html = _html_responses(records)
     return html.select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
@@ -395,17 +414,14 @@ def extract_links(records: DataFrame) -> DataFrame:
     pipeline stays in codegen).  This is the input a PageRank-style
     authority scorer (pipeline/clusters.py ``x_pagerank``'s Pregel
     loop) consumes for CCNet/RefinedWeb-style quality weighting.
-    Relative links are skipped — resolving them needs the RFC 3986
-    merge, which belongs Python-side if ever needed."""
-    html = records.filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.coalesce(F.col("http_content_type"), F.lit(""))
-        .contains("html"))
+    hrefs match case-insensitively, quoted or not; relative links are
+    skipped — resolving them needs the RFC 3986 merge, which belongs
+    Python-side if ever needed."""
+    html = _html_responses(records)
     text = decode_payload_text(F.col("payload"),
                                F.col("http_content_type"))
     hrefs = F.expr(
-        r"""regexp_extract_all(_page, 'href\\s*=\\s*["\']([^"\'#\\s>]+)',"""
+        r"""regexp_extract_all(_page, '(?i)href\\s*=\\s*["\']?([^"\'#\\s>]+)',"""
         " 1)")
     edges = (html
              .select(F.col("target_uri").alias("src"),

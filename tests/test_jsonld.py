@@ -137,3 +137,54 @@ def test_to_jsonld_roundtrip():
     rows = parse_turtle(ttl)
     again = parse_jsonld(to_jsonld(rows))
     assert ground(again) == ground(rows)
+
+
+def test_review_fixes_bnode_identity_set_aliases():
+    # distinct anonymous nodes stay distinct across nested contexts
+    doc = {"@id": EX + "s",
+           EX + "p": {"@context": {}, EX + "q": "v1"},
+           EX + "r": {EX + "q": "v2"}}
+    rows = parse_jsonld(json.dumps(doc))
+    anon = {r[1] for r in rows if r[0] == "bnode"}
+    assert len(anon) == 2
+
+    # inline @set is transparent, not a swallowed nested node
+    rows = parse_jsonld(json.dumps(
+        {"@id": EX + "s", EX + "p": {"@set": ["a", "b"]}}))
+    assert {(r[4]) for r in rows} == {"a", "b"}
+
+    # keyword aliases: "id"/"type" mappings behave as @id/@type
+    doc = {"@context": {"id": "@id", "type": "@type",
+                        "@vocab": EX},
+           "id": EX + "thing", "type": EX + "T", "p": "x"}
+    rows = sorted(parse_jsonld(json.dumps(doc)))
+    assert ("iri", EX + "thing",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "iri", EX + "T", None, None) in rows
+    assert ("iri", EX + "thing", EX + "p", "lit", "x", None, None) in rows
+    assert len(rows) == 2
+
+
+def test_review_fixes_relative_pred_cycles_nonfinite():
+    # unmapped key with no @vocab: dropped, not a relative-IRI predicate
+    rows = parse_jsonld(json.dumps({"@id": EX + "s", "name": "x"}))
+    assert rows == []
+
+    # prefix definitions expand recursively
+    doc = {"@context": {"ex": EX, "v": "ex:vocab/"},
+           "@id": EX + "s", "v:name": "n"}
+    rows = parse_jsonld(json.dumps(doc))
+    assert rows[0][2] == EX + "vocab/name"
+
+    # mutually-referencing terms terminate instead of recursing forever
+    doc = {"@context": {"a": {"@id": "b"}, "b": {"@id": "a"},
+                        "@vocab": EX},
+           "@id": EX + "s", "a": "x"}
+    rows = parse_jsonld(json.dumps(doc))
+    assert len(rows) == 1  # falls back to @vocab expansion
+
+    # nonstandard Infinity/NaN JSON literals -> xsd:double lexicals
+    rows = sorted(parse_jsonld(
+        '{"@id": "http://e/s", "http://e/p": Infinity, '
+        '"http://e/q": NaN}'))
+    assert {r[4] for r in rows} == {"INF", "NaN"}

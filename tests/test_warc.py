@@ -256,3 +256,31 @@ def test_extract_links_edge_list(spark, tmp_path):
     }
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # whole chain stays JVM-side
+
+
+def test_extract_links_uppercase_and_unquoted(spark, tmp_path):
+    from sparkdon.sources.warc import extract_links
+
+    page = (b'<html><A HREF="http://upper.com/a">x</A>'
+            b"<a href=http://unquoted.com/b>y</a></html>")
+    recs = [{"warc_type": "response", "target_uri": "http://s.com/",
+             "record_id": "<urn:uuid:u>",
+             "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+             "payload": page}]
+    (tmp_path / "u.warc").write_bytes(warc_bytes(recs))
+    got = {r["dst"] for r in
+           extract_links(read_warc(spark, str(tmp_path))).collect()}
+    assert got == {"http://upper.com/a", "http://unquoted.com/b"}
+
+
+def test_write_warc_overwrites_stale_parts(spark, tmp_path):
+    from sparkdon.sources.warc import write_warc
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc").write_bytes(warc_bytes(RECORDS))
+    records = read_warc(spark, str(tmp_path / "in"))
+    out = str(tmp_path / "out")
+    write_warc(records.repartition(4), out)
+    write_warc(records.repartition(1), out)  # narrower re-write
+    again = read_warc(spark, out)
+    assert again.count() == len(RECORDS)  # no stale parts mixed in
