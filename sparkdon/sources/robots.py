@@ -6,10 +6,10 @@ post-hoc (opt-out compliance): the crawl itself contains each host's
 ``/robots.txt`` response, so the rule set needs no extra fetching.
 
 Scale shape: the rules frame is tiny relative to the corpus (one host
-emits a handful of rows), so :func:`filter_by_robots` BROADCASTS it —
-the corpus side never shuffles.  Longest-match resolution is a
-``max_by`` over a lexicographic (match-length, allow) struct under a
-hash aggregate keyed by doc — AQE-splittable, no window.
+emits a handful of rows), so :func:`filter_by_robots` collapses it to
+one array-of-structs row per host and BROADCASTS that — the corpus
+side joins 1:1 and never shuffles; longest-match resolution is one
+``aggregate`` higher-order function in the projection.
 
 Rule matching implements RFC 9309 §2.2.2: most-specific (longest)
 matching path wins; on a tie Allow wins; no matching rule → allowed.
@@ -78,33 +78,54 @@ def parse_robots(text: str, host: str) -> list[tuple]:
 
 
 def robots_rules(records: DataFrame) -> DataFrame:
-    """Extract and parse every host's ``/robots.txt`` response from a
-    crawl's record frame → the rules frame :func:`filter_by_robots`
-    consumes.  Narrow Arrow stage over the (few) robots rows."""
+    """Extract and parse robots rules from a crawl's record frame →
+    the rules frame :func:`filter_by_robots` consumes.
+
+    Per host the NEWEST capture wins (http+https and recrawl captures
+    of the same host otherwise merge into one rule set, letting a
+    stale long ``Allow`` outrank a fresh ``Disallow`` via
+    longest-match).  Hosts whose robots.txt returned 5xx emit a
+    disallow-all row — RFC 9309 §2.3.1.4 mandates assuming complete
+    disallow when robots is unreachable.  Host keys come from the same
+    :func:`url_host` the filter side uses (ports/userinfo stripped
+    identically).  BOM-prefixed bodies parse correctly
+    (``utf-8-sig``)."""
 
     def run(batches) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows: list[tuple] = []
-            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
-                host = uri.split("://", 1)[-1].split("/", 1)[0].lower()
-                body = bytes(payload or b"").decode("utf-8", "replace")
+            for host, payload, status in zip(pdf["host"], pdf["payload"],
+                                             pdf["status"]):
+                if status is not None and 500 <= status < 600:
+                    rows.append((host, "*", False, "/"))
+                    continue
+                body = bytes(payload or b"").decode("utf-8-sig",
+                                                    "replace")
                 rows.extend(parse_robots(body, host))
             yield pd.DataFrame(rows, columns=["host", "agent", "allow",
                                               "path"])
 
     robots = records.filter(
         (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
+        & (F.col("http_status").isNotNull())
+        & ((F.col("http_status") == 200)
+           | F.col("http_status").between(500, 599))
         & F.col("target_uri").rlike(r"^https?://[^/]+/robots\.txt$"))
-    return robots.mapInPandas(run, RULES_SCHEMA).dropDuplicates()
+    newest = (robots
+              .groupBy(url_host("target_uri").alias("host"))
+              .agg(F.max_by(F.struct(F.col("payload").alias("payload"),
+                                     F.col("http_status").alias("status")),
+                            F.col("warc_date")).alias("_r"))
+              .select("host", "_r.payload", "_r.status"))
+    return newest.mapInPandas(run, RULES_SCHEMA).dropDuplicates()
 
 
 def _like_pattern(path_col) -> F.Column:
     """Rule path → SQL LIKE pattern: ``*`` → ``%``, ``$`` end-anchor
     honored, otherwise prefix match (trailing ``%``)."""
-    esc = F.regexp_replace(path_col, r"([%_\\\\])", r"\\$1")
+    esc = F.regexp_replace(path_col, r"([%_\\])", r"\\$1")
     starred = F.regexp_replace(esc, r"\*", "%")
     anchored = F.col("_anchored")
     return F.when(anchored,
@@ -116,8 +137,14 @@ def filter_by_robots(docs: DataFrame, rules: DataFrame,
                      agent: str = "*") -> DataFrame:
     """Keep only documents the rule set allows for ``agent``
     (lowercased; a host's specific-agent group overrides its ``*``
-    group, RFC 9309 §2.2.1).  Rules broadcast; corpus never shuffles
-    except the per-doc verdict hash-agg."""
+    group, RFC 9309 §2.2.1).
+
+    Zero corpus shuffle: the rules collapse to ONE array-of-structs
+    row per host, broadcast-join 1:1 onto the documents, and the
+    longest-match / Allow-wins verdict (§2.2.2) is a single
+    ``aggregate`` higher-order function in the projection.  Documents
+    pass through byte-identical — no grouping, so duplicate rows and
+    non-orderable (map) columns survive untouched."""
     agent = agent.lower()
     r = rules.filter(F.col("agent").isin(agent, "*"))
     # specific-agent group overrides '*' per host
@@ -133,27 +160,29 @@ def filter_by_robots(docs: DataFrame, rules: DataFrame,
     r = r.filter(F.col("path") != "")
     r = (r.withColumn("_anchored", F.col("path").endswith("$"))
          .withColumn("_pat", _like_pattern(F.col("path")))
-         .withColumn("_len", F.length("path"))
-         .select("host", "allow", "_pat", "_len"))
+         .withColumn("_len", F.length("path")))
+    per_host = (r.groupBy(F.col("host").alias("_rb_host"))
+                .agg(F.collect_list(
+                    F.struct(F.col("_len").alias("len"),
+                             F.col("allow").alias("allow"),
+                             F.col("_pat").alias("pat")))
+                    .alias("_rb_rules")))
 
-    keyed = docs.withColumn("_host", url_host("url")).withColumn(
-        "_path", F.coalesce(
-            F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+"
-                                    r"([^#]*)", 1), F.lit("")))
-    keyed = keyed.withColumn(
-        "_path", F.when(F.col("_path") == "", "/").otherwise(
-            F.col("_path")))
-    hits = keyed.join(F.broadcast(r), keyed["_host"] == r["host"],
-                      "left").withColumn(
-        "_match", F.col("_pat").isNotNull()
-        & F.expr("_path LIKE _pat"))
-    # RFC 9309: longest matching rule wins; tie → Allow wins.
-    # struct(len, allow) max is exactly that lexicographic order.
-    verdict = (hits.groupBy(*[F.col(c) for c in docs.columns])
-               .agg(F.max(F.when(F.col("_match"),
-                                 F.struct(F.col("_len"),
-                                          F.col("allow"))))
-                    .alias("_best")))
-    return (verdict.filter(F.col("_best").isNull()
-                           | F.col("_best.allow"))
-            .drop("_best"))
+    keyed = (docs
+             .withColumn("_rb_host", url_host("url"))
+             .withColumn("_rb_path", F.regexp_extract(
+                 "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
+             .withColumn("_rb_path",
+                         F.when(F.col("_rb_path") == "", "/")
+                         .otherwise(F.col("_rb_path"))))
+    joined = keyed.join(F.broadcast(per_host), "_rb_host", "left")
+    # one fold over the host's rules: keep the best MATCHING rule,
+    # longer wins, equal length prefers Allow; len -1 = nothing matched
+    verdict = F.expr(
+        "aggregate(_rb_rules, struct(-1 AS len, true AS allow), "
+        " (acc, r) -> IF(_rb_path LIKE r.pat AND "
+        "   (r.len > acc.len OR (r.len = acc.len AND r.allow)), "
+        "   struct(r.len AS len, r.allow AS allow), acc))")
+    return (joined
+            .filter(F.col("_rb_rules").isNull() | verdict["allow"])
+            .drop("_rb_host", "_rb_path", "_rb_rules"))

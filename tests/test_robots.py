@@ -80,3 +80,66 @@ def test_robots_rules_from_crawl(spark, tmp_path):
     assert ("*", False, "/private/") in got
     assert ("badbot", False, "/") in got
     assert rules.filter("host != 'h.com'").count() == 0
+
+
+def test_review_fixes_bom_port_5xx_and_stale_capture(spark, tmp_path):
+    # BOM-prefixed robots bodies must parse (a fully-disallowed host
+    # was previously treated as allow-all)
+    recs = [
+        {"warc_type": "response",
+         "target_uri": "http://bom.com:8080/robots.txt",
+         "record_id": "<urn:uuid:b>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+         "payload": "﻿User-agent: *\nDisallow: /\n".encode()},
+        # 5xx robots: RFC 9309 mandates assume-complete-disallow
+        {"warc_type": "response", "target_uri": "http://down.com/robots.txt",
+         "record_id": "<urn:uuid:d>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 503 Unavailable\r\nContent-Type: text/plain",
+         "payload": b"oops"},
+        # two captures of one host: the NEWEST must win
+        {"warc_type": "response", "target_uri": "http://re.com/robots.txt",
+         "record_id": "<urn:uuid:old>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+         "payload": b"User-agent: *\nAllow: /private/data\n"},
+        {"warc_type": "response", "target_uri": "https://re.com/robots.txt",
+         "record_id": "<urn:uuid:new>", "warc_date": "2024-06-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+         "payload": b"User-agent: *\nDisallow: /private/\n"},
+    ]
+    (tmp_path / "x.warc").write_bytes(warc_bytes(recs))
+    rules = robots_rules(read_warc(spark, str(tmp_path)))
+    got = {(r["host"], r["allow"], r["path"]) for r in rules.collect()}
+    assert ("bom.com", False, "/") in got        # BOM + port stripped
+    assert ("down.com", False, "/") in got       # 5xx disallow-all
+    assert ("re.com", False, "/private/") in got  # newest capture
+    assert ("re.com", True, "/private/data") not in got  # stale gone
+
+    # ...and the filter joins on the SAME host key (port stripped)
+    docs = spark.createDataFrame(
+        [("p", "http://bom.com:8080/page", "2024", "t"),
+         ("q", "http://re.com/private/data/x", "2024", "t"),
+         ("z", "http://down.com/a", "2024", "t")],
+        "doc_id string, url string, fetch_date string, text string")
+    kept = {r["doc_id"] for r in filter_by_robots(docs, rules).collect()}
+    assert kept == set()
+
+
+def test_filter_preserves_duplicates_and_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    rules = spark.createDataFrame(
+        [("h.com", "*", False, "/private/")],
+        "host string, agent string, allow boolean, path string")
+    docs = spark.createDataFrame(
+        [("a", "http://h.com/ok", "2024", "t"),
+         ("a", "http://h.com/ok", "2024", "t"),  # duplicate row
+         ("b", "http://h.com/private/x", "2024", "t")],
+        "doc_id string, url string, fetch_date string, text string"
+    ).withColumn("meta", F.create_map(F.lit("k"), F.lit("v")))
+    out = filter_by_robots(docs, rules).collect()
+    # duplicates preserved (no grouping), map column survives
+    assert [r["doc_id"] for r in out] == ["a", "a"]
+    assert out[0]["meta"] == {"k": "v"}
+    plan = filter_by_robots(docs, rules) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
