@@ -122,6 +122,58 @@ def robots_rules(records: DataFrame) -> DataFrame:
     return newest.mapInPandas(run, RULES_SCHEMA).dropDuplicates()
 
 
+def parse_sitemap(xml: str) -> list[tuple]:
+    """One sitemap.xml body → ``(loc, lastmod, kind)`` rows, where
+    ``kind`` is ``url`` (urlset entries) or ``sitemap`` (sitemapindex
+    entries, for the caller to fetch/recurse).  Regex-tolerant of the
+    namespace and ordering variation real sitemaps show."""
+    import re
+
+    rows: list[tuple] = []
+    for m in re.finditer(r"(?s)<(url|sitemap)\b[^>]*>(.*?)</\1>", xml):
+        kind, body = m.group(1), m.group(2)
+        loc = re.search(r"(?s)<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>", body)
+        if not loc:
+            continue
+        lastmod = re.search(r"(?s)<lastmod[^>]*>\s*([^<]+?)\s*</lastmod>",
+                            body)
+        rows.append((loc.group(1), lastmod.group(1) if lastmod else None,
+                     "url" if kind == "url" else "sitemap"))
+    return rows
+
+
+def sitemap_urls(records: DataFrame) -> DataFrame:
+    """Extract URL inventories from the sitemap responses present in a
+    crawl → ``(host, loc, lastmod, kind)``.  The freshness frontier:
+    joined against the crawled documents' canonical URLs it yields the
+    not-yet-fetched and changed-since-lastmod URL sets."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from sparkdon.sources.warc import _gunzip_members
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for host, payload in zip(pdf["host"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                if raw[:2] == b"\x1f\x8b":  # sitemap.xml.gz
+                    raw = _gunzip_members(raw)
+                xml = raw.decode("utf-8-sig", "replace")
+                rows.extend((host,) + r for r in parse_sitemap(xml))
+            yield pd.DataFrame(rows, columns=["host", "loc", "lastmod",
+                                              "kind"])
+
+    maps = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("target_uri").rlike(r"(?i)sitemap[^/]*\.xml(\.gz)?$"))
+    keyed = maps.select(url_host("target_uri").alias("host"), "payload")
+    return keyed.mapInPandas(
+        run, "host string, loc string, lastmod string, kind string") \
+        .dropDuplicates()
+
+
 def _like_pattern(path_col) -> F.Column:
     """Rule path → SQL LIKE pattern: ``*`` → ``%``, ``$`` end-anchor
     honored, otherwise prefix match (trailing ``%``)."""

@@ -433,6 +433,25 @@ def extract_links(records: DataFrame) -> DataFrame:
         url_host("dst").alias("dst_host"))
 
 
+def crawl_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Snapshot diff for continuous-pretraining refreshes: documents
+    keyed by canonical URL, compared by content hash →
+    ``(url, status ∈ added|removed|changed|unchanged)``.  One
+    full-outer equi-join on the canonical key — the inherent minimum
+    for a diff; both sides reduce to (key, 16-byte hash) FIRST, so the
+    shuffle never carries document text."""
+    o = old_docs.select(canonical_url("url").alias("url"),
+                        F.md5(F.col("text").cast("binary")).alias("_oh"))
+    n = new_docs.select(canonical_url("url").alias("url"),
+                        F.md5(F.col("text").cast("binary")).alias("_nh"))
+    full = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("_oh").isNull(), "added")
+              .when(F.col("_nh").isNull(), "removed")
+              .when(F.col("_oh") != F.col("_nh"), "changed")
+              .otherwise("unchanged"))
+    return full.select("url", status.alias("status"))
+
+
 def filter_blocked_hosts(docs: DataFrame, blocked: DataFrame) -> DataFrame:
     """Drop documents whose URL host appears in a blocklist frame
     (column ``host``, e.g. a UT1-style category list).  Broadcast

@@ -143,3 +143,43 @@ def test_filter_preserves_duplicates_and_map_columns(spark):
     plan = filter_by_robots(docs, rules) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sitemap_parsing_and_extraction(spark, tmp_path):
+    import gzip
+
+    from sparkdon.sources.robots import parse_sitemap, sitemap_urls
+
+    urlset = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://h.com/a</loc><lastmod>2024-01-02</lastmod></url>
+      <url><lastmod>2024</lastmod><loc> http://h.com/b </loc></url>
+      <url><priority>0.5</priority></url>
+    </urlset>"""
+    assert parse_sitemap(urlset) == [
+        ("http://h.com/a", "2024-01-02", "url"),
+        ("http://h.com/b", "2024", "url"),
+    ]
+    index = """<sitemapindex>
+      <sitemap><loc>http://h.com/sitemap-2.xml</loc></sitemap>
+    </sitemapindex>"""
+    assert parse_sitemap(index) == [
+        ("http://h.com/sitemap-2.xml", None, "sitemap")]
+
+    recs = [
+        {"warc_type": "response", "target_uri": "http://h.com/sitemap.xml",
+         "record_id": "<urn:uuid:s1>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: application/xml",
+         "payload": urlset.encode()},
+        {"warc_type": "response",
+         "target_uri": "http://g.com/sitemap-news.xml.gz",
+         "record_id": "<urn:uuid:s2>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: application/gzip",
+         "payload": gzip.compress(index.encode())},
+    ]
+    (tmp_path / "s.warc").write_bytes(warc_bytes(recs))
+    got = {(r["host"], r["loc"], r["kind"]) for r in
+           sitemap_urls(read_warc(spark, str(tmp_path))).collect()}
+    assert got == {("h.com", "http://h.com/a", "url"),
+                   ("h.com", "http://h.com/b", "url"),
+                   ("g.com", "http://h.com/sitemap-2.xml", "sitemap")}

@@ -284,3 +284,23 @@ def test_write_warc_overwrites_stale_parts(spark, tmp_path):
     write_warc(records.repartition(1), out)  # narrower re-write
     again = read_warc(spark, out)
     assert again.count() == len(RECORDS)  # no stale parts mixed in
+
+
+def test_crawl_diff(spark):
+    from sparkdon.sources.warc import crawl_diff
+
+    old = spark.createDataFrame(
+        [("a", "http://h.com/same", "d", "text one"),
+         ("b", "http://h.com/changed", "d", "old text"),
+         ("c", "http://h.com/gone", "d", "bye")],
+        "doc_id string, url string, fetch_date string, text string")
+    new = spark.createDataFrame(
+        [("a2", "http://WWW.h.com/same", "d", "text one"),  # canonical match
+         ("b2", "http://h.com/changed", "d", "NEW text"),
+         ("d2", "http://h.com/fresh", "d", "hi")],
+        "doc_id string, url string, fetch_date string, text string")
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {"http://h.com/same": "unchanged",
+                   "http://h.com/changed": "changed",
+                   "http://h.com/gone": "removed",
+                   "http://h.com/fresh": "added"}
