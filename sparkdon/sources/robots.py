@@ -126,27 +126,67 @@ def parse_sitemap(xml: str) -> list[tuple]:
     """One sitemap.xml body → ``(loc, lastmod, kind)`` rows, where
     ``kind`` is ``url`` (urlset entries) or ``sitemap`` (sitemapindex
     entries, for the caller to fetch/recurse).  Regex-tolerant of the
-    namespace and ordering variation real sitemaps show."""
+    namespace/ordering variation real sitemaps show; CDATA-wrapped
+    values (common CMS output) and the spec-mandated XML entity
+    escaping (``&amp;`` &c.) are both handled — unescaped locs can
+    never join against crawled canonical URLs."""
+    import html
     import re
 
     rows: list[tuple] = []
     for m in re.finditer(r"(?s)<(url|sitemap)\b[^>]*>(.*?)</\1>", xml):
         kind, body = m.group(1), m.group(2)
+        body = re.sub(r"(?s)<!\[CDATA\[(.*?)\]\]>", r"\1", body)
         loc = re.search(r"(?s)<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>", body)
         if not loc:
             continue
         lastmod = re.search(r"(?s)<lastmod[^>]*>\s*([^<]+?)\s*</lastmod>",
                             body)
-        rows.append((loc.group(1), lastmod.group(1) if lastmod else None,
+        rows.append((html.unescape(loc.group(1)),
+                     html.unescape(lastmod.group(1)) if lastmod else None,
                      "url" if kind == "url" else "sitemap"))
     return rows
+
+
+def _sitemap_hints(records: DataFrame) -> DataFrame:
+    """``Sitemap:`` directive URLs from the crawl's robots.txt bodies —
+    the authoritative discovery signal (RFC 9309 allows sitemaps at
+    ANY path, including query strings the shape regex can't see)."""
+
+    def run(batches) -> Iterator:
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls: list[str] = []
+            for payload in pdf["payload"]:
+                body = bytes(payload or b"").decode("utf-8-sig",
+                                                    "replace")
+                urls.extend(m.group(1) for m in re.finditer(
+                    r"(?im)^\s*sitemap\s*:\s*(\S+)", body))
+            yield pd.DataFrame({"_hint": urls})
+
+    robots = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("target_uri").rlike(r"^https?://[^/]+/robots\.txt$"))
+    return robots.select("payload").mapInPandas(run, "_hint string") \
+        .dropDuplicates()
 
 
 def sitemap_urls(records: DataFrame) -> DataFrame:
     """Extract URL inventories from the sitemap responses present in a
     crawl → ``(host, loc, lastmod, kind)``.  The freshness frontier:
     joined against the crawled documents' canonical URLs it yields the
-    not-yet-fetched and changed-since-lastmod URL sets."""
+    not-yet-fetched and changed-since-lastmod URL sets.
+
+    Discovery = conventional URL shapes (``…sitemap*.xml[.gz]``) UNION
+    whatever the hosts' own robots.txt ``Sitemap:`` directives name
+    (broadcast semi-join — sitemaps live at arbitrary paths).  Per
+    sitemap URL the NEWEST capture wins, mirroring
+    :func:`robots_rules` — stale recrawl captures would otherwise emit
+    conflicting ``lastmod`` rows for the same loc."""
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -164,12 +204,20 @@ def sitemap_urls(records: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["host", "loc", "lastmod",
                                               "kind"])
 
-    maps = records.filter(
+    hinted = records.join(
+        F.broadcast(_sitemap_hints(records)),
+        records["target_uri"] == F.col("_hint"), "left_semi")
+    shaped = records.filter(
+        F.col("target_uri").rlike(r"(?i)sitemap[^/]*\.xml(\.gz)?($|\?)"))
+    maps = shaped.unionByName(hinted).filter(
         (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("target_uri").rlike(r"(?i)sitemap[^/]*\.xml(\.gz)?$"))
-    keyed = maps.select(url_host("target_uri").alias("host"), "payload")
-    return keyed.mapInPandas(
+        & (F.col("http_status") == 200))
+    newest = (maps
+              .groupBy(url_host("target_uri").alias("host"),
+                       F.col("target_uri"))
+              .agg(F.max_by(F.col("payload"), F.col("warc_date"))
+                   .alias("payload")))
+    return newest.mapInPandas(
         run, "host string, loc string, lastmod string, kind string") \
         .dropDuplicates()
 

@@ -433,20 +433,38 @@ def extract_links(records: DataFrame) -> DataFrame:
         url_host("dst").alias("dst_host"))
 
 
+def _diff_side(docs: DataFrame, hash_name: str,
+               flag_name: str) -> DataFrame:
+    """One snapshot reduced to exactly one (canonical url, 8-byte
+    xxhash64, presence flag) row — newest fetch wins, null text hashes
+    as a sentinel so nullness below can mean ONLY "absent side"."""
+    text = F.coalesce(F.col("text"), F.lit("\x00<null-text>"))
+    return (docs
+            .select(canonical_url("url").alias("url"),
+                    F.xxhash64(text).alias(hash_name),
+                    F.col("fetch_date").alias("_fd"))
+            .groupBy("url")
+            .agg(F.max_by(F.col(hash_name), F.col("_fd")).alias(hash_name),
+                 F.lit(True).alias(flag_name)))
+
+
 def crawl_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """Snapshot diff for continuous-pretraining refreshes: documents
     keyed by canonical URL, compared by content hash →
-    ``(url, status ∈ added|removed|changed|unchanged)``.  One
-    full-outer equi-join on the canonical key — the inherent minimum
-    for a diff; both sides reduce to (key, 16-byte hash) FIRST, so the
+    ``(url, status ∈ added|removed|changed|unchanged)``.
+
+    Each side first reduces to ONE row per canonical key (newest fetch
+    wins — recrawl/http+https captures would otherwise fan the join
+    out into conflicting rows), carrying an 8-byte ``xxhash64`` and an
+    explicit presence flag (null TEXT hashes as a sentinel, so flag
+    nullness below can only mean "absent on that side").  Then one
+    full-outer equi-join — the inherent minimum for a diff — whose
     shuffle never carries document text."""
-    o = old_docs.select(canonical_url("url").alias("url"),
-                        F.md5(F.col("text").cast("binary")).alias("_oh"))
-    n = new_docs.select(canonical_url("url").alias("url"),
-                        F.md5(F.col("text").cast("binary")).alias("_nh"))
+    o = _diff_side(old_docs, "_oh", "_in_old")
+    n = _diff_side(new_docs, "_nh", "_in_new")
     full = o.join(n, "url", "full_outer")
-    status = (F.when(F.col("_oh").isNull(), "added")
-              .when(F.col("_nh").isNull(), "removed")
+    status = (F.when(F.col("_in_old").isNull(), "added")
+              .when(F.col("_in_new").isNull(), "removed")
               .when(F.col("_oh") != F.col("_nh"), "changed")
               .otherwise("unchanged"))
     return full.select("url", status.alias("status"))

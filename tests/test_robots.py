@@ -183,3 +183,45 @@ def test_sitemap_parsing_and_extraction(spark, tmp_path):
     assert got == {("h.com", "http://h.com/a", "url"),
                    ("h.com", "http://h.com/b", "url"),
                    ("g.com", "http://h.com/sitemap-2.xml", "sitemap")}
+
+
+def test_sitemap_cdata_entities_hints_and_newest(spark, tmp_path):
+    from sparkdon.sources.robots import parse_sitemap, sitemap_urls
+
+    # CDATA and entity-escaped locs both decode
+    xml = ("<urlset><url><loc><![CDATA[http://h.com/cdata]]></loc></url>"
+           "<url><loc>http://h.com/p?a=1&amp;b=2</loc></url></urlset>")
+    assert parse_sitemap(xml) == [
+        ("http://h.com/cdata", None, "url"),
+        ("http://h.com/p?a=1&b=2", None, "url")]
+
+    # discovery via robots 'Sitemap:' directive at an unconventional
+    # path + newest capture per sitemap URL wins
+    odd = "http://h.com/index.php?feed=pages"
+    recs = [
+        {"warc_type": "response", "target_uri": "http://h.com/robots.txt",
+         "record_id": "<urn:uuid:r>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+         "payload": f"User-agent: *\nDisallow:\nSitemap: {odd}\n".encode()},
+        {"warc_type": "response", "target_uri": odd,
+         "record_id": "<urn:uuid:m>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/xml",
+         "payload": b"<urlset><url><loc>http://h.com/only-via-hint</loc>"
+                    b"</url></urlset>"},
+        {"warc_type": "response", "target_uri": "http://h.com/sitemap.xml",
+         "record_id": "<urn:uuid:o>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/xml",
+         "payload": b"<urlset><url><loc>http://h.com/x</loc>"
+                    b"<lastmod>2024-01-01</lastmod></url></urlset>"},
+        {"warc_type": "response", "target_uri": "http://h.com/sitemap.xml",
+         "record_id": "<urn:uuid:n>", "warc_date": "2024-06-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/xml",
+         "payload": b"<urlset><url><loc>http://h.com/x</loc>"
+                    b"<lastmod>2024-06-01</lastmod></url></urlset>"},
+    ]
+    (tmp_path / "m.warc").write_bytes(warc_bytes(recs))
+    got = {(r["loc"], r["lastmod"]) for r in
+           sitemap_urls(read_warc(spark, str(tmp_path))).collect()}
+    assert ("http://h.com/only-via-hint", None) in got
+    assert ("http://h.com/x", "2024-06-01") in got
+    assert ("http://h.com/x", "2024-01-01") not in got  # stale capture

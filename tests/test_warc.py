@@ -304,3 +304,24 @@ def test_crawl_diff(spark):
                    "http://h.com/changed": "changed",
                    "http://h.com/gone": "removed",
                    "http://h.com/fresh": "added"}
+
+
+def test_crawl_diff_null_text_and_duplicate_keys(spark):
+    from sparkdon.sources.warc import crawl_diff
+
+    old = spark.createDataFrame(
+        [("a", "http://h.com/null-gone", "2024-01", None),   # null text
+         ("b", "http://h.com/dup", "2024-01", "v1")],
+        "doc_id string, url string, fetch_date string, text string")
+    new = spark.createDataFrame(
+        [("c", "http://h.com/dup", "2024-02", "v2"),          # newest
+         ("d", "http://WWW.h.com/dup", "2024-01", "v1"),      # stale twin
+         ("e", "http://h.com/null-fresh", "2024-02", None)],
+        "doc_id string, url string, fetch_date string, text string")
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    # null text is a value, not a missing side
+    assert got["http://h.com/null-gone"] == "removed"
+    assert got["http://h.com/null-fresh"] == "added"
+    # duplicate canonical keys resolve to the newest capture: one row
+    assert got["http://h.com/dup"] == "changed"
+    assert len(got) == 3
