@@ -448,6 +448,50 @@ def _diff_side(docs: DataFrame, hash_name: str,
                  F.lit(True).alias(flag_name)))
 
 
+#: stopword marker sets for the lang vote — deliberately small and
+#: high-frequency; swap in fuller per-language sets for production
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of", "to"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "es": ("el", "los", "que", "es", "una"),
+}
+
+
+def lang_guess(col) -> F.Column:
+    """Stopword-vote language guess as a pure JVM expression: count
+    each language's marker tokens, take the argmax (ties resolve by
+    language code — deterministic), ``unk`` when nothing matches.
+    The same heuristic family as pipeline.text's ``x_lang_id`` gate,
+    generalized to several languages for crawl curation."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"\s+")
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*marks))).alias("n"),
+            F.lit(lang).alias("lang"))
+        for lang, marks in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best["n"] > 0, best["lang"]).otherwise("unk")
+
+
+def to_documents_table(docs: DataFrame) -> DataFrame:
+    """Crawl documents → the engine's canonical ``documents`` table
+    shape (doc_id bigint, text, lang, source, n_chars) — the exact
+    schema every pipeline operator (dedup / quality / LM scoring /
+    sampling / packing) consumes, so curated crawl output drops
+    straight into them.  doc_id is the 64-bit hash of the canonical
+    URL (deterministic across runs); source is the host."""
+    return docs.select(
+        F.xxhash64(canonical_url("url")).alias("doc_id"),
+        "text",
+        lang_guess("text").alias("lang"),
+        url_host("url").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def crawl_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """Snapshot diff for continuous-pretraining refreshes: documents
     keyed by canonical URL, compared by content hash →

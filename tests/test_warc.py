@@ -325,3 +325,41 @@ def test_crawl_diff_null_text_and_duplicate_keys(spark):
     # duplicate canonical keys resolve to the newest capture: one row
     assert got["http://h.com/dup"] == "changed"
     assert len(got) == 3
+
+
+def test_to_documents_table_schema_and_lang(spark, tmp_path):
+    from sparkdon.sources.warc import to_documents_table
+
+    recs = [
+        {"warc_type": "response", "target_uri": "http://en.site.com/a",
+         "record_id": "<urn:uuid:e>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+         "payload": b"<html><p>the cat is on the roof of the house"
+                    b" and it is happy to be there</p></html>"},
+        {"warc_type": "response", "target_uri": "http://de.seite.de/b",
+         "record_id": "<urn:uuid:d>",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+         "payload": "<html><p>der hund ist nicht im haus und die katze "
+                    "ist auch nicht da</p></html>".encode()},
+    ]
+    (tmp_path / "d.warc").write_bytes(warc_bytes(recs))
+    docs = to_documents_table(
+        warc_documents(read_warc(spark, str(tmp_path))))
+
+    # the EXACT canonical documents-table schema the pipeline reads
+    canonical = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert [(f.name, f.dataType) for f in docs.schema.fields] == \
+        [(f.name, f.dataType) for f in canonical.schema.fields]
+
+    rows = {r["source"]: r for r in docs.collect()}
+    assert rows["en.site.com"]["lang"] == "en"
+    assert rows["de.seite.de"]["lang"] == "de"
+    for r in rows.values():
+        assert r["n_chars"] == len(r["text"])
+        assert isinstance(r["doc_id"], int)
+
+    # deterministic ids: same crawl → same ids
+    again = to_documents_table(
+        warc_documents(read_warc(spark, str(tmp_path))))
+    assert {r["doc_id"] for r in again.collect()} == \
+        {r["doc_id"] for r in docs.collect()}
