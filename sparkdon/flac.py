@@ -489,24 +489,31 @@ def flac_tags(payload: bytes) -> dict:
     body, so a corrupt count cannot hang the metadata pass."""
     blocks, _ = _walk_metadata(payload)
     for btype, body in blocks:
-        if btype != 4:
-            continue
-        out: dict = {}
-        vlen = int.from_bytes(body[0:4], "little")
-        p = 4 + vlen
-        n = int.from_bytes(body[p:p + 4], "little")
-        p += 4
-        for _ in range(n):
-            if p + 4 > len(body):
-                break  # corrupt count — stop at the block boundary
-            clen = int.from_bytes(body[p:p + 4], "little")
-            p += 4
-            item = body[p:p + clen].decode("utf-8", "replace")
-            p += clen
-            k, _, v = item.partition("=")
-            out.setdefault(k.upper(), v)
-        return out
+        if btype == 4:
+            return _vorbis_comments(body)
     return {}
+
+
+def _vorbis_comments(body: bytes) -> dict:
+    """The Vorbis comment structure (vendor string + KEY=value list) —
+    shared verbatim by FLAC, Ogg Vorbis and Opus tags.  The count is
+    untrusted: the loop is bounded by the body, so a corrupt count
+    cannot hang the metadata pass."""
+    out: dict = {}
+    vlen = int.from_bytes(body[0:4], "little")
+    p = 4 + vlen
+    n = int.from_bytes(body[p:p + 4], "little")
+    p += 4
+    for _ in range(n):
+        if p + 4 > len(body):
+            break  # corrupt count — stop at the block boundary
+        clen = int.from_bytes(body[p:p + 4], "little")
+        p += 4
+        item = body[p:p + clen].decode("utf-8", "replace")
+        p += clen
+        k, _, v = item.partition("=")
+        out.setdefault(k.upper(), v)
+    return out
 
 
 def decode_ogg_flac(payload: bytes):
@@ -601,3 +608,80 @@ def encode_ogg_flac(samples, rate: int, **kw) -> bytes:
                  bytes(data))
         continued = False
     return bytes(out)
+
+
+def _ogg_packets(payload: bytes, limit: int = 3):
+    """First ``limit`` packets of the FIRST logical Ogg bitstream,
+    plus the stream's final granule position (RFC 3533 lacing: a
+    packet ends at a lacing value < 255)."""
+    import struct
+
+    packets: list[bytes] = []
+    current = bytearray()
+    serial = None
+    last_granule = 0
+    pos = 0
+    while pos + 27 <= len(payload):
+        if payload[pos:pos + 4] != b"OggS":
+            break
+        granule, ser = struct.unpack_from("<qI", payload, pos + 6)
+        nsegs = payload[pos + 26]
+        table = payload[pos + 27:pos + 27 + nsegs]
+        body = pos + 27 + nsegs
+        if serial is None:
+            serial = ser
+        if ser == serial:
+            if granule not in (-1, 0):
+                last_granule = granule
+            off = body
+            for lace in table:
+                if len(packets) < limit:
+                    current += payload[off:off + lace]
+                    if lace < 255:
+                        packets.append(bytes(current))
+                        current = bytearray()
+                off += lace
+        pos = body + sum(table)
+    return packets, last_granule
+
+
+def ogg_info(payload: bytes) -> dict:
+    """Ogg container metadata for the codecs a corpus actually holds:
+    Vorbis (``\\x01vorbis`` id header → channels/rate, ``\\x03vorbis``
+    comments), Opus (``OpusHead``/``OpusTags``), and FLAC-in-Ogg
+    (delegates to the native tag walk).  Duration derives from the
+    final granule position (PCM samples for Vorbis/FLAC, 48 kHz ticks
+    minus pre-skip for Opus).  Unknown mappings return just the codec
+    magic-free ``{}`` — best-effort, per the metadata-stage contract."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg container (missing OggS)")
+    packets, last_granule = _ogg_packets(payload)
+    if not packets:
+        return {}
+    p0 = packets[0]
+    out: dict = {}
+    if p0[:7] == b"\x01vorbis":
+        out["codec"] = "vorbis"
+        out["channels"] = p0[11]
+        rate = struct.unpack_from("<I", p0, 12)[0]
+        out["sample_rate"] = rate
+        if rate and last_granule:
+            out["duration_ms"] = last_granule * 1000 // rate
+        if len(packets) > 1 and packets[1][:7] == b"\x03vorbis":
+            out.update(_vorbis_comments(packets[1][7:]))
+    elif p0[:8] == b"OpusHead":
+        out["codec"] = "opus"
+        out["channels"] = p0[9]
+        preskip = struct.unpack_from("<H", p0, 10)[0]
+        out["sample_rate"] = struct.unpack_from("<I", p0, 12)[0]
+        if last_granule:
+            out["duration_ms"] = max(0, last_granule - preskip) \
+                * 1000 // 48000
+        if len(packets) > 1 and packets[1][:8] == b"OpusTags":
+            out.update(_vorbis_comments(packets[1][8:]))
+    elif p0[:5] == b"\x7fFLAC":
+        out["codec"] = "flac"
+        out.update(flac_tags(ogg_to_native(payload)))
+    return out

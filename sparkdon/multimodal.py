@@ -1750,9 +1750,9 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     elif raw[:4] == b"fLaC":
                         md = flac_tags(raw)
                     elif raw[:4] == b"OggS":
-                        from sparkdon.flac import ogg_to_native
+                        from sparkdon.flac import ogg_info
 
-                        md = flac_tags(ogg_to_native(raw))
+                        md = ogg_info(raw)
                     elif raw[:8] == _PNG_SIG:
                         md = png_metadata(raw)
                     elif raw[:4] == b"RIFF":

@@ -2434,3 +2434,73 @@ def test_mkv_truncated_element_stops_cleanly():
     # truncation inside Info: walk stops, no garbage duration
     got = mkv_info(mkv[:len(mkv) - 1])
     assert "duration_ms" not in got and got["doctype"] == "webm"
+
+
+def _ogg_page(serial, seq, granule, packets, header_type=0):
+    import struct
+
+    segs, data = [], b""
+    for pk in packets:
+        segs += [255] * (len(pk) // 255) + [len(pk) % 255]
+        data += pk
+    return (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<qIIi", granule, serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + data)
+
+
+def _vorbis_comment_block(tags):
+    body = (4).to_bytes(4, "little") + b"test"
+    body += len(tags).to_bytes(4, "little")
+    for k, v in tags.items():
+        item = f"{k}={v}".encode()
+        body += len(item).to_bytes(4, "little") + item
+    return body
+
+
+def test_ogg_vorbis_and_opus_info(spark):
+    import struct
+
+    from sparkdon.flac import ogg_info
+    from sparkdon.multimodal import extract_metadata
+
+    # Vorbis: id header (packet 1) + comments (packet 2)
+    ident = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+             + struct.pack("<I", 44100) + b"\x00" * 13)
+    comments = b"\x03vorbis" + _vorbis_comment_block(
+        {"TITLE": "Oggy", "ARTIST": "Band"}) + b"\x01"
+    vorbis = (_ogg_page(7, 0, 0, [ident], header_type=2)
+              + _ogg_page(7, 1, 0, [comments])
+              + _ogg_page(7, 2, 88200, [b"\x00audio"], header_type=4))
+    got = ogg_info(vorbis)
+    assert got["codec"] == "vorbis" and got["channels"] == 2
+    assert got["sample_rate"] == 44100 and got["duration_ms"] == 2000
+    assert got["TITLE"] == "Oggy"
+
+    # Opus: OpusHead + OpusTags; 48kHz granule minus pre-skip
+    head = (b"OpusHead\x01" + bytes([1]) + struct.pack("<H", 312)
+            + struct.pack("<I", 16000) + b"\x00\x00\x00")
+    tags = b"OpusTags" + _vorbis_comment_block({"TITLE": "Opusy"})
+    opus = (_ogg_page(9, 0, 0, [head], header_type=2)
+            + _ogg_page(9, 1, 0, [tags])
+            + _ogg_page(9, 2, 48000 + 312, [b"\x00a"], header_type=4))
+    got = ogg_info(opus)
+    assert got["codec"] == "opus" and got["channels"] == 1
+    assert got["duration_ms"] == 1000 and got["TITLE"] == "Opusy"
+
+    # the metadata stage routes OggS through ogg_info now
+    media = spark.createDataFrame(
+        [(30, "audio", bytearray(vorbis), ("audio/ogg", None, None, None))],
+        "media_id long, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = extract_metadata(media).collect()[0]["metadata"]
+    assert md["codec"] == "vorbis" and md["TITLE"] == "Oggy"
+
+
+def test_ogg_flac_info_still_tagged():
+    from sparkdon.flac import encode_ogg_flac, ogg_info
+
+    import numpy as np
+
+    samples = np.zeros((512, 1), dtype=np.int16)
+    got = ogg_info(encode_ogg_flac(samples, 8000))
+    assert got["codec"] == "flac"
