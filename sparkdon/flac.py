@@ -649,10 +649,13 @@ def ogg_info(payload: bytes) -> dict:
     """Ogg container metadata for the codecs a corpus actually holds:
     Vorbis (``\\x01vorbis`` id header → channels/rate, ``\\x03vorbis``
     comments), Opus (``OpusHead``/``OpusTags``), and FLAC-in-Ogg
-    (delegates to the native tag walk).  Duration derives from the
-    final granule position (PCM samples for Vorbis/FLAC, 48 kHz ticks
-    minus pre-skip for Opus).  Unknown mappings return just the codec
-    magic-free ``{}`` — best-effort, per the metadata-stage contract."""
+    (native tag walk + STREAMINFO rate/channels/duration).  Duration
+    derives from the final granule position (PCM samples for
+    Vorbis/FLAC, 48 kHz ticks minus pre-skip for Opus), emitted only
+    when positive — corrupt granules stay out of the corpus.
+    Truncated header packets degrade to whatever fields fit; unknown
+    mappings (Theora, Speex, …) return ``{}`` — best-effort, per the
+    metadata-stage contract."""
     import struct
 
     if payload[:4] != b"OggS":
@@ -664,24 +667,40 @@ def ogg_info(payload: bytes) -> dict:
     out: dict = {}
     if p0[:7] == b"\x01vorbis":
         out["codec"] = "vorbis"
-        out["channels"] = p0[11]
-        rate = struct.unpack_from("<I", p0, 12)[0]
-        out["sample_rate"] = rate
-        if rate and last_granule:
-            out["duration_ms"] = last_granule * 1000 // rate
+        if len(p0) >= 16:  # truncated id headers degrade gracefully
+            out["channels"] = p0[11]
+            rate = struct.unpack_from("<I", p0, 12)[0]
+            out["sample_rate"] = rate
+            if rate and last_granule > 0:
+                out["duration_ms"] = last_granule * 1000 // rate
         if len(packets) > 1 and packets[1][:7] == b"\x03vorbis":
             out.update(_vorbis_comments(packets[1][7:]))
     elif p0[:8] == b"OpusHead":
         out["codec"] = "opus"
-        out["channels"] = p0[9]
-        preskip = struct.unpack_from("<H", p0, 10)[0]
-        out["sample_rate"] = struct.unpack_from("<I", p0, 12)[0]
-        if last_granule:
-            out["duration_ms"] = max(0, last_granule - preskip) \
-                * 1000 // 48000
+        if len(p0) >= 16:
+            out["channels"] = p0[9]
+            preskip = struct.unpack_from("<H", p0, 10)[0]
+            out["sample_rate"] = struct.unpack_from("<I", p0, 12)[0]
+            if last_granule > 0:
+                out["duration_ms"] = max(0, last_granule - preskip) \
+                    * 1000 // 48000
         if len(packets) > 1 and packets[1][:8] == b"OpusTags":
             out.update(_vorbis_comments(packets[1][8:]))
     elif p0[:5] == b"\x7fFLAC":
         out["codec"] = "flac"
-        out.update(flac_tags(ogg_to_native(payload)))
+        native = ogg_to_native(payload)
+        out.update(flac_tags(native))
+        for btype, body in _walk_metadata(native)[0]:
+            if btype == 0:  # STREAMINFO: rate/channels/duration
+                br = _Bits(body)
+                br.read(16 + 16 + 24 + 24)
+                rate = br.read(20)
+                out["channels"] = br.read(3) + 1
+                br.read(5)
+                total = br.read(36)
+                out["sample_rate"] = rate
+                samples = total or max(0, last_granule)
+                if rate and samples:
+                    out["duration_ms"] = samples * 1000 // rate
+                break
     return out

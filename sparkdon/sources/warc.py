@@ -476,13 +476,21 @@ def lang_guess(col) -> F.Column:
     return F.when(best["n"] > 0, best["lang"]).otherwise("unk")
 
 
-def to_documents_table(docs: DataFrame) -> DataFrame:
+def to_documents_table(docs: DataFrame,
+                       assume_unique: bool = False) -> DataFrame:
     """Crawl documents → the engine's canonical ``documents`` table
     shape (doc_id bigint, text, lang, source, n_chars) — the exact
     schema every pipeline operator (dedup / quality / LM scoring /
     sampling / packing) consumes, so curated crawl output drops
     straight into them.  doc_id is the 64-bit hash of the canonical
-    URL (deterministic across runs); source is the host."""
+    URL (deterministic across runs); source is the host.
+
+    doc_id must be a KEY downstream, so multiple captures of one
+    canonical URL first collapse to the newest fetch
+    (:func:`dedup_latest_by_url`); pass ``assume_unique=True`` to
+    skip that shuffle when the input is already URL-deduped."""
+    if not assume_unique:
+        docs = dedup_latest_by_url(docs)
     return docs.select(
         F.xxhash64(canonical_url("url")).alias("doc_id"),
         "text",

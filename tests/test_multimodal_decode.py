@@ -2504,3 +2504,30 @@ def test_ogg_flac_info_still_tagged():
     samples = np.zeros((512, 1), dtype=np.int16)
     got = ogg_info(encode_ogg_flac(samples, 8000))
     assert got["codec"] == "flac"
+
+
+def test_ogg_info_robustness_and_flac_duration():
+    import numpy as np
+
+    from sparkdon.flac import encode_ogg_flac, ogg_info
+
+    # truncated id headers degrade to just the codec key
+    assert ogg_info(_ogg_page(3, 0, 0, [b"\x01vorbis\x00\x00"],
+                              header_type=2)) == {"codec": "vorbis"}
+    assert ogg_info(_ogg_page(3, 0, 0, [b"OpusHead\x01"],
+                              header_type=2)) == {"codec": "opus"}
+
+    # a corrupt negative granule must not emit a negative duration
+    import struct
+    ident = (b"\x01vorbis" + b"\x00" * 4 + bytes([1])
+             + struct.pack("<I", 8000) + b"\x00" * 13)
+    bad = (_ogg_page(4, 0, 0, [ident], header_type=2)
+           + _ogg_page(4, 1, -5, [b"x"], header_type=4))
+    got = ogg_info(bad)
+    assert "duration_ms" not in got and got["sample_rate"] == 8000
+
+    # FLAC-in-Ogg now reports rate/channels/duration from STREAMINFO
+    samples = np.zeros((4000, 1), dtype=np.int16)
+    got = ogg_info(encode_ogg_flac(samples, 8000))
+    assert got["codec"] == "flac" and got["sample_rate"] == 8000
+    assert got["channels"] == 1 and got["duration_ms"] == 500

@@ -363,3 +363,14 @@ def test_to_documents_table_schema_and_lang(spark, tmp_path):
         warc_documents(read_warc(spark, str(tmp_path))))
     assert {r["doc_id"] for r in again.collect()} == \
         {r["doc_id"] for r in docs.collect()}
+
+
+def test_to_documents_table_collapses_captures(spark):
+    from sparkdon.sources.warc import to_documents_table
+
+    docs = spark.createDataFrame(
+        [("a", "http://h.com/x?utm_source=t", "2024-01", "old"),
+         ("b", "http://www.h.com/x", "2024-06", "new")],
+        "doc_id string, url string, fetch_date string, text string")
+    rows = to_documents_table(docs).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"  # doc_id is a key
