@@ -60,3 +60,59 @@ def test_crawl_curation_composes(spark, tmp_path):
     assert ("<urn:uuid:b1>", "<urn:uuid:b2>") in pairs
     flat = {d for p in pairs for d in p}
     assert "<urn:uuid:c>" not in flat  # unique page pairs with nothing
+
+
+def test_full_curation_pipeline_composes(spark, tmp_path):
+    """The end-to-end shape a training-data pipeline runs: WARC →
+    robots opt-out filter → canonical documents table → learned
+    quality filter → MinHash duplicate pairs — every stage from this
+    repo, one flow."""
+    from sparkdon.sources.robots import filter_by_robots, robots_rules
+    from sparkdon.sources.warc import to_documents_table
+    from sparkdon.pipeline.text import (quality_lr_features,
+                                        quality_lr_predict,
+                                        quality_lr_train)
+
+    records = [
+        {"warc_type": "response", "target_uri": "http://site.com/robots.txt",
+         "record_id": "<urn:uuid:rob>", "warc_date": "2024-01-01T00:00:00Z",
+         "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+         "payload": b"User-agent: *\nDisallow: /private/\n"},
+        _page("good", "http://site.com/good", "2024-01-01T00:00:00Z",
+              "the quality of a document is a function of the words in "
+              "it and the care of the author because the reader is the "
+              "judge of the value and the writer is the servant of the "
+              "reader in all of the ways that matter to the craft"),
+        _page("priv", "http://site.com/private/secret",
+              "2024-01-01T00:00:00Z", "opted out " + BODY),
+        _page("m1", "http://mirror-a.com/doc", "2024-01-01T00:00:00Z", BODY),
+        _page("m2", "http://mirror-b.com/doc", "2024-01-02T00:00:00Z", BODY),
+        _page("junk", "http://spam.com/x", "2024-01-01T00:00:00Z",
+              "zzz qqq"),
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+
+    raw = read_warc(spark, str(tmp_path))
+    docs = to_documents_table(
+        filter_by_robots(warc_documents(raw), robots_rules(raw)))
+    by_source = {r["source"]: r for r in docs.collect()}
+    assert "site.com" in by_source and len(by_source) == 4
+    assert "opted out" not in " ".join(
+        r["text"] for r in by_source.values())  # robots filter held
+
+    feats = quality_lr_features(docs)
+    w, hist = quality_lr_train(feats, iters=15)
+    preds = {r["doc_id"]: r for r in
+             quality_lr_predict(feats, w).collect()}
+    junk_id = by_source["spam.com"]["doc_id"]
+    good_id = by_source["site.com"]["doc_id"]
+    assert preds[junk_id]["y"] == 0.0  # weak label marks junk
+    assert preds[good_id]["y"] == 1.0
+    assert len(preds) == 4
+
+    pairs = {tuple(sorted((r["d1"], r["d2"])))
+             for r in routed_minhash_pairs(docs).collect()}
+    mirrors = tuple(sorted((by_source["mirror-a.com"]["doc_id"],
+                            by_source["mirror-b.com"]["doc_id"])))
+    assert mirrors in pairs
