@@ -178,6 +178,58 @@ def looks_like_subtitles(raw: bytes) -> bool:
             and _SRT_TIME.match(lines[1]) is not None)
 
 
+#: environments whose CONTENT is not prose (dropped whole); document
+#: structure environments are unwrapped instead
+_TEX_DROP_ENVS = ("equation", "align", "gather", "eqnarray", "figure",
+                  "table", "tabular", "tikzpicture", "verbatim",
+                  "lstlisting", "thebibliography")
+
+#: commands whose argument IS the text (unwrap braces)
+_TEX_UNWRAP = ("textbf", "textit", "emph", "underline", "texttt",
+               "section", "subsection", "subsubsection", "paragraph",
+               "chapter", "title", "author", "caption", "footnote",
+               "mbox", "text")
+
+
+def latex_to_text(src: str) -> str:
+    """LaTeX source → prose (the arXiv-dump extraction shape).  A
+    documented HEURISTIC de-markup, not a TeX engine: comments, math
+    (inline and display), non-prose environments, and unknown commands
+    drop; text-carrying commands unwrap their argument; special-char
+    escapes restore.  The goal is training-corpus text, where a lost
+    formula beats leaked markup."""
+    s = re.sub(r"(?<!\\)%[^\n]*", "", src)             # comments
+    m = re.search(r"\\begin\{document\}(.*)\\end\{document\}", s,
+                  re.S)
+    if m:
+        s = m.group(1)
+    for env in _TEX_DROP_ENVS:
+        s = re.sub(rf"(?s)\\begin\{{{env}\*?\}}.*?\\end\{{{env}\*?\}}",
+                   " ", s)
+    s = re.sub(r"(?s)\$\$.*?\$\$|\\\[.*?\\\]|\\\(.*?\\\)", " ", s)
+    s = re.sub(r"(?s)(?<!\\)\$[^$]*\$", " ", s)        # inline math
+    s = re.sub(r"\\(begin|end)\{[^}]*\}", " ", s)      # env wrappers
+    for _ in range(3):  # nested unwraps: \emph{\textbf{x}}
+        s = re.sub(rf"\\(?:{'|'.join(_TEX_UNWRAP)})\*?"
+                   r"(?:\[[^\]]*\])?\{([^{}]*)\}", r"\1", s)
+    s = re.sub(r"\\(?:cite|ref|eqref|label|input|include|usepackage|"
+               r"includegraphics|bibliography(?:style)?|documentclass)"
+               r"\*?(?:\[[^\]]*\])?\{[^}]*\}", " ", s)
+    s = re.sub(r"\\[A-Za-z@]+\*?(?:\[[^\]]*\])?", " ", s)  # leftovers
+    s = re.sub(r"\\([%&_$#{}])", r"\1", s)             # escapes
+    s = s.replace("~", " ").replace("{", "").replace("}", "")
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r" ?\n[ \n]*\n[ \n]*", "\n\n", s)       # paragraphs
+    s = re.sub(r" ?\n ?", "\n", s)
+    return s.strip()
+
+
+def looks_like_latex(raw: bytes) -> bool:
+    """Cheap magic for the extract_text dispatcher (TeX has none)."""
+    head = raw[:4096]
+    return b"\\documentclass" in head or b"\\begin{document}" in head
+
+
 # --- writer twins for round-trip tests -------------------------------------
 
 def text_to_docx(paragraphs: list[str]) -> bytes:

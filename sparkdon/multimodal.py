@@ -1303,7 +1303,8 @@ def extract_text(media: DataFrame) -> DataFrame:
     def run(batches) -> Iterator:
         import pandas as pd
 
-        from sparkdon.docformats import (looks_like_subtitles,
+        from sparkdon.docformats import (latex_to_text, looks_like_latex,
+                                         looks_like_subtitles,
                                          subtitle_to_text,
                                          zip_document_text)
         from sparkdon.pdf import pdf_to_text
@@ -1323,6 +1324,9 @@ def extract_text(media: DataFrame) -> DataFrame:
                         texts.append(zip_document_text(raw))
                     elif looks_like_subtitles(raw):
                         texts.append(subtitle_to_text(raw))
+                    elif looks_like_latex(raw):
+                        texts.append(latex_to_text(
+                            raw.decode("utf-8", "replace")))
                     else:
                         texts.append(raw.decode("utf-8", "replace"))
                 except Exception:
