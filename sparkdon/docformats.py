@@ -198,7 +198,12 @@ def latex_to_text(src: str) -> str:
     drop; text-carrying commands unwrap their argument; special-char
     escapes restore.  The goal is training-corpus text, where a lost
     formula beats leaked markup."""
-    s = re.sub(r"(?<!\\)%[^\n]*", "", src)             # comments
+    # \\ linebreaks (with optional [2mm] spacing) become sentinels
+    # FIRST: left in place they read as escapes (\\% is linebreak +
+    # comment, not an escaped percent) and their [..] argument as a
+    # display-math opener
+    s = re.sub(r"\\\\(\[[^\]]*\])?", "\x02", src)
+    s = re.sub(r"(?<!\\)%[^\n]*", "", s)               # comments
     m = re.search(r"\\begin\{document\}(.*)\\end\{document\}", s,
                   re.S)
     if m:
@@ -216,8 +221,13 @@ def latex_to_text(src: str) -> str:
                r"includegraphics|bibliography(?:style)?|documentclass)"
                r"\*?(?:\[[^\]]*\])?\{[^}]*\}", " ", s)
     s = re.sub(r"\\[A-Za-z@]+\*?(?:\[[^\]]*\])?", " ", s)  # leftovers
-    s = re.sub(r"\\([%&_$#{}])", r"\1", s)             # escapes
+    s = re.sub(r"\\([%&_$#])", r"\1", s)              # escapes
+    # author-escaped literal braces must survive the grouping-brace
+    # strip below — sentinel them through it
+    s = s.replace("\\{", "\x00").replace("\\}", "\x01")
     s = s.replace("~", " ").replace("{", "").replace("}", "")
+    s = s.replace("\x00", "{").replace("\x01", "}")
+    s = s.replace("\x02", "\n")                        # linebreaks
     s = re.sub(r"[ \t]+", " ", s)
     s = re.sub(r" ?\n[ \n]*\n[ \n]*", "\n\n", s)       # paragraphs
     s = re.sub(r" ?\n ?", "\n", s)
@@ -225,9 +235,19 @@ def latex_to_text(src: str) -> str:
 
 
 def looks_like_latex(raw: bytes) -> bool:
-    """Cheap magic for the extract_text dispatcher (TeX has none)."""
+    """Cheap magic for the extract_text dispatcher (TeX has none).
+    Multi-file arXiv sources (chapter .tex \\input by main.tex) carry
+    no preamble, so a density-of-commands heuristic backs up the
+    preamble probe."""
+    import re as _re
+
     head = raw[:4096]
-    return b"\\documentclass" in head or b"\\begin{document}" in head
+    if b"\\documentclass" in head or b"\\begin{document}" in head:
+        return True
+    hits = _re.findall(
+        rb"\\(?:section|subsection|chapter|begin|end|emph|textbf|"
+        rb"cite|label|ref|item)\b", head)
+    return len(hits) >= 3
 
 
 # --- writer twins for round-trip tests -------------------------------------

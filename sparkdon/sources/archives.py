@@ -13,7 +13,9 @@ any other document rows.
 from __future__ import annotations
 
 import io
+import lzma
 import tarfile
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,8 +62,12 @@ def read_tar(spark: SparkSession, path: str,
                             bytes(content), max_member_bytes):
                         rows.append((fname, name, size, int(mtime),
                                      payload))
-                except tarfile.TarError:
-                    pass  # keep the members already yielded
+                except (tarfile.TarError, EOFError, OSError,
+                        zlib.error, lzma.LZMAError):
+                    # truncated/corrupt archives (the COMPRESSION layer
+                    # raises EOFError/OSError/zlib/lzma errors, not
+                    # TarError) keep the members already yielded
+                    pass
             yield pd.DataFrame(rows, columns=["archive", "member",
                                               "size", "mtime", "payload"])
 

@@ -68,3 +68,37 @@ def test_read_tar_scan_and_extract_text(spark, tmp_path):
     texts = [r["text"] for r in extract_text(media).collect()]
     assert sum("A Great Paper" in t for t in texts) == 2
     assert "plain notes" in texts
+
+
+def test_latex_review_fixes():
+    # \\[2mm] is a linebreak, NOT a display-math opener
+    got = latex_to_text("a \\\\[2mm] b\nsome prose\n\\[ e=mc^2 \\]\ntail")
+    assert "b" in got and "some prose" in got and "mc^2" not in got
+    # the \\ linebreak itself never leaks
+    got = latex_to_text("roses are red \\\\\nviolets are blue")
+    assert "\\" not in got and "roses are red" in got
+    # escaped literal braces survive the grouping-brace strip
+    assert latex_to_text(r"The set \{a, b\} is small.") == \
+        "The set {a, b} is small."
+    # % after \\ starts a comment (only \% escapes a percent)
+    got = latex_to_text("line one \\\\% secret\nline two")
+    assert "secret" not in got and "line two" in got
+    assert latex_to_text(r"grew by 50\% overall") == "grew by 50% overall"
+
+
+def test_latex_multifile_detection_and_corrupt_gz(spark, tmp_path):
+    from sparkdon.sources.archives import read_tar
+
+    chapter = (b"\\section{Intro}\nWe study \\emph{foo} here.\n"
+               b"\\cite{bar} shows \\textbf{more}.\n")
+    assert looks_like_latex(chapter)  # no preamble, command density
+    assert not looks_like_latex(b"an essay about the \\\\ character "
+                                b"and nothing else")
+
+    # a truncated .tar.gz fails its task no more — readable prefix only
+    good = tar_bytes([("ok.txt", "fine")])
+    gz = tar_bytes([("x.tex", chapter.decode())], gz=True)
+    (tmp_path / "good.tar").write_bytes(good)
+    (tmp_path / "trunc.tar.gz").write_bytes(gz[: len(gz) // 2])
+    got = read_tar(spark, str(tmp_path)).collect()
+    assert [r["member"] for r in got] == ["ok.txt"]
