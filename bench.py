@@ -285,8 +285,65 @@ def main() -> None:
     load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     if load_end is not None:
         out["load_avg"] = [round(_LOAD_START, 2), round(load_end, 2)]
-    print(json.dumps(out))
+    # Round 11: the driver records only the last ~2 KB of stdout and
+    # parses JSON out of it; BENCH_r10's full per-query line outgrew
+    # that budget and the recorded file ended up unparseable
+    # ("parsed": null, tail cut mid-key).  So stdout now carries ONE
+    # line that is guaranteed to fit: the canonical totals plus the
+    # heaviest per-query timings.  The full per-query record goes to
+    # ``bench_detail.json`` next to this script (committed per round by
+    # the builder's canonical run) and to stderr.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(out), file=sys.stderr)
+    print(json.dumps(compact_output(out)))
     spark.stop()
+
+
+#: how many of the heaviest per-query timings ride along on the compact
+#: stdout line (the full dict lives in bench_detail.json / stderr)
+COMPACT_TOP_N = 15
+#: hard ceiling for the compact line — the driver's stdout tail capture
+#: is ~2 KB; staying well under it guarantees the line survives intact
+COMPACT_MAX_BYTES = 1500
+
+
+def compact_output(out: dict) -> dict:
+    """The one guaranteed-to-fit stdout record.
+
+    Carries everything the driver/judge adjudicates on (canonical total,
+    sf, load_avg, error count, query count) plus the ``COMPACT_TOP_N``
+    heaviest per-query timings — the entries whose regressions matter.
+    If the record somehow exceeds ``COMPACT_MAX_BYTES``, the top dict is
+    halved until it fits (the headline numbers are never dropped).
+    """
+    timings = out.get("queries", {})
+    top_n = COMPACT_TOP_N
+    while True:
+        heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+        rec = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": out["unit"],
+            "sf": out["sf"],
+            "n_queries": len(timings),
+            "flagship_rows": out.get("flagship_rows"),
+            "detail": "bench_detail.json",
+            "top": {k: timings[k] for k in heavy},
+        }
+        for key in ("load_avg", "partial", "error_count", "partial_total_sec"):
+            if key in out:
+                rec[key] = out[key]
+        if "errors" in out:
+            rec["error_names"] = sorted(out["errors"])[:10]
+        if len(json.dumps(rec)) <= COMPACT_MAX_BYTES or top_n == 0:
+            return rec
+        top_n //= 2
 
 
 def build_output(timings: dict, errors: dict, sf, flagship_rows: int) -> dict:

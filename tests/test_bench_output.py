@@ -5,7 +5,34 @@ totals)."""
 import sys
 sys.path.insert(0, ".")
 
-from bench import build_output
+import json
+
+from bench import COMPACT_MAX_BYTES, build_output, compact_output
+
+
+def test_compact_line_fits_driver_tail_budget():
+    # BENCH_r10 regression: the full per-query line outgrew the driver's
+    # ~2 KB stdout tail capture and the recorded file failed to parse.
+    timings = {f"x_some_rather_long_query_name_{i:03d}": 0.001 * i for i in range(200)}
+    out = build_output(timings, {}, "0.1", 35)
+    out["load_avg"] = [1.0, 2.0]
+    line = json.dumps(compact_output(out))
+    assert len(line) <= COMPACT_MAX_BYTES
+    rec = json.loads(line)
+    assert rec["value"] == out["value"]
+    assert rec["n_queries"] == 200
+    assert rec["load_avg"] == [1.0, 2.0]
+    # heaviest entries ride along
+    assert max(timings, key=timings.get) in rec["top"]
+
+
+def test_compact_line_keeps_error_signal():
+    out = build_output({"q1": 1.0}, {"q2": "AnalysisException: boom"}, "0.1", 4)
+    rec = compact_output(out)
+    assert rec["value"] is None
+    assert rec["partial"] is True
+    assert rec["error_count"] == 1
+    assert rec["error_names"] == ["q2"]
 
 
 def test_clean_run_sums_total():
