@@ -107,6 +107,7 @@ def main() -> None:
         x_pq_trained,
         x_rank_normalize,
         x_sim_lsh_refined,
+        x_sim_topk,
         x_sim_ivf,
         x_sim_ivfpq,
         x_sim_pq,
@@ -126,6 +127,11 @@ def main() -> None:
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_sim_lsh_refined": x_sim_lsh_refined,
+        # round 11 (VERDICT r10 #2): brute-force cosine baseline after
+        # its salted two-stage top-k rewrite — the sims frame is
+        # queries x corpus, so the previous single per-qid window sorted
+        # the whole corpus on 10 tasks; expect ~linear now
+        "x_sim_topk": x_sim_topk,
         "x_dedup_embed_strict": x_dedup_embed_strict,
         # iterative components over the LSH pair graph (round 6)
         "x_dedup_clusters": x_dedup_clusters,

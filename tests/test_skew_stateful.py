@@ -69,14 +69,17 @@ def test_stateful_user_profiles(spark, tmp_path):
 
     stream = read_event_stream(spark, str(tmp_path))
     q = (
-        user_profiles(stream)
+        # expire_idle_ms=None: a registered processing-time timer keeps
+        # an AvailableNow query alive after the drain — before round 11
+        # this test silently burned its whole 120 s awaitTermination
+        user_profiles(stream, expire_idle_ms=None)
         .writeStream.format("memory")
         .queryName("profiles_test")
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain-mode stateful query must terminate"
     rows = spark.sql(
         "SELECT user_id, max(total_events) AS n, max(total_value) AS v "
         "FROM profiles_test GROUP BY user_id ORDER BY user_id").collect()

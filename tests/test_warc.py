@@ -374,3 +374,82 @@ def test_to_documents_table_collapses_captures(spark):
         "doc_id string, url string, fetch_date string, text string")
     rows = to_documents_table(docs).collect()
     assert len(rows) == 1 and rows[0]["text"] == "new"  # doc_id is a key
+
+
+def _many_records(n, tag):
+    return [
+        {"warc_type": "resource", "target_uri": f"http://{tag}.test/{i}",
+         "record_id": f"<urn:uuid:{tag}-{i}>", "content_type": "text/plain",
+         "payload": (f"{tag}-{i} " * 40).encode()}
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_split_index_bounds_outlier_skew(spark, tmp_path, gz):
+    """VERDICT r10 #5: one 10x-outlier file must become ~10 balanced
+    spans under the indexed scan, and the indexed parse must equal the
+    whole-file parse record-for-record."""
+    from sparkdon.sources.warc import read_warc_ranges, warc_split_index
+
+    suffix = ".warc.gz" if gz else ".warc"
+    small = warc_bytes(_many_records(20, "s"), gzip_per_record=gz)
+    # outlier: ~10x the small file's record count
+    (tmp_path / f"big{suffix}").write_bytes(
+        warc_bytes(_many_records(200, "b"), gzip_per_record=gz))
+    (tmp_path / f"s1{suffix}").write_bytes(small)
+    (tmp_path / f"s2{suffix}").write_bytes(
+        warc_bytes(_many_records(20, "t"), gzip_per_record=gz))
+
+    target = len(small)  # split budget ≈ one small file
+    idx = warc_split_index(spark, str(tmp_path), target_split_bytes=target)
+    rows = idx.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    # the outlier is cut into multiple spans, none much over the target
+    big_spans = by_file[f"big{suffix}"]
+    assert len(big_spans) >= 5
+    assert max(r.length for r in big_spans) < 3 * target
+    # bounded max-task skew: largest span ≪ the whole outlier file
+    big_size = (tmp_path / f"big{suffix}").stat().st_size
+    assert max(r.length for r in big_spans) < big_size / 3
+    # spans tile each file exactly (offset-sorted, contiguous from 0)
+    for fname, spans in by_file.items():
+        spans = sorted(spans, key=lambda r: r.offset)
+        assert spans[0].offset == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a.offset + a.length == b.offset
+
+    # indexed parse == plain parse
+    plain = read_warc(spark, str(tmp_path)).select(
+        "record_id", "warc_type", "target_uri", "payload_length")
+    ranged = read_warc_ranges(spark, idx).select(
+        "record_id", "warc_type", "target_uri", "payload_length")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, ranged.collect()))
+    # the one-call convenience form
+    conv = read_warc(spark, str(tmp_path), target_split_bytes=target)
+    assert conv.count() == plain.count()
+
+
+def test_split_index_single_member_gzip_stays_whole(tmp_path):
+    """A whole-file gzip stream (not per-record members) is inherently
+    unsplittable: the index must return it as ONE span."""
+    import gzip as _gzip
+
+    from sparkdon.sources.warc import _scan_split_ranges
+
+    data = _gzip.compress(warc_bytes(_many_records(100, "w")))
+    spans = list(_scan_split_ranges(data, target_split_bytes=1024))
+    assert spans == [(0, len(data), 1)]
+
+
+def test_local_path_rejects_remote_schemes():
+    from sparkdon.sources.warc import _local_path
+
+    assert _local_path("file:/a/b.warc") == "/a/b.warc"
+    assert _local_path("file:///a/b.warc") == "/a/b.warc"
+    assert _local_path("/a/b.warc") == "/a/b.warc"
+    with pytest.raises(ValueError):
+        _local_path("hdfs://nn/a/b.warc")
