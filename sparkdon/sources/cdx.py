@@ -1,0 +1,190 @@
+"""CDX-J crawl index — Common Crawl's URL→(file, offset, length) offset
+index, the companion to :mod:`sparkdon.sources.warc`.
+
+Beyond-reference source (public formats: the CDXJ line grammar used by
+Common Crawl's ``cc-index`` and pywb — ``<SURT> <timestamp14> <JSON>``
+per line — and the SURT canonicalization rule).  The index is what makes
+a 100 TB crawl *random-accessible*: a URL filter over the tiny index
+plus :func:`sparkdon.sources.warc.read_warc_ranges` seek-reads touch
+only the matching gzip members instead of inflating every archive file.
+
+Spark-first shapes:
+
+- :func:`build_cdx` is the distributed index builder — one task per
+  archive file (the same parallel unit the scan uses), walking
+  per-record gzip members and emitting one typed row each.
+- :func:`read_cdx` / :func:`write_cdxj` parse and emit the text format
+  with JVM-side expressions only (split + ``from_json``/``to_json``) —
+  no Python in the per-line path, so an index scan is a plain
+  whole-stage-codegen text scan that Catalyst can filter-push.
+- :func:`surt_key` is the JVM expression twin of the Python
+  :func:`surt` used by the builder; pytest asserts they agree, so
+  query-side prefix filters match builder-side keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: typed CDX row — offset/length address ONE gzip member (or record
+#: span in a plain .warc), directly consumable by read_warc_ranges
+CDX_SCHEMA = (
+    "surt string, ts string, url string, warc_file string, "
+    "offset long, length long, status int, mime string, "
+    "digest string, warc_type string"
+)
+
+#: the JSON block's fields, as CDXJ stores them (offset/length are
+#: strings in Common Crawl's files; read_cdx casts)
+_CDXJ_JSON_SCHEMA = (
+    "url string, filename string, offset string, length string, "
+    "status string, mime string, digest string, warc_type string"
+)
+
+
+def surt(url: str) -> str:
+    """Python SURT key (Sort-friendly URI Reordering Transform):
+    ``https://www.Example.COM:443/Path?q=1`` →
+    ``com,example,www)/Path?q=1``.  Scheme dropped, host lowercased,
+    default ports stripped, labels reversed comma-joined; path/query
+    kept case-sensitively (the pywb rule)."""
+    rest = url.split("://", 1)[-1]
+    for i, ch in enumerate(rest):
+        if ch in "/?#":
+            host, path = rest[:i], rest[i:]
+            break
+    else:
+        host, path = rest, "/"
+    host = host.rsplit("@", 1)[-1].lower()
+    for port in (":80", ":443"):
+        if host.endswith(port):
+            host = host[: -len(port)]
+    return ",".join(reversed(host.split("."))) + ")" + path
+
+
+def surt_key(col) -> F.Column:
+    """JVM expression twin of :func:`surt` over a URL column."""
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    path = F.substring(rest, F.length(host) + 1, F.lit(1 << 30))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    host = F.lower(F.regexp_replace(host, r"^.*@", ""))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path)
+
+
+def _ts14(warc_date: str) -> str:
+    """WARC-Date (ISO 8601) → CDX timestamp14 (digits only, first 14)."""
+    return "".join(c for c in warc_date if c.isdigit())[:14]
+
+
+def build_cdx(spark: SparkSession, warc_path: str) -> DataFrame:
+    """Distributed CDX builder over a WARC archive set: one task per
+    file (binaryFile, same unit as the scan) walks the per-record gzip
+    members / record spans, parses each, and emits one ``CDX_SCHEMA``
+    row per record.  ``digest`` is the payload's sha1 hex (Common Crawl
+    uses base32 sha1; hex keeps stdlib-only and is self-consistent
+    between build and verify).  A whole-file-gzip archive yields ONE
+    member row — such files are not random-accessible, matching the
+    scan contract."""
+    from .warc import _scan_split_ranges, parse_warc_records
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                # target 1 byte → every member/record its own span
+                for off, ln, _m in _scan_split_ranges(data, 1):
+                    for rec in parse_warc_records(data[off:off + ln]):
+                        url = rec["target_uri"] or ""
+                        rows.append({
+                            "surt": surt(url) if url else "",
+                            "ts": _ts14(rec["warc_date"]),
+                            "url": url,
+                            "warc_file": fname,
+                            "offset": off,
+                            "length": ln,
+                            "status": rec["http_status"],
+                            "mime": (rec["http_content_type"]
+                                     or rec["content_type"] or ""),
+                            "digest": hashlib.sha1(
+                                rec["payload"]).hexdigest(),
+                            "warc_type": rec["warc_type"],
+                        })
+            yield pd.DataFrame(
+                rows, columns=["surt", "ts", "url", "warc_file", "offset",
+                               "length", "status", "mime", "digest",
+                               "warc_type"])
+
+    files = spark.read.format("binaryFile").load(warc_path) \
+        .select("path", "content")
+    return files.mapInPandas(run, CDX_SCHEMA)
+
+
+def write_cdxj(cdx: DataFrame, path: str) -> None:
+    """CDX frame → sorted CDXJ text shards (Common Crawl's layout: the
+    index is globally sorted by SURT key so consumers can binary-search
+    / range-partition it).  The sort is Spark's distributed range sort;
+    each output shard is internally sorted and shard ranges are
+    disjoint."""
+    line = F.concat_ws(
+        " ", "surt", "ts",
+        F.to_json(F.struct(
+            "url",
+            F.col("warc_file").alias("filename"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("length").cast("string").alias("length"),
+            F.col("status").cast("string").alias("status"),
+            "mime", "digest", "warc_type")))
+    cdx.orderBy("surt", "ts").select(line.alias("value")) \
+        .write.mode("overwrite").text(path)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ text (plain or ``.gz`` — Spark's text source inflates
+    gzip transparently) → typed ``CDX_SCHEMA`` frame.  Pure JVM parse:
+    one 3-way split plus ``from_json``; a SURT-prefix filter on the
+    result is an ordinary pushed predicate over the text scan."""
+    parts = F.split(F.col("value"), " ", 3)
+    j = F.from_json(parts[2], _CDXJ_JSON_SCHEMA)
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(
+            parts[0].alias("surt"),
+            parts[1].alias("ts"),
+            j["url"].alias("url"),
+            j["filename"].alias("warc_file"),
+            j["offset"].cast("long").alias("offset"),
+            j["length"].cast("long").alias("length"),
+            j["status"].cast("int").alias("status"),
+            j["mime"].alias("mime"),
+            j["digest"].alias("digest"),
+            j["warc_type"].alias("warc_type"),
+        )
+    )
+
+
+def fetch_by_cdx(spark: SparkSession, cdx: DataFrame,
+                 surt_prefix: str | None = None,
+                 parallelism: int | None = None) -> DataFrame:
+    """Random-access record fetch: filter the (tiny) index, seek-read
+    only the matching members via ``read_warc_ranges``.  At 100 TB this
+    is the difference between inflating a whole crawl and touching a
+    few thousand gzip members: the index scan prunes first, the range
+    read is one seek+inflate per surviving record."""
+    from .warc import read_warc_ranges
+
+    if surt_prefix is not None:
+        cdx = cdx.filter(F.col("surt").startswith(surt_prefix))
+    refs = cdx.select("warc_file", "offset", "length").distinct()
+    return read_warc_ranges(spark, refs, parallelism=parallelism)

@@ -276,25 +276,37 @@ def decode_tiff(payload: bytes):
             arr = np.cumsum(arr, axis=1, dtype=np.uint8)
     if spp == 1:
         if palette is not None:
-            return palette[arr[:, :, 0]]
-        if photo == 0:  # WhiteIsZero
-            arr = 255 - arr
-        return np.repeat(arr, 3, axis=2)
-    if spp >= 3:
-        return np.ascontiguousarray(arr[:, :, :3])
-    raise NotImplementedError(f"{spp}-sample TIFF")
+            out = palette[arr[:, :, 0]]
+        else:
+            if photo == 0:  # WhiteIsZero
+                arr = 255 - arr
+            out = np.repeat(arr, 3, axis=2)
+    elif spp >= 3:
+        out = np.ascontiguousarray(arr[:, :, :3])
+    else:
+        raise NotImplementedError(f"{spp}-sample TIFF")
+    orient = one(274, 1)
+    if orient != 1:
+        # r11: honor the TIFF/EXIF Orientation tag, same table as the
+        # JPEG path (scanner output commonly carries 3/6/8)
+        from sparkdon.multimodal import apply_exif_orientation
+
+        out = apply_exif_orientation(out, orient)
+    return out
 
 
 def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int = 64,
-                palette=None, tile=None, predictor: int = 1) -> bytes:
+                palette=None, tile=None, predictor: int = 1,
+                orientation: int = 1) -> bytes:
     """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
     ``compression`` ∈ none | packbits | lzw | deflate;
     ``predictor=2`` applies horizontal differencing per segment row.  ``palette`` (256×3
     uint8, requires 2-D index input) emits a photometric-3
     palette-color file with a 16-bit ColorMap.  ``tile=(tw, th)``
     emits the tiled layout (TIFF 6.0 §15: every tile padded to full
-    size) instead of strips."""
+    size) instead of strips.  ``orientation`` writes tag 274 (pixels
+    stored as given; decode_tiff applies the rotation)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -354,6 +366,10 @@ def encode_tiff(arr, compression: str = "none",
     ]
     if predictor == 2:
         entries.append((317, 3, 1, 2))
+    if orientation != 1:
+        # writer twin for the decode-side Orientation handling (r11):
+        # pixels are stored as given; the tag tells readers to rotate
+        entries.append((274, 3, 1, orientation))
     if tile is not None:
         off_tag, cnt_tag = 324, 325
         entries += [(322, 4, 1, tile[0]), (323, 4, 1, tile[1])]

@@ -1,0 +1,129 @@
+"""CDX-J offset index (sparkdon/sources/cdx.py, round 11): SURT keys
+(Python builder twin vs JVM query expression), distributed build over
+per-record-gzip WARC, CDXJ write/read round-trip (plain + gzip), and
+index-driven random-access fetch through read_warc_ranges."""
+
+import gzip
+
+import pytest
+
+from sparkdon.sources.cdx import (build_cdx, fetch_by_cdx, read_cdx, surt,
+                                  surt_key, write_cdxj)
+from sparkdon.sources.warc import warc_bytes
+
+RECS_A = [
+    {"warc_type": "response", "target_uri": "http://example.com/a",
+     "record_id": "<urn:uuid:a1>", "warc_date": "2024-03-05T10:20:30Z",
+     "content_type": "application/http; msgtype=response",
+     "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+     "payload": b"<html>alpha</html>"},
+    {"warc_type": "response", "target_uri": "https://www.Example.COM:443/B?q=1",
+     "record_id": "<urn:uuid:a2>", "warc_date": "2024-03-05T10:21:00Z",
+     "content_type": "application/http; msgtype=response",
+     "http_headers": "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain",
+     "payload": b"gone"},
+]
+RECS_B = [
+    {"warc_type": "resource", "target_uri": "http://other.net/x",
+     "record_id": "<urn:uuid:b1>", "warc_date": "2024-04-01T00:00:00Z",
+     "content_type": "text/plain", "payload": b"beta"},
+]
+
+
+def test_surt_python_rules():
+    assert surt("https://www.Example.COM:443/Path?q=1") == \
+        "com,example,www)/Path?q=1"
+    assert surt("http://example.com/a") == "com,example)/a"
+    assert surt("http://user@host.org:80") == "org,host)/"
+    assert surt("http://a.b.c/") == "c,b,a)/"
+
+
+def test_surt_jvm_twin_matches_python(spark):
+    urls = ["https://www.Example.COM:443/Path?q=1", "http://example.com/a",
+            "http://user@host.org:80", "http://a.b.c/",
+            "https://sub.domain.io:8443/p/q?r=s#frag", "http://x.y"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    assert got == [surt(u) for u in urls]
+
+
+@pytest.fixture()
+def archive(tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc_bytes(RECS_A, gzip_per_record=True))
+    (tmp_path / "b.warc.gz").write_bytes(
+        warc_bytes(RECS_B, gzip_per_record=True))
+    return tmp_path
+
+
+def test_build_cdx_rows(spark, archive):
+    rows = {r.url: r for r in build_cdx(spark, str(archive)).collect()}
+    assert len(rows) == 3
+    a = rows["http://example.com/a"]
+    assert a.surt == "com,example)/a"
+    assert a.ts == "20240305102030"
+    assert a.status == 200
+    assert a.mime == "text/html"
+    assert a.warc_type == "response"
+    assert a.warc_file.endswith("a.warc.gz")
+    # the (offset, length) addresses exactly one gzip member
+    raw = (archive / "a.warc.gz").read_bytes()
+    member = raw[a.offset:a.offset + a.length]
+    assert gzip.decompress(member).startswith(b"WARC/1.0")
+    import hashlib
+    assert a.digest == hashlib.sha1(b"<html>alpha</html>").hexdigest()
+
+
+def test_cdxj_roundtrip_and_sorted(spark, archive, tmp_path):
+    cdx = build_cdx(spark, str(archive))
+    out = tmp_path / "cdx"
+    write_cdxj(cdx, str(out))
+    back = read_cdx(spark, str(out))
+    want = sorted(map(tuple, cdx.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    # emitted lines are globally sorted by (surt, ts)
+    lines = []
+    for p in sorted(out.glob("part-*")):
+        lines += p.read_text().splitlines()
+    keys = [tuple(line.split(" ", 3)[:2]) for line in lines]
+    assert keys == sorted(keys)
+
+
+def test_read_cdx_gzip_text(spark, archive, tmp_path):
+    cdx = build_cdx(spark, str(archive))
+    out = tmp_path / "cdxgz"
+    out.mkdir()
+    line_rows = cdx.collect()
+    import json as _json
+    lines = []
+    for r in line_rows:
+        lines.append(f'{r.surt} {r.ts} ' + _json.dumps({
+            "url": r.url, "filename": r.warc_file,
+            "offset": str(r.offset), "length": str(r.length),
+            "status": str(r.status) if r.status is not None else None,
+            "mime": r.mime, "digest": r.digest,
+            "warc_type": r.warc_type}))
+    (out / "cdx-00000.gz").write_bytes(
+        gzip.compress(("\n".join(sorted(lines)) + "\n").encode()))
+    back = read_cdx(spark, str(out))
+    assert sorted(r.url for r in back.collect()) == \
+        sorted(r.url for r in line_rows)
+
+
+def test_fetch_by_cdx_random_access(spark, archive):
+    cdx = build_cdx(spark, str(archive)).localCheckpoint()
+    # domain prefix (no host-closing paren) sweeps subdomains too;
+    # "com,example)" alone would match only the bare host
+    got = fetch_by_cdx(spark, cdx, surt_prefix="com,example").collect()
+    assert sorted(r.target_uri for r in got) == [
+        "http://example.com/a", "https://www.Example.COM:443/B?q=1"]
+    only_bare = fetch_by_cdx(spark, cdx, surt_prefix="com,example)").collect()
+    assert [r.target_uri for r in only_bare] == ["http://example.com/a"]
+    assert {bytes(r.payload) for r in got if r.warc_type == "response"} \
+        >= {b"gone"}
+    # no filter → the whole archive, equal to the full scan
+    from sparkdon.sources.warc import read_warc
+    all_rows = fetch_by_cdx(spark, cdx).select("record_id").collect()
+    full = read_warc(spark, str(archive)).select("record_id").collect()
+    assert sorted(map(tuple, all_rows)) == sorted(map(tuple, full))

@@ -2596,3 +2596,18 @@ def test_decode_image_orientation_1_and_missing_exif_noop():
     plain = encode_jpeg_lossless(arr)
     tagged = plain[:2] + exif_orientation_segment(1) + plain[2:]
     assert np.array_equal(decode_image(tagged), arr)
+
+
+def test_tiff_orientation_tag_honored():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (10, 14, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(arr)), arr)
+    rot = decode_tiff(encode_tiff(arr, orientation=6))
+    assert rot.shape == (14, 10, 3)
+    assert np.array_equal(rot, np.rot90(arr, -1))
+    assert np.array_equal(
+        decode_tiff(encode_tiff(arr, orientation=3)), arr[::-1, ::-1])
