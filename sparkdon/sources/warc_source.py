@@ -1,0 +1,112 @@
+"""``spark.read.format("warc")`` — WARC archives as a native Python
+Data Source (Spark 4 API), wrapping :mod:`sparkdon.sources.warc`'s
+parser in the engine's own reader plumbing.
+
+Two partition modes, matching the scan contracts documented on
+``read_warc``:
+
+- **Default: one ``InputPartition`` per file** (gzip WARC is not
+  block-splittable) — Common Crawl's uniform ~1 GB layout saturates a
+  cluster this way with zero shuffle.
+- **``option("index", <parquet dir>)``: one partition per index span.**
+  Point it at a persisted :func:`sparkdon.sources.warc.warc_split_index`
+  result (or a CDX-derived ``(warc_file, offset, length)`` frame) and
+  each task seek-reads one ~target-sized byte range — the skew-bounded
+  plan for mixed-size archive sets.  The index parquet is read
+  driver-side with pyarrow at planning time (it is file-count-sized,
+  not data-sized).
+
+Paths are POSIX-reachable filesystems (local dir, NFS/fuse), the same
+contract as ``read_warc_ranges``/``write_warc``.  Usage::
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").option("path", "/crawl/segment0").load()
+    # balanced: persist warc_split_index(...) as parquet, then
+    df = (spark.read.format("warc")
+          .option("path", "/crawl/segment0")
+          .option("index", "/crawl/segment0.splits").load())
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from .warc import WARC_SCHEMA, _local_path, parse_warc_records
+
+#: column order of the emitted tuples (must match WARC_SCHEMA)
+_COLS = ("record_id", "warc_type", "target_uri", "warc_date",
+         "content_type", "http_status", "http_content_type", "payload",
+         "payload_length")
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """dir → every *.warc / *.warc.gz under it; glob pattern or single
+    file pass through.  Deterministic (sorted) so partition planning is
+    stable across runs."""
+    p = _local_path(path)
+    if os.path.isdir(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files
+                    if ".warc" in f and not f.startswith(".")]
+        return sorted(out)
+    if any(ch in p for ch in "*?["):
+        return sorted(_glob.glob(p))
+    return [p]
+
+
+class WarcDataSource(DataSource):
+    """WARC batch source; see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType | str:
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> "WarcReader":
+        return WarcReader(dict(self.options))
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError('format("warc") needs .option("path", ...)')
+        self.path = options["path"]
+        self.index = options.get("index")
+
+    def partitions(self):
+        if self.index:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                _local_path(self.index),
+                columns=["warc_file", "offset", "length"])
+            spans = sorted(zip(
+                (str(f) for f in tbl["warc_file"].to_pylist()),
+                tbl["offset"].to_pylist(), tbl["length"].to_pylist()))
+            if not spans:
+                raise ValueError(f"empty WARC split index: {self.index}")
+            return [InputPartition(s) for s in spans]
+        files = _list_warc_files(self.path)
+        if not files:
+            raise ValueError(f"no WARC files under {self.path!r}")
+        return [InputPartition((f, None, None)) for f in files]
+
+    def read(self, partition: InputPartition):
+        fname, off, ln = partition.value
+        local = _local_path(str(fname))
+        with open(local, "rb") as fh:
+            if off is None:
+                data = fh.read()
+            else:
+                fh.seek(int(off))
+                data = fh.read(int(ln))
+        for rec in parse_warc_records(data):
+            rec["payload_length"] = len(rec["payload"])
+            yield (fname,) + tuple(rec[c] for c in _COLS)

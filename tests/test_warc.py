@@ -453,3 +453,53 @@ def test_local_path_rejects_remote_schemes():
     assert _local_path("/a/b.warc") == "/a/b.warc"
     with pytest.raises(ValueError):
         _local_path("hdfs://nn/a/b.warc")
+
+
+# --- spark.read.format("warc") Python Data Source (round 11) ---------------
+
+def test_warc_data_source_file_per_partition(spark, tmp_path):
+    from sparkdon.sources.warc_source import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc_bytes(RECORDS, gzip_per_record=True))
+    (tmp_path / "b.warc").write_bytes(warc_bytes(RECORDS[1:3]))
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    want = read_warc(spark, str(tmp_path)).select(
+        "record_id", "warc_type", "target_uri", "payload_length")
+    got = df.select("record_id", "warc_type", "target_uri", "payload_length")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_data_source_indexed_partitions(spark, tmp_path):
+    from sparkdon.sources.warc_source import WarcDataSource
+    from sparkdon.sources.warc import warc_split_index
+
+    spark.dataSource.register(WarcDataSource)
+    big = warc_bytes(_many_records(120, "d"), gzip_per_record=True)
+    (tmp_path / "big.warc.gz").write_bytes(big)
+    idx_dir = tmp_path / "splits"
+    target = max(1, len(big) // 6)
+    warc_split_index(spark, str(tmp_path / "big.warc.gz"),
+                     target_split_bytes=target) \
+        .write.mode("overwrite").parquet(str(idx_dir))
+    n_spans = spark.read.parquet(str(idx_dir)).count()
+    assert n_spans >= 4
+    df = (spark.read.format("warc")
+          .option("path", str(tmp_path))
+          .option("index", str(idx_dir)).load())
+    assert df.rdd.getNumPartitions() == n_spans
+    assert df.count() == 120
+    assert sorted(r.record_id for r in df.select("record_id").collect()) == \
+        sorted(f"<urn:uuid:d-{i}>" for i in range(120))
+
+
+def test_warc_data_source_missing_path_errors(spark):
+    from sparkdon.sources.warc_source import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    with pytest.raises(Exception):
+        spark.read.format("warc").load().collect()
