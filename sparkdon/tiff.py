@@ -8,9 +8,11 @@ layout with any RowsPerStrip or the tiled layout (§15), and
 compressions 1 (none), 32773 (PackBits), 5 (LZW — the TIFF
 variant: MSB-first codes, EarlyChange) and 8/32946 (Deflate), each
 with or without the horizontal-differencing predictor (317=2).
-Planar, CCITT/JPEG-in-TIFF
-and >8-bit layouts raise ``NotImplementedError`` — honest boundaries,
-same policy as the other decoders.
+Round 11 adds 16-bit samples (standard high-byte reduction, predictor
+at native width) and PlanarConfiguration=2 strip layout.
+CCITT/JPEG-in-TIFF, tiled-planar and >16-bit layouts raise
+``NotImplementedError`` — honest boundaries, same policy as the other
+decoders.
 
 Output contract matches decode_image: HxWx3 uint8.
 """
@@ -199,11 +201,16 @@ def decode_tiff(payload: bytes):
     comp = one(259, 1)
     photo = one(262, 1)
     spp = one(277, 1)
-    bits = tags.get(258, [8])
-    if any(b != 8 for b in bits if isinstance(b, int)):
-        raise NotImplementedError("non-8-bit TIFF samples")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF layout")
+    bits = [b for b in tags.get(258, [8]) if isinstance(b, int)]
+    sampbits = bits[0] if bits else 8
+    if any(b != sampbits for b in bits) or sampbits not in (8, 16):
+        raise NotImplementedError(f"TIFF samples of {bits} bits")
+    bps = sampbits // 8
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
+    if planar == 2 and (322 in tags or 323 in tags):
+        raise NotImplementedError("tiled planar TIFF")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -211,6 +218,8 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(f"TIFF photometric {photo}")
     palette = None
     if photo == 3:  # palette-color: ColorMap is 3×2^bits 16-bit ramps
+        if sampbits != 8:
+            raise NotImplementedError("palette TIFF with 16-bit indices")
         cmap = tags.get(320)  # _read_ifd unpacks SHORTs to an int list
         if not cmap or spp != 1:
             raise ValueError("palette TIFF missing/invalid ColorMap")
@@ -234,6 +243,14 @@ def decode_tiff(payload: bytes):
             return zlib.decompress(chunk)[:expect]
         raise NotImplementedError(f"TIFF compression {comp}")
 
+    dt = np.uint8 if sampbits == 8 else np.dtype(bo + "u2")
+
+    def _predict(a16):
+        """Undo horizontal differencing at the sample's native width
+        (the predictor operates on 16-bit values for 16-bit files)."""
+        acc_t = np.uint8 if sampbits == 8 else np.uint16
+        return np.cumsum(a16, axis=1, dtype=acc_t)
+
     if 322 in tags or 323 in tags:  # tiled layout (TIFF 6.0 §15)
         tw, th = one(322), one(323)
         offsets = tags.get(324)
@@ -241,18 +258,18 @@ def decode_tiff(payload: bytes):
         if not tw or not th or not offsets or not counts:
             raise ValueError("tiled TIFF missing tile tags")
         cols = (w + tw - 1) // tw
-        arr = np.zeros((h, w, spp), np.uint8)
+        arr = np.zeros((h, w, spp), dt)
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             ty, tx = (i // cols) * th, (i % cols) * tw
             # every tile is padded to full tw×th in the file
             tile = np.frombuffer(
-                _decompress(payload[off:off + cnt], tw * th * spp),
-                np.uint8)
+                _decompress(payload[off:off + cnt], tw * th * spp * bps),
+                dt)
             if len(tile) < tw * th * spp:
                 raise ValueError("truncated TIFF tile")
             tile = tile.reshape(th, tw, spp)
             if predictor == 2:  # horizontal differencing, per TILE row
-                tile = np.cumsum(tile, axis=1, dtype=np.uint8)
+                tile = _predict(tile)
             ch, cw = min(th, h - ty), min(tw, w - tx)
             arr[ty:ty + ch, tx:tx + cw] = tile[:ch, :cw]
     else:
@@ -261,19 +278,46 @@ def decode_tiff(payload: bytes):
         if not offsets or not counts:
             raise ValueError("TIFF missing strip tags")
         rows_per_strip = one(278, h)
-
-        raster = bytearray()
-        remaining_rows = h
-        for off, cnt in zip(offsets, counts):
-            rows = min(rows_per_strip, remaining_rows)
-            raster += _decompress(payload[off:off + cnt], rows * w * spp)
-            remaining_rows -= rows
-        if len(raster) < h * w * spp:
-            raise ValueError("truncated TIFF raster")
-        arr = np.frombuffer(bytes(raster[:h * w * spp]), np.uint8) \
-            .reshape(h, w, spp)
-        if predictor == 2:  # strip rows span the image width
-            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+        if planar == 2:
+            # plane-interleaved: all of plane 0's strips, then plane 1's…
+            # (TIFF 6.0 PlanarConfiguration=2); each strip carries ONE
+            # sample per pixel, predictor runs within the plane
+            strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
+            if len(offsets) < spp * strips_per_plane:
+                raise ValueError("planar TIFF missing strips")
+            planes = []
+            for s in range(spp):
+                raster = bytearray()
+                remaining = h
+                for j in range(strips_per_plane):
+                    k = s * strips_per_plane + j
+                    rows = min(rows_per_strip, remaining)
+                    raster += _decompress(
+                        payload[offsets[k]:offsets[k] + counts[k]],
+                        rows * w * bps)
+                    remaining -= rows
+                if len(raster) < h * w * bps:
+                    raise ValueError("truncated planar TIFF raster")
+                plane = np.frombuffer(bytes(raster[:h * w * bps]), dt) \
+                    .reshape(h, w, 1)
+                planes.append(_predict(plane) if predictor == 2 else plane)
+            arr = np.concatenate(planes, axis=2)
+        else:
+            raster = bytearray()
+            remaining_rows = h
+            for off, cnt in zip(offsets, counts):
+                rows = min(rows_per_strip, remaining_rows)
+                raster += _decompress(payload[off:off + cnt],
+                                      rows * w * spp * bps)
+                remaining_rows -= rows
+            if len(raster) < h * w * spp * bps:
+                raise ValueError("truncated TIFF raster")
+            arr = np.frombuffer(bytes(raster[:h * w * spp * bps]), dt) \
+                .reshape(h, w, spp)
+            if predictor == 2:  # strip rows span the image width
+                arr = _predict(arr)
+    if sampbits == 16:  # standard high-byte reduction to the 8-bit contract
+        arr = (arr >> 8).astype(np.uint8)
     if spp == 1:
         if palette is not None:
             out = palette[arr[:, :, 0]]
@@ -298,7 +342,8 @@ def decode_tiff(payload: bytes):
 def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int = 64,
                 palette=None, tile=None, predictor: int = 1,
-                orientation: int = 1) -> bytes:
+                orientation: int = 1, planar: bool = False,
+                bits: int = 8) -> bytes:
     """TIFF encoder twin: HxW (gray) or HxWx3 uint8 → baseline TIFF.
     ``compression`` ∈ none | packbits | lzw | deflate;
     ``predictor=2`` applies horizontal differencing per segment row.  ``palette`` (256×3
@@ -306,17 +351,26 @@ def encode_tiff(arr, compression: str = "none",
     palette-color file with a 16-bit ColorMap.  ``tile=(tw, th)``
     emits the tiled layout (TIFF 6.0 §15: every tile padded to full
     size) instead of strips.  ``orientation`` writes tag 274 (pixels
-    stored as given; decode_tiff applies the rotation)."""
+    stored as given; decode_tiff applies the rotation).  ``planar=True``
+    writes PlanarConfiguration=2 (each plane's strips contiguous);
+    ``bits=16`` takes a uint16 array and writes 16-bit samples in the
+    file's byte order (r11 twins for the matching decode paths)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    a = np.asarray(arr, dtype=np.uint8 if bits == 8 else np.uint16)
     gray = a.ndim == 2
     if palette is not None and not gray:
         raise ValueError("palette TIFF needs a 2-D index array")
+    if palette is not None and bits != 8:
+        raise ValueError("palette TIFF needs 8-bit indices")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if compression not in ("none", "packbits", "lzw", "deflate"):
         raise ValueError(f"unknown compression {compression!r}")
+    if planar and tile is not None:
+        raise ValueError("planar + tiled layout unsupported (decode twin)")
     if gray:
         a = a[:, :, None]
     h, w, spp = a.shape
@@ -328,6 +382,12 @@ def encode_tiff(arr, compression: str = "none",
         out = block.copy()
         out[:, 1:] = block[:, 1:] - block[:, :-1]  # uint8 wraps mod 256
         return out
+
+    def _raw(block) -> bytes:
+        # samples leave in the FILE's byte order at their native width
+        if bits == 16:
+            return block.astype(np.dtype(bo + "u2")).tobytes()
+        return block.tobytes()
 
     def _compress(raw: bytes) -> bytes:
         if compression == "packbits":
@@ -350,13 +410,20 @@ def encode_tiff(arr, compression: str = "none",
                 block[:sub.shape[0], :sub.shape[1]] = sub
                 if predictor == 2:
                     block = _hdiff(block)
-                strips.append(_compress(block.tobytes()))
+                strips.append(_compress(_raw(block)))
+    elif planar:
+        for s_ in range(spp):
+            for y0 in range(0, h, rows_per_strip):
+                seg = a[y0:y0 + rows_per_strip, :, s_:s_ + 1]
+                if predictor == 2:
+                    seg = _hdiff(seg)
+                strips.append(_compress(_raw(seg)))
     else:
         for y0 in range(0, h, rows_per_strip):
             seg = a[y0:y0 + rows_per_strip]
             if predictor == 2:
                 seg = _hdiff(seg)
-            strips.append(_compress(seg.tobytes()))
+            strips.append(_compress(_raw(seg)))
 
     nstrips = len(strips)
     photo = 3 if palette is not None else (1 if gray else 2)
@@ -370,6 +437,8 @@ def encode_tiff(arr, compression: str = "none",
         # writer twin for the decode-side Orientation handling (r11):
         # pixels are stored as given; the tag tells readers to rotate
         entries.append((274, 3, 1, orientation))
+    if planar:
+        entries.append((284, 3, 1, 2))
     if tile is not None:
         off_tag, cnt_tag = 324, 325
         entries += [(322, 4, 1, tile[0]), (323, 4, 1, tile[1])]
@@ -396,7 +465,7 @@ def encode_tiff(arr, compression: str = "none",
         bits_entry = (258, 3, spp, None)  # inline below
         bits_inline = True
     else:
-        bits_entry = (258, 3, spp, ext_put("H", [8] * spp))
+        bits_entry = (258, 3, spp, ext_put("H", [bits] * spp))
         bits_inline = False
     if palette is not None:
         pal = np.asarray(palette, np.uint8)
@@ -434,7 +503,7 @@ def encode_tiff(arr, compression: str = "none",
     for tag, typ, cnt, val in all_entries:
         out += struct.pack(bo + "HHI", tag, typ, cnt)
         if tag == 258 and bits_inline:
-            out += struct.pack(bo + "HH", 8, 8 if spp == 2 else 0)
+            out += struct.pack(bo + "HH", bits, bits if spp == 2 else 0)
         elif tag == off_tag and nstrips == 1:
             out += struct.pack(bo + "I", strip_offsets[0])
         elif typ == 3 and cnt == 1:

@@ -2611,3 +2611,52 @@ def test_tiff_orientation_tag_honored():
     assert np.array_equal(rot, np.rot90(arr, -1))
     assert np.array_equal(
         decode_tiff(encode_tiff(arr, orientation=3)), arr[::-1, ::-1])
+
+
+def test_tiff_16bit_samples_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    a16 = rng.integers(0, 65535, (9, 13, 3), dtype=np.uint16)
+    want = (a16 >> 8).astype(np.uint8)   # high-byte reduction contract
+    for bo in ("<", ">"):
+        for comp in ("none", "deflate"):
+            got = decode_tiff(encode_tiff(
+                a16, bits=16, byte_order=bo, compression=comp))
+            assert np.array_equal(got, want), (bo, comp)
+    # predictor runs at native 16-bit width
+    got = decode_tiff(encode_tiff(a16, bits=16, predictor=2,
+                                  compression="lzw"))
+    assert np.array_equal(got, want)
+    # 16-bit grayscale
+    g16 = rng.integers(0, 65535, (7, 5), dtype=np.uint16)
+    got = decode_tiff(encode_tiff(g16, bits=16))
+    assert np.array_equal(got, np.repeat((g16 >> 8)[..., None], 3, axis=2)
+                          .astype(np.uint8))
+
+
+def test_tiff_planar_layout_roundtrip():
+    import numpy as np
+
+    from sparkdon.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (11, 7, 3), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        got = decode_tiff(encode_tiff(arr, planar=True, compression=comp,
+                                      rows_per_strip=4))
+        assert np.array_equal(got, arr), comp
+    # planar + predictor (per-plane differencing)
+    got = decode_tiff(encode_tiff(arr, planar=True, predictor=2,
+                                  compression="deflate", rows_per_strip=3))
+    assert np.array_equal(got, arr)
+    # planar 16-bit
+    a16 = rng.integers(0, 65535, (6, 4, 3), dtype=np.uint16)
+    got = decode_tiff(encode_tiff(a16, planar=True, bits=16))
+    assert np.array_equal(got, (a16 >> 8).astype(np.uint8))
+    # tiled planar stays an honest boundary
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_tiff(arr, planar=True, tile=(4, 4))
