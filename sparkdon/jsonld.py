@@ -18,8 +18,11 @@ shapes data files actually use:
   objects with ``@type``/``@language``, ``{"@id": …}`` references,
   ``@list`` arrays → ``rdf:first``/``rdf:rest`` chains.
 
-Honest boundaries (raise ``NotImplementedError``): remote ``@context``
-URLs (no network at parse time), ``@reverse``, and 1.1-only keywords.
+``@reverse`` is supported both as a node-object keyword and as a
+context term definition (``{"@reverse": "prop"}``), including the
+flip-back-to-forward case of a reverse term used inside ``@reverse``
+(r11).  Honest boundaries (raise ``NotImplementedError``): remote
+``@context`` URLs (no network at parse time) and 1.1-only keywords.
 Named graphs inside ``@graph`` nodes flatten into the default graph —
 same behavior as the reference's default rdflib ``Graph``.
 
@@ -41,7 +44,7 @@ from sparkdon.terms import (KIND_BNODE, RDF, TRIPLE_SCHEMA, XSD, BNode,
 from sparkdon.uris import _ABSOLUTE
 
 _KEYWORDS = {"@id", "@type", "@value", "@language", "@list", "@set",
-             "@graph", "@context", "@index"}
+             "@graph", "@context", "@index", "@reverse"}
 
 RDF_FIRST = IRI(RDF + "first")
 RDF_REST = IRI(RDF + "rest")
@@ -102,8 +105,14 @@ class _Ctx:
                     out.terms[term] = {"@id": defn}
                 elif isinstance(defn, dict):
                     if "@reverse" in defn:
-                        raise NotImplementedError("@reverse terms")
-                    out.terms[term] = defn
+                        # reverse term: same @id machinery, flipped
+                        # subject/object at emit time
+                        rd = dict(defn)
+                        rd["@id"] = rd.pop("@reverse")
+                        rd["@reverse_term"] = True
+                        out.terms[term] = rd
+                    else:
+                        out.terms[term] = defn
                 else:
                     raise ValueError(f"bad term definition {term!r}")
         return out
@@ -235,10 +244,25 @@ def _object_term(ctx: _Ctx, v, term_def: dict):
     return _scalar_literal(ctx, v)
 
 
+def _reverse_subject_term(ctx: _Ctx, v):
+    """A value in reverse position becomes the emitted triple's SUBJECT,
+    so it must denote a node: a node object, an {"@id": …} reference, or
+    an IRI string (JSON-LD 1.0 §6.12 — value objects are invalid
+    here)."""
+    if isinstance(v, dict):
+        if "@value" in v or "@list" in v:
+            raise ValueError("@reverse value must be a node object")
+        t = ctx.expand_iri(v["@id"]) if set(v) == {"@id"} \
+            else _node_object(ctx, v)
+    elif isinstance(v, str):
+        t = ctx.expand_iri(v)
+    else:
+        raise ValueError("@reverse value must be a node object or IRI")
+    return t if isinstance(t, (IRI, BNode)) else IRI(str(t))
+
+
 def _node_object(ctx: _Ctx, node: dict):
     """Emit a node object's triples; return its subject term."""
-    if "@reverse" in node:
-        raise NotImplementedError("@reverse")
     ctx = ctx.push_context(node.get("@context"))
     # keyword aliases ("id": "@id", "type": "@type") are valid 1.0 and
     # ubiquitous in schema.org-style data — resolve key meanings first
@@ -260,6 +284,20 @@ def _node_object(ctx: _Ctx, node: dict):
         subj = IRI(subj)
     for t in _as_list(node.get("@type")):
         ctx.triples.append((subj, RDF_TYPE, ctx.expand_iri(t, vocab=True)))
+    for rkey, rval in (node.get("@reverse") or {}).items():
+        pred = ctx.expand_iri(rkey, vocab=True)
+        if isinstance(pred, str) and pred.startswith("@"):
+            continue
+        if ":" not in str(pred):
+            continue
+        if not isinstance(pred, IRI):
+            pred = IRI(str(pred))
+        # a reverse TERM inside @reverse flips back to a forward edge
+        flip = ctx.terms.get(rkey, {}).get("@reverse_term", False)
+        for v in _as_list(rval):
+            t = _reverse_subject_term(ctx, v)
+            ctx.triples.append((subj, pred, t) if flip
+                               else (t, pred, subj))
     for key, value in node.items():
         if key in _KEYWORDS or key in handled:
             continue
@@ -285,6 +323,13 @@ def _node_object(ctx: _Ctx, node: dict):
                 values.extend(_as_list(v["@set"]))
             else:
                 values.append(v)
+        if term_def.get("@reverse_term"):
+            # context-defined reverse property: each value node points
+            # BACK at this subject
+            for v in values:
+                ctx.triples.append(
+                    (_reverse_subject_term(ctx, v), pred, subj))
+            continue
         if term_def.get("@container") == "@list" \
                 and not (len(values) == 1 and isinstance(values[0], dict)
                          and "@list" in values[0]):

@@ -104,9 +104,40 @@ def test_graph_bnodes_and_explicit_bnode_ids():
 def test_honest_boundaries():
     with pytest.raises(NotImplementedError, match="remote @context"):
         parse_jsonld('{"@context": "https://schema.org", "@id": "x"}')
-    with pytest.raises(NotImplementedError, match="@reverse"):
+    # @reverse values must denote nodes (value objects are invalid)
+    with pytest.raises(ValueError, match="@reverse value"):
         parse_jsonld(json.dumps(
-            {"@id": EX + "x", "@reverse": {EX + "p": {"@id": EX + "y"}}}))
+            {"@id": EX + "x", "@reverse": {EX + "p": {"@value": 3}}}))
+
+
+def test_reverse_keyword_and_terms():
+    def iri_row(s, p, o):
+        return ("iri", s, p, "iri", o, None, None)
+
+    # node-level @reverse: (y, p, x) — cross-checked against Turtle
+    doc = {"@id": EX + "x", "@reverse": {EX + "p": {"@id": EX + "y"}}}
+    ttl = f"@prefix ex: <{EX}> . ex:y ex:p ex:x ."
+    assert ground(parse_jsonld(json.dumps(doc))) == ground(parse_turtle(ttl))
+    # context reverse term: children → (child, parent, subj); string
+    # values in reverse position are IRIs
+    doc = {"@context": {"children": {"@reverse": EX + "parent"}},
+           "@id": EX + "mom",
+           "children": [{"@id": EX + "kid1"}, EX + "kid2"]}
+    rows = parse_jsonld(json.dumps(doc))
+    assert iri_row(EX + "kid1", EX + "parent", EX + "mom") in rows
+    assert iri_row(EX + "kid2", EX + "parent", EX + "mom") in rows
+    # nested node under @reverse emits its own forward triples too
+    doc = {"@id": EX + "x",
+           "@reverse": {EX + "p": {"@id": EX + "y",
+                                   EX + "name": "why"}}}
+    rows = parse_jsonld(json.dumps(doc))
+    assert iri_row(EX + "y", EX + "p", EX + "x") in rows
+    assert ("iri", EX + "y", EX + "name", "lit", "why", None, None) in rows
+    # a reverse TERM used inside @reverse flips back to a forward edge
+    doc = {"@context": {"rchild": {"@reverse": EX + "parent"}},
+           "@id": EX + "x", "@reverse": {"rchild": {"@id": EX + "y"}}}
+    rows = parse_jsonld(json.dumps(doc))
+    assert iri_row(EX + "x", EX + "parent", EX + "y") in rows
 
 
 def test_read_jsonld_scan_and_sparql(spark, tmp_path):
