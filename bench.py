@@ -334,7 +334,7 @@ def compact_output(out: dict) -> dict:
             "n_queries": len(timings),
             "flagship_rows": out.get("flagship_rows"),
             "detail": "bench_detail.json",
-            "top": {k: timings[k] for k in heavy},
+            "top": heavy,
         }
         for key in ("load_avg", "partial", "error_count", "partial_total_sec"):
             if key in out:

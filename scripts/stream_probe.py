@@ -133,11 +133,11 @@ def main() -> None:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_t = dict(raw.dtypes)["ts"]
     ev_src = os.path.join(scratch, "events_src")
-    fixed = raw.withColumn(
-        "ts", (F.col("ts") / 1000).cast("timestamp") if ts_t == "bigint"
-        else F.col("ts").cast("timestamp"))
-    if ts_t == "bigint":  # nanos → micros → timestamp
-        fixed = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if ts_t == "bigint":  # legacy nanos-long → micros → timestamp
+        fixed = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        fixed = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     fixed.write.mode("overwrite").parquet(ev_src)
     n_events = _split_by_ts(spark, ev_src, ev_dir, n_files)
 
@@ -152,7 +152,7 @@ def main() -> None:
         )
 
     from sparkdon.streaming.joins import view_click_join
-    from sparkdon.streaming.neardup import band_keys_narrow, corpus_band_index, near_dup_matches
+    from sparkdon.streaming.neardup import corpus_band_index, near_dup_matches
     from sparkdon.streaming.stateful import user_profiles
     from sparkdon.streaming.windows import (
         dedup_stream,

@@ -261,6 +261,28 @@ def _reverse_subject_term(ctx: _Ctx, v):
     return t if isinstance(t, (IRI, BNode)) else IRI(str(t))
 
 
+def _emit_reverse(ctx: _Ctx, subj, rmap) -> None:
+    """Emit the triples of a ``@reverse`` map (literal keyword or a
+    context alias of it): each value node points back at ``subj`` —
+    unless the key is itself a reverse TERM, which flips back to a
+    forward edge."""
+    if not isinstance(rmap, dict):
+        raise ValueError("@reverse must map properties to node values")
+    for rkey, rval in rmap.items():
+        pred = ctx.expand_iri(rkey, vocab=True)
+        if isinstance(pred, str) and pred.startswith("@"):
+            continue
+        if ":" not in str(pred):
+            continue
+        if not isinstance(pred, IRI):
+            pred = IRI(str(pred))
+        flip = ctx.terms.get(rkey, {}).get("@reverse_term", False)
+        for v in _as_list(rval):
+            t = _reverse_subject_term(ctx, v)
+            ctx.triples.append((subj, pred, t) if flip
+                               else (t, pred, subj))
+
+
 def _node_object(ctx: _Ctx, node: dict):
     """Emit a node object's triples; return its subject term."""
     ctx = ctx.push_context(node.get("@context"))
@@ -284,20 +306,8 @@ def _node_object(ctx: _Ctx, node: dict):
         subj = IRI(subj)
     for t in _as_list(node.get("@type")):
         ctx.triples.append((subj, RDF_TYPE, ctx.expand_iri(t, vocab=True)))
-    for rkey, rval in (node.get("@reverse") or {}).items():
-        pred = ctx.expand_iri(rkey, vocab=True)
-        if isinstance(pred, str) and pred.startswith("@"):
-            continue
-        if ":" not in str(pred):
-            continue
-        if not isinstance(pred, IRI):
-            pred = IRI(str(pred))
-        # a reverse TERM inside @reverse flips back to a forward edge
-        flip = ctx.terms.get(rkey, {}).get("@reverse_term", False)
-        for v in _as_list(rval):
-            t = _reverse_subject_term(ctx, v)
-            ctx.triples.append((subj, pred, t) if flip
-                               else (t, pred, subj))
+    if "@reverse" in node:
+        _emit_reverse(ctx, subj, node["@reverse"])
     for key, value in node.items():
         if key in _KEYWORDS or key in handled:
             continue
@@ -307,6 +317,9 @@ def _node_object(ctx: _Ctx, node: dict):
             for t in _as_list(value):
                 ctx.triples.append(
                     (subj, RDF_TYPE, ctx.expand_iri(t, vocab=True)))
+            continue
+        if pred == "@reverse":  # aliased @reverse
+            _emit_reverse(ctx, subj, value)
             continue
         if isinstance(pred, str) and pred.startswith("@"):
             continue  # other aliased keywords carry no triples here

@@ -399,10 +399,16 @@ def decode_image(payload: bytes):
         # r11 (VERDICT r10 #7): honor the EXIF Orientation tag — phone
         # JPEGs store rotated pixels + the tag, and a feature/resize
         # stage that ignores it learns on transposed images.  The tag
-        # read is header-only (jpeg_exif stops at SOS).
+        # read is header-only (jpeg_exif stops at SOS); it is
+        # best-effort — a JPEG whose pixels decode but whose EXIF
+        # segment is truncated/corrupt (struct.error, short buffers)
+        # must keep decoding as orientation 1, exactly as pre-r11.
+        import struct as _struct
+
         try:
             orientation = int(jpeg_exif(payload).get("orientation", 1))
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, IndexError, KeyError,
+                _struct.error):
             orientation = 1
         return apply_exif_orientation(arr, orientation)
 

@@ -24,6 +24,7 @@ Spark-first shapes:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -44,13 +45,21 @@ _CDXJ_JSON_SCHEMA = (
 )
 
 
+#: matches a LEADING scheme only — the same anchor the JVM twin uses;
+#: '://' later in the string (a URL inside a query param) must not
+#: reposition the host split
+_LEADING_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
 def surt(url: str) -> str:
     """Python SURT key (Sort-friendly URI Reordering Transform):
     ``https://www.Example.COM:443/Path?q=1`` →
-    ``com,example,www)/Path?q=1``.  Scheme dropped, host lowercased,
+    ``com,example,www)/Path?q=1``.  Scheme dropped (leading only — an
+    embedded URL in the query must not shift the host), host lowercased,
     default ports stripped, labels reversed comma-joined; path/query
-    kept case-sensitively (the pywb rule)."""
-    rest = url.split("://", 1)[-1]
+    kept case-sensitively (the pywb rule).  Raw spaces are
+    percent-encoded so a key is always one CDXJ field."""
+    rest = _LEADING_SCHEME.sub("", url)
     for i, ch in enumerate(rest):
         if ch in "/?#":
             host, path = rest[:i], rest[i:]
@@ -61,20 +70,23 @@ def surt(url: str) -> str:
     for port in (":80", ":443"):
         if host.endswith(port):
             host = host[: -len(port)]
-    return ",".join(reversed(host.split("."))) + ")" + path
+    key = ",".join(reversed(host.split("."))) + ")" + path
+    return key.replace(" ", "%20")
 
 
 def surt_key(col) -> F.Column:
-    """JVM expression twin of :func:`surt` over a URL column."""
+    """JVM expression twin of :func:`surt` over a URL column (pytest
+    asserts equality on a shared URL battery)."""
     rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     host = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     path = F.substring(rest, F.length(host) + 1, F.lit(1 << 30))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     host = F.lower(F.regexp_replace(host, r"^.*@", ""))
     host = F.regexp_replace(host, r":(80|443)$", "")
-    return F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"), path)
+    return F.regexp_replace(
+        F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                 F.lit(")"), path),
+        " ", "%20")
 
 
 def _ts14(warc_date: str) -> str:
@@ -88,9 +100,11 @@ def build_cdx(spark: SparkSession, warc_path: str) -> DataFrame:
     members / record spans, parses each, and emits one ``CDX_SCHEMA``
     row per record.  ``digest`` is the payload's sha1 hex (Common Crawl
     uses base32 sha1; hex keeps stdlib-only and is self-consistent
-    between build and verify).  A whole-file-gzip archive yields ONE
-    member row — such files are not random-accessible, matching the
-    scan contract."""
+    between build and verify).  A whole-file-gzip archive still gets a
+    row per RECORD, but all its rows share the single whole-file span
+    (offset 0, length = file size) — such files are not
+    record-addressable, so a range fetch must inflate the whole file
+    and re-filter (``fetch_by_cdx`` does exactly that)."""
     from .warc import _scan_split_ranges, parse_warc_records
 
     def run(batches) -> Iterator:
@@ -181,10 +195,21 @@ def fetch_by_cdx(spark: SparkSession, cdx: DataFrame,
     only the matching members via ``read_warc_ranges``.  At 100 TB this
     is the difference between inflating a whole crawl and touching a
     few thousand gzip members: the index scan prunes first, the range
-    read is one seek+inflate per surviving record."""
+    read is one seek+inflate per surviving record.
+
+    When a prefix filter is given, the fetched records are additionally
+    semi-joined back on ``target_uri`` against the filtered index: a
+    span that holds MORE than one record (whole-file-gzip archives, or
+    a span-granular index from ``warc_split_index``) parses every
+    record in the span, and the join drops the non-matching ones.  The
+    filtered URL set is prefix-sized — broadcast."""
     from .warc import read_warc_ranges
 
     if surt_prefix is not None:
         cdx = cdx.filter(F.col("surt").startswith(surt_prefix))
     refs = cdx.select("warc_file", "offset", "length").distinct()
-    return read_warc_ranges(spark, refs, parallelism=parallelism)
+    fetched = read_warc_ranges(spark, refs, parallelism=parallelism)
+    if surt_prefix is None:
+        return fetched
+    urls = cdx.select(F.col("url").alias("target_uri")).distinct()
+    return fetched.join(F.broadcast(urls), "target_uri", "left_semi")

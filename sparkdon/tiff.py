@@ -283,7 +283,8 @@ def decode_tiff(payload: bytes):
             # (TIFF 6.0 PlanarConfiguration=2); each strip carries ONE
             # sample per pixel, predictor runs within the plane
             strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
-            if len(offsets) < spp * strips_per_plane:
+            if len(offsets) < spp * strips_per_plane \
+                    or len(counts) < spp * strips_per_plane:
                 raise ValueError("planar TIFF missing strips")
             planes = []
             for s in range(spp):

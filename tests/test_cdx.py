@@ -127,3 +127,51 @@ def test_fetch_by_cdx_random_access(spark, archive):
     all_rows = fetch_by_cdx(spark, cdx).select("record_id").collect()
     full = read_warc(spark, str(archive)).select("record_id").collect()
     assert sorted(map(tuple, all_rows)) == sorted(map(tuple, full))
+
+
+# --- r11 review findings ----------------------------------------------------
+
+def test_surt_embedded_url_and_spaces(spark):
+    # a '://' inside the query must not shift the host split
+    assert surt("example.com/redirect?to=http://a.b") == \
+        "com,example)/redirect?to=http://a.b"
+    # raw spaces percent-encode so a key stays one CDXJ field
+    assert surt("http://example.com/a b/c") == "com,example)/a%20b/c"
+    urls = ["example.com/redirect?to=http://a.b", "http://example.com/a b/c"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    assert got == [surt(u) for u in urls]
+
+
+def test_spacey_url_survives_cdxj_roundtrip(spark, tmp_path):
+    recs = [{"warc_type": "resource", "target_uri": "http://s.io/a b",
+             "record_id": "<urn:uuid:sp>", "warc_date": "2024-01-02T03:04:05Z",
+             "content_type": "text/plain", "payload": b"x"}]
+    (tmp_path / "s.warc.gz").write_bytes(warc_bytes(recs, gzip_per_record=True))
+    cdx = build_cdx(spark, str(tmp_path / "s.warc.gz"))
+    out = tmp_path / "cdx"
+    write_cdxj(cdx, str(out))
+    back = read_cdx(spark, str(out)).collect()
+    assert len(back) == 1
+    assert back[0].url == "http://s.io/a b"
+    assert back[0].offset == 0 and back[0].length is not None
+
+
+def test_fetch_by_cdx_whole_file_gzip_refilters(spark, tmp_path):
+    # whole-file gzip: every record shares the file-wide span; the
+    # prefix fetch must still return ONLY the matching records
+    recs = [
+        {"warc_type": "resource", "target_uri": "http://one.io/x",
+         "record_id": "<urn:uuid:w1>", "warc_date": "2024-01-01T00:00:00Z",
+         "content_type": "text/plain", "payload": b"1"},
+        {"warc_type": "resource", "target_uri": "http://two.io/y",
+         "record_id": "<urn:uuid:w2>", "warc_date": "2024-01-01T00:00:00Z",
+         "content_type": "text/plain", "payload": b"2"},
+    ]
+    (tmp_path / "w.warc.gz").write_bytes(gzip.compress(warc_bytes(recs)))
+    cdx = build_cdx(spark, str(tmp_path / "w.warc.gz")).localCheckpoint()
+    rows = cdx.collect()
+    assert len(rows) == 2
+    assert all(r.offset == 0 for r in rows)       # shared whole-file span
+    got = fetch_by_cdx(spark, cdx, surt_prefix="io,one)").collect()
+    assert [r.target_uri for r in got] == ["http://one.io/x"]

@@ -219,3 +219,15 @@ def test_review_fixes_relative_pred_cycles_nonfinite():
         '{"@id": "http://e/s", "http://e/p": Infinity, '
         '"http://e/q": NaN}'))
     assert {r[4] for r in rows} == {"INF", "NaN"}
+
+
+def test_reverse_alias_and_bad_value():
+    # context alias of the @reverse keyword behaves like the keyword
+    doc = {"@context": {"rev": "@reverse"},
+           "@id": EX + "x", "rev": {EX + "p": {"@id": EX + "y"}}}
+    rows = parse_jsonld(json.dumps(doc))
+    assert ("iri", EX + "y", EX + "p", "iri", EX + "x", None, None) in rows
+    # malformed @reverse value raises ValueError, not AttributeError
+    with pytest.raises(ValueError, match="@reverse"):
+        parse_jsonld(json.dumps({"@id": EX + "x", "@reverse": "nope"}))
+

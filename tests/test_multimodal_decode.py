@@ -2660,3 +2660,21 @@ def test_tiff_planar_layout_roundtrip():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         encode_tiff(arr, planar=True, tile=(4, 4))
+
+
+def test_truncated_exif_does_not_break_decode():
+    # r11 review: struct.error from a truncated EXIF TIFF header must
+    # not fail a JPEG whose pixels decode fine
+    import struct
+
+    import numpy as np
+
+    from sparkdon.jpeg import encode_jpeg_lossless
+    from sparkdon.multimodal import decode_image
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    plain = encode_jpeg_lossless(arr)
+    bad_exif = b"Exif\x00\x00II"  # TIFF header cut after byte order
+    seg = b"\xff\xe1" + struct.pack(">H", len(bad_exif) + 2) + bad_exif
+    tagged = plain[:2] + seg + plain[2:]
+    assert np.array_equal(decode_image(tagged), arr)
