@@ -1,0 +1,91 @@
+"""Versioned corpus snapshots (sparkdon/sources/snapshots.py, round 11):
+append/overwrite commits, time travel, atomic-commit semantics, diff,
+and vacuum."""
+
+import json
+import os
+
+import pytest
+
+from sparkdon.sources.snapshots import (read_snapshot, snapshot_diff,
+                                        snapshot_versions, vacuum_snapshots,
+                                        write_snapshot)
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(lo, hi)], "doc_id long, text string")
+
+
+def test_append_commits_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    v0 = write_snapshot(_docs(spark, 0, 10), root)
+    v1 = write_snapshot(_docs(spark, 10, 15), root, meta={"crawl": "b"})
+    assert (v0, v1) == (0, 1)
+    assert snapshot_versions(root) == [0, 1]
+    # latest sees both slices, v0 is frozen forever
+    assert read_snapshot(spark, root).count() == 15
+    assert read_snapshot(spark, root, version=0).count() == 10
+    got = sorted(r.doc_id for r in read_snapshot(spark, root).collect())
+    assert got == list(range(15))
+
+
+def test_overwrite_starts_fresh_but_keeps_history(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 10), root)
+    write_snapshot(_docs(spark, 100, 103), root, mode="overwrite")
+    assert read_snapshot(spark, root).count() == 3
+    assert read_snapshot(spark, root, version=0).count() == 10
+    d = snapshot_diff(root, 0, 1)
+    assert d["added"] and d["removed"]
+
+
+def test_commit_is_manifest_rename_and_single_writer_guard(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 5), root)
+    mdir = tmp_path / "corpus" / "_manifests"
+    # a crashed half-commit (.tmp) is invisible to readers
+    (mdir / "v00000001.json.deadbeef.tmp").write_text("{")
+    assert snapshot_versions(root) == [0]
+    assert read_snapshot(spark, root).count() == 5
+    # a lost race onto an existing version number fails loudly
+    m = json.loads((mdir / "v00000000.json").read_text())
+    assert m["version"] == 0 and m["parent"] is None
+    (mdir / "v00000001.json").write_text(json.dumps(
+        {"version": 1, "parent": 0, "operation": "append",
+         "files": m["files"], "meta": {}}))
+    import sparkdon.sources.snapshots as snap
+    orig = snap.snapshot_versions
+    try:
+        snap.snapshot_versions = lambda r: [0]  # racer thinks v1 is free
+        with pytest.raises(RuntimeError, match="already committed"):
+            write_snapshot(_docs(spark, 5, 6), root)
+    finally:
+        snap.snapshot_versions = orig
+
+
+def test_read_missing_version_errors(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root)
+    write_snapshot(_docs(spark, 0, 3), root)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=9)
+
+
+def test_vacuum_drops_only_unreachable_files(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 5), root)                    # v0
+    write_snapshot(_docs(spark, 5, 8), root)                    # v1 = v0+new
+    write_snapshot(_docs(spark, 100, 102), root, mode="overwrite")  # v2
+    write_snapshot(_docs(spark, 102, 104), root)                # v3 = v2+new
+    removed = vacuum_snapshots(root, keep_last=2)
+    # v0/v1 manifests gone; their files unreachable from v2/v3 → deleted
+    assert snapshot_versions(root) == [2, 3]
+    assert removed                                  # something was deleted
+    assert read_snapshot(spark, root, version=3).count() == 4
+    assert read_snapshot(spark, root, version=2).count() == 2
+    for rel in removed:
+        assert not os.path.exists(os.path.join(root, rel))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=0)
