@@ -25,6 +25,9 @@ contract as ``read_warc_ranges``/``write_warc``.  Usage::
     df = (spark.read.format("warc")
           .option("path", "/crawl/segment0")
           .option("index", "/crawl/segment0.splits").load())
+    # streaming ingestion: new files landing in the directory arrive
+    # as micro-batches, checkpoint-resumable (see WarcStreamReader)
+    stream = spark.readStream.format("warc").option("path", "/landing").load()
 """
 
 from __future__ import annotations
@@ -32,7 +35,8 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StructType
 
 from .warc import WARC_SCHEMA, _local_path, parse_warc_records
@@ -72,6 +76,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema: StructType) -> "WarcReader":
         return WarcReader(dict(self.options))
 
+    def streamReader(self, schema: StructType) -> "WarcStreamReader":  # noqa: N802
+        return WarcStreamReader(dict(self.options))
+
 
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -110,3 +117,54 @@ class WarcReader(DataSourceReader):
         for rec in parse_warc_records(data):
             rec["payload_length"] = len(rec["payload"])
             yield (fname,) + tuple(rec[c] for c in _COLS)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("warc")`` — streaming crawl ingestion:
+    the option("path") directory is watched for NEW archive files; each
+    micro-batch processes the files that appeared since the last
+    committed offset (one task per new file, the batch contract).
+
+    An offset is the sorted list of file paths seen so far, carried in
+    the checkpoint — so a restarted query resumes exactly after the
+    files already processed (exactly-once per file).  The offset grows
+    with the file count of the watched directory; crawl segments are
+    bounded (~tens of thousands of files), which keeps the checkpoint
+    JSON in the megabytes.  Files must LAND ATOMICALLY (write elsewhere,
+    rename in — the same contract every Spark file stream has): a file
+    listed mid-write would be parsed short, and its later bytes never
+    revisited.
+
+    Composes with the streaming curation tier:
+    ``near_dup_matches(warc_documents(stream), corpus_index)`` filters
+    arriving crawl records against the corpus LSH index as they land.
+    """
+
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError('format("warc") needs .option("path", ...)')
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"files": _list_warc_files(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", ())) - set(start.get("files", ())))
+        return [InputPartition(f) for f in new]
+
+    def read(self, partition: InputPartition):
+        fname = partition.value
+        with open(_local_path(str(fname)), "rb") as fh:
+            data = fh.read()
+        for rec in parse_warc_records(data):
+            rec["payload_length"] = len(rec["payload"])
+            yield (fname,) + tuple(rec[c] for c in _COLS)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; no source-side state
+
+    def stop(self) -> None:
+        pass

@@ -503,3 +503,40 @@ def test_warc_data_source_missing_path_errors(spark):
     spark.dataSource.register(WarcDataSource)
     with pytest.raises(Exception):
         spark.read.format("warc").load().collect()
+
+
+def test_warc_stream_source_incremental_with_checkpoint(spark, tmp_path):
+    """spark.readStream.format("warc"): files landing in the directory
+    arrive as new micro-batches, and a SECOND run against the same
+    checkpoint processes only the files added since — exactly-once per
+    file across restarts."""
+    from sparkdon.sources.warc_source import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.warc.gz").write_bytes(
+        warc_bytes(_many_records(7, "sa"), gzip_per_record=True))
+
+    def drain():
+        q = (spark.readStream.format("warc").option("path", str(src)).load()
+             .select("record_id", "target_uri")
+             .writeStream.foreachBatch(
+                 lambda bdf, _bid: bdf.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(120)
+
+    drain()
+    got1 = sorted(r.record_id for r in spark.read.parquet(out).collect())
+    assert got1 == sorted(f"<urn:uuid:sa-{i}>" for i in range(7))
+
+    (src / "b.warc").write_bytes(warc_bytes(_many_records(3, "sb")))
+    drain()
+    got2 = sorted(r.record_id for r in spark.read.parquet(out).collect())
+    # file a NOT reprocessed; file b's records appended exactly once
+    assert len(got2) == 10
+    assert sorted(set(got2)) == got2
