@@ -116,3 +116,64 @@ def test_full_curation_pipeline_composes(spark, tmp_path):
     mirrors = tuple(sorted((by_source["mirror-a.com"]["doc_id"],
                             by_source["mirror-b.com"]["doc_id"])))
     assert mirrors in pairs
+
+
+def test_streaming_crawl_to_neardup_filter(spark, tmp_path):
+    """Full streaming curation chain (round 11): WARC files landing in
+    a directory → spark.readStream.format("warc") → warc_documents →
+    stream-static LSH collision filter against the corpus index.  A
+    landed page that near-duplicates a corpus page collides; a fresh
+    page does not."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from sparkdon import pipeline
+    from sparkdon.sources.warc import warc_bytes, warc_documents
+    from sparkdon.sources.warc_source import WarcDataSource
+    from sparkdon.streaming.neardup import band_keys_narrow
+    from sparkdon.streaming.windows import run_to_memory
+
+    spark.dataSource.register(WarcDataSource)
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    fresh = " ".join(f"zz{i}" for i in range(60))
+
+    corpus = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    with mock.patch.object(pipeline, "table", lambda s, d, n: corpus):
+        corpus_bands = pipeline._minhash_bands(spark, "ignored") \
+            .withColumnRenamed("doc_id", "corpus_doc_id") \
+            .withColumnRenamed("bk", "corpus_bk") \
+            .localCheckpoint(eager=True)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def page(rid, uri, text):
+        return {"warc_type": "response", "target_uri": uri,
+                "record_id": rid, "warc_date": "2024-06-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "http_headers": "HTTP/1.1 200 OK\r\nContent-Type: "
+                                "text/html; charset=utf-8",
+                "payload": f"<html><body><p>{text}</p></body></html>"
+                .encode()}
+
+    (landing / "seg0.warc.gz").write_bytes(warc_bytes(
+        [page("<urn:uuid:n1>", "http://new.io/near", near),
+         page("<urn:uuid:n2>", "http://new.io/fresh", fresh)],
+        gzip_per_record=True))
+
+    stream = (spark.readStream.format("warc")
+              .option("path", str(landing)).load())
+    docs = warc_documents(stream).select(
+        F.col("url").alias("doc_id"), "text")
+    keys = band_keys_narrow(docs)
+    hits = keys.join(
+        corpus_bands,
+        (keys.band == corpus_bands.band) & (keys.bk == corpus_bands.corpus_bk),
+    ).select("doc_id", "corpus_doc_id")
+    run_to_memory(hits, "crawl_neardup_test", output_mode="append")
+    rows = spark.sql("SELECT * FROM crawl_neardup_test").collect()
+    assert rows, "near-dup crawl page produced no band collisions"
+    assert {r.doc_id for r in rows} == {"http://new.io/near"}
+    assert all(r.corpus_doc_id == 100 for r in rows)
