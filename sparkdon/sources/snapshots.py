@@ -104,13 +104,20 @@ def write_snapshot(df: DataFrame, root: str, mode: str = "append",
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".{token}.tmp"
     final = _manifest_path(root, version)
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"snapshot v{version} already committed — concurrent writer? "
-            "(single-writer contract, see module docstring)")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
-    os.replace(tmp, final)  # THE commit point (atomic on POSIX)
+    # THE commit point.  os.link has exclusive-create semantics (unlike
+    # os.replace, which silently clobbers), so two writers racing the
+    # same version number get ONE winner and one loud error — an
+    # exists() pre-check would be a TOCTOU hole.
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"snapshot v{version} already committed — concurrent writer? "
+            "(single-writer contract, see module docstring)") from None
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -148,22 +155,44 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[str]:
     """Physically delete data files referenced ONLY by versions older
     than the last ``keep_last`` (and their manifests).  Time travel to
     vacuumed versions is gone — that is the explicit trade; returns the
-    deleted file list."""
+    deleted file list (relative paths).
+
+    Cleanup is COMPLETE for the reclaimed horizon: per-commit data
+    directories whose commit version is below the keep floor are swept
+    whole once no live file remains in them — including ``_SUCCESS``
+    markers and ORPHANED directories from writers that crashed between
+    the parquet write and the manifest commit.  Directories at or above
+    the keep floor are never touched (an orphan there may be a commit
+    in flight)."""
+    import re as _re
+    import shutil
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(root)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
-    if not drop:
+    if not keep:
         return []
+    keep_floor = keep[0]
     live = {e["path"] for v in keep for e in _load_manifest(root, v)["files"]}
-    dead = {e["path"] for v in drop
-            for e in _load_manifest(root, v)["files"]} - live
     removed = []
-    for rel in sorted(dead):
-        p = os.path.join(root, rel)
-        if os.path.exists(p):
-            os.remove(p)
-            removed.append(rel)
+    data_root = os.path.join(root, "data")
+    pat = _re.compile(r"^v(\d{8})-")
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        m = pat.match(d)
+        if not m or int(m.group(1)) >= keep_floor:
+            continue
+        ddir = os.path.join(data_root, d)
+        has_live = any(
+            os.path.relpath(os.path.join(ddir, f), root) in live
+            for f in os.listdir(ddir))
+        if has_live:
+            continue  # an old version's files still reachable from keep
+        for f in sorted(os.listdir(ddir)):
+            rel = os.path.relpath(os.path.join(ddir, f), root)
+            if f.startswith("part-") and f.endswith(".parquet"):
+                removed.append(rel)
+        shutil.rmtree(ddir)
     for v in drop:
         os.remove(_manifest_path(root, v))
     return removed

@@ -48,19 +48,41 @@ _COLS = ("record_id", "warc_type", "target_uri", "warc_date",
 
 
 def _list_warc_files(path: str) -> list[str]:
-    """dir → every *.warc / *.warc.gz under it; glob pattern or single
-    file pass through.  Deterministic (sorted) so partition planning is
-    stable across runs."""
+    """dir → every ``*.warc`` / ``*.warc.gz`` under it (SUFFIX match —
+    an in-progress ``seg.warc.gz.tmp`` must never be listed, or a
+    streaming offset would freeze its truncated prefix); glob pattern
+    or single existing file pass through; a not-yet-created directory
+    is an EMPTY listing (a stream watcher started before the crawler
+    creates the landing dir idles instead of crashing).  Deterministic
+    (sorted) so partition planning is stable across runs."""
     p = _local_path(path)
     if os.path.isdir(p):
         out = []
         for root, _dirs, files in os.walk(p):
             out += [os.path.join(root, f) for f in files
-                    if ".warc" in f and not f.startswith(".")]
+                    if f.endswith((".warc", ".warc.gz"))
+                    and not f.startswith(".")]
         return sorted(out)
     if any(ch in p for ch in "*?["):
         return sorted(_glob.glob(p))
-    return [p]
+    if os.path.isfile(p):
+        return [p]
+    return []
+
+
+def _read_warc_file(fname: str, off: int | None = None,
+                    ln: int | None = None):
+    """Shared open→parse→row-tuple body of the batch and streaming
+    readers (one copy, so the emitted row shape cannot diverge)."""
+    with open(_local_path(str(fname)), "rb") as fh:
+        if off is None:
+            data = fh.read()
+        else:
+            fh.seek(int(off))
+            data = fh.read(int(ln))
+    for rec in parse_warc_records(data):
+        rec["payload_length"] = len(rec["payload"])
+        yield (fname,) + tuple(rec[c] for c in _COLS)
 
 
 class WarcDataSource(DataSource):
@@ -107,16 +129,7 @@ class WarcReader(DataSourceReader):
 
     def read(self, partition: InputPartition):
         fname, off, ln = partition.value
-        local = _local_path(str(fname))
-        with open(local, "rb") as fh:
-            if off is None:
-                data = fh.read()
-            else:
-                fh.seek(int(off))
-                data = fh.read(int(ln))
-        for rec in parse_warc_records(data):
-            rec["payload_length"] = len(rec["payload"])
-            yield (fname,) + tuple(rec[c] for c in _COLS)
+        yield from _read_warc_file(fname, off, ln)
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -144,24 +157,40 @@ class WarcStreamReader(DataSourceStreamReader):
         if "path" not in options:
             raise ValueError('format("warc") needs .option("path", ...)')
         self.path = options["path"]
+        #: paths this reader instance has already put in an offset —
+        #: latestOffset unions with it so the offset is MONOTONE: a
+        #: processed file deleted by retention (and even re-landed
+        #: under the same name) never re-enters a batch; without this
+        #: the listing shrinks and end-start "rediscovers" old names
+        self._seen: set[str] = set()
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"files": _list_warc_files(self.path)}
+        self._seen.update(_list_warc_files(self.path))
+        return {"files": sorted(self._seen)}
 
     def partitions(self, start: dict, end: dict):
+        # the checkpointed start offset also feeds the monotone set, so
+        # a restart after retention deletions cannot shrink the horizon
+        self._seen.update(start.get("files", ()))
         new = sorted(set(end.get("files", ())) - set(start.get("files", ())))
         return [InputPartition(f) for f in new]
 
     def read(self, partition: InputPartition):
         fname = partition.value
-        with open(_local_path(str(fname)), "rb") as fh:
-            data = fh.read()
-        for rec in parse_warc_records(data):
-            rec["payload_length"] = len(rec["payload"])
-            yield (fname,) + tuple(rec[c] for c in _COLS)
+        try:
+            yield from _read_warc_file(fname)
+        except FileNotFoundError:
+            # the file was planned into this batch and then deleted
+            # (retention racing ingestion).  Failing would poison the
+            # batch forever (checkpoint replay re-plans the same file);
+            # its rows are unrecoverable either way — skip loudly.
+            import sys
+
+            print(f"[warc stream] planned file vanished, skipping: "
+                  f"{fname}", file=sys.stderr)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; no source-side state

@@ -89,3 +89,44 @@ def test_vacuum_drops_only_unreachable_files(spark, tmp_path):
         assert not os.path.exists(os.path.join(root, rel))
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, root, version=0)
+
+
+def test_vacuum_sweeps_dirs_markers_and_orphans(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 5), root)                        # v0
+    write_snapshot(_docs(spark, 100, 102), root, mode="overwrite")  # v1
+    write_snapshot(_docs(spark, 102, 104), root)                    # v2
+    data_root = tmp_path / "corpus" / "data"
+    # orphan from a writer that crashed before its manifest commit,
+    # versioned BELOW the keep floor
+    orphan = data_root / "v00000000-deadbeefcafe"
+    orphan.mkdir()
+    (orphan / "part-00000-x.parquet").write_bytes(b"junk")
+    (orphan / "_SUCCESS").write_bytes(b"")
+    removed = vacuum_snapshots(root, keep_last=2)
+    assert snapshot_versions(root) == [1, 2]
+    # v0's whole per-commit dir is gone (parquet, _SUCCESS, the dir),
+    # and so is the orphan; kept dirs intact
+    leftover = sorted(p.name for p in data_root.iterdir())
+    assert all(p.startswith(("v00000001-", "v00000002-")) for p in leftover)
+    assert any(r.endswith(".parquet") for r in removed)
+    assert read_snapshot(spark, root, version=2).count() == 4
+
+
+def test_commit_race_loses_loudly_not_silently(spark, tmp_path):
+    # exclusive-create commit: with the version already taken, the
+    # second writer's manifest must NOT clobber the first
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 3), root)
+    mdir = tmp_path / "corpus" / "_manifests"
+    first = (mdir / "v00000000.json").read_text()
+    import sparkdon.sources.snapshots as snap
+    orig = snap.snapshot_versions
+    try:
+        snap.snapshot_versions = lambda r: []      # racer targets v0 again
+        with pytest.raises(RuntimeError, match="already committed"):
+            write_snapshot(_docs(spark, 9, 10), root)
+    finally:
+        snap.snapshot_versions = orig
+    assert (mdir / "v00000000.json").read_text() == first   # untouched
+    assert not list(mdir.glob("*.tmp"))                     # tmp cleaned

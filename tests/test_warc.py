@@ -540,3 +540,48 @@ def test_warc_stream_source_incremental_with_checkpoint(spark, tmp_path):
     # file a NOT reprocessed; file b's records appended exactly once
     assert len(got2) == 10
     assert sorted(set(got2)) == got2
+
+
+def test_warc_stream_offsets_monotone_and_tmp_files_ignored(spark, tmp_path):
+    """r11 review: (a) a processed-then-deleted (even re-landed) file
+    must not re-enter a batch — offsets are monotone; (b) in-progress
+    .tmp files are never listed; (c) a not-yet-created landing dir
+    idles instead of crashing."""
+    from sparkdon.sources.warc_source import WarcDataSource, _list_warc_files
+
+    spark.dataSource.register(WarcDataSource)
+    src = tmp_path / "landing"
+    # (c) path does not exist yet → empty listing, not a bogus "file"
+    assert _list_warc_files(str(src)) == []
+    src.mkdir()
+    (src / "half.warc.gz.tmp").write_bytes(b"\x1f\x8b partial")
+    assert _list_warc_files(str(src)) == []      # (b) suffix match only
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.warc.gz").write_bytes(
+        warc_bytes(_many_records(4, "ma"), gzip_per_record=True))
+
+    def drain():
+        q = (spark.readStream.format("warc").option("path", str(src)).load()
+             .select("record_id")
+             .writeStream.foreachBatch(
+                 lambda bdf, _bid: bdf.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 4
+    # (a) retention deletes the processed file; a same-named file
+    # re-lands; a restarted query must NOT reprocess the name
+    (src / "a.warc.gz").unlink()
+    (src / "a.warc.gz").write_bytes(
+        warc_bytes(_many_records(4, "ma"), gzip_per_record=True))
+    (src / "b.warc.gz").write_bytes(
+        warc_bytes(_many_records(2, "mb"), gzip_per_record=True))
+    drain()
+    got = [r.record_id for r in spark.read.parquet(out).collect()]
+    assert len(got) == 6                          # 4 + only b's 2
+    assert sorted(set(got)) == sorted(got)
