@@ -130,3 +130,31 @@ def test_commit_race_loses_loudly_not_silently(spark, tmp_path):
         snap.snapshot_versions = orig
     assert (mdir / "v00000000.json").read_text() == first   # untouched
     assert not list(mdir.glob("*.tmp"))                     # tmp cleaned
+
+
+def test_streaming_commits_versioned_corpus(spark, tmp_path):
+    """Composition: a streaming source's micro-batches committed as
+    snapshot versions via foreachBatch — each batch is an atomic,
+    time-travelable corpus version (the incremental-crawl shape)."""
+    import pandas as pd
+
+    root = str(tmp_path / "corpus")
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(
+        src / "b0.parquet")
+    pd.DataFrame({"doc_id": [3], "text": ["c"]}).to_parquet(
+        src / "b1.parquet")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream.foreachBatch(
+            lambda bdf, _bid: write_snapshot(bdf, root, meta={"batch": _bid}))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    assert q.awaitTermination(120)
+    versions = snapshot_versions(root)
+    assert len(versions) == 2
+    assert read_snapshot(spark, root).count() == 3      # cumulative
+    assert read_snapshot(spark, root, version=versions[0]).count() in (1, 2)
