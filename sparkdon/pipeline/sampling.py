@@ -432,3 +432,112 @@ def x_rank_normalize(spark, sf_dir):
         .select("doc_id", "n_chars", "rank_less",
                 F.expr("(rank_less * 10) div _n").alias("decile"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (round 11)
+# ---------------------------------------------------------------------------
+
+def dsir_features(docs: DataFrame, buckets: int = 8192,
+                  ngram: int = 2, text_col: str = "text") -> DataFrame:
+    """Hashed n-gram features per doc: (doc_id, bucket, cnt).
+
+    The public DSIR recipe's featurizer (Xie et al., "Data Selection
+    for Language Models via Importance Resampling"): word n-grams
+    hashed into a fixed bucket space — corpus-size-independent state,
+    all JVM (split + transform + explode + xxhash64).  Unigrams AND
+    ``ngram``-grams both contribute, like the reference
+    implementation."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def _grams_of(n: int):
+        # n is frozen by the enclosing call — Spark's transform lambda
+        # takes (elem, idx) only, extra params would bind as Columns
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _x, i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+
+    grams = F.flatten(F.array(*[_grams_of(n) for n in range(1, ngram + 1)]))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("doc_id",
+                F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_dist(feats: DataFrame, buckets: int):
+    """(bucket, logp) with add-1 smoothing over the full bucket space —
+    a buckets-sized frame, broadcastable model state."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    total = counts.agg(
+        (F.sum("c") + buckets).cast("double").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("bucket",
+                F.log((F.col("c") + 1) / F.col("_t")).alias("logp"),
+                "_t")
+    )
+
+
+def dsir_weights(source: DataFrame, target: DataFrame,
+                 buckets: int = 8192, ngram: int = 2) -> DataFrame:
+    """Per-source-doc importance log-weight toward the TARGET text
+    distribution: ``log w(doc) = Σ_b cnt_b · (log p_target[b] −
+    log q_source[b])`` over hashed n-gram buckets, add-1 smoothed.
+
+    100 TB shape: both distributions reduce to buckets-sized frames
+    (one partial agg each); the per-doc score is one broadcast join of
+    doc features against the log-ratio frame plus a doc-keyed sum —
+    no vocabulary state, no driver collect.  Returns
+    (doc_id, log_weight); downstream resampling plugs into the
+    existing weighted-sampling machinery."""
+    sf = dsir_features(source, buckets, ngram)
+    tf = dsir_features(target, buckets, ngram)
+    src_d = _bucket_dist(sf, buckets).select(
+        "bucket", F.col("logp").alias("logq"))
+    tgt_d = _bucket_dist(tf, buckets).select("bucket", "logp")
+    # missing buckets fall back to the smoothing floor log(1/_t)
+    src_t = sf.agg((F.sum("cnt") + buckets).cast("double").alias("qt"))
+    tgt_t = tf.agg((F.sum("cnt") + buckets).cast("double").alias("pt"))
+    ratio = (
+        src_d.join(tgt_d, "bucket", "full")
+        .crossJoin(F.broadcast(src_t)).crossJoin(F.broadcast(tgt_t))
+        .select(
+            "bucket",
+            (F.coalesce(F.col("logp"), -F.log("pt"))
+             - F.coalesce(F.col("logq"), -F.log("qt"))).alias("logratio"))
+    )
+    return (
+        sf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("log_weight"))
+    )
+
+
+def dsir_resample(source: DataFrame, target: DataFrame, k: int,
+                  buckets: int = 8192, ngram: int = 2,
+                  temperature: float = 1.0) -> DataFrame:
+    """Top-k importance resample: Gumbel-top-k over the DSIR
+    log-weights with DETERMINISTIC hash noise (md5-derived uniform per
+    doc_id — content-stable, engine-portable), equivalent to sampling
+    k docs without replacement with probability ∝ w^(1/T).
+
+    The selection is a TakeOrdered-style global top-k on
+    ``log_weight/T + gumbel`` — no single-partition window."""
+    w = dsir_weights(source, target, buckets, ngram)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") / F.lit(float(16 ** 13)))
+    # clamp away from 0/1 so the double log is finite
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select("doc_id", "log_weight",
+                 (F.col("log_weight") / temperature + gumbel).alias("_key"))
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(k)
+        .drop("_key")
+    )
