@@ -1300,3 +1300,64 @@ def hll_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
         F.when((raw <= 2.5 * HLL_M) & (F.col("present") < HLL_M),
                HLL_M * F.log(HLL_M / (HLL_M - F.col("present"))))
         .otherwise(raw).alias("e"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (round 11)
+# ---------------------------------------------------------------------------
+
+#: the public C4 recipe's line rules (Raffel et al., appendix): a KEPT
+#: line ends in terminal punctuation, has >= 3 words, and carries
+#: neither "lorem ipsum" nor javascript/cookie/policy boilerplate cues
+C4_MIN_WORDS_PER_LINE = 3
+_C4_BAD_LINE = (r"(?i)(lorem ipsum|javascript|cookie(s)? (policy|enabled)"
+                r"|terms of use|privacy policy|all rights reserved)")
+_C4_TERMINAL = r'[.!?"”’]$'
+
+
+def c4_clean_lines(docs: DataFrame, text_col: str = "text",
+                   min_words: int = C4_MIN_WORDS_PER_LINE) -> DataFrame:
+    """Line-level C4 cleaning as one JVM expression chain: split the
+    doc into lines, keep lines that end in terminal punctuation, have
+    at least ``min_words`` words, and match none of the boilerplate
+    cues, then rejoin.  Adds ``n_lines_kept`` / ``n_lines_dropped``
+    accounting columns (curation pipelines audit their filters).
+
+    100 TB shape: a narrow per-row map — split / filter / array_join
+    inside whole-stage codegen, no Python, no shuffle; document-level
+    drops (empty after cleaning) compose downstream as an ordinary
+    filter."""
+    lines = F.split(F.col(text_col), r"\r?\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike(_C4_TERMINAL)
+            & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+            & ~ln.rlike(_C4_BAD_LINE)
+        ),
+    )
+    return docs.withColumn("n_lines_total", F.size(lines)) \
+        .withColumn("n_lines_kept", F.size(kept)) \
+        .withColumn("n_lines_dropped",
+                    F.col("n_lines_total") - F.col("n_lines_kept")) \
+        .withColumn(text_col, F.array_join(kept, "\n")) \
+        .drop("n_lines_total")
+
+
+def c4_document_filter(docs: DataFrame, text_col: str = "text",
+                       min_sentences: int = 3,
+                       max_word_len: int = 1000) -> DataFrame:
+    """Document-level C4 gate applied AFTER line cleaning: >= 3
+    sentences remain, no pathological mega-word, and the curly-brace
+    cue ('{' anywhere) drops code-leaking pages — each rule one codegen
+    predicate."""
+    sentences = F.size(F.filter(
+        F.split(F.col(text_col), r"[.!?]"),
+        lambda s: F.trim(s) != ""))
+    longest = F.array_max(F.transform(
+        F.split(F.col(text_col), r"\s+"), F.length))
+    return docs.filter(
+        (sentences >= min_sentences)
+        & ~F.col(text_col).contains("{")
+        & (F.coalesce(longest, F.lit(0)) <= max_word_len)
+    )
