@@ -1361,3 +1361,160 @@ def c4_document_filter(docs: DataFrame, text_col: str = "text",
         & ~F.col(text_col).contains("{")
         & (F.coalesce(longest, F.lit(0)) <= max_word_len)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality + repetition rule battery (round 11)
+# ---------------------------------------------------------------------------
+
+#: the 8 Gopher stop words (Rae et al. 2021, appendix A quality rules)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """The named Gopher quality heuristics (public MassiveText rules,
+    Rae et al. 2021 appendix A), one column per rule VALUE plus one
+    pass-flag per rule plus the combined ``keep`` — curation pipelines
+    audit WHICH rule dropped a page, not just that it dropped.
+
+    All rules are narrow array/string expressions (no Python, no
+    shuffle): word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# / …) ≤ 0.1, ≤ 90 % bullet lines, ≤ 30 %
+    ellipsis-ending lines, ≥ 80 % words with an alphabetic char, and
+    ≥ 2 distinct stop words present."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    nw = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    lines = F.filter(F.split(t, r"\r?\n"), lambda ln: F.trim(ln) != "")
+    nl = F.size(lines)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = F.size(F.split(t, r"\.\.\.|…")) - 1
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))) / nl
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / nl
+    alpha_frac = F.size(F.filter(
+        toks, lambda x: x.rlike("[A-Za-z]"))) / nw
+    stops_present = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+
+    sig = docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.when(nw > 0, word_chars / nw).otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(nw > 0, (n_hash + n_ell) / nw).otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+        F.coalesce(bullet_frac, F.lit(0.0)).alias("bullet_frac"),
+        F.coalesce(ellipsis_frac, F.lit(0.0)).alias("ellipsis_frac"),
+        F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_word_frac"),
+        stops_present.alias("n_stop_words"),
+    )
+    rules = {
+        "ok_words": F.col("n_words").between(50, 100_000),
+        "ok_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "ok_symbols": F.col("symbol_ratio") <= 0.1,
+        "ok_bullets": F.col("bullet_frac") <= 0.9,
+        "ok_ellipsis": F.col("ellipsis_frac") <= 0.3,
+        "ok_alpha": F.col("alpha_word_frac") >= 0.8,
+        "ok_stops": F.col("n_stop_words") >= 2,
+    }
+    for name, cond in rules.items():
+        sig = sig.withColumn(name, cond.cast("boolean"))
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return sig.withColumn("keep", keep)
+
+
+def gopher_repetition_signals(docs: DataFrame,
+                              text_col: str = "text") -> DataFrame:
+    """The Gopher repetition battery (appendix A): duplicate line /
+    paragraph fractions (count and character), top-{2,3,4}-gram char
+    fraction, and duplicated-{5..10}-gram char fraction, with the
+    published thresholds as pass flags and a combined ``keep``.
+
+    Shapes: each family is explode → (doc_id, unit) partial-agg count →
+    doc-keyed sum — doc-bounded shuffles that scale linearly.  The
+    dup-n-gram char fractions use the standard approximation
+    ``(count-1)·gram_chars / total_chars`` (overlap-unaware, the same
+    accounting the public reimplementations use), clamped to 1.0 —
+    overlapping repeats of a templated scaffold can push the raw sum
+    past the document's char count."""
+    t = F.col(text_col)
+    base = docs.select("doc_id", F.length(t).alias("total_chars"), t.alias("_t"))
+
+    def _dup_frac(split_pat, unit_name):
+        units = base.select(
+            "doc_id", "total_chars",
+            F.explode(F.filter(F.split(F.col("_t"), split_pat),
+                               lambda u: F.trim(u) != "")).alias("u"))
+        per = units.groupBy("doc_id", "total_chars", "u").agg(
+            F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            (F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+             / F.sum("c")).alias(f"dup_{unit_name}_frac"),
+            (F.sum(F.when(F.col("c") > 1,
+                          (F.col("c") - 1) * F.length("u")).otherwise(0))
+             / F.greatest(F.first("total_chars"), F.lit(1)))
+            .alias(f"dup_{unit_name}_char_frac"))
+
+    out = _dup_frac(r"\r?\n", "line").join(
+        _dup_frac(r"(\r?\n){2,}", "para"), "doc_id", "full")
+
+    toks_df = base.select(
+        "doc_id", "total_chars",
+        F.filter(F.split(F.lower(F.col("_t")), r"\s+"),
+                 lambda x: x != "").alias("toks"))
+
+    def _gram_col(n):
+        return F.transform(
+            F.slice(F.col("toks"), 1,
+                    F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+            lambda _x, i: F.concat_ws(" ", *[
+                F.element_at(F.col("toks"), i + j + 1) for j in range(n)]))
+
+    for n in (2, 3, 4):
+        per = (toks_df.select("doc_id", "total_chars",
+                              F.explode(_gram_col(n)).alias("g"))
+               .groupBy("doc_id", "total_chars", "g")
+               .agg(F.count(F.lit(1)).alias("c")))
+        top = per.groupBy("doc_id").agg(
+            (F.max(F.struct("c", F.length("g").alias("L")))["c"]
+             * F.max(F.struct("c", F.length("g").alias("L")))["L"]
+             / F.greatest(F.first("total_chars"), F.lit(1)))
+            .alias(f"top_{n}gram_char_frac"))
+        out = out.join(top, "doc_id", "full")
+    for n in (5, 6, 7, 8, 9, 10):
+        per = (toks_df.select("doc_id", "total_chars",
+                              F.explode(_gram_col(n)).alias("g"))
+               .groupBy("doc_id", "total_chars", "g")
+               .agg(F.count(F.lit(1)).alias("c")))
+        dup = per.groupBy("doc_id").agg(
+            F.least(
+                F.sum(F.when(F.col("c") > 1,
+                             (F.col("c") - 1) * F.length("g")).otherwise(0))
+                / F.greatest(F.first("total_chars"), F.lit(1)),
+                F.lit(1.0))
+            .alias(f"dup_{n}gram_char_frac"))
+        out = out.join(dup, "doc_id", "full")
+
+    thresholds = {
+        "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16,
+        "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+        "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+        "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+    }
+    keep = None
+    for colname, thr in thresholds.items():
+        ok = F.coalesce(F.col(colname), F.lit(0.0)) <= thr
+        out = out.withColumn(f"ok_{colname}", ok)
+        keep = ok if keep is None else keep & ok
+    return out.withColumn("keep", keep)

@@ -1,0 +1,76 @@
+"""Gopher quality + repetition rule battery (pipeline/text.py, round
+11): each named rule is exercised by a planted fixture that fails it
+and by a clean page that passes everything."""
+
+from sparkdon.pipeline.text import (gopher_quality_signals,
+                                    gopher_repetition_signals)
+
+import random as _random
+
+_rng = _random.Random(3)
+_FILLER = ["history", "city", "records", "archives", "library", "bridge",
+           "river", "market", "castle", "square", "garden", "museum"]
+# ~96 words; every other token carries a unique index so NO word
+# n-gram (n>=2) ever repeats, while the plain stop words keep the
+# quality rules green
+CLEAN = " ".join(
+    f"the {_rng.choice(_FILLER)}{i}a of {_rng.choice(_FILLER)}{i}b "
+    f"and {_rng.choice(_FILLER)}{i}c that {_rng.choice(_FILLER)}{i}d "
+    f"have {_rng.choice(_FILLER)}{i}e with {_rng.choice(_FILLER)}{i}f."
+    for i in range(8))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sig(spark, text):
+    return gopher_quality_signals(_docs(spark, [(1, text)])).collect()[0]
+
+
+def test_quality_rules_each_fire(spark):
+    ok = _sig(spark, CLEAN)
+    assert ok.keep and ok.ok_words and ok.ok_stops
+    assert not _sig(spark, "too short of the and that").ok_words
+    # mean word length out of [3, 10]
+    assert not _sig(spark, ("a b " * 60)).ok_word_len
+    # symbol ratio: a '#' per word
+    hashy = " ".join(f"#w{i}" for i in range(60)) + " the of and that"
+    assert not _sig(spark, hashy).ok_symbols
+    # bullet lines > 90%
+    bullets = "\n".join(f"- item {i} of the list" for i in range(20))
+    assert not _sig(spark, bullets).ok_bullets
+    # ellipsis-ending lines > 30%
+    ell = "\n".join(
+        [f"line {i} of the story..." for i in range(10)]
+        + ["the closing line stays here of and that have with"])
+    assert not _sig(spark, ell).ok_ellipsis
+    # alphabetic-word fraction < 80%
+    nums = " ".join(str(i) for i in range(60)) + " the of and that with"
+    assert not _sig(spark, nums).ok_alpha
+    # fewer than 2 stop words
+    nostop = " ".join(f"word{i}" for i in range(60))
+    assert not _sig(spark, nostop).ok_stops
+
+
+def test_repetition_rules(spark):
+    rep_line = "\n".join(["this exact line repeats again"] * 10
+                         + ["a unique closing line here"])
+    dup5 = ("one two three four five six " * 10
+            + "tail words differ here now")
+    clean_rows = [(1, CLEAN), (2, rep_line), (3, dup5)]
+    out = {r.doc_id: r for r in
+           gopher_repetition_signals(_docs(spark, clean_rows)).collect()}
+    assert out[1].keep
+    assert out[2].dup_line_frac > 0.30 and not out[2].keep
+    assert not out[2].ok_dup_line_frac
+    assert out[3].dup_5gram_char_frac > 0.15 and not out[3].keep
+    # the clean doc's top-2-gram fraction is small
+    assert out[1].top_2gram_char_frac <= 0.20
+
+
+def test_quality_plan_is_python_free(spark):
+    df = gopher_quality_signals(_docs(spark, [(1, CLEAN)]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan          # narrow: per-row expressions only
