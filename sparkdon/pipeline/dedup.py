@@ -784,3 +784,41 @@ def x_dedup_substring_hashed(spark, sf_dir):
     relation carries no hash — so the driver compares it against the
     same bit-exact DuckDB oracle as the text-keyed gate."""
     return dedup_substring_hashed(table(spark, sf_dir, "documents"))
+
+
+def tune_minhash_bands(threshold: float, num_perm: int,
+                       fp_weight: float = 0.5) -> tuple[int, int]:
+    """Pick (bands, rows) for a MinHash LSH index targeting a Jaccard
+    ``threshold`` — the classic S-curve optimization (Mining of Massive
+    Datasets §3.4; same integral-error search the public datasketch
+    library uses).  Collision probability at similarity s is
+    ``1 - (1 - s^rows)^bands``; the search minimizes
+    ``fp_weight · ∫₀^t P(s) ds + (1-fp_weight) · ∫ₜ¹ (1-P(s)) ds``
+    over every (b, r) with b·r ≤ num_perm.
+
+    Driver-side and tiny (≤ num_perm² candidates, closed-form probe) —
+    the output just parameterizes the distributed band keys."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+
+    def _err(b: int, r: int) -> float:
+        steps = 100
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return fp_weight * fp / steps + (1 - fp_weight) * fn / steps
+
+    best, best_e = (1, num_perm), float("inf")
+    for r in range(1, num_perm + 1):
+        for b in range(1, num_perm // r + 1):
+            e = _err(b, r)
+            if e < best_e:
+                best, best_e = (b, r), e
+    return best

@@ -1518,3 +1518,39 @@ def gopher_repetition_signals(docs: DataFrame,
         out = out.withColumn(f"ok_{colname}", ok)
         keep = ok if keep is None else keep & ok
     return out.withColumn("keep", keep)
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text",
+                  lang_col: str | None = None) -> dict:
+    """One-pass corpus summary for curation dashboards: doc/char/word
+    totals, word-count percentiles (p50/p90/p99, approx at the usual
+    1e-4 relative accuracy), empty-doc count, and (optionally) the
+    language histogram.  ONE aggregation job; the collected result is a
+    fixed-size dict — a report is driver-side by design, the scan is
+    not."""
+    words = F.size(F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.sum(words).alias("total_words"),
+        F.sum(F.when(F.length(F.trim(text_col)) == 0, 1).otherwise(0))
+        .alias("n_empty"),
+        F.percentile_approx(words, [0.5, 0.9, 0.99], 10000)
+        .alias("word_pcts"),
+    ]
+    row = docs.agg(*aggs).collect()[0]
+    out = {
+        "n_docs": row.n_docs,
+        "total_chars": row.total_chars,
+        "total_words": row.total_words,
+        "n_empty": row.n_empty,
+        "words_p50": row.word_pcts[0] if row.word_pcts else None,
+        "words_p90": row.word_pcts[1] if row.word_pcts else None,
+        "words_p99": row.word_pcts[2] if row.word_pcts else None,
+    }
+    if lang_col is not None:
+        out["lang_histogram"] = {
+            r[0]: r[1]
+            for r in docs.groupBy(lang_col).count().collect()}
+    return out

@@ -2035,3 +2035,35 @@ def test_salted_qid_topk_identical_to_single_window(spark):
              .filter(F.col("rn") <= 5).drop("rn"))
     got = salted_qid_topk(sims, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_tune_minhash_bands_s_curve(spark):
+    from sparkdon.pipeline.dedup import tune_minhash_bands
+
+    b, r = tune_minhash_bands(0.8, 128)
+    assert b * r <= 128
+    # the 50%-collision similarity (1/b)^(1/r) sits near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert abs(mid - 0.8) < 0.1
+    # lower threshold → more bands / shorter rows (steeper early curve)
+    b2, r2 = tune_minhash_bands(0.5, 128)
+    assert b2 > b and r2 < r
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tune_minhash_bands(1.5, 128)
+
+
+def test_corpus_report_one_pass(spark):
+    from sparkdon.pipeline.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "three little words", "en"),
+         (2, "", "en"),
+         (3, "cinq mots de plus ici", "fr")],
+        "doc_id long, text string, lang string")
+    rep = corpus_report(docs, lang_col="lang")
+    assert rep["n_docs"] == 3
+    assert rep["total_words"] == 8
+    assert rep["n_empty"] == 1
+    assert rep["lang_histogram"] == {"en": 2, "fr": 1}
+    assert rep["words_p50"] in (0, 3, 5)
