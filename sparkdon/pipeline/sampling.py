@@ -447,18 +447,15 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
     hashed into a fixed bucket space — corpus-size-independent state,
     all JVM (split + transform + explode + xxhash64).  Unigrams AND
     ``ngram``-grams both contribute, like the reference
-    implementation."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    implementation.  Tokens come from the shared
+    :func:`sparkdon.pipeline.text.nonempty_tokens` (leading/trailing
+    whitespace must not manufacture phantom grams that shift a doc's
+    weight)."""
+    from .text import nonempty_tokens, word_ngrams
 
-    def _grams_of(n: int):
-        # n is frozen by the enclosing call — Spark's transform lambda
-        # takes (elem, idx) only, extra params would bind as Columns
-        return F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda _x, i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
-
-    grams = F.flatten(F.array(*[_grams_of(n) for n in range(1, ngram + 1)]))
+    toks = nonempty_tokens(F.col(text_col))
+    grams = F.flatten(F.array(*[
+        word_ngrams(toks, n) for n in range(1, ngram + 1)]))
     return (
         docs.select("doc_id", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
@@ -470,17 +467,19 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
 
 
 def _bucket_dist(feats: DataFrame, buckets: int):
-    """(bucket, logp) with add-1 smoothing over the full bucket space —
-    a buckets-sized frame, broadcastable model state."""
-    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    total = counts.agg(
-        (F.sum("c") + buckets).cast("double").alias("_t"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select("bucket",
-                F.log((F.col("c") + 1) / F.col("_t")).alias("logp"),
-                "_t")
-    )
+    """(bucket, logp) distribution with add-1 smoothing, plus the
+    smoothing-floor log-prob for absent buckets.  The bucket histogram
+    is ``localCheckpoint``-ed (it is ≤ buckets rows) so the total and
+    the distribution are read off the materialized histogram instead of
+    re-running the corpus-wide feature plan per consumer."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c")) \
+        .localCheckpoint()
+    total = float(counts.agg(F.sum("c")).collect()[0][0] or 0) + buckets
+    dist = counts.select(
+        "bucket", F.log((F.col("c") + 1) / F.lit(total)).alias("logp"))
+    import math
+
+    return dist, math.log(1.0 / total)
 
 
 def dsir_weights(source: DataFrame, target: DataFrame,
@@ -489,27 +488,26 @@ def dsir_weights(source: DataFrame, target: DataFrame,
     distribution: ``log w(doc) = Σ_b cnt_b · (log p_target[b] −
     log q_source[b])`` over hashed n-gram buckets, add-1 smoothed.
 
-    100 TB shape: both distributions reduce to buckets-sized frames
-    (one partial agg each); the per-doc score is one broadcast join of
+    100 TB shape: both distributions reduce to buckets-sized
+    checkpointed histograms (one partial agg each — the source corpus
+    tokenizes twice in total: once for its histogram, once for the
+    per-doc scoring join); the per-doc score is one broadcast join of
     doc features against the log-ratio frame plus a doc-keyed sum —
-    no vocabulary state, no driver collect.  Returns
+    no vocabulary state, no corpus-sized collect.  Returns
     (doc_id, log_weight); downstream resampling plugs into the
     existing weighted-sampling machinery."""
     sf = dsir_features(source, buckets, ngram)
     tf = dsir_features(target, buckets, ngram)
-    src_d = _bucket_dist(sf, buckets).select(
-        "bucket", F.col("logp").alias("logq"))
-    tgt_d = _bucket_dist(tf, buckets).select("bucket", "logp")
-    # missing buckets fall back to the smoothing floor log(1/_t)
-    src_t = sf.agg((F.sum("cnt") + buckets).cast("double").alias("qt"))
-    tgt_t = tf.agg((F.sum("cnt") + buckets).cast("double").alias("pt"))
+    src_d, src_floor = _bucket_dist(sf, buckets)
+    tgt_d, tgt_floor = _bucket_dist(tf, buckets)
     ratio = (
-        src_d.join(tgt_d, "bucket", "full")
-        .crossJoin(F.broadcast(src_t)).crossJoin(F.broadcast(tgt_t))
+        src_d.select("bucket", F.col("logp").alias("logq"))
+        .join(tgt_d, "bucket", "full")
         .select(
             "bucket",
-            (F.coalesce(F.col("logp"), -F.log("pt"))
-             - F.coalesce(F.col("logq"), -F.log("qt"))).alias("logratio"))
+            (F.coalesce(F.col("logp"), F.lit(tgt_floor))
+             - F.coalesce(F.col("logq"), F.lit(src_floor)))
+            .alias("logratio"))
     )
     return (
         sf.join(F.broadcast(ratio), "bucket")

@@ -1302,15 +1302,39 @@ def hll_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
         .otherwise(raw).alias("e"))
 
 
+def word_ngrams(toks_col, n: int):
+    """Word n-grams over a token-array Column — the one shared gram
+    builder (DSIR features, the Gopher repetition battery).  The
+    sequence+slice+concat_ws form from x_ngram_novelty: no per-position
+    element_at fan-out, empty-safe."""
+    if n == 1:
+        return toks_col
+    # guard short arrays: sequence(1, 0) DESCENDS in Spark and the
+    # resulting slice(…, 0, n) start is illegal under ANSI
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def nonempty_tokens(text_col):
+    """Whitespace tokens with empty edge tokens removed — leading or
+    trailing whitespace must not manufacture phantom tokens/grams."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level cleaning (round 11)
 # ---------------------------------------------------------------------------
 
 #: the public C4 recipe's line rules (Raffel et al., appendix): a KEPT
-#: line ends in terminal punctuation, has >= 3 words, and carries
+#: line ends in terminal punctuation, has >= 5 words, and carries
 #: neither "lorem ipsum" nor javascript/cookie/policy boilerplate cues
-C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_WORDS_PER_LINE = 5
 _C4_BAD_LINE = (r"(?i)(lorem ipsum|javascript|cookie(s)? (policy|enabled)"
+                r"|uses? cookies|use of cookies"
                 r"|terms of use|privacy policy|all rights reserved)")
 _C4_TERMINAL = r'[.!?"”’]$'
 
@@ -1384,7 +1408,7 @@ def gopher_quality_signals(docs: DataFrame,
     ellipsis-ending lines, ≥ 80 % words with an alphabetic char, and
     ≥ 2 distinct stop words present."""
     t = F.col(text_col)
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    toks = nonempty_tokens(t)
     nw = F.size(toks)
     word_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
@@ -1392,12 +1416,17 @@ def gopher_quality_signals(docs: DataFrame,
     nl = F.size(lines)
     n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
     n_ell = F.size(F.split(t, r"\.\.\.|…")) - 1
-    bullet_frac = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))) / nl
-    ellipsis_frac = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / nl
-    alpha_frac = F.size(F.filter(
-        toks, lambda x: x.rlike("[A-Za-z]"))) / nw
+    # every divide is zero-guarded: ANSI mode (on in Spark 4) turns an
+    # empty document's x/0 into a job-aborting DIVIDE_BY_ZERO, and a
+    # page whose every line c4_clean_lines dropped IS empty
+    bullet_frac = F.when(nl > 0, F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))) / nl) \
+        .otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(nl > 0, F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / nl) \
+        .otherwise(F.lit(0.0))
+    alpha_frac = F.when(nw > 0, F.size(F.filter(
+        toks, lambda x: x.rlike("[A-Za-z]"))) / nw).otherwise(F.lit(0.0))
     stops_present = F.size(F.array_intersect(
         F.array_distinct(F.transform(toks, F.lower)),
         F.array(*[F.lit(s) for s in GOPHER_STOPS])))
@@ -1407,17 +1436,23 @@ def gopher_quality_signals(docs: DataFrame,
         nw.alias("n_words"),
         F.when(nw > 0, word_chars / nw).otherwise(F.lit(0.0))
         .alias("mean_word_len"),
-        F.when(nw > 0, (n_hash + n_ell) / nw).otherwise(F.lit(0.0))
-        .alias("symbol_ratio"),
-        F.coalesce(bullet_frac, F.lit(0.0)).alias("bullet_frac"),
-        F.coalesce(ellipsis_frac, F.lit(0.0)).alias("ellipsis_frac"),
-        F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_word_frac"),
+        # the published rule tests EACH symbol's ratio against 0.1
+        # separately — summing them over-filters pages both symbols
+        # touch lightly
+        F.when(nw > 0, n_hash / nw).otherwise(F.lit(0.0))
+        .alias("hash_ratio"),
+        F.when(nw > 0, n_ell / nw).otherwise(F.lit(0.0))
+        .alias("ellipsis_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
         stops_present.alias("n_stop_words"),
     )
     rules = {
         "ok_words": F.col("n_words").between(50, 100_000),
         "ok_word_len": F.col("mean_word_len").between(3.0, 10.0),
-        "ok_symbols": F.col("symbol_ratio") <= 0.1,
+        "ok_symbols": (F.col("hash_ratio") <= 0.1)
+        & (F.col("ellipsis_ratio") <= 0.1),
         "ok_bullets": F.col("bullet_frac") <= 0.9,
         "ok_ellipsis": F.col("ellipsis_frac") <= 0.3,
         "ok_alpha": F.col("alpha_word_frac") >= 0.8,
@@ -1438,15 +1473,23 @@ def gopher_repetition_signals(docs: DataFrame,
     fraction, and duplicated-{5..10}-gram char fraction, with the
     published thresholds as pass flags and a combined ``keep``.
 
-    Shapes: each family is explode → (doc_id, unit) partial-agg count →
-    doc-keyed sum — doc-bounded shuffles that scale linearly.  The
-    dup-n-gram char fractions use the standard approximation
+    Output contract: one row per input doc (empty/whitespace-only docs
+    get all-zero fractions and keep=true — they have nothing repeated;
+    the quality battery is what drops them).
+
+    Shapes: ONE tokenize pass — every n's grams leave the same narrow
+    map tagged ``(n, gram)``, one (doc, n, gram) partial-agg count, one
+    (doc, n) metric agg, one pivot to columns; the line/paragraph
+    families are one explode + two aggs each.  The dup-n-gram char
+    fractions use the standard approximation
     ``(count-1)·gram_chars / total_chars`` (overlap-unaware, the same
     accounting the public reimplementations use), clamped to 1.0 —
     overlapping repeats of a templated scaffold can push the raw sum
     past the document's char count."""
     t = F.col(text_col)
-    base = docs.select("doc_id", F.length(t).alias("total_chars"), t.alias("_t"))
+    base = docs.select("doc_id", F.length(t).alias("total_chars"),
+                       t.alias("_t"))
+    ids = base.select("doc_id")
 
     def _dup_frac(split_pat, unit_name):
         units = base.select(
@@ -1463,45 +1506,43 @@ def gopher_repetition_signals(docs: DataFrame,
              / F.greatest(F.first("total_chars"), F.lit(1)))
             .alias(f"dup_{unit_name}_char_frac"))
 
-    out = _dup_frac(r"\r?\n", "line").join(
-        _dup_frac(r"(\r?\n){2,}", "para"), "doc_id", "full")
+    out = (ids.join(_dup_frac(r"\r?\n", "line"), "doc_id", "left")
+           .join(_dup_frac(r"(\r?\n){2,}", "para"), "doc_id", "left"))
 
-    toks_df = base.select(
-        "doc_id", "total_chars",
-        F.filter(F.split(F.lower(F.col("_t")), r"\s+"),
-                 lambda x: x != "").alias("toks"))
+    toks = nonempty_tokens(F.col("_t"))
+    NS = list(range(2, 11))
 
-    def _gram_col(n):
+    def _tagged(n: int):
         return F.transform(
-            F.slice(F.col("toks"), 1,
-                    F.greatest(F.size("toks") - (n - 1), F.lit(0))),
-            lambda _x, i: F.concat_ws(" ", *[
-                F.element_at(F.col("toks"), i + j + 1) for j in range(n)]))
+            word_ngrams(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
+    tagged = base.select(
+        "doc_id", "total_chars",
+        F.explode(F.flatten(F.array(*[_tagged(n) for n in NS])))
+        .alias("ng"))
+    per = (tagged.select("doc_id", "total_chars",
+                         F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+           .groupBy("doc_id", "total_chars", "n", "g")
+           .agg(F.count(F.lit(1)).alias("c")))
+    metrics = per.groupBy("doc_id", "n").agg(
+        (F.max(F.struct("c", F.length("g").alias("L")))["c"]
+         * F.max(F.struct("c", F.length("g").alias("L")))["L"]
+         / F.greatest(F.first("total_chars"), F.lit(1)))
+        .alias("top_frac"),
+        F.least(
+            F.sum(F.when(F.col("c") > 1,
+                         (F.col("c") - 1) * F.length("g")).otherwise(0))
+            / F.greatest(F.first("total_chars"), F.lit(1)),
+            F.lit(1.0)).alias("dup_frac"))
+    wide = metrics.groupBy("doc_id").pivot("n", NS).agg(
+        F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup"))
+    out = out.join(wide, "doc_id", "left")
     for n in (2, 3, 4):
-        per = (toks_df.select("doc_id", "total_chars",
-                              F.explode(_gram_col(n)).alias("g"))
-               .groupBy("doc_id", "total_chars", "g")
-               .agg(F.count(F.lit(1)).alias("c")))
-        top = per.groupBy("doc_id").agg(
-            (F.max(F.struct("c", F.length("g").alias("L")))["c"]
-             * F.max(F.struct("c", F.length("g").alias("L")))["L"]
-             / F.greatest(F.first("total_chars"), F.lit(1)))
-            .alias(f"top_{n}gram_char_frac"))
-        out = out.join(top, "doc_id", "full")
+        out = out.withColumn(f"top_{n}gram_char_frac", F.col(f"{n}_top"))
     for n in (5, 6, 7, 8, 9, 10):
-        per = (toks_df.select("doc_id", "total_chars",
-                              F.explode(_gram_col(n)).alias("g"))
-               .groupBy("doc_id", "total_chars", "g")
-               .agg(F.count(F.lit(1)).alias("c")))
-        dup = per.groupBy("doc_id").agg(
-            F.least(
-                F.sum(F.when(F.col("c") > 1,
-                             (F.col("c") - 1) * F.length("g")).otherwise(0))
-                / F.greatest(F.first("total_chars"), F.lit(1)),
-                F.lit(1.0))
-            .alias(f"dup_{n}gram_char_frac"))
-        out = out.join(dup, "doc_id", "full")
+        out = out.withColumn(f"dup_{n}gram_char_frac", F.col(f"{n}_dup"))
+    out = out.drop(*[f"{n}_top" for n in NS], *[f"{n}_dup" for n in NS])
 
     thresholds = {
         "dup_line_frac": 0.30, "dup_para_frac": 0.30,
@@ -1514,7 +1555,9 @@ def gopher_repetition_signals(docs: DataFrame,
     }
     keep = None
     for colname, thr in thresholds.items():
-        ok = F.coalesce(F.col(colname), F.lit(0.0)) <= thr
+        out = out.withColumn(colname,
+                             F.coalesce(F.col(colname), F.lit(0.0)))
+        ok = F.col(colname) <= thr
         out = out.withColumn(f"ok_{colname}", ok)
         keep = ok if keep is None else keep & ok
     return out.withColumn("keep", keep)

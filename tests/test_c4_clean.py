@@ -12,23 +12,24 @@ def _docs(spark, rows):
 def test_line_rules(spark):
     text = "\n".join([
         "This is a good sentence that stays.",          # kept
-        "short line.",                                    # < 3 words
-        "No terminal punctuation here",                   # no terminal
+        "A short line.",                                  # < 5 words
+        "No terminal punctuation on this line",           # no terminal
         "Please enable javascript to continue reading.",  # boilerplate cue
         "We use a Cookies Policy on this site.",          # boilerplate cue
+        "This site uses cookies to work well.",           # C4 cookie cue
         "Lorem ipsum dolor sit amet, consectetur.",       # lorem ipsum
-        'He said "stop right there."',                    # quote terminal ok
-        "Is this kept too?",                              # question mark ok
+        'He said "stop right over there."',               # quote terminal ok
+        "Is this kept as well too?",                      # question mark ok
     ])
     out = c4_clean_lines(_docs(spark, [(1, text)])).collect()[0]
     kept = out.text.split("\n")
     assert kept == [
         "This is a good sentence that stays.",
-        'He said "stop right there."',
-        "Is this kept too?",
+        'He said "stop right over there."',
+        "Is this kept as well too?",
     ]
     assert out.n_lines_kept == 3
-    assert out.n_lines_dropped == 5
+    assert out.n_lines_dropped == 6
 
 
 def test_document_rules(spark):

@@ -85,3 +85,18 @@ def test_high_temperature_flattens_selection(spark):
     n_wiki_hot = sum(1 for r in hot if r.doc_id % 2 == 0)
     # T→∞ ≈ uniform draw from a 50/50 corpus
     assert 10 <= n_wiki_hot <= 30
+
+
+def test_whitespace_does_not_shift_weights(spark):
+    # r11 review: phantom edge grams from raw split perturbed weights
+    # of byte-identical content with a trailing space
+    src = _docs(spark, [(1, "a b a"), (2, " a b a ")])
+    f = dsir_features(src, buckets=64, ngram=2)
+    rows = {r.doc_id: set() for r in f.collect()}
+    by_doc = {}
+    for r in f.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.cnt))
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+    tgt = _docs(spark, [(10, "a b a b")])
+    w = {r.doc_id: r.log_weight for r in dsir_weights(src, tgt).collect()}
+    assert w[1] == pytest.approx(w[2])

@@ -74,3 +74,17 @@ def test_quality_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan          # narrow: per-row expressions only
+
+
+def test_empty_docs_survive_both_batteries(spark):
+    # r11 review: ANSI DIVIDE_BY_ZERO on empty docs in quality; silent
+    # doc loss in repetition — both batteries must return one row per
+    # input doc, with sane defaults
+    df = _docs(spark, [(1, CLEAN), (2, ""), (3, "   \n\n  ")])
+    q = {r.doc_id: r for r in gopher_quality_signals(df).collect()}
+    assert sorted(q) == [1, 2, 3]
+    assert not q[2].keep and q[2].n_words == 0
+    r = {r.doc_id: r for r in gopher_repetition_signals(df).collect()}
+    assert sorted(r) == [1, 2, 3]
+    assert r[2].keep and r[2].dup_line_frac == 0.0   # nothing repeated
+    assert r[3].dup_5gram_char_frac == 0.0
