@@ -92,7 +92,6 @@ def test_whitespace_does_not_shift_weights(spark):
     # of byte-identical content with a trailing space
     src = _docs(spark, [(1, "a b a"), (2, " a b a ")])
     f = dsir_features(src, buckets=64, ngram=2)
-    rows = {r.doc_id: set() for r in f.collect()}
     by_doc = {}
     for r in f.collect():
         by_doc.setdefault(r.doc_id, []).append((r.bucket, r.cnt))
