@@ -453,11 +453,15 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
     weight)."""
     from .text import nonempty_tokens, word_ngrams
 
-    toks = nonempty_tokens(F.col(text_col))
+    # tokenize in a projection of its own — see gopher_repetition's
+    # note: slicing an inline split expression re-tokenizes per
+    # position (quadratic per row)
+    toked = docs.select(
+        "doc_id", nonempty_tokens(F.col(text_col)).alias("_toks"))
     grams = F.flatten(F.array(*[
-        word_ngrams(toks, n) for n in range(1, ngram + 1)]))
+        word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]))
     return (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
+        toked.select("doc_id", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .select("doc_id",
                 F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("bucket"))

@@ -1509,15 +1509,21 @@ def gopher_repetition_signals(docs: DataFrame,
     out = (ids.join(_dup_frac(r"\r?\n", "line"), "doc_id", "left")
            .join(_dup_frac(r"(\r?\n){2,}", "para"), "doc_id", "left"))
 
-    toks = nonempty_tokens(F.col("_t"))
     NS = list(range(2, 11))
+    # materialize the token array in its own projection FIRST: the
+    # n-gram lambdas reference it per slice position, and an inline
+    # nonempty_tokens(split(...)) expression would re-tokenize the
+    # whole document per position — measured ~35 s on 5k docs
+    toked = base.select(
+        "doc_id", "total_chars",
+        nonempty_tokens(F.col("_t")).alias("_toks"))
 
     def _tagged(n: int):
         return F.transform(
-            word_ngrams(toks, n),
+            word_ngrams(F.col("_toks"), n),
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
-    tagged = base.select(
+    tagged = toked.select(
         "doc_id", "total_chars",
         F.explode(F.flatten(F.array(*[_tagged(n) for n in NS])))
         .alias("ng"))
@@ -1525,24 +1531,26 @@ def gopher_repetition_signals(docs: DataFrame,
                          F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
            .groupBy("doc_id", "total_chars", "n", "g")
            .agg(F.count(F.lit(1)).alias("c")))
+    top_struct = F.max(F.struct("c", F.length("g").alias("L")))
     metrics = per.groupBy("doc_id", "n").agg(
-        (F.max(F.struct("c", F.length("g").alias("L")))["c"]
-         * F.max(F.struct("c", F.length("g").alias("L")))["L"]
-         / F.greatest(F.first("total_chars"), F.lit(1)))
-        .alias("top_frac"),
+        top_struct.alias("_top"),
         F.least(
             F.sum(F.when(F.col("c") > 1,
                          (F.col("c") - 1) * F.length("g")).otherwise(0))
             / F.greatest(F.first("total_chars"), F.lit(1)),
-            F.lit(1.0)).alias("dup_frac"))
+            F.lit(1.0)).alias("dup_frac"),
+        F.first("total_chars").alias("_tc"))
+    metrics = metrics.select(
+        "doc_id", "n", "dup_frac",
+        (F.col("_top")["c"] * F.col("_top")["L"]
+         / F.greatest(F.col("_tc"), F.lit(1))).alias("top_frac"))
+    # wide columns in ONE pivot + ONE select — building them with
+    # chained withColumn/join calls made the analyzer re-walk a
+    # 30-column plan per call and dominated wall time (~30 s of pure
+    # driver analysis at ANY data size, measured r11)
     wide = metrics.groupBy("doc_id").pivot("n", NS).agg(
         F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup"))
     out = out.join(wide, "doc_id", "left")
-    for n in (2, 3, 4):
-        out = out.withColumn(f"top_{n}gram_char_frac", F.col(f"{n}_top"))
-    for n in (5, 6, 7, 8, 9, 10):
-        out = out.withColumn(f"dup_{n}gram_char_frac", F.col(f"{n}_dup"))
-    out = out.drop(*[f"{n}_top" for n in NS], *[f"{n}_dup" for n in NS])
 
     thresholds = {
         "dup_line_frac": 0.30, "dup_para_frac": 0.30,
@@ -1553,14 +1561,25 @@ def gopher_repetition_signals(docs: DataFrame,
         "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
         "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
     }
+
+    def _src(name: str):
+        if name.startswith("top_"):
+            return F.col(f"{name[4]}_top")
+        if name[4] == "1":  # dup_10gram
+            return F.col("10_dup")
+        if "gram" in name:
+            return F.col(f"{name[4]}_dup")
+        return F.col(name)
+
+    cols = [F.col("doc_id")]
+    flags = []
     keep = None
     for colname, thr in thresholds.items():
-        out = out.withColumn(colname,
-                             F.coalesce(F.col(colname), F.lit(0.0)))
-        ok = F.col(colname) <= thr
-        out = out.withColumn(f"ok_{colname}", ok)
-        keep = ok if keep is None else keep & ok
-    return out.withColumn("keep", keep)
+        val = F.coalesce(_src(colname), F.lit(0.0))
+        cols.append(val.alias(colname))
+        flags.append((val <= thr).alias(f"ok_{colname}"))
+        keep = (val <= thr) if keep is None else keep & (val <= thr)
+    return out.select(*cols, *flags, keep.alias("keep"))
 
 
 def corpus_report(docs: DataFrame, text_col: str = "text",
