@@ -1352,11 +1352,17 @@ def c4_clean_lines(docs: DataFrame, text_col: str = "text",
     drops (empty after cleaning) compose downstream as an ordinary
     filter."""
     lines = F.split(F.col(text_col), r"\r?\n")
+    # lines are evaluated (and emitted) STRIPPED, as the published
+    # implementation does — a trailing space must not fail the
+    # terminal-punctuation rule (capstone-test regression, r11)
+    # NOT `F.transform(lines, F.trim)`: F.trim has an optional second
+    # parameter, so transform hands it the element INDEX as the
+    # trim-character set and every line comes back mangled
     kept = F.filter(
-        lines,
+        F.transform(lines, lambda ln: F.trim(ln)),
         lambda ln: (
             ln.rlike(_C4_TERMINAL)
-            & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+            & (F.size(F.split(ln, r"\s+")) >= min_words)
             & ~ln.rlike(_C4_BAD_LINE)
         ),
     )

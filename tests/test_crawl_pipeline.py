@@ -177,3 +177,58 @@ def test_streaming_crawl_to_neardup_filter(spark, tmp_path):
     assert rows, "near-dup crawl page produced no band collisions"
     assert {r.doc_id for r in rows} == {"http://new.io/near"}
     assert all(r.corpus_doc_id == 100 for r in rows)
+
+
+def test_rule_batteries_compose_with_crawl(spark, tmp_path):
+    """Round 11 capstone: WARC → documents → C4 line cleaning → Gopher
+    quality + repetition gates → DSIR weighting toward a target — the
+    full modern curation recipe over this repo's own crawl ingestion."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.sampling import dsir_weights
+    from sparkdon.pipeline.text import (c4_clean_lines,
+                                        gopher_quality_signals,
+                                        gopher_repetition_signals)
+    from sparkdon.sources.warc import warc_documents
+
+    prose = (
+        "The archive holds records of the town and the people that "
+        "lived there with care. Each entry was written by hand and "
+        "that makes the collection special to the readers of today. "
+        "Scholars have used these pages to trace families and trades "
+        "across the years with patience and skill. Maps of the harbor "
+        "show how merchants moved goods between markets and farms. "
+        "Letters from travelers describe roads and inns with warmth "
+        "and honest detail that modern guides rarely match at all.")
+    junk_lines = "Click here\nRead more\nlorem ipsum dolor sit amet.\n"
+    repetitive = ("the same six words repeat again and " * 30
+                  + "closing words of this page here.")
+    records = [
+        _page("good", "http://a.io/good", "2024-01-01T00:00:00Z",
+              junk_lines + prose),
+        _page("rep", "http://a.io/rep", "2024-01-01T00:00:00Z", repetitive),
+        _page("tiny", "http://a.io/tiny", "2024-01-01T00:00:00Z",
+              "Too small a page."),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+
+    docs = c4_clean_lines(
+        warc_documents(read_warc(spark, str(tmp_path)))
+        .select(F.col("url").alias("doc_id"), "text"))
+    q = gopher_quality_signals(docs).select("doc_id", "keep")
+    r = gopher_repetition_signals(docs).select(
+        "doc_id", F.col("keep").alias("keep_rep"))
+    kept = (docs.join(q, "doc_id").join(r, "doc_id")
+            .filter(F.col("keep") & F.col("keep_rep")))
+    ids = [row.doc_id for row in kept.collect()]
+    assert ids == ["http://a.io/good"]
+    # against a mixed source, the on-target page weights positive and
+    # the junk page negative
+    target = spark.createDataFrame([(99, prose)], "doc_id long, text string")
+    both = spark.createDataFrame(
+        [("good", prose), ("junk", "zz qq " * 40)],
+        "doc_id string, text string")
+    w = {r.doc_id: r.log_weight for r in
+         dsir_weights(both, target).collect()}
+    assert w["good"] > 0 > w["junk"]
