@@ -319,11 +319,15 @@ def compact_output(out: dict) -> dict:
     Carries everything the driver/judge adjudicates on (canonical total,
     sf, load_avg, error count, query count) plus the ``COMPACT_TOP_N``
     heaviest per-query timings — the entries whose regressions matter.
-    If the record somehow exceeds ``COMPACT_MAX_BYTES``, the top dict is
-    halved until it fits (the headline numbers are never dropped).
+    If the record exceeds ``COMPACT_MAX_BYTES``, the top dict is halved
+    until it fits, then ``error_names`` shrinks 10→3→0 — so a
+    heavy-failure round (many long error names) cannot re-create the
+    truncated-stdout failure this line exists to prevent.  The headline
+    numbers are never dropped.
     """
     timings = out.get("queries", {})
     top_n = COMPACT_TOP_N
+    n_errors = 10
     while True:
         heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
         rec = {
@@ -339,11 +343,18 @@ def compact_output(out: dict) -> dict:
         for key in ("load_avg", "partial", "error_count", "partial_total_sec"):
             if key in out:
                 rec[key] = out[key]
-        if "errors" in out:
-            rec["error_names"] = sorted(out["errors"])[:10]
-        if len(json.dumps(rec)) <= COMPACT_MAX_BYTES or top_n == 0:
+        if "errors" in out and n_errors:
+            rec["error_names"] = sorted(out["errors"])[:n_errors]
+        if len(json.dumps(rec)) <= COMPACT_MAX_BYTES:
             return rec
-        top_n //= 2
+        if top_n > 0:
+            top_n //= 2
+        elif n_errors > 3:
+            n_errors = 3
+        elif n_errors > 0:
+            n_errors = 0
+        else:
+            return rec
 
 
 def build_output(timings: dict, errors: dict, sf, flagship_rows: int) -> dict:

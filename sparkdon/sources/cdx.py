@@ -53,39 +53,56 @@ _LEADING_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 def surt(url: str) -> str:
     """Python SURT key (Sort-friendly URI Reordering Transform):
-    ``https://www.Example.COM:443/Path?q=1`` →
+    ``https://www.Example.COM:443/Path?q=1#frag`` →
     ``com,example,www)/Path?q=1``.  Scheme dropped (leading only — an
     embedded URL in the query must not shift the host), host lowercased,
-    default ports stripped, labels reversed comma-joined; path/query
-    kept case-sensitively (the pywb rule).  Raw spaces are
-    percent-encoded so a key is always one CDXJ field."""
-    rest = _LEADING_SCHEME.sub("", url)
+    the SCHEME'S default port stripped (``http``/scheme-less ``:80``,
+    ``https`` ``:443`` — an ``http://host:443`` keeps its port, matching
+    pywb/cc-index keys), ``#fragment`` dropped, labels reversed
+    comma-joined; path/query kept case-sensitively (the pywb rule).
+    Raw spaces are percent-encoded so a key is always one CDXJ field."""
+    m = _LEADING_SCHEME.match(url)
+    scheme = m.group(0)[:-3].lower() if m else "http"
+    rest = url[m.end():] if m else url
     for i, ch in enumerate(rest):
         if ch in "/?#":
             host, path = rest[:i], rest[i:]
             break
     else:
         host, path = rest, "/"
+    path = path.split("#", 1)[0] or "/"
     host = host.rsplit("@", 1)[-1].lower()
-    for port in (":80", ":443"):
-        if host.endswith(port):
-            host = host[: -len(port)]
-    key = ",".join(reversed(host.split("."))) + ")" + path
+    port = ""
+    if ":" in host:
+        host, _, port = host.rpartition(":")
+    if port == {"http": "80", "https": "443"}.get(scheme):
+        port = ""
+    key = ",".join(reversed(host.split("."))) \
+        + (":" + port if port else "") + ")" + path
     return key.replace(" ", "%20")
 
 
 def surt_key(col) -> F.Column:
     """JVM expression twin of :func:`surt` over a URL column (pytest
     asserts equality on a shared URL battery)."""
+    scheme = F.lower(
+        F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
     rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     host = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     path = F.substring(rest, F.length(host) + 1, F.lit(1 << 30))
+    path = F.regexp_replace(path, r"#.*$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     host = F.lower(F.regexp_replace(host, r"^.*@", ""))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    port = F.regexp_extract(host, r":([^:]*)$", 1)
+    host = F.regexp_replace(host, r":[^:]*$", "")
+    is_default = ((scheme == "https") & (port == "443")) | \
+        ((scheme == "http") & (port == "80"))
+    port = F.when((port == "") | is_default, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
     return F.regexp_replace(
         F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
-                 F.lit(")"), path),
+                 port, F.lit(")"), path),
         " ", "%20")
 
 

@@ -76,6 +76,29 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _warc_headers(raw: bytes) -> dict[str, str]:
+    """One record's header bytes (version line through the line before
+    the blank separator) → lowercase-keyed dict.  Duplicate headers keep
+    the LAST value; continuation lines (leading SP/TAB) append.  Both
+    :func:`parse_warc_records` and :func:`_scan_split_ranges` MUST use
+    this walk — if they disagree on Content-Length (e.g. a record with
+    duplicate headers), span boundaries drift off record boundaries and
+    ranged reads silently truncate."""
+    headers: dict[str, str] = {}
+    last_key = None
+    for line in raw.split(b"\r\n")[1:]:
+        if line[:1] in (b" ", b"\t") and last_key:  # continuation
+            headers[last_key] += " " + line.strip().decode(
+                "utf-8", "replace")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        last_key = name.strip().decode("ascii", "replace").lower()
+        headers[last_key] = value.strip().decode("utf-8", "replace")
+    return headers
+
+
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Parse one WARC file's bytes (plain or multi-member gzip) into
     record dicts.  Tolerant of trailing garbage and truncated tails —
@@ -93,18 +116,7 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             break
-        headers: dict[str, str] = {}
-        last_key = None
-        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
-            if line[:1] in (b" ", b"\t") and last_key:  # continuation
-                headers[last_key] += " " + line.strip().decode(
-                    "utf-8", "replace")
-                continue
-            name, sep, value = line.partition(b":")
-            if not sep:
-                continue
-            last_key = name.strip().decode("ascii", "replace").lower()
-            headers[last_key] = value.strip().decode("utf-8", "replace")
+        headers = _warc_headers(data[pos:hdr_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
@@ -232,16 +244,13 @@ def _scan_split_ranges(data: bytes, target_split_bytes: int) -> Iterator[tuple]:
             hdr_end = data.find(b"\r\n\r\n", pos)
             if hdr_end < 0:
                 break
-            length = None
-            for line in data[pos:hdr_end].split(b"\r\n")[1:]:
-                name, sep, value = line.partition(b":")
-                if sep and name.strip().lower() == b"content-length":
-                    try:
-                        length = int(value)
-                    except ValueError:
-                        pass
-                    break
-            if length is None or hdr_end + 4 + length > n:
+            try:
+                length = int(
+                    _warc_headers(data[pos:hdr_end]).get(
+                        "content-length", ""))
+            except ValueError:
+                break
+            if hdr_end + 4 + length > n:
                 break
             pos = hdr_end + 4 + length
             members += 1

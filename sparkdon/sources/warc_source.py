@@ -140,10 +140,16 @@ class WarcStreamReader(DataSourceStreamReader):
 
     An offset is the sorted list of file paths seen so far, carried in
     the checkpoint — so a restarted query resumes exactly after the
-    files already processed (exactly-once per file).  The offset grows
-    with the file count of the watched directory; crawl segments are
-    bounded (~tens of thousands of files), which keeps the checkpoint
-    JSON in the megabytes.  Files must LAND ATOMICALLY (write elsewhere,
+    files already processed: exactly-once per file *that remains
+    readable*.  A file deleted between planning and read (retention
+    racing ingestion) is skipped, not retried — its rows are
+    unrecoverable either way, and failing would poison the batch
+    forever — so under retention races the guarantee degrades to
+    at-most-once for the raced file; skips are counted on
+    ``skipped_files`` and logged to stderr.  The offset grows with the
+    file count of the watched directory; crawl segments are bounded
+    (~tens of thousands of files), which keeps the checkpoint JSON in
+    the megabytes.  Files must LAND ATOMICALLY (write elsewhere,
     rename in — the same contract every Spark file stream has): a file
     listed mid-write would be parsed short, and its later bytes never
     revisited.
@@ -163,6 +169,10 @@ class WarcStreamReader(DataSourceStreamReader):
         #: under the same name) never re-enters a batch; without this
         #: the listing shrinks and end-start "rediscovers" old names
         self._seen: set[str] = set()
+        #: files planned into a batch but vanished before read —
+        #: incremented in the worker process that hit the race, so on a
+        #: cluster this is a per-worker diagnostic, not a global metric
+        self.skipped_files = 0
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}
@@ -189,6 +199,7 @@ class WarcStreamReader(DataSourceStreamReader):
             # its rows are unrecoverable either way — skip loudly.
             import sys
 
+            self.skipped_files += 1
             print(f"[warc stream] planned file vanished, skipping: "
                   f"{fname}", file=sys.stderr)
 

@@ -35,6 +35,20 @@ def test_compact_line_keeps_error_signal():
     assert rec["error_names"] == ["q2"]
 
 
+def test_compact_line_fits_even_in_heavy_failure_round():
+    # r11 ADVICE: top_n halving alone can't save a record whose bulk is
+    # 10 long error names — error_names must shrink (10→3→0) before the
+    # fit guarantee gives up.
+    long = "x_" + "very_long_query_name_segment_" * 6
+    errors = {f"{long}{i:02d}": "boom" for i in range(40)}
+    out = build_output({f"q{i}": 0.1 for i in range(5)}, errors, "0.1", 0)
+    line = json.dumps(compact_output(out))
+    assert len(line) <= COMPACT_MAX_BYTES
+    rec = json.loads(line)
+    assert rec["error_count"] == 40  # the count survives even if names drop
+    assert rec["partial"] is True
+
+
 def test_clean_run_sums_total():
     out = build_output({"q1": 1.0, "q2": 2.5}, {}, "0.1", 4)
     assert out["value"] == 3.5

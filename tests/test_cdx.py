@@ -36,12 +36,23 @@ def test_surt_python_rules():
     assert surt("http://example.com/a") == "com,example)/a"
     assert surt("http://user@host.org:80") == "org,host)/"
     assert surt("http://a.b.c/") == "c,b,a)/"
+    # only the scheme's OWN default port is stripped (pywb rule)
+    assert surt("http://example.com:443/a") == "com,example:443)/a"
+    assert surt("https://example.com:80/a") == "com,example:80)/a"
+    assert surt("example.com:80/a") == "com,example)/a"  # scheme-less = http
+    # fragments never reach the key
+    assert surt("http://example.com/a#frag") == "com,example)/a"
+    assert surt("http://example.com#frag") == "com,example)/"
+    assert surt("http://example.com/a?q=1#x=y") == "com,example)/a?q=1"
 
 
 def test_surt_jvm_twin_matches_python(spark):
     urls = ["https://www.Example.COM:443/Path?q=1", "http://example.com/a",
             "http://user@host.org:80", "http://a.b.c/",
-            "https://sub.domain.io:8443/p/q?r=s#frag", "http://x.y"]
+            "https://sub.domain.io:8443/p/q?r=s#frag", "http://x.y",
+            "http://example.com:443/a", "https://example.com:80/a",
+            "example.com:80/a", "http://example.com/a#frag",
+            "http://example.com#frag", "ftp://files.org:21/x"]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(surt_key("url")).collect()]
     assert got == [surt(u) for u in urls]

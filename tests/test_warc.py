@@ -433,6 +433,30 @@ def test_split_index_bounds_outlier_skew(spark, tmp_path, gz):
     assert conv.count() == plain.count()
 
 
+def test_split_ranges_duplicate_content_length_agrees_with_parser():
+    """A record carrying duplicate Content-Length headers: the span
+    scanner and the record parser must pick the SAME one (last wins),
+    or span boundaries drift off record boundaries and ranged reads
+    silently truncate the span tail."""
+    from sparkdon.sources.warc import _scan_split_ranges
+
+    rec = warc_bytes(RECORDS[1:2])
+    # inject a bogus first Content-Length before the real one
+    assert rec.count(b"Content-Length:") == 1
+    dup = rec.replace(b"Content-Length:",
+                      b"Content-Length: 7\r\nContent-Length:")
+    data = dup + warc_bytes(RECORDS[2:4])
+    want = [r["record_id"] for r in parse_warc_records(data)]
+    assert len(want) == 3  # parser takes the last (correct) length
+
+    spans = list(_scan_split_ranges(data, target_split_bytes=1))
+    assert sum(m for _, _, m in spans) == 3
+    got = [r["record_id"]
+           for off, length, _ in spans
+           for r in parse_warc_records(data[off:off + length])]
+    assert got == want
+
+
 def test_split_index_single_member_gzip_stays_whole(tmp_path):
     """A whole-file gzip stream (not per-record members) is inherently
     unsplittable: the index must return it as ONE span."""
@@ -540,6 +564,21 @@ def test_warc_stream_source_incremental_with_checkpoint(spark, tmp_path):
     # file a NOT reprocessed; file b's records appended exactly once
     assert len(got2) == 10
     assert sorted(set(got2)) == got2
+
+
+def test_warc_stream_vanished_file_skipped_and_counted(tmp_path):
+    """r11 ADVICE: a file deleted between planning and read is skipped
+    (at-most-once for the raced file, never a poisoned batch) and the
+    skip is surfaced on the per-worker ``skipped_files`` counter."""
+    from pyspark.sql.datasource import InputPartition
+
+    from sparkdon.sources.warc_source import WarcStreamReader
+
+    reader = WarcStreamReader({"path": str(tmp_path)})
+    gone = str(tmp_path / "vanished.warc.gz")
+    rows = list(reader.read(InputPartition(gone)))
+    assert rows == []
+    assert reader.skipped_files == 1
 
 
 def test_warc_stream_offsets_monotone_and_tmp_files_ignored(spark, tmp_path):
