@@ -163,7 +163,22 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[str]:
     markers and ORPHANED directories from writers that crashed between
     the parquet write and the manifest commit.  Directories at or above
     the keep floor are never touched (an orphan there may be a commit
-    in flight)."""
+    in flight).
+
+    Safety invariant: a file reachable from ANY retained manifest is
+    never deleted, no matter how old its per-commit directory is — an
+    append-chain keeps ancestor files live indefinitely.
+
+    Concurrent-reader window: vacuum does not coordinate with readers.
+    A ``read_snapshot`` frame built BEFORE a vacuum that reclaims its
+    version fails LOUDLY mid-job on the missing files (Spark's default
+    ``spark.sql.files.ignoreMissingFiles=false``) — it never silently
+    returns a shrunken corpus.  Do NOT enable ``ignoreMissingFiles`` on
+    sessions reading snapshots: it would turn that loud failure into a
+    silent partial read.  After vacuum, time travel to a reclaimed
+    version raises ``FileNotFoundError`` at plan time (manifest gone).
+    Long reads of old versions must either finish before retention
+    runs or pin ``keep_last`` above the version they read."""
     import re as _re
     import shutil
 

@@ -113,6 +113,46 @@ def test_vacuum_sweeps_dirs_markers_and_orphans(spark, tmp_path):
     assert read_snapshot(spark, root, version=2).count() == 4
 
 
+def test_vacuum_never_deletes_files_reachable_from_retained_manifest(
+        spark, tmp_path):
+    """r11 VERDICT #5: an append-chain keeps ancestor files live — a
+    per-commit dir far below the keep floor must survive vacuum whole
+    as long as any retained manifest references a file in it."""
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 5), root)      # v0 — ancestor files
+    write_snapshot(_docs(spark, 5, 8), root)      # v1 = v0 + new
+    write_snapshot(_docs(spark, 8, 9), root)      # v2 = v1 + new
+    write_snapshot(_docs(spark, 9, 10), root)     # v3 = v2 + new
+    removed = vacuum_snapshots(root, keep_last=2)
+    # v0/v1 manifests drop, but EVERY data file is still referenced by
+    # the retained v2/v3 manifests — nothing physical may be deleted
+    assert removed == []
+    assert snapshot_versions(root) == [2, 3]
+    assert read_snapshot(spark, root, version=2).count() == 9
+    assert read_snapshot(spark, root, version=3).count() == 10
+    got = sorted(r.doc_id for r in read_snapshot(spark, root).collect())
+    assert got == list(range(10))
+
+
+def test_vacuum_racing_reader_fails_loudly_not_silently(spark, tmp_path):
+    """The documented concurrent-reader window: a frame planned against
+    a version that vacuum then reclaims must ERROR on execution, never
+    silently return a shrunken corpus; post-vacuum time travel to the
+    reclaimed version errors at plan time."""
+    root = str(tmp_path / "corpus")
+    write_snapshot(_docs(spark, 0, 6), root)                        # v0
+    write_snapshot(_docs(spark, 100, 102), root, mode="overwrite")  # v1
+    write_snapshot(_docs(spark, 102, 103), root)                    # v2
+    old = read_snapshot(spark, root, version=0)   # planned pre-vacuum
+    assert vacuum_snapshots(root, keep_last=2)    # reclaims v0's files
+    with pytest.raises(Exception):                # loud mid-job failure
+        old.count()
+    with pytest.raises(FileNotFoundError):        # loud at plan time
+        read_snapshot(spark, root, version=0)
+    # retained versions unaffected
+    assert read_snapshot(spark, root, version=2).count() == 3
+
+
 def test_commit_race_loses_loudly_not_silently(spark, tmp_path):
     # exclusive-create commit: with the version already taken, the
     # second writer's manifest must NOT clobber the first
