@@ -22,7 +22,8 @@ from .text import (_BIGRAMS_EXPR, _DUCK_BIGRAMS, _duck_rep_bad,
 PACK_SEQ_LEN = 512
 
 
-def _prefix_pack(spark, d: DataFrame) -> DataFrame:
+def _prefix_pack(spark, d: DataFrame,
+                 extra_order: tuple[str, ...] = ()) -> DataFrame:
     """Two-pass distributed prefix sum over (doc_id, n_tok): adds
     ``start_tok`` — each row's global token offset in doc_id order.
     Pass 1 buckets rows into contiguous doc_id ranges and takes
@@ -46,10 +47,17 @@ def _prefix_pack(spark, d: DataFrame) -> DataFrame:
     caller runs the plan."""
     p = spark.sparkContext.defaultParallelism
     mm = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    # the width arithmetic runs in DOUBLE: ids spanning the full int64
+    # range (xxhash64 order keys from pack_and_shard) overflow both the
+    # (hi - lo) span and the *p product under ANSI mode.  Double
+    # conversion of int64 is monotone, so equal-width-ish buckets stay
+    # CONTIGUOUS (the correctness requirement); the rounding only skews
+    # bucket sizes, like sparse ids already could.
+    lo = F.col("_lo").cast("double")
+    span = F.col("_hi").cast("double") - lo + 1.0
     bucket = F.least(
         F.lit(p - 1),
-        F.floor((F.col("doc_id") - F.col("_lo")) * p
-                / (F.col("_hi") - F.col("_lo") + 1))
+        F.floor((F.col("doc_id").cast("double") - lo) * p / span)
     ).cast("int")
     dd = (d.crossJoin(F.broadcast(mm))
           .withColumn("b", bucket).drop("_lo", "_hi"))
@@ -57,8 +65,10 @@ def _prefix_pack(spark, d: DataFrame) -> DataFrame:
     wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
         "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
-    wl = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1)
+    # extra_order breaks ties when doc_id is a derived (hashable-
+    # collision) order key — see pack_and_shard's string-id path
+    wl = Window.partitionBy("b").orderBy("doc_id", *extra_order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
     return (
         dd.withColumn("local", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
         .join(F.broadcast(offs), "b")
@@ -235,6 +245,51 @@ def x_pack_sequences(spark, sf_dir):
         F.floor((F.col("start_tok") + F.col("n_tok") - 1) / n)
         .cast("long").alias("end_seq"),
     )
+
+
+def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
+                   seq_len: int = PACK_SEQ_LEN,
+                   text_col: str = "text") -> DataFrame:
+    """Frame-level write side: pack ANY curated (doc_id, text) frame
+    into fixed-``seq_len`` training sequences and materialize
+    ``n_shards`` contiguous parquet shards — the terminal stage of a
+    crawl → clean → select pipeline (where :func:`write_training_shards`
+    is hardwired to the fixture-corpus gate).
+
+    Packing order: numeric doc_ids pack in id order (the gate
+    semantics); string ids (crawl URLs, UUID record ids) pack in
+    deterministic ``xxhash64(doc_id)`` order — a content-stable corpus
+    shuffle, the order training wants anyway — with the original id
+    carried through and hash ties broken by the id itself, so the
+    assignment is exact and reproducible, never sampling-dependent.
+
+    Same 100 TB shape as the gate: two-pass prefix sum (never a
+    single-partition window), then ``repartitionByRange`` on the
+    computed ``seq_id`` as the one write-side shuffle.  Returns the
+    re-read frame for verification."""
+    from pyspark.sql.types import NumericType
+
+    spark = docs.sparkSession
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    if isinstance(docs.schema["doc_id"].dataType, NumericType):
+        packed = _prefix_pack(
+            spark, docs.select("doc_id", n_tok.alias("n_tok")))
+    else:
+        d = docs.select(
+            F.col("doc_id").alias("orig_id"),
+            F.xxhash64("doc_id").alias("doc_id"), n_tok.alias("n_tok"))
+        packed = _prefix_pack(spark, d, extra_order=("orig_id",)) \
+            .drop("doc_id").withColumnRenamed("orig_id", "doc_id")
+    packed = packed.select(
+        "doc_id", "n_tok", "start_tok",
+        F.floor(F.col("start_tok") / seq_len).cast("long").alias("seq_id"),
+        (F.col("start_tok") % seq_len).alias("seq_offset"),
+        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / seq_len)
+        .cast("long").alias("end_seq"),
+    )
+    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir)
 
 
 def write_training_shards(spark, sf_dir, out_dir: str,

@@ -232,3 +232,87 @@ def test_rule_batteries_compose_with_crawl(spark, tmp_path):
     w = {r.doc_id: r.log_weight for r in
          dsir_weights(both, target).collect()}
     assert w["good"] > 0 > w["junk"]
+
+
+def test_crawl_to_training_shards_full_recipe(spark, tmp_path):
+    """Round 12 capstone (VERDICT r11 #7): the complete curation story
+    in one flow — crawl → C4 line cleaning → Gopher quality keep → DSIR
+    importance resample toward a target domain → pack_and_shard into
+    contiguous training shards.  Asserts deterministic selection (the
+    same corpus selects the same docs twice) and the loader contract on
+    the shards (contiguous non-overlapping seq_id ranges, exact file
+    count, every selected doc packed exactly once)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.packing import pack_and_shard
+    from sparkdon.pipeline.sampling import dsir_resample
+    from sparkdon.pipeline.text import c4_clean_lines, gopher_quality_signals
+    from sparkdon.sources.warc import warc_documents
+
+    def prose(seed, topic):
+        # real sentences with terminal punctuation — C4's line rule
+        # drops lines that do not end in one
+        return (f"The {topic} report describes the work of the people "
+                "and the places that shaped it with great care. "
+                f"Readers have come to expect a fair account from "
+                f"entry number {seed} of this series over many years. "
+                "The record keeps faith with the facts and offers the "
+                "patient reader a complete picture of those events. "
+                "Without such records the history would have been "
+                "lost to time and to simple neglect long ago.")
+
+    records = []
+    for i in range(6):
+        records.append(_page(f"ship-{i}", f"http://sea.io/{i}",
+                             "2024-01-01T00:00:00Z",
+                             prose(i, "harbor and shipping")))
+    for i in range(6):
+        records.append(_page(f"farm-{i}", f"http://land.io/{i}",
+                             "2024-01-01T00:00:00Z",
+                             prose(i, "farming and grain")))
+    records.append(_page("tiny", "http://x.io/tiny",
+                         "2024-01-01T00:00:00Z", "Too small."))
+    (tmp_path / "c.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+
+    docs = c4_clean_lines(
+        warc_documents(read_warc(spark, str(tmp_path)))
+        .select(F.col("url").alias("doc_id"), "text"))
+    keep = gopher_quality_signals(docs).filter("keep").select("doc_id")
+    kept = docs.join(keep, "doc_id")
+    assert kept.count() == 12  # the tiny page fell to the quality gate
+
+    target = spark.createDataFrame(
+        [(i, prose(i + 50, "harbor and shipping")) for i in range(3)],
+        "doc_id long, text string")
+    pick1 = sorted(r.doc_id for r in
+                   dsir_resample(kept, target, k=6).collect())
+    pick2 = sorted(r.doc_id for r in
+                   dsir_resample(kept, target, k=6).collect())
+    assert pick1 == pick2  # hash-noise selection is content-stable
+    assert len(pick1) == 6
+    # the target-domain pages dominate the selection
+    assert sum(d.startswith("http://sea.io/") for d in pick1) >= 4
+
+    selected = kept.join(
+        spark.createDataFrame([(d,) for d in pick1], "doc_id string"),
+        "doc_id")
+    out = str(tmp_path / "shards")
+    got = pack_and_shard(selected, out, n_shards=3, seq_len=32)
+    rows = got.collect()
+    assert sorted(r.doc_id for r in rows) == pick1  # each doc once
+    # global offsets tile: sorted starts are the running token sum
+    by_start = sorted(rows, key=lambda r: r.start_tok)
+    run = 0
+    for r in by_start:
+        assert r.start_tok == run
+        assert r.seq_id == run // 32 and r.seq_offset == run % 32
+        run += r.n_tok
+    per_file = (got.withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg(F.min("seq_id").alias("lo"), F.max("seq_id").alias("hi"))
+                .collect())
+    assert len(per_file) == 3
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # shards never interleave
