@@ -151,6 +151,35 @@ def test_spark_real_resize_consumes_real_pixels(spark):
         assert abs(sum(f["feature"]) - 1.0) < 1e-6
 
 
+def test_resize_and_features_consume_oriented_pixels(spark):
+    """r11 VERDICT #8: the resize/feature stages must see the EXIF-
+    oriented array (decode_image applies the rotation), never the raw
+    sensor layout — an orientation-6 JPEG resizes and featurizes
+    exactly like its pre-rotated twin."""
+    from sparkdon.jpeg import encode_jpeg_lossless
+    from sparkdon.multimodal import (exif_orientation_segment,
+                                     extract_features, image_feature,
+                                     resize_images)
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    plain = encode_jpeg_lossless(arr)
+    tagged = plain[:2] + exif_orientation_segment(6) + plain[2:]
+    oriented = np.rot90(arr, -1)                     # 24x16 display form
+    rows = [(1, "image", bytearray(tagged), ("image/jpeg", 24, 16, None))]
+
+    out = resize_images(media_df(spark, rows), 8, 12,
+                        decode_real=True).collect()
+    got = decode_image(bytes(out[0]["payload"]))
+    assert got.shape == (12, 8, 3)
+    assert np.array_equal(got, resample_nearest(oriented, 8, 12))
+
+    feats = extract_features(media_df(spark, rows),
+                             decode_real=True).collect()
+    assert feats[0]["feature"] == pytest.approx(
+        image_feature(oriented), abs=1e-6)  # float32 on the wire
+
+
 def test_spark_real_audio_features(spark):
     t = np.arange(1600)
     tone = (np.sin(2 * np.pi * 220 * t / 8000) * 16000).astype(np.int16)
