@@ -1483,80 +1483,111 @@ def gopher_repetition_signals(docs: DataFrame,
     get all-zero fractions and keep=true — they have nothing repeated;
     the quality battery is what drops them).
 
-    Shapes: ONE tokenize pass — every n's grams leave the same narrow
-    map tagged ``(n, gram)``, one (doc, n, gram) partial-agg count, one
-    (doc, n) metric agg, one pivot to columns; the line/paragraph
-    families are one explode + two aggs each.  The dup-n-gram char
-    fractions use the standard approximation
-    ``(count-1)·gram_chars / total_chars`` (overlap-unaware, the same
-    accounting the public reimplementations use), clamped to 1.0 —
-    overlapping repeats of a templated scaffold can push the raw sum
-    past the document's char count."""
+    Shapes (rewritten round 12 — zero shuffle): every family's
+    duplicate accounting is a per-document ``array_sort`` + one
+    ``F.aggregate`` fold over the sorted units — adjacent-equal
+    positions ARE the ``count-1`` duplicate occurrences, and the fold's
+    running (run-length, gram-chars) max IS the top-gram struct, so the
+    r11 explode → (doc, n, gram) partial agg → pivot (two shuffles over
+    ~9×tokens rows per doc, gram strings on the wire) collapses into
+    narrow projections.  The dup-n-gram char fractions keep the
+    standard approximation ``(count-1)·gram_chars / total_chars``
+    (overlap-unaware, the same accounting the public reimplementations
+    use), clamped to 1.0 — overlapping repeats of a templated scaffold
+    can push the raw sum past the document's char count."""
+    # a zero-shuffle plan inherits the SCAN's partitioning — a small
+    # corpus arriving as one parquet file would run the whole gram
+    # battery on one core (measured 8.0 → 3.2 s on 5k docs).  Spread
+    # only when the scan is narrower than the cluster; at corpus scale
+    # partitions >= cores and no shuffle is added.
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        docs = docs.repartition(p)
     t = F.col(text_col)
-    base = docs.select("doc_id", F.length(t).alias("total_chars"),
-                       t.alias("_t"))
-    ids = base.select("doc_id")
 
-    def _dup_frac(split_pat, unit_name):
-        units = base.select(
-            "doc_id", "total_chars",
-            F.explode(F.filter(F.split(F.col("_t"), split_pat),
-                               lambda u: F.trim(u) != "")).alias("u"))
-        per = units.groupBy("doc_id", "total_chars", "u").agg(
-            F.count(F.lit(1)).alias("c"))
-        return per.groupBy("doc_id").agg(
-            (F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
-             / F.sum("c")).alias(f"dup_{unit_name}_frac"),
-            (F.sum(F.when(F.col("c") > 1,
-                          (F.col("c") - 1) * F.length("u")).otherwise(0))
-             / F.greatest(F.first("total_chars"), F.lit(1)))
-            .alias(f"dup_{unit_name}_char_frac"))
+    def _dup_scan(sorted_arr):
+        # one fold over a SORTED string array: counts adjacent-equal
+        # positions (= Σ count-1), their chars (= Σ (count-1)·len), and
+        # the max (run-length, len) struct.  Prefix runs of a gram only
+        # ever produce (k≤c, same len), so folding every position into
+        # the max is exactly max over distinct grams of (count, len).
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.struct(F.lit(0).alias("c"), F.lit(0).alias("l"))
+            .alias("best"),
+            F.lit(0).cast("long").alias("dupc"),
+            F.lit(0).cast("long").alias("dupn"),
+        )
 
-    out = (ids.join(_dup_frac(r"\r?\n", "line"), "doc_id", "left")
-           .join(_dup_frac(r"(\r?\n){2,}", "para"), "doc_id", "left"))
+        def step(acc, x):
+            is_dup = acc["prev"].eqNullSafe(x)
+            run = F.when(is_dup, acc["run"] + 1).otherwise(F.lit(1))
+            cand = F.struct(run.alias("c"), F.length(x).alias("l"))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], cand).alias("best"),
+                (acc["dupc"] + F.when(is_dup, F.length(x).cast("long"))
+                 .otherwise(F.lit(0))).alias("dupc"),
+                (acc["dupn"] + F.when(is_dup, F.lit(1)).otherwise(F.lit(0))
+                 .cast("long")).alias("dupn"),
+            )
+
+        return F.aggregate(sorted_arr, init, step)
+
+    def _units(pat):
+        return F.array_sort(F.filter(F.split(t, pat),
+                                     lambda u: F.trim(u) != ""))
 
     NS = list(range(2, 11))
     # materialize the token array in its own projection FIRST: the
     # n-gram lambdas reference it per slice position, and an inline
     # nonempty_tokens(split(...)) expression would re-tokenize the
     # whole document per position — measured ~35 s on 5k docs
-    toked = base.select(
+    step1 = docs.select(
+        "doc_id", F.length(t).alias("total_chars"),
+        _units(r"\r?\n").alias("_lines"),
+        _units(r"(\r?\n){2,}").alias("_paras"),
+        nonempty_tokens(t).alias("_toks"))
+    step2 = step1.select(
+        "doc_id", "total_chars", "_lines", "_paras",
+        *[F.array_sort(word_ngrams(F.col("_toks"), n)).alias(f"_g{n}")
+          for n in NS])
+    # scans in their own projection so each struct is computed once and
+    # field extraction below is free
+    scans = step2.select(
         "doc_id", "total_chars",
-        nonempty_tokens(F.col("_t")).alias("_toks"))
+        F.size("_lines").alias("_nl"), F.size("_paras").alias("_np"),
+        _dup_scan(F.col("_lines")).alias("_sline"),
+        _dup_scan(F.col("_paras")).alias("_spara"),
+        *[_dup_scan(F.col(f"_g{n}")).alias(f"_s{n}") for n in NS])
 
-    def _tagged(n: int):
-        return F.transform(
-            word_ngrams(F.col("_toks"), n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+    tc = F.greatest(F.col("total_chars"), F.lit(1))
 
-    tagged = toked.select(
-        "doc_id", "total_chars",
-        F.explode(F.flatten(F.array(*[_tagged(n) for n in NS])))
-        .alias("ng"))
-    per = (tagged.select("doc_id", "total_chars",
-                         F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-           .groupBy("doc_id", "total_chars", "n", "g")
-           .agg(F.count(F.lit(1)).alias("c")))
-    top_struct = F.max(F.struct("c", F.length("g").alias("L")))
-    metrics = per.groupBy("doc_id", "n").agg(
-        top_struct.alias("_top"),
-        F.least(
-            F.sum(F.when(F.col("c") > 1,
-                         (F.col("c") - 1) * F.length("g")).otherwise(0))
-            / F.greatest(F.first("total_chars"), F.lit(1)),
-            F.lit(1.0)).alias("dup_frac"),
-        F.first("total_chars").alias("_tc"))
-    metrics = metrics.select(
-        "doc_id", "n", "dup_frac",
-        (F.col("_top")["c"] * F.col("_top")["L"]
-         / F.greatest(F.col("_tc"), F.lit(1))).alias("top_frac"))
-    # wide columns in ONE pivot + ONE select — building them with
-    # chained withColumn/join calls made the analyzer re-walk a
-    # 30-column plan per call and dominated wall time (~30 s of pure
-    # driver analysis at ANY data size, measured r11)
-    wide = metrics.groupBy("doc_id").pivot("n", NS).agg(
-        F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup"))
-    out = out.join(wide, "doc_id", "left")
+    def _unit_fracs(scan, nunits):
+        return (F.when(nunits > 0, scan["dupn"] / nunits)
+                .otherwise(F.lit(0.0)),
+                scan["dupc"] / tc)
+
+    dup_line_frac, dup_line_char_frac = _unit_fracs(
+        F.col("_sline"), F.col("_nl"))
+    dup_para_frac, dup_para_char_frac = _unit_fracs(
+        F.col("_spara"), F.col("_np"))
+
+    values = {
+        "dup_line_frac": dup_line_frac,
+        "dup_para_frac": dup_para_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "dup_para_char_frac": dup_para_char_frac,
+    }
+    for n in (2, 3, 4):
+        s = F.col(f"_s{n}")
+        values[f"top_{n}gram_char_frac"] = \
+            s["best"]["c"] * s["best"]["l"] / tc
+    for n in range(5, 11):
+        s = F.col(f"_s{n}")
+        values[f"dup_{n}gram_char_frac"] = F.least(
+            s["dupc"] / tc, F.lit(1.0))
 
     thresholds = {
         "dup_line_frac": 0.30, "dup_para_frac": 0.30,
@@ -1567,25 +1598,15 @@ def gopher_repetition_signals(docs: DataFrame,
         "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
         "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
     }
-
-    def _src(name: str):
-        if name.startswith("top_"):
-            return F.col(f"{name[4]}_top")
-        if name[4] == "1":  # dup_10gram
-            return F.col("10_dup")
-        if "gram" in name:
-            return F.col(f"{name[4]}_dup")
-        return F.col(name)
-
     cols = [F.col("doc_id")]
     flags = []
     keep = None
     for colname, thr in thresholds.items():
-        val = F.coalesce(_src(colname), F.lit(0.0))
+        val = F.coalesce(values[colname], F.lit(0.0))
         cols.append(val.alias(colname))
         flags.append((val <= thr).alias(f"ok_{colname}"))
         keep = (val <= thr) if keep is None else keep & (val <= thr)
-    return out.select(*cols, *flags, keep.alias("keep"))
+    return scans.select(*cols, *flags, keep.alias("keep"))
 
 
 def corpus_report(docs: DataFrame, text_col: str = "text",
