@@ -23,7 +23,8 @@ PACK_SEQ_LEN = 512
 
 
 def _prefix_pack(spark, d: DataFrame,
-                 extra_order: tuple[str, ...] = ()) -> DataFrame:
+                 extra_order: tuple[str, ...] = (),
+                 wide_ids: bool = False) -> DataFrame:
     """Two-pass distributed prefix sum over (doc_id, n_tok): adds
     ``start_tok`` — each row's global token offset in doc_id order.
     Pass 1 buckets rows into contiguous doc_id ranges and takes
@@ -47,18 +48,27 @@ def _prefix_pack(spark, d: DataFrame,
     caller runs the plan."""
     p = spark.sparkContext.defaultParallelism
     mm = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
-    # the width arithmetic runs in DOUBLE: ids spanning the full int64
-    # range (xxhash64 order keys from pack_and_shard) overflow both the
-    # (hi - lo) span and the *p product under ANSI mode.  Double
-    # conversion of int64 is monotone, so equal-width-ish buckets stay
-    # CONTIGUOUS (the correctness requirement); the rounding only skews
-    # bucket sizes, like sparse ids already could.
-    lo = F.col("_lo").cast("double")
-    span = F.col("_hi").cast("double") - lo + 1.0
-    bucket = F.least(
-        F.lit(p - 1),
-        F.floor((F.col("doc_id").cast("double") - lo) * p / span)
-    ).cast("int")
+    if wide_ids:
+        # ids spanning the full int64 range (xxhash64 order keys from
+        # pack_and_shard) overflow both the (hi - lo) span and the *p
+        # product under ANSI mode, so the width arithmetic runs in
+        # DOUBLE.  Double conversion of int64 is monotone, so the
+        # equal-width-ish buckets stay CONTIGUOUS (the correctness
+        # requirement); rounding only skews bucket sizes, like sparse
+        # ids already could.  The gated entries keep the exact integer
+        # form below — their plans are driver-verified as-is.
+        lo = F.col("_lo").cast("double")
+        span = F.col("_hi").cast("double") - lo + 1.0
+        bucket = F.least(
+            F.lit(p - 1),
+            F.floor((F.col("doc_id").cast("double") - lo) * p / span)
+        ).cast("int")
+    else:
+        bucket = F.least(
+            F.lit(p - 1),
+            F.floor((F.col("doc_id") - F.col("_lo")) * p
+                    / (F.col("_hi") - F.col("_lo") + 1))
+        ).cast("int")
     dd = (d.crossJoin(F.broadcast(mm))
           .withColumn("b", bucket).drop("_lo", "_hi"))
     per = dd.groupBy("b").agg(F.sum("n_tok").alias("bs"))
@@ -235,16 +245,32 @@ def x_pack_sequences(spark, sf_dir):
 
     The result is bucket-boundary-independent, so the (sampled, hence
     unpinned) range boundaries cannot change a single output value."""
-    n = PACK_SEQ_LEN
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
-    return _prefix_pack(spark, d).select(
+    return _seq_assign(_prefix_pack(spark, d), PACK_SEQ_LEN)
+
+
+def _seq_assign(packed: DataFrame, seq_len: int) -> DataFrame:
+    """(doc_id, n_tok, start_tok) → the sequence-assignment columns
+    (shared by the gate and :func:`pack_and_shard`, so the packing
+    arithmetic has exactly one definition)."""
+    return packed.select(
         "doc_id", "n_tok", "start_tok",
-        F.floor(F.col("start_tok") / n).cast("long").alias("seq_id"),
-        (F.col("start_tok") % n).alias("seq_offset"),
-        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / n)
+        F.floor(F.col("start_tok") / seq_len).cast("long").alias("seq_id"),
+        (F.col("start_tok") % seq_len).alias("seq_offset"),
+        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / seq_len)
         .cast("long").alias("end_seq"),
     )
+
+
+def _shard_write(packed: DataFrame, out_dir: str,
+                 n_shards: int) -> DataFrame:
+    """RANGE-partition on the computed ``seq_id`` (the one write-side
+    shuffle — no global sort) and write one parquet file per shard;
+    returns the re-read frame for verification."""
+    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+    return packed.sparkSession.read.parquet(out_dir)
 
 
 def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
@@ -256,6 +282,12 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     crawl → clean → select pipeline (where :func:`write_training_shards`
     is hardwired to the fixture-corpus gate).
 
+    Token counts use the shared whitespace tokenizer
+    (:func:`sparkdon.pipeline.text.nonempty_tokens`): curated text is
+    newline-joined (c4_clean_lines), so a split on single spaces would
+    undercount every line boundary and a loader tokenizing on
+    whitespace would overrun ``seq_len``.
+
     Packing order: numeric doc_ids pack in id order (the gate
     semantics); string ids (crawl URLs, UUID record ids) pack in
     deterministic ``xxhash64(doc_id)`` order — a content-stable corpus
@@ -264,32 +296,27 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     assignment is exact and reproducible, never sampling-dependent.
 
     Same 100 TB shape as the gate: two-pass prefix sum (never a
-    single-partition window), then ``repartitionByRange`` on the
-    computed ``seq_id`` as the one write-side shuffle.  Returns the
-    re-read frame for verification."""
+    single-partition window; ``wide_ids`` arithmetic, since real ids
+    may span int64), then one ``repartitionByRange`` write shuffle.
+    Returns the re-read frame for verification."""
     from pyspark.sql.types import NumericType
 
+    from .text import nonempty_tokens
+
     spark = docs.sparkSession
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("long")
     if isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
-            spark, docs.select("doc_id", n_tok.alias("n_tok")))
+            spark, docs.select("doc_id", n_tok.alias("n_tok")),
+            wide_ids=True)
     else:
         d = docs.select(
             F.col("doc_id").alias("orig_id"),
             F.xxhash64("doc_id").alias("doc_id"), n_tok.alias("n_tok"))
-        packed = _prefix_pack(spark, d, extra_order=("orig_id",)) \
+        packed = _prefix_pack(spark, d, extra_order=("orig_id",),
+                              wide_ids=True) \
             .drop("doc_id").withColumnRenamed("orig_id", "doc_id")
-    packed = packed.select(
-        "doc_id", "n_tok", "start_tok",
-        F.floor(F.col("start_tok") / seq_len).cast("long").alias("seq_id"),
-        (F.col("start_tok") % seq_len).alias("seq_offset"),
-        F.floor((F.col("start_tok") + F.col("n_tok") - 1) / seq_len)
-        .cast("long").alias("end_seq"),
-    )
-    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
-     .write.mode("overwrite").parquet(out_dir))
-    return spark.read.parquet(out_dir)
+    return _shard_write(_seq_assign(packed, seq_len), out_dir, n_shards)
 
 
 def write_training_shards(spark, sf_dir, out_dir: str,
@@ -309,7 +336,4 @@ def write_training_shards(spark, sf_dir, out_dir: str,
     everything upstream is the audited two-pass prefix sum.  Shard
     count scales to taste (one per loader worker); parquet predicate
     pushdown on ``seq_id`` gives random access within a shard."""
-    packed = x_pack_sequences(spark, sf_dir)
-    (packed.repartitionByRange(n_shards, "seq_id", "doc_id")
-     .write.mode("overwrite").parquet(out_dir))
-    return spark.read.parquet(out_dir)
+    return _shard_write(x_pack_sequences(spark, sf_dir), out_dir, n_shards)

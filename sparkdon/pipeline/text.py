@@ -1499,10 +1499,13 @@ def gopher_repetition_signals(docs: DataFrame,
     # corpus arriving as one parquet file would run the whole gram
     # battery on one core (measured 8.0 → 3.2 s on 5k docs).  Spread
     # only when the scan is narrower than the cluster; at corpus scale
-    # partitions >= cores and no shuffle is added.
-    p = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < p:
-        docs = docs.repartition(p)
+    # partitions >= cores and no shuffle is added.  Streaming frames
+    # skip the probe (.rdd is illegal on them) — micro-batch planning
+    # spreads those on its own.
+    if not docs.isStreaming:
+        p = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < p:
+            docs = docs.repartition(p)
     t = F.col(text_col)
 
     def _dup_scan(sorted_arr):

@@ -121,6 +121,8 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            break  # a negative length would stall pos — infinite yield
         block = data[hdr_end + 4:hdr_end + 4 + length]
         if len(block) < length:
             break  # truncated tail
@@ -250,8 +252,8 @@ def _scan_split_ranges(data: bytes, target_split_bytes: int) -> Iterator[tuple]:
                         "content-length", ""))
             except ValueError:
                 break
-            if hdr_end + 4 + length > n:
-                break
+            if length < 0 or hdr_end + 4 + length > n:
+                break  # negative length would stall pos — infinite loop
             pos = hdr_end + 4 + length
             members += 1
             if pos - start >= target_split_bytes:

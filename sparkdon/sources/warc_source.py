@@ -145,8 +145,10 @@ class WarcStreamReader(DataSourceStreamReader):
     racing ingestion) is skipped, not retried — its rows are
     unrecoverable either way, and failing would poison the batch
     forever — so under retention races the guarantee degrades to
-    at-most-once for the raced file; skips are counted on
-    ``skipped_files`` and logged to stderr.  The offset grows with the
+    at-most-once for the raced file; each skip is logged to the
+    WORKER's stderr (the operational surface — ``skipped_files``
+    increments only on the process-local reader copy, so on a real
+    cluster the driver-held attribute stays 0).  The offset grows with the
     file count of the watched directory; crawl segments are bounded
     (~tens of thousands of files), which keeps the checkpoint JSON in
     the megabytes.  Files must LAND ATOMICALLY (write elsewhere,
@@ -169,9 +171,12 @@ class WarcStreamReader(DataSourceStreamReader):
         #: under the same name) never re-enters a batch; without this
         #: the listing shrinks and end-start "rediscovers" old names
         self._seen: set[str] = set()
-        #: files planned into a batch but vanished before read —
-        #: incremented in the worker process that hit the race, so on a
-        #: cluster this is a per-worker diagnostic, not a global metric
+        #: files planned into a batch but vanished before read.
+        #: Incremented by the PROCESS-LOCAL copy that executed read()
+        #: (a pickled worker copy in a real streaming query) — the
+        #: driver-held instance never updates, so this is a test /
+        #: direct-invocation diagnostic; operationally the skip is the
+        #: worker-stderr log line.
         self.skipped_files = 0
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)

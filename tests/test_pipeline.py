@@ -1074,6 +1074,22 @@ def test_lm_bigram_sees_word_order(spark):
         assert bi[doc_id] == want
 
 
+def test_pack_and_shard_counts_whitespace_tokens(spark, tmp_path):
+    """r12 review: curated text is newline-joined, so the token count
+    must split on ALL whitespace — a split on single spaces undercounts
+    every line boundary and the loader overruns seq_len."""
+    from sparkdon.pipeline.packing import pack_and_shard
+
+    docs = spark.createDataFrame(
+        [("a", "one two\nthree  four\tfive"), ("b", "six seven")],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in
+           pack_and_shard(docs, str(tmp_path / "s"),
+                          n_shards=1, seq_len=4).collect()}
+    assert got["a"].n_tok == 5
+    assert got["b"].n_tok == 2
+
+
 def test_write_training_shards_contiguous_and_complete(spark):
     """The shard writer: every packed row round-trips, shards carry
     CONTIGUOUS non-overlapping seq_id ranges (the loader contract),

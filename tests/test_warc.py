@@ -457,6 +457,23 @@ def test_split_ranges_duplicate_content_length_agrees_with_parser():
     assert got == want
 
 
+def test_negative_content_length_terminates_not_spins():
+    """r12 review: a record claiming a negative Content-Length must
+    stop the parse at the good prefix — pos would otherwise stagnate
+    and parse_warc_records yields the same record forever while
+    _scan_split_ranges spins without yielding."""
+    from sparkdon.sources.warc import _scan_split_ranges
+
+    good = warc_bytes(RECORDS[:1])
+    bad = warc_bytes(RECORDS[1:2]).replace(
+        b"Content-Length: ", b"Content-Length: -", 1)
+    data = good + bad
+    recs = list(parse_warc_records(data))
+    assert len(recs) == 1 and recs[0]["warc_type"] == "warcinfo"
+    spans = list(_scan_split_ranges(data, target_split_bytes=1))
+    assert sum(m for _, _, m in spans) == 1
+
+
 def test_split_index_single_member_gzip_stays_whole(tmp_path):
     """A whole-file gzip stream (not per-record members) is inherently
     unsplittable: the index must return it as ONE span."""
