@@ -608,10 +608,15 @@ def x_cross_dedup(spark, sf_dir):
     every ingest batch) so the join broadcasts; the new corpus never
     self-joins, so ingest cost is linear in the batch."""
     bands = _minhash_bands(spark, sf_dir)
-    new = bands.filter(F.col("doc_id") % 97 != 0)
-    ref = (bands.filter(F.col("doc_id") % 97 == 0)
-           .select(F.col("doc_id").alias("ref_id"), "band", "bk"))
-    hits = (new.join(F.broadcast(ref), ["band", "bk"], "left")
+    return _cross_dedup_bands(
+        bands.filter(F.col("doc_id") % 97 != 0),
+        bands.filter(F.col("doc_id") % 97 == 0))
+
+
+def _cross_dedup_bands(new_bands: DataFrame,
+                       ref_bands: DataFrame) -> DataFrame:
+    ref = ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bk")
+    hits = (new_bands.join(F.broadcast(ref), ["band", "bk"], "left")
             .groupBy("doc_id")
             .agg(F.countDistinct("ref_id").alias("n_ref_hits")))
     return hits.select(
@@ -619,6 +624,23 @@ def x_cross_dedup(spark, sf_dir):
         F.col("n_ref_hits").cast("long").alias("n_ref_hits"),
         F.when(F.col("n_ref_hits") > 0, 1).otherwise(0).cast("long")
         .alias("is_dup"))
+
+
+def cross_dedup(new_docs: DataFrame, ref_docs: DataFrame) -> DataFrame:
+    """Frame-level incremental-ingest screen (the public twin of the
+    ``x_cross_dedup`` gate): flag every NEW (doc_id, text) document
+    whose MinHash bands collide with any REFERENCE document — "have we
+    already trained on this?" — without any new-vs-new pairing.
+    Returns one row per new doc: ``(doc_id, n_ref_hits, is_dup)``.
+
+    The intended composition is snapshot-incremental curation: read the
+    current corpus version (:func:`sparkdon.sources.snapshots.
+    read_snapshot`) as the reference, screen the arriving crawl slice,
+    and commit only the survivors as the next version — pinned
+    end-to-end in test_crawl_pipeline.py.  At 100 TB the reference
+    side's band index is precomputed once per version and reused by
+    every ingest batch; ingest cost stays linear in the batch."""
+    return _cross_dedup_bands(_bands_of(new_docs), _bands_of(ref_docs))
 
 
 #: a chunk present in at least this many DISTINCT documents is

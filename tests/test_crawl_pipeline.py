@@ -253,6 +253,57 @@ def test_rule_batteries_compose_with_crawl(spark, tmp_path):
     assert w["good"] > 0 > w["junk"]
 
 
+def test_incremental_snapshot_ingest_with_cross_dedup(spark, tmp_path):
+    """Round 12: the snapshot-incremental ingest story — corpus v0 is a
+    committed snapshot; a new crawl slice is screened against it with
+    frame-level cross_dedup (MinHash bands, broadcast reference) and
+    only the survivors are appended as v1.  v0 stays frozen, v1 = base
+    + fresh, and the near-dup of an already-held page never enters."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.dedup import cross_dedup
+    from sparkdon.sources.snapshots import read_snapshot, write_snapshot
+    from sparkdon.sources.warc import warc_documents
+
+    base_text = BODY + " and further sentences that give the base page " \
+        "its own stable shingle profile across this synthetic corpus"
+    fresh_text = ("entirely new material about glass furnaces and the "
+                  "craft of shaping light into useful vessels for the "
+                  "table with methods refined across four generations "
+                  "of patient workshop practice and careful teaching")
+    root = str(tmp_path / "corpus")
+    v0_docs = spark.createDataFrame(
+        [("base-1", base_text), ("base-2", "unrelated archival notes " +
+          "covering harvest ledgers and weather tables from the valley "
+          "with enough distinct words to shingle independently")],
+        "doc_id string, text string")
+    assert write_snapshot(v0_docs, root) == 0
+
+    records = [
+        # near-dup of base-1 (small prefix edit) — must be screened out
+        _page("dup", "http://m.io/dup", "2024-06-01T00:00:00Z",
+              "mirrored " + base_text),
+        _page("new", "http://m.io/new", "2024-06-01T00:00:00Z", fresh_text),
+    ]
+    (tmp_path / "slice.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+    slice_docs = (warc_documents(read_warc(spark, str(tmp_path)))
+                  .select(F.col("url").alias("doc_id"), "text"))
+
+    ref = read_snapshot(spark, root, version=0)
+    screened = cross_dedup(slice_docs, ref)
+    flags = {r.doc_id: r.is_dup for r in screened.collect()}
+    assert flags == {"http://m.io/dup": 1, "http://m.io/new": 0}
+
+    survivors = slice_docs.join(
+        screened.filter("is_dup = 0").select("doc_id"), "doc_id")
+    assert write_snapshot(survivors, root) == 1
+    v1 = {r.doc_id for r in read_snapshot(spark, root).collect()}
+    assert v1 == {"base-1", "base-2", "http://m.io/new"}
+    # v0 frozen
+    assert read_snapshot(spark, root, version=0).count() == 2
+
+
 def test_crawl_to_training_shards_full_recipe(spark, tmp_path):
     """Round 12 capstone (VERDICT r11 #7): the complete curation story
     in one flow — crawl → C4 line cleaning → Gopher quality keep → DSIR
