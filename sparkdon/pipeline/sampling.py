@@ -453,6 +453,13 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
     weight)."""
     from .text import nonempty_tokens, word_ngrams
 
+    # spread a too-narrow scan before the per-doc gram work (same
+    # guarded no-op-at-scale repartition as gopher_repetition_signals;
+    # measured 3.1 → 2.4 s on the one-partition 5k fixture)
+    if not docs.isStreaming:
+        p = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < p:
+            docs = docs.repartition(p)
     # tokenize in a projection of its own — see gopher_repetition's
     # note: slicing an inline split expression re-tokenizes per
     # position (quadratic per row)

@@ -52,7 +52,14 @@ def test_surt_jvm_twin_matches_python(spark):
             "https://sub.domain.io:8443/p/q?r=s#frag", "http://x.y",
             "http://example.com:443/a", "https://example.com:80/a",
             "example.com:80/a", "http://example.com/a#frag",
-            "http://example.com#frag", "ftp://files.org:21/x"]
+            "http://example.com#frag", "ftp://files.org:21/x",
+            # adversarial: embedded URLs, multi-#, @ in query, empty
+            # port, non-numeric port, spaces, bare host, ?#-ordering
+            "http://a.io/r?to=https://b.io:8443/x#f",
+            "http://a.io/p#one#two", "http://u:p@w.io:80/q?a=@b",
+            "http://w.io:/path", "http://w.io:abc/p",
+            "http://w.io/a b/c d#e f", "w.io", "http://w.io?q=1#f",
+            "HTTPS://W.IO:443#f", "http://w.io/#", "http://w.io/?#"]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(surt_key("url")).collect()]
     assert got == [surt(u) for u in urls]
