@@ -76,6 +76,69 @@ def test_quality_plan_is_python_free(spark):
     assert "Exchange" not in plan          # narrow: per-row expressions only
 
 
+def test_repetition_fold_matches_bruteforce_reference(spark):
+    """r12: the sort-and-fold rewrite vs a Counter-based brute-force
+    reference of the published accounting, on 40 random docs drawn from
+    a tiny vocabulary (dense gram collisions, newlines, blank-line
+    paragraphs, repeated lines, short/empty edge docs).  One Spark
+    action for the whole battery — the fuzz pattern from
+    test_fuzz_crawl (hypothesis around an action would shrink
+    forever)."""
+    import re
+    from collections import Counter
+
+    import pytest as _pytest
+
+    rng = _random.Random(12)
+    vocab = ["aa", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(40):
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            line = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(0, 12)))
+            parts.append(line)
+            parts.append(rng.choice(["\n", "\n", "\n\n", "\n\n\n"]))
+        if rng.random() < 0.3 and parts:
+            parts.append(parts[0])  # force a duplicate line
+        docs.append((i, "".join(parts)))
+    docs += [(100, ""), (101, " \n\n "), (102, "one"), (103, "x y x y")]
+
+    def ref_row(text):
+        tc = max(len(text), 1)
+        out = {}
+        for name, pat in (("line", r"\r?\n"), ("para", r"(?:\r?\n){2,}")):
+            units = [u for u in re.split(pat, text) if u.strip()]
+            c = Counter(units)
+            n = sum(c.values())
+            out[f"dup_{name}_frac"] = (
+                sum(v - 1 for v in c.values() if v > 1) / n if n else 0.0)
+            out[f"dup_{name}_char_frac"] = sum(
+                (v - 1) * len(u) for u, v in c.items() if v > 1) / tc
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        for n in range(2, 11):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = max(((v, len(g)) for g, v in c.items()), default=(0, 0))
+            if n <= 4:
+                out[f"top_{n}gram_char_frac"] = top[0] * top[1] / tc
+            else:
+                out[f"dup_{n}gram_char_frac"] = min(
+                    sum((v - 1) * len(g) for g, v in c.items() if v > 1)
+                    / tc, 1.0)
+        return out
+
+    got = {r.doc_id: r for r in gopher_repetition_signals(
+        _docs(spark, docs)).collect()}
+    assert sorted(got) == sorted(d for d, _ in docs)
+    for doc_id, text in docs:
+        want = ref_row(text)
+        for col, val in want.items():
+            assert got[doc_id][col] == _pytest.approx(val, abs=1e-9), \
+                (doc_id, col, text)
+
+
 def test_empty_docs_survive_both_batteries(spark):
     # r11 review: ANSI DIVIDE_BY_ZERO on empty docs in quality; silent
     # doc loss in repetition — both batteries must return one row per
