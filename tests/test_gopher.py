@@ -76,6 +76,19 @@ def test_quality_plan_is_python_free(spark):
     assert "Exchange" not in plan          # narrow: per-row expressions only
 
 
+def test_repetition_plan_is_python_and_exchange_free(spark):
+    """The r12 rewrite's contract, plan-asserted: with the input
+    already spread, the whole 13-metric battery is narrow projections —
+    no Python eval, and the ONLY Exchange is the caller's own
+    repartition (the guard adds nothing when partitions >= cores)."""
+    p = spark.sparkContext.defaultParallelism
+    df = _docs(spark, [(i, CLEAN) for i in range(64)]).repartition(p)
+    out = gopher_repetition_signals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan   # only the input spread
+
+
 def test_repetition_fold_matches_bruteforce_reference(spark):
     """r12: the sort-and-fold rewrite vs a Counter-based brute-force
     reference of the published accounting, on 40 random docs drawn from
