@@ -639,8 +639,19 @@ def cross_dedup(new_docs: DataFrame, ref_docs: DataFrame) -> DataFrame:
     and commit only the survivors as the next version — pinned
     end-to-end in test_crawl_pipeline.py.  At 100 TB the reference
     side's band index is precomputed once per version and reused by
-    every ingest batch; ingest cost stays linear in the batch."""
-    return _cross_dedup_bands(_bands_of(new_docs), _bands_of(ref_docs))
+    every ingest batch; ingest cost stays linear in the batch.
+
+    A new doc too short to shingle (< 3 tokens) has no bands and can
+    never near-dup-match; it still gets its row (n_ref_hits=0,
+    is_dup=0) — dropping it here would silently delete every short
+    crawl page from the survivor join.  Screening those is exact
+    dedup's job, not MinHash's."""
+    hits = _cross_dedup_bands(_bands_of(new_docs), _bands_of(ref_docs))
+    ids = new_docs.select("doc_id").distinct()
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ref_hits", F.lit(0)).cast("long").alias("n_ref_hits"),
+        F.coalesce("is_dup", F.lit(0)).cast("long").alias("is_dup"))
 
 
 #: a chunk present in at least this many DISTINCT documents is

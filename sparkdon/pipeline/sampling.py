@@ -451,15 +451,11 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
     :func:`sparkdon.pipeline.text.nonempty_tokens` (leading/trailing
     whitespace must not manufacture phantom grams that shift a doc's
     weight)."""
+    from ._registry import spread_narrow_scan
     from .text import nonempty_tokens, word_ngrams
 
-    # spread a too-narrow scan before the per-doc gram work (same
-    # guarded no-op-at-scale repartition as gopher_repetition_signals;
-    # measured 3.1 → 2.4 s on the one-partition 5k fixture)
-    if not docs.isStreaming:
-        p = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < p:
-            docs = docs.repartition(p)
+    # measured 3.1 → 2.4 s on the one-partition 5k fixture
+    docs = spread_narrow_scan(docs)
     # tokenize in a projection of its own — see gopher_repetition's
     # note: slicing an inline split expression re-tokenizes per
     # position (quadratic per row)

@@ -1495,17 +1495,9 @@ def gopher_repetition_signals(docs: DataFrame,
     (overlap-unaware, the same accounting the public reimplementations
     use), clamped to 1.0 — overlapping repeats of a templated scaffold
     can push the raw sum past the document's char count."""
-    # a zero-shuffle plan inherits the SCAN's partitioning — a small
-    # corpus arriving as one parquet file would run the whole gram
-    # battery on one core (measured 8.0 → 3.2 s on 5k docs).  Spread
-    # only when the scan is narrower than the cluster; at corpus scale
-    # partitions >= cores and no shuffle is added.  Streaming frames
-    # skip the probe (.rdd is illegal on them) — micro-batch planning
-    # spreads those on its own.
-    if not docs.isStreaming:
-        p = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < p:
-            docs = docs.repartition(p)
+    from ._registry import spread_narrow_scan
+
+    docs = spread_narrow_scan(docs)
     t = F.col(text_col)
 
     def _dup_scan(sorted_arr):

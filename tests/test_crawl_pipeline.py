@@ -295,6 +295,15 @@ def test_incremental_snapshot_ingest_with_cross_dedup(spark, tmp_path):
     flags = {r.doc_id: r.is_dup for r in screened.collect()}
     assert flags == {"http://m.io/dup": 1, "http://m.io/new": 0}
 
+    # r12 review: a <3-token page has no shingles — it must still get
+    # its row (is_dup=0), never vanish from the survivor join
+    with_short = slice_docs.union(spark.createDataFrame(
+        [("http://m.io/short", "hello world")], slice_docs.schema))
+    short_flags = {r.doc_id: r.is_dup
+                   for r in cross_dedup(with_short, ref).collect()}
+    assert short_flags["http://m.io/short"] == 0
+    assert len(short_flags) == 3
+
     survivors = slice_docs.join(
         screened.filter("is_dup = 0").select("doc_id"), "doc_id")
     assert write_snapshot(survivors, root) == 1

@@ -22,18 +22,14 @@ def test_front_window_is_exactly_the_derived_obligation():
 
 
 def test_front_entries_resolve_and_lead_queries_order():
-    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
     try:
-        import importlib.util
+        from derive_window import battery_keys
 
-        spec = importlib.util.spec_from_file_location(
-            "entry", os.path.join(REPO, "__spark_entry__.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        q = mod.queries()
-        assert list(q)[:len(mod._FRONT)] == list(mod._FRONT)
-        assert len(set(mod._FRONT)) == len(mod._FRONT)
-        missing = [k for k in mod._FRONT if k not in q]
+        keys, front = battery_keys(REPO)
+        assert keys[:len(front)] == front
+        assert len(set(front)) == len(front)
+        missing = [k for k in front if k not in set(keys)]
         assert not missing, missing
     finally:
-        sys.path.remove(REPO)
+        sys.path.remove(os.path.join(REPO, "scripts"))
