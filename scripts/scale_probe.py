@@ -97,6 +97,7 @@ def main() -> None:
         x_dedup_exact,
         x_dedup_intra,
         x_dedup_minhash,
+        x_cross_dedup,
         x_dedup_substring,
         x_dedup_substring_hashed,
         x_lm_bigram,
@@ -151,6 +152,11 @@ def main() -> None:
         # below the text-keyed slope
         "x_dedup_substring_hashed": x_dedup_substring_hashed,
         "x_dedup_intra": x_dedup_intra,
+        # round 12: the incremental-ingest screen — both sides reduce to
+        # (band,bk) keys, the reference index broadcasts, and the new
+        # corpus never self-joins, so the slope should track the
+        # signature pass (corpus-linear), never pair volume
+        "x_cross_dedup": x_cross_dedup,
         "x_sim_pq": x_sim_pq,
         # round 10 (late): IVF+PQ residual ADC — candidate volume is
         # (nprobe/K)·corpus per query, so the ADC join should track the

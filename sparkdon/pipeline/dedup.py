@@ -613,10 +613,12 @@ def x_cross_dedup(spark, sf_dir):
         bands.filter(F.col("doc_id") % 97 == 0))
 
 
-def _cross_dedup_bands(new_bands: DataFrame,
-                       ref_bands: DataFrame) -> DataFrame:
+def _cross_dedup_bands(new_bands: DataFrame, ref_bands: DataFrame,
+                       broadcast_ref: bool = True) -> DataFrame:
     ref = ref_bands.select(F.col("doc_id").alias("ref_id"), "band", "bk")
-    hits = (new_bands.join(F.broadcast(ref), ["band", "bk"], "left")
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    hits = (new_bands.join(ref, ["band", "bk"], "left")
             .groupBy("doc_id")
             .agg(F.countDistinct("ref_id").alias("n_ref_hits")))
     return hits.select(
@@ -626,7 +628,8 @@ def _cross_dedup_bands(new_bands: DataFrame,
         .alias("is_dup"))
 
 
-def cross_dedup(new_docs: DataFrame, ref_docs: DataFrame) -> DataFrame:
+def cross_dedup(new_docs: DataFrame, ref_docs: DataFrame,
+                broadcast_ref: bool = False) -> DataFrame:
     """Frame-level incremental-ingest screen (the public twin of the
     ``x_cross_dedup`` gate): flag every NEW (doc_id, text) document
     whose MinHash bands collide with any REFERENCE document — "have we
@@ -641,12 +644,21 @@ def cross_dedup(new_docs: DataFrame, ref_docs: DataFrame) -> DataFrame:
     side's band index is precomputed once per version and reused by
     every ingest batch; ingest cost stays linear in the batch.
 
+    ``broadcast_ref`` defaults to FALSE: a 100 TB reference corpus's
+    band index is itself corpus-scale (4 rows/doc) and force-
+    broadcasting it would OOM every executor — unhinted, AQE upgrades
+    the (band, bk) shuffle join to a broadcast join exactly when the
+    reference is actually small.  Pass True only when the reference is
+    known-tiny and you want the hint pinned ahead of AQE (the gated
+    fixture query does).
+
     A new doc too short to shingle (< 3 tokens) has no bands and can
     never near-dup-match; it still gets its row (n_ref_hits=0,
     is_dup=0) — dropping it here would silently delete every short
     crawl page from the survivor join.  Screening those is exact
     dedup's job, not MinHash's."""
-    hits = _cross_dedup_bands(_bands_of(new_docs), _bands_of(ref_docs))
+    hits = _cross_dedup_bands(_bands_of(new_docs), _bands_of(ref_docs),
+                              broadcast_ref=broadcast_ref)
     ids = new_docs.select("doc_id").distinct()
     return ids.join(hits, "doc_id", "left").select(
         "doc_id",
