@@ -219,7 +219,10 @@ def fetch_by_cdx(spark: SparkSession, cdx: DataFrame,
     span that holds MORE than one record (whole-file-gzip archives, or
     a span-granular index from ``warc_split_index``) parses every
     record in the span, and the join drops the non-matching ones.  The
-    filtered URL set is prefix-sized — broadcast."""
+    URL set is prefix-sized, so the semi-join is left unhinted — AQE
+    broadcasts it when the prefix really is narrow, and a deliberately
+    broad prefix (half the crawl) degrades to a shuffle join instead
+    of an executor OOM."""
     from .warc import read_warc_ranges
 
     if surt_prefix is not None:
@@ -229,4 +232,4 @@ def fetch_by_cdx(spark: SparkSession, cdx: DataFrame,
     if surt_prefix is None:
         return fetched
     urls = cdx.select(F.col("url").alias("target_uri")).distinct()
-    return fetched.join(F.broadcast(urls), "target_uri", "left_semi")
+    return fetched.join(urls, "target_uri", "left_semi")

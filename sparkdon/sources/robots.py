@@ -204,8 +204,10 @@ def sitemap_urls(records: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["host", "loc", "lastmod",
                                               "kind"])
 
+    # unhinted: the hint list scales with host count; AQE broadcasts
+    # it when it actually fits
     hinted = records.join(
-        F.broadcast(_sitemap_hints(records)),
+        _sitemap_hints(records),
         records["target_uri"] == F.col("_hint"), "left_semi")
     shaped = records.filter(
         F.col("target_uri").rlike(r"(?i)sitemap[^/]*\.xml(\.gz)?($|\?)"))
@@ -234,25 +236,34 @@ def _like_pattern(path_col) -> F.Column:
 
 
 def filter_by_robots(docs: DataFrame, rules: DataFrame,
-                     agent: str = "*") -> DataFrame:
+                     agent: str = "*",
+                     broadcast_rules: bool = False) -> DataFrame:
     """Keep only documents the rule set allows for ``agent``
     (lowercased; a host's specific-agent group overrides its ``*``
     group, RFC 9309 §2.2.1).
 
-    Zero corpus shuffle: the rules collapse to ONE array-of-structs
-    row per host, broadcast-join 1:1 onto the documents, and the
-    longest-match / Allow-wins verdict (§2.2.2) is a single
-    ``aggregate`` higher-order function in the projection.  Documents
-    pass through byte-identical — no grouping, so duplicate rows and
-    non-orderable (map) columns survive untouched."""
+    The rules collapse to ONE array-of-structs row per host, joined
+    1:1 onto the documents, and the longest-match / Allow-wins verdict
+    (§2.2.2) is a single ``aggregate`` higher-order function in the
+    projection.  Documents pass through byte-identical — no grouping,
+    so duplicate rows and non-orderable (map) columns survive
+    untouched.
+
+    ``broadcast_rules`` defaults to FALSE: the per-host rule frame
+    scales with the number of hosts (tens of millions across a full
+    crawl), so a forced broadcast would OOM executors at corpus scale —
+    unhinted, AQE upgrades the host-keyed join to broadcast exactly
+    when the rule frame really is small (a single segment's hosts).
+    Pass True to pin the hint for a known-small rule set."""
     agent = agent.lower()
+    hint = F.broadcast if broadcast_rules else (lambda d: d)
     r = rules.filter(F.col("agent").isin(agent, "*"))
     # specific-agent group overrides '*' per host
     if agent != "*":
         has_specific = (r.filter(F.col("agent") == agent)
                         .select("host").distinct()
                         .withColumnRenamed("host", "_sh"))
-        r = (r.join(F.broadcast(has_specific),
+        r = (r.join(hint(has_specific),
                     r["host"] == has_specific["_sh"], "left")
              .filter((F.col("agent") == agent) | F.col("_sh").isNull())
              .drop("_sh"))
@@ -275,7 +286,7 @@ def filter_by_robots(docs: DataFrame, rules: DataFrame,
              .withColumn("_rb_path",
                          F.when(F.col("_rb_path") == "", "/")
                          .otherwise(F.col("_rb_path"))))
-    joined = keyed.join(F.broadcast(per_host), "_rb_host", "left")
+    joined = keyed.join(hint(per_host), "_rb_host", "left")
     # one fold over the host's rules: keep the best MATCHING rule,
     # longer wins, equal length prefers Allow; len -1 = nothing matched
     verdict = F.expr(

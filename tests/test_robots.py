@@ -140,9 +140,17 @@ def test_filter_preserves_duplicates_and_map_columns(spark):
     # duplicates preserved (no grouping), map column survives
     assert [r["doc_id"] for r in out] == ["a", "a"]
     assert out[0]["meta"] == {"k": "v"}
-    plan = filter_by_robots(docs, rules) \
+    # r12: the default is UNHINTED (a full crawl's per-host rule frame
+    # is not broadcastable; AQE upgrades small ones at runtime) —
+    # broadcast_rules=True pins the hint for known-small rule sets
+    plan = filter_by_robots(docs, rules, broadcast_rules=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    default_plan = filter_by_robots(docs, rules) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in default_plan
+    same = filter_by_robots(docs, rules, broadcast_rules=True).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, out))
 
 
 def test_sitemap_parsing_and_extraction(spark, tmp_path):
