@@ -183,7 +183,8 @@ def sitemap_urls(records: DataFrame) -> DataFrame:
 
     Discovery = conventional URL shapes (``…sitemap*.xml[.gz]``) UNION
     whatever the hosts' own robots.txt ``Sitemap:`` directives name
-    (broadcast semi-join — sitemaps live at arbitrary paths).  Per
+    (unhinted semi-join, AQE-broadcast when the hint list fits —
+    sitemaps live at arbitrary paths).  Per
     sitemap URL the NEWEST capture wins, mirroring
     :func:`robots_rules` — stale recrawl captures would otherwise emit
     conflicting ``lastmod`` rows for the same loc."""

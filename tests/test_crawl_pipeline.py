@@ -256,9 +256,10 @@ def test_rule_batteries_compose_with_crawl(spark, tmp_path):
 def test_incremental_snapshot_ingest_with_cross_dedup(spark, tmp_path):
     """Round 12: the snapshot-incremental ingest story — corpus v0 is a
     committed snapshot; a new crawl slice is screened against it with
-    frame-level cross_dedup (MinHash bands, broadcast reference) and
-    only the survivors are appended as v1.  v0 stays frozen, v1 = base
-    + fresh, and the near-dup of an already-held page never enters."""
+    frame-level cross_dedup (MinHash bands; unhinted by default, with
+    the pinned-hint path checked for equivalence) and only the
+    survivors are appended as v1.  v0 stays frozen, v1 = base + fresh,
+    and the near-dup of an already-held page never enters."""
     from pyspark.sql import functions as F
 
     from sparkdon.pipeline.dedup import cross_dedup
@@ -294,6 +295,10 @@ def test_incremental_snapshot_ingest_with_cross_dedup(spark, tmp_path):
     screened = cross_dedup(slice_docs, ref)
     flags = {r.doc_id: r.is_dup for r in screened.collect()}
     assert flags == {"http://m.io/dup": 1, "http://m.io/new": 0}
+    # the pinned-hint path (known-tiny reference) is output-identical
+    pinned = {r.doc_id: r.is_dup for r in
+              cross_dedup(slice_docs, ref, broadcast_ref=True).collect()}
+    assert pinned == flags
 
     # r12 review: a <3-token page has no shingles — it must still get
     # its row (is_dup=0), never vanish from the survivor join

@@ -142,13 +142,21 @@ def test_filter_preserves_duplicates_and_map_columns(spark):
     assert out[0]["meta"] == {"k": "v"}
     # r12: the default is UNHINTED (a full crawl's per-host rule frame
     # is not broadcastable; AQE upgrades small ones at runtime) —
-    # broadcast_rules=True pins the hint for known-small rule sets
-    plan = filter_by_robots(docs, rules, broadcast_rules=True) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    default_plan = filter_by_robots(docs, rules) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "AdaptiveSparkPlan" in default_plan
+    # broadcast_rules=True pins the hint for known-small rule sets.
+    # autoBroadcastJoinThreshold=-1 makes the assertion DISCRIMINATING:
+    # without it, tiny frames broadcast with or without the hint and a
+    # reintroduced forced hint would pass unnoticed.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted_plan = filter_by_robots(docs, rules, broadcast_rules=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hinted_plan   # hint survives -1
+        default_plan = filter_by_robots(docs, rules) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in default_plan  # truly unhinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     same = filter_by_robots(docs, rules, broadcast_rules=True).collect()
     assert sorted(map(tuple, same)) == sorted(map(tuple, out))
 
