@@ -47,6 +47,9 @@ from . import stream_gates as _m_stream
 from . import clusters as _m_clusters
 from . import sampling as _m_sampling
 from . import packing as _m_packing
+# classifier registers NO gated entries (the r12/r13 rotation has zero
+# slack) — pytest-covered API only
+from . import classifier as _m_classifier
 
 # Re-export every module-level name (including the underscore helpers
 # tests and sibling modules reach for, e.g. ``pipeline._minhash_bands``,
@@ -56,7 +59,7 @@ from . import packing as _m_packing
 # references never go stale.
 _pkg = _sys.modules[__name__]
 for _m in (_m_dedup, _m_ann, _m_pq, _m_text, _m_stream, _m_clusters,
-           _m_sampling, _m_packing):
+           _m_sampling, _m_packing, _m_classifier):
     for _n, _v in vars(_m).items():
         if _n.startswith("__") or _n == "annotations":
             continue

@@ -1,0 +1,139 @@
+"""Hashed bag-of-n-gram quality classifier (pipeline/classifier.py,
+round 12): the fastText-style learned page filter — feature hashing,
+deterministic distributed training, zero-shuffle scoring."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdon.pipeline.classifier import (fasttext_filter, fasttext_score,
+                                          fasttext_train,
+                                          hashed_doc_features)
+
+WIKI = ["the", "of", "history", "city", "a", "century", "population",
+        "was", "is", "river", "founded", "university"]
+SPAM = ["buy", "cheap", "viagra", "casino", "win", "click", "here",
+        "free", "pills", "jackpot", "xxx", "bonus"]
+
+
+def _corpus(spark, n=120, seed=0, labeled=True):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        vocab = WIKI if i % 2 == 0 else SPAM
+        text = " ".join(rng.choices(vocab, k=30))
+        rows.append((i, text, float(i % 2 == 0)) if labeled
+                    else (i, text))
+    schema = ("doc_id long, text string, y double" if labeled
+              else "doc_id long, text string")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_features_hashed_bag(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    out = {r.doc_id: r._feats
+           for r in hashed_doc_features(df, buckets=64).collect()}
+    # doc 1: 3 unigrams + 2 bigrams = 5 occurrences, duplicates KEPT
+    assert len(out[1]) == 5
+    assert all(0 <= f < 64 for f in out[1])
+    # "a" occurs twice → same bucket twice (bag semantics)
+    assert len(set(out[1])) < 5
+    # empty / whitespace-only docs get an empty bag, not a crash
+    assert out[2] == [] and out[3] == []
+
+
+def test_train_loss_monotone_and_separates(spark):
+    docs = _corpus(spark)
+    model = fasttext_train(docs, buckets=512, iters=20)
+    losses = model["losses"]
+    assert len(losses) == 20
+    # batch GD at the default step on a separable planted corpus:
+    # strictly decreasing log-loss from the 0.693 zero-init point
+    assert losses[0] == pytest.approx(0.6931, abs=5e-3)
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    # held-out generalization: a DIFFERENT seed draws unseen docs from
+    # the same two distributions
+    held = _corpus(spark, n=60, seed=99)
+    scored = fasttext_score(held, model).collect()
+    acc = sum((r.quality_p >= 0.5) == (r.y == 1.0)
+              for r in scored) / len(scored)
+    assert acc >= 0.95  # majority baseline is 0.5
+
+
+def test_train_deterministic(spark):
+    docs = _corpus(spark, n=40)
+    m1 = fasttext_train(docs, buckets=128, iters=5)
+    # different partitioning must not flip the trajectory (decimal sums)
+    m2 = fasttext_train(docs.repartition(7), buckets=128, iters=5)
+    assert m1["w"] == m2["w"]
+    assert m1["bias"] == m2["bias"]
+    assert m1["losses"] == m2["losses"]
+
+
+def test_score_plan_narrow_and_python_free(spark):
+    docs = _corpus(spark, n=8, labeled=False)
+    model = {"w": [0.1] * 64, "bias": -0.2, "buckets": 64, "ngram": 2,
+             "losses": []}
+    scored = fasttext_score(docs, model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # zero-shuffle: weights ride as a literal, no broadcast table, no
+    # Exchange — safe in a streaming micro-batch
+    assert "Exchange" not in plan, plan
+    rows = scored.collect()
+    assert set(scored.columns) == {"doc_id", "text", "quality_p"}
+    assert all(0.0 <= r.quality_p <= 1.0 for r in rows)
+
+
+def test_empty_doc_scores_bias_only(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    model = {"w": [5.0] * 16, "bias": 0.0, "buckets": 16, "ngram": 2}
+    p = fasttext_score(docs, model).collect()[0].quality_p
+    assert p == pytest.approx(0.5)  # sigmoid(bias) — weights untouched
+
+
+def test_filter_threshold(spark):
+    docs = _corpus(spark)
+    model = fasttext_train(docs, buckets=512, iters=20)
+    kept = fasttext_filter(docs.drop("y"), model, threshold=0.5)
+    ids = [r.doc_id for r in kept.collect()]
+    # the planted corpus is perfectly separable at this size
+    assert ids and all(i % 2 == 0 for i in ids)
+    assert "quality_p" not in kept.columns
+
+
+def test_train_empty_frame_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, y double")
+    with pytest.raises(ValueError, match="empty training frame"):
+        fasttext_train(empty, buckets=16, iters=1)
+
+
+def test_l2_shrinks_weights(spark):
+    docs = _corpus(spark, n=40)
+    m0 = fasttext_train(docs, buckets=128, iters=10, l2=0.0)
+    m1 = fasttext_train(docs, buckets=128, iters=10, l2=0.1)
+    n0 = sum(x * x for x in m0["w"])
+    n1 = sum(x * x for x in m1["w"])
+    assert n1 < n0
+
+
+def test_streaming_score_composes(spark, tmp_path):
+    """The zero-shuffle scorer drops into a streaming micro-batch —
+    the deployed shape: filter crawl docs as they land."""
+    docs = _corpus(spark, n=20, labeled=False)
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    model = fasttext_train(_corpus(spark, n=60, seed=3),
+                           buckets=256, iters=10)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    out = fasttext_score(stream, model)
+    q = (out.writeStream.format("memory").queryName("ft_scored")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from ft_scored").collect()
+    assert len(got) == 20
+    assert all(0.0 <= r.quality_p <= 1.0 for r in got)
