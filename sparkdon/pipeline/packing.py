@@ -275,18 +275,24 @@ def _shard_write(packed: DataFrame, out_dir: str,
 
 def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
                    seq_len: int = PACK_SEQ_LEN,
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   n_tok_col: str | None = None) -> DataFrame:
     """Frame-level write side: pack ANY curated (doc_id, text) frame
     into fixed-``seq_len`` training sequences and materialize
     ``n_shards`` contiguous parquet shards — the terminal stage of a
     crawl → clean → select pipeline (where :func:`write_training_shards`
     is hardwired to the fixture-corpus gate).
 
-    Token counts use the shared whitespace tokenizer
+    Token counts default to the shared whitespace tokenizer
     (:func:`sparkdon.pipeline.text.nonempty_tokens`): curated text is
     newline-joined (c4_clean_lines), so a split on single spaces would
     undercount every line boundary and a loader tokenizing on
-    whitespace would overrun ``seq_len``.
+    whitespace would overrun ``seq_len``.  Pass ``n_tok_col`` naming a
+    precomputed count column for tokenizer-accurate packing — e.g.
+    ``size(bpe_tokens)`` from
+    :func:`sparkdon.pipeline.text.bpe_encode`, so sequences cut at the
+    REAL token budget the trained tokenizer will produce, not the
+    whitespace proxy.
 
     Packing order: numeric doc_ids pack in id order (the gate
     semantics); string ids (crawl URLs, UUID record ids) pack in
@@ -304,7 +310,8 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     from .text import nonempty_tokens
 
     spark = docs.sparkSession
-    n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("long")
+    n_tok = (F.col(n_tok_col).cast("long") if n_tok_col
+             else F.size(nonempty_tokens(F.col(text_col))).cast("long"))
     if isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
             spark, docs.select("doc_id", n_tok.alias("n_tok")),

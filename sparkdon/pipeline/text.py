@@ -280,6 +280,65 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
     return merges
 
 
+def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a trained merge list to documents — the ENCODE half of the
+    BPE loop (:func:`bpe_train_merges` produces the merges; this
+    tokenizes with them), appending ``out_col: array<string>``.  Words
+    are whitespace tokens; each encodes by applying the merges in
+    training order, left-to-right greedy per merge — byte-identical to
+    the trainer's own apply step, so encoding the training corpus
+    reproduces the trainer's final symbol sequences (pytest pins the
+    equivalence).  Feed ``size(out_col)`` to
+    :func:`sparkdon.pipeline.packing.pack_and_shard` via ``n_tok_col``
+    for tokenizer-accurate training sequences.
+
+    100 TB shape: embarrassingly parallel — ONE Arrow ``mapInPandas``
+    stage, no shuffle, no fit; the merge list (the tokenizer artifact)
+    ships in the task closure.  Python is the sanctioned slow path here
+    (real deployments bind a native tokenizer); a per-task word memo
+    makes it batch-amortized — Zipf's law means each task encodes a
+    distinct word once and repeats are dict hits.  The memo is capped
+    (2^20 words) so a pathological all-unique corpus bounds executor
+    memory instead of growing it."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, \
+        StructType
+
+    schema = StructType(list(docs.schema.fields)
+                        + [StructField(out_col, ArrayType(StringType()))])
+    merges_l = [tuple(m) for m in merges]
+
+    def run(batches):
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                syms = list(word)
+                for a, b in merges_l:
+                    ab = a + b
+                    acc: list[str] = []
+                    for x in syms:
+                        if acc and x == b and acc[-1] == a:
+                            acc[-1] = ab
+                        else:
+                            acc.append(x)
+                    syms = acc
+                if len(memo) < (1 << 20):
+                    memo[word] = syms
+                got = syms
+            return got
+
+        for pdf in batches:
+            pdf[out_col] = [
+                [t for w in (txt.split() if isinstance(txt, str) else ())
+                 for t in enc(w)]
+                for txt in pdf[text_col]]
+            yield pdf
+
+    return docs.mapInPandas(run, schema)
+
+
 REPETITION_DUP_SCALED = 3000
 
 #: Spark: word-bigram array per document, lambda-bound so the text

@@ -1,0 +1,109 @@
+"""bpe_encode (pipeline/text.py, round 12): the ENCODE half of the BPE
+loop — apply a trained merge list to documents in one Arrow stage, and
+feed tokenizer-accurate counts into pack_and_shard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdon.pipeline.text import bpe_encode, bpe_train_merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_hand_fixed_merges(spark):
+    merges = [("l", "o"), ("lo", "w")]
+    out = {r.doc_id: r.bpe_tokens for r in bpe_encode(
+        _docs(spark, ["low lower", "lowest", "slow"]),
+        merges).collect()}
+    assert out[0] == ["low", "low", "e", "r"]
+    assert out[1] == ["low", "e", "s", "t"]
+    # merge applies mid-word too ("s" prefix does not block it)
+    assert out[2] == ["s", "low"]
+
+
+def test_merge_order_and_runs(spark):
+    # chained merges apply in training order: (a,b) first, then (ab,c)
+    out1 = bpe_encode(_docs(spark, ["abcabc"]),
+                      [("a", "b"), ("ab", "c")]).collect()[0].bpe_tokens
+    assert out1 == ["abc", "abc"]
+    # left-to-right greedy on runs: "aaa" + (a,a) → [aa, a], never [a, aa]
+    out2 = bpe_encode(_docs(spark, ["aaa aaaa"]),
+                      [("a", "a")]).collect()[0].bpe_tokens
+    assert out2 == ["aa", "a", "aa", "aa"]
+
+
+def test_encode_reproduces_trainer_apply(spark):
+    """Training then encoding the SAME corpus must reproduce the
+    trainer's own final symbol sequences — the defining equivalence of
+    the train/encode pair (both apply merges in order, left-to-right
+    greedy)."""
+    texts = ["low low low lower lowest",
+             "new newer newest new new",
+             "aaa aaab low newer",
+             "widest wide wide wider"]
+    docs = _docs(spark, texts)
+    merges = bpe_train_merges(docs, n_merges=8)
+    assert len(merges) >= 5
+
+    # independent reference apply (the pure-Python loop the trainer is
+    # pinned against in test_pipeline._reference_bpe)
+    def ref_apply(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for r in bpe_encode(docs, merges).collect():
+        toks = r.bpe_tokens
+        words = texts[r.doc_id].split()
+        want = [t for w in words for t in ref_apply(w)]
+        assert toks == want
+        # segmentation invariant: concatenation restores the words
+        assert "".join(toks) == "".join(words)
+
+
+def test_empty_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string")
+    out = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(df, [("a", "b")]).collect()}
+    assert out[1] == [] and out[2] == [] and out[3] == []
+
+
+def test_plan_single_arrow_stage_no_shuffle(spark):
+    df = bpe_encode(_docs(spark, ["a b"]), [("a", "b")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_pack_and_shard_with_bpe_counts(spark, tmp_path):
+    """n_tok_col routes the precomputed BPE count into the prefix-sum:
+    a doc whose whitespace count (2) differs from its BPE count (6)
+    must occupy 6 token slots in the packed layout."""
+    from sparkdon.pipeline.packing import pack_and_shard
+
+    docs = _docs(spark, ["abc def", "xyz"])
+    enc = bpe_encode(docs, [])  # no merges → per-char symbols: 6 and 3
+    counted = enc.withColumn("n_bpe", F.size("bpe_tokens")) \
+        .drop("bpe_tokens")
+    out = pack_and_shard(counted, str(tmp_path / "shards"),
+                         n_shards=1, seq_len=4, n_tok_col="n_bpe")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].start_tok == 0
+    # doc 0 spans 6 BPE tokens (not 2 whitespace words), so doc 1
+    # starts at global token 6 — in the second 4-token sequence
+    assert rows[1].start_tok == 6
+    assert rows[1].seq_id > rows[0].seq_id
