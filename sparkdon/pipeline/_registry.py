@@ -23,6 +23,26 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def sigmoid(z):
+    """``1 / (1 + e^-z)`` as a Column — shared by every learned model
+    (quality_lr, the hashed-n-gram classifier)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def binary_logloss(p, y):
+    """Clamped binary cross-entropy as a Column: the 1e-12 floor keeps
+    ``log`` finite when a confident model meets a mislabeled row.  One
+    definition so the clamp/precision discipline cannot drift between
+    trainers."""
+    from pyspark.sql import functions as F
+
+    return -(y * F.log(F.greatest(p, F.lit(1e-12)))
+             + (F.lit(1.0) - y) * F.log(F.greatest(F.lit(1.0) - p,
+                                                   F.lit(1e-12))))
+
+
 def spread_narrow_scan(docs: DataFrame) -> DataFrame:
     """Spread a too-narrow batch scan before heavy narrow per-row work.
 

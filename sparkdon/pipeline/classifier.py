@@ -22,13 +22,14 @@ Spark-first shapes (the 100 TB story):
   the plan; per-doc score is ``bias + mean(w[bucket])`` via
   ``aggregate(transform(...))`` — whole-stage-codegen per-row work,
   no Exchange, no broadcast table, safe inside a streaming micro-batch.
-- **Training is batch gradient descent with two bounded jobs per
-  iteration** over a persisted feature frame: a global partial-agg for
-  loss + bias gradient (no shuffle, one row to the driver) and an
-  explode → per-bucket partial agg for the weight gradient (ONE
-  map-side-combined shuffle whose fan-in is ``buckets``, never corpus
-  size; ≤ ``buckets`` rows collected).  Driver state is the D-vector —
-  no feature matrix, no per-doc state ever leaves the executors.
+- **Training is batch gradient descent with ONE bounded job per
+  iteration** over a persisted feature frame: a sentinel bucket (−1)
+  appended to every document's feature bag carries the bias-gradient
+  and loss terms through the same explode → per-bucket partial agg
+  that computes the weight gradient — one map-side-combined shuffle
+  whose fan-in is ``buckets + 1``, never corpus size; ≤ ``buckets + 1``
+  rows collected.  Driver state is the D-vector — no feature matrix,
+  no per-doc state ever leaves the executors.
 - **Deterministic.** Fixed zero init, fixed step, gradient/loss sums
   reduced through DECIMAL(28,12) so partition order cannot flip the
   trajectory (same discipline as ``quality_lr_train``); xxhash64 is
@@ -58,6 +59,12 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
     gram occurrence (a bag: duplicates kept, the count IS the feature
     value after the mean normalization in scoring).
 
+    Null text gets an EMPTY bag (scores the bias, like an empty doc) —
+    without the coalesce a null would propagate to a null score that
+    ``fasttext_filter`` drops with no signal and the gradient sums skip
+    silently.  ``_toks``/``_feats`` are reserved intermediates; a frame
+    already carrying them fails loudly instead of being clobbered.
+
     Tokens materialize in their own projection before the gram lambdas
     slice them — the gopher_repetition lesson: an inline ``split`` gets
     re-inlined per gram position and turns tokenization quadratic.
@@ -65,7 +72,14 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
     referenced once per gram order."""
     from .text import nonempty_tokens, word_ngrams
 
-    toked = docs.withColumn("_toks", nonempty_tokens(F.col(text_col)))
+    for c in ("_toks", "_feats"):
+        if c in docs.columns:
+            raise ValueError(
+                f"hashed_doc_features: column {c!r} is reserved")
+    toked = docs.withColumn(
+        "_toks",
+        F.coalesce(nonempty_tokens(F.col(text_col)),
+                   F.array().cast("array<string>")))
     grams = F.flatten(F.array(*[
         word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]))
     return toked.withColumn(
@@ -77,10 +91,20 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
 
 def _score_expr(w: list, bias: float) -> F.Column:
     """``bias + mean(w[f] for f in _feats)`` as one narrow expression.
-    The weight vector is a SINGLE array literal (not ``buckets``
-    expression nodes), so the plan stays small and codegen-friendly;
-    an empty document scores the bias alone (mean guard, not ANSI x/0)."""
-    wlit = F.lit([float(x) for x in w])
+    The weight vector enters as a parsed ``array(...)`` SQL string that
+    constant-folds to a SINGLE array literal — NOT ``F.lit(list)``,
+    whose per-element py4j conversion measured 4.0 s at 8192 buckets
+    (it was the whole training-iteration overhead; the string parse is
+    0.3 s).  An empty document scores the bias alone (mean guard, not
+    ANSI x/0); a non-finite weight (diverged run) fails loudly here
+    rather than producing an unparseable plan."""
+    import math
+
+    if not all(map(math.isfinite, w)) or not math.isfinite(bias):
+        raise ValueError("non-finite model weights (diverged training? "
+                         "lower lr)")
+    wlit = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")")
     total = F.aggregate(
         F.transform("_feats", lambda f: F.element_at(wlit, f + 1)),
         F.lit(0.0), lambda a, x: a + x)
@@ -97,11 +121,15 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
     :func:`fasttext_score` / :func:`fasttext_filter`.
 
     ``label_col`` is a 0/1 double on ``docs`` (1 = keep-quality — e.g.
-    reference corpus rows unioned over raw-crawl rows).  Per iteration:
-    one narrow global agg (loss, bias gradient, N-guarded) and one
-    explode → bucket partial agg (the only shuffle; ``buckets``-row
-    fan-in, map-side combined).  The feature frame is persisted once —
-    training never re-tokenizes."""
+    reference corpus rows unioned over raw-crawl rows).  Per iteration
+    ONE job: every document's bag gets a sentinel bucket −1 appended,
+    so the single explode → per-bucket partial agg carries the weight
+    gradient (real buckets, ``err/n`` terms), the bias gradient and the
+    loss (sentinel rows, ``err``/``loss`` terms) together — halving the
+    per-iteration job count, which at small scale IS the wall-clock.
+    The feature frame is persisted once — training never re-tokenizes."""
+    from ._registry import binary_logloss, sigmoid
+
     feat = (hashed_doc_features(docs, buckets, ngram, text_col)
             .select(F.col(label_col).cast("double").alias("_y"),
                     "_feats")
@@ -114,33 +142,32 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
         bias = 0.0
         losses: list[float] = []
         for _ in range(iters):
-            z = _score_expr(w, bias)
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            p = sigmoid(_score_expr(w, bias))
             scored = feat.select(
                 "_feats",
                 (p - F.col("_y")).alias("_err"),
                 F.greatest(F.size("_feats"), F.lit(1)).alias("_n"),
-                (-(F.col("_y")
-                   * F.log(F.greatest(p, F.lit(1e-12)))
-                   + (1.0 - F.col("_y"))
-                   * F.log(F.greatest(1.0 - p, F.lit(1e-12)))))
-                .alias("_loss"))
-            head = scored.agg(
-                F.sum(F.col("_err").cast(_DEC)).alias("gb"),
-                F.sum(F.col("_loss").cast(_DEC)).alias("loss"),
-            ).collect()[0]
-            grad_rows = (scored
-                         .select((F.col("_err") / F.col("_n"))
-                                 .alias("_g"),
-                                 F.explode("_feats").alias("_b"))
-                         .groupBy("_b")
-                         .agg(F.sum(F.col("_g").cast(_DEC)).alias("g"))
-                         .collect())
-            g = {r["_b"]: float(r["g"]) for r in grad_rows}
+                binary_logloss(p, F.col("_y")).alias("_loss"))
+            rows = (scored
+                    .select("_err", "_n", "_loss",
+                            F.explode(F.concat(
+                                "_feats",
+                                F.array(F.lit(-1).cast("int"))))
+                            .alias("_b"))
+                    .groupBy("_b")
+                    .agg(F.sum(F.when(F.col("_b") == -1, F.col("_err"))
+                               .otherwise(F.col("_err") / F.col("_n"))
+                               .cast(_DEC)).alias("g"),
+                         F.sum(F.when(F.col("_b") == -1, F.col("_loss"))
+                               .otherwise(F.lit(0.0))
+                               .cast(_DEC)).alias("loss"))
+                    .collect())
+            g = {r["_b"]: float(r["g"]) for r in rows}
+            loss = sum(float(r["loss"]) for r in rows if r["_b"] == -1)
             w = [wi - lr * (g.get(i, 0.0) / n_docs + l2 * wi)
                  for i, wi in enumerate(w)]
-            bias -= lr * float(head["gb"]) / n_docs
-            losses.append(float(head["loss"]) / n_docs)
+            bias -= lr * g.get(-1, 0.0) / n_docs
+            losses.append(loss / n_docs)
         return {"w": w, "bias": bias, "losses": losses,
                 "buckets": buckets, "ngram": ngram,
                 "text_col": text_col}
@@ -152,12 +179,19 @@ def fasttext_score(docs: DataFrame, model: dict,
                    out_col: str = "quality_p") -> DataFrame:
     """Append ``out_col`` = P(quality) per document — one narrow
     zero-shuffle projection (weights ride as an array literal), so it
-    drops into batch scans and streaming micro-batches alike."""
+    drops into batch scans and streaming micro-batches alike.  A frame
+    already carrying ``out_col`` fails loudly rather than being
+    silently overwritten."""
+    from ._registry import sigmoid
+
+    if out_col in docs.columns:
+        raise ValueError(
+            f"fasttext_score: column {out_col!r} already exists — "
+            "pass a different out_col")
     feat = hashed_doc_features(
         docs, model["buckets"], model["ngram"],
         model.get("text_col", "text"))
-    z = _score_expr(model["w"], model["bias"])
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = sigmoid(_score_expr(model["w"], model["bias"]))
     return feat.withColumn(out_col, p).drop("_feats")
 
 
@@ -165,7 +199,12 @@ def fasttext_filter(docs: DataFrame, model: dict,
                     threshold: float = 0.5) -> DataFrame:
     """Keep documents scoring ≥ ``threshold`` — the deployed shape of
     the quality filter (CCNet keeps the top slice; tune the threshold
-    against a held-out labeled sample)."""
-    return (fasttext_score(docs, model)
-            .filter(F.col("quality_p") >= threshold)
-            .drop("quality_p"))
+    against a held-out labeled sample).  The score rides in a reserved
+    intermediate, so a caller's own ``quality_p`` column passes through
+    untouched."""
+    tmp = "_ft_score"
+    if tmp in docs.columns:
+        raise ValueError(f"fasttext_filter: column {tmp!r} is reserved")
+    return (fasttext_score(docs, model, out_col=tmp)
+            .filter(F.col(tmp) >= threshold)
+            .drop(tmp))

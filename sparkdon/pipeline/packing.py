@@ -310,8 +310,19 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     from .text import nonempty_tokens
 
     spark = docs.sparkSession
-    n_tok = (F.col(n_tok_col).cast("long") if n_tok_col
-             else F.size(nonempty_tokens(F.col(text_col))).cast("long"))
+    if n_tok_col:
+        # first externally-supplied value on the prefix-sum path: a
+        # NULL count would silently drop the doc from the window sum
+        # and a negative one would shift every later offset — fail the
+        # job instead of writing corrupt shards
+        c = F.col(n_tok_col)
+        n_tok = F.when(c.isNotNull() & (c >= 0), c.cast("long")) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"pack_and_shard: {n_tok_col} must be non-null "
+                      "and >= 0, got "),
+                F.coalesce(c.cast("string"), F.lit("NULL")))))
+    else:
+        n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("long")
     if isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
             spark, docs.select("doc_id", n_tok.alias("n_tok")),

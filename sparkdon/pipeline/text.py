@@ -114,6 +114,8 @@ def quality_lr_train(feat: DataFrame, iters: int = 80,
     collected.  (For few-pass training at extreme scale, L-BFGS on the
     same gradient oracle is the standard upgrade — the data-side
     plumbing here is exactly what it would consume.)"""
+    from ._registry import binary_logloss, sigmoid
+
     d = 4
     w = [0.0] * d
     losses: list[float] = []
@@ -123,16 +125,14 @@ def quality_lr_train(feat: DataFrame, iters: int = 80,
         z = F.expr(
             f"aggregate(zip_with(x, array({wlits}), (a, b) -> a * b), "
             "0.0D, (acc, v) -> acc + v)")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p = sigmoid(z)
         row = feat.select(
             (p - F.col("y")).alias("err"), "x", "y", p.alias("p"))
         aggs = [
             F.sum((F.col("err") * F.col("x")[i]).cast("decimal(28,12)"))
             .alias(f"g{i}") for i in range(d)
         ] + [
-            F.sum((-(F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
-                     + (1 - F.col("y"))
-                     * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))))
+            F.sum(binary_logloss(F.col("p"), F.col("y"))
                   .cast("decimal(28,12)")).alias("loss")
         ]
         r = row.agg(*aggs).collect()[0]
@@ -144,11 +144,13 @@ def quality_lr_train(feat: DataFrame, iters: int = 80,
 def quality_lr_predict(feat: DataFrame, w: list) -> DataFrame:
     """(doc_id, y, p, pred) scoring pass — one narrow map against the
     broadcast literal weights."""
+    from ._registry import sigmoid
+
     wlits = ", ".join(f"{wi!r}D" for wi in w)
     z = F.expr(
         f"aggregate(zip_with(x, array({wlits}), (a, b) -> a * b), "
         "0.0D, (acc, v) -> acc + v)")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = sigmoid(z)
     return feat.select(
         "doc_id", "y", p.alias("p"),
         F.when(p >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("pred"))
@@ -244,9 +246,15 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
     left-to-right greedy exactly like the reference algorithm.
     ``localCheckpoint`` truncates the growing lineage every iteration,
     the same discipline as the component-propagation loop.  pytest
-    verifies the merge list against a pure-Python reference BPE."""
-    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
-          .filter(F.length("word") > 0)
+    verifies the merge list against a pure-Python reference BPE.
+
+    Words are WHITESPACE tokens (:func:`nonempty_tokens` — the same
+    tokenization :func:`bpe_encode` uses, pinned by pytest on
+    newline-joined text): curated text is newline-joined, and a
+    single-space split would glue ``"line1.\\nNext"`` into one bogus
+    word whose merges the encoder could then never reproduce."""
+    wc = (docs.select(
+            F.explode(nonempty_tokens(F.col("text"))).alias("word"))
           .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
           .select(F.expr("split(word, '')").alias("syms"), "n")
           .localCheckpoint())

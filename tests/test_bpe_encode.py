@@ -74,6 +74,25 @@ def test_encode_reproduces_trainer_apply(spark):
         assert "".join(toks) == "".join(words)
 
 
+def test_trainer_and_encoder_share_tokenization(spark):
+    """Curated text is newline-joined: the trainer must see the same
+    whitespace words the encoder splits — a single-space trainer split
+    would learn merges containing '\\n' that the encoder can never
+    apply (review finding, r12)."""
+    texts = ["end.\nNext line here", "end.\nNext time", "end.\nNext"]
+    docs = _docs(spark, texts)
+    merges = bpe_train_merges(docs, n_merges=6)
+    # no learned symbol may span the newline boundary
+    assert all("\n" not in a + b for a, b in merges)
+    for r in bpe_encode(docs, merges).collect():
+        toks = r.bpe_tokens
+        words = texts[r.doc_id].split()
+        assert "".join(toks) == "".join(words)
+        # "end." appears in every doc → trained to one symbol, and the
+        # encoder reproduces it
+        assert "end." in toks
+
+
 def test_empty_and_null_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, None)], "doc_id long, text string")
@@ -107,3 +126,19 @@ def test_pack_and_shard_with_bpe_counts(spark, tmp_path):
     # starts at global token 6 — in the second 4-token sequence
     assert rows[1].start_tok == 6
     assert rows[1].seq_id > rows[0].seq_id
+
+
+def test_pack_and_shard_rejects_bad_counts(spark, tmp_path):
+    """A null or negative supplied count must fail the job loudly, not
+    corrupt the prefix sum (review finding, r12)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sparkdon.pipeline.packing import pack_and_shard
+
+    for bad in (None, -3):
+        docs = spark.createDataFrame(
+            [(0, "a b", 2), (1, "c", bad)],
+            "doc_id long, text string, n_bpe int")
+        with pytest.raises(SparkRuntimeException, match="non-null"):
+            pack_and_shard(docs, str(tmp_path / f"s{bad}"),
+                           n_shards=1, seq_len=4, n_tok_col="n_bpe")

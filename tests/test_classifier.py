@@ -89,10 +89,41 @@ def test_score_plan_narrow_and_python_free(spark):
 
 
 def test_empty_doc_scores_bias_only(spark):
-    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    # null text must behave like empty text (bias-only score), never a
+    # null score that fasttext_filter would drop with no signal
+    docs = spark.createDataFrame([(1, ""), (2, None)],
+                                 "doc_id long, text string")
     model = {"w": [5.0] * 16, "bias": 0.0, "buckets": 16, "ngram": 2}
-    p = fasttext_score(docs, model).collect()[0].quality_p
-    assert p == pytest.approx(0.5)  # sigmoid(bias) — weights untouched
+    ps = [r.quality_p for r in fasttext_score(docs, model).collect()]
+    assert ps == pytest.approx([0.5, 0.5])  # sigmoid(bias) both
+
+
+def test_null_text_trains_like_empty(spark):
+    """All-null-text frames train on the bias alone (finite losses) —
+    the review found float(None) crashes when every sum is null."""
+    docs = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 0.0)],
+        "doc_id long, text string, y double")
+    model = fasttext_train(docs, buckets=16, iters=3)
+    assert all(l == pytest.approx(0.693, abs=0.01) or l > 0
+               for l in model["losses"])
+    assert model["w"] == [0.0] * 16  # no features → no weight updates
+
+
+def test_reserved_and_existing_columns_fail_loudly(spark):
+    model = {"w": [0.0] * 16, "bias": 0.0, "buckets": 16, "ngram": 2}
+    has_p = spark.createDataFrame(
+        [(1, "a", 0.9)], "doc_id long, text string, quality_p double")
+    with pytest.raises(ValueError, match="already exists"):
+        fasttext_score(has_p, model)
+    # a caller's own quality_p column passes through filter untouched
+    kept = fasttext_filter(has_p, model, threshold=0.4)
+    assert kept.columns == ["doc_id", "text", "quality_p"]
+    assert kept.collect()[0].quality_p == 0.9
+    has_feats = spark.createDataFrame(
+        [(1, "a", [1])], "doc_id long, text string, _feats array<int>")
+    with pytest.raises(ValueError, match="reserved"):
+        hashed_doc_features(has_feats)
 
 
 def test_filter_threshold(spark):
@@ -133,7 +164,7 @@ def test_streaming_score_composes(spark, tmp_path):
     out = fasttext_score(stream, model)
     q = (out.writeStream.format("memory").queryName("ft_scored")
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = spark.sql("select * from ft_scored").collect()
     assert len(got) == 20
     assert all(0.0 <= r.quality_p <= 1.0 for r in got)
