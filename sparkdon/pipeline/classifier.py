@@ -45,6 +45,9 @@ __all__ = [
     "fasttext_train",
     "fasttext_score",
     "fasttext_filter",
+    "fasttext_pr_table",
+    "save_fasttext",
+    "load_fasttext",
 ]
 
 #: gradient/loss accumulator type — high-precision decimal so the fold
@@ -208,3 +211,65 @@ def fasttext_filter(docs: DataFrame, model: dict,
     return (fasttext_score(docs, model, out_col=tmp)
             .filter(F.col(tmp) >= threshold)
             .drop(tmp))
+
+
+def fasttext_pr_table(docs: DataFrame, model: dict,
+                      label_col: str = "y",
+                      thresholds: tuple = tuple(
+                          i / 10 for i in range(1, 10))) -> DataFrame:
+    """Threshold calibration against a held-out LABELED sample:
+    (threshold, keep_frac, precision, recall) per candidate threshold —
+    the table a curator reads to pick ``fasttext_filter``'s cut
+    (CCNet-style: choose by target keep-rate, sanity-check precision).
+
+    ONE job regardless of threshold count: each threshold contributes
+    three conditional-count aggregates to a single narrow pass over the
+    scored frame (no explode, no shuffle beyond the partial agg);
+    empty-sample and zero-denominator cells are null, not an ANSI
+    divide error."""
+    for c in ("_y", "_p"):
+        if c in docs.columns:
+            raise ValueError(f"fasttext_pr_table: column {c!r} is "
+                             "reserved")
+    scored = fasttext_score(docs.select(F.col(label_col).cast("double")
+                                        .alias("_y"), "*"), model,
+                            out_col="_p")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("pos")]
+    for i, t in enumerate(thresholds):
+        kept = F.col("_p") >= float(t)
+        aggs += [
+            F.sum(kept.cast("long")).alias(f"k{i}"),
+            F.sum((kept & (F.col("_y") == 1.0)).cast("long"))
+            .alias(f"tp{i}")]
+    r = scored.agg(*aggs).collect()[0]
+    n, pos = r["n"], float(r["pos"] or 0.0)
+    rows = []
+    for i, t in enumerate(thresholds):
+        k, tp = r[f"k{i}"] or 0, float(r[f"tp{i}"] or 0.0)
+        rows.append((float(t),
+                     k / n if n else None,
+                     tp / k if k else None,
+                     tp / pos if pos else None))
+    return docs.sparkSession.createDataFrame(
+        rows, "threshold double, keep_frac double, "
+              "precision double, recall double")
+
+
+def save_fasttext(model: dict, path: str) -> None:
+    """Persist the trained model (a dict of driver-side floats — the
+    tokenizer-artifact scale, ~64 KB) as one JSON file; the losses ride
+    along for audit."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(model, fh)
+
+
+def load_fasttext(path: str) -> dict:
+    """Load a :func:`save_fasttext` model; scores are bit-identical to
+    the in-memory original (weights are exact JSON doubles)."""
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)

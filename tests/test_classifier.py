@@ -7,9 +7,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from sparkdon.pipeline.classifier import (fasttext_filter, fasttext_score,
-                                          fasttext_train,
-                                          hashed_doc_features)
+from sparkdon.pipeline.classifier import (fasttext_filter,
+                                          fasttext_pr_table,
+                                          fasttext_score, fasttext_train,
+                                          hashed_doc_features,
+                                          load_fasttext, save_fasttext)
 
 WIKI = ["the", "of", "history", "city", "a", "century", "population",
         "was", "is", "river", "founded", "university"]
@@ -149,6 +151,48 @@ def test_l2_shrinks_weights(spark):
     n0 = sum(x * x for x in m0["w"])
     n1 = sum(x * x for x in m1["w"])
     assert n1 < n0
+
+
+def test_pr_table_calibration(spark):
+    docs = _corpus(spark)
+    model = fasttext_train(docs, buckets=512, iters=20)
+    held = _corpus(spark, n=80, seed=42)
+    tab = {r.threshold: r for r in
+           fasttext_pr_table(held, model).collect()}
+    assert set(tab) == {i / 10 for i in range(1, 10)}
+    # keep_frac decreases with threshold; on the separable corpus the
+    # mid thresholds are near-perfect
+    keeps = [tab[i / 10].keep_frac for i in range(1, 10)]
+    assert keeps == sorted(keeps, reverse=True)
+    assert tab[0.5].precision >= 0.95 and tab[0.5].recall >= 0.95
+    # the half of held docs that is positive bounds keep_frac at 0.5
+    # once precision is perfect
+    assert tab[0.9].keep_frac <= 0.55
+
+
+def test_pr_table_single_job_plan(spark):
+    """The whole table is ONE narrow agg pass — thresholds add columns,
+    not jobs, and the only exchange is the final 1-row reduce."""
+    docs = _corpus(spark, n=8)
+    model = {"w": [0.0] * 64, "bias": 0.0, "buckets": 64, "ngram": 2}
+    tab = fasttext_pr_table(docs, model)
+    assert tab.count() == 9  # it ran; shape is (thresholds, 4)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    docs = _corpus(spark, n=40)
+    model = fasttext_train(docs, buckets=128, iters=5)
+    path = str(tmp_path / "model.json")
+    save_fasttext(model, path)
+    loaded = load_fasttext(path)
+    assert loaded["w"] == model["w"]  # exact JSON double round-trip
+    assert loaded["bias"] == model["bias"]
+    held = _corpus(spark, n=10, seed=5, labeled=False)
+    a = [r.quality_p for r in fasttext_score(held, model)
+         .orderBy("doc_id").collect()]
+    b = [r.quality_p for r in fasttext_score(held, loaded)
+         .orderBy("doc_id").collect()]
+    assert a == b  # bit-identical scores
 
 
 def test_streaming_score_composes(spark, tmp_path):

@@ -400,3 +400,70 @@ def test_crawl_to_training_shards_full_recipe(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # shards never interleave
+
+
+def test_learned_filter_recipe_composes(spark, tmp_path):
+    """Round 12: the LEARNED-filter variant of the capstone — crawl →
+    C4 line cleaning → fastText-style classifier (trained on reference
+    prose vs the crawl's own spam) → BPE encode → pack_and_shard with
+    tokenizer-accurate counts.  The classifier replaces the Gopher
+    heuristics as the keep gate, the way CCNet/GPT-3-class pipelines
+    deploy it."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.classifier import (fasttext_filter,
+                                              fasttext_train)
+    from sparkdon.pipeline.packing import pack_and_shard
+    from sparkdon.pipeline.text import (bpe_encode, bpe_train_merges,
+                                        c4_clean_lines)
+
+    def prose(seed):
+        return ("The archive describes the work of the people and the "
+                "places that shaped it with great care and patience. "
+                f"Entry number {seed} of this series has offered a "
+                "fair account to readers over many years of print.")
+
+    def spam(seed):
+        return (f"Win big jackpot bonus {seed} click here now. "
+                "Cheap pills casino free spins win win win. "
+                "Click click here for free bonus jackpot offer.")
+
+    records = [
+        _page(f"good-{i}", f"http://good.io/{i}",
+              "2024-01-01T00:00:00Z", prose(i)) for i in range(8)
+    ] + [
+        _page(f"junk-{i}", f"http://junk.io/{i}",
+              "2024-01-01T00:00:00Z", spam(i)) for i in range(8)
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+
+    docs = c4_clean_lines(
+        warc_documents(read_warc(spark, str(tmp_path)))
+        .select(F.col("url").alias("doc_id"), "text"))
+
+    # training frame: reference prose (unseen seeds) as positives, the
+    # crawl's own junk-domain pages as negatives — the CCNet recipe
+    train = spark.createDataFrame(
+        [(f"ref-{i}", prose(100 + i), 1.0) for i in range(8)]
+        + [(f"neg-{i}", spam(100 + i), 0.0) for i in range(8)],
+        "doc_id string, text string, y double")
+    model = fasttext_train(train, buckets=1024, iters=15)
+
+    kept = fasttext_filter(docs, model, threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [f"http://good.io/{i}" for i in range(8)]
+
+    merges = bpe_train_merges(kept, n_merges=12)
+    enc = bpe_encode(kept, merges) \
+        .withColumn("n_bpe", F.size("bpe_tokens")).drop("bpe_tokens")
+    got = pack_and_shard(enc, str(tmp_path / "shards"), n_shards=2,
+                         seq_len=64, n_tok_col="n_bpe")
+    rows = sorted(got.collect(), key=lambda r: r.start_tok)
+    assert sorted(r.doc_id for r in rows) == ids  # every kept doc once
+    run = 0
+    for r in rows:  # offsets tile over the BPE counts, not whitespace
+        assert r.start_tok == run
+        run += r.n_tok
+    n_bpe = dict(enc.select("doc_id", "n_bpe").collect())
+    assert all(r.n_tok == n_bpe[r.doc_id] for r in rows)
