@@ -74,6 +74,29 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
     return labels.select("node", F.col("lab").alias("rep"))
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         nodes: DataFrame | None = None,
+                         max_iters: int = 50) -> DataFrame:
+    """Public connected-components API over an arbitrary edge frame —
+    the general-purpose twin of the dup-graph internals (the same
+    HashMin + pointer-jumping loop every ``x_dedup_cluster*`` gate
+    runs), exposed like :func:`pagerank`: ``(node, rep)`` with ``rep``
+    the component's minimum node id.
+
+    ``nodes`` optionally supplies the node universe (isolated nodes —
+    docs with no dup edge — otherwise don't appear, since edges alone
+    can't name them); it must carry a ``node`` column.  O(log diameter)
+    rounds, two node-keyed join shuffles per round, bounded lineage;
+    raises instead of returning silently-unconverged labels."""
+    pairs = edges.select(F.col(src).alias("d1"), F.col(dst).alias("d2"))
+    ends = (pairs.select(F.col("d1").alias("node"))
+            .union(pairs.select(F.col("d2").alias("node"))))
+    if nodes is not None:
+        ends = ends.union(nodes.select("node"))
+    return _min_label_components(ends.distinct(), pairs, max_iters)
+
+
 #: connected-components frame memo, keyed on (Spark application, sf_dir):
 #: in a real pipeline the component table is computed ONCE and consumed
 #: by every downstream stage; the memo models exactly that when several

@@ -80,3 +80,33 @@ def test_parallel_edges_weight_contributions(spark):
     got = {r.node: r.pr for r in pagerank(df, max_iters=8).collect()}
     for node in range(3):
         assert got[node] == pytest.approx(want[node], abs=1e-12)
+
+
+def test_connected_components_public_api(spark):
+    """connected_components over an arbitrary edge frame: chain,
+    triangle, self-loop, and an isolated node supplied via nodes= —
+    reps are each component's minimum id."""
+    from sparkdon.pipeline.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (12, 10),    # triangle
+         (20, 20)],                       # self-loop singleton
+        "src long, dst long")
+    nodes = spark.createDataFrame([(30,), (4,)], "node long")
+    got = {r.node: r.rep for r in
+           connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 30: 30}
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids (URLs, content hashes) work — rep is the
+    lexicographic minimum."""
+    from sparkdon.pipeline.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string")
+    got = {r.node: r.rep for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
