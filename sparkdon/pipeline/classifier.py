@@ -226,13 +226,18 @@ def fasttext_pr_table(docs: DataFrame, model: dict,
     three conditional-count aggregates to a single narrow pass over the
     scored frame (no explode, no shuffle beyond the partial agg);
     empty-sample and zero-denominator cells are null, not an ANSI
-    divide error."""
+    divide error.  A null LABEL fails the job loudly — a sum would
+    silently skip it while the kept-count still included it, skewing
+    precision with no signal."""
     for c in ("_y", "_p"):
         if c in docs.columns:
             raise ValueError(f"fasttext_pr_table: column {c!r} is "
                              "reserved")
-    scored = fasttext_score(docs.select(F.col(label_col).cast("double")
-                                        .alias("_y"), "*"), model,
+    y = F.col(label_col).cast("double")
+    y = F.when(y.isNotNull(), y).otherwise(F.raise_error(F.lit(
+        f"fasttext_pr_table: null label in {label_col!r} — a held-out "
+        "calibration sample must be fully labeled")))
+    scored = fasttext_score(docs.select(y.alias("_y"), "*"), model,
                             out_col="_p")
     aggs = [F.count(F.lit(1)).alias("n"),
             F.sum("_y").alias("pos")]
@@ -259,11 +264,25 @@ def fasttext_pr_table(docs: DataFrame, model: dict,
 def save_fasttext(model: dict, path: str) -> None:
     """Persist the trained model (a dict of driver-side floats — the
     tokenizer-artifact scale, ~64 KB) as one JSON file; the losses ride
-    along for audit."""
+    along for audit.  The write is ATOMIC (temp file + ``os.replace``
+    in the target directory): re-saving over a good model must never
+    leave a truncated artifact if the process dies mid-dump."""
     import json
+    import os
+    import tempfile
 
-    with open(path, "w") as fh:
-        json.dump(model, fh)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(model, fh)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_fasttext(path: str) -> dict:

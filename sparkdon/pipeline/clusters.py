@@ -88,8 +88,21 @@ def connected_components(edges: DataFrame, src: str = "src",
     docs with no dup edge — otherwise don't appear, since edges alone
     can't name them); it must carry a ``node`` column.  O(log diameter)
     rounds, two node-keyed join shuffles per round, bounded lineage;
-    raises instead of returning silently-unconverged labels."""
-    pairs = edges.select(F.col(src).alias("d1"), F.col(dst).alias("d2"))
+    raises instead of returning silently-unconverged labels.  A null
+    edge endpoint fails the job loudly (nulls never match the
+    propagation joins, so tolerating them would mis-assign the non-null
+    ends with no error — the silently-wrong outcome this module
+    refuses); the edge frame is checkpointed ONCE up front, so an
+    expensive caller plan (LSH pair generation) is not re-evaluated by
+    the union/distinct fan-out below."""
+    def _nn(c):
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(F.lit(
+                f"connected_components: null {c} endpoint — clean the "
+                "edge frame first")))
+
+    pairs = edges.select(_nn(src).alias("d1"), _nn(dst).alias("d2")) \
+        .localCheckpoint()
     ends = (pairs.select(F.col("d1").alias("node"))
             .union(pairs.select(F.col("d2").alias("node"))))
     if nodes is not None:

@@ -170,13 +170,38 @@ def test_pr_table_calibration(spark):
     assert tab[0.9].keep_frac <= 0.55
 
 
-def test_pr_table_single_job_plan(spark):
-    """The whole table is ONE narrow agg pass — thresholds add columns,
-    not jobs, and the only exchange is the final 1-row reduce."""
+def test_pr_table_jobs_constant_in_thresholds(spark):
+    """Thresholds add agg COLUMNS, not data passes: the Spark job count
+    (AQE may split one action into a fixed small number) must be
+    IDENTICAL for 2 and 9 thresholds.  Pinned via status-tracker job
+    groups."""
     docs = _corpus(spark, n=8)
     model = {"w": [0.0] * 64, "bias": 0.0, "buckets": 64, "ngram": 2}
-    tab = fasttext_pr_table(docs, model)
-    assert tab.count() == 9  # it ran; shape is (thresholds, 4)
+    sc = spark.sparkContext
+
+    def njobs(thresholds, tag):
+        sc.setJobGroup(tag, "pin pass-count property")
+        try:
+            tab = fasttext_pr_table(docs, model, thresholds=thresholds)
+        finally:
+            sc.setJobGroup(None, None)
+        assert tab.count() == len(thresholds)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    few = njobs((0.3, 0.7), "prt_few")
+    many = njobs(tuple(i / 10 for i in range(1, 10)), "prt_many")
+    assert few == many <= 2, (few, many)
+
+
+def test_pr_table_null_label_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 1.0), (2, "c d", None)],
+        "doc_id long, text string, y double")
+    model = {"w": [0.0] * 64, "bias": 0.0, "buckets": 64, "ngram": 2}
+    with pytest.raises(SparkRuntimeException, match="null label"):
+        fasttext_pr_table(docs, model).collect()
 
 
 def test_save_load_roundtrip(spark, tmp_path):
@@ -193,6 +218,12 @@ def test_save_load_roundtrip(spark, tmp_path):
     b = [r.quality_p for r in fasttext_score(held, loaded)
          .orderBy("doc_id").collect()]
     assert a == b  # bit-identical scores
+    # atomic re-save: overwriting an existing model never truncates it
+    save_fasttext(loaded, path)
+    assert load_fasttext(path)["w"] == model["w"]
+    import os
+    assert not [f for f in os.listdir(os.path.dirname(path))
+                if f.endswith(".tmp")]  # no temp litter
 
 
 def test_streaming_score_composes(spark, tmp_path):

@@ -110,3 +110,17 @@ def test_connected_components_string_ids(spark):
         [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string")
     got = {r.node: r.rep for r in connected_components(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_null_endpoint_fails_loudly(spark):
+    """A null endpoint would silently vanish from the propagation joins
+    and mis-assign its non-null end — the API raises instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sparkdon.pipeline.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None)], "src long, dst long")
+    with pytest.raises(SparkRuntimeException, match="null dst"):
+        connected_components(edges).collect()
