@@ -142,3 +142,44 @@ def test_pack_and_shard_rejects_bad_counts(spark, tmp_path):
         with pytest.raises(SparkRuntimeException, match="non-null"):
             pack_and_shard(docs, str(tmp_path / f"s{bad}"),
                            n_shards=1, seq_len=4, n_tok_col="n_bpe")
+
+
+def test_fuzz_train_encode_equivalence(spark):
+    """Hypothesis-style battery on ONE Spark action: random small
+    corpora (short alphabet → dense merge opportunities), train, then
+    encode the training corpus itself — the encoder must reproduce the
+    trainer's final segmentation and the concatenation invariant on
+    every doc.  Random generation is driver-side (a Spark action per
+    hypothesis example would take minutes); 25 seeded corpora."""
+    import random
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        words = ["".join(rng.choices("abc", k=rng.randint(1, 6)))
+                 for _ in range(rng.randint(3, 12))]
+        texts = [" ".join(rng.choices(words, k=rng.randint(1, 15)))
+                 for _ in range(rng.randint(2, 6))]
+        docs = _docs(spark, texts)
+        merges = bpe_train_merges(docs, n_merges=rng.randint(1, 6))
+
+        def ref_apply(word):
+            syms = list(word)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for r in bpe_encode(docs, merges).collect():
+            toks = r.bpe_tokens
+            ws = texts[r.doc_id].split()
+            assert toks == [t for w in ws for t in ref_apply(w)], \
+                (seed, texts[r.doc_id], merges)
+            assert "".join(toks) == "".join(ws)
