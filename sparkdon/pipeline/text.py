@@ -229,7 +229,54 @@ def x_bpe_pairs(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("pair")).limit(20))
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
+def _local_bpe(word_counts: dict, n_merges: int) -> list:
+    """Exact local BPE over a collected word histogram — the
+    subword-nmt shape: incremental pair statistics plus a pair→words
+    index, so each merge touches only the words containing it.  Same
+    algorithm, tie-break ((count desc, pair lex asc)), greedy
+    left-to-right apply, and <2-count stop as the distributed loop —
+    pytest fuzz pins list-equality between the two paths."""
+    from collections import Counter, defaultdict
+
+    vocab = [(list(w), c) for w, c in word_counts.items()]
+    stats: Counter = Counter()
+    index: dict = defaultdict(set)
+    for wi, (syms, c) in enumerate(vocab):
+        for pr in zip(syms, syms[1:]):
+            stats[pr] += c
+            index[pr].add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for wi in list(index[best]):
+            syms, c = vocab[wi]
+            for pr in zip(syms, syms[1:]):
+                stats[pr] -= c
+                if stats[pr] <= 0:
+                    del stats[pr]
+                index[pr].discard(wi)
+            acc: list[str] = []
+            for x in syms:
+                if acc and x == b and acc[-1] == a:
+                    acc[-1] = ab
+                else:
+                    acc.append(x)
+            vocab[wi] = (acc, c)
+            for pr in zip(acc, acc[1:]):
+                stats[pr] += c
+                index[pr].add(wi)
+    return merges
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
+                     local_max_vocab: int = 1_000_000) -> list:
     """Distributed BPE training — the real tokenizer-induction loop:
     start from the per-word character sequence over the distinct-word
     histogram, then ``n_merges`` times (a) count adjacent symbol pairs
@@ -237,6 +284,17 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
     (deterministic lexicographic tie-break), (c) apply the merge
     left-to-right greedy in every word.  Returns the ordered merge
     list — the artifact a BPE tokenizer ships.
+
+    When the distinct-word histogram fits the driver
+    (≤ ``local_max_vocab`` rows — the histogram IS the tokenizer
+    trainer's working set, vocabulary-scale by Zipf regardless of
+    corpus bytes; every public trainer collects it), training runs the
+    exact LOCAL loop (:func:`_local_bpe`, incremental pair stats) —
+    that is what makes a real 32k-merge vocabulary practical: 32k
+    Spark jobs would not be.  The distributed iteration below remains
+    the fallback for a histogram too large to collect and the
+    reference both paths are fuzz-pinned against; pass
+    ``local_max_vocab=0`` to force it.
 
     Spark shapes per iteration, all on the WORD HISTOGRAM (vocabulary-
     sized, not corpus-sized): the pair count is one explode +
@@ -253,11 +311,15 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10) -> list:
     newline-joined text): curated text is newline-joined, and a
     single-space split would glue ``"line1.\\nNext"`` into one bogus
     word whose merges the encoder could then never reproduce."""
-    wc = (docs.select(
+    hist = (docs.select(
             F.explode(nonempty_tokens(F.col("text"))).alias("word"))
-          .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-          .select(F.expr("split(word, '')").alias("syms"), "n")
-          .localCheckpoint())
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint())
+    if local_max_vocab and hist.count() <= local_max_vocab:
+        return _local_bpe(
+            {r["word"]: r["n"] for r in hist.collect()}, n_merges)
+    wc = hist.select(F.expr("split(word, '')").alias("syms"), "n") \
+        .localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts = (

@@ -183,3 +183,48 @@ def test_fuzz_train_encode_equivalence(spark):
             assert toks == [t for w in ws for t in ref_apply(w)], \
                 (seed, texts[r.doc_id], merges)
             assert "".join(toks) == "".join(ws)
+
+
+def test_fuzz_local_vs_distributed_trainer(spark):
+    """The local-histogram fast path must produce the IDENTICAL merge
+    list to the distributed iteration — same counts, same (count desc,
+    pair lex) tie-break, same <2 stop — on 12 random dense corpora."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        words = ["".join(rng.choices("abcd", k=rng.randint(1, 6)))
+                 for _ in range(rng.randint(3, 10))]
+        texts = [" ".join(rng.choices(words, k=rng.randint(1, 12)))
+                 for _ in range(rng.randint(2, 5))]
+        docs = _docs(spark, texts)
+        n = rng.randint(1, 7)
+        local = bpe_train_merges(docs, n_merges=n)
+        dist = bpe_train_merges(docs, n_merges=n, local_max_vocab=0)
+        assert local == dist, (seed, texts, local, dist)
+
+
+def test_local_trainer_handles_real_merge_counts(spark):
+    """500 merges in seconds via the local-histogram path — the scale a
+    real tokenizer needs, impractical as 500 Spark jobs.  (The sf
+    fixture corpora top out at 89 mergeable pairs, so this plants a
+    2k-word vocabulary with every word repeated.)"""
+    import random
+
+    rng = random.Random(3)
+    words = ["".join(rng.choices("abcdefghijklmnopqrstuvwxyz",
+                                 k=rng.randint(6, 12)))
+             for _ in range(2000)]
+    texts = [" ".join(rng.choices(words, k=40)) for _ in range(200)]
+    merges = bpe_train_merges(_docs(spark, texts), n_merges=500)
+    assert len(merges) == 500
+    assert len(set(merges)) == 500  # a pair never merges twice
+    # every merge's parts are chars or earlier merge outputs
+    known = {m[0] + m[1] for m in merges}
+    for a, b in merges:
+        assert len(a) == 1 or a in known
+        assert len(b) == 1 or b in known
+    # and the encoder applies the full 500-merge list (inverted index
+    # keeps this cheap) with the concatenation invariant intact
+    for r in bpe_encode(_docs(spark, texts[:20]), merges).collect():
+        assert "".join(r.bpe_tokens) == "".join(r.text.split())
