@@ -236,6 +236,7 @@ def _local_bpe(word_counts: dict, n_merges: int) -> list:
     algorithm, tie-break ((count desc, pair lex asc)), greedy
     left-to-right apply, and <2-count stop as the distributed loop —
     pytest fuzz pins list-equality between the two paths."""
+    import heapq
     from collections import Counter, defaultdict
 
     vocab = [(list(w), c) for w, c in word_counts.items()]
@@ -245,12 +246,31 @@ def _local_bpe(word_counts: dict, n_merges: int) -> list:
         for pr in zip(syms, syms[1:]):
             stats[pr] += c
             index[pr].add(wi)
+    # lazy-deletion heap on (-count, pair): a full min() over the pair
+    # dict per merge is O(n_merges · |pairs|) — hours at a 32k-merge /
+    # million-pair scale.  Stale entries (count changed since push) are
+    # skipped at pop time against the live dict; heap order matches the
+    # distributed loop's (count desc, pair lex asc) exactly.
+    heap = [(-c, pr) for pr, c in stats.items()]
+    heapq.heapify(heap)
+
+    def bump(pr, delta, c_word):
+        stats[pr] += delta * c_word
+        if stats[pr] <= 0:
+            del stats[pr]
+        else:
+            heapq.heappush(heap, (-stats[pr], pr))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        if not stats:
-            break
-        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if stats[best] < 2:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, pr = heap[0]
+            if stats.get(pr) == -negc:
+                best = pr
+                break
+            heapq.heappop(heap)  # stale
+        if best is None or stats[best] < 2:
             break
         merges.append(best)
         a, b = best
@@ -258,9 +278,7 @@ def _local_bpe(word_counts: dict, n_merges: int) -> list:
         for wi in list(index[best]):
             syms, c = vocab[wi]
             for pr in zip(syms, syms[1:]):
-                stats[pr] -= c
-                if stats[pr] <= 0:
-                    del stats[pr]
+                bump(pr, -1, c)
                 index[pr].discard(wi)
             acc: list[str] = []
             for x in syms:
@@ -270,7 +288,7 @@ def _local_bpe(word_counts: dict, n_merges: int) -> list:
                     acc.append(x)
             vocab[wi] = (acc, c)
             for pr in zip(acc, acc[1:]):
-                stats[pr] += c
+                bump(pr, 1, c)
                 index[pr].add(wi)
     return merges
 
@@ -336,7 +354,15 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
             break
         a, b = pair_counts[0]["a"], pair_counts[0]["b"]
         merges.append((a, b))
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # backslashes must be escaped BEFORE quotes: Spark SQL string
+        # literals treat \ as an escape, so a pair containing one (e.g.
+        # Windows-path tokens) would otherwise swallow the closing
+        # quote and break the aggregate expression — a corpus the local
+        # fast path handles fine, silently diverging the two paths
+        def q(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        qa, qb = q(a), q(b)
         # CASE branches evaluate lazily, so the empty-acc branch fires
         # before any element_at(-1) (ANSI mode would error on it)
         merged = (
@@ -397,13 +423,19 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
         for _i, (_a, _b) in enumerate(merges_l):
             by_ab[_a + _b].append(_i)
         by_ab = dict(by_ab)
+        # cap the probe window at the longest merge key: without it a
+        # 50k-char unsegmented token (base64 blob, minified JS) would
+        # enumerate O(len²) substrings each O(len) to slice — O(len³).
+        # With the cap the per-word cost is O(len·max_key_len).
+        max_key = max(map(len, by_ab), default=2)
 
         def enc(word: str) -> list[str]:
             got = memo.get(word)
             if got is None:
                 n = len(word)
                 cand = sorted({k for i in range(n)
-                               for j in range(i + 2, n + 1)
+                               for j in range(i + 2,
+                                              min(n, i + max_key) + 1)
                                for k in by_ab.get(word[i:j], ())})
                 syms = list(word)
                 for idx in cand:

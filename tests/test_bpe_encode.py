@@ -14,6 +14,24 @@ def _docs(spark, texts):
         "doc_id long, text string")
 
 
+def _ref_apply(word, merges):
+    """The one reference greedy apply (paired scan, equivalent to the
+    trainer's fold) — shared by every equivalence test here so the
+    reference semantics live in one place."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def test_hand_fixed_merges(spark):
     merges = [("l", "o"), ("lo", "w")]
     out = {r.doc_id: r.bpe_tokens for r in bpe_encode(
@@ -49,26 +67,10 @@ def test_encode_reproduces_trainer_apply(spark):
     merges = bpe_train_merges(docs, n_merges=8)
     assert len(merges) >= 5
 
-    # independent reference apply (the pure-Python loop the trainer is
-    # pinned against in test_pipeline._reference_bpe)
-    def ref_apply(word):
-        syms = list(word)
-        for a, b in merges:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
-
     for r in bpe_encode(docs, merges).collect():
         toks = r.bpe_tokens
         words = texts[r.doc_id].split()
-        want = [t for w in words for t in ref_apply(w)]
+        want = [t for w in words for t in _ref_apply(w, merges)]
         assert toks == want
         # segmentation invariant: concatenation restores the words
         assert "".join(toks) == "".join(words)
@@ -162,25 +164,11 @@ def test_fuzz_train_encode_equivalence(spark):
         docs = _docs(spark, texts)
         merges = bpe_train_merges(docs, n_merges=rng.randint(1, 6))
 
-        def ref_apply(word):
-            syms = list(word)
-            for a, b in merges:
-                out, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == a
-                            and syms[i + 1] == b):
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
-
         for r in bpe_encode(docs, merges).collect():
             toks = r.bpe_tokens
             ws = texts[r.doc_id].split()
-            assert toks == [t for w in ws for t in ref_apply(w)], \
+            assert toks == [t for w in ws
+                            for t in _ref_apply(w, merges)], \
                 (seed, texts[r.doc_id], merges)
             assert "".join(toks) == "".join(ws)
 
@@ -219,12 +207,44 @@ def test_local_trainer_handles_real_merge_counts(spark):
     merges = bpe_train_merges(_docs(spark, texts), n_merges=500)
     assert len(merges) == 500
     assert len(set(merges)) == 500  # a pair never merges twice
-    # every merge's parts are chars or earlier merge outputs
-    known = {m[0] + m[1] for m in merges}
+    # prefix closure: every merge's parts are chars or outputs of
+    # EARLIER merges (built incrementally — the full-list version would
+    # miss an ordering bug)
+    known: set = set()
     for a, b in merges:
-        assert len(a) == 1 or a in known
-        assert len(b) == 1 or b in known
+        assert len(a) == 1 or a in known, (a, b)
+        assert len(b) == 1 or b in known, (a, b)
+        known.add(a + b)
     # and the encoder applies the full 500-merge list (inverted index
     # keeps this cheap) with the concatenation invariant intact
     for r in bpe_encode(_docs(spark, texts[:20]), merges).collect():
         assert "".join(r.bpe_tokens) == "".join(r.text.split())
+
+
+def test_backslash_and_quote_symbols_both_paths(spark):
+    """A winning pair containing a backslash or quote must not corrupt
+    the distributed loop's SQL splice (review finding, r12): both
+    trainer paths produce the same merges and the encoder applies
+    them."""
+    texts = [r"c:\dir c:\dir c:\dir it's it's it's"] * 3
+    docs = _docs(spark, texts)
+    local = bpe_train_merges(docs, n_merges=4)
+    dist = bpe_train_merges(docs, n_merges=4, local_max_vocab=0)
+    assert local == dist
+    assert any("\\" in a + b for a, b in local)  # the case is exercised
+    for r in bpe_encode(docs, local).collect():
+        assert "".join(r.bpe_tokens) == "".join(texts[r.doc_id].split())
+
+
+def test_encoder_long_unsegmented_token_bounded(spark):
+    """A 50k-char whitespace-free token (base64 blob, minified JS) must
+    encode in bounded time: the substring probe is capped at the
+    longest merge key (review finding, r12 — uncapped it was O(len³))."""
+    import time
+
+    blob = "ab" * 25000  # 50k chars, merges apply densely
+    merges = [("a", "b"), ("ab", "ab")]
+    s = time.time()
+    out = bpe_encode(_docs(spark, [blob]), merges).collect()[0].bpe_tokens
+    assert time.time() - s < 30  # uncapped: ~1e13 char-ops, hours
+    assert out == ["abab"] * 12500
