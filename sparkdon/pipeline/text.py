@@ -463,6 +463,54 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
     return docs.mapInPandas(run, schema)
 
 
+def save_bpe_merges(merges: list, path: str) -> None:
+    """Write a merge list in the standard ``merges.txt`` shape
+    (subword-nmt / Hugging Face tokenizers: ``#version`` header, one
+    space-separated pair per line) so the trained artifact round-trips
+    into external tokenizer stacks.  Atomic (temp + ``os.replace``),
+    like every model writer here.  Pairs containing whitespace cannot
+    be represented in the line format and fail loudly."""
+    import os
+    import tempfile
+
+    for a, b in merges:
+        if any(ch.isspace() for ch in a + b):
+            raise ValueError(
+                f"merges.txt cannot represent whitespace in pair "
+                f"({a!r}, {b!r})")
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write("#version: 0.2\n")
+            for a, b in merges:
+                fh.write(f"{a} {b}\n")
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_bpe_merges(path: str) -> list:
+    """Read a ``merges.txt`` (``#``-comment lines skipped) back into the
+    ordered pair list :func:`bpe_encode` consumes — also accepts files
+    written by external trainers."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, sep, b = line.partition(" ")
+            if not sep or not a or not b:
+                raise ValueError(f"malformed merges.txt line: {line!r}")
+            out.append((a, b))
+    return out
+
+
 REPETITION_DUP_SCALED = 3000
 
 #: Spark: word-bigram array per document, lambda-bound so the text

@@ -248,3 +248,29 @@ def test_encoder_long_unsegmented_token_bounded(spark):
     out = bpe_encode(_docs(spark, [blob]), merges).collect()[0].bpe_tokens
     assert time.time() - s < 30  # uncapped: ~1e13 char-ops, hours
     assert out == ["abab"] * 12500
+
+
+def test_merges_txt_roundtrip(spark, tmp_path):
+    """The trained artifact round-trips through the standard merges.txt
+    line format (subword-nmt / HF tokenizers shape) and drives the
+    encoder identically."""
+    from sparkdon.pipeline.text import load_bpe_merges, save_bpe_merges
+
+    docs = _docs(spark, ["low low lower lowest", "low lowest new"])
+    merges = bpe_train_merges(docs, n_merges=6)
+    path = str(tmp_path / "merges.txt")
+    save_bpe_merges(merges, path)
+    with open(path) as fh:
+        first = fh.readline()
+    assert first.startswith("#version")
+    loaded = load_bpe_merges(path)
+    assert loaded == merges
+    a = [r.bpe_tokens for r in
+         bpe_encode(docs, merges).orderBy("doc_id").collect()]
+    b = [r.bpe_tokens for r in
+         bpe_encode(docs, loaded).orderBy("doc_id").collect()]
+    assert a == b
+    # whitespace-bearing pairs cannot be represented — loud error
+    with pytest.raises(ValueError, match="whitespace"):
+        save_bpe_merges([("a b", "c")], path)
+    assert load_bpe_merges(path) == merges  # failed save left file intact
