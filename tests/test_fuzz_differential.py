@@ -21,7 +21,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
-N_CASES = 40
+#: 40 through round 11; 70 in round 12 with five new grammar
+#: productions (EXISTS semi, MINUS, HAVING, DISTINCT, bag UNION)
+N_CASES = 70
 SEED = 20260814
 
 #: (sparql var, predicate, sql column, type)
@@ -89,6 +91,19 @@ def gen_case(rng):
         filters.append("FILTER NOT EXISTS { ?o p:o_custkey ?c }")
         conds.append("NOT EXISTS (SELECT 1 FROM orders "
                      "WHERE o_custkey = c_custkey)")
+    elif rng.random() < 0.3:  # semi-join twin: customers WITH orders
+        tables = tables + ("orders",)
+        filters.append("FILTER EXISTS { ?o p:o_custkey ?c }")
+        conds.append("EXISTS (SELECT 1 FROM orders "
+                     "WHERE o_custkey = c_custkey)")
+    if "seg" in sql_cols and rng.random() < 0.25:
+        # MINUS on the shared ?c: removes customers whose segment
+        # matches (compat-set semantics; segment is single-valued and
+        # non-null, so the SQL twin is a plain inequality)
+        seg = rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"])
+        filters.append(
+            f'MINUS {{ ?c p:c_mktsegment "{seg}" }}')
+        conds.append(f"c_mktsegment <> '{seg}'")
 
     # BIND arithmetic on the balance when projected
     if "bal" in sql_cols and rng.random() < 0.4:
@@ -125,18 +140,54 @@ def gen_case(rng):
             aggs_sparql.append(f"({fn}(?bal) AS ?m)")
             aggs_sql.append(f"{fn}(c_acctbal) AS m")
             schema["m"] = "double"
+        having_sparql = having_sql = ""
+        if rng.random() < 0.4:
+            k = rng.choice([1, 3, 10])
+            having_sparql = f" HAVING (COUNT(*) > {k})"
+            having_sql = f" HAVING COUNT(*) > {k}"
         sparql = (f"SELECT ?{group_var} {' '.join(aggs_sparql)} "
-                  f"{{ {where} }} GROUP BY ?{group_var}")
+                  f"{{ {where} }} GROUP BY ?{group_var}{having_sparql}")
         sql = (f"SELECT {sql_cols[group_var]} AS {group_var}, "
                f"{', '.join(aggs_sql)} FROM customer{joins}{sql_where} "
-               f"GROUP BY {sql_cols[group_var]}")
+               f"GROUP BY {sql_cols[group_var]}{having_sql}")
         return sparql, sql, schema, tables
 
     proj = list(sql_cols)
     sel = " ".join(f"?{v}" for v in proj)
-    sparql = f"SELECT {sel} {{ {where} }}"
-    sql = ("SELECT " + ", ".join(f"{sql_cols[v]} AS {v}" for v in proj)
+    distinct_kw = ""
+    if rng.random() < 0.3:
+        distinct_kw = "DISTINCT "  # set semantics must agree engine-wide
+    sparql = f"SELECT {distinct_kw}{sel} {{ {where} }}"
+    sql = (f"SELECT {distinct_kw}"
+           + ", ".join(f"{sql_cols[v]} AS {v}" for v in proj)
            + f" FROM customer{joins}{sql_where}")
+    if not distinct_kw and rng.random() < 0.25:
+        # bag-semantics UNION of two segment-sliced copies of the body;
+        # the slices may COINCIDE (sampled with replacement), in which
+        # case every row must appear twice — the duplicate-preserving
+        # case a set-union bug would collapse
+        s1, s2 = (rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"])
+                  for _ in range(2))
+
+        def arm(seg):
+            return "{ " + where + f' ?c p:c_mktsegment "{seg}" . ' + "}"
+
+        def one(seg):
+            return ("SELECT "
+                    + ", ".join(f"{sql_cols[v]} AS {v}" for v in proj)
+                    + f" FROM customer{joins}{sql_where}"
+                    + (" AND" if sql_where else " WHERE")
+                    + f" c_mktsegment = '{seg}'")
+
+        sparql = (f"SELECT {sel} {{ "
+                  + arm(s1) + " UNION " + arm(s2) + " }")
+        sql = one(s1) + " UNION ALL " + one(s2)
+        # return before the ORDER BY rewrite below — it rebuilds the
+        # SPARQL from the single-arm body and would drop the union
+        base_types = {v: t for v, _, _, t in attrs}
+        base_types.update({"nname": "str", "rname": "str"})
+        base_types.update(opt_schema)
+        return sparql, sql, {v: base_types[v] for v in proj}, tables
     base_types = {v: t for v, _, _, t in attrs}
     base_types.update({"nname": "str", "rname": "str"})
     base_types.update(opt_schema)
