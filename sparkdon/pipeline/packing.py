@@ -276,7 +276,9 @@ def _shard_write(packed: DataFrame, out_dir: str,
 def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
                    seq_len: int = PACK_SEQ_LEN,
                    text_col: str = "text",
-                   n_tok_col: str | None = None) -> DataFrame:
+                   n_tok_col: str | None = None,
+                   order_col: str | None = None,
+                   ascending: bool = True) -> DataFrame:
     """Frame-level write side: pack ANY curated (doc_id, text) frame
     into fixed-``seq_len`` training sequences and materialize
     ``n_shards`` contiguous parquet shards — the terminal stage of a
@@ -300,6 +302,11 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     shuffle, the order training wants anyway — with the original id
     carried through and hash ties broken by the id itself, so the
     assignment is exact and reproducible, never sampling-dependent.
+    Pass ``order_col`` (a numeric column, e.g. the classifier's
+    ``quality_p``) for CURRICULUM packing — shards then stream in
+    score order (``ascending=False`` for best-first), ties broken by
+    doc_id so the layout stays exact and reproducible; a null score
+    fails the job loudly like a bad token count.
 
     Same 100 TB shape as the gate: two-pass prefix sum (never a
     single-partition window; ``wide_ids`` arithmetic, since real ids
@@ -323,7 +330,24 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
                 F.coalesce(c.cast("string"), F.lit("NULL")))))
     else:
         n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("long")
-    if isinstance(docs.schema["doc_id"].dataType, NumericType):
+    if order_col:
+        # curriculum order: the score becomes the prefix-sum sort key
+        # (negated for best-first so the bucketing arithmetic stays
+        # ascending), original ids carried through with ties broken by
+        # id — same mechanics as the string-id path below
+        oc = F.col(order_col).cast("double")
+        oc = F.when(oc.isNotNull() & ~F.isnan(oc), oc) \
+            .otherwise(F.raise_error(F.lit(
+                f"pack_and_shard: null/NaN {order_col} — curriculum "
+                "order needs a score on every document")))
+        key = oc if ascending else -oc
+        d = docs.select(
+            F.col("doc_id").alias("orig_id"),
+            key.alias("doc_id"), n_tok.alias("n_tok"))
+        packed = _prefix_pack(spark, d, extra_order=("orig_id",),
+                              wide_ids=True) \
+            .drop("doc_id").withColumnRenamed("orig_id", "doc_id")
+    elif isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
             spark, docs.select("doc_id", n_tok.alias("n_tok")),
             wide_ids=True)
