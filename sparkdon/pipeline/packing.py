@@ -24,7 +24,8 @@ PACK_SEQ_LEN = 512
 
 def _prefix_pack(spark, d: DataFrame,
                  extra_order: tuple[str, ...] = (),
-                 wide_ids: bool = False) -> DataFrame:
+                 wide_ids: bool = False,
+                 unit_span: bool = True) -> DataFrame:
     """Two-pass distributed prefix sum over (doc_id, n_tok): adds
     ``start_tok`` — each row's global token offset in doc_id order.
     Pass 1 buckets rows into contiguous doc_id ranges and takes
@@ -58,11 +59,30 @@ def _prefix_pack(spark, d: DataFrame,
         # ids already could.  The gated entries keep the exact integer
         # form below — their plans are driver-verified as-is.
         lo = F.col("_lo").cast("double")
-        span = F.col("_hi").cast("double") - lo + 1.0
-        bucket = F.least(
-            F.lit(p - 1),
-            F.floor((F.col("doc_id").cast("double") - lo) * p / span)
-        ).cast("int")
+        if unit_span:
+            span = F.col("_hi").cast("double") - lo + 1.0
+            bucket = F.least(
+                F.lit(p - 1),
+                F.floor((F.col("doc_id").cast("double") - lo) * p / span)
+            ).cast("int")
+        else:
+            # fractional keys (curriculum scores in [0,1]): the +1.0
+            # above is unit-ID spacing and would collapse a [0,1] span
+            # to half the buckets (a [0.85,0.99] band to ~1/8) — use
+            # the ACTUAL span; x == hi folds into the last bucket via
+            # least, and a constant key (span 0 → NaN → null bucket)
+            # degrades to one bucket, coalesced to 0 (no curriculum
+            # signal to preserve; pack without order_col instead)
+            span = F.col("_hi").cast("double") - lo
+            # ANSI raises on double x/0 too, so the constant-key case
+            # (span 0) must branch, not coalesce a NaN
+            bucket = F.when(
+                span > 0.0,
+                F.least(
+                    F.lit(p - 1),
+                    F.floor((F.col("doc_id").cast("double") - lo)
+                            * p / span)).cast("int")
+            ).otherwise(F.lit(0))
     else:
         bucket = F.least(
             F.lit(p - 1),
@@ -330,34 +350,34 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
                 F.coalesce(c.cast("string"), F.lit("NULL")))))
     else:
         n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("long")
-    if order_col:
-        # curriculum order: the score becomes the prefix-sum sort key
-        # (negated for best-first so the bucketing arithmetic stays
-        # ascending), original ids carried through with ties broken by
-        # id — same mechanics as the string-id path below
-        oc = F.col(order_col).cast("double")
-        oc = F.when(oc.isNotNull() & ~F.isnan(oc), oc) \
-            .otherwise(F.raise_error(F.lit(
-                f"pack_and_shard: null/NaN {order_col} — curriculum "
-                "order needs a score on every document")))
-        key = oc if ascending else -oc
+    def pack_by_key(key, unit_span=True):
+        # shared derived-key scaffolding: original ids carried through
+        # with ties broken by id, so the assignment is exact
         d = docs.select(
             F.col("doc_id").alias("orig_id"),
             key.alias("doc_id"), n_tok.alias("n_tok"))
-        packed = _prefix_pack(spark, d, extra_order=("orig_id",),
-                              wide_ids=True) \
+        return _prefix_pack(spark, d, extra_order=("orig_id",),
+                            wide_ids=True, unit_span=unit_span) \
             .drop("doc_id").withColumnRenamed("orig_id", "doc_id")
+
+    if order_col:
+        # curriculum order: the score becomes the prefix-sum sort key
+        # (negated for best-first so the bucketing arithmetic stays
+        # ascending); infinities poison the bucket span exactly like
+        # NaN, so all three fail loudly
+        oc = F.col(order_col).cast("double")
+        finite = (oc.isNotNull() & ~F.isnan(oc)
+                  & (oc > float("-inf")) & (oc < float("inf")))
+        oc = F.when(finite, oc).otherwise(F.raise_error(F.lit(
+            f"pack_and_shard: null/NaN/inf {order_col} — curriculum "
+            "order needs a finite score on every document")))
+        packed = pack_by_key(oc if ascending else -oc, unit_span=False)
     elif isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
             spark, docs.select("doc_id", n_tok.alias("n_tok")),
             wide_ids=True)
     else:
-        d = docs.select(
-            F.col("doc_id").alias("orig_id"),
-            F.xxhash64("doc_id").alias("doc_id"), n_tok.alias("n_tok"))
-        packed = _prefix_pack(spark, d, extra_order=("orig_id",),
-                              wide_ids=True) \
-            .drop("doc_id").withColumnRenamed("orig_id", "doc_id")
+        packed = pack_by_key(F.xxhash64("doc_id"))
     return _shard_write(_seq_assign(packed, seq_len), out_dir, n_shards)
 
 

@@ -275,35 +275,3 @@ def test_merges_txt_roundtrip(spark, tmp_path):
         save_bpe_merges([("a b", "c")], path)
     assert load_bpe_merges(path) == merges  # failed save left file intact
 
-
-def test_pack_and_shard_curriculum_order(spark, tmp_path):
-    """order_col packs shards in score order (curriculum): best-first
-    with ascending=False, ties broken by doc_id, null/NaN scores fail
-    loudly."""
-    from sparkdon.pipeline.packing import pack_and_shard
-
-    docs = spark.createDataFrame(
-        [("w", "one two three", 0.2),
-         ("x", "four five", 0.9),
-         ("y", "six seven eight nine", 0.9),   # tie with x → id order
-         ("z", "ten", 0.5)],
-        "doc_id string, text string, quality_p double")
-    got = pack_and_shard(docs, str(tmp_path / "s1"), n_shards=1,
-                         seq_len=4, order_col="quality_p",
-                         ascending=False)
-    order = [r.doc_id for r in
-             sorted(got.collect(), key=lambda r: r.start_tok)]
-    assert order == ["x", "y", "z", "w"]  # 0.9(x<y by id), 0.5, 0.2
-    asc = pack_and_shard(docs, str(tmp_path / "s2"), n_shards=1,
-                         seq_len=4, order_col="quality_p")
-    order2 = [r.doc_id for r in
-              sorted(asc.collect(), key=lambda r: r.start_tok)]
-    assert order2 == ["w", "z", "x", "y"]
-    bad = spark.createDataFrame(
-        [("a", "t", 0.5), ("b", "t", None)],
-        "doc_id string, text string, quality_p double")
-    # AQE stage materialization may wrap USER_RAISED_EXCEPTION in a
-    # multi-failure error, so match the message, not the wrapper type
-    with pytest.raises(Exception, match="curriculum"):
-        pack_and_shard(bad, str(tmp_path / "s3"), n_shards=1,
-                       seq_len=4, order_col="quality_p")

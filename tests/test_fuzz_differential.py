@@ -198,8 +198,12 @@ def gen_case(rng):
         # a LIMIT under ORDER BY is only deterministic on a unique key;
         # none of these are, so order WITHOUT limit (full result, bag
         # compare is order-insensitive anyway) — the point is that
-        # ORDER BY parses/compiles, not the cutoff
-        sparql = f"SELECT {sel} {{ {where} }} ORDER BY ?{order_v}"
+        # ORDER BY parses/compiles, not the cutoff.  distinct_kw must
+        # ride along (review find: dropping it here left the SQL twin
+        # DISTINCT while the SPARQL was a bag — 4/70 seeded cases were
+        # silently inequivalent, passing only on a unique projection)
+        sparql = (f"SELECT {distinct_kw}{sel} {{ {where} }} "
+                  f"ORDER BY ?{order_v}")
     return sparql, sql, schema, tables
 
 

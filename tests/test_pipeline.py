@@ -2083,3 +2083,49 @@ def test_corpus_report_one_pass(spark):
     assert rep["n_empty"] == 1
     assert rep["lang_histogram"] == {"en": 2, "fr": 1}
     assert rep["words_p50"] in (0, 3, 5)
+
+
+def test_pack_and_shard_curriculum_order(spark, tmp_path):
+    """order_col packs shards in score order (curriculum): best-first
+    with ascending=False, ties broken by doc_id; null/NaN/inf scores
+    fail loudly; constant scores degrade to id-tie order, not a crash
+    (the score-span bucketing handles span 0)."""
+    import pytest
+
+    from sparkdon.pipeline.packing import pack_and_shard
+
+    docs = spark.createDataFrame(
+        [("w", "one two three", 0.2),
+         ("x", "four five", 0.9),
+         ("y", "six seven eight nine", 0.9),   # tie with x → id order
+         ("z", "ten", 0.5)],
+        "doc_id string, text string, quality_p double")
+    got = pack_and_shard(docs, str(tmp_path / "s1"), n_shards=1,
+                         seq_len=4, order_col="quality_p",
+                         ascending=False)
+    order = [r.doc_id for r in
+             sorted(got.collect(), key=lambda r: r.start_tok)]
+    assert order == ["x", "y", "z", "w"]  # 0.9 (x<y by id), 0.5, 0.2
+    asc = pack_and_shard(docs, str(tmp_path / "s2"), n_shards=1,
+                         seq_len=4, order_col="quality_p")
+    order2 = [r.doc_id for r in
+              sorted(asc.collect(), key=lambda r: r.start_tok)]
+    assert order2 == ["w", "z", "x", "y"]
+    # constant scores: no curriculum signal, but the layout must still
+    # be exact (id ties) and the job must not divide by the zero span
+    const = docs.withColumn("quality_p", F.lit(0.7))
+    flat = pack_and_shard(const, str(tmp_path / "s3"), n_shards=1,
+                          seq_len=4, order_col="quality_p")
+    order3 = [r.doc_id for r in
+              sorted(flat.collect(), key=lambda r: r.start_tok)]
+    assert order3 == ["w", "x", "y", "z"]
+    # AQE stage materialization may wrap USER_RAISED_EXCEPTION, so
+    # match the message, not the wrapper type
+    for bad in (None, float("nan"), float("inf")):
+        frame = spark.createDataFrame(
+            [("a", "t", 0.5), ("b", "t", bad)],
+            "doc_id string, text string, quality_p double")
+        with pytest.raises(Exception, match="curriculum"):
+            pack_and_shard(frame, str(tmp_path / f"bad_{bad}"),
+                           n_shards=1, seq_len=4,
+                           order_col="quality_p")
