@@ -57,10 +57,19 @@ _DEC = "decimal(28,12)"
 
 def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
                         ngram: int = 2,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        char_ngrams: tuple | None = None) -> DataFrame:
     """Append ``_feats: array<int>`` — one hashed bucket per {1..ngram}-
     gram occurrence (a bag: duplicates kept, the count IS the feature
     value after the mean normalization in scoring).
+
+    ``char_ngrams=(minn, maxn)`` additionally hashes character n-grams
+    WITHIN each word (fastText's ``-minn/-maxn``, tagged ``c#`` so they
+    never collide with a word gram of the same spelling) — the sub-word
+    features that keep the classifier robust to typos and inflection on
+    noisy crawl text: a misspelled held-out word still shares most of
+    its character grams with the training form.  Still one narrow JVM
+    projection — nested ``transform`` over the token array, no Python.
 
     Null text gets an EMPTY bag (scores the bias, like an empty doc) —
     without the coalesce a null would propagate to a null score that
@@ -83,8 +92,32 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
         "_toks",
         F.coalesce(nonempty_tokens(F.col(text_col)),
                    F.array().cast("array<string>")))
-    grams = F.flatten(F.array(*[
-        word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]))
+    parts = [word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]
+    if char_ngrams:
+        minn, maxn = char_ngrams
+        if not 1 <= minn <= maxn:
+            raise ValueError(f"char_ngrams must be (minn, maxn) with "
+                             f"1 <= minn <= maxn, got {char_ngrams!r}")
+        def _grams_of(n):
+            # closure factory, NOT `lambda w, n=n`: pyspark treats a
+            # two-parameter lambda as (element, index) and would bind
+            # the array INDEX to n
+            def g(w):
+                # substrings of length n, guarded like word_ngrams
+                # (sequence(1, 0) DESCENDS; ANSI slice start)
+                return F.when(
+                    F.length(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(w) - (n - 1)),
+                        lambda i: F.concat(F.lit("c#"),
+                                           w.substr(i, F.lit(n))))
+                ).otherwise(F.array().cast("array<string>"))
+            return g
+
+        for n in range(minn, maxn + 1):
+            parts.append(F.flatten(F.transform(F.col("_toks"),
+                                               _grams_of(n))))
+    grams = F.flatten(F.array(*parts))
     return toked.withColumn(
         "_feats",
         F.transform(grams,
@@ -118,7 +151,8 @@ def _score_expr(w: list, bias: float) -> F.Column:
 def fasttext_train(docs: DataFrame, label_col: str = "y",
                    buckets: int = 8192, ngram: int = 2,
                    iters: int = 30, lr: float = 2.0, l2: float = 0.0,
-                   text_col: str = "text") -> dict:
+                   text_col: str = "text",
+                   char_ngrams: tuple | None = None) -> dict:
     """Train the hashed-n-gram logistic model; returns the model dict
     ``{w, bias, losses, buckets, ngram}`` consumed by
     :func:`fasttext_score` / :func:`fasttext_filter`.
@@ -133,7 +167,8 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
     The feature frame is persisted once — training never re-tokenizes."""
     from ._registry import binary_logloss, sigmoid
 
-    feat = (hashed_doc_features(docs, buckets, ngram, text_col)
+    feat = (hashed_doc_features(docs, buckets, ngram, text_col,
+                                char_ngrams)
             .select(F.col(label_col).cast("double").alias("_y"),
                     "_feats")
             .persist())
@@ -173,7 +208,9 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
             losses.append(loss / n_docs)
         return {"w": w, "bias": bias, "losses": losses,
                 "buckets": buckets, "ngram": ngram,
-                "text_col": text_col}
+                "text_col": text_col,
+                "char_ngrams": list(char_ngrams) if char_ngrams
+                else None}
     finally:
         feat.unpersist()
 
@@ -191,9 +228,11 @@ def fasttext_score(docs: DataFrame, model: dict,
         raise ValueError(
             f"fasttext_score: column {out_col!r} already exists — "
             "pass a different out_col")
+    cn = model.get("char_ngrams")
     feat = hashed_doc_features(
         docs, model["buckets"], model["ngram"],
-        model.get("text_col", "text"))
+        model.get("text_col", "text"),
+        tuple(cn) if cn else None)
     p = sigmoid(_score_expr(model["w"], model["bias"]))
     return feat.withColumn(out_col, p).drop("_feats")
 

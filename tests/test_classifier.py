@@ -243,3 +243,56 @@ def test_streaming_score_composes(spark, tmp_path):
     got = spark.sql("select * from ft_scored").collect()
     assert len(got) == 20
     assert all(0.0 <= r.quality_p <= 1.0 for r in got)
+
+
+def test_char_ngram_features(spark):
+    """char_ngrams=(3,3): each word contributes its character trigrams
+    (c#-tagged so they never collide with word grams) alongside the
+    word features."""
+    df = spark.createDataFrame([(1, "abcd ef")],
+                               "doc_id long, text string")
+    out = hashed_doc_features(df, buckets=1 << 20, ngram=1,
+                              char_ngrams=(3, 3)).collect()[0]._feats
+    # 2 word unigrams + trigrams of "abcd" (abc, bcd) + none from "ef"
+    assert len(out) == 4
+    with pytest.raises(ValueError, match="char_ngrams"):
+        hashed_doc_features(df, char_ngrams=(0, 3))
+
+
+def test_char_ngrams_give_typo_robustness(spark):
+    """The fastText sub-word property: a held-out corpus with TYPO'D
+    words (one char dropped per word) still classifies well with char
+    n-grams, while the word-gram-only model degrades toward chance —
+    the reason real crawl-quality filters train with -minn/-maxn."""
+    import random
+
+    rng = random.Random(11)
+
+    def corrupt(text):
+        # drop one char from EVERY multi-char word: the word-gram model
+        # has seen none of these spellings; char grams mostly survive
+        ws = []
+        for w in text.split():
+            if len(w) > 1:
+                i = rng.randrange(len(w))
+                w = w[:i] + w[i + 1:]
+            ws.append(w)
+        return " ".join(ws)
+
+    train = _corpus(spark, n=160, seed=0)
+    held_rows = [(r.doc_id, corrupt(r.text), r.y)
+                 for r in _corpus(spark, n=60, seed=77).collect()]
+    held = spark.createDataFrame(
+        held_rows, "doc_id long, text string, y double")
+
+    def acc(model):
+        scored = fasttext_score(held, model).collect()
+        return sum((r.quality_p >= 0.5) == (r.y == 1.0)
+                   for r in scored) / len(scored)
+
+    chars = fasttext_train(train, buckets=2048, iters=15,
+                           char_ngrams=(3, 4))
+    words = fasttext_train(train, buckets=2048, iters=15)
+    a_chars, a_words = acc(chars), acc(words)
+    assert a_chars >= 0.9
+    assert a_chars > a_words  # sub-word features carry the typo case
