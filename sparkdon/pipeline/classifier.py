@@ -64,12 +64,14 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
     value after the mean normalization in scoring).
 
     ``char_ngrams=(minn, maxn)`` additionally hashes character n-grams
-    WITHIN each word (fastText's ``-minn/-maxn``, tagged ``c#`` so they
-    never collide with a word gram of the same spelling) — the sub-word
-    features that keep the classifier robust to typos and inflection on
-    noisy crawl text: a misspelled held-out word still shares most of
-    its character grams with the training form.  Still one narrow JVM
-    projection — nested ``transform`` over the token array, no Python.
+    WITHIN each word (fastText's ``-minn/-maxn``, prefixed ``c#`` to
+    separate them from word grams — a literal token that itself starts
+    with ``c#`` can still collide, which is ordinary hash-bucket noise,
+    not a correctness issue) — the sub-word features that keep the
+    classifier robust to typos and inflection on noisy crawl text: a
+    misspelled held-out word still shares most of its character grams
+    with the training form.  Still one narrow JVM projection — nested
+    ``transform`` over the token array, no Python.
 
     Null text gets an EMPTY bag (scores the bias, like an empty doc) —
     without the coalesce a null would propagate to a null score that
@@ -94,10 +96,13 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
                    F.array().cast("array<string>")))
     parts = [word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]
     if char_ngrams:
+        if (len(char_ngrams) != 2
+                or not all(isinstance(n, int) for n in char_ngrams)
+                or not 1 <= char_ngrams[0] <= char_ngrams[1]):
+            raise ValueError(f"char_ngrams must be an int pair "
+                             f"(minn, maxn) with 1 <= minn <= maxn, "
+                             f"got {char_ngrams!r}")
         minn, maxn = char_ngrams
-        if not 1 <= minn <= maxn:
-            raise ValueError(f"char_ngrams must be (minn, maxn) with "
-                             f"1 <= minn <= maxn, got {char_ngrams!r}")
         def _grams_of(n):
             # closure factory, NOT `lambda w, n=n`: pyspark treats a
             # two-parameter lambda as (element, index) and would bind
@@ -154,8 +159,10 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
                    text_col: str = "text",
                    char_ngrams: tuple | None = None) -> dict:
     """Train the hashed-n-gram logistic model; returns the model dict
-    ``{w, bias, losses, buckets, ngram}`` consumed by
-    :func:`fasttext_score` / :func:`fasttext_filter`.
+    ``{w, bias, losses, buckets, ngram, text_col, char_ngrams}``
+    consumed by :func:`fasttext_score` / :func:`fasttext_filter` —
+    every featurization knob rides in the dict, so a persisted model
+    always scores with the features it trained on.
 
     ``label_col`` is a 0/1 double on ``docs`` (1 = keep-quality — e.g.
     reference corpus rows unioned over raw-crawl rows).  Per iteration

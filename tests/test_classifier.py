@@ -77,17 +77,21 @@ def test_train_deterministic(spark):
 
 def test_score_plan_narrow_and_python_free(spark):
     docs = _corpus(spark, n=8, labeled=False)
-    model = {"w": [0.1] * 64, "bias": -0.2, "buckets": 64, "ngram": 2,
-             "losses": []}
-    scored = fasttext_score(docs, model)
-    plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # zero-shuffle: weights ride as a literal, no broadcast table, no
-    # Exchange — safe in a streaming micro-batch
-    assert "Exchange" not in plan, plan
-    rows = scored.collect()
-    assert set(scored.columns) == {"doc_id", "text", "quality_p"}
-    assert all(0.0 <= r.quality_p <= 1.0 for r in rows)
+    # both featurizations: the char-gram branch must stay inside the
+    # same narrow zero-shuffle projection contract
+    for cn in (None, [3, 4]):
+        model = {"w": [0.1] * 64, "bias": -0.2, "buckets": 64,
+                 "ngram": 2, "losses": [], "char_ngrams": cn}
+        scored = fasttext_score(docs, model)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan
+        # zero-shuffle: weights ride as a literal, no broadcast table,
+        # no Exchange — safe in a streaming micro-batch
+        assert "Exchange" not in plan, plan
+        rows = scored.collect()
+        assert set(scored.columns) == {"doc_id", "text", "quality_p"}
+        assert all(0.0 <= r.quality_p <= 1.0 for r in rows)
 
 
 def test_empty_doc_scores_bias_only(spark):
@@ -255,8 +259,9 @@ def test_char_ngram_features(spark):
                               char_ngrams=(3, 3)).collect()[0]._feats
     # 2 word unigrams + trigrams of "abcd" (abc, bcd) + none from "ef"
     assert len(out) == 4
-    with pytest.raises(ValueError, match="char_ngrams"):
-        hashed_doc_features(df, char_ngrams=(0, 3))
+    for bad in ((0, 3), (3.0, 4.0), (3,), (4, 3)):
+        with pytest.raises(ValueError, match="char_ngrams"):
+            hashed_doc_features(df, char_ngrams=bad)
 
 
 def test_char_ngrams_give_typo_robustness(spark):
