@@ -358,7 +358,11 @@ def x_dedup_simhash(spark, sf_dir):
     Deterministic: token hashes come from md5, so the DuckDB oracle
     replicates the bit math exactly (md5-hex halves → 32-bit shifts →
     ±1 bit votes → signed-64 repack).  At scale this is one narrow map
-    stage — no shuffle."""
+    stage — no shuffle.  The signature map IS the work and inherits the
+    scan's partitioning, so a one-file fixture would run it on one core:
+    ``spread_narrow_scan`` guards that (measured 2.09 → 0.64 s at sf0.1,
+    PERF.md r12 A/B; a no-op once scan partitions ≥ cores)."""
+    from ._registry import spread_narrow_scan
 
     def compute(batches):
         import hashlib
@@ -382,7 +386,8 @@ def x_dedup_simhash(spark, sf_dir):
                 out.append(v - (1 << 64) if v >= (1 << 63) else v)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+    docs = spread_narrow_scan(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
         compute, "doc_id long, simhash long")
 
 
