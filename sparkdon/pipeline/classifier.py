@@ -97,7 +97,8 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
     parts = [word_ngrams(F.col("_toks"), n) for n in range(1, ngram + 1)]
     if char_ngrams:
         if (len(char_ngrams) != 2
-                or not all(isinstance(n, int) for n in char_ngrams)
+                or not all(isinstance(n, int) and not isinstance(n, bool)
+                           for n in char_ngrams)
                 or not 1 <= char_ngrams[0] <= char_ngrams[1]):
             raise ValueError(f"char_ngrams must be an int pair "
                              f"(minn, maxn) with 1 <= minn <= maxn, "

@@ -106,7 +106,14 @@ def connected_components(edges: DataFrame, src: str = "src",
     ends = (pairs.select(F.col("d1").alias("node"))
             .union(pairs.select(F.col("d2").alias("node"))))
     if nodes is not None:
-        ends = ends.union(nodes.select("node"))
+        # same refuse-silently-wrong posture as the endpoints: a null
+        # node row would sail through distinct() as a (null, null) label
+        null_node = F.raise_error(F.lit(
+            "connected_components: null row in nodes= — clean the node "
+            "frame first"))
+        ends = ends.union(nodes.select(
+            F.when(F.col("node").isNotNull(), F.col("node"))
+            .otherwise(null_node).alias("node")))
     return _min_label_components(ends.distinct(), pairs, max_iters)
 
 

@@ -381,11 +381,16 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
     """Apply a trained merge list to documents — the ENCODE half of the
     BPE loop (:func:`bpe_train_merges` produces the merges; this
     tokenizes with them), appending ``out_col: array<string>``.  Words
-    are whitespace tokens; each encodes by applying the merges in
-    training order, left-to-right greedy per merge — byte-identical to
-    the trainer's own apply step, so encoding the training corpus
-    reproduces the trainer's final symbol sequences (pytest pins the
-    equivalence).  Feed ``size(out_col)`` to
+    are whitespace tokens — the SAME whitespace definition as the
+    trainer's :func:`nonempty_tokens` (Java ``\\s`` = ASCII
+    ``[ \\t\\n\\x0b\\f\\r]``, NOT Python ``str.split``'s Unicode set:
+    on crawl text a NBSP/U+2028 must stay inside the token on both
+    sides or the trainer learns merges the encoder never sees); each
+    encodes by applying the merges in training order, left-to-right
+    greedy per merge — byte-identical to the trainer's own apply step,
+    so encoding the training corpus reproduces the trainer's final
+    symbol sequences (pytest pins the equivalence, including a
+    Unicode-whitespace case).  Feed ``size(out_col)`` to
     :func:`sparkdon.pipeline.packing.pack_and_shard` via ``n_tok_col``
     for tokenizer-accurate training sequences.
 
@@ -405,8 +410,11 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
     merges_l = [tuple(m) for m in merges]
 
     def run(batches):
+        import re
         from collections import defaultdict
 
+        # nonempty_tokens' Java \s, exactly — see the docstring note
+        ws = re.compile("[ \t\n\x0b\f\r]+")
         memo: dict[str, list[str]] = {}
         # inverted merge index: a merge (a, b) can only ever apply if
         # a+b is a substring of the ORIGINAL word (symbols always
@@ -455,8 +463,8 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
 
         for pdf in batches:
             pdf[out_col] = [
-                [t for w in (txt.split() if isinstance(txt, str) else ())
-                 for t in enc(w)]
+                [t for w in (ws.split(txt) if isinstance(txt, str) else ())
+                 if w for t in enc(w)]
                 for txt in pdf[text_col]]
             yield pdf
 
@@ -504,10 +512,13 @@ def load_bpe_merges(path: str) -> list:
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
-            a, sep, b = line.partition(" ")
-            if not sep or not a or not b:
+            fields = line.split(" ")
+            # exactly two non-empty fields: a pair whose right side
+            # "contains a space" could never apply at encode time, so a
+            # three-field line is a malformed file, not a loadable merge
+            if len(fields) != 2 or not all(fields):
                 raise ValueError(f"malformed merges.txt line: {line!r}")
-            out.append((a, b))
+            out.append((fields[0], fields[1]))
     return out
 
 

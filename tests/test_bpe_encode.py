@@ -275,3 +275,46 @@ def test_merges_txt_roundtrip(spark, tmp_path):
         save_bpe_merges([("a b", "c")], path)
     assert load_bpe_merges(path) == merges  # failed save left file intact
 
+
+
+def test_unicode_whitespace_stays_in_token(spark):
+    """Trainer and encoder agree on WHICH whitespace splits words: Java
+    \\s (nonempty_tokens) is the ASCII class, so NBSP/U+2028 are
+    ordinary characters on BOTH sides — a Python str.split() encoder
+    would see different words than the trainer and break byte-identical
+    train/encode equivalence (ADVICE r12, medium)."""
+    nbsp, lsep = " ", " "
+    texts = [f"aa{nbsp}bb aa{nbsp}bb", f"aa{nbsp}bb cc{lsep}dd",
+             f"cc{lsep}dd ee"]
+    docs = _docs(spark, texts)
+    merges = bpe_train_merges(docs, n_merges=8)
+    # NBSP-spanning merges are legitimate here precisely because the
+    # shared tokenizer keeps NBSP inside the word
+    assert any(nbsp in a + b for a, b in merges)
+    for r in bpe_encode(docs, merges).collect():
+        toks = r.bpe_tokens
+        # rejoining tokens reproduces the ASCII-whitespace words
+        import re
+        words = [w for w in re.split("[ \t\n\x0b\f\r]+", texts[r.doc_id])
+                 if w]
+        assert "".join(toks) == "".join(words)
+    # the frequent NBSP word trains to one symbol and the encoder
+    # reproduces it — the equivalence the ADVICE finding showed broken
+    out0 = bpe_encode(docs, merges).orderBy("doc_id").collect()[0]
+    assert f"aa{nbsp}bb" in out0.bpe_tokens
+
+
+def test_malformed_merges_line_raises(tmp_path):
+    """A three-field merges.txt line is a malformed file, not the pair
+    ('a', 'b c') — such a merge could never apply (ADVICE r12, low)."""
+    from sparkdon.pipeline.text import load_bpe_merges
+
+    path = str(tmp_path / "merges.txt")
+    with open(path, "w") as fh:
+        fh.write("#version: 0.2\na b c\n")
+    with pytest.raises(ValueError, match="malformed"):
+        load_bpe_merges(path)
+    with open(path, "w") as fh:
+        fh.write("a \n")  # empty right field
+    with pytest.raises(ValueError, match="malformed"):
+        load_bpe_merges(path)

@@ -259,7 +259,9 @@ def test_char_ngram_features(spark):
                               char_ngrams=(3, 3)).collect()[0]._feats
     # 2 word unigrams + trigrams of "abcd" (abc, bcd) + none from "ef"
     assert len(out) == 4
-    for bad in ((0, 3), (3.0, 4.0), (3,), (4, 3)):
+    # (True, True) would silently train minn=maxn=1 — bool is not an
+    # int here (ADVICE r12, low)
+    for bad in ((0, 3), (3.0, 4.0), (3,), (4, 3), (True, True)):
         with pytest.raises(ValueError, match="char_ngrams"):
             hashed_doc_features(df, char_ngrams=bad)
 

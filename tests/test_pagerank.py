@@ -124,3 +124,10 @@ def test_connected_components_null_endpoint_fails_loudly(spark):
         [(1, 2), (2, None)], "src long, dst long")
     with pytest.raises(SparkRuntimeException, match="null dst"):
         connected_components(edges).collect()
+    # same posture for the optional nodes= frame: a null node row would
+    # otherwise pass distinct() and emit a (null, null) label row
+    # (ADVICE r12, low)
+    ok_edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(3,), (None,)], "node long")
+    with pytest.raises(SparkRuntimeException, match="null row in nodes"):
+        connected_components(ok_edges, nodes=nodes).collect()
