@@ -102,6 +102,54 @@ class WarcDataSource(DataSource):
         return WarcStreamReader(dict(self.options))
 
 
+#: (applicationId → Accumulator[int]) — see :func:`skipped_files_accumulator`
+_SKIP_ACCS: dict = {}
+
+
+def skipped_files_accumulator(spark):
+    """Driver-queryable counter of files a WARC stream planned into a
+    batch and then found deleted (retention racing ingestion).
+
+    Call BEFORE starting the streaming query; every
+    :class:`WarcStreamReader` built afterwards in this Spark application
+    captures the accumulator, and worker-side skips flow back to the
+    driver at task completion — ``skipped_files_accumulator(spark).value``
+    after a batch is the operational surface the worker-stderr log line
+    alone could not provide.  One accumulator per application (keyed on
+    applicationId so a restarted SparkContext never inherits a dead
+    handle); idempotent, so monitors and readers share one instance."""
+    app = spark.sparkContext.applicationId
+    acc = _SKIP_ACCS.get(app)
+    if acc is None:
+        acc = spark.sparkContext.accumulator(0)
+        _SKIP_ACCS.clear()   # at most one live application per process
+        _SKIP_ACCS[app] = acc
+    return acc
+
+
+def skip_counter_option(acc) -> str:
+    """Serialize an accumulator for ``.option("skip_counter", ...)``.
+
+    A streaming query's :class:`WarcStreamReader` is constructed in a
+    JVM-spawned Python runner process, not the user's driver process, so
+    module state cannot carry the accumulator there — but an
+    ``Accumulator`` pickles to an id-stub whose worker-side updates
+    route back to the creating driver regardless of which process bumps
+    them.  Base64 keeps the bytes inside the string-typed option map::
+
+        acc = skipped_files_accumulator(spark)
+        stream = (spark.readStream.format("warc")
+                  .option("path", landing_dir)
+                  .option("skip_counter", skip_counter_option(acc))
+                  .load())
+        ...  # after a batch: acc.value == files lost to retention races
+    """
+    import base64
+    import pickle
+
+    return base64.b64encode(pickle.dumps(acc)).decode("ascii")
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         if "path" not in options:
@@ -146,9 +194,12 @@ class WarcStreamReader(DataSourceStreamReader):
     unrecoverable either way, and failing would poison the batch
     forever — so under retention races the guarantee degrades to
     at-most-once for the raced file; each skip is logged to the
-    WORKER's stderr (the operational surface — ``skipped_files``
-    increments only on the process-local reader copy, so on a real
-    cluster the driver-held attribute stays 0).  The offset grows with the
+    WORKER's stderr AND counted on the application's
+    :func:`skipped_files_accumulator` (when one was created before the
+    reader) — accumulator updates ship back at task completion, so the
+    DRIVER can query the count after each batch; the plain
+    ``skipped_files`` attribute still increments only on the
+    process-local reader copy (a test / direct-invocation diagnostic).  The offset grows with the
     file count of the watched directory; crawl segments are bounded
     (~tens of thousands of files), which keeps the checkpoint JSON in
     the megabytes.  Files must LAND ATOMICALLY (write elsewhere,
@@ -175,9 +226,22 @@ class WarcStreamReader(DataSourceStreamReader):
         #: Incremented by the PROCESS-LOCAL copy that executed read()
         #: (a pickled worker copy in a real streaming query) — the
         #: driver-held instance never updates, so this is a test /
-        #: direct-invocation diagnostic; operationally the skip is the
-        #: worker-stderr log line.
+        #: direct-invocation diagnostic; the driver-queryable surface is
+        #: the accumulator below (plus the worker-stderr log line).
         self.skipped_files = 0
+        #: the application's skip accumulator: from option("skip_counter")
+        #: (the real-query path — see :func:`skip_counter_option`; this
+        #: __init__ runs in a separate planning process for real queries)
+        #: or, for direct in-process invocation, the module registry;
+        #: None when the caller never created one
+        opt = options.get("skip_counter")
+        if opt is not None:
+            import base64
+            import pickle
+
+            self._skip_acc = pickle.loads(base64.b64decode(opt))
+        else:
+            self._skip_acc = next(iter(_SKIP_ACCS.values()), None)
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}
@@ -205,6 +269,8 @@ class WarcStreamReader(DataSourceStreamReader):
             import sys
 
             self.skipped_files += 1
+            if self._skip_acc is not None:
+                self._skip_acc += 1
             print(f"[warc stream] planned file vanished, skipping: "
                   f"{fname}", file=sys.stderr)
 

@@ -641,3 +641,42 @@ def test_warc_stream_offsets_monotone_and_tmp_files_ignored(spark, tmp_path):
     got = [r.record_id for r in spark.read.parquet(out).collect()]
     assert len(got) == 6                          # 4 + only b's 2
     assert sorted(set(got)) == sorted(got)
+
+
+def test_warc_stream_skip_counter_reaches_driver(spark, tmp_path):
+    """VERDICT r12 #5: retention-race skips must be queryable from the
+    DRIVER, not just worker stderr — wire an accumulator through
+    option("skip_counter") and read its value after the batch.  A
+    dangling symlink makes the race deterministic: it is listed at
+    planning time and raises FileNotFoundError at read time, exactly
+    the planned-then-deleted shape."""
+    from sparkdon.sources.warc_source import (WarcDataSource,
+                                              skip_counter_option,
+                                              skipped_files_accumulator)
+
+    spark.dataSource.register(WarcDataSource)
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "ok.warc.gz").write_bytes(
+        warc_bytes(_many_records(3, "sc"), gzip_per_record=True))
+    (src / "gone.warc.gz").symlink_to(src / "never-existed.warc.gz")
+
+    acc = skipped_files_accumulator(spark)
+    assert skipped_files_accumulator(spark) is acc  # idempotent handle
+    base = acc.value
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("warc")
+         .option("path", str(src))
+         .option("skip_counter", skip_counter_option(acc))
+         .load()
+         .select("record_id")
+         .writeStream.foreachBatch(
+             lambda bdf, _bid: bdf.write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    assert q.awaitTermination(120)
+    # the readable file's rows all arrived; the raced file surfaced on
+    # the driver-side counter instead of poisoning the batch
+    assert spark.read.parquet(out).count() == 3
+    assert acc.value - base == 1
