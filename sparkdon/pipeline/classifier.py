@@ -58,7 +58,8 @@ _DEC = "decimal(28,12)"
 def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
                         ngram: int = 2,
                         text_col: str = "text",
-                        char_ngrams: tuple | None = None) -> DataFrame:
+                        char_ngrams: tuple | None = None,
+                        hash: str = "xxhash64") -> DataFrame:
     """Append ``_feats: array<int>`` — one hashed bucket per {1..ngram}-
     gram occurrence (a bag: duplicates kept, the count IS the feature
     value after the mean normalization in scoring).
@@ -83,8 +84,18 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
     slice them — the gopher_repetition lesson: an inline ``split`` gets
     re-inlined per gram position and turns tokenization quadratic.
     Catalyst keeps the two projections apart because ``_toks`` is
-    referenced once per gram order."""
+    referenced once per gram order.
+
+    ``hash`` picks the bucket hash: ``"xxhash64"`` (default — fastest,
+    JVM-native) or ``"md5"`` (first 8 hex digits as an unsigned 32-bit
+    int — engine-portable, the same construction the simhash DuckDB
+    oracle replicates; use for cross-engine-verified models).  The
+    choice rides in the trained model dict, so scoring always hashes
+    the way training did."""
     from .text import nonempty_tokens, word_ngrams
+
+    if hash not in ("xxhash64", "md5"):
+        raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
 
     for c in ("_toks", "_feats"):
         if c in docs.columns:
@@ -124,11 +135,15 @@ def hashed_doc_features(docs: DataFrame, buckets: int = 8192,
             parts.append(F.flatten(F.transform(F.col("_toks"),
                                                _grams_of(n))))
     grams = F.flatten(F.array(*parts))
+    if hash == "md5":
+        def _bucket(g):
+            return F.pmod(F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                          .cast("long"), F.lit(buckets)).cast("int")
+    else:
+        def _bucket(g):
+            return F.pmod(F.xxhash64(g), F.lit(buckets)).cast("int")
     return toked.withColumn(
-        "_feats",
-        F.transform(grams,
-                    lambda g: F.pmod(F.xxhash64(g), F.lit(buckets))
-                    .cast("int"))).drop("_toks")
+        "_feats", F.transform(grams, _bucket)).drop("_toks")
 
 
 def _score_expr(w: list, bias: float) -> F.Column:
@@ -158,9 +173,10 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
                    buckets: int = 8192, ngram: int = 2,
                    iters: int = 30, lr: float = 2.0, l2: float = 0.0,
                    text_col: str = "text",
-                   char_ngrams: tuple | None = None) -> dict:
+                   char_ngrams: tuple | None = None,
+                   hash: str = "xxhash64") -> dict:
     """Train the hashed-n-gram logistic model; returns the model dict
-    ``{w, bias, losses, buckets, ngram, text_col, char_ngrams}``
+    ``{w, bias, losses, buckets, ngram, text_col, char_ngrams, hash}``
     consumed by :func:`fasttext_score` / :func:`fasttext_filter` —
     every featurization knob rides in the dict, so a persisted model
     always scores with the features it trained on.
@@ -176,7 +192,7 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
     from ._registry import binary_logloss, sigmoid
 
     feat = (hashed_doc_features(docs, buckets, ngram, text_col,
-                                char_ngrams)
+                                char_ngrams, hash=hash)
             .select(F.col(label_col).cast("double").alias("_y"),
                     "_feats")
             .persist())
@@ -218,7 +234,8 @@ def fasttext_train(docs: DataFrame, label_col: str = "y",
                 "buckets": buckets, "ngram": ngram,
                 "text_col": text_col,
                 "char_ngrams": list(char_ngrams) if char_ngrams
-                else None}
+                else None,
+                "hash": hash}
     finally:
         feat.unpersist()
 
@@ -240,7 +257,8 @@ def fasttext_score(docs: DataFrame, model: dict,
     feat = hashed_doc_features(
         docs, model["buckets"], model["ngram"],
         model.get("text_col", "text"),
-        tuple(cn) if cn else None)
+        tuple(cn) if cn else None,
+        hash=model.get("hash", "xxhash64"))
     p = sigmoid(_score_expr(model["w"], model["bias"]))
     return feat.withColumn(out_col, p).drop("_feats")
 

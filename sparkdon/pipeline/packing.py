@@ -332,6 +332,25 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     single-partition window; ``wide_ids`` arithmetic, since real ids
     may span int64), then one ``repartitionByRange`` write shuffle.
     Returns the re-read frame for verification."""
+    return _shard_write(
+        pack_assignment(docs, seq_len=seq_len, text_col=text_col,
+                        n_tok_col=n_tok_col, order_col=order_col,
+                        ascending=ascending),
+        out_dir, n_shards)
+
+
+def pack_assignment(docs: DataFrame, seq_len: int = PACK_SEQ_LEN,
+                    text_col: str = "text",
+                    n_tok_col: str | None = None,
+                    order_col: str | None = None,
+                    ascending: bool = True) -> DataFrame:
+    """:func:`pack_and_shard`'s document → sequence assignment as a
+    frame (no files): (doc_id, n_tok, start_tok, seq_id, seq_offset,
+    end_seq) under the same ordering rules — doc_id order for numeric
+    ids, ``xxhash64(doc_id)`` shuffle order for string ids, score order
+    for ``order_col`` curriculum.  Split out so the assignment
+    arithmetic is testable/verifiable without a write side (and so a
+    caller can join it back to the corpus before materializing)."""
     from pyspark.sql.types import NumericType
 
     from .text import nonempty_tokens
@@ -378,7 +397,7 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
             wide_ids=True)
     else:
         packed = pack_by_key(F.xxhash64("doc_id"))
-    return _shard_write(_seq_assign(packed, seq_len), out_dir, n_shards)
+    return _seq_assign(packed, seq_len)
 
 
 def write_training_shards(spark, sf_dir, out_dir: str,

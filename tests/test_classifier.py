@@ -303,3 +303,21 @@ def test_char_ngrams_give_typo_robustness(spark):
     a_chars, a_words = acc(chars), acc(words)
     assert a_chars >= 0.9
     assert a_chars > a_words  # sub-word features carry the typo case
+
+
+def test_md5_hash_option_trains_and_scores(spark):
+    """hash='md5' (the oracle-portable bucket hash for the r15-staged
+    driver gate) rides in the model dict: scoring hashes the way
+    training did, and the two hashes genuinely bucket differently."""
+    docs = _corpus(spark, n=60)
+    m = fasttext_train(docs, buckets=256, iters=5, hash="md5")
+    assert m["hash"] == "md5"
+    scored = fasttext_score(docs, m).collect()
+    assert all(0.0 < r.quality_p < 1.0 for r in scored)
+    fx = {r.doc_id: r._feats for r in
+          hashed_doc_features(docs, buckets=256).collect()}
+    fm = {r.doc_id: r._feats for r in
+          hashed_doc_features(docs, buckets=256, hash="md5").collect()}
+    assert fx[0] != fm[0] and len(fx[0]) == len(fm[0])
+    with pytest.raises(ValueError, match="hash"):
+        hashed_doc_features(docs, hash="sha1")

@@ -1,0 +1,127 @@
+"""Driver-style verification of the r15-staged gates (pipeline/
+staged_gates.py): each staged entry runs on Spark AND its DuckDB
+oracle at sf0.001, compared exactly the way the driver compares —
+row count, column names, order-insensitive canonical values — so the
+r15 battery swap registers already-verified entries."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdon.pipeline.staged_gates import (STAGED, STAGED_ORACLE,
+                                            STAGED_BPE_MERGES,
+                                            _staged_score_model)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_correctness",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "check_correctness.py"))
+_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_check)
+canon_rows = _check.canon_rows
+
+
+def _oracle_rows(sql: str):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_gate_matches_oracle(spark, key):
+    df = STAGED[key](spark, SF_DIR)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+    o_cols, o_rows = _oracle_rows(STAGED_ORACLE[key])
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
+
+
+def test_score_gate_far_from_floor_boundaries(spark):
+    """floor(10000·p) is hash-stable only while no document's p sits at
+    an ulp of the 1e-4 grid (Spark's Math.exp and DuckDB's libm exp may
+    differ in the last ulp).  Assert the margin is ≥ 1e-6 grid units —
+    ~10 orders above ulp noise; if a future fixture regeneration trips
+    this, nudge _SCORE_WEIGHTS."""
+    df = STAGED["x_fasttext_score"](spark, SF_DIR)
+    # recompute p at full precision through the same public path
+    from sparkdon.pipeline.classifier import fasttext_score
+    from sparkdon.pipeline.staged_gates import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    scored = fasttext_score(docs, _staged_score_model(), out_col="_p")
+    g = scored.select((F.lit(10000.0) * F.col("_p")).alias("g"))
+    margin = g.select(
+        F.min(F.least(F.col("g") - F.floor("g"),
+                      F.lit(1.0) - (F.col("g") - F.floor("g"))))
+        .alias("m")).collect()[0]["m"]
+    assert margin > 1e-6, f"score too close to floor grid: {margin}"
+    assert df.count() == docs.count()
+
+
+def test_bpe_oracle_replace_twice_is_exact():
+    """The oracle's replace-twice trick vs the encoder's single greedy
+    pass, fuzzed on dense adversarial words (runs of merge-pair
+    characters — the separator-starvation worst case)."""
+    import random
+
+    def enc(word):
+        syms = list(word)
+        for a, b in STAGED_BPE_MERGES:
+            ab, acc = a + b, []
+            for x in syms:
+                if acc and x == b and acc[-1] == a:
+                    acc[-1] = ab
+                else:
+                    acc.append(x)
+            syms = acc
+        return syms
+
+    sep = "chr(31)"
+
+    def q(s):
+        return s.replace("'", "''")
+
+    expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')"
+    for a, b in STAGED_BPE_MERGES:
+        pat = f"{sep} || '{q(a)}' || {sep} || '{q(b)}' || {sep}"
+        rep = f"{sep} || '{q(a + b)}' || {sep}"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    tok = f"list_filter(string_split({expr}, chr(31)), x -> x <> '')"
+
+    rng = random.Random(7)
+    words = []
+    for alpha in ("er", "ero", "atch", "ercust", "erinowst"):
+        words += ["".join(rng.choices(alpha, k=rng.randint(2, 30)))
+                  for _ in range(150)]
+    words += ["er" * 25, "ererer" * 6, "custocustocusto", "batchbatch"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS w", [words])
+    got = con.execute(f"SELECT w, {tok} FROM w").fetchall()
+    bad = [(w, g, enc(w)) for w, g in got if g != enc(w)]
+    assert not bad, bad[:3]
+
+
+def test_pack_gate_score_ties_are_real(spark):
+    """The curriculum score (doc_id·37 % 101) must actually collide at
+    fixture scale, or the doc_id tie-break the gate claims to verify
+    is never exercised."""
+    from sparkdon.pipeline.staged_gates import table
+
+    docs = table(spark, SF_DIR, "documents")
+    n, d = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(((F.col("doc_id") * 37) % 101)).alias("d")
+    ).collect()[0]
+    assert d < n  # pigeonhole at >=102 docs, but assert, don't assume
