@@ -298,7 +298,8 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
                    text_col: str = "text",
                    n_tok_col: str | None = None,
                    order_col: str | None = None,
-                   ascending: bool = True) -> DataFrame:
+                   ascending: bool = True,
+                   shuffle_seed: int | None = None) -> DataFrame:
     """Frame-level write side: pack ANY curated (doc_id, text) frame
     into fixed-``seq_len`` training sequences and materialize
     ``n_shards`` contiguous parquet shards — the terminal stage of a
@@ -328,6 +329,14 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     doc_id so the layout stays exact and reproducible; a null score
     fails the job loudly like a bad token count.
 
+    Pass ``shuffle_seed`` for EPOCH re-shuffling: the packing order
+    becomes ``xxhash64(doc_id, seed)`` — a fresh deterministic
+    permutation per seed, so each training epoch streams the corpus in
+    a different (but exactly reproducible) order without any extra
+    shuffle beyond the one packing already pays.  Applies to numeric
+    ids too (overriding their default id order); mutually exclusive
+    with ``order_col`` — a curriculum IS an order.
+
     Same 100 TB shape as the gate: two-pass prefix sum (never a
     single-partition window; ``wide_ids`` arithmetic, since real ids
     may span int64), then one ``repartitionByRange`` write shuffle.
@@ -335,7 +344,7 @@ def pack_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8,
     return _shard_write(
         pack_assignment(docs, seq_len=seq_len, text_col=text_col,
                         n_tok_col=n_tok_col, order_col=order_col,
-                        ascending=ascending),
+                        ascending=ascending, shuffle_seed=shuffle_seed),
         out_dir, n_shards)
 
 
@@ -343,18 +352,29 @@ def pack_assignment(docs: DataFrame, seq_len: int = PACK_SEQ_LEN,
                     text_col: str = "text",
                     n_tok_col: str | None = None,
                     order_col: str | None = None,
-                    ascending: bool = True) -> DataFrame:
+                    ascending: bool = True,
+                    shuffle_seed: int | None = None) -> DataFrame:
     """:func:`pack_and_shard`'s document → sequence assignment as a
     frame (no files): (doc_id, n_tok, start_tok, seq_id, seq_offset,
     end_seq) under the same ordering rules — doc_id order for numeric
     ids, ``xxhash64(doc_id)`` shuffle order for string ids, score order
-    for ``order_col`` curriculum.  Split out so the assignment
+    for ``order_col`` curriculum, ``xxhash64(doc_id, seed)`` for
+    ``shuffle_seed`` epoch re-shuffles.  Split out so the assignment
     arithmetic is testable/verifiable without a write side (and so a
     caller can join it back to the corpus before materializing)."""
     from pyspark.sql.types import NumericType
 
     from .text import nonempty_tokens
 
+    if order_col is not None and shuffle_seed is not None:
+        raise ValueError("pack_assignment: order_col and shuffle_seed "
+                         "are mutually exclusive — a curriculum IS an "
+                         "order")
+    if shuffle_seed is not None and (
+            not isinstance(shuffle_seed, int)
+            or isinstance(shuffle_seed, bool)):
+        raise ValueError(f"shuffle_seed must be an int, "
+                         f"got {shuffle_seed!r}")
     spark = docs.sparkSession
     if n_tok_col:
         # first externally-supplied value on the prefix-sum path: a
@@ -391,6 +411,16 @@ def pack_assignment(docs: DataFrame, seq_len: int = PACK_SEQ_LEN,
             f"pack_and_shard: null/NaN/inf {order_col} — curriculum "
             "order needs a finite score on every document")))
         packed = pack_by_key(oc if ascending else -oc, unit_span=False)
+    elif shuffle_seed is not None:
+        # epoch re-shuffle: the seed rides INSIDE the hash (a second
+        # xxhash64 argument), so each seed is an independent
+        # deterministic permutation — same machinery as the string-id
+        # path, same ties-by-original-id exactness.  The id is cast to
+        # string so numeric and string corpora shuffle through one code
+        # path (and so epoch orders are stable across an id-type
+        # migration).
+        packed = pack_by_key(F.xxhash64(F.col("doc_id").cast("string"),
+                                        F.lit(int(shuffle_seed))))
     elif isinstance(docs.schema["doc_id"].dataType, NumericType):
         packed = _prefix_pack(
             spark, docs.select("doc_id", n_tok.alias("n_tok")),
