@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
 #: 40 through round 11; 70 in round 12 with five new grammar
-#: productions (EXISTS semi, MINUS, HAVING, DISTINCT, bag UNION)
-N_CASES = 70
+#: productions (EXISTS semi, MINUS, HAVING, DISTINCT, bag UNION); 85 in
+#: round 13 with three more (sequence-path sugar for the FK hops,
+#: ORDER BY a unique STR(?c) key + LIMIT/OFFSET — the one shape where a
+#: cutoff is deterministic — and !BOUND after a scoped OPTIONAL)
+N_CASES = 85
 SEED = 20260814
 
 #: (sparql var, predicate, sql column, type)
@@ -52,15 +55,27 @@ def gen_case(rng):
     tables = ("region", "nation", "customer", "supplier")
     opt_schema = {}
     if join_nation:
-        patterns.append("?c p:c_nationkey ?n . ?n p:n_name ?nname .")
+        # half the cases spell the FK hop as sequence-path sugar — the
+        # compiled plan must be the same join either way (r13)
+        path_style = rng.random() < 0.5
+        if path_style:
+            patterns.append("?c p:c_nationkey/p:n_name ?nname .")
+        else:
+            patterns.append("?c p:c_nationkey ?n . ?n p:n_name ?nname .")
         sql_cols["nname"] = "n_name"
         joins = " JOIN nation ON c_nationkey = n_nationkey"
         if rng.random() < 0.4:  # second FK hop to region
-            patterns.append("?n p:n_regionkey ?r . ?r p:r_name ?rname .")
+            if path_style:
+                patterns.append(
+                    "?c p:c_nationkey/p:n_regionkey/p:r_name ?rname .")
+            else:
+                patterns.append(
+                    "?n p:n_regionkey ?r . ?r p:r_name ?rname .")
             sql_cols["rname"] = "r_name"
             joins += " JOIN region ON n_regionkey = r_regionkey"
     # OPTIONAL with the filter scoped INSIDE: binds only when the same
     # row clears the bar, NULL otherwise (left-join semantics on self)
+    notbound_bar = None
     if "bal" not in sql_cols and rng.random() < 0.35:
         bar = rng.choice([2000, 5000.25, 8000])
         patterns.append(
@@ -68,8 +83,17 @@ def gen_case(rng):
         sql_cols["optbal"] = (
             f"CASE WHEN c_acctbal > {bar} THEN c_acctbal ELSE NULL END")
         opt_schema["optbal"] = "double"
+        if rng.random() < 0.3:
+            # !BOUND after the scoped OPTIONAL (r13): keep only rows
+            # where the optional arm did NOT bind — c_acctbal is
+            # non-null in the fixture, so the SQL twin is the bar's
+            # complement (and optbal projects as all-NULL on both sides)
+            notbound_bar = bar
 
     filters, conds = [], []
+    if notbound_bar is not None:
+        filters.append("FILTER(!BOUND(?optbal))")
+        conds.append(f"NOT (c_acctbal > {notbound_bar})")
     if any(v == "bal" for v, *_ in attrs) and rng.random() < 0.7:
         op = rng.choice(["<", ">", "<=", ">="])
         const = rng.choice([0, 1000, 4500.5, 9000])
@@ -192,6 +216,24 @@ def gen_case(rng):
     base_types.update({"nname": "str", "rname": "str"})
     base_types.update(opt_schema)
     schema = {v: base_types[v] for v in proj}
+
+    if not distinct_kw and rng.random() < 0.25:
+        # deterministic top-k (r13): ORDER BY the UNIQUE customer IRI
+        # string — the one shape where LIMIT/OFFSET has exactly one
+        # answer (each surviving row carries a distinct ?c); SPARQL
+        # codepoint order on plain strings = DuckDB binary collation
+        k = rng.choice([5, 17, 60])
+        off = rng.choice([0, 0, 10])
+        tail = f" LIMIT {k}" + (f" OFFSET {off}" if off else "")
+        sparql = (f"SELECT {sel} (STR(?c) AS ?cid) {{ {where} }} "
+                  f"ORDER BY ?cid{tail}")
+        sql = ("SELECT "
+               + ", ".join(f"{sql_cols[v]} AS {v}" for v in proj)
+               + ", 'urn:g:customer:' || c_custkey AS cid"
+               + f" FROM customer{joins}{sql_where}"
+               + f" ORDER BY cid{tail}")
+        schema = {**schema, "cid": "str"}
+        return sparql, sql, schema, tables
 
     if rng.random() < 0.3:
         order_v = rng.choice(proj)
