@@ -69,37 +69,55 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", "bpe_tokens").alias("bpe_text")))
 
 
-def _bpe_oracle() -> str:
-    """DuckDB replication of the greedy left-to-right merge apply.
+def _bpe_word_expr(merges: list, var: str = "w") -> str:
+    """The per-word DuckDB merge-apply expression (shared by the oracle
+    and its fuzz lock, so the verified construction IS the deployed
+    one).
 
-    Per word, the symbol sequence rides as a ``chr(31)``-delimited
-    string (sep at every boundary INCLUDING both ends); one merge
-    (a, b) is ``replace(s, sep·a·sep·b·sep, sep·ab·sep)`` applied
-    TWICE.  Twice is exact, not heuristic: replace() consumes its
+    The symbol sequence rides as a ``chr(31)``-delimited string (sep at
+    every boundary INCLUDING both ends); one merge (a, b) is
+    ``replace(s, sep·a·sep·b·sep, sep·ab·sep)`` applied TWICE.  For
+    a ≠ b, twice is exact, not heuristic: replace() consumes its
     match's trailing separator, so an occurrence immediately after a
     replaced one is skipped in pass 1 — but two skipped occurrences can
     never be adjacent (the second would still have its leading
     separator and would have been replaced), so pass 2 catches every
     leftover; and merging can create no NEW (a, b) adjacency (ab ≠ a
-    and ab ≠ b by length), so pass 2 cannot over-merge.  Equivalence to
-    the encoder's single greedy pass is additionally fuzz-verified in
-    tests/test_staged_gates.py."""
+    and ab ≠ b by length), so pass 2 cannot over-merge.  For a == b the
+    argument FAILS — occurrences overlap in symbol space, and a run of
+    five gives [aa, a, aa] vs the encoder's greedy [aa, aa, a] (review
+    find, r13) — so same-symbol merges are REJECTED loudly here: a
+    future repin of STAGED_BPE_MERGES that learns e.g. ('e', 'e') must
+    fail at build time, never as a silent driver mismatch."""
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                f"_bpe_word_expr: same-symbol merge ({a!r}, {b!r}) — "
+                "the replace-twice oracle is only exact for a != b; "
+                "pin a merge list without same-symbol merges")
     sep = "chr(31)"
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')"
-    for a, b in STAGED_BPE_MERGES:
+    expr = f"{sep} || regexp_replace({var}, '(.)', '\\1' || chr(31), 'g')"
+    for a, b in merges:
         pat = f"{sep} || '{q(a)}' || {sep} || '{q(b)}' || {sep}"
         rep = f"{sep} || '{q(a + b)}' || {sep}"
         expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
-    word_tokens = (f"array_to_string(list_filter("
-                   f"string_split({expr}, chr(31)), x -> x <> ''), ' ')")
+    return (f"array_to_string(list_filter("
+            f"string_split({expr}, chr(31)), x -> x <> ''), ' ')")
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replication of the greedy left-to-right merge apply —
+    see :func:`_bpe_word_expr` for the construction and its exactness
+    argument."""
     return (
         "SELECT doc_id, array_to_string(list_transform("
         " list_filter(string_split(text, ' '), w -> w <> ''),"
-        f" w -> {word_tokens}), ' ') AS bpe_text FROM documents"
+        f" w -> {_bpe_word_expr(STAGED_BPE_MERGES)}), ' ') AS bpe_text"
+        " FROM documents"
     )
 
 

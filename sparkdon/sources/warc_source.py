@@ -142,7 +142,13 @@ def skip_counter_option(acc) -> str:
                   .option("path", landing_dir)
                   .option("skip_counter", skip_counter_option(acc))
                   .load())
-        ...  # after a batch: acc.value == files lost to retention races
+        ...  # after a batch: acc.value >= files lost to retention races
+
+    The count is AT-LEAST-once, like every Spark accumulator bumped
+    inside a task: a failed/restarted batch re-plans the same vanished
+    file (checkpoint replay) and counts it again, as does a task retry.
+    Treat a nonzero value as "races happened, go look", not as an exact
+    loss tally.
     """
     import base64
     import pickle
@@ -241,7 +247,20 @@ class WarcStreamReader(DataSourceStreamReader):
 
             self._skip_acc = pickle.loads(base64.b64decode(opt))
         else:
-            self._skip_acc = next(iter(_SKIP_ACCS.values()), None)
+            # registry fallback ONLY for the accumulator of the
+            # currently-active SparkContext — a restarted context's
+            # reader must never inherit the previous application's dead
+            # handle (review find, r13: the registry is purged lazily,
+            # so key on the live applicationId, not "whatever is there")
+            self._skip_acc = None
+            try:
+                from pyspark import SparkContext
+
+                sc = SparkContext._active_spark_context
+                if sc is not None:
+                    self._skip_acc = _SKIP_ACCS.get(sc.applicationId)
+            except Exception:
+                pass
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}

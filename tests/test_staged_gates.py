@@ -71,10 +71,13 @@ def test_score_gate_far_from_floor_boundaries(spark):
 
 
 def test_bpe_oracle_replace_twice_is_exact():
-    """The oracle's replace-twice trick vs the encoder's single greedy
-    pass, fuzzed on dense adversarial words (runs of merge-pair
-    characters — the separator-starvation worst case)."""
+    """The PRODUCTION oracle expression (via the shared _bpe_word_expr
+    builder — not a test-local copy, review find r13) vs the encoder's
+    single greedy pass, fuzzed on dense adversarial words (runs of
+    merge-pair characters — the separator-starvation worst case)."""
     import random
+
+    from sparkdon.pipeline.staged_gates import _bpe_word_expr
 
     def enc(word):
         syms = list(word)
@@ -88,17 +91,7 @@ def test_bpe_oracle_replace_twice_is_exact():
             syms = acc
         return syms
 
-    sep = "chr(31)"
-
-    def q(s):
-        return s.replace("'", "''")
-
-    expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')"
-    for a, b in STAGED_BPE_MERGES:
-        pat = f"{sep} || '{q(a)}' || {sep} || '{q(b)}' || {sep}"
-        rep = f"{sep} || '{q(a + b)}' || {sep}"
-        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
-    tok = f"list_filter(string_split({expr}, chr(31)), x -> x <> '')"
+    tok = _bpe_word_expr(STAGED_BPE_MERGES)
 
     rng = random.Random(7)
     words = []
@@ -109,8 +102,38 @@ def test_bpe_oracle_replace_twice_is_exact():
     con = duckdb.connect()
     con.execute("CREATE TABLE w AS SELECT unnest(?) AS w", [words])
     got = con.execute(f"SELECT w, {tok} FROM w").fetchall()
-    bad = [(w, g, enc(w)) for w, g in got if g != enc(w)]
+    bad = [(w, g, enc(w)) for w, g in got if g != " ".join(enc(w))]
     assert not bad, bad[:3]
+
+
+def test_bpe_oracle_rejects_same_symbol_merges():
+    """replace-twice is provably exact only for a != b (a run of five
+    same symbols gives [aa, a, aa] vs greedy [aa, aa, a]); a repinned
+    merge list containing ('e','e') must fail at build time, never as
+    a silent driver mismatch."""
+    from sparkdon.pipeline.staged_gates import _bpe_word_expr
+
+    with pytest.raises(ValueError, match="same-symbol"):
+        _bpe_word_expr([("e", "r"), ("a", "a")])
+
+
+def test_fixture_text_is_single_space_tokenizable():
+    """Every oracle in the repo (the 150 registered ones and the staged
+    three) splits text on a single space while the Spark side uses the
+    \\s+ class: pin the fixture property that makes them equivalent —
+    no tabs/newlines/control whitespace, no leading/trailing/double
+    spaces.  A regenerated fixture violating this fails HERE, not as an
+    opaque value-hash mismatch."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        assert texts
+        for t in texts:
+            assert t is not None
+            assert not any(c in t for c in "\t\n\x0b\x0c\r")
+            assert "  " not in t and t == t.strip(" ")
 
 
 def test_pack_gate_score_ties_are_real(spark):
