@@ -148,3 +148,18 @@ def test_pack_gate_score_ties_are_real(spark):
         F.countDistinct(((F.col("doc_id") * 37) % 101)).alias("d")
     ).collect()[0]
     assert d < n  # pigeonhole at >=102 docs, but assert, don't assume
+
+
+def test_staged_plans_keep_their_scale_shapes(spark):
+    """The staged gates must inherit their families' 100 TB shapes:
+    scoring through the md5 hash is still a zero-shuffle Python-free
+    projection, and the staged encode is still one Arrow stage."""
+    score = STAGED["x_fasttext_score"](spark, SF_DIR)
+    plan = score._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    enc = STAGED["x_bpe_encode"](spark, SF_DIR)
+    eplan = enc._jdf.queryExecution().executedPlan().toString()
+    assert eplan.count("MapInPandas") == 1, eplan
+    assert "Exchange" not in eplan, eplan
