@@ -546,3 +546,111 @@ def dsir_resample(source: DataFrame, target: DataFrame, k: int,
         .limit(k)
         .drop("_key")
     )
+
+
+def unimax_budgets(source_tokens: dict, total_budget: float,
+                   max_epochs: float = 1.0) -> dict:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split ``total_budget`` tokens across sources as
+    UNIFORMLY as possible subject to a per-source repetition cap —
+    no source may contribute more than ``max_epochs`` passes over its
+    own ``source_tokens[s]`` mass.
+
+    Exact waterfilling on the (#sources)-sized dict: walk sources in
+    ascending mass order; a source whose cap falls below the current
+    equal share takes its cap and leaves the room to the rest; the
+    first source whose cap covers the share ends the walk — every
+    remaining (larger) source gets the same share, which makes the
+    allocation the unique uniform-up-to-caps solution.  Pure driver
+    math — the input is one row per SOURCE (languages/domains, never
+    documents), the same bounded aggregate every mixing rule here
+    collects.
+
+    Returns ``{source: budget_tokens}`` with
+    ``sum == min(total_budget, max_epochs * sum(masses))`` — when the
+    caps cannot absorb the budget the surplus is left unspent (the
+    paper's behavior: repeat no source past the cap), which the caller
+    can detect by summing."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, "
+                         f"got {total_budget!r}")
+    if not max_epochs > 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs!r}")
+    for s, m in source_tokens.items():
+        if not m > 0:
+            raise ValueError(f"unimax_budgets: source {s!r} has "
+                             f"non-positive mass {m!r}")
+    alloc: dict = {}
+    order = sorted(source_tokens, key=lambda s: (source_tokens[s], str(s)))
+    budget = float(total_budget)
+    for i, s in enumerate(order):
+        share = budget / (len(order) - i)
+        cap = max_epochs * source_tokens[s]
+        if cap <= share:
+            alloc[s] = cap
+            budget -= cap
+        else:
+            # sorted ascending: every remaining cap also exceeds the
+            # share, so the rest is an equal split
+            for t in order[i:]:
+                alloc[t] = share
+            budget = 0.0
+            break
+    return alloc
+
+
+def unimax_sample(docs: DataFrame, total_budget: float,
+                  source_col: str = "lang",
+                  text_col: str = "text",
+                  n_tok_col: str | None = None,
+                  max_epochs: float = 1.0) -> DataFrame:
+    """Apply :func:`unimax_budgets` to a corpus: appends
+
+    - ``n_epochs`` (long) — full passes every document of the source
+      makes into the mixture, and
+    - ``in_partial`` (boolean) — whether the document is in the
+      content-stable sample implementing the FRACTIONAL remainder of
+      its source's budget (salted ``u:`` md5 gate, decorrelated from
+      the other sampling gates);
+
+    a loader streams each doc ``n_epochs + in_partial`` times.
+    Repeats are NEVER materialized — at 100 TB an exploded
+    max_epochs× corpus would multiply every downstream byte; counts
+    are the mixture.
+
+    Shape: one bounded per-source aggregate (fan-in = #sources)
+    collected to the driver for the exact waterfill, then a broadcast
+    join back and a narrow gate — the corpus itself never shuffles,
+    the same contract as ``x_mix_temperature``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    for c in ("n_epochs", "in_partial", "partial_bp"):
+        if c in docs.columns:
+            raise ValueError(f"unimax_sample: column {c!r} is reserved")
+    if n_tok_col:
+        n_tok = F.col(n_tok_col).cast("double")
+    else:
+        from .text import nonempty_tokens
+
+        n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("double")
+    masses = {r[0]: float(r[1]) for r in
+              docs.groupBy(source_col).agg(F.sum(n_tok)).collect()}
+    alloc = unimax_budgets(masses, total_budget, max_epochs)
+    spark = docs.sparkSession
+    rows = []
+    for s in sorted(masses, key=str):
+        epochs = alloc[s] / masses[s]
+        full = int(epochs)
+        frac = epochs - full
+        rows.append((s, full, int(10000 * frac)))
+    plan = spark.createDataFrame(rows, StructType([
+        docs.schema[source_col],
+        StructField("n_epochs", LongType()),
+        StructField("partial_bp", LongType())]))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("u:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 10000
+    return (docs.join(F.broadcast(plan), source_col)
+            .withColumn("in_partial", bucket < F.col("partial_bp"))
+            .drop("partial_bp"))
