@@ -467,3 +467,62 @@ def test_learned_filter_recipe_composes(spark, tmp_path):
         run += r.n_tok
     n_bpe = dict(enc.select("doc_id", "n_bpe").collect())
     assert all(r.n_tok == n_bpe[r.doc_id] for r in rows)
+
+
+def test_mixture_budgeted_recipe_composes(spark, tmp_path):
+    """Round 13: the MIXTURE-budgeted variant of the capstone — two
+    crawled domains of very different mass flow through the learned
+    keep gate, UniMax splits a token budget across them (the small
+    domain runs whole epochs, the big one a deterministic partial), and
+    the budgeted selection packs with a seeded epoch shuffle.  This is
+    the multilingual/multidomain pretraining shape: curate, budget,
+    pack — all counts, no materialized copies."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.packing import pack_assignment
+    from sparkdon.pipeline.sampling import unimax_sample
+
+    def prose(dom, seed):
+        return (f"The {dom} archive describes the work of the people "
+                f"and the places that shaped it. Entry {seed} offers a "
+                "fair account to readers over many years of print.")
+
+    records = [
+        _page(f"big-{i}", f"http://big.io/{i}",
+              "2024-01-01T00:00:00Z", prose("big", i)) for i in range(12)
+    ] + [
+        _page(f"small-{i}", f"http://small.io/{i}",
+              "2024-01-01T00:00:00Z", prose("small", i)) for i in range(3)
+    ]
+    (tmp_path / "m.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+
+    docs = (warc_documents(read_warc(spark, str(tmp_path)))
+            .select(F.col("url").alias("doc_id"), "text")
+            .withColumn("domain",
+                        F.regexp_extract("doc_id", r"http://([^/]+)/", 1)))
+
+    mass = {r.domain: r.m for r in docs.groupBy("domain").agg(
+        F.sum(F.size(F.split("text", " "))).alias("m")).collect()}
+    # budget 5x the small mass: the equal share (2.5x) exceeds small's
+    # 2-epoch cap, so small saturates at 2 epochs and big absorbs the
+    # remaining 3x = a 0.75 partial epoch (big is exactly 4x the mass)
+    budget = 5 * mass["small.io"]
+    mixed = unimax_sample(docs, total_budget=budget,
+                          source_col="domain", max_epochs=2.0)
+    by = {r.doc_id: r for r in mixed.collect()}
+    assert len(by) == 15                       # counts, not copies
+    assert all(by[f"http://small.io/{i}"].n_epochs == 2 for i in range(3))
+    assert all(not by[f"http://small.io/{i}"].in_partial for i in range(3))
+    assert all(by[f"http://big.io/{i}"].n_epochs == 0 for i in range(12))
+    kept_big = [d for d, r in by.items() if r.in_partial]
+    assert 0 < len(kept_big) <= 12             # a real partial epoch
+
+    # the budgeted selection (partial-epoch docs here) packs with a
+    # seeded per-epoch shuffle; the seed is reproducible
+    sel = mixed.filter("in_partial").select("doc_id", "text")
+    p1 = pack_assignment(sel, seq_len=32, shuffle_seed=1)
+    p2 = pack_assignment(sel, seq_len=32, shuffle_seed=1)
+    a = sorted((r.doc_id, r.start_tok) for r in p1.collect())
+    assert a == sorted((r.doc_id, r.start_tok) for r in p2.collect())
+    assert sorted(d for d, _ in a) == sorted(kept_big)
