@@ -163,3 +163,31 @@ def test_staged_plans_keep_their_scale_shapes(spark):
     eplan = enc._jdf.queryExecution().executedPlan().toString()
     assert eplan.count("MapInPandas") == 1, eplan
     assert "Exchange" not in eplan, eplan
+
+
+def test_staged_oracle_types_portable():
+    """The round-8 lesson applied ahead of registration: a DuckDB
+    result type without an exact Spark twin (HUGEINT, DECIMAL, …)
+    passes the str()-canon compare locally but fails the driver's
+    type-sensitive value hash.  Run the repo's own audit allowlist
+    over the staged oracles."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "audit_oracle_types",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "audit_oracle_types.py"))
+    audit = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    bad = []
+    for name, sql in sorted(STAGED_ORACLE.items()):
+        for col, typ in ((r[0], r[1]) for r in
+                         con.execute(f"DESCRIBE {sql}").fetchall()):
+            if not audit._base_ok(typ):
+                bad.append((name, col, typ))
+    assert not bad, bad
