@@ -54,20 +54,24 @@ def test_score_gate_far_from_floor_boundaries(spark):
     differ in the last ulp).  Assert the margin is ≥ 1e-6 grid units —
     ~10 orders above ulp noise; if a future fixture regeneration trips
     this, nudge _SCORE_WEIGHTS."""
-    df = STAGED["x_fasttext_score"](spark, SF_DIR)
-    # recompute p at full precision through the same public path
+    # recompute p at full precision through the same public path — at
+    # the pytest scale AND the driver's sf0.01 gate scale
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
     from sparkdon.pipeline.classifier import fasttext_score
     from sparkdon.pipeline.staged_gates import table
 
-    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
-    scored = fasttext_score(docs, _staged_score_model(), out_col="_p")
-    g = scored.select((F.lit(10000.0) * F.col("_p")).alias("g"))
-    margin = g.select(
-        F.min(F.least(F.col("g") - F.floor("g"),
-                      F.lit(1.0) - (F.col("g") - F.floor("g"))))
-        .alias("m")).collect()[0]["m"]
-    assert margin > 1e-6, f"score too close to floor grid: {margin}"
-    assert df.count() == docs.count()
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents").select("doc_id", "text")
+        scored = fasttext_score(docs, _staged_score_model(),
+                                out_col="_p")
+        g = scored.select((F.lit(10000.0) * F.col("_p")).alias("g"))
+        margin = g.select(
+            F.min(F.least(F.col("g") - F.floor("g"),
+                          F.lit(1.0) - (F.col("g") - F.floor("g"))))
+            .alias("m")).collect()[0]["m"]
+        assert margin > 1e-6, f"{sf}: score near floor grid: {margin}"
+    assert STAGED["x_fasttext_score"](spark, SF_DIR).count() > 0
 
 
 def test_bpe_oracle_replace_twice_is_exact():
