@@ -300,8 +300,15 @@ def x_dedup_minhash(spark, sf_dir):
 
 @register(
     "x_dedup_jaccard",
+    # every document keeps a row even with ZERO shingles (short/empty
+    # docs — the explode drops them, so the pair frame must rebuild
+    # from documents; r13 random-corpus fuzz find): empty-union pairs
+    # then divide by zero, which DuckDB yields as NULL — the Spark
+    # side's explicit guard emits the same NULL
     _DUCK_SHINGLES +
-    ", ds AS (SELECT doc_id, list_distinct(list(s)) AS sh FROM sh GROUP BY doc_id) "
+    ", shl AS (SELECT doc_id, list_distinct(list(s)) AS sh FROM sh GROUP BY doc_id), "
+    "ds AS (SELECT d.doc_id, coalesce(shl.sh, CAST([] AS VARCHAR[])) AS sh "
+    " FROM documents d LEFT JOIN shl USING (doc_id)) "
     "SELECT a.doc_id AS d1, b.doc_id AS d2, "
     "CAST(FLOOR(10000.0 * len(list_intersect(a.sh, b.sh)) "
     " / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jac_scaled "
@@ -309,20 +316,30 @@ def x_dedup_minhash(spark, sf_dir):
 )
 def x_dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard similarity on consecutive-doc pairs (the
-    verification stage that would follow LSH candidate generation)."""
+    verification stage that would follow LSH candidate generation).
+
+    A pair whose union of shingle sets is EMPTY (both docs shorter than
+    the shingle width) has undefined similarity: emit NULL, matching
+    the DuckDB oracle's division-by-zero result — under ANSI mode the
+    unguarded divide is a job-killing ArithmeticException, which the
+    fixture (no short docs) never exercised; the random-corpus
+    differential battery (r13) did."""
     sh = _spark_shingles(table(spark, sf_dir, "documents")).select(
         "doc_id", F.array_distinct("shingles").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    union_n = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(
+        union_n > 0,
+        F.floor(
+            10000.0
+            * F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+            / union_n))
     return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.floor(
-                10000.0
-                * F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-            ).alias("jac_scaled"),
+            jac.alias("jac_scaled"),
         )
     )
 
