@@ -31,6 +31,19 @@ def _norm_col(c):
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _cosine_scaled(dot, na, nb):
+    """``floor(1e6·cos)`` with the zero-norm guard shared by every
+    per-pair cosine site: cosine against a ZERO vector is undefined —
+    emit NULL, exactly the DuckDB oracles' division-by-zero result
+    (r13 random-corpus fuzz find: the unguarded divide is a job-killing
+    ArithmeticException under ANSI mode, and zero embeddings are
+    routine on real corpora — empty documents embed to zero).  Both
+    engines rank NULLs LAST under the shared sim DESC, cid ASC
+    tie-break, so top-k stays engine-identical."""
+    denom = na * nb
+    return F.when(denom > 0, F.floor(1e6 * dot / denom))
+
+
 _DUCK_SIM = (
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     "q AS (SELECT * FROM e WHERE vec_id < 10), "
@@ -74,7 +87,7 @@ def exact_cosine_topk(e: DataFrame, k: int = 5, n_q: int = 10) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
+            _cosine_scaled(dot, F.col("qn"), F.col("nv")).alias("sim_scaled"),
         )
     )
     # salted two-stage top-k (round 11): the brute-force frame has the
@@ -323,7 +336,7 @@ def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
         .select(
             "qid",
             "cid",
-            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
+            _cosine_scaled(dot, F.col("qn"), F.col("nv")).alias("sim_scaled"),
         )
     )
     # salted two-stage top-k (round 11): bucket skew means one hot LSH
@@ -487,7 +500,7 @@ def x_sim_ivf(spark, sf_dir):
         .select(
             "qid",
             "cid",
-            F.floor(1e6 * dot / (F.col("qn") * F.col("nv"))).alias("sim_scaled"),
+            _cosine_scaled(dot, F.col("qn"), F.col("nv")).alias("sim_scaled"),
         )
     )
     return salted_qid_topk(sims, k=5)
@@ -671,7 +684,7 @@ def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
         )
         .select(
             "d1", "d2",
-            F.floor(1e6 * dot / (F.col("xn") * F.col("yn"))).alias("sim_scaled"),
+            _cosine_scaled(dot, F.col("xn"), F.col("yn")).alias("sim_scaled"),
         )
         .filter(F.col("sim_scaled") >= threshold)
     )
@@ -881,7 +894,7 @@ def x_semantic_dedup(spark, sf_dir):
             F.col("x.v").alias("xv"), F.col("y.v").alias("yv"),
             F.col("x.nv").alias("xn"), F.col("y.nv").alias("yn"),
         )
-        .select("d2", F.floor(1e6 * dot / (F.col("xn") * F.col("yn")))
+        .select("d2", _cosine_scaled(dot, F.col("xn"), F.col("yn"))
                 .alias("sim_scaled"))
         .filter(F.col("sim_scaled") >= SEMANTIC_DUP_SIM_SCALED)
         .select("d2").distinct()

@@ -906,11 +906,16 @@ def x_boilerplate(spark, sf_dir):
 
 @register(
     "x_json_extract",
+    # json_valid guard: Spark's get_json_object yields NULL on
+    # malformed/empty props while DuckDB's json_extract ERRORS — on
+    # real event logs malformed JSON is routine, and the r13
+    # random-corpus fuzz showed the unguarded oracle dying on it
+    "WITH k AS (SELECT event_type, CASE WHEN json_valid(props) "
+    " THEN json_extract(props, '$.k')::BIGINT END AS k FROM events) "
     "SELECT event_type, COUNT(*) AS cnt, "
-    "CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k, "
-    "MIN(json_extract(props, '$.k')::BIGINT) AS min_k, "
-    "MAX(json_extract(props, '$.k')::BIGINT) AS max_k "
-    "FROM events GROUP BY event_type",
+    "CAST(SUM(k) AS BIGINT) AS sum_k, "
+    "MIN(k) AS min_k, MAX(k) AS max_k "
+    "FROM k GROUP BY event_type",
 )
 def x_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON

@@ -115,3 +115,90 @@ def test_pipeline_gates_match_oracles_on_random_corpus(spark, rand_dir):
             diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
             failures.append((key, "values", len(sc), len(oc), diff))
     assert not failures, failures
+
+
+#: embeddings-only gates (dim kept at the fixture's 64 so PQ subspace
+#: assumptions hold); edge shapes: a ZERO vector, exact-duplicate
+#: vectors, near-zero magnitudes
+EMBED_GATES = ["x_embed_norm", "x_embed_gram", "x_embed_quantize",
+               "x_pq_codes", "x_sim_topk"]
+
+#: events-only gates; edge shapes: duplicate timestamps within a user,
+#: constant-value runs (percentile/winsor ties), single-event users,
+#: malformed props JSON
+EVENT_GATES = ["x_window_tumbling", "x_event_lag", "x_event_percentiles",
+               "x_winsorize", "x_asof_join", "x_json_extract"]
+
+
+@pytest.fixture(scope="module")
+def rand_tables_dir(spark, tmp_path_factory):
+    import datetime
+
+    d = tmp_path_factory.mktemp("randsf2")
+    rng = random.Random(SEED + 1)
+    dim = 64
+    vecs = []
+    for i in range(120):
+        kind = rng.random()
+        if kind < 0.04:
+            v = [0.0] * dim                       # zero vector
+        elif kind < 0.12 and vecs:
+            v = list(vecs[rng.randrange(len(vecs))][1])  # exact dup
+        elif kind < 0.2:
+            v = [rng.uniform(-1e-4, 1e-4) for _ in range(dim)]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs.append((i, v, rng.randrange(4)))
+    (spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(d / "embeddings.parquet")))
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = []
+    for i in range(400):
+        user = rng.randrange(25)
+        if rng.random() < 0.2 and evs:
+            ts = evs[-1][1]                       # duplicate timestamp
+        else:
+            ts = t0 + datetime.timedelta(seconds=rng.randrange(86400 * 3))
+        val = rng.choice([0.0, 1.0, 1.0, -5.5, rng.uniform(-100, 100)])
+        props = rng.choice(
+            [f'{{"k": {rng.randrange(100)}}}', "{}", "not json", ""])
+        evs.append((i, ts, user,
+                    rng.choice(["click", "view", "purchase", "error",
+                                "signup"]),
+                    val, props))
+    (spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(d / "events.parquet")))
+    return str(d)
+
+
+@pytest.mark.parametrize("gates,view", [(EMBED_GATES, "embeddings"),
+                                        (EVENT_GATES, "events")])
+def test_embed_and_event_gates_match_on_random_tables(
+        spark, rand_tables_dir, gates, view):
+    from sparkdon import pipeline
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM "
+                f"'{rand_tables_dir}/{view}.parquet/*.parquet'")
+    failures = []
+    for key in gates:
+        df = pipeline.QUERIES[key](spark, rand_tables_dir)
+        s_cols = df.columns
+        s_rows = [tuple(r) for r in df.collect()]
+        cur = con.execute(pipeline.ORACLE[key])
+        o_cols = [c[0] for c in cur.description]
+        o_rows = cur.fetchall()
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
+            failures.append((key, "values", len(sc), len(oc), diff))
+    assert not failures, failures
