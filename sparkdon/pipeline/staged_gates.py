@@ -113,10 +113,13 @@ def _bpe_oracle() -> str:
     """DuckDB replication of the greedy left-to-right merge apply —
     see :func:`_bpe_word_expr` for the construction and its exactness
     argument."""
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # concat_ws gives '' — an empty document must encode to the empty
+    # string on both sides (r13 random-corpus fuzz find)
     return (
-        "SELECT doc_id, array_to_string(list_transform("
+        "SELECT doc_id, coalesce(array_to_string(list_transform("
         " list_filter(string_split(text, ' '), w -> w <> ''),"
-        f" w -> {_bpe_word_expr(STAGED_BPE_MERGES)}), ' ') AS bpe_text"
+        f" w -> {_bpe_word_expr(STAGED_BPE_MERGES)}), ' '), '') AS bpe_text"
         " FROM documents"
     )
 

@@ -202,3 +202,31 @@ def test_embed_and_event_gates_match_on_random_tables(
             diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
             failures.append((key, "values", len(sc), len(oc), diff))
     assert not failures, failures
+
+
+def test_staged_gates_match_on_random_corpus(spark, rand_dir):
+    """The r15-staged gates go through the same random-corpus
+    differential ahead of registration — empty docs score the bias,
+    zero-token docs pack with zero-width spans, and the pinned merge
+    list encodes arbitrary vocabulary."""
+    from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{rand_dir}/documents.parquet/*.parquet'")
+    failures = []
+    for key in sorted(STAGED):
+        df = STAGED[key](spark, rand_dir)
+        s_cols = df.columns
+        s_rows = [tuple(r) for r in df.collect()]
+        cur = con.execute(STAGED_ORACLE[key])
+        o_cols = [c[0] for c in cur.description]
+        o_rows = cur.fetchall()
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
+            failures.append((key, "values", len(sc), len(oc), diff))
+    assert not failures, failures
