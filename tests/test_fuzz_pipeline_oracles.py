@@ -230,3 +230,137 @@ def test_staged_gates_match_on_random_corpus(spark, rand_dir):
             diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
             failures.append((key, "values", len(sc), len(oc), diff))
     assert not failures, failures
+
+
+def _random_tpch(rng):
+    """Random TPC-H-shaped tables with the shapes the fixture lacks:
+    customers with zero orders, a nation with zero customers, balances
+    exactly AT the filter thresholds the gates use, negative balances,
+    odd-cent money (the .xx5 rounding boundary), duplicate names, an
+    empty segment string, tied order dates."""
+    import datetime
+
+    region = [(i, n) for i, n in enumerate(
+        ["AMERICA", "ASIA", "AFRICA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION{i:02d}", rng.randrange(5)) for i in range(25)]
+    # nation 24 gets no customers/suppliers (empty FK target)
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+            "FURNITURE", ""]
+    bals = [0.0, 1000.0, 4500.5, 5000.0, 9000.0, -999.99]
+    customer = []
+    for i in range(120):
+        bal = (rng.choice(bals) if rng.random() < 0.2
+               else rng.randrange(-99999, 1000000) / 100.0)
+        customer.append((i, f"Customer#{i % 40:09d}",  # duplicate names
+                         rng.randrange(24), bal, rng.choice(segs)))
+    supplier = [(i, f"Supplier#{i:09d}", rng.randrange(24),
+                 rng.randrange(-9999, 999999) / 100.0) for i in range(25)]
+    part = [(i, f"{rng.choice(['green', 'red'])} part {i}",
+             f"Brand#{rng.randrange(5)}{rng.randrange(5)}",
+             rng.choice(["ECONOMY BRUSHED", "STANDARD POLISHED",
+                         "SMALL PLATED"]),
+             rng.randrange(1, 50), rng.randrange(90000, 200000) / 100.0)
+            for i in range(40)]
+    t0 = datetime.datetime(2023, 1, 1)
+    orders, lineitem = [], []
+    ok = 0
+    for c, *_ in customer:
+        if c % 5 == 0:
+            continue                       # orderless customers
+        for _ in range(rng.randrange(0, 5)):
+            od = t0 + datetime.timedelta(days=rng.randrange(0, 900))
+            orders.append((ok, c, rng.choice("OFP"),
+                           rng.randrange(100000, 40000000) / 100.0, od,
+                           rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                       "4-NOT SPECIFIED", "5-LOW"])))
+            for ln in range(1, rng.randrange(1, 5)):
+                lineitem.append((
+                    ok, rng.randrange(40), rng.randrange(25), ln,
+                    float(rng.randrange(1, 51)),
+                    rng.randrange(90000, 10000000) / 100.0,
+                    rng.randrange(0, 11) / 100.0,
+                    rng.randrange(0, 9) / 100.0,
+                    rng.choice("ANR"), rng.choice("OF"),
+                    od + datetime.timedelta(days=rng.randrange(1, 120))))
+            ok += 1
+    return {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation,
+                   "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer,
+                     "c_custkey long, c_name string, c_nationkey int, "
+                     "c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier,
+                     "s_suppkey long, s_name string, s_nationkey int, "
+                     "s_acctbal double"),
+        "part": (part, "p_partkey long, p_name string, p_brand string, "
+                       "p_type string, p_size int, p_retailprice double"),
+        "orders": (orders,
+                   "o_orderkey long, o_custkey long, o_orderstatus "
+                   "string, o_totalprice double, o_orderdate timestamp, "
+                   "o_orderpriority string"),
+        "lineitem": (lineitem,
+                     "l_orderkey long, l_partkey long, l_suppkey long, "
+                     "l_linenumber int, l_quantity double, "
+                     "l_extendedprice double, l_discount double, "
+                     "l_tax double, l_returnflag string, "
+                     "l_linestatus string, l_shipdate timestamp"),
+    }
+
+
+@pytest.fixture(scope="module")
+def rand_tpch_dir(spark, tmp_path_factory, rand_dir, rand_tables_dir):
+    import shutil
+
+    d = tmp_path_factory.mktemp("randtpch")
+    rng = random.Random(SEED + 2)
+    for name, (rows, schema) in _random_tpch(rng).items():
+        (spark.createDataFrame(rows, schema).repartition(2)
+         .write.mode("overwrite").parquet(str(d / f"{name}.parquet")))
+    # documents/events gates in the same battery read from one dir
+    shutil.copytree(f"{rand_dir}/documents.parquet",
+                    str(d / "documents.parquet"))
+    shutil.copytree(f"{rand_tables_dir}/events.parquet",
+                    str(d / "events.parquet"))
+    return str(d)
+
+
+def test_relational_and_sparql_gates_match_on_random_tpch(
+        spark, rand_tpch_dir):
+    """Every relational-battery and SPARQL-engine gate against its
+    oracle on the random TPC-H instance — the SPARQL side additionally
+    re-derives the rdf-ization on the new tables, so the compiler,
+    paths, and engine entry points are differentially tested on data
+    with empty joins, threshold-exact filters, and money boundaries the
+    fixture never exercises."""
+    from sparkdon import relational, rdf_queries
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{rand_tpch_dir}/{t}.parquet/*.parquet'")
+    failures = []
+    pairs = [(k, relational.QUERIES[k], relational.ORACLE[k])
+             for k in sorted(relational.QUERIES)]
+    pairs += [(k, rdf_queries.QUERIES[k], rdf_queries.ORACLE[k])
+              for k in sorted(rdf_queries.QUERIES)]
+    for key, fn, sql in pairs:
+        try:
+            df = fn(spark, rand_tpch_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            cur = con.execute(sql)
+            o_cols = [c[0] for c in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001 — a crash IS a finding
+            failures.append((key, "error", str(e)[:200]))
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
+            failures.append((key, "values", len(sc), len(oc), diff))
+    assert not failures, failures
