@@ -57,7 +57,11 @@ GATES = [
 
 def _random_docs(rng):
     vocab = (["the", "of", "data", "spark", "a", "is", "x1", "9", "42",
-              "word", "row", "batch", "scan", "e", "er", "ererer"]
+              "word", "row", "batch", "scan", "e", "er", "ererer",
+              # non-ASCII words: md5 must hash identical UTF-8 bytes
+              # and the BPE oracle's '(.)' must split CODEPOINTS the
+              # way Python's list(word) does
+              "café", "naïve", "日本語", "Größe", "łódź"]
              + [f"w{i}" for i in range(40)])
     rows = []
     for i in range(N_DOCS):
