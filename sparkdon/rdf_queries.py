@@ -83,21 +83,24 @@ def run(spark: SparkSession, sf_dir: str, sparql: str, schema: dict[str, str],
 
 @register(
     "sparql_census",
-    # property census over the rdf-ized graph == per-column row counts
+    # property census over the rdf-ized graph == per-column NON-NULL
+    # counts (rdfize emits no triple for a NULL value, so count(col)
+    # — not count(*) — is the form that stays correct on data with
+    # nulls; the r13 null-injection differential caught this)
     "SELECT p, cnt FROM ("
     " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
     "  (SELECT count(*) FROM region)+(SELECT count(*) FROM nation)"
     "  +(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt"
-    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(*) FROM region)"
-    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(*) FROM nation)"
-    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(*) FROM nation)"
-    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(*) FROM supplier)"
-    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(*) FROM supplier)"
-    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(r_name) FROM region)"
+    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(n_name) FROM nation)"
+    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(n_regionkey) FROM nation)"
+    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(c_name) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(c_nationkey) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(c_acctbal) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(c_mktsegment) FROM customer)"
+    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(s_name) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(s_nationkey) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(s_acctbal) FROM supplier)"
     ")",
 )
 def sparql_census(spark, sf_dir):
@@ -116,16 +119,16 @@ def sparql_census(spark, sf_dir):
     " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
     "  (SELECT count(*) FROM region)+(SELECT count(*) FROM nation)"
     "  +(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier) AS cnt"
-    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(*) FROM region)"
-    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(*) FROM nation)"
-    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(*) FROM nation)"
-    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(*) FROM customer)"
-    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(*) FROM supplier)"
-    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(*) FROM supplier)"
-    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(*) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:r_name', (SELECT count(r_name) FROM region)"
+    " UNION ALL SELECT 'urn:p:n_name', (SELECT count(n_name) FROM nation)"
+    " UNION ALL SELECT 'urn:p:n_regionkey', (SELECT count(n_regionkey) FROM nation)"
+    " UNION ALL SELECT 'urn:p:c_name', (SELECT count(c_name) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_nationkey', (SELECT count(c_nationkey) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_acctbal', (SELECT count(c_acctbal) FROM customer)"
+    " UNION ALL SELECT 'urn:p:c_mktsegment', (SELECT count(c_mktsegment) FROM customer)"
+    " UNION ALL SELECT 'urn:p:s_name', (SELECT count(s_name) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_nationkey', (SELECT count(s_nationkey) FROM supplier)"
+    " UNION ALL SELECT 'urn:p:s_acctbal', (SELECT count(s_acctbal) FROM supplier)"
     ")",
 )
 def sparql_census_ids(spark, sf_dir):

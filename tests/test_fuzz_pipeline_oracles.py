@@ -368,3 +368,68 @@ def test_relational_and_sparql_gates_match_on_random_tpch(
             diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
             failures.append((key, "values", len(sc), len(oc), diff))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def rand_tpch_nulls_dir(spark, tmp_path_factory, rand_dir,
+                        rand_tables_dir):
+    """The TPC-H instance with NULL c_acctbal on ~15% of customers:
+    rdfize emits NO triple for a null value, so SPARQL OPTIONAL /
+    aggregates / censuses must align with SQL NULL semantics — the
+    fixture (no nulls anywhere) cannot test that."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("randtpchnull")
+    rng = random.Random(SEED + 3)
+    tables = _random_tpch(rng)
+    cust, schema = tables["customer"]
+    cust = [(k, n, nk, (None if rng.random() < 0.15 else bal), seg)
+            for k, n, nk, bal, seg in cust]
+    tables["customer"] = (cust, schema)
+    for name, (rows, sch) in tables.items():
+        (spark.createDataFrame(rows, sch).repartition(2)
+         .write.mode("overwrite").parquet(str(d / f"{name}.parquet")))
+    shutil.copytree(f"{rand_dir}/documents.parquet",
+                    str(d / "documents.parquet"))
+    shutil.copytree(f"{rand_tables_dir}/events.parquet",
+                    str(d / "events.parquet"))
+    return str(d)
+
+
+def test_sparql_gates_match_with_null_columns(spark, rand_tpch_nulls_dir):
+    """All 38 SPARQL gates (plus the relational battery) against their
+    oracles when a column carries NULLs — the null → no-triple →
+    unbound chain must line up with SQL NULL end to end.  First run of
+    this shape caught the census oracles counting count(*) where
+    rdfize emits only non-null triples."""
+    from sparkdon import relational, rdf_queries
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{rand_tpch_nulls_dir}/{t}.parquet/*.parquet'")
+    failures = []
+    pairs = [(k, relational.QUERIES[k], relational.ORACLE[k])
+             for k in sorted(relational.QUERIES)]
+    pairs += [(k, rdf_queries.QUERIES[k], rdf_queries.ORACLE[k])
+              for k in sorted(rdf_queries.QUERIES)]
+    for key, fn, sql in pairs:
+        try:
+            df = fn(spark, rand_tpch_nulls_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            cur = con.execute(sql)
+            o_cols = [c[0] for c in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, "error", str(e)[:200]))
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
+            failures.append((key, "values", len(sc), len(oc), diff))
+    assert not failures, failures
