@@ -433,3 +433,37 @@ def test_sparql_gates_match_with_null_columns(spark, rand_tpch_nulls_dir):
             diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
             failures.append((key, "values", len(sc), len(oc), diff))
     assert not failures, failures
+
+
+def test_documents_gates_match_with_null_text(spark, tmp_path_factory):
+    """The documents battery again with NULL text on ~10% of rows —
+    crawl pipelines see null text after failed extraction, and every
+    gate/oracle pair must agree on it (swept clean on first run r13;
+    kept as regression)."""
+    from sparkdon import pipeline
+
+    d = tmp_path_factory.mktemp("randnulldocs")
+    rng = random.Random(SEED + 4)
+    rows = [(i, (None if rng.random() < 0.1 else t), l, s, n)
+            for i, t, l, s, n in _random_docs(rng)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    failures = []
+    for key in GATES:
+        df = pipeline.QUERIES[key](spark, str(d))
+        s_cols = df.columns
+        s_rows = [tuple(r) for r in df.collect()]
+        cur = con.execute(pipeline.ORACLE[key])
+        o_cols = [c[0] for c in cur.description]
+        o_rows = cur.fetchall()
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            failures.append((key, "values"))
+    assert not failures, failures
