@@ -1885,3 +1885,67 @@ def corpus_report(docs: DataFrame, text_col: str = "text",
             r[0]: r[1]
             for r in docs.groupBy(lang_col).count().collect()}
     return out
+
+
+#: list size up to which the blocklist rides the zero-shuffle codegen
+#: lane (arrays_overlap against one array literal); beyond it the
+#: explode + broadcast-semi-join lane wins and keeps the plan size
+#: bounded.  Module-level so tests exercise both lanes cheaply.
+BLOCKLIST_LITERAL_MAX = 256
+
+
+def blocklist_filter(docs: DataFrame, terms, text_col: str = "text",
+                     mode: str = "token") -> DataFrame:
+    """Drop documents containing any blocklisted term — the C4 recipe's
+    bad-words gate (Raffel et al. 2020 filter the public "dirty,
+    naughty…" list), the standing companion of the host blocklist in
+    :func:`sparkdon.sources.warc.filter_blocked_hosts`.
+
+    Matching is case-insensitive.  ``mode="token"`` (default) matches
+    whole whitespace tokens (:func:`nonempty_tokens`, the shared
+    tokenizer); ``mode="phrase"`` matches substrings at word
+    boundaries — multi-word phrases and hyphen/punctuation-adjacent
+    hits included, the exact C4 behavior for phrase entries.
+
+    Scale shape, two lanes: ≤ ``BLOCKLIST_LITERAL_MAX`` terms ship as
+    ONE array literal (the ``F.lit(list)`` py4j trap avoided via the
+    SQL-parse path) or one compiled regex — a zero-shuffle codegen
+    predicate, safe inside a streaming micro-batch; larger lists
+    (token mode) take distinct-token explode → broadcast semi-join →
+    anti-join back, whose shuffle fan-in is the blocklist hit set,
+    never the corpus.  Both lanes are output-identical (pytest A/B)."""
+    import re as _re
+
+    terms = [str(t) for t in terms]
+    if any(not t for t in terms):
+        raise ValueError("blocklist_filter: empty term")
+    if mode not in ("token", "phrase"):
+        raise ValueError(f"mode must be 'token' or 'phrase', got {mode!r}")
+    if not terms:
+        return docs
+    low = [t.lower() for t in terms]
+    txt = F.coalesce(F.lower(F.col(text_col)), F.lit(""))
+    if mode == "phrase":
+        # one alternation regex, word-bounded; longest-first so an
+        # entry that prefixes another cannot shadow it
+        pat = "(?s)" + "|".join(
+            r"\b" + _re.escape(t) + r"\b"
+            for t in sorted(low, key=len, reverse=True))
+        return docs.filter(~txt.rlike(pat))
+    toks = nonempty_tokens(txt)
+    if len(low) <= BLOCKLIST_LITERAL_MAX:
+        lit = F.expr("array(" + ",".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for t in sorted(low)) + ")")
+        return docs.filter(~F.arrays_overlap(toks, lit))
+    spark = docs.sparkSession
+    tf = spark.createDataFrame([(t,) for t in sorted(set(low))],
+                               "_bl_term string")
+    if "_bl_tok" in docs.columns or "_bl_term" in docs.columns:
+        raise ValueError("blocklist_filter: _bl_tok/_bl_term reserved")
+    hits = (docs.select("doc_id", F.explode(F.array_distinct(toks))
+                        .alias("_bl_tok"))
+            .join(F.broadcast(tf), F.col("_bl_tok") == F.col("_bl_term"),
+                  "left_semi")
+            .select("doc_id").distinct())
+    return docs.join(hits, "doc_id", "left_anti")
