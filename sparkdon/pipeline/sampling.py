@@ -405,13 +405,28 @@ def x_rank_normalize(spark, sf_dir):
     lane of ``dedup._join_back_skew_robust`` is the drop-in production
     variant.  Ranks are exact at every scale; nothing is sampled."""
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = value_rank_table(d, "n_chars").drop("c")
+    return (
+        d.join(cum, "n_chars")
+        .select("doc_id", "n_chars", "rank_less",
+                F.expr("(rank_less * 10) div _n").alias("decile"))
+    )
+
+
+def value_rank_table(d: DataFrame, col: str) -> DataFrame:
+    """(value, c, rank_less, _n) per DISTINCT value of ``col`` —
+    ``rank_less`` = how many rows carry a strictly smaller value, via
+    the arithmetic-bucket two-pass prefix sum (no global-order window;
+    the shape documented on :func:`x_rank_normalize`, refactored out in
+    r13 so the quality-selection ops share one definition)."""
+    spark = d.sparkSession
     p = spark.sparkContext.defaultParallelism
-    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    mm = g.agg(F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi"),
+    g = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    mm = g.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"),
                F.sum("c").alias("_n"))
     bucket = F.least(
         F.lit(p - 1),
-        F.floor((F.col("n_chars") - F.col("_lo")) * p
+        F.floor((F.col(col) - F.col("_lo")) * p
                 / (F.col("_hi") - F.col("_lo") + 1))
     ).cast("int")
     gg = g.crossJoin(F.broadcast(mm)).withColumn("b", bucket)
@@ -419,19 +434,57 @@ def x_rank_normalize(spark, sf_dir):
     wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
         "b", F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("boff"))
-    wl = Window.partitionBy("b").orderBy("n_chars").rowsBetween(
+    wl = Window.partitionBy("b").orderBy(col).rowsBetween(
         Window.unboundedPreceding, -1)
-    cum = (
+    return (
         gg.withColumn("local", F.coalesce(F.sum("c").over(wl), F.lit(0)))
         .join(F.broadcast(offs), "b")
-        .select("n_chars",
+        .select(col, "c",
                 (F.col("local") + F.col("boff")).alias("rank_less"), "_n")
     )
-    return (
-        d.join(cum, "n_chars")
-        .select("doc_id", "n_chars", "rank_less",
-                F.expr("(rank_less * 10) div _n").alias("decile"))
-    )
+
+
+def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
+                      ascending: bool = False) -> DataFrame:
+    """Keep the documents whose ``score_col`` falls in the corpus-wide
+    top ``frac`` — the FineWeb-Edu-style quality selection (score the
+    corpus, keep the best slice).  Threshold-INCLUSIVE at the boundary
+    value: every document tied with the cutoff score is kept, so the
+    result can exceed ``frac·n`` by the boundary tie mass (the honest
+    deterministic semantics; a tie-broken exact-k variant is
+    ``x_sample_exact_k``'s md5 machinery, at the cost of a second
+    keyed pass).  ``ascending=True`` keeps the LOWEST slice (e.g.
+    perplexity filtering).
+
+    Scale shape: the exact threshold comes from
+    :func:`value_rank_table` (value-domain-sized, never a global-order
+    window) reduced to ONE row, broadcast back as a scalar filter —
+    the corpus itself is touched by one narrow pass.  A null score
+    fails loudly: silently dropping unscored docs would make the kept
+    fraction lie."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac!r}")
+    sc = F.col(score_col)
+    guarded = F.when(sc.isNotNull(), sc).otherwise(F.raise_error(F.lit(
+        f"keep_top_fraction: null {score_col} — score every document "
+        "first (empty docs score the classifier bias, not null)")))
+    d = docs.withColumn(score_col, guarded)
+    rt = value_rank_table(d.select(score_col), score_col)
+    if ascending:
+        better = F.col("rank_less")                  # strictly smaller
+    else:
+        better = F.col("_n") - F.col("rank_less") - F.col("c")
+    kept_vals = rt.withColumn(
+        "_keep", better < F.floor(F.lit(float(frac)) * F.col("_n"))
+    ).filter(F.col("_keep"))
+    thr = kept_vals.agg(
+        (F.min(score_col) if not ascending else F.max(score_col))
+        .alias("thr"))
+    cond = (F.col(score_col) >= F.col("thr") if not ascending
+            else F.col(score_col) <= F.col("thr"))
+    # frac == 0 (or an empty frame) leaves thr NULL: the comparison is
+    # NULL for every row and the filter keeps nothing — correct.
+    return d.join(F.broadcast(thr)).filter(cond).drop("thr")
 
 
 # ---------------------------------------------------------------------------

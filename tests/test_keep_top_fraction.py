@@ -1,0 +1,77 @@
+"""keep_top_fraction — exact corpus-wide quality selection (FineWeb-Edu
+shape) on the shared no-global-window rank machinery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdon.pipeline.sampling import keep_top_fraction, value_rank_table
+
+
+def _scored(spark, scores):
+    return spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)],
+        "doc_id long, score double")
+
+
+def test_exact_top_fraction(spark):
+    docs = _scored(spark, range(100))          # scores 0..99, unique
+    kept = {r.doc_id for r in
+            keep_top_fraction(docs, "score", 0.2).collect()}
+    assert kept == set(range(80, 100))         # exactly the top 20
+    low = {r.doc_id for r in
+           keep_top_fraction(docs, "score", 0.1, ascending=True).collect()}
+    assert low == set(range(10))               # lowest decile
+
+
+def test_boundary_ties_are_inclusive(spark):
+    # 10 docs at score 5, 10 below: top 5% budget (1 doc) lands ON the
+    # tie block -> all ten tied docs kept (documented semantics)
+    docs = _scored(spark, [5] * 10 + [1] * 10)
+    kept = keep_top_fraction(docs, "score", 0.05).collect()
+    assert len(kept) == 10
+    assert all(r.score == 5.0 for r in kept)
+
+
+def test_edge_fractions_and_validation(spark):
+    docs = _scored(spark, range(10))
+    assert keep_top_fraction(docs, "score", 1.0).count() == 10
+    assert keep_top_fraction(docs, "score", 0.0).count() == 0
+    with pytest.raises(ValueError, match="frac"):
+        keep_top_fraction(docs, "score", 1.5)
+
+
+def test_null_score_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame([(1, 0.5), (2, None)],
+                                 "doc_id long, score double")
+    with pytest.raises(SparkRuntimeException, match="null score"):
+        keep_top_fraction(docs, "score", 0.5).collect()
+
+
+def test_rank_table_matches_naive(spark):
+    import random
+
+    rng = random.Random(4)
+    vals = [rng.randrange(20) for _ in range(300)]
+    d = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r.v: (r.c, r.rank_less, r._n) for r in
+           value_rank_table(d, "v").collect()}
+    for v, (c, rl, n) in got.items():
+        assert c == vals.count(v)
+        assert rl == sum(1 for x in vals if x < v)
+        assert n == len(vals)
+
+
+def test_no_global_order_window(spark):
+    """The selection must never collapse the corpus to one ordered
+    task: every window in the plan is bucket-partitioned."""
+    docs = _scored(spark, range(50))
+    plan = (keep_top_fraction(docs, "score", 0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    for i, line in enumerate(plan.splitlines()):
+        if "Window " in line and "partitionBy" not in line:
+            # spark prints Window [..], [b ASC..] — partition spec is
+            # the second bracket; a single-partition global window
+            # prints an EMPTY partition spec
+            assert "], [" in line, (i, line)
