@@ -1949,3 +1949,53 @@ def blocklist_filter(docs: DataFrame, terms, text_col: str = "text",
                   "left_semi")
             .select("doc_id").distinct())
     return docs.join(hits, "doc_id", "left_anti")
+
+
+def split_long_documents(docs: DataFrame, max_tokens: int,
+                         text_col: str = "text",
+                         overlap: int = 0) -> DataFrame:
+    """Split over-long documents into consecutive ``max_tokens``-token
+    chunks — the pre-packing/embedding chunking step (RefinedWeb splits
+    giant pages; embedding pipelines window long docs, usually with a
+    small ``overlap``).  Adds ``chunk_id`` (0-based long); every other
+    column is carried through unchanged on each chunk row.
+
+    Documents at or under the budget pass through VERBATIM as their
+    own chunk 0 — original whitespace intact; only actually-split
+    documents get token-joined chunk text (whitespace normalized to
+    single spaces, the shared :func:`nonempty_tokens` definition).
+    Empty/null text passes through as one empty-text-preserved chunk.
+
+    100 TB shape: one narrow projection + one ``posexplode`` (row fanout
+    IS the output, no shuffle, no Python) — safe inside a streaming
+    micro-batch."""
+    if not (isinstance(max_tokens, int) and not isinstance(max_tokens, bool)
+            and max_tokens > 0):
+        raise ValueError(f"max_tokens must be a positive int, "
+                         f"got {max_tokens!r}")
+    if not (isinstance(overlap, int) and not isinstance(overlap, bool)
+            and 0 <= overlap < max_tokens):
+        raise ValueError(f"overlap must be an int in [0, max_tokens), "
+                         f"got {overlap!r}")
+    if "chunk_id" in docs.columns:
+        raise ValueError("split_long_documents: column 'chunk_id' "
+                         "already exists")
+    stride = max_tokens - overlap
+    toks = F.coalesce(nonempty_tokens(F.col(text_col)),
+                      F.array().cast("array<string>"))
+    others = [c for c in docs.columns if c != text_col]
+    with_toks = docs.select(*others, F.col(text_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    # chunk start positions (1-based): 1, 1+stride, ... while the
+    # window still begins inside the doc AND adds unseen tokens
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - max_tokens) / F.lit(stride)).cast("int"))
+    out = with_toks.select(
+        *others, F.col(text_col), F.col("_toks"), n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    chunk_text = F.when(
+        F.col("_n") <= max_tokens, F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.slice(
+            F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)))
+    return out.select(*others, F.col("chunk_id").cast("long"),
+                      chunk_text.alias(text_col))
