@@ -526,3 +526,59 @@ def test_mixture_budgeted_recipe_composes(spark, tmp_path):
     a = sorted((r.doc_id, r.start_tok) for r in p1.collect())
     assert a == sorted((r.doc_id, r.start_tok) for r in p2.collect())
     assert sorted(d for d, _ in a) == sorted(kept_big)
+
+
+def test_r13_curation_ops_compose(spark, tmp_path):
+    """The three r13 curation additions in one chain on crawled text:
+    blocklist gate → classifier score → exact top-fraction selection →
+    long-doc chunking → packing.  Verifies schema compatibility and
+    the end-to-end keep accounting."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.classifier import fasttext_score, fasttext_train
+    from sparkdon.pipeline.packing import pack_assignment
+    from sparkdon.pipeline.sampling import keep_top_fraction
+    from sparkdon.pipeline.text import (blocklist_filter,
+                                        split_long_documents)
+
+    def prose(seed, n=40):
+        base = ("the archive describes the people and places that "
+                "shaped the work with care and patience ")
+        return (base * 3) + f"entry {seed}"
+
+    records = [
+        _page(f"ok-{i}", f"http://ok.io/{i}",
+              "2024-01-01T00:00:00Z", prose(i)) for i in range(6)
+    ] + [
+        _page("bad-0", "http://ok.io/bad",
+              "2024-01-01T00:00:00Z", prose(99) + " casino jackpot")
+    ]
+    (tmp_path / "r.warc.gz").write_bytes(
+        warc_bytes(records, gzip_per_record=True))
+    docs = (warc_documents(read_warc(spark, str(tmp_path)))
+            .select(F.col("url").alias("doc_id"), "text"))
+
+    clean = blocklist_filter(docs, ["casino", "jackpot"])
+    assert clean.count() == 6                      # the bad page drops
+
+    train = spark.createDataFrame(
+        [(f"p{i}", prose(100 + i), 1.0) for i in range(6)]
+        + [(f"n{i}", "win free pills click here now " * 6, 0.0)
+           for i in range(6)],
+        "doc_id string, text string, y double")
+    model = fasttext_train(train, buckets=512, iters=10)
+    scored = fasttext_score(clean, model)
+    top = keep_top_fraction(scored, "quality_p", 0.5)
+    n_top = top.count()
+    assert 3 <= n_top <= 6                         # ties may widen it
+
+    chunks = split_long_documents(top.drop("quality_p"), max_tokens=32)
+    packed = pack_assignment(
+        chunks.withColumn(
+            "doc_id", F.concat_ws("#", "doc_id", "chunk_id"))
+        .drop("chunk_id"),
+        seq_len=64)
+    # packing accounting covers every chunk of every selected doc
+    assert packed.count() == chunks.count()
+    total = packed.agg(F.sum("n_tok")).collect()[0][0]
+    assert total > 0
