@@ -413,21 +413,35 @@ def x_rank_normalize(spark, sf_dir):
     )
 
 
-def value_rank_table(d: DataFrame, col: str) -> DataFrame:
+def value_rank_table(d: DataFrame, col: str,
+                     unit_span: bool = True) -> DataFrame:
     """(value, c, rank_less, _n) per DISTINCT value of ``col`` —
     ``rank_less`` = how many rows carry a strictly smaller value, via
     the arithmetic-bucket two-pass prefix sum (no global-order window;
     the shape documented on :func:`x_rank_normalize`, refactored out in
-    r13 so the quality-selection ops share one definition)."""
+    r13 so the quality-selection ops share one definition).
+
+    ``unit_span=True`` keeps the integer form (span + 1 — the gated
+    ``x_rank_normalize`` plan, exact for integer domains).  Pass
+    ``unit_span=False`` for FRACTIONAL value domains: a [0, 1] score
+    range under the +1 form lands every value in bucket 0 and the
+    within-bucket window degenerates to one task over the whole value
+    domain — the same collapse ``pack_and_shard`` fixed for fractional
+    curriculum keys in r12; the real-span form buckets over the actual
+    (hi − lo) with the top value capped into the last bucket."""
     spark = d.sparkSession
     p = spark.sparkContext.defaultParallelism
     g = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
     mm = g.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"),
                F.sum("c").alias("_n"))
+    if unit_span:
+        width = F.col("_hi") - F.col("_lo") + 1
+    else:
+        span = F.col("_hi") - F.col("_lo")
+        width = F.when(span > 0, span).otherwise(F.lit(1.0))
     bucket = F.least(
         F.lit(p - 1),
-        F.floor((F.col(col) - F.col("_lo")) * p
-                / (F.col("_hi") - F.col("_lo") + 1))
+        F.floor((F.col(col) - F.col("_lo")) * p / width)
     ).cast("int")
     gg = g.crossJoin(F.broadcast(mm)).withColumn("b", bucket)
     per = gg.groupBy("b").agg(F.sum("c").alias("bs"))
@@ -469,7 +483,10 @@ def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
         f"keep_top_fraction: null {score_col} — score every document "
         "first (empty docs score the classifier bias, not null)")))
     d = docs.withColumn(score_col, guarded)
-    rt = value_rank_table(d.select(score_col), score_col)
+    # real-span bucketing: quality scores are fractional ([0, 1]) and
+    # the integer form would collapse the rank windows to one bucket
+    rt = value_rank_table(d.select(score_col), score_col,
+                          unit_span=False)
     if ascending:
         better = F.col("rank_less")                  # strictly smaller
     else:

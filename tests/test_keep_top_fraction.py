@@ -75,3 +75,23 @@ def test_no_global_order_window(spark):
             # the second bracket; a single-partition global window
             # prints an EMPTY partition spec
             assert "], [" in line, (i, line)
+
+
+def test_fractional_domain_selection_and_bucket_spread(spark):
+    """Scores in [0, 1] (the classifier's range): selection stays exact
+    AND the rank windows actually spread across buckets — the integer
+    +1 bucket form would land the whole domain in bucket 0 (the r12
+    fractional-curriculum-key collapse, re-found here in review)."""
+    import random
+
+    rng = random.Random(8)
+    scores = sorted(round(rng.random(), 6) for _ in range(200))
+    docs = _scored(spark, scores)                  # doc_id == sort rank
+    kept = {r.doc_id for r in
+            keep_top_fraction(docs, "score", 0.25).collect()}
+    assert kept == set(range(150, 200))            # unique scores: exact
+    # the real-span table is rank-exact on the fractional domain
+    rt = value_rank_table(docs.select("score"), "score",
+                          unit_span=False)
+    got = {r.rank_less for r in rt.collect()}
+    assert got == set(range(0, 200))               # exact dense ranks
