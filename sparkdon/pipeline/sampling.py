@@ -491,9 +491,18 @@ def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
         better = F.col("rank_less")                  # strictly smaller
     else:
         better = F.col("_n") - F.col("rank_less") - F.col("c")
-    kept_vals = rt.withColumn(
-        "_keep", better < F.floor(F.lit(float(frac)) * F.col("_n"))
-    ).filter(F.col("_keep"))
+    # budget = floor(frac·n) computed in EXACT integer arithmetic:
+    # frac as parts-per-billion (driver-side exact int) times n in
+    # DECIMAL — the naive double product silently loses a document on
+    # ordinary fractions (0.58 * 100 = 57.999…994 → floor 57, review
+    # find r13).  floor semantics also means frac·n < 1 keeps nothing —
+    # the honest reading of "top 10% of 5 documents".
+    frac_ppb = int(round(float(frac) * 1_000_000_000))
+    budget = F.expr(
+        f"CAST((CAST({frac_ppb} AS DECIMAL(38, 0)) * _n) DIV "
+        "1000000000 AS BIGINT)")
+    kept_vals = rt.withColumn("_keep", better < budget) \
+        .filter(F.col("_keep"))
     thr = kept_vals.agg(
         (F.min(score_col) if not ascending else F.max(score_col))
         .alias("thr"))
@@ -704,6 +713,17 @@ def unimax_sample(docs: DataFrame, total_budget: float,
         from .text import nonempty_tokens
 
         n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("double")
+    # a NULL source would receive a budget its rows can never claim —
+    # the inner equi-join drops them, silently under-spending the
+    # mixture (review find r13).  Refuse, like every other silent-loss
+    # path in this tier: bucket lang-id failures into a real label
+    # ('unk') before mixing.
+    sc_ = F.col(source_col)
+    guarded_src = F.when(sc_.isNotNull(), sc_).otherwise(
+        F.raise_error(F.lit(
+            f"unimax_sample: null {source_col} — assign unlabeled "
+            "documents a real source value (e.g. 'unk') before mixing")))
+    docs = docs.withColumn(source_col, guarded_src)
     masses = {r[0]: float(r[1]) for r in
               docs.groupBy(source_col).agg(F.sum(n_tok)).collect()}
     alloc = unimax_budgets(masses, total_budget, max_epochs)

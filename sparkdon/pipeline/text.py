@@ -906,12 +906,16 @@ def x_boilerplate(spark, sf_dir):
 
 @register(
     "x_json_extract",
-    # json_valid guard: Spark's get_json_object yields NULL on
-    # malformed/empty props while DuckDB's json_extract ERRORS — on
-    # real event logs malformed JSON is routine, and the r13
-    # random-corpus fuzz showed the unguarded oracle dying on it
+    # Guards, matched EXACTLY on the Spark side: json_valid (Spark's
+    # get_json_object yields NULL on malformed props, DuckDB's
+    # json_extract ERRORS), then an integer-regex + TRY_CAST pair — a
+    # fractional k is NULL on both engines (bare DuckDB ::BIGINT
+    # ROUNDS 1.5 → 2 while ANSI Spark cast throws; both r13 review/
+    # fuzz finds), and an int64-overflowing integer is NULL on both
     "WITH k AS (SELECT event_type, CASE WHEN json_valid(props) "
-    " THEN json_extract(props, '$.k')::BIGINT END AS k FROM events) "
+    " AND regexp_full_match(coalesce(json_extract_string(props, '$.k'), ''), '-?[0-9]+') "
+    " THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k "
+    " FROM events) "
     "SELECT event_type, COUNT(*) AS cnt, "
     "CAST(SUM(k) AS BIGINT) AS sum_k, "
     "MIN(k) AS min_k, MAX(k) AS max_k "
@@ -928,7 +932,12 @@ def x_json_extract(spark, sf_dir):
     100 TB shape: a narrow extraction map + one partial-agg shuffle on
     the (low-cardinality) event type; AQE handles the 5-key skew."""
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    s = F.get_json_object("props", "$.k")
+    # integer-regex + try_cast, mirrored in the oracle: fractional or
+    # overflowing k is NULL on both engines instead of an ANSI throw
+    # here vs a rounded value there
+    k = F.when(s.rlike("^-?[0-9]+$"), s).otherwise(F.lit(None)) \
+        .try_cast("long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1921,15 +1930,36 @@ def blocklist_filter(docs: DataFrame, terms, text_col: str = "text",
         raise ValueError("blocklist_filter: empty term")
     if mode not in ("token", "phrase"):
         raise ValueError(f"mode must be 'token' or 'phrase', got {mode!r}")
+    if mode == "token" and any(any(ch.isspace() for ch in t)
+                               for t in terms):
+        raise ValueError(
+            "blocklist_filter: whitespace inside a term can never match "
+            "a whitespace token — use mode='phrase' for multi-word "
+            "entries (review find r13: the public C4 list carries "
+            "phrases, and a silent per-entry no-op hides real misses)")
+    # contract identical in BOTH lanes: the join lane needs doc_id and
+    # the reserved names, so enforce them regardless of list size — a
+    # call must not start failing merely because the term list crossed
+    # BLOCKLIST_LITERAL_MAX (review find r13)
+    if mode == "token":
+        if "doc_id" not in docs.columns:
+            raise ValueError("blocklist_filter: token mode needs a "
+                             "doc_id column")
+        if "_bl_tok" in docs.columns or "_bl_term" in docs.columns:
+            raise ValueError("blocklist_filter: _bl_tok/_bl_term "
+                             "reserved")
     if not terms:
         return docs
     low = [t.lower() for t in terms]
     txt = F.coalesce(F.lower(F.col(text_col)), F.lit(""))
     if mode == "phrase":
-        # one alternation regex, word-bounded; longest-first so an
-        # entry that prefixes another cannot shadow it
+        # one alternation regex; boundaries as lookarounds, NOT \b —
+        # \b needs a word/non-word transition, so a punctuation-edged
+        # entry ('a$$', the shape the public lists carry) could never
+        # match (review find r13).  Longest-first so an entry that
+        # prefixes another cannot shadow it.
         pat = "(?s)" + "|".join(
-            r"\b" + _re.escape(t) + r"\b"
+            r"(?<!\w)" + _re.escape(t) + r"(?!\w)"
             for t in sorted(low, key=len, reverse=True))
         return docs.filter(~txt.rlike(pat))
     toks = nonempty_tokens(txt)
@@ -1941,8 +1971,6 @@ def blocklist_filter(docs: DataFrame, terms, text_col: str = "text",
     spark = docs.sparkSession
     tf = spark.createDataFrame([(t,) for t in sorted(set(low))],
                                "_bl_term string")
-    if "_bl_tok" in docs.columns or "_bl_term" in docs.columns:
-        raise ValueError("blocklist_filter: _bl_tok/_bl_term reserved")
     hits = (docs.select("doc_id", F.explode(F.array_distinct(toks))
                         .alias("_bl_tok"))
             .join(F.broadcast(tf), F.col("_bl_tok") == F.col("_bl_term"),
@@ -1977,9 +2005,10 @@ def split_long_documents(docs: DataFrame, max_tokens: int,
             and 0 <= overlap < max_tokens):
         raise ValueError(f"overlap must be an int in [0, max_tokens), "
                          f"got {overlap!r}")
-    if "chunk_id" in docs.columns:
-        raise ValueError("split_long_documents: column 'chunk_id' "
-                         "already exists")
+    for c in ("chunk_id", "_toks", "_n"):
+        if c in docs.columns:
+            raise ValueError(f"split_long_documents: column {c!r} is "
+                             "reserved")
     stride = max_tokens - overlap
     toks = F.coalesce(nonempty_tokens(F.col(text_col)),
                       F.array().cast("array<string>"))

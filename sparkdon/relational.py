@@ -589,17 +589,22 @@ def f4_substr(spark, sf_dir):
 
 @register(
     "f5_regex",
-    "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k "
+    "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k "
     "FROM events WHERE regexp_matches(props, '\"k\": [0-9]+')",
 )
 def f5_regex(spark, sf_dir):
-    """F5: REGEX — rlike filter + regexp_extract projection."""
+    """F5: REGEX — rlike filter + regexp_extract projection.  The cast
+    is TRY on both engines: a captured digit run wider than int32 (a
+    crawl-scale id in the props) was a job-killing ANSI throw here and
+    a CAST error in DuckDB — NULL on both instead (r13 random-events
+    fuzz find)."""
     return (
         table(spark, sf_dir, "events")
         .filter(F.col("props").rlike('"k": [0-9]+'))
         .select(
             "event_id",
-            F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("int").alias("k"),
+            F.regexp_extract("props", '"k": ([0-9]+)', 1)
+            .try_cast("int").alias("k"),
         )
     )
 

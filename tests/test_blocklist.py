@@ -73,3 +73,31 @@ def test_composes_with_c4(spark):
         "doc_id long, text string")
     out = blocklist_filter(c4_clean_lines(docs), ["badword"])
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_phrase_mode_punctuation_edged_terms(spark):
+    """\\b boundaries can never match a term ending in a non-word char
+    (the shape the public bad-words list carries); the lookaround
+    boundaries do (review find r13)."""
+    docs = spark.createDataFrame(
+        [(1, "what an a$$ move"), (2, "classy text"), (3, "pass it")],
+        "doc_id long, text string")
+    kept = {r.doc_id for r in
+            blocklist_filter(docs, ["a$$"], mode="phrase").collect()}
+    assert kept == {2, 3}                      # no 'pass'/'classy' hit
+
+
+def test_token_mode_rejects_multiword_terms(spark):
+    """A whitespace-bearing term can never match a whitespace token —
+    silent per-entry no-ops hide real misses (review find r13)."""
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="phrase"):
+        blocklist_filter(docs, ["word phrase"])
+
+
+def test_token_mode_requires_doc_id_in_both_lanes(spark):
+    """The contract must not change when the list crosses the literal
+    lane's size cap (review find r13)."""
+    no_id = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="doc_id"):
+        blocklist_filter(no_id, ["x"])

@@ -1,14 +1,14 @@
-"""Seeded random differential battery for the PIPELINE gates: the
-driver verifies each oracle on the FIXED fixture, so an oracle could in
-principle agree there by accident (fixture-overfit token shapes, no
-edge words).  This battery regenerates a random ``documents`` table —
-skewed lengths, empty docs, single-char words, dense duplicate
-vocabulary, digit/punctuation tokens — and asserts Spark gate ≡ DuckDB
-oracle on THAT, for every deterministic text/dedup/sampling gate that
-reads only ``documents``.
+"""Seeded random differential battery: the driver verifies each oracle
+on the FIXED fixture, so an oracle could in principle agree there by
+accident (fixture-overfit token shapes, no edge words).  These
+batteries regenerate random documents/embeddings/events tables AND a
+random TPC-H instance — empty/null/unicode docs, zero vectors,
+duplicate timestamps, malformed JSON, orderless customers, null
+balances, odd-cent money — and assert Spark gate ≡ DuckDB oracle on
+THAT, across the pipeline, relational, SPARQL, and staged tiers.
 
 Same compare as scripts/check_correctness.py (row count, columns,
-order-insensitive canonical values); fixed seed so CI is stable."""
+order-insensitive canonical values); fixed seeds so CI is stable."""
 
 from __future__ import annotations
 
@@ -33,6 +33,9 @@ canon_rows = _check.canon_rows
 SEED = 20260816
 N_DOCS = 220
 
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "documents", "events")
+
 #: gates whose inputs are documents-only AND whose oracle is exact (no
 #: fixture-specific constants baked into semantics beyond thresholds)
 GATES = [
@@ -53,6 +56,64 @@ GATES = [
     "x_mix_sample",
     "x_sample_stratified",
 ]
+
+#: embeddings-only gates (dim kept at the fixture's 64 so PQ subspace
+#: assumptions hold); edge shapes: a ZERO vector, exact-duplicate
+#: vectors, near-zero magnitudes
+EMBED_GATES = ["x_embed_norm", "x_embed_gram", "x_embed_quantize",
+               "x_pq_codes", "x_sim_topk"]
+
+#: events-only gates; edge shapes: duplicate timestamps within a user,
+#: constant-value runs (percentile/winsor ties), single-event users,
+#: malformed/fractional/overflowing props JSON
+EVENT_GATES = ["x_window_tumbling", "x_event_lag", "x_event_percentiles",
+               "x_winsorize", "x_asof_join", "x_json_extract"]
+
+
+def _compare(spark, sf_dir, views, pairs):
+    """The one driver-style compare all batteries share (review find
+    r13: six copy-pasted blocks had already drifted in their failure
+    reporting): run each (key, fn, sql) pair on Spark and DuckDB and
+    return the surviving failures — a crash IS a finding."""
+    con = duckdb.connect()
+    for v in views:
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM "
+                    f"'{sf_dir}/{v}.parquet/*.parquet'")
+    failures = []
+    for key, fn, sql in pairs:
+        try:
+            df = fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            cur = con.execute(sql)
+            o_cols = [c[0] for c in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, "error", str(e)[:200]))
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((key, "columns", s_cols, o_cols))
+        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
+            failures.append((key, "values", len(sc), len(oc), diff))
+    return failures
+
+
+def _pipeline_pairs(keys):
+    from sparkdon import pipeline
+
+    return [(k, pipeline.QUERIES[k], pipeline.ORACLE[k]) for k in keys]
+
+
+def _engine_pairs():
+    from sparkdon import rdf_queries, relational
+
+    return ([(k, relational.QUERIES[k], relational.ORACLE[k])
+             for k in sorted(relational.QUERIES)]
+            + [(k, rdf_queries.QUERIES[k], rdf_queries.ORACLE[k])
+               for k in sorted(rdf_queries.QUERIES)])
 
 
 def _random_docs(rng):
@@ -83,55 +144,23 @@ def _random_docs(rng):
     return rows
 
 
+_DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+                "n_chars long")
+
+
 @pytest.fixture(scope="module")
 def rand_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("randsf")
-    rows = _random_docs(random.Random(SEED))
-    (spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-              "n_chars long")
+    (spark.createDataFrame(_random_docs(random.Random(SEED)), _DOCS_SCHEMA)
      .repartition(3)
      .write.mode("overwrite").parquet(str(d / "documents.parquet")))
     return str(d)
 
 
 def test_pipeline_gates_match_oracles_on_random_corpus(spark, rand_dir):
-    from sparkdon import pipeline
-
-    con = duckdb.connect()
-    # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
-    con.execute("CREATE VIEW documents AS SELECT * FROM "
-                f"'{rand_dir}/documents.parquet/*.parquet'")
-    failures = []
-    for key in GATES:
-        assert key in pipeline.QUERIES and key in pipeline.ORACLE
-        df = pipeline.QUERIES[key](spark, rand_dir)
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
-        cur = con.execute(pipeline.ORACLE[key])
-        o_cols = [c[0] for c in cur.description]
-        o_rows = cur.fetchall()
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            sc = canon_rows(s_cols, s_rows)
-            oc = canon_rows(o_cols, o_rows)
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
-            failures.append((key, "values", len(sc), len(oc), diff))
+    failures = _compare(spark, rand_dir, ["documents"],
+                        _pipeline_pairs(GATES))
     assert not failures, failures
-
-
-#: embeddings-only gates (dim kept at the fixture's 64 so PQ subspace
-#: assumptions hold); edge shapes: a ZERO vector, exact-duplicate
-#: vectors, near-zero magnitudes
-EMBED_GATES = ["x_embed_norm", "x_embed_gram", "x_embed_quantize",
-               "x_pq_codes", "x_sim_topk"]
-
-#: events-only gates; edge shapes: duplicate timestamps within a user,
-#: constant-value runs (percentile/winsor ties), single-event users,
-#: malformed props JSON
-EVENT_GATES = ["x_window_tumbling", "x_event_lag", "x_event_percentiles",
-               "x_winsorize", "x_asof_join", "x_json_extract"]
 
 
 @pytest.fixture(scope="module")
@@ -168,7 +197,9 @@ def rand_tables_dir(spark, tmp_path_factory):
             ts = t0 + datetime.timedelta(seconds=rng.randrange(86400 * 3))
         val = rng.choice([0.0, 1.0, 1.0, -5.5, rng.uniform(-100, 100)])
         props = rng.choice(
-            [f'{{"k": {rng.randrange(100)}}}', "{}", "not json", ""])
+            [f'{{"k": {rng.randrange(100)}}}', "{}", "not json", "",
+             '{"k": 1.5}', '{"k": "7"}',          # fractional / quoted
+             '{"k": 99999999999999999999}'])      # int64 overflow
         evs.append((i, ts, user,
                     rng.choice(["click", "view", "purchase", "error",
                                 "signup"]),
@@ -185,26 +216,8 @@ def rand_tables_dir(spark, tmp_path_factory):
                                         (EVENT_GATES, "events")])
 def test_embed_and_event_gates_match_on_random_tables(
         spark, rand_tables_dir, gates, view):
-    from sparkdon import pipeline
-
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW {view} AS SELECT * FROM "
-                f"'{rand_tables_dir}/{view}.parquet/*.parquet'")
-    failures = []
-    for key in gates:
-        df = pipeline.QUERIES[key](spark, rand_tables_dir)
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
-        cur = con.execute(pipeline.ORACLE[key])
-        o_cols = [c[0] for c in cur.description]
-        o_rows = cur.fetchall()
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            sc = canon_rows(s_cols, s_rows)
-            oc = canon_rows(o_cols, o_rows)
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
-            failures.append((key, "values", len(sc), len(oc), diff))
+    failures = _compare(spark, rand_tables_dir, [view],
+                        _pipeline_pairs(gates))
     assert not failures, failures
 
 
@@ -215,24 +228,8 @@ def test_staged_gates_match_on_random_corpus(spark, rand_dir):
     list encodes arbitrary vocabulary."""
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
-    con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS SELECT * FROM "
-                f"'{rand_dir}/documents.parquet/*.parquet'")
-    failures = []
-    for key in sorted(STAGED):
-        df = STAGED[key](spark, rand_dir)
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
-        cur = con.execute(STAGED_ORACLE[key])
-        o_cols = [c[0] for c in cur.description]
-        o_rows = cur.fetchall()
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            sc = canon_rows(s_cols, s_rows)
-            oc = canon_rows(o_cols, o_rows)
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
-            failures.append((key, "values", len(sc), len(oc), diff))
+    pairs = [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)]
+    failures = _compare(spark, rand_dir, ["documents"], pairs)
     assert not failures, failures
 
 
@@ -312,13 +309,10 @@ def _random_tpch(rng):
     }
 
 
-@pytest.fixture(scope="module")
-def rand_tpch_dir(spark, tmp_path_factory, rand_dir, rand_tables_dir):
+def _write_tpch(spark, d, tables, rand_dir, rand_tables_dir):
     import shutil
 
-    d = tmp_path_factory.mktemp("randtpch")
-    rng = random.Random(SEED + 2)
-    for name, (rows, schema) in _random_tpch(rng).items():
+    for name, (rows, schema) in tables.items():
         (spark.createDataFrame(rows, schema).repartition(2)
          .write.mode("overwrite").parquet(str(d / f"{name}.parquet")))
     # documents/events gates in the same battery read from one dir
@@ -329,6 +323,13 @@ def rand_tpch_dir(spark, tmp_path_factory, rand_dir, rand_tables_dir):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def rand_tpch_dir(spark, tmp_path_factory, rand_dir, rand_tables_dir):
+    return _write_tpch(spark, tmp_path_factory.mktemp("randtpch"),
+                       _random_tpch(random.Random(SEED + 2)),
+                       rand_dir, rand_tables_dir)
+
+
 def test_relational_and_sparql_gates_match_on_random_tpch(
         spark, rand_tpch_dir):
     """Every relational-battery and SPARQL-engine gate against its
@@ -337,36 +338,8 @@ def test_relational_and_sparql_gates_match_on_random_tpch(
     paths, and engine entry points are differentially tested on data
     with empty joins, threshold-exact filters, and money boundaries the
     fixture never exercises."""
-    from sparkdon import relational, rdf_queries
-
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents", "events"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{rand_tpch_dir}/{t}.parquet/*.parquet'")
-    failures = []
-    pairs = [(k, relational.QUERIES[k], relational.ORACLE[k])
-             for k in sorted(relational.QUERIES)]
-    pairs += [(k, rdf_queries.QUERIES[k], rdf_queries.ORACLE[k])
-              for k in sorted(rdf_queries.QUERIES)]
-    for key, fn, sql in pairs:
-        try:
-            df = fn(spark, rand_tpch_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
-            cur = con.execute(sql)
-            o_cols = [c[0] for c in cur.description]
-            o_rows = cur.fetchall()
-        except Exception as e:  # noqa: BLE001 — a crash IS a finding
-            failures.append((key, "error", str(e)[:200]))
-            continue
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            sc = canon_rows(s_cols, s_rows)
-            oc = canon_rows(o_cols, o_rows)
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
-            failures.append((key, "values", len(sc), len(oc), diff))
+    failures = _compare(spark, rand_tpch_dir, TPCH_TABLES,
+                        _engine_pairs())
     assert not failures, failures
 
 
@@ -377,23 +350,14 @@ def rand_tpch_nulls_dir(spark, tmp_path_factory, rand_dir,
     rdfize emits NO triple for a null value, so SPARQL OPTIONAL /
     aggregates / censuses must align with SQL NULL semantics — the
     fixture (no nulls anywhere) cannot test that."""
-    import shutil
-
-    d = tmp_path_factory.mktemp("randtpchnull")
     rng = random.Random(SEED + 3)
     tables = _random_tpch(rng)
     cust, schema = tables["customer"]
     cust = [(k, n, nk, (None if rng.random() < 0.15 else bal), seg)
             for k, n, nk, bal, seg in cust]
     tables["customer"] = (cust, schema)
-    for name, (rows, sch) in tables.items():
-        (spark.createDataFrame(rows, sch).repartition(2)
-         .write.mode("overwrite").parquet(str(d / f"{name}.parquet")))
-    shutil.copytree(f"{rand_dir}/documents.parquet",
-                    str(d / "documents.parquet"))
-    shutil.copytree(f"{rand_tables_dir}/events.parquet",
-                    str(d / "events.parquet"))
-    return str(d)
+    return _write_tpch(spark, tmp_path_factory.mktemp("randtpchnull"),
+                       tables, rand_dir, rand_tables_dir)
 
 
 def test_sparql_gates_match_with_null_columns(spark, rand_tpch_nulls_dir):
@@ -402,36 +366,8 @@ def test_sparql_gates_match_with_null_columns(spark, rand_tpch_nulls_dir):
     unbound chain must line up with SQL NULL end to end.  First run of
     this shape caught the census oracles counting count(*) where
     rdfize emits only non-null triples."""
-    from sparkdon import relational, rdf_queries
-
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents", "events"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{rand_tpch_nulls_dir}/{t}.parquet/*.parquet'")
-    failures = []
-    pairs = [(k, relational.QUERIES[k], relational.ORACLE[k])
-             for k in sorted(relational.QUERIES)]
-    pairs += [(k, rdf_queries.QUERIES[k], rdf_queries.ORACLE[k])
-              for k in sorted(rdf_queries.QUERIES)]
-    for key, fn, sql in pairs:
-        try:
-            df = fn(spark, rand_tpch_nulls_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
-            cur = con.execute(sql)
-            o_cols = [c[0] for c in cur.description]
-            o_rows = cur.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append((key, "error", str(e)[:200]))
-            continue
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            sc = canon_rows(s_cols, s_rows)
-            oc = canon_rows(o_cols, o_rows)
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:2]
-            failures.append((key, "values", len(sc), len(oc), diff))
+    failures = _compare(spark, rand_tpch_nulls_dir, TPCH_TABLES,
+                        _engine_pairs())
     assert not failures, failures
 
 
@@ -440,30 +376,13 @@ def test_documents_gates_match_with_null_text(spark, tmp_path_factory):
     crawl pipelines see null text after failed extraction, and every
     gate/oracle pair must agree on it (swept clean on first run r13;
     kept as regression)."""
-    from sparkdon import pipeline
-
     d = tmp_path_factory.mktemp("randnulldocs")
     rng = random.Random(SEED + 4)
     rows = [(i, (None if rng.random() < 0.1 else t), l, s, n)
             for i, t, l, s, n in _random_docs(rng)]
-    (spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-              "n_chars long")
+    (spark.createDataFrame(rows, _DOCS_SCHEMA)
      .repartition(3)
      .write.mode("overwrite").parquet(str(d / "documents.parquet")))
-    con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS SELECT * FROM "
-                f"'{d}/documents.parquet/*.parquet'")
-    failures = []
-    for key in GATES:
-        df = pipeline.QUERIES[key](spark, str(d))
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
-        cur = con.execute(pipeline.ORACLE[key])
-        o_cols = [c[0] for c in cur.description]
-        o_rows = cur.fetchall()
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append((key, "columns", s_cols, o_cols))
-        elif canon_rows(s_cols, s_rows) != canon_rows(o_cols, o_rows):
-            failures.append((key, "values"))
+    failures = _compare(spark, str(d), ["documents"],
+                        _pipeline_pairs(GATES))
     assert not failures, failures

@@ -80,3 +80,10 @@ def test_plan_python_free_no_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reserved_internal_columns_fail_loudly(spark):
+    docs = spark.createDataFrame([(1, "a b", ["x"])],
+                                 "doc_id long, text string, _toks array<string>")
+    with pytest.raises(ValueError, match="_toks"):
+        split_long_documents(docs, 10)

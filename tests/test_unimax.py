@@ -103,3 +103,15 @@ def test_unimax_sample_n_tok_col(spark):
     # uniform split 100/100: x runs exactly 1 epoch, y a 1/3 partial
     assert out["x"].n_epochs == 1 and not out["x"].in_partial
     assert out["y"].n_epochs == 0
+
+
+def test_null_source_fails_loudly(spark):
+    """A NULL source would receive a budget its rows can never claim
+    (the equi-join drops them) — refuse instead (review find r13)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", None)],
+        "doc_id long, text string, lang string")
+    with pytest.raises(SparkRuntimeException, match="null lang"):
+        unimax_sample(docs, 10)
