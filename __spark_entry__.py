@@ -61,56 +61,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 13.
+#: Entries hoisted into the driver's verification window.  Round 14.
 #:
 #: Freshness invariant: at end of round N, the union of windows
 #: N-2..N must cover the whole battery (no entry's newest driver-green
 #: row older than two rounds).  Recomputed this round from
-#: CORRECTNESS_r01..r12 actuals (``scripts/derive_window.py``):
-#: newest-green distribution is {r10: 50, r11: 50, r12: 50} — the
-#: invariant held perfectly at end of r12.  The entries due NOW are
-#: EXACTLY the 50 whose newest green is r10; after this window goes
-#: green the r11 ∪ r12 ∪ r13 union again covers all 150.
+#: CORRECTNESS_r01..r13 actuals (``scripts/derive_window.py``):
+#: newest-green distribution is {r11: 50, r12: 50, r13: 50} — the
+#: invariant held perfectly at end of r13.  The entries due NOW are
+#: EXACTLY the 50 whose newest green is r11; after this window goes
+#: green the r12 ∪ r13 ∪ r14 union again covers all 150.  This window
+#: also driver-verifies the r13 cosine-guard plan change on the six
+#: sim-family gates (x_sim_topk, x_sim_lsh_refined, x_sim_pq,
+#: x_sim_ivfpq, x_semantic_dedup, x_dedup_embed*-adjacent cohort),
+#: closing the plan-changed-outside-window residual from r13.
 #:
-#: R14 OBLIGATION (derived from actuals, assuming this window goes
-#: green): the 50 entries whose newest green is r11 —
-#: a6_subquery_filter a8_bag_decollect j1_inner_join_chain
-#: j2_left_outer j3_anti_not_exists j4_minus j5_semi_exists
-#: q10_seq_decollect q_rule_fixpoint sparql_bind_strstarts
-#: sparql_census_ids sparql_census_orders sparql_count_distinct
-#: sparql_join_agg_ids sparql_minus sparql_not_exists sparql_optional
-#: sparql_optional_ids sparql_orderby_limit sparql_path_inverse
-#: sparql_path_nps sparql_path_seq sparql_subquery_having sparql_union
-#: sparql_values x_boilerplate x_bpe_pairs x_char_entropy
-#: x_cms_heavy_hitters x_cooccur_pmi x_corpus_keep x_corpus_pack
-#: x_cross_dedup x_fingerprint_winnow x_hll_distinct x_join_stream
-#: x_lm_bigram x_lm_score x_mix_temperature x_pack_sequences
-#: x_pagerank x_pq_trained x_sample_exact_k x_semantic_dedup
-#: x_sim_ivfpq x_sim_lsh_refined x_sim_pq x_sim_topk
-#: x_split_by_cluster x_window_sessionize = EXACTLY 50.
+#: R15 OBLIGATION (derived from actuals, assuming this window goes
+#: green): the 50 entries whose newest green is r12 —
+#: a1_group_count a2_group_expr a3_count_distinct a4_global_agg
+#: a5_group_multi_pattern a7_distinct a9_multi_agg f1_str_cast
+#: f3_strstarts f4_substr o1_order_asc o2_topk_desc o3_order_computed
+#: o4_limit_topk p1_scan_filter p3_constant_pushdown
+#: p4_projection_expr p5_filter_compare p6_bool_connectives
+#: p7_filter_in p8_bind p9_values_join q_decollect_seq sparql_ask
+#: sparql_construct_count sparql_group_concat sparql_offset
+#: sparql_strfuncs u1_union u2_except u3_intersect x_asof_join
+#: x_contamination_stream x_dedup_clusters x_dedup_intra
+#: x_dedup_minhash x_dedup_priority x_dedup_stream x_event_lag
+#: x_event_percentiles x_events_rollup x_ngram_novelty
+#: x_pivot_source_lang x_sample_stratified x_sample_weighted
+#: x_text_repetition x_topk_per_lang x_vocab_topk x_window_sliding
+#: x_window_stream = EXACTLY 50.  R15 is the cycle boundary where the
+#: retiring u2_except/u3_intersect/f1_str_cast cohort is itself due:
+#: execute the battery swap there (register x_bpe_encode,
+#: x_fasttext_score, x_pack_shard from pipeline/staged_gates.py and
+#: retire those three) per the PERF.md (r13) swap design note.
 #: The cadence remains at zero slack (150 battery / 50 window /
 #: 3-round cycle): NO new gated entries may be added without retiring
-#: one — see the battery-swap design note in PERF.md (r13) for the
-#: planned cycle-boundary swap that gates the learned tier.
+#: one.
 _FRONT = [
-    # the 50 r10-stale entries, deadline THIS round (derive_window.py)
-    "f5_regex", "f6_numeric_cast", "f7_count_expr",
-    "q_peel_bnode_closure", "s1_ntriples_roundtrip", "sparql_census",
-    "sparql_describe", "sparql_filter_gt", "sparql_join_agg",
-    "sparql_late_ids", "sparql_path_plus", "sparql_path_plus_ids",
-    "sparql_path_star_anchored", "sparql_path_star_sip",
-    "sparql_path_star_values", "sparql_path_star_values_ids",
-    "sparql_service", "sparql_year_agg", "x_chunk_dedup",
-    "x_contamination", "x_dedup_embed", "x_dedup_embed_strict",
-    "x_dedup_exact", "x_dedup_jaccard", "x_dedup_simhash",
-    "x_dedup_substring", "x_dedup_substring_hashed", "x_embed_gram",
-    "x_embed_norm", "x_embed_quantize", "x_fingerprint",
-    "x_json_extract", "x_lang_id", "x_length_buckets", "x_mix_sample",
-    "x_neg_sample", "x_pii_scrub", "x_pq_codes", "x_rank_normalize",
-    "x_salted_census", "x_session_stream", "x_sim_ivf",
-    "x_sim_lsh_bucketed", "x_sliding_stream", "x_text_quality",
-    "x_text_stats", "x_tfidf_topk", "x_token_bpe", "x_window_tumbling",
-    "x_winsorize",
+    # the 50 r11-stale entries, deadline THIS round (derive_window.py)
+    "a6_subquery_filter", "a8_bag_decollect", "j1_inner_join_chain",
+    "j2_left_outer", "j3_anti_not_exists", "j4_minus",
+    "j5_semi_exists", "q10_seq_decollect", "q_rule_fixpoint",
+    "sparql_bind_strstarts", "sparql_census_ids",
+    "sparql_census_orders", "sparql_count_distinct",
+    "sparql_join_agg_ids", "sparql_minus", "sparql_not_exists",
+    "sparql_optional", "sparql_optional_ids", "sparql_orderby_limit",
+    "sparql_path_inverse", "sparql_path_nps", "sparql_path_seq",
+    "sparql_subquery_having", "sparql_union", "sparql_values",
+    "x_boilerplate", "x_bpe_pairs", "x_char_entropy",
+    "x_cms_heavy_hitters", "x_cooccur_pmi", "x_corpus_keep",
+    "x_corpus_pack", "x_cross_dedup", "x_fingerprint_winnow",
+    "x_hll_distinct", "x_join_stream", "x_lm_bigram", "x_lm_score",
+    "x_mix_temperature", "x_pack_sequences", "x_pagerank",
+    "x_pq_trained", "x_sample_exact_k", "x_semantic_dedup",
+    "x_sim_ivfpq", "x_sim_lsh_refined", "x_sim_pq", "x_sim_topk",
+    "x_split_by_cluster", "x_window_sessionize",
 ]
 
 
