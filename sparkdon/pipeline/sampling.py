@@ -479,9 +479,17 @@ def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac!r}")
     sc = F.col(score_col)
-    guarded = F.when(sc.isNotNull(), sc).otherwise(F.raise_error(F.lit(
-        f"keep_top_fraction: null {score_col} — score every document "
-        "first (empty docs score the classifier bias, not null)")))
+    # NaN/±inf poison the real-span bucket width exactly like they
+    # poison pack_and_shard's curriculum span (packing.py) — without
+    # this the failure surfaces as an opaque ANSI cast error (or
+    # silent mis-ranking) instead of naming the contract
+    scd = sc.cast("double")
+    finite = (sc.isNotNull() & ~F.isnan(scd)
+              & (scd > float("-inf")) & (scd < float("inf")))
+    guarded = F.when(finite, sc).otherwise(F.raise_error(F.lit(
+        f"keep_top_fraction: null/NaN/inf {score_col} — score every "
+        "document with a finite score first (empty docs score the "
+        "classifier bias, not null)")))
     d = docs.withColumn(score_col, guarded)
     # real-span bucketing: quality scores are fractional ([0, 1]) and
     # the integer form would collapse the rank windows to one bucket
@@ -709,10 +717,23 @@ def unimax_sample(docs: DataFrame, total_budget: float,
             raise ValueError(f"unimax_sample: column {c!r} is reserved")
     if n_tok_col:
         n_tok = F.col(n_tok_col).cast("double")
+        null_msg = (f"unimax_sample: null {n_tok_col} — every document "
+                    "needs a token count before mixing")
     else:
         from .text import nonempty_tokens
 
         n_tok = F.size(nonempty_tokens(F.col(text_col))).cast("double")
+        null_msg = (f"unimax_sample: null {text_col} — null-text "
+                    "documents have no token mass yet would receive "
+                    "their source's full epochs; drop or empty them "
+                    "before mixing")
+    # a NULL token count contributes 0 to the source's mass yet the
+    # doc still rides every epoch, inflating realized tokens — and a
+    # source that is ALL null yields SUM(n_tok)=NULL, crashing the
+    # driver waterfill with a bare TypeError (review find r13/advice
+    # r14).  Refuse loudly, naming the contract.
+    n_tok = F.when(n_tok.isNotNull(), n_tok).otherwise(
+        F.raise_error(F.lit(null_msg)))
     # a NULL source would receive a budget its rows can never claim —
     # the inner equi-join drops them, silently under-spending the
     # mixture (review find r13).  Refuse, like every other silent-loss
@@ -731,9 +752,18 @@ def unimax_sample(docs: DataFrame, total_budget: float,
     rows = []
     for s in sorted(masses, key=str):
         epochs = alloc[s] / masses[s]
+        # snap near-integer epochs (float-division noise) so a source
+        # due exactly N epochs never lands at N-1 full + 9999-bp
+        # partial, and ROUND the basis-point remainder instead of
+        # truncating — int(10000*frac) bias runs up to 1e-4 of a
+        # source's mass (advice r14)
+        if abs(epochs - round(epochs)) < 1e-9:
+            epochs = float(round(epochs))
         full = int(epochs)
-        frac = epochs - full
-        rows.append((s, full, int(10000 * frac)))
+        bp = int(round(10000 * (epochs - full)))
+        if bp == 10000:  # remainder rounded up to a whole epoch
+            full, bp = full + 1, 0
+        rows.append((s, full, bp))
     plan = spark.createDataFrame(rows, StructType([
         docs.schema[source_col],
         StructField("n_epochs", LongType()),

@@ -133,9 +133,15 @@ def skip_counter_option(acc) -> str:
     A streaming query's :class:`WarcStreamReader` is constructed in a
     JVM-spawned Python runner process, not the user's driver process, so
     module state cannot carry the accumulator there — but an
-    ``Accumulator`` pickles to an id-stub whose worker-side updates
-    route back to the creating driver regardless of which process bumps
-    them.  Base64 keeps the bytes inside the string-typed option map::
+    ``Accumulator`` is fully described by its integer ``aid``:
+    rebuilding an int accumulator around the same id (the reader calls
+    ``pyspark.accumulators._deserialize_accumulator`` — exactly what
+    unpickling one does) routes worker-side updates back to the
+    creating driver regardless of which process bumps them.  The option
+    carries ONLY that integer — never a pickle — so a skip_counter
+    value injected through untrusted reader config is at worst a wrong
+    counter id, not arbitrary code execution at reader construction
+    (advice r14; pickle.loads on an option-map string was an ACE sink)::
 
         acc = skipped_files_accumulator(spark)
         stream = (spark.readStream.format("warc")
@@ -150,10 +156,7 @@ def skip_counter_option(acc) -> str:
     Treat a nonzero value as "races happened, go look", not as an exact
     loss tally.
     """
-    import base64
-    import pickle
-
-    return base64.b64encode(pickle.dumps(acc)).decode("ascii")
+    return str(int(acc.aid))
 
 
 class WarcReader(DataSourceReader):
@@ -242,10 +245,15 @@ class WarcStreamReader(DataSourceStreamReader):
         #: None when the caller never created one
         opt = options.get("skip_counter")
         if opt is not None:
-            import base64
-            import pickle
+            # the option is the accumulator's integer id (see
+            # skip_counter_option) — rebuild the id-stub the way
+            # unpickling an Accumulator would, without ever running
+            # pickle.loads on option-map content
+            from pyspark.accumulators import (INT_ACCUMULATOR_PARAM,
+                                              _deserialize_accumulator)
 
-            self._skip_acc = pickle.loads(base64.b64decode(opt))
+            self._skip_acc = _deserialize_accumulator(
+                int(opt), 0, INT_ACCUMULATOR_PARAM)
         else:
             # registry fallback ONLY for the accumulator of the
             # currently-active SparkContext — a restarted context's

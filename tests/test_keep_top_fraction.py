@@ -47,8 +47,32 @@ def test_null_score_fails_loudly(spark):
     # plan-path-dependent across test orderings
     docs = spark.createDataFrame([(1, 0.5), (2, None)],
                                  "doc_id long, score double")
-    with pytest.raises(Exception, match="null score"):
+    with pytest.raises(Exception, match="null/NaN/inf score"):
         keep_top_fraction(docs, "score", 0.5).collect()
+
+
+def test_nan_and_inf_scores_fail_loudly(spark):
+    # NaN/±inf poison the real-span bucket width (NaN hi → NaN bucket
+    # for EVERY row) — without the guard this surfaced as an opaque
+    # ANSI cast error instead of the contract message (advice r14)
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        docs = spark.createDataFrame([(1, 0.5), (2, bad)],
+                                     "doc_id long, score double")
+        with pytest.raises(Exception, match="null/NaN/inf score"):
+            keep_top_fraction(docs, "score", 0.5).collect()
+
+
+def test_integer_scores_still_work(spark):
+    # the finite guard casts to double for isnan; an integer score
+    # column must pass through unharmed
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id long, score int")
+    # budget = floor(0.3*50) = 15; 7 docs score 6, 7 score 5, and
+    # value 4 has 14 strictly-better docs < 15 so the tie-inclusive
+    # threshold lands at 4
+    kept = keep_top_fraction(docs, "score", 0.3).collect()
+    assert all(r.score >= 4 for r in kept)
+    assert len(kept) == sum(1 for i in range(50) if i % 7 >= 4)
 
 
 def test_rank_table_matches_naive(spark):

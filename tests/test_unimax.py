@@ -115,3 +115,39 @@ def test_null_source_fails_loudly(spark):
         "doc_id long, text string, lang string")
     with pytest.raises(SparkRuntimeException, match="null lang"):
         unimax_sample(docs, 10)
+
+
+def test_null_text_fails_loudly(spark):
+    """Null-text docs have no token mass yet would ride every epoch of
+    their source — and an all-null source makes SUM(n_tok) NULL, which
+    used to crash the driver waterfill with a bare TypeError (advice
+    r14).  Both now refuse with the contract message."""
+    docs = spark.createDataFrame(
+        [(1, "a b", "x"), (2, None, "x")],
+        "doc_id long, text string, lang string")
+    with pytest.raises(Exception, match="null text"):
+        unimax_sample(docs, 10)
+    all_null = spark.createDataFrame(
+        [(1, None, "x")], "doc_id long, text string, lang string")
+    with pytest.raises(Exception, match="null text"):
+        unimax_sample(all_null, 10)
+
+
+def test_null_n_tok_col_fails_loudly(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "x", 100), (2, "t", "x", None)],
+        "doc_id long, text string, lang string, n long")
+    with pytest.raises(Exception, match="null n"):
+        unimax_sample(docs, 10, n_tok_col="n")
+
+
+def test_exact_epoch_snaps_through_float_noise(spark):
+    """A source due EXACTLY 1 epoch must get n_epochs=1 / no partial,
+    even when mass arrives through float summation noise (0.1 + 0.2):
+    the old truncation landed it at 0 full epochs + a 9999-bp partial,
+    biasing realized budgets low (advice r14)."""
+    docs = spark.createDataFrame(
+        [(1, "t", "x", 0.1), (2, "t", "x", 0.2)],
+        "doc_id long, text string, lang string, n double")
+    out = unimax_sample(docs, 0.3, n_tok_col="n").collect()
+    assert all(r.n_epochs == 1 and not r.in_partial for r in out)
