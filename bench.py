@@ -20,6 +20,17 @@ smeared BENCH_r03 ~1.5x across queries whose plans had not changed):
   so a noisy number ships with its own context.
 - One untimed warm-up pass pays whole-stage-codegen compilation and
   stage-scheduling setup before anything is timed.
+
+SCOPE (round 14, making the cap explicit): GROUPS times 93 of the 150
+gated battery entries (94 timings with the flagship) — every
+non-streaming pipeline gate plus one
+shape-representative per relational/SPARQL micro-gate family (see the
+SET SELECTION RULE at GROUPS below).  The ~56 untimed entries are the
+cheap relational/SPARQL siblings (plan-shape duplicates of a timed
+representative) and the streaming gates (wall time dominated by fixed
+query-startup machinery, not plan quality) — so the suite total and
+``n_queries`` measure the representative set, NOT full-battery
+coverage; correctness of all 150 is the driver gate's job.
 """
 
 from __future__ import annotations

@@ -113,6 +113,7 @@ def main() -> None:
         x_sim_ivfpq,
         x_sim_pq,
         x_split_by_cluster,
+        x_trim_spans,
     )
     from sparkdon.rdf_queries import (
         sparql_census,
@@ -123,6 +124,23 @@ def main() -> None:
         sparql_path_plus,
         sparql_path_star_anchored,
     )
+
+    def _keep_top(exact: bool):
+        from sparkdon.pipeline.sampling import (keep_top_fraction,
+                                                keep_top_fraction_approx)
+
+        def probe(spark, d):
+            # xxhash64/2^63 → effectively all-distinct doubles: the
+            # un-gridded score domain the exact/approx contract is about
+            docs = (spark.read.parquet(f"{d}/documents.parquet")
+                    .select("doc_id")
+                    .withColumn("score",
+                                F.xxhash64(F.col("doc_id").cast("string"))
+                                .cast("double") / F.lit(float(2 ** 63))))
+            fn = keep_top_fraction if exact else keep_top_fraction_approx
+            return fn(docs, "score", 0.25)
+
+        return probe
 
     probes = {
         "x_dedup_exact": x_dedup_exact,
@@ -219,6 +237,18 @@ def main() -> None:
         "sparql_minus": sparql_minus,
         "sparql_late_ids": sparql_late_ids,
         "sparql_path_plus": sparql_path_plus,
+        # round 14 (VERDICT r13 #5): the span-trim endgame — same two
+        # hash shuffles as x_dedup_substring plus the doc-keyed span
+        # join-back and the JVM token filter; expect the substring slope
+        "x_trim_spans": x_trim_spans,
+        # round 14 (VERDICT r13 #4): the top-fraction pair on
+        # ALL-DISTINCT raw float scores — the domain where the exact
+        # path's rank table is corpus-sized (its documented worst case;
+        # expect ~linear but with the extra two-pass shuffle visible)
+        # and the approx twin's t-digest state is constant (expect the
+        # scan slope)
+        "keep_top_exact": _keep_top(exact=True),
+        "keep_top_approx": _keep_top(exact=False),
     }
 
     def best_of_2(fn, d, warm=False):

@@ -856,6 +856,144 @@ def x_dedup_substring_hashed(spark, sf_dir):
     return dedup_substring_hashed(table(spark, sf_dir, "documents"))
 
 
+#: DuckDB oracle for :func:`x_trim_spans` — the span-trim endgame of the
+#: ExactSubstr family.  Shares x_dedup_substring's window/island
+#: construction; the trim mark is "not the corpus-first occurrence of
+#: this window text" (ROW_NUMBER over (doc_id, i) per window == 1 keeps),
+#: then the kept token positions reassemble with string_agg.  Docs too
+#: short to window (< SUBSTR_L tokens, includes empty text) pass through
+#: verbatim; null text passes through as null (trim of nothing).
+_TRIM_ORACLE = (
+    "WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t "
+    " FROM documents), "
+    f"longd AS (SELECT * FROM toks WHERE len(t) >= {SUBSTR_L}), "
+    "win AS (SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS w "
+    " FROM longd, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+    "marked AS (SELECT doc_id, i, "
+    " ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn "
+    " FROM win), "
+    "sp AS (SELECT doc_id, i AS s, i + 7 AS e FROM marked WHERE rn > 1), "
+    "brk AS (SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER "
+    " (PARTITION BY doc_id ORDER BY s "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+    " THEN 1 ELSE 0 END AS nb FROM sp), "
+    "isl AS (SELECT doc_id, s, e, SUM(nb) OVER (PARTITION BY doc_id "
+    " ORDER BY s ROWS UNBOUNDED PRECEDING) AS island FROM brk), "
+    "spans AS (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx "
+    " FROM isl GROUP BY doc_id, island), "
+    "pos AS (SELECT doc_id, i, t[i] AS tok FROM longd, "
+    " LATERAL unnest(generate_series(1, len(t))) AS g(i)), "
+    "keep AS (SELECT p.doc_id, p.i, p.tok FROM pos p LEFT JOIN spans s "
+    " ON p.doc_id = s.doc_id AND p.i BETWEEN s.mn AND s.mx "
+    " WHERE s.doc_id IS NULL), "
+    "rem AS (SELECT doc_id, CAST(SUM(mx - mn + 1) AS BIGINT) AS n_removed "
+    " FROM spans GROUP BY doc_id), "
+    "outl AS (SELECT l.doc_id, "
+    " COALESCE(k.text, '') AS text, COALESCE(r.n_removed, 0) AS n_removed "
+    " FROM longd l "
+    " LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text "
+    "  FROM keep GROUP BY doc_id) k ON l.doc_id = k.doc_id "
+    " LEFT JOIN rem r ON l.doc_id = r.doc_id) "
+    "SELECT doc_id, text, n_removed FROM outl "
+    "UNION ALL "
+    "SELECT doc_id, text, CAST(0 AS BIGINT) AS n_removed FROM toks "
+    f"WHERE len(t) < {SUBSTR_L} OR t IS NULL"
+)
+
+
+def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
+                          hashed: bool = False) -> DataFrame:
+    """The ExactSubstr ENDGAME (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): remove every duplicated
+    passage from all but its corpus-FIRST occurrence and reassemble the
+    text — where :func:`x_dedup_substring` measures duplicated-span
+    coverage, this APPLIES the trim.  Returns
+    ``(doc_id, text, n_removed)``: the reassembled text and how many
+    tokens were cut.
+
+    Semantics, window-granular: an ``L``-token window occurrence is
+    trimmed iff it is NOT the first occurrence of its window text in
+    corpus order (ordered by ``(doc_id, position)``) — so the first
+    copy of a duplicated passage survives verbatim, every later copy
+    loses exactly the duplicated tokens (trimmed windows merge into
+    maximal spans via the same gaps-and-islands pass as the coverage
+    gate; every trimmed token is genuinely duplicated text, since each
+    trimmed window's text occurs elsewhere).  Duplicates shorter than
+    ``L`` tokens are below the detection floor, as in the paper.  Docs
+    too short to window pass through verbatim; null text passes
+    through null (a trim never invents or drops documents — the
+    explode-CTE silent-loss class the r13 random battery caught).
+
+    100 TB shape: identical to ``x_dedup_substring`` — one window-keyed
+    aggregate (map-side combine; ``min(struct(doc_id, i))`` rides the
+    same shuffle as the count) joined back through the hot/cold skew
+    lane, one doc-keyed island pass, then the per-doc span list (doc-
+    bounded, never corpus-bounded) joins back and the reassembly is a
+    JVM higher-order ``filter`` over the token array — no Python, no
+    global sort, no suffix array.  ``hashed=True`` is the production
+    path (the occurrence shuffle carries xxhash64(window), 8 bytes vs
+    L tokens; a collision can only over-trim, and only the marking key
+    is hashed — output text is always rebuilt from real tokens)."""
+    toks = docs.select("doc_id", F.col("text"),
+                       F.split("text", " ").alias("t"))
+    longd = toks.filter(F.size("t") >= L)
+    key = (F.xxhash64("w") if hashed else F.col("w")).alias("k")
+    win = longd.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t) - {L - 1}), "
+            f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), key)
+    per_key = win.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "i")).alias("first"))
+    occ = _join_back_skew_robust(win, per_key, "k")
+    sp = occ.filter(
+        F.struct("doc_id", "i") != F.col("first")).select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + L - 1).alias("e"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (sp
+             .withColumn("nb", F.when(
+                 F.col("s") > F.coalesce(F.max("e").over(w_prev),
+                                         F.lit(-1)), 1).otherwise(0))
+             .withColumn("island", F.sum("nb").over(w_run))
+             .groupBy("doc_id", "island")
+             .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("mn", "mx")).alias("spans"),
+                  F.sum(F.col("mx") - F.col("mn") + 1).cast("long")
+                  .alias("n_removed")))
+    trimmed = (
+        longd.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(F.concat_ws(" ", F.expr(
+                # filter's lambda index is 0-based; spans are 1-based
+                "filter(t, (x, i) -> not exists(spans, "
+                "s -> i + 1 >= s.mn and i + 1 <= s.mx))")))
+            .alias("text"),
+            F.coalesce("n_removed", F.lit(0)).cast("long")
+            .alias("n_removed")))
+    passthrough = (toks.filter(F.col("t").isNull() | (F.size("t") < L))
+                   .select("doc_id", "text",
+                           F.lit(0).cast("long").alias("n_removed")))
+    return trimmed.unionByName(passthrough)
+
+
+def x_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-style wrapper for :func:`trim_duplicated_spans` — built and
+    oracle-verified in r14, NOT yet in ``pipeline.QUERIES``: the
+    150/50/3 cadence has zero slack, so registration waits for battery
+    slack (named in PERF.md's r16+ swap candidate list).  Until then
+    ``tests/test_trim_spans.py`` runs the driver-style compare against
+    ``_TRIM_ORACLE`` and the random-corpus battery locks it."""
+    return trim_duplicated_spans(table(spark, sf_dir, "documents"))
+
+
 def tune_minhash_bands(threshold: float, num_perm: int,
                        fp_weight: float = 0.5) -> tuple[int, int]:
     """Pick (bands, rows) for a MinHash LSH index targeting a Jaccard

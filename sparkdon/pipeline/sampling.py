@@ -475,22 +475,25 @@ def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
     window) reduced to ONE row, broadcast back as a scalar filter —
     the corpus itself is touched by one narrow pass.  A null score
     fails loudly: silently dropping unscored docs would make the kept
-    fraction lie."""
+    fraction lie.
+
+    100 TB contract for RAW float scores: "value-domain-sized" is only
+    smaller than the corpus when scores are GRIDDED (the staged
+    fasttext gate floors probabilities to a 1e-4 grid; perplexities,
+    classifier logits etc. should be quantized the same way —
+    ``floor(1e4·p)/1e4`` changes no keep decision beyond the grid's
+    own resolution and collapses the rank table to ≤10⁴ rows).  On
+    un-quantized scores distinct values ≈ corpus rows and the rank
+    table quietly grows corpus-sized — it stays bucket-partitioned
+    (degrades to an extra corpus-sized two-pass shuffle, never a
+    single-task window), but the right production tool for raw floats
+    is :func:`keep_top_fraction_approx`, whose threshold state is a
+    constant-size t-digest regardless of the value domain."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac!r}")
-    sc = F.col(score_col)
-    # NaN/±inf poison the real-span bucket width exactly like they
-    # poison pack_and_shard's curriculum span (packing.py) — without
-    # this the failure surfaces as an opaque ANSI cast error (or
-    # silent mis-ranking) instead of naming the contract
-    scd = sc.cast("double")
-    finite = (sc.isNotNull() & ~F.isnan(scd)
-              & (scd > float("-inf")) & (scd < float("inf")))
-    guarded = F.when(finite, sc).otherwise(F.raise_error(F.lit(
-        f"keep_top_fraction: null/NaN/inf {score_col} — score every "
-        "document with a finite score first (empty docs score the "
-        "classifier bias, not null)")))
-    d = docs.withColumn(score_col, guarded)
+    d = docs.withColumn(score_col,
+                        _finite_score_guard(score_col,
+                                            "keep_top_fraction"))
     # real-span bucketing: quality scores are fractional ([0, 1]) and
     # the integer form would collapse the rank windows to one bucket
     rt = value_rank_table(d.select(score_col), score_col,
@@ -518,6 +521,64 @@ def keep_top_fraction(docs: DataFrame, score_col: str, frac: float,
             else F.col(score_col) <= F.col("thr"))
     # frac == 0 (or an empty frame) leaves thr NULL: the comparison is
     # NULL for every row and the filter keeps nothing — correct.
+    return d.join(F.broadcast(thr)).filter(cond).drop("thr")
+
+
+def _finite_score_guard(score_col: str, op: str):
+    """Score column with null/NaN/±inf replaced by a loud
+    ``raise_error`` naming the contract — shared by the exact and
+    approx top-fraction paths (and shaped like ``pack_and_shard``'s
+    curriculum guard).  Non-finite scores otherwise poison the
+    bucket/percentile arithmetic into an opaque ANSI error or a
+    silent mis-ranking."""
+    sc = F.col(score_col)
+    scd = sc.cast("double")
+    finite = (sc.isNotNull() & ~F.isnan(scd)
+              & (scd > float("-inf")) & (scd < float("inf")))
+    return F.when(finite, sc).otherwise(F.raise_error(F.lit(
+        f"{op}: null/NaN/inf {score_col} — score every document with "
+        "a finite score first (empty docs score the classifier bias, "
+        "not null)")))
+
+
+def keep_top_fraction_approx(docs: DataFrame, score_col: str,
+                             frac: float, ascending: bool = False,
+                             accuracy: int = 10_000) -> DataFrame:
+    """Approximate-threshold twin of :func:`keep_top_fraction` for RAW
+    (un-gridded) float scores — the 100 TB path when distinct score
+    values ≈ corpus rows and the exact rank table would itself be
+    corpus-sized.
+
+    The cutoff is ``percentile_approx(score, 1-frac)`` (Spark's
+    Greenwald-Khanna/t-digest family sketch): ONE aggregate whose
+    per-partition state is a constant-size sketch — map-side partials
+    merge associatively, the reduce fan-in is #partitions sketches,
+    nothing is value-domain- or corpus-sized — then the same broadcast
+    scalar filter as the exact path.  Same threshold-inclusive
+    semantics; the kept mass is ``frac·n`` within the sketch's rank
+    error (≤ 1/``accuracy`` of n, so the default wanders by at most
+    0.01 % of the corpus).  On gridded scores it lands on the exact
+    path's boundary value when ``frac·n`` falls strictly INSIDE a tie
+    block; when the budget lands exactly ON a block edge the quantile
+    may resolve to the adjacent block (rank error straddles the edge) —
+    one more reason the exact path stays the default for gridded
+    scores.  Null/NaN/inf scores fail loudly with the shared contract
+    message."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac!r}")
+    d = docs.withColumn(
+        score_col,
+        _finite_score_guard(score_col, "keep_top_fraction_approx"))
+    if frac == 0.0:
+        # percentile q=1 would return the max and keep its tie mass;
+        # the exact path's floor(0·n)=0 budget keeps nothing — match it
+        return d.filter(F.lit(False))
+    q = (1.0 - frac) if not ascending else frac
+    thr = d.agg(F.percentile_approx(
+        F.col(score_col).cast("double"), F.lit(q),
+        F.lit(int(accuracy))).alias("thr"))
+    sc = F.col(score_col).cast("double")
+    cond = (sc >= F.col("thr")) if not ascending else (sc <= F.col("thr"))
     return d.join(F.broadcast(thr)).filter(cond).drop("thr")
 
 

@@ -221,6 +221,19 @@ def test_embed_and_event_gates_match_on_random_tables(
     assert not failures, failures
 
 
+def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
+    """x_trim_spans (r14, unregistered — r16+ swap candidate) goes
+    through the battery ahead of registration per the standing
+    gate-admission rule: the dense-dup docs ("dup dup dup …") exercise
+    self-overlapping windows, empty/single-token docs the passthrough,
+    and unicode words the byte-for-byte reassembly."""
+    from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
+
+    failures = _compare(spark, rand_dir, ["documents"],
+                        [("x_trim_spans", x_trim_spans, _TRIM_ORACLE)])
+    assert not failures, failures
+
+
 def test_staged_gates_match_on_random_corpus(spark, rand_dir):
     """The r15-staged gates go through the same random-corpus
     differential ahead of registration — empty docs score the bias,

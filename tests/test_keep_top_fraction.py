@@ -130,3 +130,65 @@ def test_budget_is_exact_for_awkward_fractions(spark):
     docs = _scored(spark, range(100))
     for frac, want in ((0.58, 58), (0.29, 29), (0.07, 7)):
         assert keep_top_fraction(docs, "score", frac).count() == want
+
+
+# ---------------------------------------------------------------------------
+# approx twin (round 14 — the 100 TB path for raw un-gridded scores)
+# ---------------------------------------------------------------------------
+
+def test_approx_matches_exact_on_gridded_scores(spark):
+    from sparkdon.pipeline.sampling import keep_top_fraction_approx
+
+    # gridded scores (the exact path's documented contract domain) with
+    # the budget landing strictly INSIDE a tie block (frac=0.25 → 50 of
+    # 200 lands mid-block of the 20-wide 0.7 tier): both paths must
+    # land on the same boundary value and keep the same doc set.  A
+    # budget landing exactly ON a block edge may resolve to the
+    # adjacent block in the sketch (documented divergence).
+    docs = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(200)],
+        "doc_id long, score double")
+    exact = {r.doc_id for r in
+             keep_top_fraction(docs, "score", 0.25).collect()}
+    approx = {r.doc_id for r in
+              keep_top_fraction_approx(docs, "score", 0.25).collect()}
+    assert approx == exact
+    assert len(exact) == 60  # tie-inclusive: 0.25·200=50 → 0.7 block
+
+
+def test_approx_fraction_on_all_distinct_scores(spark):
+    from sparkdon.pipeline.sampling import keep_top_fraction_approx
+
+    # all-distinct raw floats — the domain where the exact rank table
+    # is corpus-sized and the sketch is the production path; kept mass
+    # must sit within the sketch's rank error of frac·n
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.sin(F.col("id").cast("double")) * 1e6).alias("score"))
+    assert docs.select("score").distinct().count() == n
+    kept = keep_top_fraction_approx(docs, "score", 0.25).count()
+    assert abs(kept - 0.25 * n) <= n / 1000 + 1
+    low = keep_top_fraction_approx(docs, "score", 0.25,
+                                   ascending=True)
+    hi_min = docs.agg(F.expr("percentile(score, 0.74)")).first()[0]
+    assert low.agg(F.max("score")).first()[0] < hi_min
+
+
+def test_approx_edge_fracs(spark):
+    from sparkdon.pipeline.sampling import keep_top_fraction_approx
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "doc_id long, score double")
+    assert keep_top_fraction_approx(docs, "score", 0.0).count() == 0
+    assert keep_top_fraction_approx(docs, "score", 1.0).count() == 20
+
+
+def test_approx_nonfinite_fails_loudly(spark):
+    from sparkdon.pipeline.sampling import keep_top_fraction_approx
+
+    for bad in (None, float("nan"), float("inf")):
+        docs = spark.createDataFrame([(1, 0.5), (2, bad)],
+                                     "doc_id long, score double")
+        with pytest.raises(Exception, match="null/NaN/inf score"):
+            keep_top_fraction_approx(docs, "score", 0.5).collect()

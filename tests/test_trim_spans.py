@@ -1,0 +1,111 @@
+"""trim_duplicated_spans — the ExactSubstr span-trim endgame (r14,
+VERDICT r13 #5): x_dedup_substring measures duplicated-span coverage,
+this applies the trim.  Byte-for-byte reassembly is asserted against
+the DuckDB oracle (driver-style compare) on the sf0.001 fixture here
+and on the random corpus in test_fuzz_pipeline_oracles.py; the 10×
+probe row lives in PERF.md."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkdon.pipeline.dedup import (  # noqa: E402
+    _TRIM_ORACLE,
+    SUBSTR_L,
+    trim_duplicated_spans,
+    x_trim_spans,
+)
+
+_spec = importlib.util.spec_from_file_location(
+    "check_correctness",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "check_correctness.py"))
+_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_check)
+canon_rows = _check.canon_rows
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PASSAGE = "one two three four five six seven eight"  # exactly SUBSTR_L
+
+
+def test_second_occurrence_is_trimmed_first_survives(spark):
+    a = f"alpha {PASSAGE} omega"
+    b = f"start {PASSAGE} finish"
+    out = {r.doc_id: r for r in trim_duplicated_spans(
+        _docs(spark, [(1, a), (2, b)])).collect()}
+    # doc 1 holds the corpus-first occurrence: verbatim, nothing removed
+    assert out[1].text == a and out[1].n_removed == 0
+    # doc 2 loses exactly the duplicated 8-token passage
+    assert out[2].text == "start finish"
+    assert out[2].n_removed == SUBSTR_L
+
+
+def test_intra_document_repeat_keeps_first_copy(spark):
+    text = f"{PASSAGE} middle {PASSAGE}"
+    out = trim_duplicated_spans(_docs(spark, [(7, text)])).collect()[0]
+    assert out.text == f"{PASSAGE} middle"
+    assert out.n_removed == SUBSTR_L
+
+
+def test_short_empty_and_null_pass_through(spark):
+    rows = [(1, "too short to window"), (2, ""), (3, None)]
+    out = {r.doc_id: r for r in
+           trim_duplicated_spans(_docs(spark, rows)).collect()}
+    assert out[1].text == "too short to window"
+    assert out[2].text == ""
+    assert out[3].text is None
+    assert all(out[i].n_removed == 0 for i in (1, 2, 3))
+    # a trim never invents or drops documents
+    assert len(out) == 3
+
+
+def test_unique_long_doc_is_byte_identical(spark):
+    text = " ".join(f"tok{i}" for i in range(40))
+    out = trim_duplicated_spans(_docs(spark, [(5, text)])).collect()[0]
+    assert out.text == text and out.n_removed == 0
+
+
+def test_whole_doc_duplicate_trims_to_empty(spark):
+    out = {r.doc_id: r for r in trim_duplicated_spans(
+        _docs(spark, [(1, PASSAGE), (2, PASSAGE)])).collect()}
+    assert out[1].text == PASSAGE and out[1].n_removed == 0
+    assert out[2].text == "" and out[2].n_removed == SUBSTR_L
+
+
+def test_hashed_marking_matches_text_keyed(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    t = {r.doc_id: (r.text, r.n_removed)
+         for r in trim_duplicated_spans(docs).collect()}
+    h = {r.doc_id: (r.text, r.n_removed)
+         for r in trim_duplicated_spans(docs, hashed=True).collect()}
+    assert t == h
+
+
+def test_driver_style_compare_vs_duckdb_oracle(spark):
+    """The same row-count / columns / order-insensitive value compare
+    the driver gate runs — byte-for-byte on the reassembled text."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = x_trim_spans(spark, sf_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    cur = con.execute(_TRIM_ORACLE)
+    o_cols = [c[0] for c in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows)
+    assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
