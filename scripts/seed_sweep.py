@@ -9,10 +9,13 @@ gates on every one of them.  Any failure prints the seed so the shape
 can be frozen into the pytest battery as a regression.
 
 Usage: python scripts/seed_sweep.py [n_seeds] [base_seed] [tier]
-  tier: "docs" (default — documents gates + x_trim_spans + staged) or
+  tier: "docs" (default — documents gates + the unregistered swap
+        candidates x_trim_spans/x_soft_dedup + staged),
         "tpch" (the full relational + SPARQL engine battery on a fresh
         random TPC-H instance per seed, the r13 shape that caught two
-        oracle bugs).
+        oracle bugs), or
+        "tables" (embeddings + events gates on fresh random tables —
+        zero vectors, duplicate timestamps, malformed props JSON).
 Prints one JSON line: {"n_seeds": N, "base": B, "failures": [...]}.
 """
 
@@ -67,6 +70,27 @@ _EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                   "event_type string, value double, props string")
 
 
+def _random_embeddings(rng, dim: int = 64):
+    """Same edge shapes as the pytest battery's embeddings: a zero
+    vector, exact duplicates, near-zero magnitudes."""
+    vecs = []
+    for i in range(120):
+        kind = rng.random()
+        if kind < 0.04:
+            v = [0.0] * dim
+        elif kind < 0.12 and vecs:
+            v = list(vecs[rng.randrange(len(vecs))][1])
+        elif kind < 0.2:
+            v = [rng.uniform(-1e-4, 1e-4) for _ in range(dim)]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs.append((i, v, rng.randrange(4)))
+    return vecs
+
+
+_EMBED_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
 def main() -> None:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 777_000
@@ -84,15 +108,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from sparkdon.pipeline.clusters import _SOFT_DEDUP_ORACLE, x_soft_dedup
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
     pairs = (_fuzz._pipeline_pairs(_fuzz.GATES)
-             + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE)]
+             + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
+                ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 
     if tier == "tpch":
         pairs = _fuzz._engine_pairs()
+    elif tier == "tables":
+        pairs = _fuzz._pipeline_pairs(_fuzz.EMBED_GATES
+                                      + _fuzz.EVENT_GATES)
 
     all_failures = []
     for i in range(n_seeds):
@@ -106,7 +135,18 @@ def main() -> None:
              .write.mode("overwrite")
              .parquet(os.path.join(d, "documents.parquet")))
             views = ["documents"]
-            if tier == "tpch":
+            if tier == "tables":
+                (spark.createDataFrame(_random_embeddings(rng),
+                                       _EMBED_SCHEMA)
+                 .repartition(3)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(d, "embeddings.parquet")))
+                (spark.createDataFrame(_random_events(rng), _EVENTS_SCHEMA)
+                 .repartition(3)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(d, "events.parquet")))
+                views = ["embeddings", "events"]
+            elif tier == "tpch":
                 for name, (rows, schema) in _fuzz._random_tpch(rng).items():
                     (spark.createDataFrame(rows, schema).repartition(2)
                      .write.mode("overwrite")

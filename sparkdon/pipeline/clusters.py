@@ -287,6 +287,75 @@ def x_split_by_cluster(spark, sf_dir):
     )
 
 
+#: DuckDB oracle for :func:`x_soft_dedup` — same recursive-CTE
+#: components as x_dedup_clusters, then a rep-keyed size and the
+#: 1/size weight (CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in
+#: DuckDB and would diverge from Spark's double — the r8 portability
+#: audit class).
+_SOFT_DEDUP_ORACLE = (
+    "WITH RECURSIVE "
+    + _DUCK_BANDS[len("WITH "):] +
+    ", pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs "
+    "  UNION SELECT d2, d1 FROM pairs), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node), "
+    "sz AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) "
+    "SELECT c.doc_id, c.rep AS cluster_rep, "
+    "CAST(s.n AS BIGINT) AS cluster_size, "
+    "CAST(1 AS DOUBLE) / s.n AS weight "
+    "FROM comp c JOIN sz s ON c.rep = s.rep"
+)
+
+
+def soft_dedup_weights(docs: DataFrame) -> DataFrame:
+    """Soft dedup (the SlimPajama/D4-style alternative to dropping):
+    instead of keeping one representative per near-dup cluster and
+    deleting the rest, DOWNWEIGHT every member by its cluster size —
+    ``weight = 1/|cluster|`` — so each duplicated passage contributes
+    one document's worth of expected training mass while unique text
+    keeps weight 1.0.  Returns ``(doc_id, cluster_rep, cluster_size,
+    weight)``; feed ``weight`` to ``x_sample_weighted``'s machinery or
+    a loader's sampling distribution.
+
+    Composition of certified pieces: the MinHash-LSH pair graph
+    (:func:`~sparkdon.pipeline.dedup.routed_minhash_pairs` — bucketed
+    and capped, never all-pairs) → pointer-jumping components → ONE
+    rep-keyed count joined back on rep.  100 TB shape: identical to
+    ``x_dedup_clusters`` plus one id-keyed aggregate whose fan-in is
+    #clusters; weights are exact IEEE ``1/n`` (both engines compute
+    the same double), never a driver-side table."""
+    from .dedup import routed_minhash_pairs
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = _min_label_components(nodes, routed_minhash_pairs(docs))
+    sz = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sz, "rep")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("rep").alias("cluster_rep"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+
+
+def x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-style wrapper for :func:`soft_dedup_weights` on the shared
+    memoized component frame — built and oracle-verified in r14, NOT in
+    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): an r16+ swap
+    candidate alongside ``x_trim_spans``, battery evidence attached per
+    the standing gate-admission rule."""
+    comp = _doc_components(spark, sf_dir)
+    sz = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sz, "rep")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("rep").alias("cluster_rep"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+
+
 # --- PageRank (link-graph authority scoring) -------------------------------
 
 PR_SCALE = 10**12

@@ -222,15 +222,19 @@ def test_embed_and_event_gates_match_on_random_tables(
 
 
 def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
-    """x_trim_spans (r14, unregistered — r16+ swap candidate) goes
-    through the battery ahead of registration per the standing
-    gate-admission rule: the dense-dup docs ("dup dup dup …") exercise
-    self-overlapping windows, empty/single-token docs the passthrough,
-    and unicode words the byte-for-byte reassembly."""
+    """The r14 unregistered r16+ swap candidates (x_trim_spans,
+    x_soft_dedup) go through the battery ahead of registration per the
+    standing gate-admission rule: the dense-dup docs ("dup dup dup …")
+    exercise self-overlapping windows and fat dup clusters,
+    empty/single-token docs the passthrough, and unicode words the
+    byte-for-byte reassembly."""
+    from sparkdon.pipeline.clusters import _SOFT_DEDUP_ORACLE, x_soft_dedup
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
 
     failures = _compare(spark, rand_dir, ["documents"],
-                        [("x_trim_spans", x_trim_spans, _TRIM_ORACLE)])
+                        [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
+                         ("x_soft_dedup", x_soft_dedup,
+                          _SOFT_DEDUP_ORACLE)])
     assert not failures, failures
 
 
