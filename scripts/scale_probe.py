@@ -115,6 +115,7 @@ def main() -> None:
         x_split_by_cluster,
         x_trim_spans,
     )
+    from sparkdon.pipeline.clusters import x_soft_dedup
     from sparkdon.rdf_queries import (
         sparql_census,
         sparql_join_agg_ids,
@@ -249,6 +250,10 @@ def main() -> None:
         # scan slope)
         "keep_top_exact": _keep_top(exact=True),
         "keep_top_approx": _keep_top(exact=False),
+        # round 14: cluster downweighting — the shared component
+        # propagation plus one rep-keyed count; expect the
+        # x_dedup_clusters slope
+        "x_soft_dedup": x_soft_dedup,
     }
 
     def best_of_2(fn, d, warm=False):
