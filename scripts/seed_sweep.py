@@ -13,7 +13,9 @@ Usage: python scripts/seed_sweep.py [n_seeds] [base_seed] [tier]
         candidates x_trim_spans/x_soft_dedup + staged),
         "tpch" (the full relational + SPARQL engine battery on a fresh
         random TPC-H instance per seed, the r13 shape that caught two
-        oracle bugs), or
+        oracle bugs),
+        "tpch-nulls" (same, with NULL c_acctbal on ~15% of customers —
+        the null → no-triple → unbound chain vs SQL NULL), or
         "tables" (embeddings + events gates on fresh random tables —
         zero vectors, duplicate timestamps, malformed props JSON).
 Prints one JSON line: {"n_seeds": N, "base": B, "failures": [...]}.
@@ -117,7 +119,7 @@ def main() -> None:
                 ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 
-    if tier == "tpch":
+    if tier in ("tpch", "tpch-nulls"):
         pairs = _fuzz._engine_pairs()
     elif tier == "tables":
         pairs = _fuzz._pipeline_pairs(_fuzz.EMBED_GATES
@@ -146,8 +148,15 @@ def main() -> None:
                  .write.mode("overwrite")
                  .parquet(os.path.join(d, "events.parquet")))
                 views = ["embeddings", "events"]
-            elif tier == "tpch":
-                for name, (rows, schema) in _fuzz._random_tpch(rng).items():
+            elif tier in ("tpch", "tpch-nulls"):
+                tables = _fuzz._random_tpch(rng)
+                if tier == "tpch-nulls":
+                    cust, schema = tables["customer"]
+                    cust = [(k, n, nk,
+                             (None if rng.random() < 0.15 else bal), seg)
+                            for k, n, nk, bal, seg in cust]
+                    tables["customer"] = (cust, schema)
+                for name, (rows, schema) in tables.items():
                     (spark.createDataFrame(rows, schema).repartition(2)
                      .write.mode("overwrite")
                      .parquet(os.path.join(d, f"{name}.parquet")))
