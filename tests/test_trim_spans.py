@@ -148,3 +148,24 @@ def test_conservation_properties_on_random_docs(spark):
         n_kept = len(out[i].text.split(" ")) if out[i].text else (
             1 if text == "" else 0)
         assert n_kept + out[i].n_removed == n_orig, (i, text, out[i])
+
+
+def test_no_global_order_window_in_plan(spark):
+    """Every window in the trim plan must be doc-partitioned — a
+    global-order window would collapse the corpus onto one task (the
+    canonical scale killer this family's docstrings promise away)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j+i}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string")
+    import re
+
+    plan = (trim_duplicated_spans(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    # windowspecdefinition(partCol..., sortCol ASC ..., frame): a
+    # GLOBAL window's first argument is the sort item itself (no
+    # partition columns), so requiring doc_id first catches it
+    # regardless of how the surrounding Window line is formatted
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "no window specs in plan — formatting changed?"
+    for s in specs:
+        assert "doc_id" in s, s
