@@ -133,9 +133,14 @@ def test_conservation_properties_on_random_docs(spark):
         else:
             toks = rng.choices(vocab, k=rng.randrange(0, 40))
         rows.append((i, " ".join(toks)))
-    out = {r.doc_id: r for r in
-           trim_duplicated_spans(_docs(spark, rows)).collect()}
+    frame = _docs(spark, rows)
+    out = {r.doc_id: r for r in trim_duplicated_spans(frame).collect()}
     assert set(out) == {i for i, _ in rows}
+    # the 8-byte marking twin must agree on this random corpus too
+    # (fixture-only equality could in principle overfit)
+    hashed = {r.doc_id: (r.text, r.n_removed)
+              for r in trim_duplicated_spans(frame, hashed=True).collect()}
+    assert hashed == {i: (r.text, r.n_removed) for i, r in out.items()}
     for i, text in rows:
         orig = text.split(" ")
         kept = out[i].text.split(" ") if out[i].text else []
