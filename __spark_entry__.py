@@ -61,63 +61,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 14.
+#: Entries hoisted into the driver's verification window.  Round 15 —
+#: the BATTERY-SWAP round (PERF.md r13 design note, executed in this
+#: round's first commit).
 #:
 #: Freshness invariant: at end of round N, the union of windows
 #: N-2..N must cover the whole battery (no entry's newest driver-green
-#: row older than two rounds).  Recomputed this round from
-#: CORRECTNESS_r01..r13 actuals (``scripts/derive_window.py``):
-#: newest-green distribution is {r11: 50, r12: 50, r13: 50} — the
-#: invariant held perfectly at end of r13.  The entries due NOW are
-#: EXACTLY the 50 whose newest green is r11; after this window goes
-#: green the r12 ∪ r13 ∪ r14 union again covers all 150.  This window
-#: also driver-verifies the r13 cosine-guard plan change on the six
-#: sim-family gates (x_sim_topk, x_sim_lsh_refined, x_sim_pq,
-#: x_sim_ivfpq, x_semantic_dedup, x_dedup_embed*-adjacent cohort),
-#: closing the plan-changed-outside-window residual from r13.
+#: row older than two rounds).  Recomputed from CORRECTNESS_r01..r14
+#: actuals AFTER the registry edit (``scripts/derive_window.py``):
+#: newest-green distribution is {never: 3, r12: 47, r13: 50, r14: 50}
+#: — the three never-green entries are the newly registered swap trio
+#: (x_bpe_encode / x_fasttext_score / x_pack_shard from
+#: pipeline/staged_gates.py, driver-style verified at 3 scales + on
+#: random corpora since r13), and the 47 r12 entries are the due
+#: cohort MINUS the retired u2_except/u3_intersect/f1_str_cast (now
+#: sparkdon.relational's RETIRED tier, pytest-oracled in
+#: tests/test_retired_gates.py).  3 + 47 = exactly 50; after this
+#: window goes green the r13 ∪ r14 ∪ r15 union covers the post-swap
+#: 150.
 #:
-#: R15 OBLIGATION (derived from actuals, assuming this window goes
-#: green): the 50 entries whose newest green is r12 —
-#: a1_group_count a2_group_expr a3_count_distinct a4_global_agg
-#: a5_group_multi_pattern a7_distinct a9_multi_agg f1_str_cast
-#: f3_strstarts f4_substr o1_order_asc o2_topk_desc o3_order_computed
-#: o4_limit_topk p1_scan_filter p3_constant_pushdown
-#: p4_projection_expr p5_filter_compare p6_bool_connectives
-#: p7_filter_in p8_bind p9_values_join q_decollect_seq sparql_ask
-#: sparql_construct_count sparql_group_concat sparql_offset
-#: sparql_strfuncs u1_union u2_except u3_intersect x_asof_join
-#: x_contamination_stream x_dedup_clusters x_dedup_intra
-#: x_dedup_minhash x_dedup_priority x_dedup_stream x_event_lag
-#: x_event_percentiles x_events_rollup x_ngram_novelty
-#: x_pivot_source_lang x_sample_stratified x_sample_weighted
-#: x_text_repetition x_topk_per_lang x_vocab_topk x_window_sliding
-#: x_window_stream = EXACTLY 50.  R15 is the cycle boundary where the
-#: retiring u2_except/u3_intersect/f1_str_cast cohort is itself due:
-#: execute the battery swap there (register x_bpe_encode,
-#: x_fasttext_score, x_pack_shard from pipeline/staged_gates.py and
-#: retire those three) per the PERF.md (r13) swap design note.
+#: R16 OBLIGATION (derived from actuals, assuming this window goes
+#: green): the 50 entries whose newest green is r13 —
+#: the f5/f6/f7 + q_peel/s1 + sparql_census/describe/filter_lang
+#: family + the x_* r13 cohort (run ``scripts/derive_window.py`` at
+#: r16 start for the exact list; the tripwire test enforces it).
 #: The cadence remains at zero slack (150 battery / 50 window /
 #: 3-round cycle): NO new gated entries may be added without retiring
-#: one.
+#: one.  Named r16+ swap candidates with dossiers: x_trim_spans,
+#: x_soft_dedup (both oracled, probed, in seed_sweep's docs tier).
 _FRONT = [
-    # the 50 r11-stale entries, deadline THIS round (derive_window.py)
-    "a6_subquery_filter", "a8_bag_decollect", "j1_inner_join_chain",
-    "j2_left_outer", "j3_anti_not_exists", "j4_minus",
-    "j5_semi_exists", "q10_seq_decollect", "q_rule_fixpoint",
-    "sparql_bind_strstarts", "sparql_census_ids",
-    "sparql_census_orders", "sparql_count_distinct",
-    "sparql_join_agg_ids", "sparql_minus", "sparql_not_exists",
-    "sparql_optional", "sparql_optional_ids", "sparql_orderby_limit",
-    "sparql_path_inverse", "sparql_path_nps", "sparql_path_seq",
-    "sparql_subquery_having", "sparql_union", "sparql_values",
-    "x_boilerplate", "x_bpe_pairs", "x_char_entropy",
-    "x_cms_heavy_hitters", "x_cooccur_pmi", "x_corpus_keep",
-    "x_corpus_pack", "x_cross_dedup", "x_fingerprint_winnow",
-    "x_hll_distinct", "x_join_stream", "x_lm_bigram", "x_lm_score",
-    "x_mix_temperature", "x_pack_sequences", "x_pagerank",
-    "x_pq_trained", "x_sample_exact_k", "x_semantic_dedup",
-    "x_sim_ivfpq", "x_sim_lsh_refined", "x_sim_pq", "x_sim_topk",
-    "x_split_by_cluster", "x_window_sessionize",
+    # the 3 newly registered swap entries (never driver-green → most
+    # urgent) + the 47 surviving r12-stale entries = the derived 50
+    "x_bpe_encode", "x_fasttext_score", "x_pack_shard",
+    "a1_group_count", "a2_group_expr", "a3_count_distinct",
+    "a4_global_agg", "a5_group_multi_pattern", "a7_distinct",
+    "a9_multi_agg", "f3_strstarts", "f4_substr", "o1_order_asc",
+    "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
+    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
+    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in",
+    "p8_bind", "p9_values_join", "q_decollect_seq", "sparql_ask",
+    "sparql_construct_count", "sparql_group_concat", "sparql_offset",
+    "sparql_strfuncs", "u1_union", "x_asof_join",
+    "x_contamination_stream", "x_dedup_clusters", "x_dedup_intra",
+    "x_dedup_minhash", "x_dedup_priority", "x_dedup_stream",
+    "x_event_lag", "x_event_percentiles", "x_events_rollup",
+    "x_ngram_novelty", "x_pivot_source_lang", "x_sample_stratified",
+    "x_sample_weighted", "x_text_repetition", "x_topk_per_lang",
+    "x_vocab_topk", "x_window_sliding", "x_window_stream",
 ]
 
 

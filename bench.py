@@ -21,11 +21,13 @@ smeared BENCH_r03 ~1.5x across queries whose plans had not changed):
 - One untimed warm-up pass pays whole-stage-codegen compilation and
   stage-scheduling setup before anything is timed.
 
-SCOPE (round 14, making the cap explicit): GROUPS times 93 of the 150
-gated battery entries (94 timings with the flagship) — every
+SCOPE (round 15; cap made explicit in round 14): GROUPS times 96 of
+the 150 gated battery entries (97 timings with the flagship — the r15
+battery swap retired three untimed relational siblings and registered
+three pipeline gates, which enter the timed set per the rule) — every
 non-streaming pipeline gate plus one
 shape-representative per relational/SPARQL micro-gate family (see the
-SET SELECTION RULE at GROUPS below).  The ~56 untimed entries are the
+SET SELECTION RULE at GROUPS below).  The ~54 untimed entries are the
 cheap relational/SPARQL siblings (plan-shape duplicates of a timed
 representative) and the streaming gates (wall time dominated by fixed
 query-startup machinery, not plan quality) — so the suite total and
@@ -147,6 +149,17 @@ GROUPS: list[tuple[str, list[str]]] = [
             # partial agg, HLL (group,register) max-agg
             "x_cms_heavy_hitters",
             "x_hll_distinct",
+            # round 15: the battery-swap trio enters the timed set the
+            # round it registers (set-selection rule above).  Shapes:
+            # trained-merge-list BPE apply (novel — the replace-twice
+            # separator proof over a 48-merge list), hashed-n-gram
+            # linear scoring (zero-shuffle like the fastText gate but
+            # over a trained weight vector), and curriculum-ordered
+            # pack assignment (the (score, doc_id) sort-key variant of
+            # x_pack_sequences' two-pass prefix sum).
+            "x_bpe_encode",
+            "x_fasttext_score",
+            "x_pack_shard",
         ],
     ),
     # NOTE: the streaming gates (x_dedup_stream, x_window_stream,

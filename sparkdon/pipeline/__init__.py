@@ -50,6 +50,11 @@ from . import packing as _m_packing
 # classifier registers NO gated entries (the r12/r13 rotation has zero
 # slack) — pytest-covered API only
 from . import classifier as _m_classifier
+# staged_gates registers the r15 battery-swap trio (x_bpe_encode,
+# x_fasttext_score, x_pack_shard) — swapped in for the retired
+# u2_except/u3_intersect/f1_str_cast relational gates at the r15 cycle
+# boundary (PERF.md r13 design note)
+from . import staged_gates as _m_staged
 
 # Re-export every module-level name (including the underscore helpers
 # tests and sibling modules reach for, e.g. ``pipeline._minhash_bands``,
@@ -59,7 +64,7 @@ from . import classifier as _m_classifier
 # references never go stale.
 _pkg = _sys.modules[__name__]
 for _m in (_m_dedup, _m_ann, _m_pq, _m_text, _m_stream, _m_clusters,
-           _m_sampling, _m_packing, _m_classifier):
+           _m_sampling, _m_packing, _m_classifier, _m_staged):
     for _n, _v in vars(_m).items():
         if _n.startswith("__") or _n == "annotations":
             continue

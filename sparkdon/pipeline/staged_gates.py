@@ -1,27 +1,20 @@
-"""Staged driver gates for the learned tier — built in r13, REGISTERED
-at the r15 cycle boundary (see PERF.md "Round 13: battery-swap design
-note").
+"""Staged driver gates for the learned tier — built in r13, registered
+into the live battery at the r15 cycle boundary (PERF.md "Round 13:
+battery-swap design note", executed r15 first commit).
 
 The 150-entry battery / 50-entry window / 3-round verification cadence
-has zero slack, so these three entries cannot enter ``pipeline.QUERIES``
-until three redundant relational gates (``u2_except``, ``u3_intersect``,
-``f1_str_cast``) retire with their own cohort at the start of r15.
-Until then the gates live here with the SAME contract as registered
-entries — a (spark, sf_dir) callable plus a DuckDB oracle — and
-``tests/test_staged_gates.py`` runs the full driver-style comparison
-(row count, columns, order-insensitive canonical values) every session,
-so the r15 swap is a registration move, not new code.
-
-Execution of the swap (r15, first commit):
-
-1. delete the ``u2_except`` / ``u3_intersect`` / ``f1_str_cast``
-   registrations in :mod:`sparkdon.relational` (their pytest coverage
-   stays),
-2. in this module, replace the ``STAGED``/``STAGED_ORACLE`` dicts with
-   ``@register`` decorations (import from ``._registry``),
-3. put the three new keys in the r15 ``_FRONT`` window (never-green →
-   due immediately; 47 surviving r12-cohort entries + these 3 = 50),
-4. ``scripts/derive_window.py --check`` must exit 0.
+has zero slack, so these three entries waited out r13/r14 here with the
+SAME contract as registered entries — a (spark, sf_dir) callable plus a
+DuckDB oracle — while ``tests/test_staged_gates.py`` ran the full
+driver-style comparison (row count, columns, order-insensitive
+canonical values) every session.  At r15 the three redundant relational
+gates (``u2_except``, ``u3_intersect``, ``f1_str_cast``) retired with
+their own due cohort (they live on as :mod:`sparkdon.relational`'s
+RETIRED tier, still pytest-oracled) and the ``register`` loop at the
+bottom of this module put these three into ``pipeline.QUERIES`` /
+``ORACLE``; the r15 ``_FRONT`` window carries them (never-green → due
+immediately; 47 surviving r12-cohort entries + these 3 = 50), and
+``scripts/derive_window.py --check`` enforces the arithmetic.
 
 STANDING GATE-ADMISSION RULE (r14, VERDICT r13 #6): every oracle that
 enters (or is staged for) the battery MUST first pass
@@ -38,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ._registry import table
+from ._registry import register, table
 
 # no __all__: the package facade's duplicate-definition guard treats a
 # repeated module-level assignment as a shadowing hazard, and this
@@ -256,3 +249,12 @@ STAGED_ORACLE = {
     "x_fasttext_score": _score_oracle(),
     "x_pack_shard": _pack_oracle(),
 }
+
+# r15 battery swap (PERF.md r13 design note, executed): the three gates
+# above enter the driver battery in place of the retired
+# u2_except/u3_intersect/f1_str_cast trio (now sparkdon.relational's
+# RETIRED tier, still pytest-oracled).  STAGED/STAGED_ORACLE remain the
+# canonical views this module's tests and scripts/seed_sweep.py iterate.
+for _k in STAGED:
+    register(_k, STAGED_ORACLE[_k])(STAGED[_k])
+del _k

@@ -42,6 +42,23 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+#: Gates retired from the driver battery at the r15 cycle-boundary swap
+#: (PERF.md r13 design note): they stay callable with their oracles so
+#: pytest keeps the driver-style compare (tests/test_retired_gates.py),
+#: but no longer occupy battery slots.
+RETIRED: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLE: Dict[str, str] = {}
+
+
+def retired(name: str, sql: str | None = None):
+    def deco(fn):
+        RETIRED[name] = fn
+        if sql is not None:
+            RETIRED_ORACLE[name] = sql
+        return fn
+    return deco
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
@@ -515,14 +532,15 @@ def u1_union(spark, sf_dir):
     return c.unionByName(s)
 
 
-@register(
+@retired(
     "u2_except",
     "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "
     "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
 )
 def u2_except(spark, sf_dir):
     """U2: set difference (EXCEPT DISTINCT — ``subtract``): high-balance
-    customers minus those with an urgent order."""
+    customers minus those with an urgent order.  Retired from the
+    battery r15 (U2 semantics stay gated via j4_minus/sparql_minus)."""
     c = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
@@ -536,13 +554,14 @@ def u2_except(spark, sf_dir):
     return c.subtract(o)
 
 
-@register(
+@retired(
     "u3_intersect",
     "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
     "INTERSECT SELECT DISTINCT s_nationkey FROM supplier",
 )
 def u3_intersect(spark, sf_dir):
-    """U3: intersection."""
+    """U3: intersection.  Retired from the battery r15 (U3 semantics
+    stay gated via j5_semi_exists/sparql_not_exists)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -552,12 +571,13 @@ def u3_intersect(spark, sf_dir):
 # F — scalar functions (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
 
-@register(
+@retired(
     "f1_str_cast",
     "SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) AS key_str FROM nation",
 )
 def f1_str_cast(spark, sf_dir):
-    """F1: STR() — value→lexical-string conversion."""
+    """F1: STR() — value→lexical-string conversion.  Retired from the
+    battery r15 (STR stays gated via sparql_strfuncs/o3's casts)."""
     return table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_nationkey").cast("string").alias("key_str")
     )
