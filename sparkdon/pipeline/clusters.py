@@ -312,6 +312,20 @@ _SOFT_DEDUP_ORACLE = (
 )
 
 
+def _soft_weights_from_components(comp: DataFrame) -> DataFrame:
+    """Rep-keyed size count + ``1/n`` weight projection over a
+    ``(node, rep)`` component frame — the one definition both
+    :func:`soft_dedup_weights` and :func:`x_soft_dedup` project
+    through (they differ only in where the component frame comes
+    from), so the output contract cannot drift between them."""
+    sz = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sz, "rep")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("rep").alias("cluster_rep"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+
+
 def soft_dedup_weights(docs: DataFrame) -> DataFrame:
     """Soft dedup (the SlimPajama/D4-style alternative to dropping):
     instead of keeping one representative per near-dup cluster and
@@ -333,12 +347,7 @@ def soft_dedup_weights(docs: DataFrame) -> DataFrame:
 
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = _min_label_components(nodes, routed_minhash_pairs(docs))
-    sz = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (comp.join(sz, "rep")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("rep").alias("cluster_rep"),
-                    F.col("cluster_size").cast("long").alias("cluster_size"),
-                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+    return _soft_weights_from_components(comp)
 
 
 def x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,12 +357,7 @@ def x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate alongside ``x_trim_spans``, battery evidence attached per
     the standing gate-admission rule."""
     comp = _doc_components(spark, sf_dir)
-    sz = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (comp.join(sz, "rep")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("rep").alias("cluster_rep"),
-                    F.col("cluster_size").cast("long").alias("cluster_size"),
-                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+    return _soft_weights_from_components(comp)
 
 
 # --- PageRank (link-graph authority scoring) -------------------------------

@@ -711,13 +711,13 @@ SUBSTR_L = 8
 _SUBSTR_ORACLE = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents"
     f" WHERE len(string_split(text, ' ')) >= {SUBSTR_L}), "
-    "win AS (SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS w "
-    " FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+    f"win AS (SELECT doc_id, i, array_to_string(t[i : i + {SUBSTR_L - 1}], ' ') AS w "
+    f" FROM toks, LATERAL unnest(generate_series(1, len(t) - {SUBSTR_L - 1})) AS u(i)), "
     "c AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY w) AS cnt FROM win), "
     "base AS (SELECT doc_id, COUNT(*) AS n_windows, "
     " CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
     " FROM c GROUP BY doc_id), "
-    "sp AS (SELECT doc_id, i AS s, i + 7 AS e FROM c WHERE cnt > 1), "
+    f"sp AS (SELECT doc_id, i AS s, i + {SUBSTR_L - 1} AS e FROM c WHERE cnt > 1), "
     "brk AS (SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER "
     " (PARTITION BY doc_id ORDER BY s "
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
@@ -867,12 +867,12 @@ _TRIM_ORACLE = (
     "WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t "
     " FROM documents), "
     f"longd AS (SELECT * FROM toks WHERE len(t) >= {SUBSTR_L}), "
-    "win AS (SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS w "
-    " FROM longd, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+    f"win AS (SELECT doc_id, i, array_to_string(t[i : i + {SUBSTR_L - 1}], ' ') AS w "
+    f" FROM longd, LATERAL unnest(generate_series(1, len(t) - {SUBSTR_L - 1})) AS u(i)), "
     "marked AS (SELECT doc_id, i, "
     " ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn "
     " FROM win), "
-    "sp AS (SELECT doc_id, i AS s, i + 7 AS e FROM marked WHERE rn > 1), "
+    f"sp AS (SELECT doc_id, i AS s, i + {SUBSTR_L - 1} AS e FROM marked WHERE rn > 1), "
     "brk AS (SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER "
     " (PARTITION BY doc_id ORDER BY s "
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
@@ -913,12 +913,21 @@ def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
 
     Semantics, window-granular: an ``L``-token window occurrence is
     trimmed iff it is NOT the first occurrence of its window text in
-    corpus order (ordered by ``(doc_id, position)``) — so the first
-    copy of a duplicated passage survives verbatim, every later copy
-    loses exactly the duplicated tokens (trimmed windows merge into
-    maximal spans via the same gaps-and-islands pass as the coverage
-    gate; every trimmed token is genuinely duplicated text, since each
-    trimmed window's text occurs elsewhere).  Duplicates shorter than
+    corpus order (ordered by ``(doc_id, position)``) — so for
+    NON-self-overlapping occurrences the first copy of a duplicated
+    passage survives verbatim and every later copy loses exactly the
+    duplicated tokens (trimmed windows merge into maximal spans via
+    the same gaps-and-islands pass as the coverage gate; every trimmed
+    token is genuinely duplicated text, since each trimmed window's
+    text occurs elsewhere).  Periodic text is the exception to
+    first-copy preservation: when a run self-overlaps (the same token
+    repeated ≥ ``L + 1`` times, or any period-p repeat longer than
+    ``L + p`` tokens), the run's SECOND window is already a duplicate
+    of its first, so its trim span eats back into the first occurrence
+    and the run collapses toward a single period (e.g. 9 × ``'a'``
+    with ``L=8`` trims to ``'a'``).  The oracle implements the same
+    rule, so the engines agree; this is a property of window-granular
+    ExactSubstr marking itself, not an implementation divergence.  Duplicates shorter than
     ``L`` tokens are below the detection floor, as in the paper.  Docs
     too short to window pass through verbatim; null text passes
     through null (a trim never invents or drops documents — the
