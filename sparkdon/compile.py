@@ -906,7 +906,20 @@ class Compiler:
             elif isinstance(el, SubSelect):
                 bindings = self.join(bindings, self.compile_select(el.query))
             elif isinstance(el, ServiceGroup):
-                bindings = self.join(bindings, self.compile_service(el, bindings))
+                prior = bindings
+                if bindings is not None:
+                    # sharpen the bound-join harvest exactly like the
+                    # closure-path SIP anchors above: group filters whose
+                    # vars the prefix already binds restrict the final
+                    # solutions anyway, so applying them to the HARVEST
+                    # frame (not the main plan — they still run at group
+                    # end) is lossless and shrinks the injected VALUES
+                    # (r15: a FILTER-restricted anchor set was shipping
+                    # the UNfiltered domain to the remote endpoint)
+                    for expr in deferred:
+                        if self._expr_vars(expr) <= set(bindings.variables):
+                            prior = self.apply_filter(prior, expr)
+                bindings = self.join(bindings, self.compile_service(el, prior))
             elif isinstance(el, GraphGroup):
                 bindings = self.join(bindings, self.compile_graph_group(el))
             elif isinstance(el, Filter):
@@ -1027,10 +1040,33 @@ class Compiler:
     # SERVICE federation
     # ------------------------------------------------------------------
 
-    #: bound-join cap: above this many distinct local binding rows the
-    #: VALUES injection would bloat the remote request URL; fall back to
-    #: an unconstrained fetch (the local join re-applies the restriction)
+    #: bound-join cap: distinct local binding rows injected as ONE
+    #: VALUES clause per remote request (POST form-encoding keeps the
+    #: request body modest at this size)
     SERVICE_VALUES_CAP = 1000
+    #: chunked bound join (FedX-style, r15): between CAP and
+    #: CAP × MAX_REQUESTS distinct anchors, split the VALUES injection
+    #: into ceil(n/CAP)-sized batches — one request each, results
+    #: concatenated (disjoint anchor chunks ⇒ disjoint remote solution
+    #: bags, so the union is exact).  Above that, fall back to one
+    #: unconstrained fetch (the local join re-applies the restriction).
+    #: The ladder bounds BOTH the request count and the driver-side
+    #: anchor collect; at DBpedia scale a selective 20k-anchor bound
+    #: join stays 20 bounded requests instead of an unbounded-transfer
+    #: full-predicate fetch.
+    SERVICE_MAX_REQUESTS = 30
+    #: adaptive ladder exit: when chunking would cost at least this many
+    #: requests, first ask the remote ``SELECT (COUNT(*) …)`` for the
+    #: UNconstrained pattern's cardinality (one cheap aggregate — every
+    #: SPARQL 1.1 endpoint answers it off an index); if the whole remote
+    #: relation is no bigger than the anchor list we would upload,
+    #: fetching it outright is strictly less transfer AND fewer requests
+    #: (dense-anchor case: the r15 probe measured 15 chunked requests
+    #: taking 4.8× one unconstrained fetch when anchors covered the
+    #: domain).  The probe is advisory — any failure falls back to
+    #: chunking, and SILENT semantics are untouched (the probe runs
+    #: inside the same try as the main fetches).
+    SERVICE_COUNT_PROBE_MIN_CHUNKS = 4
 
     def compile_service(self, el: ServiceGroup, prior: Bindings | None) -> Bindings:
         """SPARQL 1.1 federation (spec §18): ship the group text to the
@@ -1040,12 +1076,17 @@ class Compiler:
         exactly the local join semantics).
 
         Bound-join optimization (FedX-style): when the local prefix
-        already binds variables the service group shares and the distinct
-        binding set is small, inject it as a VALUES clause so the
-        endpoint evaluates only the relevant slice.  The outer join
-        re-applies the restriction locally, so skipping the injection
-        (cap exceeded, or bnode bindings — which never transfer across
-        endpoints) cannot change the result.
+        already binds variables the service group shares, inject the
+        distinct binding set as VALUES so the endpoint evaluates only
+        the relevant slice — one request up to ``SERVICE_VALUES_CAP``
+        rows, then chunked into up to ``SERVICE_MAX_REQUESTS`` batched
+        requests whose disjoint solution bags concatenate exactly
+        (r15).  The outer join re-applies the restriction locally, so
+        skipping the injection (chunk ladder exceeded, or bnode
+        bindings — which never transfer across endpoints) cannot
+        change the result.  The harvest frame arrives pre-sharpened by
+        any group filters the prefix can already evaluate
+        (compile_group's ServiceGroup branch).
 
         The fetch runs at plan-build time on the driver: a remote HTTP
         endpoint is not a distributed scan, and the result schema must be
@@ -1056,14 +1097,16 @@ class Compiler:
 
         svars = _group_var_names(el.group)
         injectable = _injectable_vars(el.group)
-        values = ""
+        values_batches: list[str] = []
+        n_anchors = 0
         if prior is not None:
             shared = [v for v in prior.variables
                       if v in injectable and v in prior.certain]
             if shared:
+                cap, max_req = self.SERVICE_VALUES_CAP, self.SERVICE_MAX_REQUESTS
                 rows = (prior.df
                         .select(*[vcol(v) for v in shared]).distinct()
-                        .limit(self.SERVICE_VALUES_CAP + 1).collect())
+                        .limit(cap * max_req + 1).collect())
                 if not rows:
                     # empty local prefix ⇒ empty join; skip the round-trip
                     return Bindings(
@@ -1077,17 +1120,47 @@ class Compiler:
                         break
                     n3_rows.append(
                         "(" + " ".join(t.n3() for t in terms) + ")")
-                if n3_rows is not None and len(n3_rows) <= self.SERVICE_VALUES_CAP:
-                    values = "VALUES (%s) { %s }\n" % (
-                        " ".join("?" + v for v in shared), " ".join(n3_rows))
+                if n3_rows is not None and len(n3_rows) <= cap * max_req:
+                    head = " ".join("?" + v for v in shared)
+                    n_anchors = len(n3_rows)
+                    values_batches = [
+                        "VALUES (%s) { %s }\n" % (
+                            head, " ".join(n3_rows[i:i + cap]))
+                        for i in range(0, len(n3_rows), cap)]
         prologue = "".join(f"PREFIX {p}: <{iri}>\n"
                            for p, iri in sorted(el.prefixes.items()))
-        body = el.raw
-        if values:
-            body = "{\n" + values + body[body.index("{") + 1:]
-        query = f"{prologue}SELECT * WHERE {body}"
+        if len(values_batches) >= self.SERVICE_COUNT_PROBE_MIN_CHUNKS:
+            try:
+                cdoc = fetch_bindings(
+                    str(el.endpoint),
+                    f"{prologue}SELECT (COUNT(*) AS ?sparkdon_svc_n) "
+                    f"WHERE {el.raw}")
+                cb = cdoc["results"]["bindings"]
+                n_remote = int(cb[0]["sparkdon_svc_n"]["value"]) if cb else 0
+                if n_remote <= n_anchors:
+                    values_batches = []
+            except Exception:
+                logger.debug("SERVICE <%s>: COUNT probe failed; keeping "
+                             "the chunked bound join", el.endpoint)
+        queries = []
+        for values in values_batches:
+            body = "{\n" + values + el.raw[el.raw.index("{") + 1:]
+            queries.append(f"{prologue}SELECT * WHERE {body}")
+        if not queries:
+            queries = [f"{prologue}SELECT * WHERE {el.raw}"]
         try:
-            doc = fetch_bindings(str(el.endpoint), query)
+            docs = [fetch_bindings(str(el.endpoint), q) for q in queries]
+            doc = docs[0]
+            for d in docs[1:]:
+                # disjoint anchor chunks ⇒ disjoint solution bags: the
+                # concatenation is the exact bag union.  Heads are
+                # identical by construction (same SELECT * body, only
+                # the VALUES rows differ) — union defensively anyway.
+                for v in d.get("head", {}).get("vars", []):
+                    if v not in doc.setdefault("head", {}).setdefault("vars", []):
+                        doc["head"]["vars"].append(v)
+                doc.setdefault("results", {}).setdefault("bindings", []).extend(
+                    d.get("results", {}).get("bindings", []))
         except Exception as exc:
             if el.silent:
                 # spec: SILENT failure yields the unit solution sequence

@@ -63,7 +63,11 @@ def test_service_bound_join_injects_values(local, served):
     assert "<http://example.com/Yonkers>" not in remote_q
 
 
-def test_service_cap_falls_back_to_unconstrained(local, served, monkeypatch):
+def test_service_above_cap_chunks_bound_join(local, served, monkeypatch):
+    """r15 chunk ladder: anchors above the per-request cap split into
+    ceil(n/cap) VALUES batches (FedX-style) instead of falling back to
+    an unconstrained fetch; the disjoint chunks' answers concatenate to
+    the same solution bag."""
     from sparkdon.compile import Compiler
 
     monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 2)
@@ -71,9 +75,85 @@ def test_service_cap_falls_back_to_unconstrained(local, served, monkeypatch):
     pdf = local.select(
         EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
         f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
-    (remote_q,) = served.queries
-    assert "VALUES" not in remote_q  # 4 distinct boros > cap of 2
+    assert len(served.queries) == 2  # 4 distinct boros / cap 2
+    for remote_q in served.queries:
+        assert "VALUES" in remote_q
     assert list(pdf["pop"]) == [2736074, 1694251, 2405464]  # same answer
+
+
+def test_service_ladder_exceeded_falls_back_to_unconstrained(
+        local, served, monkeypatch):
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 2)
+    monkeypatch.setattr(Compiler, "SERVICE_MAX_REQUESTS", 1)
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    (remote_q,) = served.queries
+    assert "VALUES" not in remote_q  # 4 boros > cap 2 x 1 request
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]  # same answer
+
+
+def test_service_count_probe_exits_ladder_on_dense_anchors(
+        local, served, monkeypatch):
+    """r15 adaptive ladder exit: when chunking would cost >= the probe
+    threshold in requests, one remote COUNT decides — here the whole
+    remote relation (4 pop rows) is no bigger than the 4-anchor upload,
+    so the compiler fetches unconstrained: 2 requests total instead of
+    4 chunked ones."""
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 1)
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    assert len(served.queries) == 2
+    assert "COUNT" in served.queries[0]
+    assert "VALUES" not in served.queries[1]
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]
+
+
+def test_service_count_probe_failure_keeps_chunking(
+        local, served, monkeypatch):
+    """The COUNT probe is advisory: a remote that rejects aggregates
+    still gets the chunked bound join, not an exception."""
+    from sparkdon import remote as remote_mod
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 1)
+    real = remote_mod.fetch_bindings
+
+    def flaky(url, sparql, **kw):
+        if "COUNT" in sparql:
+            raise RuntimeError("no aggregates here")
+        return real(url, sparql, **kw)
+
+    monkeypatch.setattr(remote_mod, "fetch_bindings", flaky)
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    assert len(served.queries) == 4  # one VALUES chunk per anchor
+    assert all("VALUES" in q for q in served.queries)
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]
+
+
+def test_service_harvest_is_filter_sharpened(local, served):
+    """r15: a group FILTER over already-bound prefix vars restricts the
+    injected VALUES (the SIP-harvest rule applied to federation) — the
+    remote only evaluates anchors that can survive the filter."""
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        "  FILTER(?b != :Manhattan) "
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    (remote_q,) = served.queries
+    assert "VALUES" in remote_q
+    assert "Manhattan" not in remote_q  # filtered anchor never shipped
+    assert list(pdf["pop"]) == [2736074, 2405464]
 
 
 def test_service_first_in_group_fetches_whole_pattern(local, served):
