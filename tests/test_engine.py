@@ -137,8 +137,12 @@ def test_bind_and_numeric_order(spark):
 def test_seq_decollect(spark):
     e = inline(SEQ11_TTL, spark)
     goes_to_eleven = e.decollect(":seq")
-    # the reference's only inline assert (RDFContainers#cell48)
+    # the reference's only inline assert, ported verbatim
+    # (RDFContainers#cell48: [0]=="one", [1]=="two", [10]=="eleven",
+    # len truthy) plus [9]=="ten" — the index where lexical _10 < _2
+    # ordering would first corrupt the list
     assert goes_to_eleven[0] == "one"
+    assert goes_to_eleven[1] == "two"
     assert goes_to_eleven[9] == "ten"
     assert goes_to_eleven[10] == "eleven"
     assert len(goes_to_eleven) == 11

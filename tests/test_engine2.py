@@ -369,3 +369,89 @@ def test_explain_exposes_physical_plan(ep):
     assert "Physical Plan" in plan
     simple = ep.explain("SELECT ?s ?n { ?s :name ?n }", mode="simple")
     assert "Scan" in simple or "LocalTableScan" in simple
+
+
+# --- Inference_Over_RDF_Containers, end-to-end (r15, VERDICT r14 #7) ----
+
+#: the notebook's actual race card (#cell5): 6 / 7 / 6 entrants
+TIOGA_TTL = """
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix : <http://example.com/> .
+:tioga_downs_2017_08_14 a rdf:Seq ;
+    rdf:_1 :race_1 ; rdf:_2 :race_2 ; rdf:_3 :race_3 .
+:race_1 a rdf:Seq ;
+    rdf:_1 "PRINCE ADIRAN" ; rdf:_2 "KDMAKEWAY" ;
+    rdf:_3 "ANDERSON VALLEY" ; rdf:_4 "SETTINEMONFIRE" ;
+    rdf:_5 "TRILLIONAIR" ; rdf:_6 "OZZY BLUE CHIP" .
+:race_2 a rdf:Seq ;
+    rdf:_1 "MACHMEMACKIE" ; rdf:_2 "FREE LOVE" ;
+    rdf:_3 "FRANKIES DRAGON" ; rdf:_4 "IM AN ART MAJOR" ;
+    rdf:_5 "GOLD STAR SPIKE" ; rdf:_6 "F TWENTY TWO" ;
+    rdf:_7 "TAILGUNNER HANOVER" .
+:race_3 a rdf:Seq ;
+    rdf:_1 "LYONS JOHNNY" ; rdf:_2 "BETTORSLUCKYSTREAK" ;
+    rdf:_3 "DASH OF DANGER" ; rdf:_4 "NEPTUNE" ;
+    rdf:_5 "WINYARD HANOVER" ; rdf:_6 "DEE'S ROCKETMAN" .
+"""
+
+
+@pytest.fixture(scope="module")
+def races(spark):
+    """The notebook's two inference rules applied verbatim: #cell17
+    types every rdf:_N predicate as rdfs:ContainerMembershipProperty,
+    #cell26 derives rdfs:member from it."""
+    e = inline(TIOGA_TTL, spark)
+    e.update("""
+        INSERT {
+            ?p a rdfs:ContainerMembershipProperty .
+        } WHERE {
+            ?s ?p ?o .
+            FILTER(REGEX(STR(?p),"^http://www[.]w3[.]org/1999/02/22-rdf-syntax-ns#_[1-9]([0-9])*$"))
+        }
+    """)
+    e.update("""
+        INSERT {
+            ?container rdfs:member ?member .
+        } WHERE {
+            ?container ?containerMembershipProperty ?member .
+            ?containerMembershipProperty a rdfs:ContainerMembershipProperty .
+        }
+    """)
+    return e
+
+
+def test_inference_cell71_grouped_entrant_counts(races):
+    """Inference_Over_RDF_Containers #cell71: per-race entrant counts
+    through the inferred ContainerMembershipProperty typing."""
+    df = races.select("""
+        select ?race (count(*) as ?count) {
+           ?race
+                ^rdfs:member :tioga_downs_2017_08_14 ;
+                ?rdfN ?horse .
+           ?rdfN a rdfs:ContainerMembershipProperty .
+        } GROUP BY ?race
+    """)
+    got = dict(zip(df.index, df["count"]))
+    # each race Seq also carries `a rdf:Seq`, but only rdf:_N predicates
+    # are typed ContainerMembershipProperty, so counts are exact
+    assert got == {":race_1": 6, ":race_2": 7, ":race_3": 6}
+
+
+def test_inference_cell73_subquery_filter_count_6(races):
+    """Inference_Over_RDF_Containers #cell73 verbatim: agg subquery +
+    outer FILTER(?count=6) — the HAVING-like shape.  Races 1 and 3
+    have exactly six entrants; race 2 has seven."""
+    df = races.select("""
+        select ?race {
+            {
+                select ?race (count(*) as ?count) {
+                   ?race
+                        ^rdfs:member :tioga_downs_2017_08_14 ;
+                        ?rdfN ?horse .
+                   ?rdfN a rdfs:ContainerMembershipProperty .
+                } GROUP BY ?race
+            }
+            FILTER(?count=6)
+        }
+    """)
+    assert sorted(df["race"]) == [":race_1", ":race_3"]
