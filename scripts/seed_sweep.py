@@ -16,8 +16,9 @@ Usage: python scripts/seed_sweep.py [n_seeds] [base_seed] [tier]
         oracle bugs),
         "tpch-nulls" (same, with NULL c_acctbal on ~15% of customers —
         the null → no-triple → unbound chain vs SQL NULL), or
-        "tables" (embeddings + events gates on fresh random tables —
-        zero vectors, duplicate timestamps, malformed props JSON).
+        "tables" (embeddings + events gates plus the unregistered
+        x_decontam_embed candidate on fresh random tables — zero
+        vectors, duplicate timestamps, malformed props JSON).
 Prints one JSON line: {"n_seeds": N, "base": B, "failures": [...]}.
 """
 
@@ -122,8 +123,12 @@ def main() -> None:
     if tier in ("tpch", "tpch-nulls"):
         pairs = _fuzz._engine_pairs()
     elif tier == "tables":
-        pairs = _fuzz._pipeline_pairs(_fuzz.EMBED_GATES
-                                      + _fuzz.EVENT_GATES)
+        from sparkdon.pipeline.ann import _DECONTAM_ORACLE, x_decontam_embed
+
+        pairs = (_fuzz._pipeline_pairs(_fuzz.EMBED_GATES
+                                       + _fuzz.EVENT_GATES)
+                 + [("x_decontam_embed", x_decontam_embed,
+                     _DECONTAM_ORACLE)])
 
     all_failures = []
     for i in range(n_seeds):

@@ -1122,3 +1122,101 @@ def whiten_embeddings(spark, sf_dir, eps: float = 1e-6) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "w": list(Y)})
 
     return e.mapInPandas(apply_w, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (r15 — UNREGISTERED r17+ swap candidate)
+# ---------------------------------------------------------------------------
+
+#: contamination bar, same integer-scaled cosine as the semantic-dedup
+#: tier (floor(1e6·cos) — the engine-portable compare)
+DECONTAM_SIM_SCALED = SEMANTIC_DUP_SIM_SCALED
+
+#: the gate's deterministic "benchmark" slice: every 29th vec_id plays
+#: the held-out eval set (GPT-3/PaLM-style decontamination separates
+#: the corpus from a SMALL benchmark suite — the shape this models).
+#: 29 chosen so the fixture's planted near-dup pairs cross the split:
+#: 2 contaminated rows at sf0.01 and 5 at sf0.1 (sims 48-52 × 1e4,
+#: comfortably past the 450000 bar — no floor-grid boundary risk), so
+#: the flag column is exercised non-trivially at every gate scale.
+DECONTAM_BENCH_MOD = 29
+
+
+def decontam_semantic(vectors: DataFrame, bench: DataFrame,
+                      threshold_scaled: int = DECONTAM_SIM_SCALED) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    max cosine against ANY benchmark vector reaches the bar — the
+    semantic counterpart of the n-gram ``x_contamination`` gate (which
+    catches verbatim leakage but not paraphrase).  Input: a
+    ``(vec_id, v)`` corpus frame and a SMALL ``(bench_id, bv)``
+    benchmark frame.  Returns ``(vec_id, max_sim_scaled,
+    contaminated)`` for EVERY corpus vector (an empty benchmark means
+    nothing is contaminated, never an empty result — left join, not
+    cross join).
+
+    100 TB shape: the benchmark side is eval suites, not corpus — KBs
+    to MBs — so it broadcasts whole and the corpus streams ONCE
+    through a codegen'd fold per (vector, bench) pair; the only
+    shuffle is the vec_id-keyed max, whose map-side partial combine
+    reduces each partition to one row per corpus vector before the
+    exchange.  Nothing is quadratic in the corpus and no corpus-sized
+    state ever leaves the executors.  Zero-norm vectors (empty docs
+    embed to zero) yield NULL cosine — ignored by MAX, `contaminated`
+    coalesces to false, both engines identically (the r13 ANSI-divide
+    fuzz class)."""
+    bn = bench.select("bench_id", "bv", _norm_col("bv").alias("bnorm"))
+    vn = vectors.select("vec_id", "v", _norm_col("v").alias("vnorm"))
+    dot = F.aggregate(F.zip_with("v", "bv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sims = (
+        vn.join(F.broadcast(bn), F.lit(True), "left")
+        .select("vec_id",
+                _cosine_scaled(dot, F.col("vnorm"), F.col("bnorm"))
+                .alias("sim_scaled"))
+    )
+    return (
+        sims.groupBy("vec_id")
+        .agg(F.max("sim_scaled").alias("max_sim_scaled"))
+        .select(
+            "vec_id", "max_sim_scaled",
+            F.coalesce(F.col("max_sim_scaled") >= threshold_scaled,
+                       F.lit(False)).alias("contaminated"))
+    )
+
+
+def _decontam_oracle_sql() -> str:
+    cos = _DUCK_COS_SCALED.format(a="c.v", b="b.bv")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id AS bench_id, v AS bv FROM e "
+        f" WHERE vec_id % {DECONTAM_BENCH_MOD} = 0), "
+        f"c AS (SELECT * FROM e WHERE vec_id % {DECONTAM_BENCH_MOD} <> 0), "
+        f"s AS (SELECT c.vec_id, MAX({cos}) AS max_sim_scaled "
+        " FROM c LEFT JOIN b ON true GROUP BY c.vec_id) "
+        "SELECT vec_id, max_sim_scaled, "
+        f"COALESCE(max_sim_scaled >= {DECONTAM_SIM_SCALED}, false) "
+        " AS contaminated FROM s"
+    )
+
+
+#: DuckDB oracle for :func:`x_decontam_embed` — kept module-level (like
+#: `_TRIM_ORACLE`) so the fuzz battery and seed_sweep can pair it with
+#: the unregistered gate
+_DECONTAM_ORACLE = _decontam_oracle_sql()
+
+
+def x_decontam_embed(spark, sf_dir):
+    """Gate-style wrapper for :func:`decontam_semantic`: the every-
+    ``DECONTAM_BENCH_MOD``-th vector plays the benchmark suite, the
+    rest are the corpus.  Built and oracle-verified in r15, NOT in
+    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): an r17+ swap
+    candidate, battery evidence attached per the standing
+    gate-admission rule."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    bench = (e.filter(F.col("vec_id") % DECONTAM_BENCH_MOD == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv")))
+    corpus = e.filter(F.col("vec_id") % DECONTAM_BENCH_MOD != 0)
+    return decontam_semantic(corpus, bench)

@@ -238,6 +238,20 @@ def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
     assert not failures, failures
 
 
+def test_decontam_matches_on_random_tables(spark, rand_tables_dir):
+    """The r15 unregistered r17+ swap candidate (x_decontam_embed) goes
+    through the battery ahead of registration: the random embeddings
+    tier's zero vectors hit the NULL-cosine lane, exact dups guarantee
+    true flags whenever a dup pair crosses the mod-29 bench/corpus
+    split, and near-zero magnitudes stress the scaled floor."""
+    from sparkdon.pipeline.ann import _DECONTAM_ORACLE, x_decontam_embed
+
+    failures = _compare(spark, rand_tables_dir, ["embeddings"],
+                        [("x_decontam_embed", x_decontam_embed,
+                          _DECONTAM_ORACLE)])
+    assert not failures, failures
+
+
 def test_staged_gates_match_on_random_corpus(spark, rand_dir):
     """The r15-staged gates go through the same random-corpus
     differential ahead of registration — empty docs score the bias,
