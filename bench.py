@@ -298,11 +298,26 @@ def main() -> None:
 
     timed("flagship", run_flagship)
 
+    def materialize(df) -> None:
+        # Round 15 MEASUREMENT FIX: ``count()`` let Catalyst prune every
+        # expression the count doesn't need — for projection-shaped gates
+        # (score/encode/normalize: no filter, no agg) the "timing" was a
+        # parquet-footer row count that never ran the operator AT ALL
+        # (measured: x_fasttext_score count 0.21 s vs real work 66.8 s
+        # on a 100x corpus — 320x under-measurement).  The noop sink
+        # evaluates the COMPLETE plan (every output column, JVM-side)
+        # and discards rows without driver transfer — the standard Spark
+        # benchmarking action.  Agg/join-shaped gates are unaffected
+        # (count already forced their work); timings are NOT
+        # entry-comparable to pre-r15 canonicals for projection-shaped
+        # entries (see PERF.md r15 "bench action fix").
+        df.write.format("noop").mode("overwrite").save()
+
     for _group, names in GROUPS:
         group_barrier()
         for name in names:
             if name in qs:
-                timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+                timed(name, lambda n=name: materialize(qs[n](spark, sf_dir)))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = build_output(timings, errors, sf, len(flag_rows))

@@ -115,7 +115,11 @@ def main() -> None:
         x_split_by_cluster,
         x_trim_spans,
     )
+    from sparkdon.pipeline.ann import x_decontam_embed
     from sparkdon.pipeline.clusters import x_soft_dedup
+    from sparkdon.pipeline.staged_gates import (x_bpe_encode,
+                                                x_fasttext_score,
+                                                x_pack_shard)
     from sparkdon.rdf_queries import (
         sparql_census,
         sparql_join_agg_ids,
@@ -125,6 +129,26 @@ def main() -> None:
         sparql_path_plus,
         sparql_path_star_anchored,
     )
+
+    def _decontam_fixed_bench(base_dir: str):
+        from sparkdon.pipeline.ann import (DECONTAM_BENCH_MOD,
+                                           decontam_semantic)
+
+        def probe(spark, d):
+            def vecs(path):
+                return (spark.read.parquet(f"{path}/embeddings.parquet")
+                        .select("vec_id",
+                                F.transform("embedding",
+                                            lambda x: x.cast("double"))
+                                .alias("v")))
+
+            bench = (vecs(base_dir)
+                     .filter(F.col("vec_id") % DECONTAM_BENCH_MOD == 0)
+                     .select(F.col("vec_id").alias("bench_id"),
+                             F.col("v").alias("bv")))
+            return decontam_semantic(vecs(d), bench)
+
+        return probe
 
     def _keep_top(exact: bool):
         from sparkdon.pipeline.sampling import (keep_top_fraction,
@@ -254,6 +278,21 @@ def main() -> None:
         # propagation plus one rep-keyed count; expect the
         # x_dedup_clusters slope
         "x_soft_dedup": x_soft_dedup,
+        # round 15: the newly registered swap trio — all three are
+        # scan-shaped (zero-shuffle scoring / encode, one two-pass
+        # prefix sum for packing); expect ~the scan slope
+        "x_bpe_encode": x_bpe_encode,
+        "x_fasttext_score": x_fasttext_score,
+        "x_pack_shard": x_pack_shard,
+        # round 15: semantic decontamination (unregistered r17+
+        # candidate) probed in the PRODUCTION shape — the benchmark
+        # side is eval suites and does NOT grow with the corpus, so
+        # the probe holds bench fixed (the base sf_dir's mod-29 slice)
+        # while the corpus replicates kx; expect ~linear (the per-pair
+        # fold count grows exactly kx).  The gate's own mod-split
+        # (bench growing with the fixture) is a fixture artifact, not
+        # the operator's scaling contract.
+        "x_decontam_embed": _decontam_fixed_bench(sf_dir),
     }
 
     def best_of_2(fn, d, warm=False):
@@ -262,8 +301,14 @@ def main() -> None:
         # probe: the session's first job pays JVM + codegen warmup
         # (~10 s), which would inflate t1 and UNDERSTATE tk/t1 — the
         # anti-conservative direction for a super-linearity probe
+        def materialize(df):
+            # r15 measurement fix (same as bench.py): count() lets
+            # Catalyst prune projection-shaped plans down to a parquet
+            # footer read — the noop sink evaluates every output column
+            df.write.format("noop").mode("overwrite").save()
+
         if warm:
-            fn(spark, d).count()
+            materialize(fn(spark, d))
         for _ in range(2):
             # same reset as bench.py pre_run: without it min-of-2 would
             # record the component-memo READ (~0.1 s) for
@@ -272,7 +317,7 @@ def main() -> None:
 
             _COMPONENTS_MEMO.clear()
             t0 = time.time()
-            fn(spark, d).count()
+            materialize(fn(spark, d))
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         return round(best, 3)
