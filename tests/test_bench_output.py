@@ -63,3 +63,23 @@ def test_errored_run_nulls_headline_value():
     assert out["partial_total_sec"] == 1.0
     assert out["queries"] == {"q1": 1.0}
     assert "q2" in out["errors"]
+
+
+def test_count_prunes_projection_work_so_bench_must_noop(spark):
+    """Pins the r15 measurement finding: under ``count()`` Catalyst
+    prunes a projection-shaped gate's expressions down to a row count
+    (the operator never runs), while the noop-sink write — the action
+    bench.py/scale_probe.py now use — keeps them.  If a Spark upgrade
+    ever changes either side, this fails and the bench methodology
+    note needs revisiting."""
+    from sparkdon.pipeline.staged_gates import x_fasttext_score
+
+    df = x_fasttext_score(spark, "/root/testdata/sf0.001")
+
+    def optimized(dataframe):
+        return dataframe._jdf.queryExecution().optimizedPlan().toString()
+
+    count_plan = optimized(df.groupBy().count())
+    assert "score_scaled" not in count_plan  # pruned: nothing timed
+    noop_plan = optimized(df)
+    assert "score_scaled" in noop_plan  # the write action evaluates it
