@@ -95,3 +95,37 @@ def near_dup_matches(stream_docs: DataFrame, corpus_bands: DataFrame) -> DataFra
     return keys.join(corpus_bands, on=["band", "bk"], how="inner").select(
         "doc_id", "band", "bk", "corpus_doc_id"
     )
+
+
+def contaminated_stream(stream_vecs: DataFrame, bench: DataFrame,
+                        threshold_scaled: int | None = None) -> DataFrame:
+    """Streaming semantic decontamination: the append-mode stream of
+    incoming ``(vec_id, v)`` embeddings whose cosine against ANY vector
+    of the STATIC ``(bench_id, bv)`` benchmark frame reaches the bar —
+    the streaming twin of :func:`sparkdon.pipeline.ann.decontam_semantic`
+    (same integer-scaled cosine, same zero-norm NULL lane), shaped like
+    :func:`near_dup_matches`: a stateless stream-static join, so there
+    is no watermark, no state store, and nothing to bound.
+
+    Spark-shape notes: a per-vec MAX over the benchmark (the batch
+    twin's plan) would be a streaming aggregation — state keyed by
+    vec_id, wrong tool for a decision that is per-ROW.  The decision
+    "∃ bench vector with cos ≥ bar" is instead a LEFT SEMI
+    stream-static join on the threshold predicate: the benchmark side
+    broadcasts whole (eval suites — KBs to MBs), each micro-batch row
+    is a codegen'd fold per bench vector, and a row is emitted at most
+    once regardless of how many bench vectors it matches.  Zero-norm
+    vectors yield NULL cosine → predicate NULL → never contaminated,
+    identical to the batch twin's coalesce(false) lane."""
+    from sparkdon.pipeline.ann import (DECONTAM_SIM_SCALED, _cosine_scaled,
+                                       _norm_col)
+
+    if threshold_scaled is None:
+        threshold_scaled = DECONTAM_SIM_SCALED
+    bn = bench.select("bench_id", "bv", _norm_col("bv").alias("bnorm"))
+    vn = stream_vecs.select("vec_id", "v", _norm_col("v").alias("vnorm"))
+    dot = F.aggregate(F.zip_with(vn["v"], bn["bv"], lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cond = _cosine_scaled(dot, vn["vnorm"], bn["bnorm"]) >= threshold_scaled
+    return (vn.join(F.broadcast(bn), cond, "left_semi")
+            .select("vec_id"))

@@ -108,3 +108,40 @@ def test_decontam_plan_contract(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "partial_max" in plan
+
+
+def test_contaminated_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming semi-join twin flags EXACTLY the vec_ids the batch
+    decontam_semantic flags — run the sf0.01 embeddings through a real
+    file stream (2 files, availableNow) against the same mod-29 bench."""
+    from sparkdon.pipeline.ann import DECONTAM_BENCH_MOD
+    from sparkdon.streaming.neardup import contaminated_stream
+    from sparkdon.streaming.windows import run_to_memory
+
+    def vecs(df):
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bench = (vecs(base)
+             .filter(F.col("vec_id") % DECONTAM_BENCH_MOD == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv"))
+             .localCheckpoint(eager=True))
+    corpus = base.filter(F.col("vec_id") % DECONTAM_BENCH_MOD != 0)
+
+    land = tmp_path / "vecs"
+    corpus.repartition(2).write.parquet(str(land))
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(land)))
+    flagged = contaminated_stream(vecs(stream), bench)
+    run_to_memory(flagged, "decontam_stream_test", output_mode="append")
+    got = {r.vec_id for r in
+           spark.sql("SELECT * FROM decontam_stream_test").collect()}
+
+    expect = {r.vec_id for r in
+              decontam_semantic(vecs(corpus), bench)
+              .filter("contaminated").collect()}
+    assert got == expect and expect  # non-trivial at sf0.01 (2 flags)
