@@ -116,6 +116,7 @@ def main() -> None:
         x_trim_spans,
     )
     from sparkdon.pipeline.ann import x_decontam_embed
+    from sparkdon.pipeline.packing import x_chunk_stride
     from sparkdon.pipeline.clusters import x_soft_dedup
     from sparkdon.pipeline.staged_gates import (x_bpe_encode,
                                                 x_fasttext_score,
@@ -293,6 +294,10 @@ def main() -> None:
         # (bench growing with the fixture) is a fixture artifact, not
         # the operator's scaling contract.
         "x_decontam_embed": _decontam_fixed_bench(sf_dir),
+        # round 15: stride-overlap window chunking (second r17+
+        # candidate) — tokenize-once + one explode, zero shuffles;
+        # expect the scan slope
+        "x_chunk_stride": x_chunk_stride,
     }
 
     def best_of_2(fn, d, warm=False):

@@ -113,11 +113,14 @@ def main() -> None:
 
     from sparkdon.pipeline.clusters import _SOFT_DEDUP_ORACLE, x_soft_dedup
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
+    from sparkdon.pipeline.packing import (_CHUNK_STRIDE_ORACLE,
+                                           x_chunk_stride)
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
     pairs = (_fuzz._pipeline_pairs(_fuzz.GATES)
              + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
-                ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE)]
+                ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE),
+                ("x_chunk_stride", x_chunk_stride, _CHUNK_STRIDE_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 
     if tier in ("tpch", "tpch-nulls"):

@@ -448,3 +448,88 @@ def write_training_shards(spark, sf_dir, out_dir: str,
     count scales to taste (one per loader worker); parquet predicate
     pushdown on ``seq_id`` gives random access within a shard."""
     return _shard_write(x_pack_sequences(spark, sf_dir), out_dir, n_shards)
+
+
+# ---------------------------------------------------------------------------
+# stride-overlap window chunking (r15 — UNREGISTERED r17+ swap candidate)
+# ---------------------------------------------------------------------------
+
+#: long-context training-window geometry: 32-token windows advancing by
+#: 24 (8-token overlap, the GPT-2-style stride that keeps every token's
+#: left context ≥ overlap except at document start)
+CHUNK_SEQ_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_windows(docs: DataFrame, seq_len: int = CHUNK_SEQ_LEN,
+                  stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Overlapping training-window chunking — the long-document prep
+    pass that turns each document into ``seq_len``-token windows
+    advancing by ``stride`` tokens (windows overlap by
+    ``seq_len - stride``; the final window may be short; a document
+    shorter than ``seq_len`` yields exactly one window).  Returns
+    ``(doc_id, chunk_id, start_tok, n_tok, chunk)`` with exact token
+    offsets, so a downstream tokenizer/packer can reproduce document
+    positions.  Null-text documents yield no windows (chunking nothing
+    is nothing — documented, and the oracle agrees, so the explode
+    row-loss class the r13 battery polices cannot bite silently).
+
+    Distinct from :func:`~sparkdon.pipeline.dedup.x_chunk_dedup`'s
+    chunker, which is NON-overlapping passage dedup; this one exists
+    for model-input construction, where stride < seq_len is the point.
+
+    100 TB shape: tokenize once per row into a materialized array
+    column (its alias is referenced twice — the window-count bound and
+    the slice — so Catalyst cannot re-inline the split per window: the
+    r12 quadratic-tokenization lesson), then ONE narrow
+    explode(sequence) per document and a codegen'd ``slice`` per
+    window.  No shuffle anywhere — partitioning follows the scan, and
+    window count per task is bounded by the task's token count over
+    ``stride``."""
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("t")))
+    n_windows = F.floor((F.size("t") - 1) / stride) + 1
+    w = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0),
+                             (n_windows - 1).cast("int"))).alias("chunk_id"))
+    start = F.col("chunk_id").cast("long") * stride
+    piece = F.slice("t", (start + 1).cast("int"), seq_len)
+    return w.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.concat_ws(" ", piece).alias("chunk"))
+
+
+def _chunk_stride_oracle(seq_len: int = CHUNK_SEQ_LEN,
+                         stride: int = CHUNK_STRIDE) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        " FROM documents WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, t, unnest(generate_series(0, "
+        f" CAST(floor((len(t) - 1) / {stride}) AS BIGINT))) AS chunk_id "
+        " FROM toks) "
+        "SELECT doc_id, chunk_id, "
+        f"chunk_id * {stride} AS start_tok, "
+        f"CAST(len(t[chunk_id * {stride} + 1 : "
+        f" chunk_id * {stride} + {seq_len}]) AS BIGINT) AS n_tok, "
+        f"array_to_string(t[chunk_id * {stride} + 1 : "
+        f" chunk_id * {stride} + {seq_len}], ' ') AS chunk FROM w"
+    )
+
+
+#: DuckDB oracle for :func:`x_chunk_stride` — module-level like
+#: `_TRIM_ORACLE`/`_DECONTAM_ORACLE` so the fuzz battery and
+#: seed_sweep can pair it with the unregistered gate
+_CHUNK_STRIDE_ORACLE = _chunk_stride_oracle()
+
+
+def x_chunk_stride(spark, sf_dir):
+    """Gate-style wrapper for :func:`chunk_windows` on the documents
+    table.  Built and oracle-verified in r15, NOT in
+    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): the second
+    r17+ swap candidate alongside ``x_decontam_embed``, battery
+    evidence attached per the standing gate-admission rule."""
+    return chunk_windows(table(spark, sf_dir, "documents"))

@@ -230,11 +230,15 @@ def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
     byte-for-byte reassembly."""
     from sparkdon.pipeline.clusters import _SOFT_DEDUP_ORACLE, x_soft_dedup
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
+    from sparkdon.pipeline.packing import (_CHUNK_STRIDE_ORACLE,
+                                           x_chunk_stride)
 
     failures = _compare(spark, rand_dir, ["documents"],
                         [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
                          ("x_soft_dedup", x_soft_dedup,
-                          _SOFT_DEDUP_ORACLE)])
+                          _SOFT_DEDUP_ORACLE),
+                         ("x_chunk_stride", x_chunk_stride,
+                          _CHUNK_STRIDE_ORACLE)])
     assert not failures, failures
 
 
