@@ -117,10 +117,13 @@ def main() -> None:
                                            x_chunk_stride)
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
+    from sparkdon.pipeline.text import _HLL_UNION_ORACLE, x_hll_union
+
     pairs = (_fuzz._pipeline_pairs(_fuzz.GATES)
              + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
                 ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE),
-                ("x_chunk_stride", x_chunk_stride, _CHUNK_STRIDE_ORACLE)]
+                ("x_chunk_stride", x_chunk_stride, _CHUNK_STRIDE_ORACLE),
+                ("x_hll_union", x_hll_union, _HLL_UNION_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 
     if tier in ("tpch", "tpch-nulls"):

@@ -2028,3 +2028,94 @@ def split_long_documents(docs: DataFrame, max_tokens: int,
             F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)))
     return out.select(*others, F.col("chunk_id").cast("long"),
                       chunk_text.alias(text_col))
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch union (r15 — UNREGISTERED r18+ swap candidate)
+# ---------------------------------------------------------------------------
+
+def _hll_est_sql(regs_cte: str, out: str) -> str:
+    """DuckDB estimate over a ``(j, mj)`` register CTE — the same
+    harmonic/linear-counting arithmetic as ``_hll_oracle_sql``,
+    factored so the union oracle computes it for two register sets
+    without copy-drift."""
+    a = _HLL_ALPHA_M2
+    return (
+        f"{out}_agg AS (SELECT COUNT(*) AS present, "
+        f"SUM(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS sp FROM {regs_cte}), "
+        f"{out} AS (SELECT CASE WHEN CAST({a!r} AS DOUBLE) "
+        f"/ (sp + ({HLL_M} - present)) <= 2.5 * {HLL_M} "
+        f"AND present < {HLL_M} "
+        f"THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - present)) "
+        f"ELSE CAST({a!r} AS DOUBLE) / (sp + ({HLL_M} - present)) END AS e "
+        f"FROM {out}_agg)"
+    )
+
+
+def _hll_union_oracle_sql() -> str:
+    return (
+        "WITH toks AS MATERIALIZED (SELECT source, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "hx AS (SELECT DISTINCT source, tok FROM toks), "
+        "h AS (SELECT source, CAST(concat('0x', "
+        "substr(md5('hll:' || tok), 1, 12)) AS BIGINT) AS h FROM hx), "
+        f"jr AS (SELECT source, h % {HLL_M} AS j, "
+        f"CASE WHEN h // {HLL_M} > 0 "
+        f"THEN 41 - length(bin(h // {HLL_M})) ELSE 41 END AS rho FROM h), "
+        "regs AS (SELECT source, j, MAX(rho) AS mj FROM jr "
+        " GROUP BY source, j), "
+        "mreg AS (SELECT j, MAX(mj) AS mj FROM regs GROUP BY j), "
+        "gjr AS (SELECT DISTINCT j, rho FROM jr), "
+        "greg AS (SELECT j, MAX(rho) AS mj FROM gjr GROUP BY j), "
+        + _hll_est_sql("mreg", "me") + ", "
+        + _hll_est_sql("greg", "de") + " "
+        "SELECT (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM toks)"
+        " AS n_sources, "
+        "(SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks)"
+        " AS exact_distinct, "
+        "CAST(FLOOR((SELECT e FROM me)) AS BIGINT) AS hll_merged, "
+        "CAST(FLOOR((SELECT e FROM de)) AS BIGINT) AS hll_direct"
+    )
+
+
+#: DuckDB oracle for :func:`x_hll_union` — module-level so the fuzz
+#: battery and seed_sweep can pair it with the unregistered gate
+_HLL_UNION_ORACLE = _hll_union_oracle_sql()
+
+
+def x_hll_union(spark, sf_dir):
+    """HLL sketch UNION across sources — the mergeability that makes
+    HLL the 100 TB distinct sketch, verified end-to-end: per-``source``
+    256-register sub-sketches merge by elementwise register MAX, and
+    the merged estimate must equal the direct whole-corpus estimate
+    EXACTLY (max is associative over any partitioning — the property
+    that lets a 1000-executor job, or a month of daily sketches, union
+    in 256 counters per group instead of re-scanning).  Output is one
+    row: ``(n_sources, exact_distinct, hll_merged, hll_direct)`` with
+    ``hll_merged == hll_direct`` by construction and both gated
+    against the exact distinct via the shared oracle arithmetic.
+
+    Built r15, NOT in ``pipeline.QUERIES`` (zero-slack cadence): an
+    r18+ swap candidate per the standing gate-admission rule.
+
+    100 TB shape: the register build is the same partial-agg max as
+    ``x_hll_distinct``; the merge reads #sources × 256 rows; the exact
+    side exists only to gate the error and is what you DON'T run at
+    scale."""
+    toks = (table(spark, sf_dir, "documents")
+            .select("source", F.explode(F.split("text", " ")).alias("item"))
+            .localCheckpoint())
+    per_src = hll_registers(toks, "source")
+    merged = hll_from_registers(
+        per_src.groupBy("j").agg(F.max("mj").alias("mj"))
+        .select(F.lit(0).alias("g"), "j", "mj"), "g").select(
+        F.floor("e").cast("long").alias("hll_merged"))
+    direct = hll_estimate(
+        toks.select(F.lit(0).alias("g"), "item"), "g").select(
+        F.floor("e").cast("long").alias("hll_direct"))
+    counts = toks.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("item").alias("exact_distinct"))
+    return (counts.crossJoin(merged).crossJoin(direct)
+            .select("n_sources", "exact_distinct",
+                    "hll_merged", "hll_direct"))
