@@ -61,53 +61,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 15 —
-#: the BATTERY-SWAP round (PERF.md r13 design note, executed in this
-#: round's first commit).
+#: Entries hoisted into the driver's verification window.  Round 16 —
+#: the second battery-swap round (PERF.md r15 design note, executed in
+#: this round's first commit).
 #:
 #: Freshness invariant: at end of round N, the union of windows
 #: N-2..N must cover the whole battery (no entry's newest driver-green
-#: row older than two rounds).  Recomputed from CORRECTNESS_r01..r14
+#: row older than two rounds).  Recomputed from CORRECTNESS_r01..r15
 #: actuals AFTER the registry edit (``scripts/derive_window.py``):
-#: newest-green distribution is {never: 3, r12: 47, r13: 50, r14: 50}
-#: — the three never-green entries are the newly registered swap trio
-#: (x_bpe_encode / x_fasttext_score / x_pack_shard from
-#: pipeline/staged_gates.py, driver-style verified at 3 scales + on
-#: random corpora since r13), and the 47 r12 entries are the due
-#: cohort MINUS the retired u2_except/u3_intersect/f1_str_cast (now
-#: sparkdon.relational's RETIRED tier, pytest-oracled in
-#: tests/test_retired_gates.py).  3 + 47 = exactly 50; after this
-#: window goes green the r13 ∪ r14 ∪ r15 union covers the post-swap
+#: newest-green distribution is {never: 2, r13: 48, r14: 50, r15: 50}
+#: — the two never-green entries are the newly registered swap pair
+#: (x_trim_spans from pipeline/dedup.py, x_soft_dedup from
+#: pipeline/clusters.py — both oracled since r14, 100×/10× probed, in
+#: seed_sweep's docs tier), and the 48 r13 entries are the due cohort
+#: MINUS the retired x_dedup_substring_hashed/x_embed_norm (now
+#: pipeline._registry's RETIRED tier, pytest-oracled in
+#: tests/test_retired_gates.py).  2 + 48 = exactly 50; after this
+#: window goes green the r14 ∪ r15 ∪ r16 union covers the post-swap
 #: 150.
 #:
-#: R16 OBLIGATION (derived from actuals, assuming this window goes
-#: green): the 50 entries whose newest green is r13 —
-#: the f5/f6/f7 + q_peel/s1 + sparql_census/describe/filter_lang
-#: family + the x_* r13 cohort (run ``scripts/derive_window.py`` at
-#: r16 start for the exact list; the tripwire test enforces it).
+#: R17 OBLIGATION (derived from actuals, assuming this window goes
+#: green): the 50 entries whose newest green is r14 — the
+#: a6/a8/j1-j5/q10/q_rule_fixpoint + sparql_optional/minus/values
+#: family + the x_* r14 cohort (run ``scripts/derive_window.py`` at
+#: r17 start for the exact list; the tripwire test enforces it).
 #: The cadence remains at zero slack (150 battery / 50 window /
 #: 3-round cycle): NO new gated entries may be added without retiring
-#: one.  Named r16+ swap candidates with dossiers: x_trim_spans,
-#: x_soft_dedup (both oracled, probed, in seed_sweep's docs tier).
+#: one.  Named r17+ swap candidates with dossiers: x_decontam_embed,
+#: x_chunk_stride (both oracled + probed, r15); r18 seeds:
+#: x_hll_union + one to be dossiered this round.
 _FRONT = [
-    # the 3 newly registered swap entries (never driver-green → most
-    # urgent) + the 47 surviving r12-stale entries = the derived 50
-    "x_bpe_encode", "x_fasttext_score", "x_pack_shard",
-    "a1_group_count", "a2_group_expr", "a3_count_distinct",
-    "a4_global_agg", "a5_group_multi_pattern", "a7_distinct",
-    "a9_multi_agg", "f3_strstarts", "f4_substr", "o1_order_asc",
-    "o2_topk_desc", "o3_order_computed", "o4_limit_topk",
-    "p1_scan_filter", "p3_constant_pushdown", "p4_projection_expr",
-    "p5_filter_compare", "p6_bool_connectives", "p7_filter_in",
-    "p8_bind", "p9_values_join", "q_decollect_seq", "sparql_ask",
-    "sparql_construct_count", "sparql_group_concat", "sparql_offset",
-    "sparql_strfuncs", "u1_union", "x_asof_join",
-    "x_contamination_stream", "x_dedup_clusters", "x_dedup_intra",
-    "x_dedup_minhash", "x_dedup_priority", "x_dedup_stream",
-    "x_event_lag", "x_event_percentiles", "x_events_rollup",
-    "x_ngram_novelty", "x_pivot_source_lang", "x_sample_stratified",
-    "x_sample_weighted", "x_text_repetition", "x_topk_per_lang",
-    "x_vocab_topk", "x_window_sliding", "x_window_stream",
+    # the 2 newly registered swap entries (never driver-green → most
+    # urgent) + the 48 surviving r13-stale entries = the derived 50
+    "x_trim_spans", "x_soft_dedup", "f5_regex", "f6_numeric_cast",
+    "f7_count_expr", "q_peel_bnode_closure",
+    "s1_ntriples_roundtrip", "sparql_census", "sparql_describe",
+    "sparql_filter_gt", "sparql_join_agg", "sparql_late_ids",
+    "sparql_path_plus", "sparql_path_plus_ids",
+    "sparql_path_star_anchored", "sparql_path_star_sip",
+    "sparql_path_star_values", "sparql_path_star_values_ids",
+    "sparql_service", "sparql_year_agg", "x_chunk_dedup",
+    "x_contamination", "x_dedup_embed", "x_dedup_embed_strict",
+    "x_dedup_exact", "x_dedup_jaccard", "x_dedup_simhash",
+    "x_dedup_substring", "x_embed_gram", "x_embed_quantize",
+    "x_fingerprint", "x_json_extract", "x_lang_id",
+    "x_length_buckets", "x_mix_sample", "x_neg_sample",
+    "x_pii_scrub", "x_pq_codes", "x_rank_normalize",
+    "x_salted_census", "x_session_stream", "x_sim_ivf",
+    "x_sim_lsh_bucketed", "x_sliding_stream", "x_text_quality",
+    "x_text_stats", "x_tfidf_topk", "x_token_bpe",
+    "x_window_tumbling", "x_winsorize",
 ]
 
 

@@ -21,11 +21,11 @@ smeared BENCH_r03 ~1.5x across queries whose plans had not changed):
 - One untimed warm-up pass pays whole-stage-codegen compilation and
   stage-scheduling setup before anything is timed.
 
-SCOPE (round 15; cap made explicit in round 14): GROUPS times 96 of
-the 150 gated battery entries (97 timings with the flagship — the r15
-battery swap retired three untimed relational siblings and registered
-three pipeline gates, which enter the timed set per the rule) — every
-non-streaming pipeline gate plus one
+SCOPE (round 16; cap made explicit in round 14): GROUPS times 96 of
+the 150 gated battery entries (97 timings with the flagship — the r16
+battery swap retired two timed pipeline gates and registered two,
+which enter the timed set per the rule; net timed-set size unchanged)
+— every non-streaming pipeline gate plus one
 shape-representative per relational/SPARQL micro-gate family (see the
 SET SELECTION RULE at GROUPS below).  The ~54 untimed entries are the
 cheap relational/SPARQL siblings (plan-shape duplicates of a timed
@@ -135,7 +135,9 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_lang_id",
             "x_text_quality",
             "x_topk_per_lang",
-            "x_embed_norm",
+            # x_embed_norm retired from the battery at the r16 swap
+            # (plan shape kept by x_embed_quantize); its slot's
+            # registered successor x_soft_dedup times in pipeline_heavy
             "x_embed_quantize",
             "x_salted_census",
             # round 10 (late): novel plan — grouped two-pass prefix-sum
@@ -173,7 +175,15 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_contamination",
             "x_cross_dedup",
             "x_dedup_substring",
-            "x_dedup_substring_hashed",
+            # round 16: the battery-swap pair enters the timed set the
+            # round it registers (set-selection rule above); the
+            # retired x_dedup_substring_hashed / x_embed_norm leave it
+            # (no longer gated).  Shapes: span-trim endgame (window
+            # marks -> kept-token reassembly, doc-partitioned windows)
+            # and cluster-size downweighting over the memoized
+            # component frame (one rep-keyed agg + join-back).
+            "x_trim_spans",
+            "x_soft_dedup",
             "x_semantic_dedup",
             "x_dedup_minhash",
             "x_dedup_simhash",

@@ -4,13 +4,14 @@ The pytest battery (tests/test_fuzz_pipeline_oracles.py) pins one seed
 so CI is stable — which means each round certifies ONE random corpus.
 This sweep regenerates the documents corpus for N fresh seeds and runs
 the same driver-style compare (Spark gate ≡ DuckDB oracle) for the
-documents gates, the unregistered x_trim_spans, and the staged r15
+documents gates, the r16-registered x_trim_spans/x_soft_dedup (listed
+explicitly — they predate their registration here), and the staged
 gates on every one of them.  Any failure prints the seed so the shape
 can be frozen into the pytest battery as a regression.
 
 Usage: python scripts/seed_sweep.py [n_seeds] [base_seed] [tier]
-  tier: "docs" (default — documents gates + the unregistered swap
-        candidates x_trim_spans/x_soft_dedup + staged),
+  tier: "docs" (default — documents gates + x_trim_spans/x_soft_dedup
+        (battery-registered at the r16 swap) + staged),
         "tpch" (the full relational + SPARQL engine battery on a fresh
         random TPC-H instance per seed, the r13 shape that caught two
         oracle bugs),

@@ -23,6 +23,25 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+#: Pipeline gates retired from the driver battery at a cycle-boundary
+#: swap (the r16 swap retired ``x_dedup_substring_hashed`` and
+#: ``x_embed_norm`` — same lifecycle as relational's RETIRED tier,
+#: r15): they stay callable with their oracles so pytest keeps the
+#: driver-style compare (tests/test_retired_gates.py), but no longer
+#: occupy battery slots.
+RETIRED: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLE: Dict[str, str] = {}
+
+
+def retired(name: str, sql: str | None = None):
+    def deco(fn):
+        RETIRED[name] = fn
+        if sql is not None:
+            RETIRED_ORACLE[name] = sql
+        return fn
+    return deco
+
+
 def sigmoid(z):
     """``1 / (1 + e^-z)`` as a Column — shared by every learned model
     (quality_lr, the hashed-n-gram classifier)."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import register, retired, table
 from .dedup import MINHASH_BUCKET_CAP, _bucket_pairs
 
 
@@ -768,14 +768,17 @@ def x_embed_quantize(spark, sf_dir):
     return e.select("vec_id", F.concat_ws(",", q).alias("q"))
 
 
-@register(
+@retired(
     "x_embed_norm",
     "SELECT vec_id, CAST(FLOOR(1e6 * sqrt(list_sum(list_transform(embedding::DOUBLE[], "
     "x -> x * x)))) AS BIGINT) AS norm_scaled FROM embeddings",
 )
 def x_embed_norm(spark, sf_dir):
     """L2 norm per embedding — the array-fold primitive shared by all
-    similarity ops, verified exactly."""
+    similarity ops, verified exactly.  RETIRED from the battery at the
+    r16 swap (same narrow zero-shuffle projection plan shape as the
+    surviving ``x_embed_quantize``); the driver-style compare continues
+    in tests/test_retired_gates.py."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     return e.select(

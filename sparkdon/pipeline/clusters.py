@@ -350,12 +350,16 @@ def soft_dedup_weights(docs: DataFrame) -> DataFrame:
     return _soft_weights_from_components(comp)
 
 
+@register("x_soft_dedup", _SOFT_DEDUP_ORACLE)
 def x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-style wrapper for :func:`soft_dedup_weights` on the shared
-    memoized component frame — built and oracle-verified in r14, NOT in
-    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): an r16+ swap
-    candidate alongside ``x_trim_spans``, battery evidence attached per
-    the standing gate-admission rule."""
+    memoized component frame — built and oracle-verified in r14,
+    REGISTERED at the r16 cycle-boundary swap (took the battery slot of
+    the retired ``x_embed_norm``, whose narrow zero-shuffle projection
+    plan shape ``x_embed_quantize`` keeps in the battery; the numeric
+    contract stays pytest-covered).  Dossier: recursive-CTE oracle over
+    the certified component frame, Σweight conservation test, 10× probe
+    3.91, permanent seed_sweep docs-tier member."""
     comp = _doc_components(spark, sf_dir)
     return _soft_weights_from_components(comp)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import register, retired, table
 
 
 # ---------------------------------------------------------------------------
@@ -845,14 +845,18 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
                     F.coalesce("dup_cover", F.lit(0)).cast("long")
                     .alias("dup_cover")))
 
-@register("x_dedup_substring_hashed", _SUBSTR_ORACLE)
+@retired("x_dedup_substring_hashed", _SUBSTR_ORACLE)
 def x_dedup_substring_hashed(spark, sf_dir):
     """The xxhash64 production path of ExactSubstr-style passage
     detection, oracle-gated (round 10, VERDICT r9 item 4): the window
     occurrence-count shuffle moves 8-byte hashes, everything downstream
     of the count is identical to ``x_dedup_substring``, and the output
     relation carries no hash — so the driver compares it against the
-    same bit-exact DuckDB oracle as the text-keyed gate."""
+    same bit-exact DuckDB oracle as the text-keyed gate.  RETIRED from
+    the battery at the r16 swap (its output relation is identical to
+    the registered text gate's; hashed/text equivalence stays
+    pytest-pinned) — the driver-style compare continues in
+    tests/test_retired_gates.py."""
     return dedup_substring_hashed(table(spark, sf_dir, "documents"))
 
 
@@ -993,13 +997,15 @@ def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
     return trimmed.unionByName(passthrough)
 
 
+@register("x_trim_spans", _TRIM_ORACLE)
 def x_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-style wrapper for :func:`trim_duplicated_spans` — built and
-    oracle-verified in r14, NOT yet in ``pipeline.QUERIES``: the
-    150/50/3 cadence has zero slack, so registration waits for battery
-    slack (named in PERF.md's r16+ swap candidate list).  Until then
-    ``tests/test_trim_spans.py`` runs the driver-style compare against
-    ``_TRIM_ORACLE`` and the random-corpus battery locks it."""
+    oracle-verified in r14, REGISTERED at the r16 cycle-boundary swap
+    (took the battery slot of the retired ``x_dedup_substring_hashed``,
+    whose output relation the text-keyed gate already verifies; the
+    hashed/text equivalence stays pytest-pinned).  Dossier: byte-exact
+    ``_TRIM_ORACLE``, doc-partitioned-window plan test, 100× probe 38.2
+    (sub-linear), permanent seed_sweep docs-tier member since r14."""
     return trim_duplicated_spans(table(spark, sf_dir, "documents"))
 
 

@@ -103,8 +103,14 @@ def _compare(spark, sf_dir, views, pairs):
 
 def _pipeline_pairs(keys):
     from sparkdon import pipeline
+    from sparkdon.pipeline._registry import RETIRED, RETIRED_ORACLE
 
-    return [(k, pipeline.QUERIES[k], pipeline.ORACLE[k]) for k in keys]
+    # gates RETIRED from the battery (r16 swap: x_embed_norm,
+    # x_dedup_substring_hashed) keep their random-corpus coverage here,
+    # same doctrine as tests/test_retired_gates.py
+    q = {**RETIRED, **pipeline.QUERIES}
+    o = {**RETIRED_ORACLE, **pipeline.ORACLE}
+    return [(k, q[k], o[k]) for k in keys]
 
 
 def _engine_pairs():
@@ -222,9 +228,9 @@ def test_embed_and_event_gates_match_on_random_tables(
 
 
 def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
-    """The r14 unregistered r16+ swap candidates (x_trim_spans,
-    x_soft_dedup) go through the battery ahead of registration per the
-    standing gate-admission rule: the dense-dup docs ("dup dup dup …")
+    """x_trim_spans / x_soft_dedup (battery-registered at the r16 swap;
+    these random-corpus rows predate and outlive the registration per
+    the standing gate-admission rule): the dense-dup docs ("dup dup dup …")
     exercise self-overlapping windows and fat dup clusters,
     empty/single-token docs the passthrough, and unicode words the
     byte-for-byte reassembly."""
@@ -433,7 +439,7 @@ def test_documents_gates_match_with_adversarial_whitespace(
     manufacture empty-string tokens, the one place Spark's regex split
     and DuckDB's string_split could drift (r14; the r13 batteries only
     ever joined with single spaces).  Runs the doc gates AND the
-    unregistered x_trim_spans, whose byte-for-byte reassembly must
+    r16-registered x_trim_spans, whose byte-for-byte reassembly must
     reproduce the original spacing on untouched docs."""
     d = tmp_path_factory.mktemp("randwsdocs")
     rng = random.Random(SEED + 5)

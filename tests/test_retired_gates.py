@@ -1,10 +1,14 @@
 """Driver-style verification of the gates RETIRED from the battery at
-the r15 cycle-boundary swap (sparkdon/relational.py RETIRED tier):
+the cycle-boundary swaps (sparkdon/relational.py RETIRED tier, r15;
+sparkdon/pipeline/_registry.py RETIRED tier, r16):
 ``u2_except`` / ``u3_intersect`` / ``f1_str_cast`` gave up their
-battery slots to the staged learned-tier trio, but their pytest
-coverage stays — the same row-count / column / order-insensitive
-canonical-value compare the driver runs, so a regression in subtract /
-intersect / string-cast semantics still fails loudly every session."""
+battery slots to the staged learned-tier trio at r15, and
+``x_dedup_substring_hashed`` / ``x_embed_norm`` gave up theirs to
+``x_trim_spans`` / ``x_soft_dedup`` at r16 — but their pytest coverage
+stays: the same row-count / column / order-insensitive canonical-value
+compare the driver runs, so a regression in subtract / intersect /
+string-cast / hashed-substring / embed-norm semantics still fails
+loudly every session."""
 
 from __future__ import annotations
 
@@ -14,7 +18,17 @@ import os
 import duckdb
 import pytest
 
-from sparkdon.relational import RETIRED, RETIRED_ORACLE
+from sparkdon.pipeline._registry import RETIRED as P_RETIRED
+from sparkdon.pipeline._registry import RETIRED_ORACLE as P_RETIRED_ORACLE
+from sparkdon.relational import RETIRED as R_RETIRED
+from sparkdon.relational import RETIRED_ORACLE as R_RETIRED_ORACLE
+
+# pipeline gates register at family-module import time; importing the
+# package facade runs every family module exactly as the driver does
+import sparkdon.pipeline  # noqa: F401
+
+RETIRED = {**R_RETIRED, **P_RETIRED}
+RETIRED_ORACLE = {**R_RETIRED_ORACLE, **P_RETIRED_ORACLE}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,12 +52,17 @@ def _oracle_rows(sql: str):
     return cols, cur.fetchall()
 
 
-def test_retired_tier_is_exactly_the_r15_swap():
-    assert sorted(RETIRED) == ["f1_str_cast", "u2_except", "u3_intersect"]
+def test_retired_tier_is_exactly_the_r15_plus_r16_swaps():
+    assert sorted(RETIRED) == [
+        "f1_str_cast", "u2_except", "u3_intersect",
+        "x_dedup_substring_hashed", "x_embed_norm"]
     assert sorted(RETIRED_ORACLE) == sorted(RETIRED)
     # and none of them still occupies a battery slot
-    from sparkdon.relational import QUERIES
-    assert not set(RETIRED) & set(QUERIES)
+    from sparkdon.pipeline import QUERIES as PQ
+    from sparkdon.relational import QUERIES as RQ
+    assert not set(RETIRED) & (set(RQ) | set(PQ))
+    # the slots they vacated are occupied by the registered candidates
+    assert {"x_trim_spans", "x_soft_dedup"} <= set(PQ)
 
 
 @pytest.mark.parametrize("key", sorted(RETIRED))

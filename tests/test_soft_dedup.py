@@ -1,5 +1,5 @@
 """soft_dedup_weights / x_soft_dedup — SlimPajama/D4-style cluster
-downweighting (r14, unregistered r16+ swap candidate): every near-dup
+downweighting (r14; battery-registered at the r16 swap): every near-dup
 cluster member gets weight 1/|cluster| instead of a keep/drop bit, so
 duplicated passages contribute one document's expected training mass.
 Driver-style DuckDB oracle compare on the fixture here; random-corpus
