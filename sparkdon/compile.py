@@ -785,6 +785,50 @@ class Compiler:
             return Compiler._expr_vars(expr.arg) if expr.arg is not None else set()
         return set()
 
+    @staticmethod
+    def _contains_exists(expr: Expr) -> bool:
+        """True when EXISTS/NOT EXISTS appears anywhere in ``expr`` —
+        including nested inside a connective (``?x > 3 && EXISTS {…}``).
+        ``_expr_vars`` cannot see through an EXISTS group (it reports no
+        vars for it), so guards built on it must refuse such
+        expressions rather than treat them as variable-free."""
+        if isinstance(expr, ExistsExpr):
+            return True
+        if isinstance(expr, (OpExpr, FuncExpr)):
+            return any(Compiler._contains_exists(a) for a in (expr.args or ()))
+        if isinstance(expr, InExpr):
+            return (Compiler._contains_exists(expr.value)
+                    or any(Compiler._contains_exists(o) for o in expr.options))
+        if isinstance(expr, AggExpr):
+            return expr.arg is not None and Compiler._contains_exists(expr.arg)
+        return False
+
+    @staticmethod
+    def _sharpenable(expr: Expr, bindings: Bindings) -> bool:
+        """May a deferred group filter be applied to a bound-join HARVEST
+        frame (closure-path SIP anchors, SERVICE VALUES injection)
+        without changing the final result?  Two requirements (advice
+        r15 — the original guard checked ``variables`` and admitted
+        EXISTS):
+
+        - every referenced var CERTAIN in the prefix: a nullable
+          (OPTIONAL-bound) var evaluates to NULL on harvest rows and
+          drops them, yet the joined group may itself bind that var so
+          the MERGED row passes the group-end filter — anchors must not
+          be excluded for it.  Certain vars cannot be rebound by the
+          join, so the filter evaluates identically on prefix and
+          merged rows.
+        - no EXISTS/NOT EXISTS anywhere in the expression:
+          ``_expr_vars`` reports no vars for an EXISTS group, so the
+          var guard cannot protect it; ``apply_filter``'s semi/anti
+          join uses null-tolerant compat that can over-drop harvest
+          rows a group-end evaluation (with the service/path-bound
+          value) would keep, and the uncorrelated branch runs a
+          blocking count() job at compile time.  Such filters still run
+          at group end — only the harvest sharpening skips them."""
+        return (not Compiler._contains_exists(expr)
+                and Compiler._expr_vars(expr) <= bindings.certain)
+
     def compile_group(self, group: GroupPattern) -> Bindings:
         bindings: Bindings | None = None
         deferred: list[Expr] = []
@@ -804,12 +848,13 @@ class Compiler:
                 if (bindings is not None and isinstance(el.p, Path)
                         and el.p.op in ("star", "plus")):
                     # sharpen the SIP anchor harvest: group filters whose
-                    # vars the prefix already binds restrict the final
+                    # vars the prefix CERTAINLY binds restrict the final
                     # solutions anyway, so applying them to the HARVEST
                     # frame (not the main plan — they still run at group
                     # end) is lossless and shrinks the anchor set
+                    # (_sharpenable: certain-vars only, never EXISTS)
                     for expr in deferred:
-                        if self._expr_vars(expr) <= set(bindings.variables):
+                        if self._sharpenable(expr, bindings):
                             prior = self.apply_filter(prior, expr)
                 bindings = self.join(
                     bindings,
@@ -910,14 +955,16 @@ class Compiler:
                 if bindings is not None:
                     # sharpen the bound-join harvest exactly like the
                     # closure-path SIP anchors above: group filters whose
-                    # vars the prefix already binds restrict the final
+                    # vars the prefix CERTAINLY binds restrict the final
                     # solutions anyway, so applying them to the HARVEST
                     # frame (not the main plan — they still run at group
                     # end) is lossless and shrinks the injected VALUES
                     # (r15: a FILTER-restricted anchor set was shipping
-                    # the UNfiltered domain to the remote endpoint)
+                    # the UNfiltered domain to the remote endpoint;
+                    # r16 advice: nullable-var and EXISTS filters are NOT
+                    # lossless here — _sharpenable refuses them)
                     for expr in deferred:
-                        if self._expr_vars(expr) <= set(bindings.variables):
+                        if self._sharpenable(expr, bindings):
                             prior = self.apply_filter(prior, expr)
                 bindings = self.join(bindings, self.compile_service(el, prior))
             elif isinstance(el, GraphGroup):
@@ -1063,9 +1110,9 @@ class Compiler:
     #: fetching it outright is strictly less transfer AND fewer requests
     #: (dense-anchor case: the r15 probe measured 15 chunked requests
     #: taking 4.8× one unconstrained fetch when anchors covered the
-    #: domain).  The probe is advisory — any failure falls back to
-    #: chunking, and SILENT semantics are untouched (the probe runs
-    #: inside the same try as the main fetches).
+    #: domain).  The probe is advisory — it runs in its OWN try/except
+    #: and ANY failure falls back to the chunked bound join; SILENT
+    #: semantics are handled by the main-fetch try, untouched here.
     SERVICE_COUNT_PROBE_MIN_CHUNKS = 4
 
     def compile_service(self, el: ServiceGroup, prior: Bindings | None) -> Bindings:

@@ -29,6 +29,7 @@ REMOTE_TTL = """
 :Brooklyn :pop 2736074 .
 :Queens :pop 2405464 .
 :Yonkers :pop 211569 .
+:Brooklyn :grade "B" .
 """
 
 
@@ -154,6 +155,53 @@ def test_service_harvest_is_filter_sharpened(local, served):
     assert "VALUES" in remote_q
     assert "Manhattan" not in remote_q  # filtered anchor never shipped
     assert list(pdf["pop"]) == [2736074, 2405464]
+
+
+def test_service_harvest_skips_nullable_var_filters(local, served):
+    """r16 advice (high): a deferred FILTER over an OPTIONAL-bound
+    (nullable) prefix var must NOT sharpen the harvest — on harvest
+    rows the var is NULL so the filter drops them, yet the SERVICE
+    group itself binds the var and the MERGED row passes the filter at
+    group end.  Pre-fix the all-null harvest hit the empty-harvest
+    short-circuit and the whole query silently returned empty."""
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?g WHERE { :NYC :boro ?b ."
+        "  OPTIONAL { ?b :grade ?g } "
+        '  FILTER(?g = "B") '
+        f"  SERVICE <{served.url}> {{ ?b :grade ?g }} }}")
+    # only remote :Brooklyn :grade "B" merges with the null-?g prefix
+    # row and survives the group-end filter
+    assert list(pdf["b"]) == [":Brooklyn"]
+    assert list(pdf["g"]) == ["B"]
+    # the certain var ?b still ships as VALUES (sharpening on CERTAIN
+    # vars is untouched); the nullable-?g filter must not have emptied
+    # the anchor set
+    (remote_q,) = served.queries
+    assert "VALUES" in remote_q
+    assert "Brooklyn" in remote_q
+
+
+def test_service_harvest_skips_exists_filters(local, served):
+    """r16 advice (medium): _expr_vars cannot see through EXISTS, so a
+    deferred [NOT] EXISTS filter used to satisfy the sharpening guard
+    vacuously and was applied to the harvest, where null-tolerant
+    compat over-drops anchors the group-end evaluation (with the
+    service-bound value) would keep.  EXISTS filters must only run at
+    group end."""
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?g WHERE { :NYC :boro ?b ."
+        "  OPTIONAL { ?b :grade ?g } "
+        "  FILTER NOT EXISTS { ?x :grade ?g } "
+        f"  SERVICE <{served.url}> {{ ?b :grade ?g }} }}")
+    # remote binds ?g = "B" for :Brooklyn; no LOCAL node has grade "B",
+    # so the group-end NOT EXISTS keeps exactly that row.  Pre-fix the
+    # harvest anti-join matched every row (null ?g is compat with the
+    # local "A" row; Manhattan's "A" matched directly) → empty harvest
+    # → empty result.
+    assert list(pdf["b"]) == [":Brooklyn"]
+    assert list(pdf["g"]) == ["B"]
 
 
 def test_service_first_in_group_fetches_whole_pattern(local, served):

@@ -77,3 +77,34 @@ def test_closure_retires_superseded_checkpoints(spark):
     # each closure may leave its RESULT frame pinned (caller-lifetime),
     # but never its iteration history (4 BFS levels here)
     assert after - before <= 3
+
+
+def test_sip_harvest_skips_nullable_var_filters(spark):
+    """r16 advice (high, the SIP twin of the SERVICE fix): a deferred
+    FILTER over an OPTIONAL-bound (nullable) prefix var must not
+    sharpen the anchor harvest — the path pattern itself binds ?t, so
+    the merged row can pass the group-end filter even though every
+    harvest row has ?t NULL (pre-fix: all harvest rows dropped, empty
+    anchor set, silently empty result)."""
+    e = inline(TTL, spark)
+    rows = e.select_raw(
+        "SELECT ?s ?t { :root :pick ?s . OPTIONAL { ?s :alias ?t } . "
+        "?s :link+ ?t . FILTER(?t = :d) }").collect()
+    assert [(r["v_s"]["lex"], r["v_t"]["lex"]) for r in rows] == [
+        ("http://example.com/a", "http://example.com/d")]
+
+
+def test_sip_harvest_skips_exists_filters(spark):
+    """r16 advice (medium): [NOT] EXISTS filters report no vars to
+    _expr_vars, so the sharpening guard admitted them vacuously; they
+    must only run at group end."""
+    e = inline(TTL, spark)
+    rows = e.select_raw(
+        "SELECT ?s ?t { :root :pick ?s . OPTIONAL { ?s :alias ?t } . "
+        "?s :link+ ?t . FILTER NOT EXISTS { ?z :pick ?t } }").collect()
+    # pick'd nodes are {a, x, b}; the closure rows whose ?t is one of
+    # those must drop at GROUP END (not by emptying the anchor set):
+    # from :a → {b(dropped), c, d}, from :x → {y}
+    got = sorted((r["v_s"]["lex"].split("/")[-1],
+                  r["v_t"]["lex"].split("/")[-1]) for r in rows)
+    assert got == [("a", "c"), ("a", "d"), ("x", "y")]
