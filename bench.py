@@ -219,13 +219,42 @@ N_RUNS = 2  # timed executions per query; min is recorded
 #: the sub-second band is where host contention distorts ratios most
 SMALL_QUERY_SEC = 1.0
 
+#: Canonical-stamp load gate (round 16, VERDICT r15 #7 — mechanizing
+#: three rounds of manual quiet-start adjudication): a canonical
+#: ``bench_detail.json`` must come from a quiet host, yet every bench
+#: invocation used to overwrite it — which is exactly how the driver's
+#: contended post-session runs kept clobbering the committed canonical
+#: (r13/r14/r15, restored by hand each round).  When the 5-minute load
+#: average at start exceeds this threshold, the run still executes and
+#: prints its JSON (the driver parses stdout — that contract is
+#: untouched), but the detail record is written to
+#: ``bench_detail.unstamped.json`` instead, with a retry hint on
+#: stderr.  Override for a deliberate contended stamp:
+#: ``SPARK_GRAFT_FORCE_STAMP=1``.
+STAMP_MAX_LOAD_5M = 2.0
 
 _LOAD_START = 0.0
+_LOAD5_START = 0.0
+
+
+def stamp_target(load5_start: float) -> tuple[str, str | None]:
+    """(detail filename, stderr hint or None) for this run — the load
+    gate's one decision, factored out so the test can pin it without a
+    Spark session."""
+    if (load5_start > STAMP_MAX_LOAD_5M
+            and not os.environ.get("SPARK_GRAFT_FORCE_STAMP")):
+        return ("bench_detail.unstamped.json",
+                f"bench: start 5-min load {load5_start:.2f} > "
+                f"{STAMP_MAX_LOAD_5M} — NOT stamping bench_detail.json "
+                "(detail written to bench_detail.unstamped.json); retry "
+                "on a quiet host or set SPARK_GRAFT_FORCE_STAMP=1")
+    return "bench_detail.json", None
 
 
 def main() -> None:
-    global _LOAD_START
+    global _LOAD_START, _LOAD5_START
     _LOAD_START = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+    _LOAD5_START = os.getloadavg()[1] if hasattr(os, "getloadavg") else 0.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -342,7 +371,10 @@ def main() -> None:
     # heaviest per-query timings.  The full per-query record goes to
     # ``bench_detail.json`` next to this script (committed per round by
     # the builder's canonical run) and to stderr.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    detail_name, hint = stamp_target(_LOAD5_START)
+    if hint:
+        print(hint, file=sys.stderr)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as fh:
             json.dump(out, fh)

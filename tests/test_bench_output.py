@@ -83,3 +83,21 @@ def test_count_prunes_projection_work_so_bench_must_noop(spark):
     assert "score_scaled" not in count_plan  # pruned: nothing timed
     noop_plan = optimized(df)
     assert "score_scaled" in noop_plan  # the write action evaluates it
+
+
+def test_canonical_stamp_load_gate(monkeypatch):
+    """r16 (VERDICT r15 #7): a contended run must not clobber the
+    committed canonical bench_detail.json — above the 5-min load
+    threshold the detail goes to the unstamped file with a retry hint,
+    unless the stamp is forced."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_STAMP", raising=False)
+    name, hint = bench.stamp_target(0.5)
+    assert name == "bench_detail.json" and hint is None
+    name, hint = bench.stamp_target(bench.STAMP_MAX_LOAD_5M + 0.1)
+    assert name == "bench_detail.unstamped.json"
+    assert "NOT stamping" in hint
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_STAMP", "1")
+    name, hint = bench.stamp_target(14.3)
+    assert name == "bench_detail.json" and hint is None
