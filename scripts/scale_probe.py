@@ -118,6 +118,7 @@ def main() -> None:
     from sparkdon.pipeline.ann import x_decontam_embed
     from sparkdon.pipeline.packing import x_chunk_stride
     from sparkdon.pipeline.clusters import x_soft_dedup
+    from sparkdon.pipeline.sampling import x_dsir_weights
     from sparkdon.pipeline.staged_gates import (x_bpe_encode,
                                                 x_fasttext_score,
                                                 x_pack_shard)
@@ -298,6 +299,11 @@ def main() -> None:
         # candidate) — tokenize-once + one explode, zero shuffles;
         # expect the scan slope
         "x_chunk_stride": x_chunk_stride,
+        # round 16: DSIR end-to-end (second r18+ candidate) — the
+        # corpus tokenizes twice (its histogram + per-doc scoring),
+        # both histograms reduce to <=buckets rows, the ratio join is
+        # broadcast; expect ~linear in corpus rows
+        "x_dsir_weights": x_dsir_weights,
     }
 
     def best_of_2(fn, d, warm=False):

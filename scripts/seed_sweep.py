@@ -116,6 +116,7 @@ def main() -> None:
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
     from sparkdon.pipeline.packing import (_CHUNK_STRIDE_ORACLE,
                                            x_chunk_stride)
+    from sparkdon.pipeline.sampling import _DSIR_ORACLE, x_dsir_weights
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
     from sparkdon.pipeline.text import _HLL_UNION_ORACLE, x_hll_union
@@ -124,6 +125,7 @@ def main() -> None:
              + [("x_trim_spans", x_trim_spans, _TRIM_ORACLE),
                 ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE),
                 ("x_chunk_stride", x_chunk_stride, _CHUNK_STRIDE_ORACLE),
+                ("x_dsir_weights", x_dsir_weights, _DSIR_ORACLE),
                 ("x_hll_union", x_hll_union, _HLL_UNION_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 

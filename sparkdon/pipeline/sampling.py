@@ -587,7 +587,8 @@ def keep_top_fraction_approx(docs: DataFrame, score_col: str,
 # ---------------------------------------------------------------------------
 
 def dsir_features(docs: DataFrame, buckets: int = 8192,
-                  ngram: int = 2, text_col: str = "text") -> DataFrame:
+                  ngram: int = 2, text_col: str = "text",
+                  portable_hash: bool = False) -> DataFrame:
     """Hashed n-gram features per doc: (doc_id, bucket, cnt).
 
     The public DSIR recipe's featurizer (Xie et al., "Data Selection
@@ -598,7 +599,14 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
     implementation.  Tokens come from the shared
     :func:`sparkdon.pipeline.text.nonempty_tokens` (leading/trailing
     whitespace must not manufacture phantom grams that shift a doc's
-    weight)."""
+    weight).
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-prefix bucket
+    hash (first 15 hex chars as a bigint, mod ``buckets``) that DuckDB
+    replays verbatim — the same engine-portability trick as the
+    simhash gate's md5 token hashes.  Bucketing quality is equivalent
+    (both are uniform over the bucket space); xxhash64 stays the
+    production default because it skips the hex round-trip."""
     from ._registry import spread_narrow_scan
     from .text import nonempty_tokens, word_ngrams
 
@@ -615,7 +623,11 @@ def dsir_features(docs: DataFrame, buckets: int = 8192,
         toked.select("doc_id", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .select("doc_id",
-                F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("bucket"))
+                F.pmod(
+                    F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                    .cast("bigint") if portable_hash
+                    else F.xxhash64("gram"),
+                    F.lit(buckets)).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -669,6 +681,116 @@ def dsir_weights(source: DataFrame, target: DataFrame,
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("log_weight"))
     )
+
+
+#: Gate bucket count for :func:`x_dsir_weights` — small enough that the
+#: two histograms are trivially broadcast, large enough that the
+#: fixture's vocabulary doesn't saturate every bucket.
+DSIR_GATE_BUCKETS = 4096
+
+#: DuckDB oracle for :func:`x_dsir_weights` — the full DSIR pipeline
+#: end-to-end (featurize → two histograms → smoothed log-ratio →
+#: per-doc weight) replayed exactly: the md5-prefix bucket hash is
+#: engine-portable (verified bit-equal), each bucket's log-ratio is
+#: floored to 1e-6 units FIRST so every per-document sum is exact
+#: integer arithmetic — order-independent across engines and
+#: partitionings (the x_lm_score trick), with ln() the only float op,
+#: evaluated once per BUCKET (≤2·buckets calls), never per doc.
+#: ln((COALESCE(c,0)+1)/t) covers present and absent buckets in one
+#: formula — identical arithmetic to the Spark side's coalesce of the
+#: present-bucket logp with the driver-computed log(1/total) floor,
+#: because the absent case is (0+1)/t = 1/t.
+_DSIR_ORACLE = (
+    "WITH ft AS (SELECT doc_id, source, "
+    r"  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+    "  AS t FROM documents), "
+    "uni AS (SELECT doc_id, source, unnest(t) AS gram FROM ft), "
+    "big AS (SELECT doc_id, source, array_to_string(t[i : i+1], ' ') AS gram "
+    "  FROM ft, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i) "
+    "  WHERE len(t) >= 2), "
+    "grams AS (SELECT doc_id, source, gram FROM uni WHERE gram <> '' "
+    "  UNION ALL SELECT doc_id, source, gram FROM big), "
+    "feat AS (SELECT doc_id, source, "
+    f"  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % {DSIR_GATE_BUCKETS} "
+    "  AS bucket FROM grams), "
+    "sfeat AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "  FROM feat GROUP BY doc_id, bucket), "
+    "shist AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c "
+    "  FROM sfeat GROUP BY bucket), "
+    "thist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c "
+    "  FROM feat WHERE doc_id % 5 = 0 GROUP BY bucket), "
+    f"stot AS (SELECT CAST(COALESCE(SUM(c), 0) + {DSIR_GATE_BUCKETS} AS DOUBLE) "
+    "  AS t FROM shist), "
+    f"ttot AS (SELECT CAST(COALESCE(SUM(c), 0) + {DSIR_GATE_BUCKETS} AS DOUBLE) "
+    "  AS t FROM thist), "
+    "ratio AS (SELECT COALESCE(s.bucket, tt.bucket) AS bucket, "
+    "  CAST(FLOOR(1e6 * (ln((COALESCE(tt.c, 0) + 1.0) / ttot.t) "
+    "                  - ln((COALESCE(s.c, 0) + 1.0) / stot.t))) AS BIGINT) "
+    "  AS lr_scaled "
+    "  FROM shist s FULL JOIN thist tt ON s.bucket = tt.bucket, stot, ttot) "
+    "SELECT f.doc_id, CAST(SUM(f.cnt * r.lr_scaled) AS BIGINT) "
+    " AS log_weight_scaled "
+    "FROM sfeat f JOIN ratio r ON f.bucket = r.bucket GROUP BY f.doc_id"
+)
+
+
+def dsir_logweights_scaled(source: DataFrame, target: DataFrame,
+                           buckets: int = DSIR_GATE_BUCKETS,
+                           ngram: int = 2) -> DataFrame:
+    """Engine-portable integer twin of :func:`dsir_weights`: identical
+    pipeline (hashed-n-gram featurize → two ≤buckets-sized smoothed
+    histograms → broadcast log-ratio join → per-doc sum), but each
+    bucket's log-ratio is floored to 1e-6 units BEFORE the per-doc
+    sum, so the document weight is an exact integer — reproducible
+    across engines, partitionings, and reduction orders (raw double
+    sums are order-sensitive at the ulp; the x_lm_score discipline).
+    The ranking this induces differs from the raw-double path only
+    within a bucket's 1e-6 quantization, far below the sketch noise of
+    hashed features themselves.  Returns (doc_id, log_weight_scaled).
+
+    100 TB shape is dsir_weights' own: two partial aggs whose fan-in
+    is ≤buckets rows each, one broadcast join, one doc-keyed integer
+    partial agg — no vocabulary state, no corpus-sized collect."""
+    sf = dsir_features(source, buckets, ngram, portable_hash=True)
+    tf = dsir_features(target, buckets, ngram, portable_hash=True)
+    src_d, src_floor = _bucket_dist(sf, buckets)
+    tgt_d, tgt_floor = _bucket_dist(tf, buckets)
+    ratio = (
+        src_d.select("bucket", F.col("logp").alias("logq"))
+        .join(tgt_d, "bucket", "full")
+        .select(
+            "bucket",
+            F.floor(F.lit(1e6) * (
+                F.coalesce(F.col("logp"), F.lit(tgt_floor))
+                - F.coalesce(F.col("logq"), F.lit(src_floor))))
+            .cast("long").alias("lr_scaled"))
+    )
+    return (
+        sf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr_scaled")).cast("long")
+             .alias("log_weight_scaled"))
+    )
+
+
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting end-to-end over the documents table:
+    source = the whole corpus, target = the deterministic
+    ``doc_id % 5 = 0`` slice (a fixed 20% "quality sample" that is
+    non-empty on EVERY corpus — the driver fixture's source labels
+    are src0..src19 while random test corpora use web/wiki/book, so a
+    label-keyed target would leave one side's histogram empty and the
+    gate would never exercise the target path; in production the
+    target is the curated corpus, see
+    :func:`test_scaled_weights_upweight_target_like_docs` for the
+    wiki-slice semantics).  Built as an r18 battery-swap candidate
+    (VERDICT r15 #5): NOT in ``pipeline.QUERIES`` yet — the 150/50/3
+    cadence has zero slack, so registration waits for the r18 swap.
+    Until then the driver-style compare against ``_DSIR_ORACLE`` runs
+    in tests/test_dsir.py and the seed_sweep docs tier."""
+    docs = table(spark, sf_dir, "documents")
+    return dsir_logweights_scaled(
+        docs, docs.filter(F.col("doc_id") % 5 == 0))
 
 
 def dsir_resample(source: DataFrame, target: DataFrame, k: int,

@@ -99,3 +99,105 @@ def test_whitespace_does_not_shift_weights(spark):
     tgt = _docs(spark, [(10, "a b a b")])
     w = {r.doc_id: r.log_weight for r in dsir_weights(src, tgt).collect()}
     assert w[1] == pytest.approx(w[2])
+
+
+# --- x_dsir_weights: the r18 battery-swap candidate (round 16) -------------
+
+def _oracle_rows(sql, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def test_x_dsir_weights_matches_oracle(spark):
+    """Driver-style compare (rows / columns / values) on the sf0.001
+    fixture — the r18 candidate's admission evidence, same pattern as
+    x_trim_spans/x_soft_dedup before their r16 registration."""
+    import importlib.util
+    import os
+
+    from sparkdon.pipeline.sampling import _DSIR_ORACLE, x_dsir_weights
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "check_correctness.py"))
+    check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(check)
+    sf_dir = "/root/testdata/sf0.001"
+    df = x_dsir_weights(spark, sf_dir)
+    s_cols, s_rows = df.columns, [tuple(r) for r in df.collect()]
+    o_cols, o_rows = _oracle_rows(_DSIR_ORACLE, sf_dir)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert check.canon_rows(s_cols, s_rows) == check.canon_rows(o_cols, o_rows)
+
+
+def test_scaled_weights_upweight_target_like_docs(spark):
+    """Semantics on a PLANTED corpus (the production wiki-target
+    deployment): documents sharing the target slice's vocabulary must
+    average a higher importance weight toward it than documents from a
+    disjoint vocabulary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.sampling import dsir_logweights_scaled
+
+    rng = random.Random(7)
+    wiki_vocab = [f"enc{i}" for i in range(40)]
+    web_vocab = [f"spam{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        src = "wiki" if i % 3 == 0 else "web"
+        vocab = wiki_vocab if src == "wiki" else web_vocab
+        rows.append((i, " ".join(rng.choices(vocab, k=30)), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    w = dsir_logweights_scaled(
+        docs, docs.filter(F.col("source") == "wiki"))
+    j = w.join(docs.select("doc_id", "source"), "doc_id")
+    means = {r["source"]: r["m"] for r in j.groupBy("source")
+             .agg(F.avg("log_weight_scaled").alias("m")).collect()}
+    assert means["wiki"] > means["web"]
+
+
+def test_scaled_weights_empty_target_is_uniform_prior(spark):
+    """An empty target slice degrades to the smoothing prior on both
+    sides of the ratio — still defined, no crash, every gram-bearing
+    doc present."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.sampling import dsir_logweights_scaled
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a"), (3, "")], "doc_id long, text string")
+    w = dsir_logweights_scaled(docs, docs.filter(F.lit(False)))
+    rows = {r.doc_id: r.log_weight_scaled for r in w.collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no grams
+
+def test_scaled_weights_rank_like_raw_weights(spark):
+    """The 1e-6 bucket quantization must not reorder the fixture's
+    documents materially: the scaled and raw paths agree on the
+    top-decile membership (hash choice differs — xxhash64 vs md5 — so
+    exact rank equality is not expected, only distribution-level
+    agreement on a corpus whose weights are well separated)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline.sampling import (dsir_logweights_scaled,
+                                            dsir_weights)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 5 == 0)
+    scaled = dsir_logweights_scaled(docs, tgt)
+    raw = dsir_weights(docs, tgt, buckets=4096)
+    k = scaled.count() // 10
+    top_s = {r.doc_id for r in scaled.orderBy(
+        F.desc("log_weight_scaled"), "doc_id").limit(k).collect()}
+    top_r = {r.doc_id for r in raw.orderBy(
+        F.desc("log_weight"), "doc_id").limit(k).collect()}
+    assert len(top_s & top_r) >= int(0.7 * k)
