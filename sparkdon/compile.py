@@ -1274,6 +1274,22 @@ class Compiler:
                         names, bound_everywhere)
 
     def apply_filter(self, bindings: Bindings, expr: Expr) -> Bindings:
+        if (isinstance(expr, OpExpr) and expr.op == "&&"
+                and self._contains_exists(expr)):
+            # FILTER(a && b) ≡ FILTER(a) . FILTER(b) under SPARQL's
+            # filter semantics (§17.2 ternary logic: the row survives
+            # iff the whole conjunction EBVs to true, and any conjunct
+            # evaluating false OR error makes the conjunction
+            # false-or-error — dropped either way), so a conjunction
+            # carrying EXISTS splits into sequential filters and each
+            # EXISTS branch gets its own semi/anti join (r16 —
+            # previously `?x > 3 && EXISTS {…}` raised).  Only
+            # EXISTS-carrying conjunctions split — plain boolean
+            # filters keep their single-predicate plan — and EXISTS
+            # under ||/!/IF stays the loud unsupported boundary below.
+            for a in expr.args:
+                bindings = self.apply_filter(bindings, a)
+            return bindings
         if isinstance(expr, ExistsExpr):
             inner = self.compile_group(expr.group)
             how = "left_anti" if expr.negated else "left_semi"
@@ -1323,7 +1339,10 @@ class Compiler:
         if isinstance(expr, AggExpr):
             raise QueryExecutionError("aggregate used outside aggregation context")
         if isinstance(expr, ExistsExpr):
-            raise QueryExecutionError("EXISTS only supported as a top-level FILTER")
+            raise QueryExecutionError(
+                "EXISTS only supported as a top-level FILTER or inside "
+                "top-level && conjunctions (apply_filter splits those); "
+                "EXISTS under ||/!/IF is not supported")
         raise QueryExecutionError(f"unsupported expression {type(expr).__name__}")
 
     # coercions ---------------------------------------------------------

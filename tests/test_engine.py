@@ -79,6 +79,36 @@ def test_exists(boros):
     assert set(df["b"]) == {":Manhattan", ":Brooklyn"}
 
 
+def test_exists_in_conjunction_splits(boros):
+    """r16: FILTER(a && EXISTS{…}) is valid SPARQL (§17.4.1.4 EXISTS is
+    an expression) — apply_filter splits EXISTS-carrying conjunctions
+    into sequential filters (equivalent under §17.2 ternary logic:
+    survive iff every conjunct EBVs true)."""
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b . "
+        "FILTER(?b != :Manhattan && EXISTS { ?b rdfs:label ?l }) }")
+    assert set(df["b"]) == {":Brooklyn"}
+    # nested both ways round, with NOT EXISTS, and three-way
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b . "
+        "FILTER(NOT EXISTS { ?b rdfs:label ?l } && ?b != :Queens "
+        "&& NOT EXISTS { ?b a :Borough }) }")
+    assert set(df["b"]) == {":The_Bronx", ":Staten_Island"}
+
+
+def test_exists_under_disjunction_raises(boros):
+    """EXISTS under || stays the loud unsupported boundary (splitting
+    is only sound for conjunctions)."""
+    import pytest
+
+    from sparkdon.errors import QueryExecutionError
+
+    with pytest.raises(QueryExecutionError, match="EXISTS"):
+        boros.select(
+            "SELECT ?b { :New_York_City :boro ?b . "
+            "FILTER(?b = :Queens || EXISTS { ?b rdfs:label ?l }) }")
+
+
 def test_minus(boros):
     df = boros.select("SELECT ?b { :New_York_City :boro ?b MINUS { ?b a :Borough } }")
     assert set(df["b"]) == {":Brooklyn", ":The_Bronx", ":Staten_Island"}
