@@ -90,23 +90,41 @@ def main() -> None:
          "?c p:c_mktsegment ?m"),
     ]
     out = {"sf_dir": sf_dir, "cap": cap, "tiers": {}}
+
+    def run_tier(local_ep, url, name, anchor, svc):
+        stats["requests"] = 0
+        stats["remote_rows"] = 0
+        q = (f"SELECT (COUNT(*) AS ?cnt) {{ {anchor} . "
+             f"SERVICE <{url}> {{ {svc} }} }}")
+        t0 = time.time()
+        df = local_ep.select_raw(q)
+        rows = df.collect()
+        wall = round(time.time() - t0, 3)
+        row = {"wall_s": wall, "requests": stats["requests"],
+               "remote_rows": stats["remote_rows"],
+               "joined_count": int(rows[0][0]["lex"]) if rows else 0}
+        out["tiers"][name] = row
+        print(json.dumps({name: row}), flush=True)
+
     with SparqlProtocolServer(remote_ep) as srv:
-        url = srv.url
         local_ep = endpoint(spark, sf_dir, tables=("nation", "customer"))
         for name, anchor, svc in tiers:
-            stats["requests"] = 0
-            stats["remote_rows"] = 0
-            q = (f"SELECT (COUNT(*) AS ?cnt) {{ {anchor} . "
-                 f"SERVICE <{url}> {{ {svc} }} }}")
-            t0 = time.time()
-            df = local_ep.select_raw(q)
-            rows = df.collect()
-            wall = round(time.time() - t0, 3)
-            row = {"wall_s": wall, "requests": stats["requests"],
-                   "remote_rows": stats["remote_rows"],
-                   "joined_count": int(rows[0][0]["lex"]) if rows else 0}
-            out["tiers"][name] = row
-            print(json.dumps({name: row}), flush=True)
+            run_tier(local_ep, srv.url, name, anchor, svc)
+
+    # round 16 (VERDICT r15 #4): the ABOVE-LADDER regime — more local
+    # anchors than cap x max_req can ship (orders at sf0.1: 150k order
+    # IRIs > 30k ladder capacity).  The compiler must abandon the bound
+    # join after collecting at most cap*max_req+1 anchor rows, fetch
+    # the service pattern UNCONSTRAINED in one request, and re-apply
+    # the restriction in the local join — proving the fall-back stays
+    # correct (joined_count = |orders|: every order has a status) and
+    # bounded (requests never scale with anchors).
+    remote_orders = endpoint(spark, sf_dir, tables=("orders",))
+    with SparqlProtocolServer(remote_orders) as srv:
+        local_orders = endpoint(spark, sf_dir, tables=("orders",))
+        run_tier(local_orders, srv.url, "anchors_150k_above_ladder",
+                 "?o p:o_totalprice ?t", "?o p:o_orderstatus ?s")
+
     remote_mod.fetch_bindings = real_fetch
     print(json.dumps(out), flush=True)
     spark.stop()
