@@ -829,6 +829,94 @@ class Compiler:
         return (not Compiler._contains_exists(expr)
                 and Compiler._expr_vars(expr) <= bindings.certain)
 
+    @staticmethod
+    def _vars_with_exists_groups(expr: Expr) -> set[str]:
+        """``_expr_vars`` plus, for every nested EXISTS, every variable
+        its group pattern mentions — the full variable set a
+        LeftJoin-condition scoping decision must see (``_expr_vars``
+        alone reports nothing for an EXISTS, so an OPTIONAL filter
+        correlated with the left side only THROUGH its EXISTS group
+        would otherwise classify as left-independent)."""
+        out = set(Compiler._expr_vars(expr))
+
+        def walk(e: Expr) -> None:
+            if isinstance(e, ExistsExpr):
+                out.update(_group_var_names(e.group))
+            elif isinstance(e, (OpExpr, FuncExpr)):
+                for a in (e.args or ()):
+                    walk(a)
+            elif isinstance(e, InExpr):
+                walk(e.value)
+                for o in e.options:
+                    walk(o)
+            elif isinstance(e, AggExpr) and e.arg is not None:
+                walk(e.arg)
+
+        walk(expr)
+        return out
+
+    def _left_outer_with_filtered_merge(
+            self, left: Bindings, right: Bindings,
+            filter_exprs: list[Expr]) -> Bindings:
+        """LeftJoin (spec §18.5) whose condition contains expressions
+        only evaluable as JOINS (EXISTS / NOT EXISTS): a single Spark
+        join condition cannot host a subquery, so compose it —
+        compat inner-join candidates → every condition conjunct applied
+        over the MERGED scope via ``apply_filter`` (a row survives iff
+        all conjuncts EBV true, exactly the LeftJoin condition) →
+        survivors ∪ (left rows with no surviving partner, right-only
+        vars null).
+
+        Bag-exact: a left row's identity is its full value tuple
+        (value-identical left rows are interchangeable — same partners,
+        same survival), so the bare side is a null-safe anti join of
+        the left frame against the survivors' PRISTINE left columns.
+        Those are carried under ``l__`` aliases through the filter
+        chain, because the merged view coalesces a null left value with
+        its right partner's value and could not identify its source row
+        afterwards."""
+        shared = [v for v in left.variables if v in right.variables]
+        r_only = [v for v in right.variables if v not in shared]
+        r_df = right.df
+        for v in right.variables:
+            r_df = r_df.withColumnRenamed(vcol(v), f"r__{vcol(v)}")
+        cond = F.lit(True)
+        for v in shared:
+            lc, rc = left.df[vcol(v)], r_df[f"r__{vcol(v)}"]
+            if v in left.certain and v in right.certain:
+                cond = cond & (lc == rc)
+            else:
+                cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+        cand = (left.df.join(r_df, on=cond, how="inner")
+                if shared else left.df.crossJoin(r_df))
+        sel = [cand[vcol(v)].alias(f"l__{vcol(v)}") for v in left.variables]
+        for v in left.variables:
+            if v in shared and v not in left.certain:
+                sel.append(F.coalesce(cand[vcol(v)], cand[f"r__{vcol(v)}"])
+                           .alias(vcol(v)))
+            else:
+                sel.append(cand[vcol(v)].alias(vcol(v)))
+        for v in r_only:
+            sel.append(cand[f"r__{vcol(v)}"].alias(vcol(v)))
+        mb = Bindings(cand.select(*sel), list(left.variables) + r_only,
+                      set(left.certain) | set(right.certain))
+        for ex in filter_exprs:
+            mb = self.apply_filter(mb, ex)
+        matched = mb.df.drop(*[f"l__{vcol(v)}" for v in left.variables])
+        surv = mb.df.select(
+            *[F.col(f"l__{vcol(v)}").alias(vcol(v))
+              for v in left.variables]).distinct()
+        anti = F.lit(True)
+        for v in left.variables:
+            anti = anti & left.df[vcol(v)].eqNullSafe(surv[vcol(v)])
+        bare = left.df.join(surv, on=anti, how="left_anti")
+        for v in r_only:
+            bare = bare.withColumn(
+                vcol(v),
+                F.lit(None).cast(right.df.schema[vcol(v)].dataType))
+        return Bindings(matched.unionByName(bare),
+                        list(left.variables) + r_only, set(left.certain))
+
     def compile_group(self, group: GroupPattern) -> Bindings:
         bindings: Bindings | None = None
         deferred: list[Expr] = []
@@ -868,7 +956,7 @@ class Compiler:
                 # side (pre-filter) or the result (post-filter).  Split the
                 # group's top-level filters by the variables they touch.
                 left_vars = set(bindings.variables)
-                kept, lifted = [], []
+                kept, lifted, lifted_exists = [], [], []
                 for ge in el.group.elements:
                     # Spec (§18.2.2.2): every top-level filter of the
                     # optional group belongs to the LeftJoin condition,
@@ -878,14 +966,30 @@ class Compiler:
                     # references no left-side variable; any left reference
                     # — even one the group may also bind (nested OPTIONAL)
                     # — forces the lift, because merge takes the left value
-                    # where the right is unbound.
-                    if isinstance(ge, Filter) and not isinstance(ge.expr, ExistsExpr) \
-                            and self._expr_vars(ge.expr) & left_vars:
+                    # where the right is unbound.  EXISTS-carrying filters
+                    # (r16): correlation may hide inside the EXISTS group
+                    # (_vars_with_exists_groups sees it); a left-correlated
+                    # one cannot ride the single-join extra_cond (no
+                    # subqueries in a Spark join condition) and takes the
+                    # composed LeftJoin below, while a left-independent one
+                    # stays a right-side pre-filter (equivalent: its value
+                    # per right row never changes with the left row).
+                    if not isinstance(ge, Filter):
+                        kept.append(ge)
+                    elif self._contains_exists(ge.expr):
+                        if self._vars_with_exists_groups(ge.expr) & left_vars:
+                            lifted_exists.append(ge.expr)
+                        else:
+                            kept.append(ge)
+                    elif self._expr_vars(ge.expr) & left_vars:
                         lifted.append(ge.expr)
                     else:
                         kept.append(ge)
                 right = self.compile_group(GroupPattern(kept))
-                if lifted:
+                if lifted_exists:
+                    b = self._left_outer_with_filtered_merge(
+                        bindings, right, lifted + lifted_exists)
+                elif lifted:
                     def extra_cond(resolve, _lifted=tuple(lifted)):
                         colmap = {}
                         for v in left_vars | set(right.variables):

@@ -96,6 +96,44 @@ def test_exists_in_conjunction_splits(boros):
     assert set(df["b"]) == {":The_Bronx", ":Staten_Island"}
 
 
+def test_optional_exists_filter_scopes_to_merged_solution(boros):
+    """r16: a top-level [NOT] EXISTS filter in an OPTIONAL group whose
+    correlation runs through a LEFT-side var belongs to the LeftJoin
+    condition (spec §18.2.2.2 / substitute semantics §18.6) — evaluated
+    per MERGED row, with a failing condition turning the row left-only,
+    never dropping it.  Previously it was evaluated as a right-side
+    pre-filter with the left var unbound (matching everything)."""
+    df = boros.select(
+        "SELECT ?b ?l { :New_York_City :boro ?b . "
+        "OPTIONAL { ?b rdfs:label ?l . FILTER EXISTS { ?b a :Borough } } }")
+    # Manhattan is a Borough: both labels survive; Brooklyn has a label
+    # but is NOT a Borough: condition false -> left-only row
+    assert len(df) == 6
+    got = sorted(zip(df["b"], [l if l is not None else None for l in df["l"]]))
+    assert got.count((":Manhattan", "Manhattan")) == 1
+    assert (":Brooklyn", None) in got
+    assert (":Brooklyn", "Brooklyn") not in got
+
+    df = boros.select(
+        "SELECT ?b ?l { :New_York_City :boro ?b . "
+        "OPTIONAL { ?b rdfs:label ?l . "
+        "FILTER NOT EXISTS { ?b a :Borough } } }")
+    got = set(zip(df["b"], [l if l is not None else None for l in df["l"]]))
+    assert (":Brooklyn", "Brooklyn") in got       # not a Borough: kept
+    assert (":Manhattan", None) in got            # a Borough: left-only
+    assert len(df) == 5
+
+    # conjunction of a plain left-referencing condition and EXISTS
+    df = boros.select(
+        "SELECT ?b ?l { :New_York_City :boro ?b . "
+        "OPTIONAL { ?b rdfs:label ?l . "
+        "FILTER(LANG(?l)='en' && EXISTS { ?b a :Borough }) } }")
+    got = set(zip(df["b"], [l if l is not None else None for l in df["l"]]))
+    assert got == {(":Manhattan", "Manhattan"), (":Brooklyn", None),
+                   (":Queens", None), (":The_Bronx", None),
+                   (":Staten_Island", None)}
+
+
 def test_exists_under_disjunction_raises(boros):
     """EXISTS under || stays the loud unsupported boundary (splitting
     is only sound for conjunctions)."""
