@@ -258,6 +258,10 @@ class Compiler:
         #: set while compiling inside ``GRAPH ?var { … }``: the variable
         #: name each pattern scan must additionally bind from ``g``
         self.graph_var: str | None = None
+        #: set (temporarily) by _filter_with_exists_flags: id(ExistsExpr
+        #: node) → pre-computed boolean flag Column, letting compile_expr
+        #: resolve an EXISTS in a non-conjunctive expression position
+        self._exists_flags: dict[int, Column] = {}
         self._uid = itertools.count()
         #: ``use_ids`` (SURVEY.md §4.3 term-dictionary v2): variables whose
         #: *values* are never needed — they only connect triple patterns —
@@ -1389,11 +1393,21 @@ class Compiler:
             # EXISTS branch gets its own semi/anti join (r16 —
             # previously `?x > 3 && EXISTS {…}` raised).  Only
             # EXISTS-carrying conjunctions split — plain boolean
-            # filters keep their single-predicate plan — and EXISTS
-            # under ||/!/IF stays the loud unsupported boundary below.
+            # filters keep their single-predicate plan; EXISTS under
+            # ||/!/IF takes the flag-column path below (the split is
+            # only sound for conjunctions).
             for a in expr.args:
                 bindings = self.apply_filter(bindings, a)
             return bindings
+        if not isinstance(expr, ExistsExpr) and self._contains_exists(expr):
+            # EXISTS in a non-conjunctive position (||, !, IF, COALESCE
+            # …, §17.4.1.4 treats EXISTS as an ordinary expression):
+            # no Spark predicate can host the subquery and no split
+            # applies, so materialize each EXISTS branch as a BOOLEAN
+            # FLAG column and evaluate the expression over the flags
+            # (r16).  See _filter_with_exists_flags for the row-identity
+            # discipline this needs.
+            return self._filter_with_exists_flags(bindings, expr)
         if isinstance(expr, ExistsExpr):
             inner = self.compile_group(expr.group)
             how = "left_anti" if expr.negated else "left_semi"
@@ -1409,6 +1423,67 @@ class Compiler:
         colmap = {v: bindings.col(v) for v in bindings.variables}
         cond = self.expr_bool(expr, colmap)
         return Bindings(bindings.df.filter(cond), bindings.variables, bindings.certain)
+
+    @staticmethod
+    def _collect_exists(expr: Expr, out: list) -> None:
+        """Append every ExistsExpr node in ``expr`` to ``out`` (document
+        order; does not descend INTO an EXISTS group — nested EXISTS
+        inside the group compiles with the group itself)."""
+        if isinstance(expr, ExistsExpr):
+            out.append(expr)
+            return
+        if isinstance(expr, (OpExpr, FuncExpr)):
+            for a in (expr.args or ()):
+                Compiler._collect_exists(a, out)
+        elif isinstance(expr, InExpr):
+            Compiler._collect_exists(expr.value, out)
+            for o in expr.options:
+                Compiler._collect_exists(o, out)
+        elif isinstance(expr, AggExpr) and expr.arg is not None:
+            Compiler._collect_exists(expr.arg, out)
+
+    def _filter_with_exists_flags(self, bindings: Bindings,
+                                  expr: Expr) -> Bindings:
+        """FILTER over an expression with EXISTS in a non-conjunctive
+        position: evaluate each EXISTS branch as a boolean flag column,
+        then filter on the whole expression with the flags substituted.
+
+        Row identity: the flag is "this ROW has a compatible inner
+        solution", and value-identical bag duplicates share it — but the
+        semi-join that computes survivors must report back to exactly
+        the rows it kept, so the frame is tagged with
+        ``monotonically_increasing_id`` and ``localCheckpoint``-ed
+        FIRST (ids are partition-dependent; materializing pins them so
+        both the flag branch and the final filter see the same ids —
+        the same discipline as clusters.py's iteration frames).  Each
+        flag then joins back on the unique id (no fan-out).  EXISTS
+        never errors (§17.4.1.4), so true/false flags are exact."""
+        tagged = (bindings.df.withColumn("_rid", F.monotonically_increasing_id())
+                  .localCheckpoint())
+        nodes: list = []
+        self._collect_exists(expr, nodes)
+        cur = tagged
+        flag_cols: dict[int, str] = {}
+        for i, node in enumerate(nodes):
+            # compute the POSITIVE membership; negation folds into the
+            # flag expression at compile time below
+            pos = ExistsExpr(node.group, negated=False)
+            surv = self.apply_filter(
+                Bindings(cur, bindings.variables, bindings.certain), pos)
+            flags = (surv.df.select("_rid").distinct()
+                     .withColumn(f"_ex{i}", F.lit(True)))
+            cur = cur.join(flags, "_rid", "left").withColumn(
+                f"_ex{i}", F.coalesce(F.col(f"_ex{i}"), F.lit(False)))
+            flag_cols[id(node)] = f"_ex{i}"
+        colmap = {v: cur[vcol(v)] for v in bindings.variables}
+        prev = self._exists_flags
+        self._exists_flags = {k: cur[c] for k, c in flag_cols.items()}
+        try:
+            cond = self.expr_bool(expr, colmap)
+        finally:
+            self._exists_flags = prev
+        out = cur.filter(cond).drop("_rid", *flag_cols.values())
+        return Bindings(out, bindings.variables, bindings.certain)
 
     # ------------------------------------------------------------------
     # expressions — value model: ('term'|'num'|'str'|'bool', Column[, hint])
@@ -1443,10 +1518,15 @@ class Compiler:
         if isinstance(expr, AggExpr):
             raise QueryExecutionError("aggregate used outside aggregation context")
         if isinstance(expr, ExistsExpr):
+            flag = self._exists_flags.get(id(expr))
+            if flag is not None:
+                # pre-computed by _filter_with_exists_flags (FILTER
+                # context); EXISTS never errors, so the bool is exact
+                return ("bool", ~flag if expr.negated else flag)
             raise QueryExecutionError(
-                "EXISTS only supported as a top-level FILTER or inside "
-                "top-level && conjunctions (apply_filter splits those); "
-                "EXISTS under ||/!/IF is not supported")
+                "EXISTS is only supported inside FILTER expressions "
+                "(any position there); not in SELECT/BIND/ORDER BY "
+                "expressions yet")
         raise QueryExecutionError(f"unsupported expression {type(expr).__name__}")
 
     # coercions ---------------------------------------------------------

@@ -134,17 +134,39 @@ def test_optional_exists_filter_scopes_to_merged_solution(boros):
                    (":Staten_Island", None)}
 
 
-def test_exists_under_disjunction_raises(boros):
-    """EXISTS under || stays the loud unsupported boundary (splitting
-    is only sound for conjunctions)."""
+def test_exists_in_disjunction_and_if(boros):
+    """r16 (late): EXISTS in NON-conjunctive expression positions
+    (||, !, IF — §17.4.1.4 treats EXISTS as an ordinary expression)
+    evaluates via per-row boolean flag columns
+    (_filter_with_exists_flags): each EXISTS branch is a semi-join
+    membership reported back on a pinned row id, so bag duplicates and
+    null-tolerant compat all behave exactly as the top-level form."""
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b . "
+        "FILTER(?b = :Queens || EXISTS { ?b rdfs:label ?l }) }")
+    assert set(df["b"]) == {":Queens", ":Manhattan", ":Brooklyn"}
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b . "
+        "FILTER(!EXISTS { ?b rdfs:label ?l } || ?b = :Manhattan) }")
+    assert set(df["b"]) == {":Manhattan", ":Queens", ":The_Bronx",
+                            ":Staten_Island"}
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b . "
+        "FILTER(IF(EXISTS { ?b a :Borough }, "
+        "?b = :Queens, ?b = :Brooklyn)) }")
+    assert set(df["b"]) == {":Queens", ":Brooklyn"}
+
+
+def test_exists_outside_filter_raises(boros):
+    """EXISTS in SELECT/BIND expressions stays the loud boundary."""
     import pytest
 
     from sparkdon.errors import QueryExecutionError
 
     with pytest.raises(QueryExecutionError, match="EXISTS"):
         boros.select(
-            "SELECT ?b { :New_York_City :boro ?b . "
-            "FILTER(?b = :Queens || EXISTS { ?b rdfs:label ?l }) }")
+            "SELECT ?b (EXISTS { ?b a :Borough } AS ?f) "
+            "{ :New_York_City :boro ?b }")
 
 
 def test_minus(boros):
