@@ -748,7 +748,12 @@ class Parser:
                     q.order_by.append((TermExpr(Var(t.text[1:])), "asc"))
                 elif t.text == "(":
                     q.order_by.append((self.parse_bracketted_expr(), "asc"))
-                elif t.kind in ("KEYWORD",) and t.text.upper() in BUILTIN_FUNCS:
+                elif t.kind in ("KEYWORD",) and (
+                        t.text.upper() in BUILTIN_FUNCS
+                        # grammar: OrderCondition ::= … | Constraint,
+                        # and Constraint's BuiltInCall includes
+                        # ExistsFunc/NotExistsFunc (r16)
+                        or t.text.upper() in ("EXISTS", "NOT")):
                     q.order_by.append((self.parse_primary_expr(), "asc"))
                 else:
                     break

@@ -1045,15 +1045,35 @@ class Compiler:
             elif isinstance(el, Bind):
                 if bindings is None:
                     bindings = self.unit()
-                colmap = {v: bindings.col(v) for v in bindings.variables}
-                value = self.expr_term(el.expr, colmap)
                 if el.var.name in bindings.variables:
                     raise QueryExecutionError(f"BIND to already-bound ?{el.var.name}")
-                bindings = Bindings(
-                    bindings.df.withColumn(vcol(el.var.name), value),
-                    bindings.variables + [el.var.name],
-                    set(bindings.certain),
-                )
+                if self._contains_exists(el.expr):
+                    # BIND(EXISTS {…} AS ?f) and friends (r16): the same
+                    # flag machinery as FILTER — each EXISTS becomes a
+                    # per-row boolean column, the bound value an
+                    # xsd:boolean term over it
+                    cur, helper, fmap = self._exists_flag_frame(
+                        bindings, [el.expr])
+                    colmap = {v: cur[vcol(v)] for v in bindings.variables}
+                    prev = self._exists_flags
+                    self._exists_flags = {k: cur[c] for k, c in fmap.items()}
+                    try:
+                        value = self.expr_term(el.expr, colmap)
+                    finally:
+                        self._exists_flags = prev
+                    bindings = Bindings(
+                        cur.withColumn(vcol(el.var.name), value).drop(*helper),
+                        bindings.variables + [el.var.name],
+                        set(bindings.certain),
+                    )
+                else:
+                    colmap = {v: bindings.col(v) for v in bindings.variables}
+                    value = self.expr_term(el.expr, colmap)
+                    bindings = Bindings(
+                        bindings.df.withColumn(vcol(el.var.name), value),
+                        bindings.variables + [el.var.name],
+                        set(bindings.certain),
+                    )
             elif isinstance(el, ValuesClause):
                 bindings = self.join(bindings, self.compile_values(el))
             elif isinstance(el, SubSelect):
@@ -1458,15 +1478,34 @@ class Compiler:
         the same discipline as clusters.py's iteration frames).  Each
         flag then joins back on the unique id (no fan-out).  EXISTS
         never errors (§17.4.1.4), so true/false flags are exact."""
-        tagged = (bindings.df.withColumn("_rid", F.monotonically_increasing_id())
-                  .localCheckpoint())
+        cur, helper_cols, flag_cols = self._exists_flag_frame(bindings, [expr])
+        colmap = {v: cur[vcol(v)] for v in bindings.variables}
+        prev = self._exists_flags
+        self._exists_flags = {k: cur[c] for k, c in flag_cols.items()}
+        try:
+            cond = self.expr_bool(expr, colmap)
+        finally:
+            self._exists_flags = prev
+        out = cur.filter(cond).drop(*helper_cols)
+        return Bindings(out, bindings.variables, bindings.certain)
+
+    def _exists_flag_frame(self, bindings: Bindings, exprs: list[Expr]):
+        """(frame, helper column names, id(node)→flag column name) for
+        every EXISTS node across ``exprs`` — the shared flag machinery
+        for EXISTS in arbitrary expression positions (FILTER ||/!/IF,
+        BIND, SELECT expressions).  The frame carries ``_rid`` plus one
+        boolean ``_exN`` per EXISTS; callers compile their expressions
+        with ``self._exists_flags`` pointing at the flag columns and
+        drop the helper columns from their result."""
+        cur = (bindings.df.withColumn("_rid", F.monotonically_increasing_id())
+               .localCheckpoint())
         nodes: list = []
-        self._collect_exists(expr, nodes)
-        cur = tagged
+        for e in exprs:
+            self._collect_exists(e, nodes)
         flag_cols: dict[int, str] = {}
         for i, node in enumerate(nodes):
             # compute the POSITIVE membership; negation folds into the
-            # flag expression at compile time below
+            # flag expression at compile time
             pos = ExistsExpr(node.group, negated=False)
             surv = self.apply_filter(
                 Bindings(cur, bindings.variables, bindings.certain), pos)
@@ -1475,15 +1514,7 @@ class Compiler:
             cur = cur.join(flags, "_rid", "left").withColumn(
                 f"_ex{i}", F.coalesce(F.col(f"_ex{i}"), F.lit(False)))
             flag_cols[id(node)] = f"_ex{i}"
-        colmap = {v: cur[vcol(v)] for v in bindings.variables}
-        prev = self._exists_flags
-        self._exists_flags = {k: cur[c] for k, c in flag_cols.items()}
-        try:
-            cond = self.expr_bool(expr, colmap)
-        finally:
-            self._exists_flags = prev
-        out = cur.filter(cond).drop("_rid", *flag_cols.values())
-        return Bindings(out, bindings.variables, bindings.certain)
+        return cur, ["_rid", *flag_cols.values()], flag_cols
 
     # ------------------------------------------------------------------
     # expressions — value model: ('term'|'num'|'str'|'bool', Column[, hint])
@@ -1524,9 +1555,9 @@ class Compiler:
                 # context); EXISTS never errors, so the bool is exact
                 return ("bool", ~flag if expr.negated else flag)
             raise QueryExecutionError(
-                "EXISTS is only supported inside FILTER expressions "
-                "(any position there); not in SELECT/BIND/ORDER BY "
-                "expressions yet")
+                "EXISTS is supported in FILTER (any position), BIND, "
+                "and non-aggregate SELECT/ORDER BY expressions; not in "
+                "aggregate-query projections, GROUP BY, or HAVING")
         raise QueryExecutionError(f"unsupported expression {type(expr).__name__}")
 
     # coercions ---------------------------------------------------------
@@ -1882,6 +1913,23 @@ class Compiler:
             bindings = self._aggregate(q, bindings, defer_decode=defer)
         else:
             if q.projections:
+                ex_bearing = [e for e, _a in q.projections
+                              if not isinstance(e, Var)
+                              and self._contains_exists(e)]
+                ex_bearing += [e for e, _d in (q.order_by or [])
+                               if self._contains_exists(e)]
+                prev_flags = self._exists_flags
+                if ex_bearing:
+                    # SELECT (… EXISTS {…} … AS ?x) / ORDER BY with
+                    # EXISTS (r16): precompute per-row flags; the final
+                    # projection select() lists its columns explicitly,
+                    # so the helper columns fall away without a drop
+                    cur, _helper, fmap = self._exists_flag_frame(
+                        bindings, ex_bearing)
+                    bindings = Bindings(cur, bindings.variables,
+                                        bindings.certain)
+                    self._exists_flags = {k: cur[c]
+                                          for k, c in fmap.items()}
                 colmap = {v: bindings.col(v) for v in bindings.variables}
                 sel, names = [], []
                 ext_colmap = dict(colmap)
@@ -1914,6 +1962,7 @@ class Compiler:
                     if isinstance(e, Var) and e.name in bindings.certain
                 }
                 bindings = Bindings(bindings.df.select(*sel, *hidden), names, certain)
+                self._exists_flags = prev_flags
         if q.distinct:
             if n_hidden:
                 # dedup on the projected columns only; take the MIN of each

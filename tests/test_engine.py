@@ -157,16 +157,45 @@ def test_exists_in_disjunction_and_if(boros):
     assert set(df["b"]) == {":Queens", ":Brooklyn"}
 
 
-def test_exists_outside_filter_raises(boros):
-    """EXISTS in SELECT/BIND expressions stays the loud boundary."""
+def test_exists_in_select_bind_orderby(boros):
+    """r16 (late): EXISTS as an ordinary expression (§17.4.1.4) in
+    SELECT projections, BIND, and ORDER BY — same flag-column
+    machinery as the FILTER ||/!/IF path."""
+    df = boros.select(
+        "SELECT ?b (EXISTS { ?b a :Borough } AS ?f) "
+        "{ :New_York_City :boro ?b }")
+    got = dict(zip(df["b"], df["f"]))
+    assert got[":Queens"] is True and got[":Manhattan"] is True
+    assert got[":Brooklyn"] is False
+
+    df = boros.select(
+        "SELECT ?b ?f { :New_York_City :boro ?b . "
+        "BIND(!EXISTS { ?b rdfs:label ?l } AS ?f) }")
+    got = dict(zip(df["b"], df["f"]))
+    assert got[":Manhattan"] is False and got[":Queens"] is True
+
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b } "
+        "ORDER BY DESC(EXISTS { ?b rdfs:label ?l }) ?b")
+    assert list(df["b"])[:2] == [":Brooklyn", ":Manhattan"]
+    # bare-constraint grammar form parses too
+    df = boros.select(
+        "SELECT ?b { :New_York_City :boro ?b } "
+        "ORDER BY EXISTS { ?b rdfs:label ?l } ?b")
+    assert list(df["b"])[-2:] == [":Brooklyn", ":Manhattan"]
+
+
+def test_exists_in_aggregate_projection_raises(boros):
+    """EXISTS inside an aggregate query's projections stays the loud
+    boundary."""
     import pytest
 
     from sparkdon.errors import QueryExecutionError
 
     with pytest.raises(QueryExecutionError, match="EXISTS"):
         boros.select(
-            "SELECT ?b (EXISTS { ?b a :Borough } AS ?f) "
-            "{ :New_York_City :boro ?b }")
+            "SELECT ?b (EXISTS { ?b a :Borough } AS ?f) (COUNT(*) AS ?c) "
+            "{ :New_York_City :boro ?b } GROUP BY ?b")
 
 
 def test_minus(boros):
