@@ -88,8 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: The cadence remains at zero slack (150 battery / 50 window /
 #: 3-round cycle): NO new gated entries may be added without retiring
 #: one.  Named r17+ swap candidates with dossiers: x_decontam_embed,
-#: x_chunk_stride (both oracled + probed, r15); r18 seeds:
-#: x_hll_union + one to be dossiered this round.
+#: x_chunk_stride (both oracled + probed, r15); r18 pair complete:
+#: x_hll_union (r15) + x_dsir_weights (r16 — 3-scale bit-exact oracle,
+#: random battery, seed_sweep docs tier, 10×/100× probes 2.07/23.34).
 _FRONT = [
     # the 2 newly registered swap entries (never driver-green → most
     # urgent) + the 48 surviving r13-stale entries = the derived 50
