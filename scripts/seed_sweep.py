@@ -116,7 +116,10 @@ def main() -> None:
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
     from sparkdon.pipeline.packing import (_CHUNK_STRIDE_ORACLE,
                                            x_chunk_stride)
-    from sparkdon.pipeline.sampling import _DSIR_ORACLE, x_dsir_weights
+    from sparkdon.pipeline.sampling import (_DSIR_ORACLE,
+                                            _KEEP_TOP_APPROX_ORACLE,
+                                            x_dsir_weights,
+                                            x_keep_top_approx)
     from sparkdon.pipeline.staged_gates import STAGED, STAGED_ORACLE
 
     from sparkdon.pipeline.text import _HLL_UNION_ORACLE, x_hll_union
@@ -126,6 +129,8 @@ def main() -> None:
                 ("x_soft_dedup", x_soft_dedup, _SOFT_DEDUP_ORACLE),
                 ("x_chunk_stride", x_chunk_stride, _CHUNK_STRIDE_ORACLE),
                 ("x_dsir_weights", x_dsir_weights, _DSIR_ORACLE),
+                ("x_keep_top_approx", x_keep_top_approx,
+                 _KEEP_TOP_APPROX_ORACLE),
                 ("x_hll_union", x_hll_union, _HLL_UNION_ORACLE)]
              + [(k, STAGED[k], STAGED_ORACLE[k]) for k in sorted(STAGED)])
 

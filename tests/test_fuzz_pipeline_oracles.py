@@ -238,7 +238,10 @@ def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
     from sparkdon.pipeline.dedup import _TRIM_ORACLE, x_trim_spans
     from sparkdon.pipeline.packing import (_CHUNK_STRIDE_ORACLE,
                                            x_chunk_stride)
-    from sparkdon.pipeline.sampling import _DSIR_ORACLE, x_dsir_weights
+    from sparkdon.pipeline.sampling import (_DSIR_ORACLE,
+                                            _KEEP_TOP_APPROX_ORACLE,
+                                            x_dsir_weights,
+                                            x_keep_top_approx)
     from sparkdon.pipeline.text import _HLL_UNION_ORACLE, x_hll_union
 
     failures = _compare(spark, rand_dir, ["documents"],
@@ -247,6 +250,8 @@ def test_trim_spans_matches_on_random_corpus(spark, rand_dir):
                           _SOFT_DEDUP_ORACLE),
                          ("x_dsir_weights", x_dsir_weights,
                           _DSIR_ORACLE),
+                         ("x_keep_top_approx", x_keep_top_approx,
+                          _KEEP_TOP_APPROX_ORACLE),
                          ("x_chunk_stride", x_chunk_stride,
                           _CHUNK_STRIDE_ORACLE),
                          ("x_hll_union", x_hll_union,

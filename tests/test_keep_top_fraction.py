@@ -192,3 +192,41 @@ def test_approx_nonfinite_fails_loudly(spark):
                                      "doc_id long, score double")
         with pytest.raises(Exception, match="null/NaN/inf score"):
             keep_top_fraction_approx(docs, "score", 0.5).collect()
+
+
+def test_x_keep_top_approx_matches_oracle(spark):
+    """r16 (VERDICT r15 #5 gap): the GK-sketch top-fraction gate,
+    driver-style compare on the fixture — the sketch is EXACT while
+    n <= accuracy (buffer holds every sample), and its discrete-rank
+    convention matches DuckDB quantile_disc (0/88 empirical mismatches
+    incl. heavy-tie grids), so the compare is bit-for-bit.  Staged r19+
+    battery-swap candidate."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from sparkdon.pipeline.sampling import (_KEEP_TOP_APPROX_ORACLE,
+                                            x_keep_top_approx)
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "check_correctness.py"))
+    check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(check)
+    sf_dir = "/root/testdata/sf0.001"
+    df = x_keep_top_approx(spark, sf_dir)
+    s_cols, s_rows = df.columns, [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    cur = con.execute(_KEEP_TOP_APPROX_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert check.canon_rows(s_cols, s_rows) == check.canon_rows(o_cols, o_rows)
+    # the kept fraction is ~20% of the corpus (within boundary ties)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0.15 * n <= len(s_rows) <= 0.3 * n
