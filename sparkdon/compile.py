@@ -1985,13 +1985,31 @@ class Compiler:
                 ]
                 df = df.orderBy(*keys).select(*[vcol(n) for n in bindings.variables])
             else:
+                ex_bearing = [e for e, _d in q.order_by
+                              if self._contains_exists(e)]
+                prev_flags = self._exists_flags
+                helper: list[str] = []
+                if ex_bearing:
+                    # SELECT * … ORDER BY EXISTS {…} (r16): the
+                    # projectionless sort path gets the same flag
+                    # treatment as projections
+                    df, helper, fmap = self._exists_flag_frame(
+                        bindings, ex_bearing)
+                    bindings = Bindings(df, bindings.variables,
+                                        bindings.certain)
+                    self._exists_flags = {k: df[c] for k, c in fmap.items()}
                 colmap = {v: bindings.col(v) for v in bindings.variables}
                 keys = []
-                for e, direction in q.order_by:
-                    val = self.compile_expr(e, colmap)
-                    key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
-                    keys.append(key.desc() if direction == "desc" else key.asc())
-                df = df.orderBy(*keys)
+                try:
+                    for e, direction in q.order_by:
+                        val = self.compile_expr(e, colmap)
+                        key = sort_key(self.as_term(val)) if val[0] == "term" else val[1]
+                        keys.append(key.desc() if direction == "desc" else key.asc())
+                finally:
+                    self._exists_flags = prev_flags
+                df = bindings.df.orderBy(*keys)
+                if helper:
+                    df = df.drop(*helper)
             bindings = Bindings(df, bindings.variables, bindings.certain)
         if q.offset:
             bindings = Bindings(bindings.df.offset(q.offset), bindings.variables,

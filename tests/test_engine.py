@@ -183,6 +183,12 @@ def test_exists_in_select_bind_orderby(boros):
         "SELECT ?b { :New_York_City :boro ?b } "
         "ORDER BY EXISTS { ?b rdfs:label ?l } ?b")
     assert list(df["b"])[-2:] == [":Brooklyn", ":Manhattan"]
+    # projectionless SELECT * path
+    rows = boros.select_raw(
+        "SELECT * { ?x :boro ?b } "
+        "ORDER BY DESC(EXISTS { ?b rdfs:label ?l }) ?b").collect()
+    got = [r["v_b"]["lex"].rsplit("/", 1)[-1] for r in rows]
+    assert got[:2] == ["Brooklyn", "Manhattan"]
 
 
 def test_exists_in_aggregate_projection_raises(boros):
