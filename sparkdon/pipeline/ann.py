@@ -298,7 +298,12 @@ def x_sim_lsh_refined(spark, sf_dir):
     - recall tunes with bands×planes (more bands → higher recall, more
       candidates), asserted against the exact baseline in pytest.
     """
-    return lsh_refined_topk(_ann_vectors(spark, sf_dir, spread=True))
+    # lazily checkpointed: the vector frame feeds band-key generation,
+    # the candidate refine side and the query side — without it each
+    # plan arm re-runs the scan + repartition (+ norm fold); the r16
+    # "before" plan shows 20 Exchanges from exactly this duplication
+    return lsh_refined_topk(
+        _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False))
 
 
 def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
@@ -361,22 +366,27 @@ def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
 _IVF_K, _IVF_NPROBE, _IVF_DIMS = 16, 6, 64
 
 
-def _ivf_mean(df: DataFrame) -> dict:
+def _ivf_mean(df: DataFrame, dims: int = _IVF_DIMS) -> dict:
     """(cell, v) rows → {cell: quantized centroid list}.
 
-    posexplode → per-(cell, dim) partial-agg average → reassemble.  The
-    collect is K×DIMS floats of model state (like the LSH plane matrix),
-    not data."""
+    ONE cell-keyed aggregate with ``dims`` per-dimension averages
+    (optimization r16, guide §2.3/§2.4): the former posexplode form
+    multiplied every row ×dims and paid a second (cell)-keyed exchange
+    for the reassembly ``collect_list`` — column-wise ``avg(v[i])``
+    aggregates the identical per-(cell, dim) value multisets in one
+    partial-agg pass, so the shuffle carries K rows of dims doubles
+    instead of K×dims rows, and one Exchange instead of two.  The 1e-6
+    centroid quantization absorbs summation-order noise exactly as
+    before (it exists because distributed fp summation order already
+    varied run-to-run).  The collect is K×DIMS floats of model state
+    (like the LSH plane matrix), not data."""
     rows = (
-        df.select("cell", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg((F.floor(F.avg("x") * 1e6) / 1e6).alias("val"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
-        .select("cell", F.transform("pv", lambda s: s["val"]).alias("cv"))
+        df.groupBy("cell")
+        .agg(*[(F.floor(F.avg(F.col("v")[i]) * 1e6) / 1e6).alias(f"c{i}")
+               for i in range(dims)])
         .collect()
     )
-    return {r["cell"]: list(r["cv"]) for r in rows}
+    return {r["cell"]: [r[f"c{i}"] for i in range(dims)] for r in rows}
 
 
 def _ivf_cells(cents: dict):
@@ -448,27 +458,30 @@ def x_sim_ivf(spark, sf_dir):
     no all-pairs.  K scales ~√n and the centroid model stays driver-side
     model state, exactly like a real IVF index build.
 
-    The build is ~5 chained actions (two Lloyd means, two assignments,
-    probe/refine); each materialization point is ``localCheckpoint``-ed so
-    no action re-executes upstream lineage — in particular the K×D-literal
-    distance expression is parsed/codegen'd once per distinct centroid set
-    and *evaluated* once per row, not once per downstream action.  That is
+    The build chains actions (two Lloyd means, probe/refine); the frames
+    REUSED across actions are ``localCheckpoint``-ed so no action
+    re-executes upstream lineage — in particular the K×D-literal distance
+    expression is parsed/codegen'd once per distinct centroid set and
+    *evaluated* once per row, not once per downstream action.  That is
     exactly what a real index build does: persist the assignment table.
     BENCH_r05 recorded 15.1 s here because the uncached chain re-ran the
     scan + assignment under every action, which amplifies any executor
-    contention ~5x."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    contention ~5x.  r16 trims the action count further (guide §1.2
+    "remove passes"): checkpoints are lazy (``eager=False`` — the first
+    consuming job materializes them, no standalone materialization job),
+    and the first-round assignment frame, consumed by exactly ONE action
+    (its Lloyd mean), is not checkpointed at all."""
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
 
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     a1 = e.select(
-        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
-    ).localCheckpoint()
+        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     cents = _ivf_mean(a1.select("cell", "v"))
     # One evaluation of the final-centroid distance array serves both the
     # corpus assignment ([0].cell) and the query probe set (slice 1..NPROBE).
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     assigned = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell"))
 
@@ -555,12 +568,13 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
     (cell, dim)-keyed partial agg; the driver holds only K×D floats.
     ``localCheckpoint`` truncates the lineage each round, exactly like
     the component propagation loop."""
-    cur = df.select("vec_id", "v").localCheckpoint()
+    cur = df.select("vec_id", "v").localCheckpoint(eager=False)
     cents = _ivf_mean(cur.select((F.col("vec_id") % k).alias("cell"), "v"))
     for _ in range(iters):
+        # consumed once (by the mean below) — no checkpoint needed; cur's
+        # checkpoint keeps the lineage shallow across rounds (r16 trim)
         asg = cur.select(
-            "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
-        ).localCheckpoint()
+            "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
         # a cell that lost every member keeps its previous centroid
         # (standard empty-cluster handling; also keeps the centroid
         # count stable — the same carryover rule the keyed PQ trainer
@@ -668,7 +682,11 @@ def _embed_band_keys(e: DataFrame, bands: int, mat: list, planes: int) -> DataFr
 
 def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
                  threshold: int) -> DataFrame:
-    e = _ann_vectors(spark, sf_dir, spread=True)
+    # lazily checkpointed: the vector frame feeds band-key generation and
+    # BOTH cosine sides of the pair refine — three plan arms that would
+    # each re-run the scan + repartition + (for x/y) the norm fold
+    # (guide §2.4: share one evaluation instead of duplicating subtrees)
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
     pairs = _bucket_pairs(_embed_band_keys(e, bands, mat, planes))
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
     x, y = en.alias("x"), en.alias("y")
@@ -859,12 +877,19 @@ def x_semantic_dedup(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(spark.sparkContext.defaultParallelism) \
+        .localCheckpoint(eager=False)
     cents = _ivf_mean(
         e.select(F.col("label").alias("cell"), "v"))
+    # checkpointed (lazily): the K×D-literal assignment below feeds the
+    # cap-guard count, pair generation, BOTH cosine sides and the final
+    # keep join — without it the whole scan+assign subtree is evaluated
+    # once per plan arm (~5×; the r16 "before" plan shows 20 Exchanges
+    # from exactly this — guide §2.4 "share one evaluation")
     asg = e.select(
         "vec_id", "v",
-        _ivf_cells(cents)[0]["cell"].alias("cluster"))
+        _ivf_cells(cents)[0]["cell"].alias("cluster")) \
+        .localCheckpoint(eager=False)
     # cap read through the facade at CALL time: tests tune it by
     # patching sparkdon.pipeline.MINHASH_BUCKET_CAP (the old monolith
     # surface), which a def-time import here would not see

@@ -67,19 +67,21 @@ def _pq_sub_rows(e: DataFrame) -> DataFrame:
 
 def _pq_keyed_mean(df: DataFrame) -> dict:
     """(m, cell, sv) rows → {(m, cell): quantized centroid} — the keyed
-    twin of :func:`_ivf_mean`, one partial-agg over (m, cell, dim) for
-    ALL subspaces together.  The collect is PQ_M×PQ_K×PQ_SUB floats of
-    model state."""
+    twin of :func:`_ivf_mean`, one partial-agg over (m, cell) with
+    PQ_SUB per-dimension averages (same r16 single-pass rewrite: the
+    posexplode form multiplied rows ×PQ_SUB and paid a second exchange
+    for the collect_list reassembly; column-wise ``avg(sv[i])``
+    aggregates the identical value multisets in one pass, inside the
+    1e-6 quantization's existing summation-order tolerance).  The
+    collect is PQ_M×PQ_K×PQ_SUB floats of model state."""
     rows = (
-        df.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
-        .groupBy("m", "cell", "pos")
-        .agg((F.floor(F.avg("x") * 1e6) / 1e6).alias("val"))
-        .groupBy("m", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
-        .select("m", "cell", F.transform("pv", lambda s: s["val"]).alias("cv"))
+        df.groupBy("m", "cell")
+        .agg(*[(F.floor(F.avg(F.col("sv")[i]) * 1e6) / 1e6).alias(f"c{i}")
+               for i in range(PQ_SUB)])
         .collect()
     )
-    return {(r["m"], r["cell"]): list(r["cv"]) for r in rows}
+    return {(r["m"], r["cell"]): [r[f"c{i}"] for i in range(PQ_SUB)]
+            for r in rows}
 
 
 def _pq_keyed_assign(cents: dict) -> F.Column:
@@ -122,7 +124,7 @@ def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
     ``x_pq_trained`` oracle-verifies this exact chain; ``x_pq_codes``
     keeps the naive first-K-vectors sample variant; pytest asserts
     training strictly reduces reconstruction error vs that sample."""
-    cur = _pq_sub_rows(e).localCheckpoint()
+    cur = _pq_sub_rows(e).localCheckpoint(eager=False)
     cents = _pq_keyed_mean(
         cur.select("m", (F.col("vec_id") % PQ_K).alias("cell"), "sv"))
     for _ in range(iters):
@@ -460,26 +462,30 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     scale: ~190 candidates per query against a 50-entry shortlist);
     training's effect shows in residual reconstruction error, which
     tests/test_pipeline.py asserts strictly improves."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
 
     # coarse quantizer: identical chain to x_sim_ivf (hash-group init +
-    # one Lloyd round, 1e-6-quantized means)
+    # one Lloyd round, 1e-6-quantized means).  r16: checkpoints are lazy
+    # and the once-consumed first-round assignment is not checkpointed
+    # (same action-count trim as x_sim_ivf — guide §1.2)
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     a1 = e.select(
-        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell")
-    ).localCheckpoint()
+        "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     cents = _ivf_mean(a1.select("cell", "v"))
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # residual PQ encode: codebook = first PQ_K residuals (the
     # x_pq_codes deterministic sample, taken over residual space)
+    # lazily checkpointed: the residual frame feeds the codebook sample
+    # collect AND the final encode — one evaluation of the K-branch
+    # residual CASE expression instead of one per action
     res = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell")
-    ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v"))
+    ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v")) \
+        .localCheckpoint(eager=False)
     if train:
-        res = res.localCheckpoint()
         cb = pq_train_codebooks(res, iters=1)
     else:
         cb = _pq_codebook(res)
@@ -548,7 +554,10 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
     deterministic first-K sample ``x_sim_pq`` oracles; pass
     :func:`pq_train_codebooks` output for the trained A/B that
     tests/test_pipeline.py asserts recall on)."""
-    e = _ann_vectors(spark, sf_dir, spread=True)
+    # lazily checkpointed: the vector frame feeds the codebook sample
+    # collect, the coded corpus, the broadcast query side and the exact
+    # re-rank — four arms that would each re-run the scan + repartition
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
     if cb is None:
         cb = _pq_codebook(e)
     coded = e.select("vec_id", _pq_codes_array_expr(cb).alias("codes"))
