@@ -293,6 +293,15 @@ def main() -> None:
             from sparkdon.pipeline import _COMPONENTS_MEMO
 
             _COMPONENTS_MEMO.clear()
+        # x_pagerank persists its repartitioned edge frame (r16 — the
+        # partitioning-preserving cache that removes the per-iteration
+        # message shuffle).  Spark's CacheManager matches the SECOND
+        # run's identical logical plan to the first run's materialized
+        # cache, which would time a cache read instead of the edge
+        # build; clearing keeps min-of-2 honest (same reasoning as the
+        # memo reset above).
+        if name == "x_pagerank":
+            spark.catalog.clearCache()
 
     def timed(name, fn) -> None:
         # A single failing query must not kill the whole bench (round 4

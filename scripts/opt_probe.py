@@ -79,6 +79,10 @@ def main() -> None:
 
         def build():
             _COMPONENTS_MEMO.clear()
+            # drop any persisted frame from a previous run of the same
+            # query (x_pagerank's partitioned edge cache) — mirror of
+            # bench.py's pre_run honesty reset
+            spark.catalog.clearCache()
             return qs[name](spark, sf_dir)
 
         # plan dump (fresh build so memo state doesn't change the plan)

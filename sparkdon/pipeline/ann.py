@@ -298,12 +298,12 @@ def x_sim_lsh_refined(spark, sf_dir):
     - recall tunes with bands×planes (more bands → higher recall, more
       candidates), asserted against the exact baseline in pytest.
     """
-    # lazily checkpointed: the vector frame feeds band-key generation,
+    # eagerly checkpointed: the vector frame feeds band-key generation,
     # the candidate refine side and the query side — without it each
     # plan arm re-runs the scan + repartition (+ norm fold); the r16
     # "before" plan shows 20 Exchanges from exactly this duplication
     return lsh_refined_topk(
-        _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False))
+        _ann_vectors(spark, sf_dir, spread=True).localCheckpoint())
 
 
 def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
@@ -467,11 +467,15 @@ def x_sim_ivf(spark, sf_dir):
     BENCH_r05 recorded 15.1 s here because the uncached chain re-ran the
     scan + assignment under every action, which amplifies any executor
     contention ~5x.  r16 trims the action count further (guide §1.2
-    "remove passes"): checkpoints are lazy (``eager=False`` — the first
-    consuming job materializes them, no standalone materialization job),
-    and the first-round assignment frame, consumed by exactly ONE action
-    (its Lloyd mean), is not checkpointed at all."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
+    "remove passes"): the first-round assignment frame, consumed by
+    exactly ONE action (its Lloyd mean), is not checkpointed at all.
+    Checkpoints are EAGER: a lazy (``eager=False``) variant was tried
+    and reverted — frames shared by a broadcast/collect arm and the
+    main plan get materialized CONCURRENTLY by the broadcast-build
+    thread and the main job, duplicating the subtree and contending on
+    the block manager (intermittent multi-x slowdowns in shared-JVM
+    runs)."""
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
 
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     a1 = e.select(
@@ -481,7 +485,7 @@ def x_sim_ivf(spark, sf_dir):
     # corpus assignment ([0].cell) and the query probe set (slice 1..NPROBE).
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     assigned = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell"))
 
@@ -568,7 +572,7 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
     (cell, dim)-keyed partial agg; the driver holds only K×D floats.
     ``localCheckpoint`` truncates the lineage each round, exactly like
     the component propagation loop."""
-    cur = df.select("vec_id", "v").localCheckpoint(eager=False)
+    cur = df.select("vec_id", "v").localCheckpoint()
     cents = _ivf_mean(cur.select((F.col("vec_id") % k).alias("cell"), "v"))
     for _ in range(iters):
         # consumed once (by the mean below) — no checkpoint needed; cur's
@@ -682,11 +686,11 @@ def _embed_band_keys(e: DataFrame, bands: int, mat: list, planes: int) -> DataFr
 
 def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
                  threshold: int) -> DataFrame:
-    # lazily checkpointed: the vector frame feeds band-key generation and
+    # eagerly checkpointed: the vector frame feeds band-key generation and
     # BOTH cosine sides of the pair refine — three plan arms that would
     # each re-run the scan + repartition + (for x/y) the norm fold
     # (guide §2.4: share one evaluation instead of duplicating subtrees)
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
     pairs = _bucket_pairs(_embed_band_keys(e, bands, mat, planes))
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
     x, y = en.alias("x"), en.alias("y")
@@ -878,7 +882,7 @@ def x_semantic_dedup(spark, sf_dir):
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).repartition(spark.sparkContext.defaultParallelism) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     cents = _ivf_mean(
         e.select(F.col("label").alias("cell"), "v"))
     # checkpointed (lazily): the K×D-literal assignment below feeds the
@@ -889,7 +893,7 @@ def x_semantic_dedup(spark, sf_dir):
     asg = e.select(
         "vec_id", "v",
         _ivf_cells(cents)[0]["cell"].alias("cluster")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     # cap read through the facade at CALL time: tests tune it by
     # patching sparkdon.pipeline.MINHASH_BUCKET_CAP (the old monolith
     # surface), which a def-time import here would not see

@@ -38,28 +38,40 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
     ).localCheckpoint()
-    labels = nodes.select(F.col("node"), F.col("node").alias("lab")).localCheckpoint()
+    labels = nodes.select(F.col("node"), F.col("node").alias("lab")) \
+        .localCheckpoint()
     changed = -1
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a").agg(F.min("lab").alias("nbr_lab"))
         )
-        merged = labels.join(nbr, labels.node == nbr.a, "left").select(
+        # r16 (guide §2.4): `old` carries the pre-round label through to
+        # the convergence check, replacing the former merged-⋈-labels
+        # join per round with a filter over the already materialized
+        # frame (one shuffle join less per round).  m1 is deliberately
+        # NOT checkpointed although it feeds both the row set and its
+        # own hop side: a per-round materialization job measured slower
+        # (min-of-3 3.36 s vs 2.78 s) than letting the round's checkpoint
+        # evaluate the small labels⋈nbr subtree twice inside ONE job —
+        # both inputs are themselves checkpointed, so the double
+        # evaluation reads cached blocks, not lineage.
+        m1 = labels.join(nbr, labels.node == nbr.a, "left").select(
             "node",
+            F.col("lab").alias("old"),
             F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
         )
         # pointer jumping: shortcut each label to its label's label
-        hop = merged.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
+        hop = m1.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
         merged = (
-            merged.join(hop, merged.lab == hop.jnode, "left")
-            .select("node", F.least("lab", F.coalesce("jlab", "lab")).alias("lab"))
+            m1.join(hop, m1.lab == hop.jnode, "left")
+            .select("node", "old",
+                    F.least("lab", F.coalesce("jlab", "lab")).alias("lab"))
         ).localCheckpoint()
         changed = (
-            merged.alias("m").join(labels.alias("l"), "node")
-            .filter(F.col("m.lab") != F.col("l.lab")).limit(1).count()
+            merged.filter(F.col("lab") != F.col("old")).limit(1).count()
         )
-        labels = merged
+        labels = merged.select("node", "lab")
         if changed == 0:
             break
     if changed != 0:
@@ -371,6 +383,33 @@ PR_ITERS = 10
 PR_TOPK = 20
 
 
+def _rank_broadcast_fits(spark, n_nodes: int) -> bool:
+    """Deliberate join-strategy pick for the PageRank loop (r16, guide
+    §3.1 "broadcast the side you KNOW fits"): the driver holds the EXACT
+    node count, which beats Catalyst's post-aggregate size estimates —
+    those inflate through the chained per-iteration aggregates until the
+    join silently degrades to a SortMergeJoin that re-exchanges the
+    edge frame by src every round (measured 11.3 s vs 5.6 s on the
+    gate).  ~64 bytes/row is a conservative broadcast-hash-table cost
+    for a (long, long) rank row; above the session threshold the loop
+    falls back to Catalyst's choice, so a billion-node graph never
+    force-broadcasts."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        thr = int(float(raw)) * mult
+    except ValueError:
+        thr = 10 << 20
+    return thr > 0 and n_nodes * 64 <= thr
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
              tol: float | None = None, history: list | None = None) -> DataFrame:
     """General damped PageRank over a DIRECTED ``(src, dst)`` edge frame
@@ -407,13 +446,21 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
              .distinct().localCheckpoint())
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").localCheckpoint()
+    # r16: same partitioning-preserving persist as the x_pagerank gate
+    # (guide §2.2) — dst-partitioned so the per-iteration contribution
+    # aggregate needs no Exchange while the rank vector broadcasts; a
+    # localCheckpoint would report UnknownPartitioning and re-insert
+    # it.  The cache lives for the session (callers iterate over the
+    # same graph; clear with spark.catalog.clearCache() when done).
+    ed = e.join(deg, "src").repartition(F.col("dst")).persist()
     dangling = nodes.join(deg.select(F.col("src").alias("node")),
                           "node", "left_anti").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint()
     base = (1.0 - damping) / n
+    bcast = _rank_broadcast_fits(edges.sparkSession, n)
     for i in range(max_iters):
-        contrib = (ed.join(ranks, ed.src == ranks.node)
+        rv = F.broadcast(ranks) if bcast else ranks
+        contrib = (ed.join(rv, ed.src == rv.node)
                    .select("dst", (F.col("r") / F.col("d")).alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("t"))
                    .withColumnRenamed("dst", "node"))
@@ -505,13 +552,36 @@ def x_pagerank(spark, sf_dir):
     ed = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edd = ed.join(deg, "src").localCheckpoint()  # (src, dst, d), reused
-    n = deg.count()
+    # r16 (guide §2.2 "remove shuffles outright"): the static (src, dst,
+    # d) frame is hash-partitioned by DST and persisted — when the
+    # node-sized rank vector rides as a broadcast (the authority-scoring
+    # regime: nodes ≪ edges), every per-iteration plan becomes
+    # InMemoryScan → BroadcastHashJoin (preserves the dst partitioning)
+    # → complete HashAggregate on dst with NO Exchange: ZERO edge-sized
+    # shuffles per iteration instead of one.  When ranks are too big to
+    # broadcast the plan degrades to exactly the pre-r16 per-iteration
+    # shuffles — never worse.  `repartition` on a column uses the
+    # session's shuffle-partition setting, so the layout stays
+    # scale-adaptive; persist (not localCheckpoint) because an RDD
+    # checkpoint reports UnknownPartitioning and would re-insert the
+    # per-iteration Exchange.  bench.py's pre_run clears the SQL cache
+    # before every timed x_pagerank run, so no timed run ever reads a
+    # previous run's materialization.
+    edd = ed.join(deg, "src").repartition(F.col("dst")).persist()
+    # the node set is checkpointed EAGERLY: the rank vector must keep a
+    # known-small size estimate or the per-iteration join degrades from
+    # the broadcast plan to a SortMergeJoin that re-exchanges the edge
+    # frame by src every round (measured 11.3 s vs 5.6 s when this was
+    # a lazy distinct over the cache)
+    nodes0 = edd.select("src").distinct().localCheckpoint()
+    n = nodes0.count()
     base = (3 * PR_SCALE) // (20 * n)
-    ranks = deg.select(F.col("src").alias("node"),
-                       F.lit(PR_SCALE // n).alias("r")).localCheckpoint()
+    ranks = nodes0.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE // n).alias("r"))
+    bcast = _rank_broadcast_fits(spark, n)
     for i in range(PR_ITERS):
-        msgs = (edd.join(ranks, edd.src == ranks.node)
+        rv = F.broadcast(ranks) if bcast else ranks
+        msgs = (edd.join(rv, edd.src == rv.node)
                 .select("dst", F.expr("r div d").alias("c")))
         ranks = (msgs.groupBy("dst").agg(F.sum("c").alias("t"))
                  .select(F.col("dst").alias("node"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, retired, table
+from ._registry import register, retired, spread_narrow_scan, table
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +157,10 @@ def _bands_of(docs: DataFrame) -> DataFrame:
     the fixture-independent body of :func:`_minhash_bands` (tests and
     the overflow-routing path feed constructed corpora through it)."""
     md5 = F.md5(F.col("s").cast("binary"))
+    # r16: the shingle explode + per-shingle md5 is the heavy narrow
+    # segment of the signature pass; spread it off a one-file scan's
+    # single split (guide §2.5 — no-op once partitions >= cores)
+    docs = spread_narrow_scan(docs)
     exploded = _spark_shingles(docs).select(
         "doc_id", F.explode("shingles").alias("s")
     ).select(
@@ -324,8 +328,13 @@ def x_dedup_jaccard(spark, sf_dir):
     unguarded divide is a job-killing ArithmeticException, which the
     fixture (no short docs) never exercised; the random-corpus
     differential battery (r13) did."""
-    sh = _spark_shingles(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.array_distinct("shingles").alias("sh"))
+    # spread + checkpoint (r16, guide §2.4/§2.5): sh feeds both
+    # sides of the consecutive-doc self-join — one evaluation of the
+    # shingle pass instead of two, computed on all cores
+    sh = _spark_shingles(
+        spread_narrow_scan(table(spark, sf_dir, "documents"))).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")) \
+        .localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     union_n = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(
@@ -382,23 +391,35 @@ def x_dedup_simhash(spark, sf_dir):
     from ._registry import spread_narrow_scan
 
     def compute(batches):
+        # r16 (guide §4.2 "do the heavy lifting in native code inside
+        # the UDF"): md5 was already C (hashlib), but the 64-slot bit
+        # voting ran as two 64-iteration Python loops PER TOKEN.  The
+        # votes are now one vectorized numpy pass per document —
+        # bit-identical math (same md5-prefix uint64, same >0 vote
+        # threshold, same signed-64 repack), pinned by the oracle gate
+        # and the pytest fixture.
         import hashlib
 
+        import numpy as np
         import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
 
         for pdf in batches:
             out = []
             for t in pdf["text"]:
-                acc = [0] * 64
-                for tok in (t or "").split():
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big", signed=False)
-                    for i in range(64):
-                        acc[i] += 1 if (h >> i) & 1 else -1
-                v = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        v |= 1 << i
+                toks = (t or "").split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.frombuffer(
+                    b"".join(hashlib.md5(tok.encode()).digest()[:8]
+                             for tok in toks),
+                    dtype=">u8").astype(np.uint64)
+                bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                v = int((((acc > 0).astype(np.uint64)) << shifts).sum(
+                    dtype=np.uint64))
                 # reinterpret as signed 64-bit for Spark LongType
                 out.append(v - (1 << 64) if v >= (1 << 63) else v)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
@@ -448,17 +469,19 @@ def _join_back_skew_robust(occ: DataFrame, per_key: DataFrame, key: str,
       hot occurrences are peeled off that lane by a broadcast anti-join
       against the (tiny) hot key set.
 
-    ``per_key`` is lazily ``localCheckpoint``-ed because three plan arms
-    read it (hot lane, anti filter, cold lane): one materialization
-    instead of three recomputed aggregations — the same "persist the
-    chunk dictionary" move a production ExactSubstr pipeline makes.
+    ``per_key`` is eagerly ``localCheckpoint``-ed because three plan
+    arms read it (hot lane, anti filter, cold lane — two of them
+    BROADCAST builds on their own threads, so the materialization must
+    complete before the arms race for it): one materialization instead
+    of three recomputed aggregations — the same "persist the chunk
+    dictionary" move a production ExactSubstr pipeline makes.
 
     On a corpus with NO hot key (every gate fixture) the hot side is
     empty, the broadcast is an empty relation, and the output is
     bit-identical to the plain join — which is how the oracle gates keep
     certifying this exact production path."""
     hot_min = HOT_KEY_MIN_COUNT if hot_min is None else hot_min
-    per_key = per_key.localCheckpoint(eager=False)
+    per_key = per_key.localCheckpoint()
     hot = per_key.filter(F.col("cnt") >= hot_min)
     cold = per_key.filter(F.col("cnt") < hot_min)
     occ_hot = occ.join(F.broadcast(hot), key, "inner")
@@ -519,10 +542,14 @@ def x_chunk_dedup(spark, sf_dir):
     reducer (measured in scripts/skew_probe.py; AQE alone cannot split
     this join — see the helper's docstring).  Then one doc_id shuffle
     for reassembly."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_narrow_scan(table(spark, sf_dir, "documents"))
+    # ch feeds the first-occurrence agg AND both join-back lanes —
+    # checkpointed so the scan + chunk explode is evaluated
+    # once (r16, guide §2.4); spread keeps it parallel (§2.5)
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
-    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk")
+    ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk") \
+        .localCheckpoint()
     first = ch.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "ci")).alias("first_occ"),
         F.count(F.lit(1)).alias("cnt"))
@@ -629,6 +656,13 @@ def x_cross_dedup(spark, sf_dir):
     PRECOMPUTED once, stored bucketed on (band, bk), and reused by
     every ingest batch) so the join broadcasts; the new corpus never
     self-joins, so ingest cost is linear in the batch."""
+    # A shared checkpoint of bands was tried and REVERTED (r16): the
+    # reference slice is the BROADCAST side, so a lazy checkpoint gets
+    # materialized concurrently by the broadcast-build thread and the
+    # main job (duplicate evaluation + block contention — the
+    # intermittent-slowdown signature), and eager materialization costs
+    # a standalone job that the two pruned re-evaluations undercut at
+    # this fixture (min-of-3 1.23 s recompute vs 1.52 s checkpointed).
     bands = _minhash_bands(spark, sf_dir)
     # pinned hint: the fixture's reference slice is known-tiny and the
     # gate's driver-verified plan is the broadcast one
@@ -761,18 +795,30 @@ def x_dedup_substring(spark, sf_dir):
     by its xxhash64 before shuffling (collision-safe at 64 bits for
     dedup purposes); the gate shuffles the text itself so the oracle is
     bit-exact."""
-    docs = table(spark, sf_dir, "documents").select(
+    docs = spread_narrow_scan(table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= SUBSTR_L)
+    # win feeds the occurrence-count agg AND both join-back lanes; cnt
+    # feeds the per-doc base agg AND the span lane — checkpointed so
+    # each is evaluated once, not once per arm (r16, guide §2.4; the
+    # "before" plan scans documents.parquet 8×).  The spread above keeps
+    # the window explode off a single core on a one-file fixture (§2.5).
+    # win's checkpoint is LAZY and that is safe: its sole first consumer
+    # is the eager per-key checkpoint inside _join_back_skew_robust,
+    # which materializes it in one single-threaded job at build — no
+    # broadcast arm can race it.  cnt's is EAGER because its two
+    # consumers (base agg, span lane) are concurrent stages of the final
+    # plan.
     win = docs.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(1, size(t) - {SUBSTR_L - 1}), "
             f" i -> concat_ws(' ', slice(t, i, {SUBSTR_L})))")
         ).alias("p", "w"),
-    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w") \
+        .localCheckpoint(eager=False)
     wc = win.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = _join_back_skew_robust(win, wc, "w")
+    cnt = _join_back_skew_robust(win, wc, "w").localCheckpoint()
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -810,7 +856,12 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
     and the twin is oracle-gated directly as ``x_dedup_substring_hashed``
     (round 10): the hash never reaches the OUTPUT columns, so the
     text-keyed DuckDB oracle applies verbatim."""
-    win = docs.select(
+    # same shared-evaluation checkpoints as the text-keyed gate (r16,
+    # guide §2.4): win feeds the count agg + both join-back lanes (lazy
+    # — safely materialized by the eager per-key checkpoint inside
+    # _join_back_skew_robust at build), cnt feeds the base agg + the
+    # span lane (eager — concurrent final-plan stages)
+    win = spread_narrow_scan(docs).select(
         "doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= L).select(
         "doc_id",
@@ -818,9 +869,10 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
             f"transform(sequence(1, size(t) - {L - 1}), "
             f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"),
-             F.xxhash64("w").alias("wh"))
+             F.xxhash64("w").alias("wh")) \
+        .localCheckpoint(eager=False)
     wc = win.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = _join_back_skew_robust(win, wc, "wh")
+    cnt = _join_back_skew_robust(win, wc, "wh").localCheckpoint()
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -947,16 +999,25 @@ def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
     path (the occurrence shuffle carries xxhash64(window), 8 bytes vs
     L tokens; a collision can only over-trim, and only the marking key
     is hashed — output text is always rebuilt from real tokens)."""
-    toks = docs.select("doc_id", F.col("text"),
-                       F.split("text", " ").alias("t"))
-    longd = toks.filter(F.size("t") >= L)
+    toks = spread_narrow_scan(docs).select(
+        "doc_id", F.col("text"), F.split("text", " ").alias("t"))
+    # longd feeds the window explode AND the final reassembly join; win
+    # feeds the first-occurrence agg AND both join-back lanes —
+    # checkpointed so each subtree is evaluated once, not once per plan
+    # arm (r16, guide §2.4; the spread keeps the explode parallel on a
+    # one-file fixture, §2.5).  Both checkpoints are LAZY, which is safe
+    # here: the chain's sole first consumer is the eager per-key
+    # checkpoint inside _join_back_skew_robust, which materializes
+    # longd and win in one single-threaded job at build.
+    longd = toks.filter(F.size("t") >= L).localCheckpoint(eager=False)
     key = (F.xxhash64("w") if hashed else F.col("w")).alias("k")
     win = longd.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(1, size(t) - {L - 1}), "
             f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
-    ).select("doc_id", (F.col("p") + 1).alias("i"), key)
+    ).select("doc_id", (F.col("p") + 1).alias("i"), key) \
+        .localCheckpoint(eager=False)
     per_key = win.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "i")).alias("first"))

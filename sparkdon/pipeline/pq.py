@@ -124,7 +124,7 @@ def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
     ``x_pq_trained`` oracle-verifies this exact chain; ``x_pq_codes``
     keeps the naive first-K-vectors sample variant; pytest asserts
     training strictly reduces reconstruction error vs that sample."""
-    cur = _pq_sub_rows(e).localCheckpoint(eager=False)
+    cur = _pq_sub_rows(e).localCheckpoint()
     cents = _pq_keyed_mean(
         cur.select("m", (F.col("vec_id") % PQ_K).alias("cell"), "sv"))
     for _ in range(iters):
@@ -462,7 +462,7 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     scale: ~190 candidates per query against a 50-entry shortlist);
     training's effect shows in residual reconstruction error, which
     tests/test_pipeline.py asserts strictly improves."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
 
     # coarse quantizer: identical chain to x_sim_ivf (hash-group init +
     # one Lloyd round, 1e-6-quantized means).  r16: checkpoints are lazy
@@ -474,17 +474,17 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     cents = _ivf_mean(a1.select("cell", "v"))
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     # residual PQ encode: codebook = first PQ_K residuals (the
     # x_pq_codes deterministic sample, taken over residual space)
-    # lazily checkpointed: the residual frame feeds the codebook sample
+    # eagerly checkpointed: the residual frame feeds the codebook sample
     # collect AND the final encode — one evaluation of the K-branch
     # residual CASE expression instead of one per action
     res = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell")
     ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     if train:
         cb = pq_train_codebooks(res, iters=1)
     else:
@@ -554,10 +554,10 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
     deterministic first-K sample ``x_sim_pq`` oracles; pass
     :func:`pq_train_codebooks` output for the trained A/B that
     tests/test_pipeline.py asserts recall on)."""
-    # lazily checkpointed: the vector frame feeds the codebook sample
+    # eagerly checkpointed: the vector frame feeds the codebook sample
     # collect, the coded corpus, the broadcast query side and the exact
     # re-rank — four arms that would each re-run the scan + repartition
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint(eager=False)
+    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
     if cb is None:
         cb = _pq_codebook(e)
     coded = e.select("vec_id", _pq_codes_array_expr(cb).alias("codes"))

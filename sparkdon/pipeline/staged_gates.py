@@ -166,9 +166,15 @@ def x_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(10000·p)`` — the 1e-4 integer-scaling trick
     ``x_dedup_jaccard`` uses to keep float noise out of the driver's
     value hash."""
+    from ._registry import spread_narrow_scan
     from .classifier import fasttext_score
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16: scoring is a narrow zero-shuffle projection, so it inherits
+    # the scan's partitioning — a one-file fixture ran the whole
+    # md5-per-gram scoring pass on ONE core (guide §2.5; no-op once
+    # scan partitions >= cores)
+    docs = spread_narrow_scan(
+        table(spark, sf_dir, "documents")).select("doc_id", "text")
     return (fasttext_score(docs, _staged_score_model(), out_col="_p")
             .select("doc_id",
                     F.floor(F.lit(10000.0) * F.col("_p")).cast("long")

@@ -1028,6 +1028,17 @@ def x_ngram_novelty(spark, sf_dir):
             "transform(sequence(1, size(t) - 2), "
             " i -> concat_ws(' ', slice(t, i, 3)))")).alias("gram"),
     ).distinct()
+    # r16 examined, left at the agg+join-back shape after measurement:
+    # a min(doc_id) OVER (PARTITION BY gram) window rewrite (one
+    # evaluation of g, no join) was tried and REVERTED — the window
+    # must SORT the full exploded (doc, gram) frame inside its
+    # exchange, whereas this shape shrinks gram-side with a map-side
+    # partial min before its (vocabulary-sized) shuffle and joins back
+    # by BROADCAST, so g is never fully re-shuffled; min-of-3 measured
+    # the window variant ~30% slower (2.61 s vs ~2.0 s same-boot).
+    # The double evaluation of g stays (no ReusedExchange: the two
+    # consumers differ) — a checkpoint of the EXPLODED frame loses, as
+    # measured on the same shape at x_cooccur_pmi.
     fd = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
@@ -1221,6 +1232,17 @@ def x_lm_bigram(spark, sf_dir):
     agg; the LM tables are bigram-vocab-sized aggs; scoring joins tf
     against the LM bigram-keyed and re-aggregates doc-keyed — the same
     four-shuffle skeleton as TF-IDF, nothing corpus-quadratic."""
+    # r16 examined, left at the r15 shape after measurement: a shared
+    # checkpoint of the (doc_id, bigram) tf (evaluated once instead of
+    # once per arm — the plan scans documents.parquet 4×) measured
+    # SLOWER min-of-3 (1.45 s base vs 1.54 s lazy / 1.74 s eager), and
+    # lazy is unsafe here anyway (the broadcast LM-table arm and the
+    # main scoring arm would materialize it concurrently).  A
+    # spread_narrow_scan was also tried and reverted: with the subtree
+    # re-evaluated per arm, every arm re-pays the spread's round-robin
+    # exchange.  The four-shuffle skeleton already map-side-partials
+    # every aggregate, so the re-evaluated subtree shuffles nothing
+    # extra.
     tl = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t"))
     bg = tl.select("doc_id", F.explode(F.expr(
@@ -1338,6 +1360,16 @@ def x_cooccur_pmi(spark, sf_dir):
     vocabulary), and both df lookups and the doc count ride along as
     broadcasts.  No stage shuffles more than the pair histogram."""
     d = table(spark, sf_dir, "documents")
+    # r16 examined, left at the r15 shape after measurement.  A shared
+    # checkpoint of dt was tried and REVERTED: dt feeds the broadcast
+    # vocabulary arm AND the main pair-join arms, so a lazy checkpoint
+    # is materialized concurrently by the broadcast-build thread and
+    # the main job (duplicated work + block-manager contention), and an
+    # eager one materializes the EXPLODED frame — larger than the
+    # pruned scans it replaces (min-of-3: 0.93 s recompute vs 1.29-1.35
+    # s checkpointed).  spread_narrow_scan was also tried and reverted:
+    # the subtree is re-evaluated per arm, so every arm re-pays the
+    # spread's round-robin exchange.
     dt = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
@@ -1430,7 +1462,12 @@ def x_cms_heavy_hitters(spark, sf_dir):
     TakeOrdered top-k; the estimate join touches the constant-size
     sketch against 20×4 expanded probe rows.  Row-tagged hashes keep
     the 4 rows independent without any RNG."""
-    toks = (table(spark, sf_dir, "documents")
+    from ._registry import spread_narrow_scan
+
+    # r16: spread the one-file scan so the token explode (and the
+    # checkpoint materialization) runs on all cores, not one (guide
+    # §2.5)
+    toks = (spread_narrow_scan(table(spark, sf_dir, "documents"))
             .select(F.explode(F.split("text", " ")).alias("tok"))
             .localCheckpoint())
     exact = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))

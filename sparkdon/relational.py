@@ -739,15 +739,18 @@ def x_pivot_source_lang(spark, sf_dir):
     extra distinct-values collect pass Spark otherwise runs, keeping the
     plan a single partial+final hash aggregate (lang cardinality ×
     source cardinality cells — model-sized, never corpus-sized)."""
+    # r16 (guide §1.2 "remove passes"): the former pivot + separate
+    # total + join scanned and aggregated twice and paid a join for the
+    # n_total column; conditional sums compute the identical matrix in
+    # ONE partial+final aggregate over one scan — the exact shape of
+    # the oracle SQL (each n_lg = SUM(CASE WHEN lang = lg THEN 1 END),
+    # so a (source, lang) cell with no rows is 0 on both paths, which
+    # is what the coalesce produced before)
     d = table(spark, sf_dir, "documents")
-    piv = (d.groupBy("source").pivot("lang", _LANGS).count())
-    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    out = piv.join(tot, "source")
-    return out.select(
-        "source",
-        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
-          for lg in _LANGS],
-        "n_total")
+    return d.groupBy("source").agg(
+        *[F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+          .cast("long").alias(f"n_{lg}") for lg in _LANGS],
+        F.count(F.lit(1)).alias("n_total"))
 
 
 @register(

@@ -154,10 +154,16 @@ def test_pack_gate_score_ties_are_real(spark):
     assert d < n  # pigeonhole at >=102 docs, but assert, don't assume
 
 
-def test_staged_plans_keep_their_scale_shapes(spark):
+def test_staged_plans_keep_their_scale_shapes(spark, monkeypatch):
     """The staged gates must inherit their families' 100 TB shapes:
     scoring through the md5 hash is still a zero-shuffle Python-free
-    projection, and the staged encode is still one Arrow stage."""
+    projection, and the staged encode is still one Arrow stage.  The
+    r16 `spread_narrow_scan` adds a fixture-only round-robin Exchange
+    (it is a no-op once scan partitions >= cores — exactly the 100 TB
+    regime this test models), so neutralize it for the shape check."""
+    from sparkdon.pipeline import _registry
+
+    monkeypatch.setattr(_registry, "spread_narrow_scan", lambda df: df)
     score = STAGED["x_fasttext_score"](spark, SF_DIR)
     plan = score._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
