@@ -228,6 +228,63 @@ def _decode_pairs(ids: DataFrame, dec: DataFrame, *cols: str) -> DataFrame:
     return out.select(*[F.col("__dec_" + c).alias(c) for c in cols])
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (≤0 disables)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
+#: Conservative broadcast-hash-table cost per STEP row (data plus
+#: hashed-relation overhead): (long, long) id pairs vs full
+#: (kind, lex, dt, lang) term-struct pairs.
+_BCAST_BYTES_ID_ROW = 64
+_BCAST_BYTES_STRUCT_ROW = 320
+
+
+def _step_join_side(step: DataFrame, n_rows: int | None, ids: bool
+                    ) -> DataFrame:
+    """Deliberate per-level join-strategy pick for the closure loops
+    (r16, guide §3.1 "broadcast the side you KNOW fits"): the callers
+    hold an exact upper bound on the step's row count (the same count
+    that chose the id representation), which beats Catalyst's estimate
+    for a checkpointed frame (UnknownPartitioning, no stats).  When the
+    conservative byte estimate fits the session broadcast threshold,
+    hint the broadcast so every BFS level joins frontier⋈step with no
+    Exchange and no sort on either side; otherwise (or when the count
+    is unknown) leave Catalyst's choice — the pre-r16 per-level
+    sort-merge join — so a 100 TB step relation never force-broadcasts."""
+    if n_rows is None:
+        return step
+    per = _BCAST_BYTES_ID_ROW if ids else _BCAST_BYTES_STRUCT_ROW
+    thr = _broadcast_threshold_bytes(step.sparkSession)
+    return F.broadcast(step) if thr > 0 and n_rows * per <= thr else step
+
+
+#: Compact the accumulated generation list into one materialized frame
+#: every this-many BFS levels, so the per-level anti-join plan depth
+#: stays O(1) on very deep closures (the gate graphs converge in 2-3
+#: levels; the 200k-node probe tree in 17).
+_SEEN_COMPACT_LEVELS = 24
+
+
+def _lazy_union(frames: list) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def transitive_closure(step: DataFrame) -> DataFrame:
     """Full semi-naive transitive closure of a (start, end) relation.
 
@@ -239,47 +296,80 @@ def transitive_closure(step: DataFrame) -> DataFrame:
     materializes the struct relation at all: its distinct runs on the
     16-byte encoded rows (the whole point of the mode), and the struct
     path keeps its original distinct+checkpoint.  The loop body is
-    representation-agnostic."""
-    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+    representation-agnostic; the measured count also feeds the loop's
+    step-side broadcast pick (:func:`_step_join_side` — raw rows only
+    over-count the distinct step, erring toward NOT broadcasting)."""
+    n_raw = step.count() if CLOSURE_IDS else None
+    if n_raw is not None and n_raw >= CLOSURE_IDS_MIN_STEP:
         enc, dec = _encode_step(step)
         enc = enc.distinct().localCheckpoint(eager=True)
-        closed = _closure_loop(enc)
+        closed = _closure_loop(enc, n_rows=n_raw, ids=True)
         return _decode_pairs(closed, dec, "start", "end")
-    return _closure_loop(step.distinct().localCheckpoint(eager=True))
+    return _closure_loop(step.distinct().localCheckpoint(eager=True),
+                         n_rows=n_raw, ids=False)
 
 
-def _closure_loop(step: DataFrame) -> DataFrame:
+def _closure_loop(step: DataFrame, n_rows: int | None = None,
+                  ids: bool = False) -> DataFrame:
     """The semi-naive loop (column-type-agnostic: structs or longs;
     ``step`` must arrive distinct + checkpointed).
 
     The step relation is materialized once up front: every iteration
-    joins AND subtracts against it, and without the checkpoint each
+    joins AND anti-joins against it, and without the checkpoint each
     iteration would re-execute the step's whole upstream plan (for the
-    rdf-ized gate graphs, a 14-branch union scan).  Superseded
-    generations are retired as soon as the next one materializes, so
-    pinned storage stays O(|closure|), not O(depth · |closure|)."""
-    seen = step
-    delta = seen
+    rdf-ized gate graphs, a 14-branch union scan).
+
+    r16 restructure (guide §1.2 "remove passes", §2.1, §3.1), oracle-
+    equivalent by construction:
+
+    - ``seen`` is never re-materialized.  The closure accumulates the
+      DISTINCT, mutually-disjoint delta generations (each eagerly
+      checkpointed; together they ARE the result), and per-level
+      novelty is a left-anti join of the (already distinct) candidate
+      set against their lazy union — equivalent to the former
+      ``subtract`` because closure endpoints are non-null by
+      construction (term structs / xxhash64 ids) and both sides are
+      distinct.  One materialization job per level instead of two, and
+      pinned storage is exactly |closure| with nothing superseded (the
+      old shape re-wrote the full union every level and peaked at
+      2×|closure| during the swap).
+    - the step side of the per-level join rides as an explicit
+      broadcast when the caller-measured count provably fits
+      (:func:`_step_join_side`), removing both join Exchanges and both
+      sorts from every level; above the threshold the plan is exactly
+      the pre-r16 per-level sort-merge join.
+    - every ``_SEEN_COMPACT_LEVELS`` levels the generation list is
+      compacted into one materialized frame used ONLY as the anti-join
+      side (the result stays the generation list), so plan depth is
+      bounded on deep chains; a superseded compact frame retires."""
+    join_step = _step_join_side(step, n_rows, ids)
+    gens = [step]
+    seen_frames = [step]
+    compacted = None  # the current anti-join accelerator, if any
+    delta = step
     for _ in range(MAX_ITERATIONS):
         new = (
             delta.withColumnRenamed("end", "mid")
-            .join(step.withColumnRenamed("start", "mid"), on="mid")
+            .join(join_step.withColumnRenamed("start", "mid"), on="mid")
             .select("start", "end")
             .distinct()
         )
-        old_delta = delta
-        delta = new.subtract(seen).localCheckpoint(eager=True)
-        if old_delta is not seen and old_delta is not step:
-            _retire(old_delta)
+        delta = (
+            new.join(_lazy_union(seen_frames), on=["start", "end"],
+                     how="left_anti")
+            .localCheckpoint(eager=True)
+        )
         if delta.isEmpty():
             _retire(delta)
-            if seen is not step:
-                _retire(step)
-            return seen
-        old_seen = seen
-        seen = seen.unionByName(delta).localCheckpoint(eager=True)
-        if old_seen is not step:
-            _retire(old_seen)
+            _retire(compacted)
+            return _lazy_union(gens)
+        gens.append(delta)
+        seen_frames.append(delta)
+        if len(seen_frames) >= _SEEN_COMPACT_LEVELS:
+            old_compacted = compacted
+            compacted = _lazy_union(seen_frames).localCheckpoint(eager=True)
+            seen_frames = [compacted]
+            _retire(old_compacted)
     raise QueryExecutionError("path closure did not converge")
 
 
@@ -292,90 +382,116 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     node_id) long pairs — 16 bytes per row through every per-level
     shuffle — and the final (anchor, node) pairs decode via two id→term
     joins.  The loop body (:func:`_anchored_loop`) is
-    representation-agnostic."""
-    if CLOSURE_IDS and step.count() >= CLOSURE_IDS_MIN_STEP:
+    representation-agnostic; the measured count also feeds the loop's
+    step-side broadcast pick (:func:`_step_join_side`)."""
+    n_raw = step.count() if CLOSURE_IDS else None
+    if n_raw is not None and n_raw >= CLOSURE_IDS_MIN_STEP:
         enc_step, dec = _encode_step(step, extra_nodes=anchors)
         enc_step = enc_step.localCheckpoint(eager=True)
         enc_anchors = anchors.select(_sid(F.col("node")).alias("node"))
         pairs = _anchored_loop(spark, enc_step, enc_anchors, forward,
-                               include_zero)
+                               include_zero, n_rows=n_raw, ids=True)
         return _decode_pairs(pairs, dec, "anchor", "node")
     return _anchored_loop(spark, step.localCheckpoint(eager=True), anchors,
-                          forward, include_zero)
+                          forward, include_zero, n_rows=n_raw, ids=False)
 
 
 def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
-                   forward: bool, include_zero: bool) -> DataFrame:
+                   forward: bool, include_zero: bool,
+                   n_rows: int | None = None, ids: bool = False) -> DataFrame:
     """The anchored-BFS loop (column-type-agnostic: structs or longs;
     ``step`` must arrive checkpointed).
 
     anchors: one-column DF ``node``.  Returns (anchor, node) pairs where
     ``node`` is reachable from ``anchor`` along ≥1 steps (≥0 with
     ``include_zero``).  The frontier carries the anchor column and
-    ``seen`` is keyed on the (anchor, node) PAIR, so a whole anchor set
+    novelty is keyed on the (anchor, node) PAIR, so a whole anchor set
     (VALUES-driven or SIP-harvested) BFSes in one sequence of distributed
     joins — overlapping cones don't truncate each other, and each level
-    is still one shuffle join regardless of anchor count.  The working
-    set is the union of the anchors' reachable cones, never the full
-    transitive closure.
+    is still one join regardless of anchor count.  The working set is
+    the union of the anchors' reachable cones, never the full transitive
+    closure.
 
-    Distance-≥1 pairs are ``seen − base`` plus the anchors a cycle leads
-    back to: the per-level ``nxt ∩ base`` side-accumulator (a ≤|anchors|
-    frame, checkpointed eagerly) replaces the old lazy ``reached`` union
-    chain, whose plan referenced EVERY frontier generation and therefore
-    kept all of them pinned.  Superseded generations retire per level."""
+    r16 restructure (guide §1.2, §2.1, §3.1 — same shape as
+    :func:`_closure_loop`), oracle-equivalent by construction:
+
+    - ``seen`` is never re-materialized: the loop accumulates the
+      disjoint frontier generations (base = generation 0; each eagerly
+      checkpointed; together they are exactly the star result) and
+      per-level novelty is a left-anti join against their lazy union —
+      one materialization job per level instead of two (endpoints are
+      non-null by construction, so anti ≡ subtract on distinct sides).
+    - the per-level ``nxt ∩ base`` cycle side-accumulator (a checkpoint
+      job per level, and a second evaluation of the lazy ``nxt`` join)
+      is replaced by ONE exit join: ∪ₖ next(frontierₖ) ∩ base =
+      next(∪ₖ frontierₖ) = next(seen) ∩ base, because next(·)
+      distributes over union.  Only the plus path pays it.
+    - the step join side broadcasts when the caller-measured count
+      provably fits (:func:`_step_join_side`); otherwise the plan is
+      the pre-r16 per-level sort-merge join.
+    - the generation list compacts every ``_SEEN_COMPACT_LEVELS``
+      levels (anti-join side only), bounding plan depth on deep cones."""
     step_ckpt = step  # the caller's checkpointed frame — retired at exit
     if not forward:
         # lazy swap over the pinned blocks; no second materialization
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
+    join_step = _step_join_side(step, n_rows, ids)
     base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct() \
         .localCheckpoint(eager=True)
-    seen = base
+    gens = [base]
+    seen_frames = [base]
+    compacted = None  # the current anti-join accelerator, if any
     frontier = base
-    cycles: DataFrame | None = None  # (anchor, anchor) pairs re-reached at ≥1
     for _ in range(MAX_ITERATIONS):
         nxt = (
-            frontier.join(step, frontier["node"] == step["start"])
-            .select(frontier["anchor"], step["end"].alias("node"))
+            frontier.join(join_step, frontier["node"] == join_step["start"])
+            .select(frontier["anchor"], join_step["end"].alias("node"))
             .distinct()
         )
-        if not include_zero:
-            # star results take (a, a) from base anyway — only plus needs
-            # to know a cycle re-reached an anchor
-            cyc = (nxt.join(base, ["anchor", "node"], "left_semi")
-                   if cycles is None else
-                   cycles.unionByName(
-                       nxt.join(base, ["anchor", "node"], "left_semi"))
-                   .distinct())
-            old_cycles = cycles
-            cycles = cyc.localCheckpoint(eager=True)
-            _retire(old_cycles)
-        old_frontier = frontier
-        frontier = nxt.subtract(seen).localCheckpoint(eager=True)
-        if old_frontier is not base and old_frontier is not seen:
-            _retire(old_frontier)
+        frontier = (
+            nxt.join(_lazy_union(seen_frames), on=["anchor", "node"],
+                     how="left_anti")
+            .localCheckpoint(eager=True)
+        )
         if frontier.isEmpty():
             _retire(frontier)
             break
-        old_seen = seen
-        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-        if old_seen is not base:
-            _retire(old_seen)
+        gens.append(frontier)
+        seen_frames.append(frontier)
+        if len(seen_frames) >= _SEEN_COMPACT_LEVELS:
+            old_compacted = compacted
+            compacted = _lazy_union(seen_frames).localCheckpoint(eager=True)
+            seen_frames = [compacted]
+            _retire(old_compacted)
     else:
         raise QueryExecutionError("path closure did not converge")
-    _retire(step_ckpt)
+    _retire(compacted)
+    seen = _lazy_union(gens)
     if include_zero:
-        if seen is not base:
-            _retire(base)
-        return seen  # (anchor, anchor) zero-length pairs + everything reached
-    reached = seen.subtract(base)
-    if cycles is not None:
-        reached = reached.unionByName(cycles).distinct()
-    result = reached.localCheckpoint(eager=True)
-    if seen is not base:
-        _retire(seen)
+        _retire(step_ckpt)
+        # (anchor, anchor) zero-length pairs + everything reached — the
+        # disjoint generations, base included, read straight off their
+        # checkpointed blocks
+        return seen
+    # plus: distance-≥1 pairs are the non-base generations, plus the
+    # anchors a cycle re-reaches — next(seen) ∩ base, computed once
+    # (disjoint from every generation: an (a, a) candidate can never
+    # survive the anti join against base, so no final distinct needed)
+    cycles = (
+        seen.join(join_step, seen["node"] == join_step["start"])
+        .select(seen["anchor"], join_step["end"].alias("node"))
+        .join(base, ["anchor", "node"], "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _retire(step_ckpt)
+    reached = gens[1:] + [cycles]
+    if len(gens) == 1:
+        # no frontier ever materialized: the result is the cycle hits
+        _retire(base)
+        return cycles
+    result = _lazy_union(reached)
     _retire(base)
-    _retire(cycles)
     return result
 
 

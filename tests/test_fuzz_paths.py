@@ -193,3 +193,25 @@ def test_closure_id_and_struct_representations_agree(spark):
         paths.CLOSURE_IDS_MIN_STEP = old
     assert plus_ids == plus_struct and len(plus_struct) > 23
     assert star_ids == star_struct and len(star_struct) > 2
+
+
+def test_deep_chain_closure_through_compaction(spark):
+    """r16: a 30-node chain drives both semi-naive loops past
+    ``paths._SEEN_COMPACT_LEVELS`` (24), exercising the generation-list
+    compaction (the anti-join side collapses to one materialized frame
+    mid-closure).  The pair set must still be the exact reference
+    closure — for the full fixpoint (p+) and the anchored BFS (p*)."""
+    from sparkdon.session import inline
+
+    n = 30
+    ttl = "@prefix : <http://x.com/> .\n" + "\n".join(
+        f":n{i} :p :n{i + 1} ." for i in range(n - 1))
+    e = inline(ttl, spark)
+    raw = e.select_raw("SELECT ?s ?o { ?s :p+ ?o }")
+    got = {(r["v_s"]["lex"], r["v_o"]["lex"]) for r in raw.collect()}
+    want = {(f"http://x.com/n{i}", f"http://x.com/n{j}")
+            for i in range(n) for j in range(i + 1, n)}
+    assert got == want
+    raw2 = e.select_raw("SELECT ?o { :n0 :p* ?o }")
+    got2 = {r["v_o"]["lex"] for r in raw2.collect()}
+    assert got2 == {f"http://x.com/n{i}" for i in range(n)}

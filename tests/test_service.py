@@ -142,6 +142,44 @@ def test_service_count_probe_failure_keeps_chunking(
     assert list(pdf["pop"]) == [2736074, 1694251, 2405464]
 
 
+def test_service_chunk_fetches_overlap_and_keep_order(
+        local, served, monkeypatch):
+    """r16: the ladder's chunk requests ride a bounded thread pool.
+    Overlap must be real (two chunks in flight at once against a slowed
+    endpoint) while the solution bag stays identical to the sequential
+    loop's — the pool consumes results in chunk order."""
+    import threading
+    import time as _time
+
+    from sparkdon import remote as remote_mod
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 2)
+    real = remote_mod.fetch_bindings
+    lock = threading.Lock()
+    in_flight, peak = [0], [0]
+
+    def slow(url, sparql, **kw):
+        with lock:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        _time.sleep(0.2)
+        try:
+            return real(url, sparql, **kw)
+        finally:
+            with lock:
+                in_flight[0] -= 1
+
+    monkeypatch.setattr(remote_mod, "fetch_bindings", slow)
+    served.queries.clear()
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+    assert len(served.queries) == 2  # 4 distinct boros / cap 2
+    assert peak[0] == 2              # both chunks were in flight at once
+    assert list(pdf["pop"]) == [2736074, 1694251, 2405464]  # same answer
+
+
 def test_service_harvest_is_filter_sharpened(local, served):
     """r15: a group FILTER over already-bound prefix vars restricts the
     injected VALUES (the SIP-harvest rule applied to federation) — the
