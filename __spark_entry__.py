@@ -61,57 +61,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: out[k] for k in front}, **out}
 
 
-#: Entries hoisted into the driver's verification window.  Round 16 —
-#: the second battery-swap round (PERF.md r15 design note, executed in
-#: this round's first commit).
+#: Entries hoisted into the driver's verification window.  Round 17 —
+#: the third battery-swap round (standing cadence; VERDICT r16 #9,
+#: executed in this round's first commit).
 #:
 #: Freshness invariant: at end of round N, the union of windows
 #: N-2..N must cover the whole battery (no entry's newest driver-green
-#: row older than two rounds).  Recomputed from CORRECTNESS_r01..r15
+#: row older than two rounds).  Recomputed from CORRECTNESS_r01..r16
 #: actuals AFTER the registry edit (``scripts/derive_window.py``):
-#: newest-green distribution is {never: 2, r13: 48, r14: 50, r15: 50}
-#: — the two never-green entries are the newly registered swap pair
-#: (x_trim_spans from pipeline/dedup.py, x_soft_dedup from
-#: pipeline/clusters.py — both oracled since r14, 100×/10× probed, in
-#: seed_sweep's docs tier), and the 48 r13 entries are the due cohort
-#: MINUS the retired x_dedup_substring_hashed/x_embed_norm (now
+#: newest-green distribution before the swap was {r14: 50, r15: 50,
+#: r16: 50}.  The r17 window = the two newly registered swap entries
+#: (x_decontam_embed from pipeline/ann.py, x_chunk_stride from
+#: pipeline/packing.py — both oracled + probed since r15, in
+#: seed_sweep's permanent tiers) + the 48 r14-cohort survivors — the
+#: due 50 MINUS the retired x_lm_score/x_sim_topk (now in
 #: pipeline._registry's RETIRED tier, pytest-oracled in
-#: tests/test_retired_gates.py).  2 + 48 = exactly 50; after this
-#: window goes green the r14 ∪ r15 ∪ r16 union covers the post-swap
-#: 150.
+#: tests/test_retired_gates.py; x_lm_score's plan skeleton stays
+#: gated via x_lm_bigram + x_tfidf_topk, x_sim_topk's exact-refine
+#: plan via every surviving ANN gate's re-rank stage).  2 + 48 =
+#: exactly 50; after this window goes green the r15 ∪ r16 ∪ r17 union
+#: covers the post-swap 150.  This window also re-verifies every
+#: r16-optimization entry that sat OUTSIDE the r16 window (x_pagerank,
+#: x_sim_pq/ivfpq, x_sim_lsh_refined, x_semantic_dedup, x_pq_trained,
+#: q_rule_fixpoint — VERDICT r16 #3).
 #:
-#: R17 OBLIGATION (derived from actuals, assuming this window goes
-#: green): the 50 entries whose newest green is r14 — the
-#: a6/a8/j1-j5/q10/q_rule_fixpoint + sparql_optional/minus/values
-#: family + the x_* r14 cohort (run ``scripts/derive_window.py`` at
-#: r17 start for the exact list; the tripwire test enforces it).
-#: The cadence remains at zero slack (150 battery / 50 window /
-#: 3-round cycle): NO new gated entries may be added without retiring
-#: one.  Named r17+ swap candidates with dossiers: x_decontam_embed,
-#: x_chunk_stride (both oracled + probed, r15); r18 pair complete:
-#: x_hll_union (r15) + x_dsir_weights (r16 — 3-scale bit-exact oracle,
-#: random battery, seed_sweep docs tier, 10×/100× probes 2.07/23.34).
+#: R18 OBLIGATION (derived from actuals, assuming this window goes
+#: green): the 50 entries whose newest green is r15 (run
+#: ``scripts/derive_window.py`` at r18 start for the exact list; the
+#: tripwire test enforces it).  The cadence remains at zero slack
+#: (150 battery / 50 window / 3-round cycle): NO new gated entries may
+#: be added without retiring one.  Named r18 swap pair with complete
+#: dossiers: x_hll_union (r15) + x_dsir_weights (r16); r19 seeded with
+#: x_keep_top_approx.
 _FRONT = [
     # the 2 newly registered swap entries (never driver-green → most
-    # urgent) + the 48 surviving r13-stale entries = the derived 50
-    "x_trim_spans", "x_soft_dedup", "f5_regex", "f6_numeric_cast",
-    "f7_count_expr", "q_peel_bnode_closure",
-    "s1_ntriples_roundtrip", "sparql_census", "sparql_describe",
-    "sparql_filter_gt", "sparql_join_agg", "sparql_late_ids",
-    "sparql_path_plus", "sparql_path_plus_ids",
-    "sparql_path_star_anchored", "sparql_path_star_sip",
-    "sparql_path_star_values", "sparql_path_star_values_ids",
-    "sparql_service", "sparql_year_agg", "x_chunk_dedup",
-    "x_contamination", "x_dedup_embed", "x_dedup_embed_strict",
-    "x_dedup_exact", "x_dedup_jaccard", "x_dedup_simhash",
-    "x_dedup_substring", "x_embed_gram", "x_embed_quantize",
-    "x_fingerprint", "x_json_extract", "x_lang_id",
-    "x_length_buckets", "x_mix_sample", "x_neg_sample",
-    "x_pii_scrub", "x_pq_codes", "x_rank_normalize",
-    "x_salted_census", "x_session_stream", "x_sim_ivf",
-    "x_sim_lsh_bucketed", "x_sliding_stream", "x_text_quality",
-    "x_text_stats", "x_tfidf_topk", "x_token_bpe",
-    "x_window_tumbling", "x_winsorize",
+    # urgent) + the 48 surviving r14-stale entries = the derived 50
+    "x_decontam_embed", "x_chunk_stride",
+    "a6_subquery_filter", "a8_bag_decollect", "j1_inner_join_chain",
+    "j2_left_outer", "j3_anti_not_exists", "j4_minus",
+    "j5_semi_exists", "q10_seq_decollect", "q_rule_fixpoint",
+    "sparql_bind_strstarts", "sparql_census_ids",
+    "sparql_census_orders", "sparql_count_distinct",
+    "sparql_join_agg_ids", "sparql_minus", "sparql_not_exists",
+    "sparql_optional", "sparql_optional_ids", "sparql_orderby_limit",
+    "sparql_path_inverse", "sparql_path_nps", "sparql_path_seq",
+    "sparql_subquery_having", "sparql_union", "sparql_values",
+    "x_boilerplate", "x_bpe_pairs", "x_char_entropy",
+    "x_cms_heavy_hitters", "x_cooccur_pmi", "x_corpus_keep",
+    "x_corpus_pack", "x_cross_dedup", "x_fingerprint_winnow",
+    "x_hll_distinct", "x_join_stream", "x_lm_bigram",
+    "x_mix_temperature", "x_pack_sequences", "x_pagerank",
+    "x_pq_trained", "x_sample_exact_k", "x_semantic_dedup",
+    "x_sim_ivfpq", "x_sim_lsh_refined", "x_sim_pq",
+    "x_split_by_cluster", "x_window_sessionize",
 ]
 
 

@@ -116,7 +116,13 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_sample_weighted",
             "x_mix_sample",
             "x_mix_temperature",
-            "x_lm_score",
+            # x_lm_score retired from the battery at the r17 swap (its
+            # explode→tf→vocab-agg→join-back skeleton stays timed via
+            # x_lm_bigram and x_tfidf_topk); its slot's registered
+            # successor x_chunk_stride times below (novel zero-exchange
+            # stride-overlap window chunking — tokenize-once + one
+            # explode(sequence))
+            "x_chunk_stride",
             "x_lm_bigram",
             "x_bpe_pairs",
             "x_pack_sequences",
@@ -197,7 +203,12 @@ GROUPS: list[tuple[str, list[str]]] = [
             "x_split_by_cluster",
             "x_corpus_keep",
             "x_corpus_pack",
-            "x_sim_topk",
+            # x_sim_topk retired from the battery at the r17 swap (its
+            # broadcast-query + cosine-fold + salted-topk plan is every
+            # surviving ANN gate's refine stage); its slot's registered
+            # successor x_decontam_embed times here (broadcast benchmark
+            # side + per-pair cosine fold + vec_id-keyed max partial agg)
+            "x_decontam_embed",
             "x_sim_lsh_refined",
             "x_sim_ivf",
             "x_sim_pq",

@@ -55,7 +55,7 @@ _DUCK_SIM = (
 )
 
 
-@register(
+@retired(
     "x_sim_topk",
     _DUCK_SIM +
     "SELECT qid, cid, sim_scaled FROM ("
@@ -66,7 +66,17 @@ _DUCK_SIM = (
 def x_sim_topk(spark, sf_dir):
     """Brute-force cosine top-k (k=5) for 10 query vectors — the exact
     baseline ANN.  The query side is tiny and broadcast; the corpus side
-    streams once.  Cosine is a fold over ``zip_with`` (pure codegen)."""
+    streams once.  Cosine is a fold over ``zip_with`` (pure codegen).
+
+    RETIRED from the battery at the r17 cycle-boundary swap (gave its
+    slot to ``x_decontam_embed``/``x_chunk_stride``): its ENTIRE plan —
+    broadcast query side + zip_with cosine fold + ``salted_qid_topk`` —
+    is the exact-refine sub-plan every surviving ANN gate executes
+    (``x_sim_lsh_refined``/``x_sim_ivf`` inline it; the PQ gates via
+    ``_cosine_rerank``), so the slot verified nothing the survivors
+    don't.  It remains the recall baseline for every ANN pytest and
+    keeps its driver-style oracle compare in
+    tests/test_retired_gates.py."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     return exact_cosine_topk(e)
@@ -1237,13 +1247,18 @@ def _decontam_oracle_sql() -> str:
 _DECONTAM_ORACLE = _decontam_oracle_sql()
 
 
+@register("x_decontam_embed", _DECONTAM_ORACLE)
 def x_decontam_embed(spark, sf_dir):
     """Gate-style wrapper for :func:`decontam_semantic`: the every-
     ``DECONTAM_BENCH_MOD``-th vector plays the benchmark suite, the
-    rest are the corpus.  Built and oracle-verified in r15, NOT in
-    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): an r17+ swap
-    candidate, battery evidence attached per the standing
-    gate-admission rule."""
+    rest are the corpus.  Built and oracle-verified in r15, REGISTERED
+    at the r17 cycle-boundary swap (took the battery slot of the
+    retired ``x_sim_topk``, whose broadcast-query + cosine-fold +
+    salted-topk plan the surviving ANN gates execute as their refine
+    stage).  Dossier: 3-scale oracle compare, random-tables battery
+    row, permanent seed_sweep tables-tier slot, honest noop-sink
+    probes 10× = 5.38 / 100× = 66.7 (fixed benchmark side — per-pair
+    fold grows exactly k×, wall stays under it)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))

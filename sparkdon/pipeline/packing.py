@@ -526,10 +526,15 @@ def _chunk_stride_oracle(seq_len: int = CHUNK_SEQ_LEN,
 _CHUNK_STRIDE_ORACLE = _chunk_stride_oracle()
 
 
+@register("x_chunk_stride", _CHUNK_STRIDE_ORACLE)
 def x_chunk_stride(spark, sf_dir):
     """Gate-style wrapper for :func:`chunk_windows` on the documents
-    table.  Built and oracle-verified in r15, NOT in
-    ``pipeline.QUERIES`` (zero-slack 150/50/3 cadence): the second
-    r17+ swap candidate alongside ``x_decontam_embed``, battery
-    evidence attached per the standing gate-admission rule."""
+    table.  Built and oracle-verified in r15, REGISTERED at the r17
+    cycle-boundary swap (took the battery slot of the retired
+    ``x_lm_score``, whose explode → tf → vocab-agg → join-back skeleton
+    ``x_lm_bigram`` and ``x_tfidf_topk`` keep in the battery).
+    Dossier: byte-exact oracle compare at both gate scales,
+    coverage/overlap/stitching invariants, random-corpus battery row,
+    permanent seed_sweep docs-tier slot, honest noop-sink probes
+    10× = 1.51 / 100× = 12.4 (zero-exchange, plan-asserted)."""
     return chunk_windows(table(spark, sf_dir, "documents"))

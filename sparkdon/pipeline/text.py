@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import register, retired, table
 from .dedup import CHUNK_TOKENS, _chunk_expr
 
 
@@ -1130,7 +1130,7 @@ def x_tfidf_topk(spark, sf_dir):
             .filter(F.col("rn") <= 3).drop("rn"))
 
 
-@register(
+@retired(
     "x_lm_score",
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
     " FROM documents), "
@@ -1156,6 +1156,15 @@ def x_lm_score(spark, sf_dir):
     score HIGH, fluent common-vocabulary text scores LOW — filter by a
     band, exactly like winsorize's value clip (keeping the LOW tail
     only also deletes boilerplate, the classic CCNet "head" caveat).
+
+    RETIRED from the battery at the r17 cycle-boundary swap (gave its
+    slot to ``x_decontam_embed``/``x_chunk_stride``): its plan skeleton
+    — token explode → (doc, term) partial agg → vocab-sized term agg →
+    term-keyed join-back → doc-keyed agg — is kept in the battery by
+    the strictly richer ``x_lm_bigram`` (the same skeleton at order 2
+    plus the context agg) and by ``x_tfidf_topk`` (same explode/tf/df/
+    join-back machinery).  The driver-style oracle compare stays in
+    tests/test_retired_gates.py.
 
     Portability by integer arithmetic: each term's log-probability is
     floored to 1e-6 units FIRST, so every per-document sum is an exact

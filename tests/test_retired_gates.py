@@ -1,14 +1,15 @@
 """Driver-style verification of the gates RETIRED from the battery at
 the cycle-boundary swaps (sparkdon/relational.py RETIRED tier, r15;
-sparkdon/pipeline/_registry.py RETIRED tier, r16):
+sparkdon/pipeline/_registry.py RETIRED tier, r16+):
 ``u2_except`` / ``u3_intersect`` / ``f1_str_cast`` gave up their
-battery slots to the staged learned-tier trio at r15, and
+battery slots to the staged learned-tier trio at r15,
 ``x_dedup_substring_hashed`` / ``x_embed_norm`` gave up theirs to
-``x_trim_spans`` / ``x_soft_dedup`` at r16 — but their pytest coverage
-stays: the same row-count / column / order-insensitive canonical-value
-compare the driver runs, so a regression in subtract / intersect /
-string-cast / hashed-substring / embed-norm semantics still fails
-loudly every session."""
+``x_trim_spans`` / ``x_soft_dedup`` at r16, and ``x_lm_score`` /
+``x_sim_topk`` gave up theirs to ``x_chunk_stride`` /
+``x_decontam_embed`` at r17 — but their pytest coverage stays: the
+same row-count / column / order-insensitive canonical-value compare
+the driver runs, so a regression in any retired gate's semantics
+still fails loudly every session."""
 
 from __future__ import annotations
 
@@ -52,17 +53,19 @@ def _oracle_rows(sql: str):
     return cols, cur.fetchall()
 
 
-def test_retired_tier_is_exactly_the_r15_plus_r16_swaps():
+def test_retired_tier_is_exactly_the_r15_through_r17_swaps():
     assert sorted(RETIRED) == [
         "f1_str_cast", "u2_except", "u3_intersect",
-        "x_dedup_substring_hashed", "x_embed_norm"]
+        "x_dedup_substring_hashed", "x_embed_norm",
+        "x_lm_score", "x_sim_topk"]
     assert sorted(RETIRED_ORACLE) == sorted(RETIRED)
     # and none of them still occupies a battery slot
     from sparkdon.pipeline import QUERIES as PQ
     from sparkdon.relational import QUERIES as RQ
     assert not set(RETIRED) & (set(RQ) | set(PQ))
     # the slots they vacated are occupied by the registered candidates
-    assert {"x_trim_spans", "x_soft_dedup"} <= set(PQ)
+    assert {"x_trim_spans", "x_soft_dedup",
+            "x_decontam_embed", "x_chunk_stride"} <= set(PQ)
 
 
 @pytest.mark.parametrize("key", sorted(RETIRED))
