@@ -1,5 +1,5 @@
 """Optimization-round probe: for each named query, dump the formatted
-plan to plans/r16/<name>_<tag>.txt, run warm-up + timed noop-sink runs
+plan to plans/r17/<name>_<tag>.txt, run warm-up + timed noop-sink runs
 (bench.py's exact action), and report wall seconds plus Spark job/stage
 counts so time can be attributed to plan shape (many tiny sequential
 stages) vs data volume.
@@ -10,8 +10,8 @@ Usage: python scripts/opt_probe.py <tag> [name ...]
 
 Prints one JSON line per query:
   {"name": ..., "sec": min_wall, "runs": [...], "jobs": n, "stages": n}
-Plan files go to plans/r16/ only for tag "before"/"after"; scratch tags
-dump to /tmp/plans_r16/.
+Plan files go to plans/r17/ only for tag "before"/"after"; scratch tags
+dump to /tmp/plans_r17/.
 """
 
 from __future__ import annotations
@@ -41,8 +41,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     plans_dir = (os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r16")
-        if tag in ("before", "after") else "/tmp/plans_r16")
+        os.path.abspath(__file__))), "plans", "r17")
+        if tag in ("before", "after") else "/tmp/plans_r17")
     os.makedirs(plans_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession

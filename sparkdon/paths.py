@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 
 from sparkdon.algebra import Path
 from sparkdon.errors import QueryExecutionError
+# shared threshold parser (moved to sizing.py in r17 so the PageRank
+# loop's copy cannot drift); old private name kept for in-repo callers
+from sparkdon.sizing import broadcast_threshold_bytes as _broadcast_threshold_bytes
 from sparkdon.terms import BNode, IRI, KIND_BNODE, KIND_IRI, KIND_LIT, Literal, make_term
 
 #: iteration guard for runaway graphs; each iteration is one BFS level, so
@@ -228,47 +231,65 @@ def _decode_pairs(ids: DataFrame, dec: DataFrame, *cols: str) -> DataFrame:
     return out.select(*[F.col("__dec_" + c).alias(c) for c in cols])
 
 
-def _broadcast_threshold_bytes(spark) -> int:
-    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (≤0 disables)."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-                             "10485760")).strip().lower()
-    mult = 1
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                   ("b", 1)):
-        if raw.endswith(suf):
-            raw, mult = raw[: -len(suf)], m
-            break
-    try:
-        return int(float(raw)) * mult
-    except ValueError:
-        return 10 << 20
-
-
-#: Conservative broadcast-hash-table cost per STEP row (data plus
-#: hashed-relation overhead): (long, long) id pairs vs full
-#: (kind, lex, dt, lang) term-struct pairs.
+#: Conservative broadcast-hash-table cost per STEP row: (long, long) id
+#: pairs are fixed-width; term-struct rows carry unbounded RDF lexical
+#: forms, so their estimate is MEASURED (per-row overhead for the
+#: struct/hash-relation machinery plus 2 bytes per lex/dt/lang char —
+#: UTF-16 in the hashed relation), never assumed (r17, advisor find:
+#: the former flat 320 B/row badly undercounted multi-KB literals and
+#: could force-broadcast past executor memory).
 _BCAST_BYTES_ID_ROW = 64
-_BCAST_BYTES_STRUCT_ROW = 320
+_BCAST_BYTES_STRUCT_ROW_OVERHEAD = 200
 
 
-def _step_join_side(step: DataFrame, n_rows: int | None, ids: bool
-                    ) -> DataFrame:
+def _step_stats(step: DataFrame) -> tuple[int, int]:
+    """(row count, conservative broadcast byte estimate) of a raw
+    (start, end) term-struct step relation, in ONE scan-side aggregate
+    (no shuffle, no materialization — the same single job the old bare
+    ``count()`` paid; the length sums ride along as two more partial
+    aggregates)."""
+    def _chars(c):
+        s = F.col(c)
+        return (F.length(F.coalesce(s["lex"], F.lit("")))
+                + F.length(F.coalesce(s["dt"], F.lit("")))
+                + F.length(F.coalesce(s["lang"], F.lit(""))))
+
+    row = step.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_chars("start") + _chars("end")).alias("chars")).collect()[0]
+    n = row["n"]
+    est = n * _BCAST_BYTES_STRUCT_ROW_OVERHEAD + 2 * (row["chars"] or 0)
+    return n, est
+
+
+def _step_join_side(step: DataFrame, n_rows: int | None, ids: bool,
+                    struct_bytes: int | None = None) -> DataFrame:
     """Deliberate per-level join-strategy pick for the closure loops
     (r16, guide §3.1 "broadcast the side you KNOW fits"): the callers
     hold an exact upper bound on the step's row count (the same count
     that chose the id representation), which beats Catalyst's estimate
     for a checkpointed frame (UnknownPartitioning, no stats).  When the
-    conservative byte estimate fits the session broadcast threshold,
-    hint the broadcast so every BFS level joins frontier⋈step with no
-    Exchange and no sort on either side; otherwise (or when the count
-    is unknown) leave Catalyst's choice — the pre-r16 per-level
-    sort-merge join — so a 100 TB step relation never force-broadcasts."""
+    byte estimate fits the session broadcast threshold, hint the
+    broadcast so every BFS level joins frontier⋈step with no Exchange
+    and no sort on either side; otherwise (or when the size is
+    unknown) leave Catalyst's choice — the pre-r16 per-level
+    sort-merge join — so a 100 TB step relation never force-broadcasts.
+
+    The id path costs a fixed 64 B/row; the struct path uses the
+    caller's MEASURED ``struct_bytes`` (unbounded RDF literals make any
+    flat per-row constant unsafe) and declines the hint when no
+    measurement is available."""
     if n_rows is None:
         return step
-    per = _BCAST_BYTES_ID_ROW if ids else _BCAST_BYTES_STRUCT_ROW
     thr = _broadcast_threshold_bytes(step.sparkSession)
-    return F.broadcast(step) if thr > 0 and n_rows * per <= thr else step
+    if thr <= 0:
+        return step
+    if ids:
+        return F.broadcast(step) if n_rows * _BCAST_BYTES_ID_ROW <= thr \
+            else step
+    if struct_bytes is None:
+        return step
+    return F.broadcast(step) if struct_bytes <= thr else step
 
 
 #: Compact the accumulated generation list into one materialized frame
@@ -296,21 +317,25 @@ def transitive_closure(step: DataFrame) -> DataFrame:
     materializes the struct relation at all: its distinct runs on the
     16-byte encoded rows (the whole point of the mode), and the struct
     path keeps its original distinct+checkpoint.  The loop body is
-    representation-agnostic; the measured count also feeds the loop's
-    step-side broadcast pick (:func:`_step_join_side` — raw rows only
-    over-count the distinct step, erring toward NOT broadcasting)."""
-    n_raw = step.count() if CLOSURE_IDS else None
+    representation-agnostic; the measured count AND byte estimate also
+    feed the loop's step-side broadcast pick (:func:`_step_join_side`
+    — raw rows only over-count the distinct step, erring toward NOT
+    broadcasting)."""
+    n_raw = bytes_raw = None
+    if CLOSURE_IDS:
+        n_raw, bytes_raw = _step_stats(step)
     if n_raw is not None and n_raw >= CLOSURE_IDS_MIN_STEP:
         enc, dec = _encode_step(step)
         enc = enc.distinct().localCheckpoint(eager=True)
         closed = _closure_loop(enc, n_rows=n_raw, ids=True)
         return _decode_pairs(closed, dec, "start", "end")
     return _closure_loop(step.distinct().localCheckpoint(eager=True),
-                         n_rows=n_raw, ids=False)
+                         n_rows=n_raw, ids=False, struct_bytes=bytes_raw)
 
 
 def _closure_loop(step: DataFrame, n_rows: int | None = None,
-                  ids: bool = False) -> DataFrame:
+                  ids: bool = False,
+                  struct_bytes: int | None = None) -> DataFrame:
     """The semi-naive loop (column-type-agnostic: structs or longs;
     ``step`` must arrive distinct + checkpointed).
 
@@ -342,7 +367,7 @@ def _closure_loop(step: DataFrame, n_rows: int | None = None,
       compacted into one materialized frame used ONLY as the anti-join
       side (the result stays the generation list), so plan depth is
       bounded on deep chains; a superseded compact frame retires."""
-    join_step = _step_join_side(step, n_rows, ids)
+    join_step = _step_join_side(step, n_rows, ids, struct_bytes)
     gens = [step]
     seen_frames = [step]
     compacted = None  # the current anti-join accelerator, if any
@@ -382,9 +407,11 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
     node_id) long pairs — 16 bytes per row through every per-level
     shuffle — and the final (anchor, node) pairs decode via two id→term
     joins.  The loop body (:func:`_anchored_loop`) is
-    representation-agnostic; the measured count also feeds the loop's
-    step-side broadcast pick (:func:`_step_join_side`)."""
-    n_raw = step.count() if CLOSURE_IDS else None
+    representation-agnostic; the measured count AND byte estimate also
+    feed the loop's step-side broadcast pick (:func:`_step_join_side`)."""
+    n_raw = bytes_raw = None
+    if CLOSURE_IDS:
+        n_raw, bytes_raw = _step_stats(step)
     if n_raw is not None and n_raw >= CLOSURE_IDS_MIN_STEP:
         enc_step, dec = _encode_step(step, extra_nodes=anchors)
         enc_step = enc_step.localCheckpoint(eager=True)
@@ -393,12 +420,14 @@ def anchored_closure(spark, step: DataFrame, anchors: DataFrame,
                                include_zero, n_rows=n_raw, ids=True)
         return _decode_pairs(pairs, dec, "anchor", "node")
     return _anchored_loop(spark, step.localCheckpoint(eager=True), anchors,
-                          forward, include_zero, n_rows=n_raw, ids=False)
+                          forward, include_zero, n_rows=n_raw, ids=False,
+                          struct_bytes=bytes_raw)
 
 
 def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
                    forward: bool, include_zero: bool,
-                   n_rows: int | None = None, ids: bool = False) -> DataFrame:
+                   n_rows: int | None = None, ids: bool = False,
+                   struct_bytes: int | None = None) -> DataFrame:
     """The anchored-BFS loop (column-type-agnostic: structs or longs;
     ``step`` must arrive checkpointed).
 
@@ -435,7 +464,7 @@ def _anchored_loop(spark, step: DataFrame, anchors: DataFrame,
     if not forward:
         # lazy swap over the pinned blocks; no second materialization
         step = step.select(F.col("end").alias("start"), F.col("start").alias("end"))
-    join_step = _step_join_side(step, n_rows, ids)
+    join_step = _step_join_side(step, n_rows, ids, struct_bytes)
     base = anchors.select(F.col("node").alias("anchor"), F.col("node")).distinct() \
         .localCheckpoint(eager=True)
     gens = [base]

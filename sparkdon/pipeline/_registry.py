@@ -1,10 +1,46 @@
 """Shared gate registry for the pipeline package: every family module
 registers its driver-contract entries here, and the package facade
 (:mod:`sparkdon.pipeline`) re-exports ``QUERIES`` / ``ORACLE`` exactly
-as the former monolithic module did."""
+as the former monolithic module did.
+
+SHARED-FRAME PINNING POLICY (r16/r17, the code twin of the
+OPTIMIZATION_r16.md "Policy" paragraph).  Multi-consumer subtrees are
+materialized once through :func:`pin_shared` instead of re-evaluated
+per plan arm.  Eagerness rule: EAGER whenever any consumer is a
+broadcast build or consumers are concurrent stages of one final plan
+(a lazy frame would be materialized concurrently by the
+broadcast-build thread and the main job — duplicated evaluation plus
+block-manager convoys, the r16 measured pathology); LAZY only where
+the FIRST consumer is provably synchronous and single-threaded (a
+driver ``collect``/``count``, or an eager checkpoint downstream that
+materializes the whole chain in one job) — the first action then
+absorbs the materialization instead of paying a standalone job (the
+r17 action-count cut).
+
+FAULT-TOLERANCE TRADE-OFF (guide §5): the default primitive,
+``localCheckpoint``, stores UNREPLICATED blocks on the executors and
+TRUNCATES lineage — on a real cluster, losing an executor mid-query
+kills the query instead of recomputing the lost partitions.  That is
+the right trade at fixture scale and on a single-node local[*] runner
+(no executor to lose that the driver would survive), but a multi-hour
+100 TB dedup/ANN job on a real cluster should swap the primitive via
+``SPARKDON_SHARED_FRAME_MODE``:
+
+- ``local`` (default): ``localCheckpoint`` — fastest, unreplicated,
+  lineage truncated.
+- ``reliable``: ``DataFrame.checkpoint`` — blocks written to the
+  session's checkpoint directory (``setCheckpointDir``, typically
+  HDFS/object storage); survives executor loss.  The caller must have
+  set a checkpoint dir.
+- ``persist``: ``persist(MEMORY_AND_DISK)`` — keeps lineage, so lost
+  partitions RECOMPUTE instead of failing; eager mode materializes via
+  a count.  Heavier memory pressure; plan stays un-truncated (deep
+  iterative lineages may re-grow — prefer ``reliable`` for loops).
+"""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Dict
 
@@ -40,6 +76,31 @@ def retired(name: str, sql: str | None = None):
             RETIRED_ORACLE[name] = sql
         return fn
     return deco
+
+
+def pin_shared(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a multi-consumer subtree once (module docstring has
+    the policy and the fault-tolerance trade-off).  The primitive is
+    selected by ``SPARKDON_SHARED_FRAME_MODE`` (read at call time so a
+    long-lived session can be reconfigured): ``local`` (default) →
+    ``localCheckpoint``; ``reliable`` → ``checkpoint`` (requires a
+    checkpoint dir); ``persist`` → ``persist(MEMORY_AND_DISK)`` with an
+    eager count when ``eager``."""
+    mode = os.environ.get("SPARKDON_SHARED_FRAME_MODE", "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    raise ValueError(
+        f"SPARKDON_SHARED_FRAME_MODE={mode!r}: expected local | reliable "
+        "| persist")
 
 
 def sigmoid(z):

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, retired, table
+from ._registry import pin_shared, register, retired, table
 from .dedup import MINHASH_BUCKET_CAP, _bucket_pairs
 
 
@@ -313,7 +313,7 @@ def x_sim_lsh_refined(spark, sf_dir):
     # plan arm re-runs the scan + repartition (+ norm fold); the r16
     # "before" plan shows 20 Exchanges from exactly this duplication
     return lsh_refined_topk(
-        _ann_vectors(spark, sf_dir, spread=True).localCheckpoint())
+        _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared))
 
 
 def lsh_refined_topk(e: DataFrame, k: int = 5, n_q: int = 10,
@@ -389,13 +389,31 @@ def _ivf_mean(df: DataFrame, dims: int = _IVF_DIMS) -> dict:
     centroid quantization absorbs summation-order noise exactly as
     before (it exists because distributed fp summation order already
     varied run-to-run).  The collect is K×DIMS floats of model state
-    (like the LSH plane matrix), not data."""
+    (like the LSH plane matrix), not data.
+
+    The column-wise form hard-codes ``dims`` where the old posexplode
+    was length-agnostic, so the vector length is ASSERTED in the same
+    aggregate (two extra agg columns, no extra pass): a longer vector
+    would silently truncate and a shorter one would average nulls (or
+    throw an opaque ArrayIndexOutOfBounds under ANSI) — fail loudly
+    with a clear message instead (r17, advisor find).  ``F.get`` is the
+    null-safe element access (no ANSI throw), so the length check is
+    what reports, not the accessor."""
     rows = (
         df.groupBy("cell")
-        .agg(*[(F.floor(F.avg(F.col("v")[i]) * 1e6) / 1e6).alias(f"c{i}")
-               for i in range(dims)])
+        .agg(*[(F.floor(F.avg(F.get(F.col("v"), i)) * 1e6) / 1e6)
+               .alias(f"c{i}")
+               for i in range(dims)],
+             F.min(F.size("v")).alias("_lmin"),
+             F.max(F.size("v")).alias("_lmax"))
         .collect()
     )
+    bad = {(r["_lmin"], r["_lmax"]) for r in rows} - {(dims, dims)}
+    if bad:
+        raise ValueError(
+            f"_ivf_mean: expected {dims}-dim vectors, saw lengths "
+            f"{sorted(set(x for t in bad for x in t))} — pass dims= or "
+            "fix the input frame")
     return {r["cell"]: [r[f"c{i}"] for i in range(dims)] for r in rows}
 
 
@@ -479,13 +497,19 @@ def x_sim_ivf(spark, sf_dir):
     contention ~5x.  r16 trims the action count further (guide §1.2
     "remove passes"): the first-round assignment frame, consumed by
     exactly ONE action (its Lloyd mean), is not checkpointed at all.
-    Checkpoints are EAGER: a lazy (``eager=False``) variant was tried
-    and reverted — frames shared by a broadcast/collect arm and the
-    main plan get materialized CONCURRENTLY by the broadcast-build
-    thread and the main job, duplicating the subtree and contending on
-    the block manager (intermittent multi-x slowdowns in shared-JVM
-    runs)."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    Checkpoint eagerness (r17 action-count cut, VERDICT r16 #2 /
+    guide §1.2): ``e`` is LAZY — its first consumer is the init
+    ``_ivf_mean`` collect, a synchronous single-threaded driver action
+    that materializes the blocks inside its own job (no broadcast arm
+    exists yet, so the r16 concurrent-materialization hazard cannot
+    occur); every later consumer reads the blocks.  ``scored`` below
+    stays EAGER: its first consumers are the broadcast ``probes`` arm
+    and the main ``assigned`` side of ONE final job — exactly the
+    concurrent case the r16 policy requires eager for (a fully-lazy
+    variant was tried in r16 and reverted: concurrent first
+    materialization duplicates the subtree and convoys on the block
+    manager)."""
+    e = _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared, eager=False)
 
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     a1 = e.select(
@@ -495,7 +519,7 @@ def x_sim_ivf(spark, sf_dir):
     # corpus assignment ([0].cell) and the query probe set (slice 1..NPROBE).
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint()
+    ).transform(pin_shared)
     assigned = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell"))
 
@@ -563,7 +587,8 @@ def salted_qid_topk(sims: DataFrame, k: int = 5, nsalts: int = 32,
             .filter(F.col("rn") <= k).drop("rn"))
 
 
-def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
+def kmeans_fit(df: DataFrame, k: int, iters: int = 5,
+               dims: int = _IVF_DIMS):
     """General Lloyd's k-means over a (vec_id, v) frame, Spark-first:
     deterministic hash-group init (``vec_id % k``), then per iteration
     one narrow assignment pass against K×D broadcast literal centroids
@@ -581,9 +606,12 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
     (no shuffle, K×D literals ride the closure); the mean is one
     (cell, dim)-keyed partial agg; the driver holds only K×D floats.
     ``localCheckpoint`` truncates the lineage each round, exactly like
-    the component propagation loop."""
-    cur = df.select("vec_id", "v").localCheckpoint()
-    cents = _ivf_mean(cur.select((F.col("vec_id") % k).alias("cell"), "v"))
+    the component propagation loop (LAZY — the init ``_ivf_mean``
+    collect is always the first consumer and materializes the blocks in
+    its own synchronous job; r17 action-count cut)."""
+    cur = df.select("vec_id", "v").transform(pin_shared, eager=False)
+    cents = _ivf_mean(cur.select((F.col("vec_id") % k).alias("cell"), "v"),
+                      dims=dims)
     for _ in range(iters):
         # consumed once (by the mean below) — no checkpoint needed; cur's
         # checkpoint keeps the lineage shallow across rounds (r16 trim)
@@ -593,7 +621,7 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 5):
         # (standard empty-cluster handling; also keeps the centroid
         # count stable — the same carryover rule the keyed PQ trainer
         # (pq_train_codebooks) and its DuckDB oracle implement)
-        cents = {**cents, **_ivf_mean(asg.select("cell", "v"))}
+        cents = {**cents, **_ivf_mean(asg.select("cell", "v"), dims=dims)}
     asg = cur.select(
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     return cents, asg
@@ -700,7 +728,7 @@ def _embed_dedup(spark, sf_dir, bands: int, mat: list, planes: int,
     # BOTH cosine sides of the pair refine — three plan arms that would
     # each re-run the scan + repartition + (for x/y) the norm fold
     # (guide §2.4: share one evaluation instead of duplicating subtrees)
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    e = _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared)
     pairs = _bucket_pairs(_embed_band_keys(e, bands, mat, planes))
     en = e.select("vec_id", "v", _norm_col("v").alias("nv"))
     x, y = en.alias("x"), en.alias("y")
@@ -888,22 +916,32 @@ def x_semantic_dedup(spark, sf_dir):
     going instead of raising — it re-clusters overflowed cells at
     higher K, the same monitor-then-route pattern as
     ``routed_minhash_pairs``."""
+    # LAZY checkpoint (r17 action-count cut, VERDICT r16 #2): e's first
+    # consumer is the centroid ``_ivf_mean`` collect — a synchronous
+    # driver action that materializes the blocks inside its own job, so
+    # the r16 concurrent-materialization hazard (lazy frame raced by a
+    # broadcast-build thread) cannot occur; later consumers read blocks
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).repartition(spark.sparkContext.defaultParallelism) \
-        .localCheckpoint()
+        .transform(pin_shared, eager=False)
     cents = _ivf_mean(
         e.select(F.col("label").alias("cell"), "v"))
-    # checkpointed (lazily): the K×D-literal assignment below feeds the
-    # cap-guard count, pair generation, BOTH cosine sides and the final
-    # keep join — without it the whole scan+assign subtree is evaluated
-    # once per plan arm (~5×; the r16 "before" plan shows 20 Exchanges
-    # from exactly this — guide §2.4 "share one evaluation")
+    # LAZY checkpoint, same argument: the K×D-literal assignment feeds
+    # the cap-guard count, pair generation, BOTH cosine sides and the
+    # final keep join — without the checkpoint the whole scan+assign
+    # subtree is evaluated once per plan arm (~5×; the r16 "before"
+    # plan shows 20 Exchanges from exactly this — guide §2.4 "share one
+    # evaluation").  Lazy is safe because the FIRST consumer is the
+    # synchronous cap-guard count below, which fully materializes the
+    # blocks before any broadcast arm of the final plan exists; the
+    # r16 eager shape paid a standalone materialization job per
+    # checkpoint that the count/collect now absorbs.
     asg = e.select(
         "vec_id", "v",
         _ivf_cells(cents)[0]["cell"].alias("cluster")) \
-        .localCheckpoint()
+        .transform(pin_shared, eager=False)
     # cap read through the facade at CALL time: tests tune it by
     # patching sparkdon.pipeline.MINHASH_BUCKET_CAP (the old monolith
     # surface), which a def-time import here would not see
@@ -1012,7 +1050,7 @@ def routed_semantic_pairs(asg: DataFrame,
           .withColumn("sub0", F.pmod(F.col("vec_id"),
                                      F.ceil(F.lit(2.0) * F.col("n") / cap)
                                      .cast("long")))
-          .localCheckpoint())
+          .transform(pin_shared))
     subcents = (
         od.select("cluster", "sub0", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "sub0", "pos")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import pin_shared, register, table
 from .dedup import _DUCK_BANDS, _bucket_pairs, _minhash_bands
 
 
@@ -37,9 +37,9 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
-    ).localCheckpoint()
+    ).transform(pin_shared)
     labels = nodes.select(F.col("node"), F.col("node").alias("lab")) \
-        .localCheckpoint()
+        .transform(pin_shared)
     changed = -1
     for _ in range(max_iters):
         nbr = (
@@ -67,7 +67,7 @@ def _min_label_components(nodes: DataFrame, pairs: DataFrame,
             m1.join(hop, m1.lab == hop.jnode, "left")
             .select("node", "old",
                     F.least("lab", F.coalesce("jlab", "lab")).alias("lab"))
-        ).localCheckpoint()
+        ).transform(pin_shared)
         changed = (
             merged.filter(F.col("lab") != F.col("old")).limit(1).count()
         )
@@ -114,7 +114,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                 "edge frame first")))
 
     pairs = edges.select(_nn(src).alias("d1"), _nn(dst).alias("d2")) \
-        .localCheckpoint()
+        .transform(pin_shared)
     ends = (pairs.select(F.col("d1").alias("node"))
             .union(pairs.select(F.col("d2").alias("node"))))
     if nodes is not None:
@@ -393,20 +393,12 @@ def _rank_broadcast_fits(spark, n_nodes: int) -> bool:
     gate).  ~64 bytes/row is a conservative broadcast-hash-table cost
     for a (long, long) rank row; above the session threshold the loop
     falls back to Catalyst's choice, so a billion-node graph never
-    force-broadcasts."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-                             "10485760")).strip().lower()
-    mult = 1
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                   ("b", 1)):
-        if raw.endswith(suf):
-            raw, mult = raw[: -len(suf)], m
-            break
-    try:
-        thr = int(float(raw)) * mult
-    except ValueError:
-        thr = 10 << 20
+    force-broadcasts.  Threshold parsing is the shared
+    :func:`sparkdon.sizing.broadcast_threshold_bytes` (r17 — one copy,
+    no drift with the closure loops' pick)."""
+    from sparkdon.sizing import broadcast_threshold_bytes
+
+    thr = broadcast_threshold_bytes(spark)
     return thr > 0 and n_nodes * 64 <= thr
 
 
@@ -443,19 +435,23 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
                      F.col("dst").cast("long").alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().transform(pin_shared))
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # r16: same partitioning-preserving persist as the x_pagerank gate
     # (guide §2.2) — dst-partitioned so the per-iteration contribution
     # aggregate needs no Exchange while the rank vector broadcasts; a
     # localCheckpoint would report UnknownPartitioning and re-insert
-    # it.  The cache lives for the session (callers iterate over the
-    # same graph; clear with spark.catalog.clearCache() when done).
+    # it.  r17 (VERDICT r16 #5): the cache is SCOPED to this call — the
+    # returned rank frame is checkpoint-backed (the loop's final
+    # localCheckpoint, added below when the last round didn't pay one),
+    # so the edge frame is fully consumed when iteration ends and is
+    # unpersisted before return instead of pinning a corpus-sized frame
+    # on the shared CacheManager for the session.
     ed = e.join(deg, "src").repartition(F.col("dst")).persist()
     dangling = nodes.join(deg.select(F.col("src").alias("node")),
-                          "node", "left_anti").localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint()
+                          "node", "left_anti").transform(pin_shared)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).transform(pin_shared)
     base = (1.0 - damping) / n
     bcast = _rank_broadcast_fits(edges.sparkSession, n)
     for i in range(max_iters):
@@ -473,7 +469,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
                        F.coalesce(F.col("t"), F.lit(0.0))
                        + F.col("dm") / n)).alias("r")))
         if tol is not None:
-            new = new.localCheckpoint()
+            new = new.transform(pin_shared)
             stats = (new.alias("a").join(ranks.alias("b"), "node")
                      .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r")))
                           .alias("delta"),
@@ -486,7 +482,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iters: int = 20,
             if stats["delta"] < tol:
                 break
         else:
-            ranks = new.localCheckpoint() if (i + 1) % 5 == 0 else new
+            ranks = new.transform(pin_shared) if (i + 1) % 5 == 0 else new
+    if tol is None and max_iters % 5 != 0 and max_iters > 0:
+        # the last round didn't checkpoint: materialize once so the
+        # returned frame reads blocks, not the edge-frame lineage —
+        # the unpersist below would otherwise force a cache-less
+        # recompute of every un-checkpointed round at first action
+        ranks = ranks.transform(pin_shared)
+    ed.unpersist()
     return ranks.select("node", F.col("r").alias("pr"))
 
 
@@ -573,7 +576,7 @@ def x_pagerank(spark, sf_dir):
     # the broadcast plan to a SortMergeJoin that re-exchanges the edge
     # frame by src every round (measured 11.3 s vs 5.6 s when this was
     # a lazy distinct over the cache)
-    nodes0 = edd.select("src").distinct().localCheckpoint()
+    nodes0 = edd.select("src").distinct().transform(pin_shared)
     n = nodes0.count()
     base = (3 * PR_SCALE) // (20 * n)
     ranks = nodes0.select(
@@ -587,6 +590,12 @@ def x_pagerank(spark, sf_dir):
                  .select(F.col("dst").alias("node"),
                          (F.lit(base) + F.expr("17 * t div 20")).alias("r")))
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(pin_shared)
+    # r17 (VERDICT r16 #5): the round-10 eager checkpoint above makes
+    # the returned plan read rank blocks only — the edge frame is fully
+    # consumed, so release it instead of pinning it on the session's
+    # CacheManager (bench.py's pre_run clearCache stays as the
+    # belt-and-braces honesty guard for min-of-2)
+    edd.unpersist()
     return (ranks.orderBy(F.desc("r"), F.asc("node")).limit(PR_TOPK)
             .select("node", F.col("r").alias("pr")))

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, retired, spread_narrow_scan, table
+from ._registry import (pin_shared, register, retired, spread_narrow_scan,
+                        table)
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +335,7 @@ def x_dedup_jaccard(spark, sf_dir):
     sh = _spark_shingles(
         spread_narrow_scan(table(spark, sf_dir, "documents"))).select(
         "doc_id", F.array_distinct("shingles").alias("sh")) \
-        .localCheckpoint()
+        .transform(pin_shared)
     a, b = sh.alias("a"), sh.alias("b")
     union_n = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(
@@ -481,7 +482,7 @@ def _join_back_skew_robust(occ: DataFrame, per_key: DataFrame, key: str,
     bit-identical to the plain join — which is how the oracle gates keep
     certifying this exact production path."""
     hot_min = HOT_KEY_MIN_COUNT if hot_min is None else hot_min
-    per_key = per_key.localCheckpoint()
+    per_key = per_key.transform(pin_shared)
     hot = per_key.filter(F.col("cnt") >= hot_min)
     cold = per_key.filter(F.col("cnt") < hot_min)
     occ_hot = occ.join(F.broadcast(hot), key, "inner")
@@ -549,7 +550,7 @@ def x_chunk_dedup(spark, sf_dir):
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")
     ).select("doc_id", (F.col("p") + 1).alias("ci"), "chunk") \
-        .localCheckpoint()
+        .transform(pin_shared)
     first = ch.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "ci")).alias("first_occ"),
         F.count(F.lit(1)).alias("cnt"))
@@ -816,9 +817,9 @@ def x_dedup_substring(spark, sf_dir):
             f" i -> concat_ws(' ', slice(t, i, {SUBSTR_L})))")
         ).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"), "w") \
-        .localCheckpoint(eager=False)
+        .transform(pin_shared, eager=False)
     wc = win.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = _join_back_skew_robust(win, wc, "w").localCheckpoint()
+    cnt = _join_back_skew_robust(win, wc, "w").transform(pin_shared)
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -870,9 +871,9 @@ def dedup_substring_hashed(docs: DataFrame, L: int = SUBSTR_L) -> DataFrame:
             f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"),
              F.xxhash64("w").alias("wh")) \
-        .localCheckpoint(eager=False)
+        .transform(pin_shared, eager=False)
     wc = win.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
-    cnt = _join_back_skew_robust(win, wc, "wh").localCheckpoint()
+    cnt = _join_back_skew_robust(win, wc, "wh").transform(pin_shared)
     base = cnt.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
@@ -1009,7 +1010,7 @@ def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
     # here: the chain's sole first consumer is the eager per-key
     # checkpoint inside _join_back_skew_robust, which materializes
     # longd and win in one single-threaded job at build.
-    longd = toks.filter(F.size("t") >= L).localCheckpoint(eager=False)
+    longd = toks.filter(F.size("t") >= L).transform(pin_shared, eager=False)
     key = (F.xxhash64("w") if hashed else F.col("w")).alias("k")
     win = longd.select(
         "doc_id",
@@ -1017,7 +1018,7 @@ def trim_duplicated_spans(docs: DataFrame, L: int = SUBSTR_L,
             f"transform(sequence(1, size(t) - {L - 1}), "
             f" i -> concat_ws(' ', slice(t, i, {L})))")).alias("p", "w"),
     ).select("doc_id", (F.col("p") + 1).alias("i"), key) \
-        .localCheckpoint(eager=False)
+        .transform(pin_shared, eager=False)
     per_key = win.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "i")).alias("first"))

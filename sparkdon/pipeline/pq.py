@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import pin_shared, register, table
 from .ann import (PQ_K, PQ_M, PQ_SUB, _DUCK_COS_SCALED, _IVF_DIMS,
                   _IVF_K, _IVF_NPROBE, _ann_vectors, _ivf_cells,
                   _ivf_mean, _norm_col, salted_qid_topk)
@@ -73,13 +73,28 @@ def _pq_keyed_mean(df: DataFrame) -> dict:
     for the collect_list reassembly; column-wise ``avg(sv[i])``
     aggregates the identical value multisets in one pass, inside the
     1e-6 quantization's existing summation-order tolerance).  The
-    collect is PQ_M×PQ_K×PQ_SUB floats of model state."""
+    collect is PQ_M×PQ_K×PQ_SUB floats of model state.
+
+    Subvector length is ASSERTED in the same aggregate (the column-wise
+    form hard-codes PQ_SUB where posexplode was length-agnostic —
+    silent truncation / null averaging otherwise; r17, advisor find).
+    ``F.get`` is the null-safe element access, so the length check is
+    what reports, not an ANSI ArrayIndexOutOfBounds."""
     rows = (
         df.groupBy("m", "cell")
-        .agg(*[(F.floor(F.avg(F.col("sv")[i]) * 1e6) / 1e6).alias(f"c{i}")
-               for i in range(PQ_SUB)])
+        .agg(*[(F.floor(F.avg(F.get(F.col("sv"), i)) * 1e6) / 1e6)
+               .alias(f"c{i}")
+               for i in range(PQ_SUB)],
+             F.min(F.size("sv")).alias("_lmin"),
+             F.max(F.size("sv")).alias("_lmax"))
         .collect()
     )
+    bad = {(r["_lmin"], r["_lmax"]) for r in rows} - {(PQ_SUB, PQ_SUB)}
+    if bad:
+        raise ValueError(
+            f"_pq_keyed_mean: expected {PQ_SUB}-dim subvectors, saw "
+            f"lengths {sorted(set(x for t in bad for x in t))} — the "
+            "vector dimensionality must be PQ_M x PQ_SUB")
     return {(r["m"], r["cell"]): [r[f"c{i}"] for i in range(PQ_SUB)]
             for r in rows}
 
@@ -123,8 +138,14 @@ def pq_train_codebooks(e: DataFrame, iters: int = 2) -> list:
     (measured 3.7 s → keyed form ~1.5 s at sf0.01).  The gate
     ``x_pq_trained`` oracle-verifies this exact chain; ``x_pq_codes``
     keeps the naive first-K-vectors sample variant; pytest asserts
-    training strictly reduces reconstruction error vs that sample."""
-    cur = _pq_sub_rows(e).localCheckpoint()
+    training strictly reduces reconstruction error vs that sample.
+
+    The subspace-row checkpoint is LAZY (r17 action-count cut): its
+    first consumer is the init ``_pq_keyed_mean`` collect — a
+    synchronous driver action that materializes the blocks inside its
+    own job before any other consumer exists; every Lloyd round's
+    assignment then reads the blocks."""
+    cur = _pq_sub_rows(e).transform(pin_shared, eager=False)
     cents = _pq_keyed_mean(
         cur.select("m", (F.col("vec_id") % PQ_K).alias("cell"), "sv"))
     for _ in range(iters):
@@ -150,7 +171,10 @@ def x_pq_codes(spark, sf_dir):
     literal codebooks — embarrassingly parallel, no shuffle; a real
     build would train the codebooks with k-means on a sample (the same
     collect-K×D-floats shape as the IVF centroids)."""
-    e = _ann_vectors(spark, sf_dir, spread=True)
+    # lazy checkpoint (r17): the codebook sample collect is the
+    # synchronous first consumer — it materializes the blocks in its
+    # own job, and the final encode reads them instead of re-scanning
+    e = _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared, eager=False)
     cb = _pq_codebook(e)
     return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
 
@@ -217,8 +241,13 @@ def x_pq_trained(spark, sf_dir):
     ``kmeans_fit`` build — per subspace one narrow assignment pass and a
     (cell, dim)-keyed partial agg; the driver holds only PQ_K×64 floats
     of model state.  Encoding stays a single narrow codegen pass over
-    broadcast codebook literals."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    broadcast codebook literals.
+
+    The vector checkpoint is LAZY (r17 action-count cut): the training
+    chain's first action — the init ``_pq_keyed_mean`` collect inside
+    :func:`pq_train_codebooks` — materializes it synchronously (no
+    broadcast arm exists yet); the final encode reads the blocks."""
+    e = _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared, eager=False)
     cb = pq_train_codebooks(e, iters=1)
     return e.select("vec_id", _pq_code_expr(cb).alias("codes"))
 
@@ -462,29 +491,39 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     scale: ~190 candidates per query against a 50-entry shortlist);
     training's effect shows in residual reconstruction error, which
     tests/test_pipeline.py asserts strictly improves."""
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    # Checkpoint eagerness (r17 action-count cut, VERDICT r16 #2): the
+    # whole e → scored → res chain is LAZY.  The first action to touch
+    # it is a synchronous driver collect — the init _ivf_mean for e,
+    # then the codebook sample collect (or the trainer's init mean) for
+    # scored+res, which materializes BOTH frames' blocks in one job
+    # (res's lineage runs through scored, so computing res persists
+    # scored's partitions too).  No broadcast arm exists before those
+    # collects, so the r16 concurrent-materialization hazard cannot
+    # occur; the final plan's qprobe broadcast arm and coded main side
+    # then read already-persisted blocks.  This cuts the gate from 7 to
+    # 4 synchronous jobs (3 standalone checkpoint materializations
+    # folded into the collects that follow them).
+    e = _ann_vectors(spark, sf_dir, spread=True).transform(pin_shared, eager=False)
 
     # coarse quantizer: identical chain to x_sim_ivf (hash-group init +
-    # one Lloyd round, 1e-6-quantized means).  r16: checkpoints are lazy
-    # and the once-consumed first-round assignment is not checkpointed
-    # (same action-count trim as x_sim_ivf — guide §1.2)
+    # one Lloyd round, 1e-6-quantized means); the once-consumed
+    # first-round assignment is not checkpointed (r16 trim, guide §1.2)
     cents = _ivf_mean(e.select((F.col("vec_id") % _IVF_K).alias("cell"), "v"))
     a1 = e.select(
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     cents = _ivf_mean(a1.select("cell", "v"))
     scored = e.select(
         "vec_id", "v", _ivf_cells(cents).alias("cells")
-    ).localCheckpoint()
+    ).transform(pin_shared, eager=False)
 
     # residual PQ encode: codebook = first PQ_K residuals (the
-    # x_pq_codes deterministic sample, taken over residual space)
-    # eagerly checkpointed: the residual frame feeds the codebook sample
-    # collect AND the final encode — one evaluation of the K-branch
-    # residual CASE expression instead of one per action
+    # x_pq_codes deterministic sample, taken over residual space);
+    # checkpointed so the K-branch residual CASE expression is
+    # evaluated once, not once per downstream action
     res = scored.select(
         "vec_id", "v", F.col("cells")[0]["cell"].alias("cell")
     ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v")) \
-        .localCheckpoint()
+        .transform(pin_shared, eager=False)
     if train:
         cb = pq_train_codebooks(res, iters=1)
     else:
@@ -554,12 +593,20 @@ def _pq_ann(spark, sf_dir, cb: list | None = None):
     deterministic first-K sample ``x_sim_pq`` oracles; pass
     :func:`pq_train_codebooks` output for the trained A/B that
     tests/test_pipeline.py asserts recall on)."""
-    # eagerly checkpointed: the vector frame feeds the codebook sample
-    # collect, the coded corpus, the broadcast query side and the exact
-    # re-rank — four arms that would each re-run the scan + repartition
-    e = _ann_vectors(spark, sf_dir, spread=True).localCheckpoint()
+    # checkpointed: the vector frame feeds the codebook sample collect,
+    # the coded corpus, the broadcast query side and the exact re-rank —
+    # four arms that would each re-run the scan + repartition.
+    # Eagerness depends on who materializes FIRST (r17 action-count
+    # cut): with cb=None the codebook sample collect is a synchronous
+    # first consumer, so the checkpoint rides it lazily; with a caller
+    # codebook the first consumers are the final plan's concurrent
+    # broadcast + main arms — the case the r16 policy requires eager.
+    e = _ann_vectors(spark, sf_dir, spread=True)
     if cb is None:
+        e = e.transform(pin_shared, eager=False)
         cb = _pq_codebook(e)
+    else:
+        e = e.transform(pin_shared)
     coded = e.select("vec_id", _pq_codes_array_expr(cb).alias("codes"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"))

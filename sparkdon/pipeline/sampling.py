@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, table
+from ._registry import pin_shared, register, table
 
 
 @register(
@@ -681,7 +681,7 @@ def _bucket_dist(feats: DataFrame, buckets: int):
     the distribution are read off the materialized histogram instead of
     re-running the corpus-wide feature plan per consumer."""
     counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c")) \
-        .localCheckpoint()
+        .transform(pin_shared)
     total = float(counts.agg(F.sum("c")).collect()[0][0] or 0) + buckets
     dist = counts.select(
         "bucket", F.log((F.col("c") + 1) / F.lit(total)).alias("logp"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._registry import register, retired, table
+from ._registry import pin_shared, register, retired, table
 from .dedup import CHUNK_TOKENS, _chunk_expr
 
 
@@ -332,12 +332,12 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
     hist = (docs.select(
             F.explode(nonempty_tokens(F.col("text"))).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-            .localCheckpoint())
+            .transform(pin_shared))
     if local_max_vocab and hist.count() <= local_max_vocab:
         return _local_bpe(
             {r["word"]: r["n"] for r in hist.collect()}, n_merges)
     wc = hist.select(F.expr("split(word, '')").alias("syms"), "n") \
-        .localCheckpoint()
+        .transform(pin_shared)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts = (
@@ -372,7 +372,7 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
             "ELSE concat(acc, array(x)) END)"
         )
-        wc = wc.select(F.expr(merged).alias("syms"), "n").localCheckpoint()
+        wc = wc.select(F.expr(merged).alias("syms"), "n").transform(pin_shared)
     return merges
 
 
@@ -1478,7 +1478,7 @@ def x_cms_heavy_hitters(spark, sf_dir):
     # §2.5)
     toks = (spread_narrow_scan(table(spark, sf_dir, "documents"))
             .select(F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint())
+            .transform(pin_shared))
     exact = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
              .orderBy(F.desc("cnt"), F.asc("tok")).limit(20))
     tb = toks.select(F.explode(F.array(*[
@@ -1554,7 +1554,7 @@ def x_hll_distinct(spark, sf_dir):
     reads 256 rows per group."""
     toks = (table(spark, sf_dir, "documents")
             .select("lang", F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint())
+            .transform(pin_shared))
     est = hll_estimate(toks.select("lang", F.col("tok").alias("item")),
                        "lang")
     ex = toks.groupBy("lang").agg(
@@ -2150,7 +2150,7 @@ def x_hll_union(spark, sf_dir):
     scale."""
     toks = (table(spark, sf_dir, "documents")
             .select("source", F.explode(F.split("text", " ")).alias("item"))
-            .localCheckpoint())
+            .transform(pin_shared))
     per_src = hll_registers(toks, "source")
     merged = hll_from_registers(
         per_src.groupBy("j").agg(F.max("mj").alias("mj"))

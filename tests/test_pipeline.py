@@ -1981,6 +1981,38 @@ def test_pagerank_matches_float_reference(spark):
     assert 0 < total <= PR_SCALE
 
 
+def test_pagerank_unpersists_its_edge_cache(spark):
+    """r17 (VERDICT r16 #5): the dst-partitioned edge frame both
+    pagerank entry points persist() must be SCOPED to the call — the
+    returned rank frame is checkpoint-backed, so nothing may stay on
+    the session CacheManager after the call returns (a library call
+    that pins a corpus-sized frame for the session is a footgun for
+    callers with their own cached frames)."""
+    from pyspark.sql import functions as F
+
+    from sparkdon.pipeline import x_pagerank
+    from sparkdon.pipeline.clusters import pagerank
+    from sparkdon.relational import table
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    # the gate
+    assert x_pagerank(spark, SF).count() > 0
+    assert cm.isEmpty(), "x_pagerank left a frame on the CacheManager"
+    # the public API, at an iteration count that is NOT a checkpoint
+    # boundary (the final-materialize-then-unpersist lane)
+    li = table(spark, SF, "lineitem")
+    e = li.select((F.col("l_partkey") * 2).alias("src"),
+                  (F.col("l_suppkey") * 2 + 1).alias("dst")).distinct()
+    pr = pagerank(e, max_iters=3)
+    assert cm.isEmpty(), "pagerank() left a frame on the CacheManager"
+    # the returned frame is checkpoint-backed: actions still work after
+    # the unpersist and mass stays ~1
+    mass = pr.agg(F.sum("pr")).collect()[0][0]
+    assert abs(mass - 1.0) < 1e-6
+
+
 def test_sketches_cms_and_hll(spark):
     """Sketch-family properties the oracle can't express: (a) CMS never
     underestimates and overestimates by at most the eps*N bound with
@@ -2138,3 +2170,33 @@ def test_pack_and_shard_curriculum_order(spark, tmp_path):
             pack_and_shard(frame, str(tmp_path / f"bad_{bad}"),
                            n_shards=1, seq_len=4,
                            order_col="quality_p")
+
+
+def test_ivf_mean_asserts_vector_dimensionality(spark):
+    """r17 advisor find: the column-wise centroid means hard-code the
+    dimensionality (the old posexplode was length-agnostic) — a longer
+    vector would silently truncate and a shorter one average nulls.
+    The means now assert the length inside their own aggregate."""
+    import pytest as _pytest
+
+    from sparkdon.pipeline.ann import _ivf_mean, kmeans_fit
+    from sparkdon.pipeline.pq import PQ_M, PQ_SUB, _pq_keyed_mean, _pq_sub_rows
+
+    short = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, v array<double>")
+    with _pytest.raises(ValueError, match="expected 64-dim"):
+        _ivf_mean(short.select((short.vec_id % 4).alias("cell"), "v"))
+    # kmeans_fit forwards an explicit dims= and then works end to end
+    cents, asg = kmeans_fit(short, k=2, iters=1, dims=2)
+    assert all(len(cv) == 2 for cv in cents.values())
+    assert asg.count() == 8
+    # the keyed PQ twin guards PQ_SUB the same way (a short vector
+    # makes the tail subspace slices short; slice() silently absorbs
+    # LONGER vectors inside _pq_sub_rows, so short is the raising lane)
+    bad = spark.createDataFrame(
+        [(i, [1.0] * (PQ_M * PQ_SUB - 3)) for i in range(4)],
+        "vec_id long, v array<double>")
+    with _pytest.raises(ValueError, match="subvectors"):
+        _pq_keyed_mean(_pq_sub_rows(bad).select(
+            "m", (bad.vec_id % 2).alias("cell"), "sv"))

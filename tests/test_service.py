@@ -365,3 +365,60 @@ def test_describe_requires_describe_form(desc_graph):
 
     with pytest.raises(SparkdonError, match="DESCRIBE"):
         desc_graph.describe(EX + "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_service_pooled_ladder_surfaces_first_chunk_failure(
+        local, served, monkeypatch):
+    """r17 (VERDICT r16 #6): a mid-ladder chunk failure under the fetch
+    pool must surface exactly the exception the sequential loop would —
+    the FIRST failing chunk in CHUNK order, regardless of which request
+    fails first in wall-clock order.  ``pool.map`` guarantees results
+    are consumed in submission order; this pins that contract so a
+    refactor (e.g. to as_completed) can't silently reorder failure
+    attribution."""
+    from sparkdon import remote as remote_mod
+    from sparkdon.compile import Compiler
+
+    monkeypatch.setattr(Compiler, "SERVICE_VALUES_CAP", 1)
+    real = remote_mod.fetch_bindings
+
+    def failing(url, sparql, **kw):
+        # two mid-ladder chunks fail, with distinct messages; the
+        # Brooklyn chunk is made SLOWEST so wall-clock completion order
+        # differs from chunk order when the pool overlaps requests
+        import time as _time
+
+        if "COUNT" in sparql:
+            # keep the chunk ladder: the adaptive COUNT probe would
+            # otherwise collapse this dense fixture to one request
+            raise RuntimeError("no aggregates here")
+        if "Brooklyn" in sparql and "VALUES" in sparql:
+            _time.sleep(0.3)
+            raise RuntimeError("chunk-failure:Brooklyn")
+        if "Queens" in sparql and "VALUES" in sparql:
+            raise RuntimeError("chunk-failure:Queens")
+        return real(url, sparql, **kw)
+
+    monkeypatch.setattr(remote_mod, "fetch_bindings", failing)
+    q = (EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+         f"  SERVICE <{served.url}> {{ ?b :pop ?pop }} }} ORDER BY ?b")
+
+    # sequential reference: one worker consumes chunks strictly in order
+    monkeypatch.setattr(Compiler, "SERVICE_FETCH_POOL", 1)
+    with pytest.raises(Exception) as seq_exc:
+        local.select(q)
+    assert "chunk-failure:" in str(seq_exc.value)
+
+    # pooled run (the shipped configuration) must surface the SAME
+    # chunk's exception even though completion order differs
+    monkeypatch.setattr(Compiler, "SERVICE_FETCH_POOL", 6)
+    with pytest.raises(Exception) as pool_exc:
+        local.select(q)
+    assert str(pool_exc.value) == str(seq_exc.value)
+
+    # and SILENT still degrades the whole SERVICE group to the unit
+    # solution under a pooled mid-ladder failure
+    pdf = local.select(
+        EX + "SELECT ?b ?pop WHERE { :NYC :boro ?b ."
+        f"  SERVICE SILENT <{served.url}> {{ ?b :pop ?pop }} }}")
+    assert len(pdf) == 4 and pdf["pop"].isnull().all()
