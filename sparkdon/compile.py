@@ -262,6 +262,13 @@ class Compiler:
         #: node) → pre-computed boolean flag Column, letting compile_expr
         #: resolve an EXISTS in a non-conjunctive expression position
         self._exists_flags: dict[int, Column] = {}
+        #: per-pattern scan override: id(TriplePattern) → DataFrame.  The
+        #: semi-naive rule-fixpoint rewrite (paths.fixpoint_union /
+        #: session.update_to_fixpoint, r17) evaluates a rule body once
+        #: per body atom with THAT atom's scan redirected to the delta
+        #: frame while every other atom scans the full store — this map
+        #: is how one atom's source diverges from ``self.triples``.
+        self._pattern_frames: dict[int, DataFrame] = {}
         self._uid = itertools.count()
         #: ``use_ids`` (SURVEY.md §4.3 term-dictionary v2): variables whose
         #: *values* are never needed — they only connect triple patterns —
@@ -431,7 +438,7 @@ class Compiler:
                         prior: Bindings | None = None) -> Bindings:
         if isinstance(tp.p, Path):
             return self.compile_path_pattern(tp, anchor_sets, prior)
-        df = self.triples
+        df = self._pattern_frames.get(id(tp), self.triples)
         # constant filters — these push into the Parquet scan
         proj: dict[str, Column] = {}
         filters: list[Column] = []

@@ -349,6 +349,51 @@ def test_update_to_fixpoint_transitive(spark):
     assert set(df["x"]) == {":Mammal", ":Animal", ":Thing"}
 
 
+def test_update_to_fixpoint_seminaive_matches_full_rederivation(spark):
+    """r17 semi-naive rewrite (VERDICT r16 #4): for an eligible
+    conjunctive rule the delta-driven rounds must land the EXACT same
+    fixpoint as the full re-derivation, on a graph with branches,
+    cycles and a filter-constrained rule."""
+    import sparkdon.session as session_mod
+
+    ttl = """@prefix : <http://example.com/> .
+    :a :next :b . :b :next :c . :c :next :d . :d :next :e .
+    :e :next :a .  :b :next :x . :x :next :y .
+    """
+    rule = ("INSERT { ?s :next ?o2 } "
+            "WHERE { ?s :next ?o . ?o :next ?o2 . FILTER(?s != ?o2) }")
+
+    e1 = inline(ttl, spark)
+    e1.update_to_fixpoint(rule)
+    got = {tuple(r) for r in e1.graph.collect()}
+
+    # force the pre-r17 full re-derivation and compare
+    orig = session_mod._seminaive_body_atoms
+    session_mod._seminaive_body_atoms = lambda *a, **k: []
+    try:
+        e2 = inline(ttl, spark)
+        e2.update_to_fixpoint(rule)
+        ref = {tuple(r) for r in e2.graph.collect()}
+    finally:
+        session_mod._seminaive_body_atoms = orig
+    assert got == ref and len(got) > 7  # derived edges actually appeared
+
+    # ineligible shapes decline semi-naive: path predicate, EXISTS
+    # filter, OPTIONAL body, bnode template
+    from sparkdon.algebra import parse_update
+    for q in (
+        "INSERT { ?a :r ?b } WHERE { ?a :next+ ?b }",
+        "INSERT { ?a :r ?b } WHERE { ?a :next ?b . "
+        " FILTER(EXISTS { ?b :next ?c }) }",
+        "INSERT { ?a :r ?b } WHERE { ?a :next ?b . "
+        " OPTIONAL { ?b :next ?c } }",
+        "INSERT { ?a :r [] } WHERE { ?a :next ?b }",
+    ):
+        (u,) = parse_update(q, {"": "http://example.com/"})
+        assert session_mod._seminaive_body_atoms(
+            u.where, u.insert_template) == []
+
+
 def test_peel_through_bnodes(spark):
     e = inline(
         """@prefix : <http://example.com/> .
