@@ -244,21 +244,54 @@ SMALL_QUERY_SEC = 1.0
 #: ``SPARK_GRAFT_FORCE_STAMP=1``.
 STAMP_MAX_LOAD_5M = 2.0
 
+#: r17 companion gate: the start-load check cannot see HYPERVISOR
+#: NEIGHBOR STEAL that begins mid-run (measured on this host: runs
+#: starting at 1-min load 0.13 degraded 1.6–2.6× on random victims
+#: while /proc/stat steal climbed to 4–14% of all cores and user%
+#: stayed under 25 — runnable threads simply not scheduled).  Steal is
+#: accumulated over the WHOLE run and checked when the detail is
+#: written; a stolen run still prints its stdout JSON (the driver
+#: contract) but must not clobber the committed quiet canonical.
+#: Healthy windows on this host read ≤1%.
+STAMP_MAX_STEAL_PCT = 3.0
+
 _LOAD_START = 0.0
 _LOAD5_START = 0.0
 
 
-def stamp_target(load5_start: float) -> tuple[str, str | None]:
-    """(detail filename, stderr hint or None) for this run — the load
-    gate's one decision, factored out so the test can pin it without a
-    Spark session."""
-    if (load5_start > STAMP_MAX_LOAD_5M
-            and not os.environ.get("SPARK_GRAFT_FORCE_STAMP")):
-        return ("bench_detail.unstamped.json",
-                f"bench: start 5-min load {load5_start:.2f} > "
-                f"{STAMP_MAX_LOAD_5M} — NOT stamping bench_detail.json "
-                "(detail written to bench_detail.unstamped.json); retry "
-                "on a quiet host or set SPARK_GRAFT_FORCE_STAMP=1")
+def read_steal() -> tuple[int, int] | None:
+    """(steal ticks, total ticks) from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def stamp_target(load5_start: float,
+                 steal_pct: float | None = None) -> tuple[str, str | None]:
+    """(detail filename, stderr hint or None) for this run — the
+    quiet-canonical gate's one decision, factored out so the test can
+    pin it without a Spark session.  Two independent refusals: start
+    5-min load (contention visible up front) and whole-run steal%
+    (hypervisor contention invisible up front)."""
+    if not os.environ.get("SPARK_GRAFT_FORCE_STAMP"):
+        if load5_start > STAMP_MAX_LOAD_5M:
+            return ("bench_detail.unstamped.json",
+                    f"bench: start 5-min load {load5_start:.2f} > "
+                    f"{STAMP_MAX_LOAD_5M} — NOT stamping bench_detail.json "
+                    "(detail written to bench_detail.unstamped.json); retry "
+                    "on a quiet host or set SPARK_GRAFT_FORCE_STAMP=1")
+        if steal_pct is not None and steal_pct > STAMP_MAX_STEAL_PCT:
+            return ("bench_detail.unstamped.json",
+                    f"bench: {steal_pct:.2f}% CPU steal during the run > "
+                    f"{STAMP_MAX_STEAL_PCT}% — NOT stamping "
+                    "bench_detail.json (detail written to "
+                    "bench_detail.unstamped.json); retry when the "
+                    "hypervisor neighbors quiet down or set "
+                    "SPARK_GRAFT_FORCE_STAMP=1")
     return "bench_detail.json", None
 
 
@@ -266,6 +299,7 @@ def main() -> None:
     global _LOAD_START, _LOAD5_START
     _LOAD_START = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
     _LOAD5_START = os.getloadavg()[1] if hasattr(os, "getloadavg") else 0.0
+    steal_start = read_steal()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -383,6 +417,12 @@ def main() -> None:
     load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     if load_end is not None:
         out["load_avg"] = [round(_LOAD_START, 2), round(load_end, 2)]
+    steal_pct = None
+    steal_end = read_steal()
+    if steal_start and steal_end and steal_end[1] > steal_start[1]:
+        steal_pct = round(100.0 * (steal_end[0] - steal_start[0])
+                          / (steal_end[1] - steal_start[1]), 2)
+        out["steal_pct"] = steal_pct
     # Round 11: the driver records only the last ~2 KB of stdout and
     # parses JSON out of it; BENCH_r10's full per-query line outgrew
     # that budget and the recorded file ended up unparseable
@@ -391,7 +431,7 @@ def main() -> None:
     # heaviest per-query timings.  The full per-query record goes to
     # ``bench_detail.json`` next to this script (committed per round by
     # the builder's canonical run) and to stderr.
-    detail_name, hint = stamp_target(_LOAD5_START)
+    detail_name, hint = stamp_target(_LOAD5_START, steal_pct)
     if hint:
         print(hint, file=sys.stderr)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
@@ -441,7 +481,8 @@ def compact_output(out: dict) -> dict:
             "detail": "bench_detail.json",
             "top": heavy,
         }
-        for key in ("load_avg", "partial", "error_count", "partial_total_sec"):
+        for key in ("load_avg", "steal_pct", "partial", "error_count",
+                    "partial_total_sec"):
             if key in out:
                 rec[key] = out[key]
         if "errors" in out and n_errors:

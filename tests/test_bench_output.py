@@ -101,3 +101,24 @@ def test_canonical_stamp_load_gate(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_FORCE_STAMP", "1")
     name, hint = bench.stamp_target(14.3)
     assert name == "bench_detail.json" and hint is None
+
+
+def test_canonical_stamp_steal_gate(monkeypatch):
+    """r17: hypervisor neighbor steal that begins mid-run is invisible
+    to the start-load check — whole-run steal% above the threshold must
+    also divert the detail to the unstamped file (measured on this
+    host: quiet-start runs degraded 1.6-2.6x while steal hit 4-14%)."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_STAMP", raising=False)
+    name, hint = bench.stamp_target(0.5, 0.8)
+    assert name == "bench_detail.json" and hint is None
+    name, hint = bench.stamp_target(0.5, bench.STAMP_MAX_STEAL_PCT + 0.1)
+    assert name == "bench_detail.unstamped.json"
+    assert "steal" in hint
+    # off-Linux (no /proc/stat): steal unknown, load gate alone decides
+    name, hint = bench.stamp_target(0.5, None)
+    assert name == "bench_detail.json" and hint is None
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_STAMP", "1")
+    name, hint = bench.stamp_target(0.5, 99.0)
+    assert name == "bench_detail.json" and hint is None
