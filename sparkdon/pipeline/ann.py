@@ -1325,5 +1325,13 @@ def x_decontam_embed(spark, sf_dir):
     bench = (e.filter(F.col("vec_id") % DECONTAM_BENCH_MOD == 0)
              .select(F.col("vec_id").alias("bench_id"),
                      F.col("v").alias("bv")))
-    corpus = e.filter(F.col("vec_id") % DECONTAM_BENCH_MOD != 0)
+    # r17 (guide §2.5): the per-(vector, bench) cosine fold is the
+    # gate's whole cost and it inherits the CORPUS scan's partitioning —
+    # one row group at fixture scale = the entire fold stage on one
+    # core.  Spread only the corpus side (the bench side is broadcast);
+    # no-op once the scan has >= parallelism splits.
+    from ._registry import spread_narrow_scan
+
+    corpus = spread_narrow_scan(
+        e.filter(F.col("vec_id") % DECONTAM_BENCH_MOD != 0))
     return decontam_semantic(corpus, bench)

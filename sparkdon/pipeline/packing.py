@@ -537,4 +537,10 @@ def x_chunk_stride(spark, sf_dir):
     coverage/overlap/stitching invariants, random-corpus battery row,
     permanent seed_sweep docs-tier slot, honest noop-sink probes
     10× = 1.51 / 100× = 12.4 (zero-exchange, plan-asserted)."""
+    # r17: spread_narrow_scan before chunk_windows was tried and
+    # REVERTED (guide §1 measure-first): the fixture's single-partition
+    # explode is already cheap, and the spread shuffles the FULL text
+    # payload to buy parallelism it can't use — min-of-3 noop-sink at
+    # sf0.1/local[32]: 0.383 s zero-exchange vs 0.450 s spread.  The
+    # zero-Exchange shape stays plan-pinned in tests/test_chunk_stride.py.
     return chunk_windows(table(spark, sf_dir, "documents"))

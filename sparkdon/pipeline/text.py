@@ -877,6 +877,15 @@ def x_boilerplate(spark, sf_dir):
     over-threshold chunk set — a one-line `.filter` change the
     docstring documents rather than hides: here the full join keeps the
     gate's n_chunks accounting oracle-comparable."""
+    # r17: spread_narrow_scan and pin_shared(ch) were tried and REVERTED
+    # (guide §1 measure-first).  ch feeds two plan arms, but each arm is
+    # column-PRUNED (the df-count side reads only (doc_id, chunk)), so
+    # the double evaluation is cheaper than either fix: within-one-JVM
+    # interleaved A/B at sf0.1/local[32], 6 rounds min/median —
+    # unchanged 0.702/0.971 s, spread-only 0.992/1.093, spread+eager-pin
+    # 0.925/1.153 (the spread shuffles the full text payload; the pin
+    # materializes the whole exploded corpus through the block manager).
+    # Same finding as x_cross_dedup's r16 revert.
     docs = table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.posexplode(F.expr(_chunk_expr())).alias("p", "chunk")

@@ -92,7 +92,10 @@ def test_chunk_stride_short_null_and_empty_docs(spark):
 
 def test_chunk_stride_plan_contract(spark):
     """Zero shuffles: tokenize-once projection + one explode, no
-    Exchange anywhere (the scan's partitioning is the output's)."""
+    Exchange anywhere (the scan's partitioning is the output's).
+    An r17 spread_narrow_scan in the gate wrapper was measured-REVERTED
+    (numbers in the gate docstring), so the gate itself stays
+    exchange-free."""
     df = x_chunk_stride(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
